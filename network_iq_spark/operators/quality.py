@@ -1,0 +1,54 @@
+"""Data-quality / contract operators (SURVEY.md §2.11, Q1-Q3).
+
+The reference's ``_data_contract_summary`` (streamlit_app.py:39-105) walks
+the frame once per check; here the whole contract is ONE multi-aggregate
+pass — at 100 TB that is the difference between one scan and six.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Contract:
+    """Declarative data contract (Q1/Q2)."""
+
+    required: Sequence[str] = ()
+    not_null: Sequence[str] = ()
+    ranges: dict[str, tuple[float, float]] = field(default_factory=dict)
+
+
+def contract_summary(df: DataFrame, contract: Contract) -> DataFrame:
+    """Q1: single-pass contract report — row count, per-column null counts,
+    out-of-range counts. Missing required columns are reported as -1 (the
+    schema is static, so presence is a plan-time fact, not a scan)."""
+    have = set(df.columns)
+    aggs: list[Column] = [F.count("*").alias("row_count")]
+    for c in contract.not_null:
+        if c in have:
+            aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}"))
+        else:
+            aggs.append(F.lit(-1).cast("bigint").alias(f"nulls_{c}"))
+    for c, (lo, hi) in contract.ranges.items():
+        if c in have:
+            bad = F.col(c).isNotNull() & ((F.col(c) < lo) | (F.col(c) > hi))
+            aggs.append(F.sum(bad.cast("bigint")).alias(f"bad_{c}"))
+        else:
+            aggs.append(F.lit(-1).cast("bigint").alias(f"bad_{c}"))
+    missing = [c for c in contract.required if c not in have]
+    return df.agg(*aggs).withColumn("missing_required", F.lit(len(missing)).cast("bigint"))
+
+
+def contract_passed(summary_row: dict) -> bool:
+    """Q2: pass ⇔ nothing missing, no nulls, nothing out of range
+    (streamlit_app.py:98-105)."""
+    return all(
+        v == 0
+        for k, v in summary_row.items()
+        if k != "row_count" and isinstance(v, int)
+    )

@@ -1,0 +1,142 @@
+"""Window / rolling / rank operators (SURVEY.md §2.5, W1-W8).
+
+The reference does all of this with pandas ``rolling``/``diff``/
+``drop_duplicates`` inside a per-group ``apply`` (streamlit_app.py:697-711,
+971-975). Here each is a Spark window expression — no grouped-map UDF, no
+Python in the hot path; the general ``applyInPandas`` escape hatch (W4) exists
+but is deliberately not used for any of these.
+
+Semantic edges preserved from pandas (each has oracle coverage):
+- **W1 center=True**: for even window w the frame is asymmetric —
+  ``[-(w//2), w-1-w//2]`` rows. pandas puts the extra element *before* the
+  anchor... actually after: rolling(center=True) window w covers
+  ``[i - (w-1)//2, i + w//2]``. We encode exactly that.
+- **W2 ddof**: pandas ``rolling().std()`` is sample std → ``stddev_samp``;
+  ``min_periods=1`` matches Spark's shrink-at-edges default.
+- **W3 diff**: first row yields NaN→0 via ``coalesce``.
+- **W6 keep="last"**: pandas relies on sort order; Spark ``dropDuplicates``
+  has NO ordering guarantee, so keep-last must be ``row_number`` over a
+  descending window (with a total-order tiebreak for determinism).
+
+Scale notes: windows partitioned by a key shuffle once on that key and sort
+within partitions. Skewed keys (one cell with 1e9 rows) are the risk at
+100 TB — these ops keep frames bounded (ROWS BETWEEN k), so state per row is
+O(k); for unbounded-history features switch to the streaming tier.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def centered_frame(w: int) -> tuple[int, int]:
+    """pandas ``rolling(w, center=True)`` frame: [i-(w-1)//2, i+w//2]."""
+    return (-((w - 1) // 2), w // 2)
+
+
+def centered_moving_avg(
+    df: DataFrame, order: str, value: Column | str, w: int, out: str = "smoothed"
+) -> DataFrame:
+    """W1: centered moving average with pandas ``min_periods=1`` edges.
+
+    Reference: streamlit_app.py:330 (hourly chart smoothing, w ∈ [1,5]).
+    """
+    lo, hi = centered_frame(w)
+    spec = Window.orderBy(order).rowsBetween(lo, hi)
+    c = F.col(value) if isinstance(value, str) else value
+    return df.withColumn(out, F.avg(c).over(spec))
+
+
+def trailing_window(keys: Sequence[str], order: Sequence[str], n: int) -> WindowSpec:
+    """W2 frame: trailing n rows (current + n-1 preceding), per key."""
+    return Window.partitionBy(*keys).orderBy(*order).rowsBetween(-(n - 1), 0)
+
+
+def rolling_features(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    metrics: Sequence[str],
+    n: int = 3,
+) -> DataFrame:
+    """W2+W3: per-key trailing rolling mean/std + first-difference.
+
+    Reference ``_add_roll`` (streamlit_app.py:697-701): for each metric m
+    emits ``m_rmean`` (rolling mean), ``m_rstd`` (rolling sample std, NaN→0),
+    ``m_rdiff`` (diff, first-row→0). One shuffle on ``keys``, all features in
+    a single window pass.
+    """
+    roll = trailing_window(keys, order, n)
+    lag_w = Window.partitionBy(*keys).orderBy(*order)
+    out = df
+    for m in metrics:
+        c = F.col(m)
+        out = (
+            out.withColumn(f"{m}_rmean", F.avg(c).over(roll))
+            .withColumn(f"{m}_rstd", F.coalesce(F.stddev_samp(c).over(roll), F.lit(0.0)))
+            .withColumn(f"{m}_rdiff", F.coalesce(c - F.lag(c, 1).over(lag_w), F.lit(0.0)))
+        )
+    return out
+
+
+def zscore(value: Column | str, mean: Column | str, std: Column | str, eps: float = 1e-9) -> Column:
+    """W5: z-score vs a baseline with the reference's zero-std guard
+    (streamlit_app.py:540-543)."""
+    v = F.col(value) if isinstance(value, str) else value
+    m = F.col(mean) if isinstance(mean, str) else mean
+    s = F.col(std) if isinstance(std, str) else std
+    s = F.coalesce(s, F.lit(0.0))
+    return (v - m) / F.when(s == 0, F.lit(eps)).otherwise(s)
+
+
+def dedup_keep_last(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """W6: keep the most-recent row per key (pandas sort + drop_duplicates
+    keep="last", streamlit_app.py:971-975).
+
+    ``dropDuplicates`` keeps an *arbitrary* row — the ordering guarantee
+    requires ``row_number`` over a descending window. ``tiebreak`` columns
+    make the choice total when ``order`` has duplicates.
+    """
+    spec = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order], *[F.col(c).desc() for c in tiebreak]
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(spec))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def minmax_normalize(
+    df: DataFrame, value: Column | str, out: str = "norm"
+) -> DataFrame:
+    """W7: (x−min)/(max−min) over the whole frame; constant input → 1.0
+    (streamlit_app.py:996-998). Global min/max via an empty window — one
+    pass, no driver round-trip."""
+    c = F.col(value) if isinstance(value, str) else value
+    everything = Window.partitionBy()
+    mn = F.min(c).over(everything)
+    mx = F.max(c).over(everything)
+    return df.withColumn(
+        out, F.when(mx == mn, F.lit(1.0)).otherwise((c - mn) / (mx - mn))
+    )
+
+
+def latest_snapshot(df: DataFrame, ts: str) -> DataFrame:
+    """P12: rows where ts equals the frame-wide max (streamlit_app.py:713-715).
+
+    Implemented as a max-over-empty-window filter: one pass, no self-join,
+    no collect. At scale Catalyst plans this as a single window over one
+    exchange; a broadcast scalar-subquery join is the alternative if the
+    window's single-partition exchange ever bottlenecks.
+    """
+    mx = F.max(F.col(ts)).over(Window.partitionBy())
+    return df.withColumn("__mx__", mx).filter(F.col(ts) == F.col("__mx__")).drop("__mx__")

@@ -1,0 +1,537 @@
+"""Telemetry-shaped queries over the ``events`` table.
+
+``events`` mirrors the reference's telemetry fact table (ts ↔ timestamp,
+user_id ↔ cell_id, event_type ↔ tech, value ↔ metric — FIXTURES.md §B), so
+every dashboard-panel dataflow from streamlit_app.py re-expresses here as one
+lazy Spark plan with a DuckDB oracle.
+
+Window aggregates follow the cross-engine determinism rules in
+``queries/_sql.py``: integer-cents sums inside window frames, explicit
+mean/std formulas built identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from network_iq_spark.functions import davg, dsum
+from network_iq_spark.operators.filters import distinct_domain
+from network_iq_spark.operators.joins import baseline_join
+from network_iq_spark.operators.quality import Contract, contract_summary
+from network_iq_spark.operators.reshape import unpivot
+from network_iq_spark.operators.topk import top_k
+from network_iq_spark.operators.windows import (
+    centered_frame,
+    dedup_keep_last,
+    latest_snapshot,
+    minmax_normalize,
+    zscore,
+)
+from network_iq_spark.queries import _sql
+from network_iq_spark.registry import register
+from network_iq_spark.sources import load_table
+
+
+def _cents(col: str = "value") -> Column:
+    """Exact integer cents of a 2-decimal double (determinism rule 1)."""
+    return F.round(F.col(col) * 100, 0).cast("bigint")
+
+
+def _mean_from_cents(s1: Column, n: Column) -> Column:
+    """Twin of ``_sql.mean_from_cents`` — identical expression tree."""
+    return s1 / (F.lit(100.0) * n)
+
+
+def _std_from_cents(s1: Column, s2: Column, n: Column) -> Column:
+    """Twin of ``_sql.std_from_cents`` — identical expression tree."""
+    return F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            ((s2 / F.lit(10000.0)) - ((s1 / F.lit(100.0)) * (s1 / F.lit(100.0))) / n)
+            / (n - F.lit(1)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A3/A10 — KPI cards
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kpi_cards",
+    oracle=f"""
+    SELECT
+      {_sql.davg('value')}                                       AS avg_value,
+      {_sql.dsum('value')}                                       AS sum_value,
+      AVG(CASE WHEN value >= 150 THEN 1.0 ELSE 0.0 END)          AS promoter_rate,
+      AVG(CASE WHEN value < 50 THEN 1.0 ELSE 0.0 END)            AS detractor_rate,
+      COUNT(*)                                                   AS n_rows,
+      COUNT(DISTINCT user_id)                                    AS n_users
+    FROM events
+    """,
+)
+def q_kpi_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI cards (A1 global mean, A3 boolean rates, A10 counts) in ONE pass —
+    the reference computes each card separately (streamlit_app.py:271-306)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        davg("value").alias("avg_value"),
+        dsum("value").alias("sum_value"),
+        F.avg((F.col("value") >= 150).cast("double")).alias("promoter_rate"),
+        F.avg((F.col("value") < 50).cast("double")).alias("detractor_rate"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 + W8 — hourly profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_profile",
+    oracle=f"""
+    SELECT hour(ts) AS hour, {_sql.davg('value')} AS avg_value, COUNT(*) AS n
+    FROM events GROUP BY hour(ts) ORDER BY hour
+    """,
+)
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grouped mean (A4; streamlit_app.py:322)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.hour("ts"))
+        .groupBy("hour")
+        .agg(davg("value").alias("avg_value"), F.count("*").alias("n"))
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — grouped mean+std baseline (deterministic formula)
+# ---------------------------------------------------------------------------
+
+_BASELINE_SQL = f"""
+    SELECT
+      hour(ts) AS hour,
+      COUNT(*) AS n,
+      {_sql.mean_from_cents(f"SUM({_sql.cents('value')})", "COUNT(*)")} AS base_mean,
+      {_sql.std_from_cents(f"SUM({_sql.cents('value')})", f"SUM({_sql.cents('value')} * {_sql.cents('value')})", "COUNT(*)")} AS base_std
+    FROM events GROUP BY hour(ts)
+"""
+
+
+def _hourly_baseline(ev: DataFrame) -> DataFrame:
+    g = ev.withColumn("hour", F.hour("ts")).groupBy("hour").agg(
+        F.count("*").alias("n"),
+        F.sum(_cents()).alias("_s1"),
+        F.sum(_cents() * _cents()).alias("_s2"),
+    )
+    return g.select(
+        "hour",
+        "n",
+        _mean_from_cents(F.col("_s1"), F.col("n")).alias("base_mean"),
+        _std_from_cents(F.col("_s1"), F.col("_s2"), F.col("n")).alias("base_std"),
+    )
+
+
+@register("hourly_baseline", oracle=_BASELINE_SQL + " ORDER BY hour")
+def q_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean+sample-std baseline (A5; streamlit_app.py:536-537),
+    deterministic via integer-cents sums."""
+    return _hourly_baseline(load_table(spark, sf_dir, "events")).orderBy("hour")
+
+
+# ---------------------------------------------------------------------------
+# J1 + W5 + A8 + O2 — z-score anomaly top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zscore_top_anomalies",
+    oracle=f"""
+    WITH baseline AS ({_BASELINE_SQL}),
+    scored AS (
+      SELECT e.user_id,
+             (e.value - b.base_mean)
+               / (CASE WHEN COALESCE(b.base_std, 0.0) = 0 THEN 1e-9
+                       ELSE COALESCE(b.base_std, 0.0) END) AS z
+      FROM events e LEFT JOIN baseline b ON hour(e.ts) = b.hour
+    )
+    SELECT user_id, MAX(z) AS max_anom_z
+    FROM scored GROUP BY user_id
+    ORDER BY max_anom_z DESC, user_id ASC LIMIT 10
+    """,
+)
+def q_zscore_top_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly panel (streamlit_app.py:516-552): per-hour baseline → broadcast
+    join (J1) → z-score w/ zero-std guard (W5) → per-key max (A8) → top-10
+    (O2). The 24-row baseline broadcasts; the only fact shuffle is the final
+    per-user aggregation."""
+    ev = load_table(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    scored = baseline_join(ev, _hourly_baseline(ev), ["hour"]).select(
+        "user_id", zscore("value", "base_mean", "base_std").alias("z")
+    )
+    agg = scored.groupBy("user_id").agg(F.max("z").alias("max_anom_z"))
+    return top_k(agg, [("max_anom_z", True)], 10, tiebreak=["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# W2 + W3 — trailing rolling features
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_features",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+        SUM({_sql.cents('value')}) OVER roll                          AS s1,
+        SUM({_sql.cents('value')} * {_sql.cents('value')}) OVER roll  AS s2,
+        COUNT(*) OVER roll                                            AS cnt,
+        LAG(value) OVER (PARTITION BY user_id ORDER BY ts)            AS prev
+      FROM events
+      WINDOW roll AS (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+      {_sql.mean_from_cents('s1', 'cnt')} AS rmean,
+      CASE WHEN cnt < 2 THEN 0.0 ELSE {_sql.std_from_cents('s1', 's2', 'cnt')} END AS rstd,
+      COALESCE(value - prev, 0.0) AS rdiff
+    FROM w
+    """,
+)
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key trailing rolling mean/std + lag-diff (W2/W3;
+    streamlit_app.py:697-701): the ML feature primitives. One shuffle on
+    user_id, all three features in one window pass — no grouped-map UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    roll = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-2, 0)
+    seq = Window.partitionBy("user_id").orderBy("ts")
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(_cents()).over(roll).alias("s1"),
+        F.sum(_cents() * _cents()).over(roll).alias("s2"),
+        F.count("*").over(roll).alias("cnt"),
+        F.lag("value").over(seq).alias("prev"),
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        _mean_from_cents(F.col("s1"), F.col("cnt")).alias("rmean"),
+        F.when(F.col("cnt") < 2, F.lit(0.0))
+        .otherwise(_std_from_cents(F.col("s1"), F.col("s2"), F.col("cnt")))
+        .alias("rstd"),
+        F.coalesce(F.col("value") - F.col("prev"), F.lit(0.0)).alias("rdiff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6 — dedup keep-last
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_last",
+    oracle="""
+    SELECT event_id, user_id, ts, value FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-recent row per key (W6; streamlit_app.py:971-975). dropDuplicates
+    has no ordering guarantee — this is the row_number formulation, with
+    event_id as total-order tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_keep_last(ev, ["user_id"], ["ts"], tiebreak=["event_id"]).select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — centered moving average (even window ⇒ asymmetric frame)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "centered_mavg_volume",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT hour(ts) AS hour, SUM({_sql.cents('value')}) AS s1
+      FROM events GROUP BY hour(ts)
+    )
+    SELECT hour,
+      (s1 / 100.0) AS hourly_total,
+      (SUM(s1) OVER (ORDER BY hour ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING)
+        / 100.0)
+       / COUNT(*) OVER (ORDER BY hour ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING)
+                 AS smoothed_total
+    FROM hourly ORDER BY hour
+    """,
+)
+def q_centered_mavg_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered moving average, window w=4 (W1; streamlit_app.py:330).
+
+    The even window exercises pandas' asymmetric center=True frame:
+    [i-(w-1)//2, i+w//2] = 1 preceding / 2 following. min_periods=1 edge
+    shrinking matches Spark's default frame clipping.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.hour("ts"))
+        .groupBy("hour")
+        .agg(F.sum(_cents()).alias("s1"))
+    )
+    lo, hi = centered_frame(4)
+    frame = Window.orderBy("hour").rowsBetween(lo, hi)
+    return hourly.select(
+        "hour",
+        (F.col("s1") / 100.0).alias("hourly_total"),
+        ((F.sum("s1").over(frame) / F.lit(100.0)) / F.count("*").over(frame)).alias(
+            "smoothed_total"
+        ),
+    ).orderBy("hour")
+
+
+# ---------------------------------------------------------------------------
+# W7 — min-max normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minmax_norm",
+    oracle="""
+    SELECT event_id, value,
+      CASE WHEN MAX(value) OVER () = MIN(value) OVER () THEN 1.0
+           ELSE (value - MIN(value) OVER ())
+                / (MAX(value) OVER () - MIN(value) OVER ())
+      END AS norm
+    FROM events
+    """,
+)
+def q_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min-max normalization (W7; streamlit_app.py:996-998). min/max
+    are exact selections (no float accumulation) — deterministic."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return minmax_normalize(ev, "value", out="norm")
+
+
+# ---------------------------------------------------------------------------
+# P4 / P12 — domains & latest snapshot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_domains",
+    oracle="SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL ORDER BY event_type",
+)
+def q_event_type_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-option domains (P4; streamlit_app.py:243,247)."""
+    return distinct_domain(load_table(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "latest_snapshot",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE ts = (SELECT MAX(ts) FROM events)
+    """,
+)
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-timestamp slice (P12; streamlit_app.py:713-715)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return latest_snapshot(ev, "ts")
+
+
+# ---------------------------------------------------------------------------
+# A15 — quantile threshold with row-grain scope semantics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "risky_hours",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT hour(ts) AS hour, {_sql.davg('value')} AS avg_value
+      FROM events GROUP BY hour(ts)
+    )
+    SELECT hour, avg_value FROM hourly
+    WHERE avg_value > (SELECT quantile_cont(avg_value, 0.75) FROM hourly)
+    ORDER BY hour
+    """,
+)
+def q_risky_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold flags (A15; streamlit_app.py:334-335,344-348): the
+    threshold comes from the aggregated scope, rows above it are "risky".
+    Threshold via percentile-over-empty-window — no collect round-trip."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.hour("ts"))
+        .groupBy("hour")
+        .agg(davg("value").alias("avg_value"))
+    )
+    thr = F.percentile(F.col("avg_value"), F.lit(0.75)).over(Window.partitionBy())
+    return (
+        hourly.withColumn("__thr__", thr)
+        .filter(F.col("avg_value") > F.col("__thr__"))
+        .select("hour", "avg_value")
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2 + J2 — series comparison via unpivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_compare_unpivot",
+    oracle=f"""
+    WITH net AS (
+      SELECT hour(ts) AS hour, {_sql.davg('value')} AS net_avg
+      FROM events GROUP BY hour(ts)
+    ),
+    cell AS (
+      SELECT hour(ts) AS hour, {_sql.davg('value')} AS cell_avg
+      FROM events WHERE event_type = 'purchase' GROUP BY hour(ts)
+    ),
+    j AS (SELECT net.hour, net.net_avg, cell.cell_avg
+          FROM net LEFT JOIN cell ON net.hour = cell.hour)
+    SELECT hour, 'net_avg' AS series, net_avg AS avg_value FROM j
+    UNION ALL
+    SELECT hour, 'cell_avg' AS series, cell_avg AS avg_value FROM j
+    ORDER BY hour, series
+    """,
+)
+def q_hourly_compare_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-vs-network comparison (J2 alignment join + U2 melt;
+    streamlit_app.py:410,430): two hourly profiles joined on hour, unpivoted
+    long for charting."""
+    ev = load_table(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    net = ev.groupBy("hour").agg(davg("value").alias("net_avg"))
+    cell = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("hour")
+        .agg(davg("value").alias("cell_avg"))
+    )
+    j = baseline_join(net, cell, ["hour"])
+    return unpivot(j, ["hour"], ["net_avg", "cell_avg"], "series", "avg_value").orderBy(
+        "hour", "series"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1/Q2 — data contract
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "data_contract_events",
+    oracle="""
+    SELECT
+      COUNT(*) AS row_count,
+      SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls_event_id,
+      SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)       AS nulls_ts,
+      SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)  AS nulls_user_id,
+      SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)    AS nulls_value,
+      SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 10000)
+               THEN 1 ELSE 0 END)                       AS bad_value,
+      CAST(0 AS BIGINT)                                 AS missing_required
+    FROM events
+    """,
+)
+def q_data_contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data contract (Q1; streamlit_app.py:39-105): null counts,
+    range validity, required-column presence — one scan, one row."""
+    ev = load_table(spark, sf_dir, "events")
+    c = Contract(
+        required=("event_id", "ts", "user_id", "value"),
+        not_null=("event_id", "ts", "user_id", "value"),
+        ranges={"value": (0.0, 10000.0)},
+    )
+    return contract_summary(ev, c)
+
+
+# ---------------------------------------------------------------------------
+# F12-ish — JSON scalar functions over props
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+        / COUNT(json_extract_string(props, '$.k'))   AS avg_k,
+      MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access (the reference's only nested data is JSON
+    context docs, streamlit_app.py:1090-1115): JSON-path extraction + grouped
+    stats, all JVM-side (`get_json_object`)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 — coerce-or-null casts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cast_coercion",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n,
+      SUM(CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NULL THEN 1 ELSE 0 END)
+        AS failed_numeric_casts,
+      SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+               IS NOT NULL THEN 1 ELSE 0 END) AS ok_k_casts
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coerce-or-null cast semantics (P7: pandas ``errors="coerce"`` ⇢
+    ``try_cast``) — works identically under ANSI mode, which Spark 4 enables
+    by default."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.col("event_type").try_cast("double").isNull().cast("bigint")
+            ).alias("failed_numeric_casts"),
+            F.sum(
+                F.get_json_object("props", "$.k")
+                .try_cast("int")
+                .isNotNull()
+                .cast("bigint")
+            ).alias("ok_k_casts"),
+        )
+        .orderBy("event_type")
+    )
