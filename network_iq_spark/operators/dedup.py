@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7 F).
+
+Four tiers, each a pure DataFrame plan:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle on the hash.
+- **n-gram Jaccard**: shingle → explode → self-join on shingle → pair
+  aggregation. Exact near-dup; the shuffle is on shingle (high fanout), so
+  at 100 TB this is the verification stage, not the candidate generator.
+- **MinHash + LSH banding**: shingle → k min-hashes → band buckets →
+  self-join on (band, bucket) → exact-Jaccard verify of the (tiny) candidate
+  set. The classic scale path: shuffle on band buckets only.
+- **SimHash**: per-token hash bit-votes → fingerprint; near-dups have small
+  Hamming distance. Map-only signature, pairs via bucket or brute force.
+
+Hashes are md5-based (hex strings): slower than xxhash64 but available with
+byte-identical semantics in every engine, which is what the correctness
+oracle needs. The constants (k=16 hashes, 4 bands × 4 rows) follow the
+standard LSH S-curve: P(candidate) = 1-(1-s^4)^4, ~0.5 at s≈0.72.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from network_iq_spark.operators.text import WORD_RE, tokens
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct k-token shingles per document (docs with < k tokens drop —
+    too short to near-dup on shingle evidence)."""
+    toks = tokens(text_col)
+    out = df.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") >= SHINGLE_K
+    )
+    sh = F.expr(
+        f"array_distinct(transform(sequence(0, size(_toks) - {SHINGLE_K}), "
+        f"i -> concat(_toks[i], ' ', _toks[i+1], ' ', _toks[i+2])))"
+    )
+    return out.select(id_col, F.explode(sh).alias("shingle"))
+
+
+def exact_dedup(fingerprints: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep min-id per fingerprint, count the group.
+
+    Input: (id, fingerprint) from ``text.fingerprint``. One shuffle on the
+    fingerprint — at 100 TB this is THE cheapest dedup and runs first.
+    """
+    return fingerprints.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keeper"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    |A∩B| via the shingle self-join; |A∪B| = |A|+|B|−|A∩B| from per-doc
+    sizes. Integer counts → the Jaccard double is engine-deterministic.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = N_HASHES, id_col: str = "doc_id"
+) -> DataFrame:
+    """k md5-minhashes per doc: ``min(md5(seed_i || shingle))`` — string min
+    is byte-order total, hence engine-identical."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_buckets(
+    sig: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature: bucket = md5(m_{r·b} ‖ … ‖ m_{r·b+r−1}) per band.
+    Output long form (id, band, bucket) — the LSH join key. The (b, r)
+    choice sets the S-curve: P(candidate) = 1-(1-s^r)^b."""
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
+            )
+        )
+    return sig.select(
+        id_col, F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: candidates from band-bucket
+    collisions, verified with exact Jaccard ≥ threshold.
+
+    The only all-pairs work happens inside buckets; everything else is
+    per-doc map work + one shuffle on (band, bucket) + one on shingle for
+    the candidate verification.
+    """
+    sh = shingles(df, text_col, id_col)
+    sig = minhash_signatures(sh, n_bands * rows_per_band, id_col)
+    bb = lsh_band_buckets(sig, n_bands, rows_per_band, id_col)
+    a = bb.alias("a")
+    b = bb.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = jaccard_pairs(sh, threshold=0.0, id_col=id_col)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-derived — engine-portable)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _nibble(tok_hash: Column, j: int) -> Column:
+    """Value 0-15 of hex digit j (1-based) via strpos — portable hex parse."""
+    return F.instr(F.lit(_HEX), F.substring(tok_hash, j, 1)) - 1
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over distinct word tokens.
+
+    Per token: 32 bits from the first 8 hex digits of md5(token). Each bit
+    votes ±1; fingerprint bit = (vote sum > 0). All integer arithmetic.
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5("tok"))
+    )
+    votes = [
+        F.sum(
+            (F.floor(_nibble(F.col("h"), j + 1) / (2**k)) % 2 * 2 - 1).cast("bigint")
+        ).alias(f"v_{j}_{k}")
+        for j in range(8)
+        for k in range(4)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    acc = F.lit(0).cast("bigint")
+    for j in range(8):
+        for k in range(4):
+            bitpos = (7 - j) * 4 + k
+            acc = acc + F.when(F.col(f"v_{j}_{k}") > 0, F.lit(2**bitpos)).otherwise(
+                F.lit(0)
+            ).cast("bigint")
+    return agg.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Brute-force pair scan — correct at test scale; the 100 TB path blocks on
+    fingerprint prefixes (split the 32 bits into max_hamming+1 segments; a
+    pair within distance d shares ≥1 exact segment — pigeonhole) so the join
+    key is a segment value, not a cross join.
+    """
+    s = simhash32(df, text_col, id_col)
+    a = s.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = s.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

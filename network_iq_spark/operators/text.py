@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7 F).
+
+Beyond-reference tier: language-ID, quality scoring, token counting, document
+fingerprinting — all pure ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen); no Python UDFs anywhere in these paths. Every scalar is derived
+from integer token counts, so results are bit-deterministic across engines.
+
+At 100 TB these are embarrassingly parallel map-only plans: no shuffle, no
+state — throughput is bounded by parquet scan + codegen, which is exactly
+where we want text ops to live.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z0-9]+"
+# BPE-ish segmentation: letter runs | digit runs | single non-alnum glyphs
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Marker stopwords per language for the n-gram/stopword lang-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "los", "las", "que", "y", "en", "un", "una"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "que", "est", "des"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5", "zhe4", "bu4"),
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(text: Column | str, pattern: str = WORD_RE) -> Column:
+    """Lowercased regex tokens (empty text → empty array, not [''])."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)
+
+
+def _in_list(lam_var: str, words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"{lam_var} IN ({quoted})"
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace-ish word tokens + BPE-ish segments + mean
+    token length. All integer counts → deterministic ratios."""
+    out = df.select(
+        id_col,
+        tokens(text_col).alias("_toks"),
+        tokens(text_col, BPE_RE).alias("_bpe"),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+    )
+    n = F.size("_toks")
+    tok_len_sum = F.expr("aggregate(transform(_toks, t -> length(t)), 0, (a, x) -> a + x)")
+    return out.select(
+        id_col,
+        "n_chars_measured",
+        n.alias("n_tokens"),
+        F.size("_bpe").alias("n_bpe_tokens"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(tok_len_sum.cast("double") / n)
+        .alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality scoring (length / punctuation / stopword
+    ratios) — the standard pre-training filter features. Score ∈ [0,1]."""
+    toks = tokens(text_col)
+    out = df.select(
+        id_col,
+        toks.alias("_toks"),
+        F.length(text_col).alias("n_chars"),
+        F.size(F.regexp_extract_all(F.lower(text_col), F.lit("[^a-z0-9 ]"), 0)).alias(
+            "n_punct"
+        ),
+    )
+    n = F.size("_toks")
+    stop_n = F.expr(f"size(filter(_toks, t -> {_in_list('t', STOPWORDS)}))")
+    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(stop_n.cast("double") / n)
+    punct_ratio = F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+        F.col("n_punct").cast("double") / F.col("n_chars")
+    )
+    len_score = F.least(F.lit(1.0), n.cast("double") / F.lit(50.0))
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5) * len_score
+            + F.lit(0.5) * F.least(F.lit(1.0), F.lit(4.0) * stop_ratio)
+            - F.lit(2.0) * punct_ratio,
+        ),
+    )
+    return out.select(
+        id_col,
+        "n_chars",
+        n.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-stopword language-ID heuristic: per-language marker-hit rates,
+    argmax with a fixed priority order (deterministic ties)."""
+    out = df.select(id_col, tokens(text_col).alias("_toks"))
+    n = F.size("_toks")
+    scores = {
+        lang: F.when(n == 0, F.lit(0.0)).otherwise(
+            F.expr(f"size(filter(_toks, t -> {_in_list('t', words)}))").cast("double") / n
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    # sequential CASE ladder: lang i wins if positive and ≥ every later lang
+    # (earlier langs win ties — identical ladder in the SQL oracle)
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for later in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[later])
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+    sel = [F.col(id_col)] + [scores[lang].alias(f"score_{lang}") for lang in langs]
+    return out.select(*sel, pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text —
+    the exact-dedup key (F13 analogue: sha-256 content hashing,
+    streamlit_app.py:1162-1163)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(id_col, F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,414 @@
+"""Beyond-reference LLM-training-data queries (SURVEY.md §7 F).
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), text analysis
+(lang-ID / quality / tokens / fingerprints), similarity search (cosine
+top-k), and multimodal binary plumbing — each with a full DuckDB oracle.
+The md5-string hashing in dedup ops is chosen precisely because both engines
+produce byte-identical digests; the 100 TB path swaps in xxhash64 with the
+same plan shapes (documented per operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from network_iq_spark.operators import dedup as D
+from network_iq_spark.operators import multimodal as M
+from network_iq_spark.operators import similarity as S
+from network_iq_spark.operators import text as T
+from network_iq_spark.registry import register
+from network_iq_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE fragments (must mirror the operators token-for-token)
+# ---------------------------------------------------------------------------
+
+_TOKS = "SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents"
+
+_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM ({_TOKS}) WHERE len(t) >= 3
+"""
+
+_JACCARD = f"""
+  sh AS ({_SHINGLES}),
+  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints & exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (md5 over normalized text) — the exact-dedup
+    key; cf. the reference's sha-256 context hash (streamlit_app.py:1162)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.fingerprint(docs).orderBy("doc_id")
+
+
+@register(
+    "exact_dedup",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+           MIN(doc_id) AS keeper,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1 ORDER BY fingerprint
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
+    One shuffle on the hash — the first stage of any dedup cascade."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(T.fingerprint(docs)).orderBy("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jaccard_top_pairs",
+    oracle=f"""
+    WITH {_JACCARD}
+    SELECT doc_a, doc_b, jaccard FROM jac
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 100
+    """,
+)
+def q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup: top-100 most-similar pairs.
+    Shingle self-join → |∩|; |∪| from per-doc sizes — integer counts make
+    the similarity engine-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    pairs = D.jaccard_pairs(sh, threshold=0.0)
+    return pairs.orderBy(
+        F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(100)
+
+
+def _minhash_sql(n_bands: int, rows_per_band: int, threshold: float) -> str:
+    n_hashes = n_bands * rows_per_band
+    mins = ",\n      ".join(
+        f"MIN(md5('s{i}:' || shingle)) AS m{i}" for i in range(n_hashes)
+    )
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"m{b * rows_per_band + j}" for j in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH {_JACCARD},
+    sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bb AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, j.jaccard
+    FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    WHERE j.jaccard >= {threshold}
+    ORDER BY c.doc_a, c.doc_b
+    """
+
+
+_MH_BANDS, _MH_ROWS, _MH_THRESHOLD = 16, 1, 0.008
+
+
+@register("minhash_lsh_pairs", oracle=_minhash_sql(_MH_BANDS, _MH_ROWS, _MH_THRESHOLD))
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 16 min-hashes → band buckets →
+    candidate pairs → exact-Jaccard verify.
+
+    b=16/r=1 is the recall-heavy config suited to this low-similarity
+    corpus; production dedup at ~0.8 similarity uses r=4/b=4 (same plan,
+    different constants). Only bucket-collision pairs are ever scored — the
+    all-pairs join never happens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, threshold=_MH_THRESHOLD, n_bands=_MH_BANDS, rows_per_band=_MH_ROWS
+    ).orderBy("doc_a", "doc_b")
+
+
+def _simhash_sql(max_hamming: int) -> str:
+    votes = []
+    fp_terms = []
+    for j in range(8):
+        for k in range(4):
+            nib = f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
+            votes.append(
+                f"SUM((({nib} // {2 ** k}) % 2) * 2 - 1) AS v_{j}_{k}"
+            )
+            bitpos = (7 - j) * 4 + k
+            fp_terms.append(
+                f"CASE WHEN v_{j}_{k} > 0 THEN CAST({2 ** bitpos} AS BIGINT) ELSE 0 END"
+            )
+    votes_sql = ",\n        ".join(votes)
+    fp_sql = "\n        + ".join(fp_terms)
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+      )
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    votes AS (
+      SELECT doc_id,
+        {votes_sql}
+      FROM h GROUP BY doc_id
+    ),
+    sim AS (SELECT doc_id, ({fp_sql}) AS simhash FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
+
+
+# the shared-vocab synthetic corpus clusters tightly in SimHash space —
+# distance 2 keeps the pair set a meaningful near-dup candidate list
+_SIMHASH_MAX_HAMMING = 2
+
+
+@register("simhash_pairs", oracle=_simhash_sql(_SIMHASH_MAX_HAMMING))
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit token-vote fingerprints, pairs within
+    Hamming distance 8. Signature build is map-only + one groupBy; the
+    test-scale pair scan is brute force (the scale path blocks on
+    fingerprint segments — pigeonhole guarantees recall)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(docs, max_hamming=_SIMHASH_MAX_HAMMING)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+      len(text) AS n_chars_measured,
+      len(t) AS n_tokens,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+      CASE WHEN len(t) = 0 THEN 0.0
+           ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)
+      END AS avg_token_len
+    FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace-word + BPE-ish regex) — all JVM-side
+    regexp, zero Python; integer counts → deterministic ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, t,
+        len(text) AS n_chars,
+        len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+        len(list_filter(t, x -> x IN {T.LANG_MARKERS['en']!r})) AS stop_n
+      FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents)
+    )
+    SELECT doc_id, n_chars, len(t) AS n_tokens,
+      CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(stop_n AS DOUBLE) / len(t) END
+        AS stopword_ratio,
+      CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END
+        AS punct_ratio,
+      GREATEST(0.0, LEAST(1.0,
+        0.5 * LEAST(1.0, CAST(len(t) AS DOUBLE) / 50.0)
+        + 0.5 * LEAST(1.0, 4.0 * (CASE WHEN len(t) = 0 THEN 0.0
+                                       ELSE CAST(stop_n AS DOUBLE) / len(t) END))
+        - 2.0 * (CASE WHEN n_chars = 0 THEN 0.0
+                      ELSE CAST(n_punct AS DOUBLE) / n_chars END)))
+        AS quality_score
+    FROM q ORDER BY doc_id
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality filter features: length/stopword/punctuation
+    ratios folded into a clamped [0,1] score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_score(docs).orderBy("doc_id")
+
+
+def _lang_sql() -> str:
+    langs = list(T.LANG_MARKERS)
+    score_cols = ",\n      ".join(
+        f"CASE WHEN len(t) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter(t, x -> x IN {T.LANG_MARKERS[lang]!r})) AS DOUBLE)"
+        f" / len(t) END AS score_{lang}"
+        for lang in langs
+    )
+    ladder = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} > 0"] + [
+            f"score_{lang} >= score_{later}" for later in langs[i + 1 :]
+        ]
+        ladder.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    ladder_sql = "\n        ".join(ladder)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+      {score_cols}
+      FROM ({_TOKS})
+    )
+    SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
+      CASE
+        {ladder_sql}
+        ELSE 'unknown' END AS pred_lang
+    FROM scored ORDER BY doc_id
+    """
+
+
+@register("lang_id", oracle=_lang_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID heuristic with a deterministic argmax
+    ladder (ties go to the earlier language)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.lang_id(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cosine_topk",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+             list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, n_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY q_vec_id, rank
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for query vectors (vec_id < 10):
+    the ANN correctness baseline. Dot products accumulate as double in
+    element order — bit-identical across engines (verified empirically)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = S.with_norm(
+        emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
+    )
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return S.cosine_topk_bruteforce(queries, vecs, k=10).orderBy("q_vec_id", "rank")
+
+
+@register(
+    "embedding_label_stats",
+    oracle="""
+    SELECT label,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(ROUND(
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+        AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+      MIN(len(embedding)) AS min_dim,
+      MAX(len(embedding)) AS max_dim
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats (norm distribution, dimensionality check) —
+    the sanity pass a vector pipeline runs before indexing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = S.with_norm(emb.select("label", S.as_double_vec("embedding").alias("v")))
+    return (
+        vecs.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("norm"), 6).cast("decimal(27,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_norm"),
+            F.min(F.size("v")).alias("min_dim"),
+            F.max(F.size("v")).alias("max_dim"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS payload_sha256,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'ok' END
+             AS decode_status
+    FROM documents ORDER BY media_id
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: opaque payload → Arrow-batched ``mapInPandas``
+    feature extraction (byte length, content hash, stubbed decode). The
+    Python stage is real — schema, batching, UDF signature — only the codec
+    call is stubbed (no media libs in this container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.documents_as_media(docs)).orderBy("media_id")

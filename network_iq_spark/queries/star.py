@@ -1,0 +1,235 @@
+"""Join / top-k / grouped-agg queries over the TPC-H-ish star schema.
+
+The reference's joins are all fact-⟕-small (SURVEY.md §2.3); the star schema
+lets us exercise the same patterns at real shuffle scale plus the
+"free in Spark" extensions the survey lists as absent in the reference
+(anti/semi joins, grouped rank). Dimension sides are broadcast explicitly —
+at 100 TB the fact side's stats can push Catalyst off the broadcast plan even
+when the build side is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from network_iq_spark.functions import davg, dsum
+from network_iq_spark.operators.joins import anti_join
+from network_iq_spark.operators.topk import grouped_top_k, top_k
+from network_iq_spark.queries import _sql
+from network_iq_spark.registry import register
+from network_iq_spark.sources import load_table
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "top_revenue_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {_sql.dsum(_REVENUE)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+    """,
+)
+def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact⋈dim → grouped revenue → top-10 (J-shape + O1).
+
+    lineitem⋈orders shuffles on orderkey (both large); customer broadcasts.
+    The final top-k plans as TakeOrderedAndProject — no global sort.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_items"))
+    )
+    return top_k(agg, [("revenue", True)], 10, tiebreak=["c_custkey"])
+
+
+@register(
+    "regional_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region,
+           {_sql.dsum(_REVENUE)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY region
+    """,
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way star join rolled up to region. nation/region/customer all
+    broadcast; the plan has exactly ONE shuffle (the final 5-group agg is
+    map-side-combined almost entirely)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("region")
+    )
+
+
+@register(
+    "order_priority_stats",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_sql.davg('o_totalprice')} AS avg_total,
+           MIN(o_totalprice) AS min_total,
+           MAX(o_totalprice) AS max_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-agg over a dimension column (A5/A7 family)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            davg("o_totalprice").alias("avg_total"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "segment_acctbal_stats",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           {_sql.davg('c_acctbal')} AS avg_acctbal,
+           MIN(c_acctbal) AS min_acctbal,
+           MAX(c_acctbal) AS max_acctbal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_segment_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped stats by market segment (A4/A7)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            davg("c_acctbal").alias("avg_acctbal"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "brand_top_parts",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice, rank FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey ASC)
+                  AS INT) AS rank
+      FROM part
+    ) WHERE rank <= 3 ORDER BY p_brand, rank
+    """,
+)
+def q_brand_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (rank family — survey §2.5 lists it as
+    absent-in-reference, free with windows). One shuffle on the group key."""
+    p = load_table(spark, sf_dir, "part")
+    return grouped_top_k(
+        p.select("p_brand", "p_partkey", "p_name", "p_retailprice"),
+        keys=["p_brand"],
+        by=[("p_retailprice", True)],
+        k=3,
+        tiebreak=["p_partkey"],
+    ).orderBy("p_brand", "rank")
+
+
+@register(
+    "nation_supplier_balance",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_suppliers,
+           {_sql.davg('s_acctbal')} AS avg_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+)
+def q_nation_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim⋈dim grouped mean (J3 shape)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_suppliers"), davg("s_acctbal").alias("avg_acctbal"))
+        .orderBy("nation")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left ANTI join (existence-negation) — the survey's "free via Spark"
+    join extension, essential for dedup/diff pipelines at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        anti_join(c, o, ["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "order_line_rollup",
+    oracle=f"""
+    SELECT l_orderkey, l_linestatus,
+           {_sql.davg('l_quantity')} AS avg_qty,
+           {_sql.dsum(_REVENUE)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey, l_linestatus
+    """,
+)
+def q_order_line_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key grouped mean at near-row grain (A9 shape;
+    streamlit_app.py:579-585) — a high-cardinality groupBy whose output is
+    ~25% of input rows; exercises real shuffle width."""
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_orderkey", "l_linestatus").agg(
+        davg("l_quantity").alias("avg_qty"),
+        dsum(revenue).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
