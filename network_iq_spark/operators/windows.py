@@ -7,10 +7,9 @@ Python in the hot path; the general ``applyInPandas`` escape hatch (W4) exists
 but is deliberately not used for any of these.
 
 Semantic edges preserved from pandas (each has oracle coverage):
-- **W1 center=True**: for even window w the frame is asymmetric —
-  ``[-(w//2), w-1-w//2]`` rows. pandas puts the extra element *before* the
-  anchor... actually after: rolling(center=True) window w covers
-  ``[i - (w-1)//2, i + w//2]``. We encode exactly that.
+- **W1 center=True**: for even window w the frame is asymmetric — pandas
+  puts the extra element *before* the anchor: ``[i − w//2, i + (w−1)//2]``.
+  We encode exactly that (see ``centered_frame``).
 - **W2 ddof**: pandas ``rolling().std()`` is sample std → ``stddev_samp``;
   ``min_periods=1`` matches Spark's shrink-at-edges default.
 - **W3 diff**: first row yields NaN→0 via ``coalesce``.
@@ -33,8 +32,10 @@ from pyspark.sql import functions as F
 
 
 def centered_frame(w: int) -> tuple[int, int]:
-    """pandas ``rolling(w, center=True)`` frame: [i-(w-1)//2, i+w//2]."""
-    return (-((w - 1) // 2), w // 2)
+    """pandas ``rolling(w, center=True)`` frame: [i−w//2, i+(w−1)//2] — for
+    even w the EXTRA element sits BEFORE the anchor (verified against pandas
+    2.2: rolling(4).mean of [1,2,4,8,…] at i=2 is (1+2+4+8)/4)."""
+    return (-(w // 2), (w - 1) // 2)
 
 
 def centered_moving_avg(

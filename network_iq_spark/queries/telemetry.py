@@ -270,9 +270,9 @@ def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT hour,
       (s1 / 100.0) AS hourly_total,
-      (SUM(s1) OVER (ORDER BY hour ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING)
+      (SUM(s1) OVER (ORDER BY hour ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
         / 100.0)
-       / COUNT(*) OVER (ORDER BY hour ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING)
+       / COUNT(*) OVER (ORDER BY hour ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
                  AS smoothed_total
     FROM hourly ORDER BY hour
     """,
@@ -281,7 +281,7 @@ def q_centered_mavg_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centered moving average, window w=4 (W1; streamlit_app.py:330).
 
     The even window exercises pandas' asymmetric center=True frame:
-    [i-(w-1)//2, i+w//2] = 1 preceding / 2 following. min_periods=1 edge
+    [i−w//2, i+(w−1)//2] = 2 preceding / 1 following. min_periods=1 edge
     shrinking matches Spark's default frame clipping.
     """
     ev = load_table(spark, sf_dir, "events")

@@ -1,0 +1,65 @@
+"""Ingest pipeline (S1/P1/P2/S8) and resolver (lenient-on-read) tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.telemetry_fixture import telemetry_pdf
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory) -> str:
+    p = tmp_path_factory.mktemp("raw") / "cells.csv"
+    telemetry_pdf().to_csv(p, index=False)
+    return str(p)
+
+
+def test_csv_to_partitioned_parquet_roundtrip(spark, csv_path, tmp_path):
+    from network_iq_spark.ingest import ingest, read_csv, read_curated, telemetry_schema
+
+    out = str(tmp_path / "curated")
+    raw = read_csv(spark, csv_path, telemetry_schema())
+    assert [f.name for f in telemetry_schema().fields][:2] == ["timestamp", "cell_id"]
+
+    ingest(raw, out)
+
+    # hive layout: date=... / cell_id=... directories
+    dates = [d for d in os.listdir(out) if d.startswith("date=")]
+    assert len(dates) == 5
+    cells = os.listdir(os.path.join(out, dates[0]))
+    assert any(c.startswith("cell_id=") for c in cells)
+
+    cur = read_curated(spark, out)
+    # cleansing applied: no non-positive latency survives
+    assert cur.filter("latency_ms <= 0").count() == 0
+    # derived columns present and partition columns reconstituted
+    assert {"date", "cell_id", "hour"} <= set(cur.columns)
+
+    # partition pruning: a date filter must prune the file listing
+    pruned = cur.filter("date = '2025-07-01'")
+    plan = pruned.explain(mode="formatted") or ""
+    assert pruned.count() > 0
+
+
+def test_partition_pruning_in_plan(spark, csv_path, tmp_path):
+    from network_iq_spark.ingest import ingest, read_csv, read_curated, telemetry_schema
+
+    out = str(tmp_path / "curated2")
+    ingest(read_csv(spark, csv_path, telemetry_schema()), out)
+    cur = read_curated(spark, out)
+    plan = cur.filter("date = '2025-07-01'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "partitionFilters" in plan
+
+
+def test_resolver_aliases(spark):
+    from network_iq_spark.resolver import pick, resolve
+
+    df = spark.createDataFrame([("2025-01-01", "c1", 0.5)], ["TS", "cell", "prob"])
+    assert pick(df, "timestamp", "ts") == "TS"
+    out = resolve(df, required=["timestamp", "cell_id"])
+    assert {"timestamp", "cell_id", "pred_prob"} <= set(out.columns)
+
+    with pytest.raises(ValueError, match="missing required column"):
+        resolve(spark.createDataFrame([(1,)], ["x"]), required=["timestamp"])
