@@ -1,0 +1,138 @@
+"""Structured Streaming tier (SURVEY.md §2.10 / §7 phase E).
+
+The reference has no streaming path — but its telemetry table is naturally a
+stream (event-time = timestamp), and every grouped-by-hour batch operator has
+a direct tumbling-window analogue:
+
+- A4/A5/A9 grouped aggregates → ``groupBy(window(ts, "1 hour"), keys)`` with
+  a watermark bounding state.
+- W2 trailing features → sliding windows (``window(ts, "3 hours", "1 hour")``).
+- P12 latest-per-key snapshot → arbitrary stateful dedup
+  (``applyInPandasWithState`` — the flatMapGroupsWithState analogue).
+
+Late data policy: rows later than the watermark are dropped from their
+window — at 100 TB the watermark bound is what keeps state finite; the
+delta/append sink records window finalization, so downstream readers see
+only closed windows in append mode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def read_telemetry_stream(
+    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream over the same at-rest layout the batch tier scans —
+    one pipeline definition serves both (the Kappa posture)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def tumbling_kpis(
+    stream: DataFrame,
+    ts_col: str = "timestamp",
+    keys: Sequence[str] = (),
+    metric: str = "latency_ms",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hourly KPI aggregates as a watermarked tumbling-window stream
+    (the streaming twin of A4/A5)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *keys)
+        .agg(
+            F.avg(metric).alias("avg_value"),
+            F.stddev_samp(metric).alias("std_value"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "avg_value",
+            "std_value",
+            "n",
+        )
+    )
+
+
+def sliding_features(
+    stream: DataFrame,
+    ts_col: str = "timestamp",
+    keys: Sequence[str] = ("cell_id",),
+    metric: str = "latency_ms",
+    window: str = "3 hours",
+    slide: str = "1 hour",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Trailing 3 h rolling features (W2's streaming analogue): each hourly
+    slide emits the mean/std of the last 3 h per key."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide), *keys)
+        .agg(
+            F.avg(metric).alias("rmean"),
+            F.coalesce(F.stddev_samp(metric), F.lit(0.0)).alias("rstd"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("window.end").alias("feature_ts"),
+            *keys,
+            "rmean",
+            "rstd",
+            "n",
+        )
+    )
+
+
+def latest_per_key(
+    stream: DataFrame,
+    schema_ddl: str,
+    ts_col: str = "timestamp",
+    key: str = "cell_id",
+    value_cols: Sequence[str] = ("latency_ms", "throughput_mbps"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful latest-row-per-key (P12/W6 streaming twin) via
+    ``applyInPandasWithState``: state holds one (ts, values) tuple per key,
+    updated when a newer event arrives. State size = O(#keys), bounded.
+
+    ``schema_ddl`` example: ``"cell_id string, ts timestamp, latency_ms
+    double, throughput_mbps double"``.
+    """
+    cols = [key, ts_col, *value_cols]
+
+    def update(
+        key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        newest: tuple | None = state.get if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            last = pdf.iloc[-1]
+            cand = tuple(last[c] for c in cols)
+            if newest is None or cand[1] > newest[1]:
+                newest = cand
+        if newest is not None:
+            state.update(newest)
+            yield pd.DataFrame([dict(zip(cols, newest))])
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(*cols)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=schema_ddl,
+            stateStructType=schema_ddl,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,114 @@
+"""ML tier: label derivation, training pipeline, bundle export/load, and the
+two scoring paths (Spark ML transform vs broadcast-bundle pandas UDF)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.telemetry_fixture import telemetry_pdf
+
+
+@pytest.fixture(scope="module")
+def features(spark):
+    from network_iq_spark.plans.telemetry import BASE_FEATURES
+    from pyspark.sql import functions as F
+
+    tdf = spark.createDataFrame(telemetry_pdf())
+    # full-history features (not just latest): rebuild without the final slice
+    from network_iq_spark.plans import build_latest_features  # noqa: F401  (doc link)
+    from network_iq_spark.operators.joins import baseline_join
+    from network_iq_spark.functions import is_weekend, zero_guard
+    from pyspark.sql import Window
+
+    use = (
+        tdf.withColumn("ts", F.date_trunc("hour", F.col("timestamp")))
+        .filter(F.col("ts").isNotNull() & F.col("cell_id").isNotNull())
+        .withColumn("hour", F.hour("ts"))
+    )
+    base = (
+        use.groupBy("hour")
+        .agg(F.avg("latency_ms").alias("b_mean"), F.stddev_samp("latency_ms").alias("b_std"))
+        .withColumn("b_std", zero_guard(F.col("b_std")))
+    )
+    use = baseline_join(use, base, ["hour"]).withColumn(
+        "z_bad", (F.col("latency_ms") - F.col("b_mean")) / F.col("b_std")
+    )
+    roll_w = Window.partitionBy("cell_id").orderBy("ts").rowsBetween(-2, 0)
+    seq_w = Window.partitionBy("cell_id").orderBy("ts")
+    for c in BASE_FEATURES:
+        use = (
+            use.withColumn(f"{c}_rmean", F.avg(c).over(roll_w))
+            .withColumn(f"{c}_rstd", F.coalesce(F.stddev_samp(c).over(roll_w), F.lit(0.0)))
+            .withColumn(f"{c}_rdiff", F.coalesce(F.col(c) - F.lag(c, 1).over(seq_w), F.lit(0.0)))
+        )
+    use = use.withColumn("is_weekend", is_weekend(F.col("ts")))
+    use.persist().count()
+    yield use
+    use.unpersist()
+
+
+def test_derive_labels(features):
+    from network_iq_spark.ml import derive_labels
+
+    labeled = derive_labels(features, "latency_ms", q=0.8)
+    n_cells = features.select("cell_id").distinct().count()
+    # one row per cell drops (no next hour)
+    assert labeled.count() == features.count() - n_cells
+    rate = labeled.agg({"label": "avg"}).collect()[0][0]
+    assert 0.1 < rate < 0.35  # q=0.8 ⇒ ~20% positives
+
+
+def test_train_score_roundtrip(spark, features, tmp_path):
+    from network_iq_spark.ml import (
+        derive_labels,
+        export_bundle,
+        score_with_model,
+        train_next_hour,
+    )
+    from network_iq_spark.ml.training import load_bundle, top_coefficients
+
+    labeled = derive_labels(features, "latency_ms", q=0.8)
+    model, meta = train_next_hour(labeled)
+    assert meta["metrics"]["auc"] > 0.55  # better than chance on train
+    assert meta["metrics"]["positives"] > 0
+
+    scored = score_with_model(model, labeled)
+    probs = [r.pred_prob for r in scored.select("pred_prob").collect()]
+    assert all(0.0 <= p <= 1.0 for p in probs)
+
+    coefs = top_coefficients(model, k=5)
+    assert len(coefs) == 5 and all(isinstance(c, float) for _, c in coefs)
+
+    path = str(tmp_path / "bundle")
+    export_bundle(model, meta, path)
+    model2, meta2 = load_bundle(spark, path)
+    assert meta2["metrics"]["auc"] == pytest.approx(meta["metrics"]["auc"])
+    p2 = [r.pred_prob for r in score_with_model(model2, labeled).select("pred_prob").collect()]
+    assert p2 == pytest.approx(probs)
+
+
+def test_bundle_pandas_udf_matches_formula(spark):
+    """The broadcast-bundle pandas UDF must equal the closed-form logistic
+    scored locally on the same matrix."""
+    from network_iq_spark.ml.scoring import make_numpy_bundle, score_with_bundle
+
+    rng = np.random.default_rng(3)
+    n, d = 500, 4
+    x = rng.normal(size=(n, d))
+    cols = [f"x{i}" for i in range(d)]
+    pdf = {c: x[:, i] for i, c in enumerate(cols)}
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(pdf))
+    bundle = make_numpy_bundle(
+        means=x.mean(axis=0), scales=x.std(axis=0, ddof=0),
+        coefs=rng.normal(size=d), intercept=0.3, num_cols=cols,
+    )
+    got = np.array(
+        [r.pred_prob for r in score_with_bundle(df, bundle).select("pred_prob").collect()]
+    )
+    z = (x - bundle["means"]) / bundle["scales"]
+    want = 1 / (1 + np.exp(-(z @ bundle["coefs"] + bundle["intercept"])))
+    # Spark preserves row order only via re-collect with the same plan; sort
+    np.testing.assert_allclose(np.sort(got), np.sort(want), rtol=1e-12)

@@ -1,0 +1,88 @@
+"""Streaming tier: the streaming plans must agree with their batch twins on
+a replay of the same data (availableNow trigger → memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.telemetry_fixture import telemetry_pdf
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory) -> str:
+    p = str(tmp_path_factory.mktemp("stream_src") / "telemetry")
+    spark.createDataFrame(telemetry_pdf()).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _run_to_memory(stream_df, name: str, mode: str) -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_tumbling_kpis_match_batch(spark, source_dir):
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.ingest import telemetry_schema
+    from network_iq_spark.streaming import read_telemetry_stream, tumbling_kpis
+
+    stream = read_telemetry_stream(spark, source_dir, telemetry_schema())
+    assert stream.isStreaming
+    _run_to_memory(
+        tumbling_kpis(stream, keys=["cell_id"]), "t_kpis", "append"
+    )
+    got = {
+        (r.window_start, r.cell_id): (r.avg_value, r.std_value, r.n)
+        for r in spark.table("t_kpis").collect()
+    }
+
+    batch = (
+        spark.read.parquet(source_dir)
+        .groupBy(F.window("timestamp", "1 hour"), "cell_id")
+        .agg(
+            F.avg("latency_ms").alias("avg_value"),
+            F.stddev_samp("latency_ms").alias("std_value"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("window.start").alias("ws"), "cell_id", "avg_value", "std_value", "n")
+    )
+    import datetime
+
+    # append mode emits only CLOSED windows: window_end ≤ max_event_time −
+    # watermark (2 h). Final event 2025-07-05 23:00 ⇒ hours 21-23 stay open.
+    cutoff = datetime.datetime(2025, 7, 5, 21)
+    want = {
+        (r.ws, r.cell_id): (r.avg_value, r.std_value, r.n)
+        for r in batch.collect()
+        if r.ws < cutoff
+    }
+    assert got == want
+    assert len(got) == 585  # (120 − 3 open) hourly windows × 5 cells
+
+
+def test_latest_per_key_matches_dedup(spark, source_dir):
+    from network_iq_spark.ingest import telemetry_schema
+    from network_iq_spark.operators.windows import dedup_keep_last
+    from network_iq_spark.streaming import latest_per_key, read_telemetry_stream
+
+    ddl = "cell_id string, timestamp timestamp, latency_ms double, throughput_mbps double"
+    stream = read_telemetry_stream(spark, source_dir, telemetry_schema())
+    _run_to_memory(latest_per_key(stream, ddl), "t_latest", "update")
+    # last update per key wins
+    latest = {}
+    for r in spark.table("t_latest").collect():
+        cur = latest.get(r.cell_id)
+        if cur is None or r.timestamp > cur[0]:
+            latest[r.cell_id] = (r.timestamp, r.latency_ms)
+
+    batch = dedup_keep_last(
+        spark.read.parquet(source_dir), ["cell_id"], ["timestamp"]
+    ).select("cell_id", "timestamp", "latency_ms")
+    want = {r.cell_id: (r.timestamp, r.latency_ms) for r in batch.collect()}
+    assert latest == want
