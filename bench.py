@@ -19,10 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline subset: one per operator family, kept fast enough for per-round CI.
-# Falls back to "every registered query" when BENCH_ALL=1.
+# Default: the FULL registered suite (that's the number BASELINE tracks).
+# BENCH_QUICK=1 restricts to one headline query per family for fast loops.
 HEADLINE = [
     "pricing_summary",
+    "zscore_top_anomalies",
+    "rolling_features",
+    "top_revenue_customers",
+    "minhash_lsh_pairs",
+    "cosine_topk",
 ]
 
 
@@ -33,9 +38,11 @@ def main() -> None:
     spark = get_spark(app_name="network-iq-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    names = sorted(QUERIES) if os.environ.get("BENCH_ALL") else [
-        n for n in HEADLINE if n in QUERIES
-    ]
+    names = (
+        [n for n in HEADLINE if n in QUERIES]
+        if os.environ.get("BENCH_QUICK")
+        else sorted(QUERIES)
+    )
 
     # warmup: touch every table + run the first query once
     for n in names[:1]:

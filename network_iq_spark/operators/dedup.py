@@ -93,15 +93,30 @@ def jaccard_pairs(
     )
 
 
+# One base hash per shingle (48 bits of md5), then k affine integer
+# re-hashes (aᵢ·h + bᵢ) mod P — the classic universal-hash family. ONE md5
+# per shingle instead of k: at 100 TB the signature build is the dominant
+# map cost and integer ops are ~free next to digesting.
+MINHASH_P = 1_000_000_007
+
+
+def _affine(h: Column, i: int) -> Column:
+    return (F.lit(2 * i + 1) * h + F.lit(7 * i + 3)) % F.lit(MINHASH_P)
+
+
+def base_hash48(col: Column) -> Column:
+    """First 12 hex digits of md5 as a bigint. Spark uses ``conv``; the SQL
+    oracle reproduces the same value with per-nibble positional arithmetic
+    (DuckDB has no conv) — equal VALUES, different mechanics."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = N_HASHES, id_col: str = "doc_id"
 ) -> DataFrame:
-    """k md5-minhashes per doc: ``min(md5(seed_i || shingle))`` — string min
-    is byte-order total, hence engine-identical."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"m{i}")
-        for i in range(n_hashes)
-    ]
+    """k integer minhashes per doc: ``min((aᵢ·h48(shingle)+bᵢ) mod P)``."""
+    h = base_hash48(F.col("shingle"))
+    aggs = [F.min(_affine(h, i)).alias(f"m{i}") for i in range(n_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -116,7 +131,10 @@ def lsh_band_buckets(
     choice sets the S-curve: P(candidate) = 1-(1-s^r)^b."""
     bands = []
     for b in range(n_bands):
-        cols = [F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
+        cols = [
+            F.col(f"m{b * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ]
         bands.append(
             F.struct(
                 F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
@@ -155,11 +173,32 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = jaccard_pairs(sh, threshold=0.0, id_col=id_col)
+    # Verify ONLY candidates — never the all-pairs intersection. Stream each
+    # candidate pair through doc_a's shingles, probe doc_b's set: the join
+    # volume is O(|cand| · shingles/doc), independent of corpus pair count.
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        cand.join(exact, ["doc_a", "doc_b"])
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -167,40 +206,33 @@ def minhash_lsh_pairs(
 # SimHash (32-bit, md5-derived — engine-portable)
 # ---------------------------------------------------------------------------
 
-_HEX = "0123456789abcdef"
-
-
-def _nibble(tok_hash: Column, j: int) -> Column:
-    """Value 0-15 of hex digit j (1-based) via strpos — portable hex parse."""
-    return F.instr(F.lit(_HEX), F.substring(tok_hash, j, 1)) - 1
-
 
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over distinct word tokens.
 
-    Per token: 32 bits from the first 8 hex digits of md5(token). Each bit
-    votes ±1; fingerprint bit = (vote sum > 0). All integer arithmetic.
+    Per token: one md5 → 32-bit integer (``base hash``); bit b votes ±1;
+    fingerprint bit = (vote sum > 0). Map + one groupBy — all integer
+    arithmetic after the single digest.
     """
     tok = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
         .distinct()
-        .withColumn("h", F.md5("tok"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        )
     )
     votes = [
         F.sum(
-            (F.floor(_nibble(F.col("h"), j + 1) / (2**k)) % 2 * 2 - 1).cast("bigint")
-        ).alias(f"v_{j}_{k}")
-        for j in range(8)
-        for k in range(4)
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
+        ).alias(f"v{b}")
+        for b in range(32)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
     acc = F.lit(0).cast("bigint")
-    for j in range(8):
-        for k in range(4):
-            bitpos = (7 - j) * 4 + k
-            acc = acc + F.when(F.col(f"v_{j}_{k}") > 0, F.lit(2**bitpos)).otherwise(
-                F.lit(0)
-            ).cast("bigint")
+    for b in range(32):
+        acc = acc + F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)).cast(
+            "bigint"
+        )
     return agg.select(F.col(id_col), acc.alias("simhash"))
 
 

@@ -20,18 +20,14 @@ oracle):
 
 from __future__ import annotations
 
-
-def dsum(expr: str, s: int = 4) -> str:
-    return f"CAST(SUM(CAST(ROUND({expr}, {s}) AS DECIMAL(27,{s}))) AS DOUBLE)"
-
-
-def davg(expr: str, s: int = 4) -> str:
-    return f"({dsum(expr, s)} / COUNT({expr}))"
+from network_iq_spark.functions import sql_davg as davg  # noqa: F401
+from network_iq_spark.functions import sql_dsum as dsum  # noqa: F401
 
 
 def cents(expr: str) -> str:
-    """Exact integer representation of a 2-decimal double."""
-    return f"CAST(ROUND({expr} * 100, 0) AS BIGINT)"
+    """Exact integer representation of a 2-decimal double (floor(+0.5) is
+    the same fast exact-recovery trick as dsum, scale 2)."""
+    return f"CAST(FLOOR({expr} * 100 + 0.5) AS BIGINT)"
 
 
 def mean_from_cents(s1: str, n: str) -> str:

@@ -112,15 +112,31 @@ def q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+def _sql_hex_int(expr: str, ndigits: int) -> str:
+    """Hex-prefix → integer via per-nibble positional arithmetic (DuckDB has
+    no ``conv``). Must equal Spark's ``conv(substring(md5,1,n),16,10)``."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {j + 1}, 1)) - 1)"
+        f" * {16 ** (ndigits - 1 - j)}"
+        for j in range(ndigits)
+    )
+    return f"({terms})"
+
+
+_MINHASH_P = D.MINHASH_P
+
+
 def _minhash_sql(n_bands: int, rows_per_band: int, threshold: float) -> str:
     n_hashes = n_bands * rows_per_band
     mins = ",\n      ".join(
-        f"MIN(md5('s{i}:' || shingle)) AS m{i}" for i in range(n_hashes)
+        f"MIN(({2 * i + 1} * h + {7 * i + 3}) % {_MINHASH_P}) AS m{i}"
+        for i in range(n_hashes)
     )
     band_selects = []
     for b in range(n_bands):
         cols = " || '|' || ".join(
-            f"m{b * rows_per_band + j}" for j in range(rows_per_band)
+            f"CAST(m{b * rows_per_band + j} AS VARCHAR)"
+            for j in range(rows_per_band)
         )
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
@@ -128,10 +144,14 @@ def _minhash_sql(n_bands: int, rows_per_band: int, threshold: float) -> str:
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
     return f"""
     WITH {_JACCARD},
+    hashed AS (
+      SELECT doc_id, {_sql_hex_int("substr(md5(shingle), 1, 12)", 12)} AS h
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
       {mins}
-      FROM sh GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     bb AS (
       {bands_sql}
@@ -168,18 +188,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql(max_hamming: int) -> str:
-    votes = []
-    fp_terms = []
-    for j in range(8):
-        for k in range(4):
-            nib = f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
-            votes.append(
-                f"SUM((({nib} // {2 ** k}) % 2) * 2 - 1) AS v_{j}_{k}"
-            )
-            bitpos = (7 - j) * 4 + k
-            fp_terms.append(
-                f"CASE WHEN v_{j}_{k} > 0 THEN CAST({2 ** bitpos} AS BIGINT) ELSE 0 END"
-            )
+    votes = [
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(32)
+    ]
+    fp_terms = [
+        f"CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    ]
     votes_sql = ",\n        ".join(votes)
     fp_sql = "\n        + ".join(fp_terms)
     return f"""
@@ -189,7 +204,7 @@ def _simhash_sql(max_hamming: int) -> str:
         FROM documents
       )
     ),
-    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    h AS (SELECT doc_id, {_sql_hex_int("substr(md5(tok), 1, 8)", 8)} AS h FROM tok),
     votes AS (
       SELECT doc_id,
         {votes_sql}
@@ -361,9 +376,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
       COUNT(*) AS n,
-      CAST(SUM(CAST(ROUND(
-        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
-        AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+      (CAST(SUM(CAST(FLOOR(
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)))
+        AS avg_norm,
       MIN(len(embedding)) AS min_dim,
       MAX(len(embedding)) AS max_dim
     FROM embeddings GROUP BY label ORDER BY label
@@ -379,8 +395,10 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             (
-                F.sum(F.round(F.col("norm"), 6).cast("decimal(27,6)")).cast("double")
-                / F.count("*")
+                F.sum(
+                    F.floor(F.col("norm") * 1000000.0 + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / (F.lit(1000000.0) * F.count("*"))
             ).alias("avg_norm"),
             F.min(F.size("v")).alias("min_dim"),
             F.max(F.size("v")).alias("max_dim"),

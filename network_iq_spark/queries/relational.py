@@ -4,19 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from network_iq_spark.functions import sql_davg as _davg
+from network_iq_spark.functions import sql_dsum as _dsum
 from network_iq_spark.operators.aggregates import pricing_summary
 from network_iq_spark.registry import register
 from network_iq_spark.sources import load_table
-
-_DEC = "DECIMAL(27,{s})"
-
-
-def _dsum(expr: str, s: int = 4) -> str:
-    return f"CAST(SUM(CAST(ROUND({expr}, {s}) AS DECIMAL(27,{s}))) AS DOUBLE)"
-
-
-def _davg(expr: str, s: int = 4) -> str:
-    return f"({_dsum(expr, s)} / COUNT({expr}))"
 
 
 @register(

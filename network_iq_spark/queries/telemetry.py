@@ -34,8 +34,9 @@ from network_iq_spark.sources import load_table
 
 
 def _cents(col: str = "value") -> Column:
-    """Exact integer cents of a 2-decimal double (determinism rule 1)."""
-    return F.round(F.col(col) * 100, 0).cast("bigint")
+    """Exact integer cents of a 2-decimal double (determinism rule 1) —
+    twin of ``_sql.cents``; floor(+0.5) avoids the slow BigDecimal round."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
 
 
 def _mean_from_cents(s1: Column, n: Column) -> Column:
