@@ -4,4 +4,10 @@ Importing this package registers every query into
 ``network_iq_spark.registry.QUERIES`` / ``ORACLES``.
 """
 
-from network_iq_spark.queries import llmdata, relational, star, telemetry  # noqa: F401
+from network_iq_spark.queries import (  # noqa: F401
+    extras,
+    llmdata,
+    relational,
+    star,
+    telemetry,
+)

@@ -1,0 +1,269 @@
+"""Coverage extensions: the operator families SURVEY.md §2 lists as
+absent-in-reference but free (or composable) in Spark — rank/ntile, rollup
+grouping sets, semi joins, calendar projections with the pandas dayofweek
+mapping, ordered previews, and an AS-OF join (the one operator Spark lacks
+natively, built as the standard union+window composition; DuckDB's native
+ASOF JOIN is the oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from network_iq_spark.functions import davg
+from network_iq_spark.operators.joins import semi_join
+from network_iq_spark.operators.reshape import union_all
+from network_iq_spark.operators.topk import distinct_head, ordered_preview
+from network_iq_spark.queries import _sql
+from network_iq_spark.registry import register
+from network_iq_spark.sources import load_table
+
+
+@register(
+    "grouped_quantile",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.95) AS p95_value,
+           quantile_cont(value, 0.5)  AS median_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_grouped_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact per-group quantiles (hotspot P95 shape,
+    streamlit_app.py:499-501). The 100 TB variant swaps in
+    ``percentile_approx`` (mergeable sketch, no per-group sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile(F.col("value"), F.lit(0.95)).alias("p95_value"),
+            F.percentile(F.col("value"), F.lit(0.5)).alias("median_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "calendar_features",
+    oracle="""
+    SELECT (isodow(ts) - 1) AS dow,
+           CASE WHEN (isodow(ts) - 1) >= 5 THEN 1 ELSE 0 END AS is_weekend,
+           COUNT(*) AS n,
+           COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours
+    FROM events GROUP BY 1, 2 ORDER BY dow
+    """,
+)
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8/F3/F4 calendar projections with the pandas↔Spark dayofweek
+    mapping pinned: pandas Mon=0 ⇔ Spark (dayofweek+5)%7 ⇔ DuckDB isodow−1."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") + 5) % 7
+    return (
+        ev.select(
+            dow.alias("dow"),
+            F.when(dow >= 5, 1).otherwise(0).alias("is_weekend"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .groupBy("dow", "is_weekend")
+        .agg(F.count("*").alias("n"), F.countDistinct("h").alias("n_hours"))
+        .orderBy("dow")
+    )
+
+
+@register(
+    "ordered_preview",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    ORDER BY ts, event_id LIMIT 100
+    """,
+)
+def q_ordered_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: first-100 preview (streamlit_app.py:308) — TakeOrderedAndProject,
+    no global sort; event_id tiebreak makes the prefix total."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return ordered_preview(ev, ["ts", "event_id"], k=100)
+
+
+@register(
+    "distinct_users_head",
+    oracle="SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 50",
+)
+def q_distinct_users_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: first-k distinct keys (dropdown domain, streamlit_app.py:1301)."""
+    return distinct_head(load_table(spark, sf_dir, "events"), "user_id", k=50)
+
+
+@register(
+    "union_label_dims",
+    oracle="""
+    SELECT r_name AS name, 'region' AS kind FROM region
+    UNION ALL
+    SELECT n_name AS name, 'nation' AS kind FROM nation
+    ORDER BY kind, name
+    """,
+)
+def q_union_label_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union-all across heterogeneous sources via unionByName."""
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"), F.lit("region").alias("kind")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"), F.lit("nation").alias("kind")
+    )
+    return union_all([r, n]).orderBy("kind", "name")
+
+
+@register(
+    "rollup_order_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family (survey §2.4 'free in Spark'): ROLLUP subtotal
+    rows carry NULL keys in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "acctbal_quartiles",
+    oracle="""
+    SELECT quartile, COUNT(*) AS n,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    ) GROUP BY quartile ORDER BY quartile
+    """,
+)
+def q_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/rank family (absent in reference, free with windows): quartile
+    buckets over a total order (custkey tiebreak ⇒ deterministic)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left SEMI join (existence filter without right columns)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        semi_join(c, o, ["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS prev_purchase_ts, p.value AS prev_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    ORDER BY e.event_id
+    """,
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — the canonical operator Spark lacks natively, composed
+    as union + last-ignoring-nulls window (SURVEY.md §7 custom-operator
+    guidance): for each error event, the user's most recent purchase at or
+    before it.
+
+    Scale shape: ONE shuffle on user_id and a sorted window — same cost as
+    any per-key window; no range-join explosion. DuckDB's native ASOF JOIN
+    is the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    tagged = union_all([err, pur])
+    # ties: purchases (kind 0) sort before errors at the same ts ⇒ "≥" asof
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "kind",
+        F.last("p_ts", ignorenulls=True).over(w).alias("prev_purchase_ts"),
+        F.last("p_value", ignorenulls=True).over(w).alias("prev_purchase_value"),
+    )
+    return (
+        joined.filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "prev_purchase_ts", "prev_purchase_value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "scope_filtered_profile",
+    oracle=f"""
+    SELECT hour(ts) AS hour, {_sql.davg('value')} AS avg_value, COUNT(*) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY hour(ts) ORDER BY hour
+    """,
+)
+def q_scope_filtered_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 scope filters composed with A4 (the widget-driven dashboard shape:
+    equality filter with ALL-sentinel skip → grouped profile)."""
+    from network_iq_spark.operators.filters import scope_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    scoped = scope_filter(ev, {"event_type": "purchase", "user_id": None})
+    return (
+        scoped.withColumn("hour", F.hour("ts"))
+        .groupBy("hour")
+        .agg(davg("value").alias("avg_value"), F.count("*").alias("n"))
+        .orderBy("hour")
+    )

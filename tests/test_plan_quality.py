@@ -1,0 +1,67 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations we rely on at
+100 TB must actually appear in the plans — pushdown reaching the parquet
+scan, column pruning in ReadSchema, broadcast joins for dim sides, and
+TakeOrderedAndProject for top-k (no global sort materialization)."""
+
+from __future__ import annotations
+
+import pytest
+
+from network_iq_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    """hourly_profile touches only ts+value — the scan must not read the
+    other four event columns."""
+    plan = _plan(spark, "hourly_profile")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    assert "event_id" not in read[0] and "props" not in read[0]
+    assert "ts" in read[0] and "value" in read[0]
+
+
+def test_broadcast_join_for_dims(spark):
+    plan = _plan(spark, "regional_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the two big fact tables must NOT be broadcast: exactly one sort-merge
+    # or shuffled-hash join between lineitem and orders is acceptable
+    assert plan.count("BroadcastExchange") >= 3  # customer, nation, region
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(spark, "top_revenue_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_and_semi_join_strategies(spark):
+    anti = _plan(spark, "customers_without_orders")
+    semi = _plan(spark, "customers_with_orders")
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+
+
+def test_partial_aggregation_before_exchange(spark):
+    """Map-side combine: a partial HashAggregate must appear below the
+    exchange so the shuffle carries one row per (task, key)."""
+    plan = _plan(spark, "hourly_profile")
+    assert plan.index("partial_") > 0
+    assert "Exchange hashpartitioning(hour" in plan
+
+
+def test_window_has_single_shuffle_per_key(spark):
+    """rolling_features: all three window features share one partitioning on
+    user_id — exactly one hash exchange on user_id in the plan."""
+    plan = _plan(spark, "rolling_features")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
