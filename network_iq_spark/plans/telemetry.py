@@ -198,6 +198,102 @@ def incident_panel(
     return top_k(incidents, [("anom_z", True)], k, tiebreak=["cell_id", "hour_ts"])
 
 
+def map_panel(predictions: DataFrame, coords: DataFrame) -> DataFrame:
+    """Predicted-risk map (``_render_topk_map``, streamlit_app.py:931-1045):
+    predictions ⟕ one-coord-per-cell dim (dedup keep-last by timestamp, W6)
+    → coerce/drop invalid → relative size via min-max (W7, constant → 1.0)
+    → amber-to-red fill ramp (F11) → formatted tooltip string (F10).
+
+    ``coords`` is any frame carrying (cell_id, lat, lon[, timestamp]) — the
+    reference re-reads the raw CSV as this dimension source (S6).
+    """
+    from network_iq_spark.operators.windows import dedup_keep_last
+
+    order = ["timestamp"] if "timestamp" in coords.columns else []
+    dim = (
+        dedup_keep_last(coords, ["cell_id"], order)
+        if order
+        else coords.dropDuplicates(["cell_id"])
+    ).select("cell_id", "lat", "lon")
+    m = (
+        predictions.select("cell_id", "pred_prob")
+        .na.drop(subset=["pred_prob"])
+        .join(F.broadcast(dim), "cell_id", "left")
+        .withColumn("lat", F.col("lat").try_cast("double"))
+        .withColumn("lon", F.col("lon").try_cast("double"))
+        .na.drop(subset=["lat", "lon", "pred_prob"])
+        .dropDuplicates(["cell_id"])
+    )
+    p = F.least(F.greatest(F.col("pred_prob"), F.lit(0.0)), F.lit(1.0))
+    everything = Window.partitionBy()
+    pmin, pmax = F.min(p).over(everything), F.max(p).over(everything)
+    z = F.when(pmax == pmin, F.lit(1.0)).otherwise((p - pmin) / (pmax - pmin))
+    return m.select(
+        "cell_id",
+        "lat",
+        "lon",
+        "pred_prob",
+        (3 + 7 * z).alias("size"),
+        F.array(
+            F.lit(255),
+            (170 * (1 - F.col("pred_prob"))).cast("int"),
+            F.lit(0),
+            F.lit(185),
+        ).alias("fill"),
+        F.format_number(F.col("pred_prob"), 2).alias("pred_prob_s"),
+    )
+
+
+def briefing_context(
+    df: DataFrame,
+    metric: str = "latency_ms",
+    predictions: DataFrame | None = None,
+    model_meta: dict | None = None,
+    top_k: int = 10,
+) -> DataFrame:
+    """AI-briefing context (``_collect_ai_context``,
+    streamlit_app.py:1055-1115) as ONE struct-building query: the reference
+    runs ~8 collect-like extractions; here the KPIs, hotspot/anomaly top-k
+    arrays, and prediction head fold into a single 1-row plan with
+    ``to_json`` (F14) and a sha-256 content hash (F13) for cache keying.
+    """
+    import json
+
+    kpis = kpi_panel(df).select(
+        F.struct("avg_throughput_mbps", "p95_latency_ms", "avg_drop_rate").alias(
+            "kpis"
+        )
+    )
+    hot = (
+        hotspot_panels(df, k=top_k)["worst_latency"]
+        .agg(F.collect_list(F.struct("cell_id", "p95_latency_ms")).alias("hotspots"))
+    )
+    anom = anomaly_panel(df, metric, k=top_k).agg(
+        F.collect_list(F.struct("cell_id", "max_anom_z")).alias("anomalies")
+    )
+    ctx = kpis.crossJoin(hot).crossJoin(anom)
+    if predictions is not None:
+        preds = (
+            predictions.select("cell_id", "pred_prob")
+            .orderBy(F.col("pred_prob").desc(), "cell_id")
+            .limit(20)
+            .agg(F.collect_list(F.struct("cell_id", "pred_prob")).alias("predictions"))
+        )
+        ctx = ctx.crossJoin(preds)
+    else:
+        ctx = ctx.withColumn("predictions", F.array())
+    ctx = ctx.withColumn(
+        "model_meta", F.lit(json.dumps(model_meta or {}, sort_keys=True, default=str))
+    )
+    payload = F.to_json(
+        F.struct("kpis", "hotspots", "anomalies", "predictions", "model_meta")
+    )
+    return ctx.select(
+        payload.alias("context_json"),
+        F.sha2(payload, 256).alias("context_hash"),
+    )
+
+
 def build_latest_features(
     df: DataFrame,
     label_metric: str = "latency_ms",

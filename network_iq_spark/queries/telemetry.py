@@ -485,14 +485,17 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     context docs, streamlit_app.py:1090-1115): JSON-path extraction + grouped
     stats, all JVM-side (`get_json_object`)."""
     ev = load_table(spark, sf_dir, "events")
+    # project the JSON parse ONCE before the aggregate — four agg functions
+    # over the raw expression would parse props four times per row
     k = F.get_json_object("props", "$.k").cast("int")
     return (
-        ev.groupBy("event_type")
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
-            F.min(k).alias("min_k"),
-            F.max(k).alias("max_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
         )
         .orderBy("event_type")
     )

@@ -1,0 +1,128 @@
+"""Map panel, briefing context + enrichment cache, and export sinks."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.telemetry_fixture import telemetry_pdf
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    df = spark.createDataFrame(telemetry_pdf())
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def test_map_panel(spark, tdf):
+    from network_iq_spark.plans.telemetry import map_panel
+
+    preds = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell_id": [f"CELL-{i:03d}" for i in range(1, 6)] + ["CELL-999"],
+                "pred_prob": [0.1, 0.9, 0.5, 0.3, 0.7, 0.8],
+            }
+        )
+    )
+    got = map_panel(preds, tdf).toPandas().sort_values("cell_id")
+    # CELL-999 has no coords -> dropped
+    assert got.cell_id.tolist() == [f"CELL-{i:03d}" for i in range(1, 6)]
+    # size scales 3..10 with min/max prob
+    assert got.loc[got.pred_prob == 0.1, "size"].iloc[0] == pytest.approx(3.0)
+    assert got.loc[got.pred_prob == 0.9, "size"].iloc[0] == pytest.approx(10.0)
+    # amber->red ramp: fill = [255, 170*(1-p), 0, 185]
+    fill = got.loc[got.pred_prob == 0.5, "fill"].iloc[0]
+    assert list(fill) == [255, 85, 0, 185]
+    assert got.loc[got.pred_prob == 0.5, "pred_prob_s"].iloc[0] == "0.50"
+    # coords must be the most-recent row per cell (dedup keep-last)
+    from network_iq_spark.operators.windows import dedup_keep_last
+
+    last = {
+        r.cell_id: (r.lat, r.lon)
+        for r in dedup_keep_last(tdf, ["cell_id"], ["timestamp"]).collect()
+    }
+    for r in got.itertuples():
+        assert (r.lat, r.lon) == last[r.cell_id]
+
+
+def test_briefing_context_and_enricher(spark, tdf, tmp_path):
+    from network_iq_spark.ml.enrichment import Enricher
+    from network_iq_spark.plans.telemetry import briefing_context
+
+    ctx = briefing_context(tdf, model_meta={"trained_at": "2025-08-20"})
+    row = ctx.collect()[0]
+    assert len(row.context_hash) == 64
+    import json
+
+    payload = json.loads(row.context_json)
+    assert set(payload) == {"kpis", "hotspots", "anomalies", "predictions", "model_meta"}
+    assert len(payload["hotspots"]) == 5  # 5 cells
+    # identical input -> identical hash (content-keyed caching works)
+    assert briefing_context(tdf, model_meta={"trained_at": "2025-08-20"}).collect()[
+        0
+    ].context_hash == row.context_hash
+
+    calls = []
+
+    def fake_llm(system_msg: str, user_json: str) -> str:
+        calls.append(1)
+        return "## Briefing\n- ok"
+
+    enr = Enricher(spark, str(tmp_path / "cache"), llm=fake_llm, max_runs=2)
+    out1 = enr.briefing(ctx)
+    out2 = enr.briefing(ctx)  # cache hit — no second call
+    assert out1 == out2 == "## Briefing\n- ok"
+    assert len(calls) == 1
+    # run guard
+    enr2 = Enricher(spark, str(tmp_path / "cache2"), llm=fake_llm, max_runs=0)
+    assert "run limit" in enr2.briefing(ctx)
+
+
+def test_enrich_batch(spark):
+    from network_iq_spark.ml.enrichment import enrich_batch
+
+    df = spark.createDataFrame(
+        [(i, '{"cell": %d}' % i) for i in range(8)], "id long, context_json string"
+    )
+    out = enrich_batch(
+        df, lambda s, j: f"briefing:{j}", "sys", calls_per_second=0
+    ).collect()
+    assert sorted(r.briefing for r in out) == sorted(
+        f'briefing:{{"cell": {i}}}' for i in range(8)
+    )
+
+
+def test_sinks(spark, tdf, tmp_path):
+    from network_iq_spark.sources.sinks import (
+        parse_partition_path,
+        partition_value_from_path,
+        to_csv_bytes,
+        write_csv,
+    )
+
+    blob = to_csv_bytes(tdf.select("cell_id", "latency_ms"), limit=10)
+    lines = blob.decode().strip().splitlines()
+    assert lines[0] == "cell_id,latency_ms" and len(lines) == 11
+
+    out = str(tmp_path / "csv_out")
+    write_csv(tdf.select("cell_id", "latency_ms"), out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == tdf.count()
+
+    assert parse_partition_path("s3://b/t/date=2025-07-01/cell_id=C1/f.parquet") == {
+        "date": "2025-07-01",
+        "cell_id": "C1",
+    }
+    # column variant parses the reading file's path
+    p = str(tmp_path / "part/date=2025-07-02")
+    tdf.limit(5).write.parquet(p)
+    got = (
+        spark.read.parquet(p)
+        .select(partition_value_from_path().alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert [r.d for r in got] == ["2025-07-02"]

@@ -1,0 +1,119 @@
+"""Property tests (SURVEY.md §5): hypothesis-generated frames checking the
+invariants the panel operators rely on — quantile monotonicity, dedup ≡
+window formulation, z-score scope invariance, union/unpivot round-trip."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+values = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(xs=values, q1=st.floats(0.05, 0.5), q2=st.floats(0.5, 0.95))
+@settings(**SETTINGS)
+def test_quantile_monotonic_and_matches_pandas(spark, xs, q1, q2):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    lo, hi = (q1, q2) if q1 <= q2 else (q2, q1)
+    row = df.agg(
+        F.percentile(F.col("x"), F.lit(lo)).alias("lo"),
+        F.percentile(F.col("x"), F.lit(hi)).alias("hi"),
+    ).collect()[0]
+    assert row.lo <= row.hi + 1e-9
+    assert row.lo == pytest.approx(pd.Series(xs).quantile(lo), rel=1e-9, abs=1e-9)
+    assert row.hi == pytest.approx(pd.Series(xs).quantile(hi), rel=1e-9, abs=1e-9)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_keep_last_equals_pandas_sort_drop(spark, rows):
+    """W6 equivalence: row_number-desc formulation ≡ pandas sort +
+    drop_duplicates(keep='last') under a total tiebreak order."""
+    from network_iq_spark.operators.windows import dedup_keep_last
+
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "uid"])
+    pdf["uid"] = range(len(pdf))  # unique tiebreak
+    df = spark.createDataFrame(pdf)
+    got = (
+        dedup_keep_last(df, ["key"], ["ts"], tiebreak=["uid"])
+        .toPandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.sort_values(["ts", "uid"], kind="stable")
+        .drop_duplicates("key", keep="last")
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["key", "ts", "uid"]], want[["key", "ts", "uid"]])
+
+
+@given(xs=values, shift=st.floats(-100, 100), scale=st.floats(0.5, 10))
+@settings(**SETTINGS)
+def test_zscore_affine_invariance(spark, xs, shift, scale):
+    """z-scores are invariant under affine transforms of the metric
+    (the property that makes baseline z comparable across scopes)."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.operators.windows import zscore
+
+    def zs(data):
+        df = spark.createDataFrame([(float(x),) for x in data], "x double")
+        base = df.agg(
+            F.avg("x").alias("m"), F.stddev_samp("x").alias("s")
+        )
+        out = df.crossJoin(base).select(zscore("x", "m", "s").alias("z"))
+        return sorted(r.z for r in out.collect())
+
+    a = zs(xs)
+    b = zs([x * scale + shift for x in xs])
+    for x, y in zip(a, b):
+        if math.isfinite(x) and math.isfinite(y) and abs(x) < 1e12:
+            assert y == pytest.approx(x, rel=1e-4, abs=1e-6)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 23), st.floats(-1e3, 1e3, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_unpivot_roundtrip(spark, rows):
+    """U2: wide → long preserves every (id, series, value) cell."""
+    from network_iq_spark.operators.reshape import unpivot
+
+    pdf = pd.DataFrame(rows, columns=["hour", "a"])
+    pdf["b"] = pdf["a"] * 2
+    pdf = pdf.drop_duplicates("hour")
+    df = spark.createDataFrame(pdf)
+    long = unpivot(df, ["hour"], ["a", "b"], "series", "value").toPandas()
+    assert len(long) == 2 * len(pdf)
+    back = long.pivot(index="hour", columns="series", values="value").reset_index()
+    merged = back.merge(pdf, on="hour", suffixes=("_got", "_want"))
+    assert (merged["a_got"] == merged["a_want"]).all()
+    assert (merged["b_got"] == merged["b_want"]).all()
