@@ -7,10 +7,10 @@ column type. Two paths:
   query set against the corpus, dot products via ``aggregate``/``zip_with``
   (JVM-side, codegen — no Python). Cost O(|Q|·N): right answer whenever the
   query set is small or as the in-bucket scorer below.
-- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
-  (seeded, deterministic) → candidates share a signature prefix bucket →
-  brute-force only inside buckets. At 100 TB the corpus shuffles once on
-  bucket id; queries broadcast.
+- **LSH-bucketed ANN** (the scale path): multi-table random-hyperplane
+  signatures (seeded, deterministic) → candidates share a bucket in any
+  table → exact cosine only inside buckets. At 100 TB the corpus shuffles
+  once on (table, bucket); queries broadcast.
 
 Element values are cast to double BEFORE accumulation — float accumulation
 would diverge between engines and lose precision at high dims.
@@ -96,25 +96,49 @@ def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:
 def lsh_signatures(
     df: DataFrame,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> DataFrame:
-    """Random-hyperplane signature: bit_p = (v · h_p) > 0, bucket = Σ bit·2^p.
-    Map-only; the bucket id is the ANN shuffle/join key."""
-    bucket = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        plane = _hyperplane(dim, seed, p)
-        # inject the literal hyperplane as a temp column the lambda can see
-        df = df.withColumn(f"__h{p}__", F.array(*[F.lit(x) for x in plane]))
-        dot = F.expr(
-            f"aggregate(zip_with({vec_col}, __h{p}__, (x, y) -> x * y), "
-            f"cast(0.0 as double), (acc, x) -> acc + x)"
+    """Multi-table random-hyperplane signatures: for each of ``n_tables``
+    independent tables, bucket = Σ_{p} (v·h_{t,p} > 0)·2^p. Output long form
+    (id, table, bucket) — one row per table; the ANN join key is
+    (table, bucket).
+
+    Map-only. Recall follows 1-(1-s^k)^L for per-plane agreement s — one
+    table of many planes collapses on near-orthogonal data (measured 1-7%
+    recall on random 64-dim vectors); unioning L smaller tables is the
+    standard fix (tests record the measured figure).
+    """
+    table_buckets = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("bigint")
+        for p in range(n_planes):
+            plane = _hyperplane(dim, seed + t * 7919, p)
+            col_name = f"__h_{t}_{p}__"
+            # inject the literal hyperplane as a temp column the lambda sees
+            df = df.withColumn(col_name, F.array(*[F.lit(x) for x in plane]))
+            dot = F.expr(
+                f"aggregate(zip_with({vec_col}, {col_name}, (x, y) -> x * y), "
+                f"cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+            bucket = bucket + F.when(dot > 0, F.lit(2**p)).otherwise(
+                F.lit(0)
+            ).cast("bigint")
+        table_buckets.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
         )
-        bucket = bucket + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0)).cast("bigint")
-    out = df.withColumn("bucket", bucket)
-    return out.drop(*[f"__h{p}__" for p in range(n_planes)])
+    out = df.select(
+        id_col, vec_col, F.explode(F.array(*table_buckets)).alias("tb")
+    ).select(
+        id_col,
+        vec_col,
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    return out
 
 
 def cosine_topk_lsh(
@@ -122,32 +146,46 @@ def cosine_topk_lsh(
     query_ids: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> DataFrame:
-    """ANN top-k: brute force restricted to same-LSH-bucket candidates.
+    """ANN top-k: exact cosine restricted to candidates sharing a bucket in
+    ANY of the L hash tables (distinct pairs before scoring — a pair is
+    scored once however many tables it collides in).
 
-    Recall < 1 by construction (multi-probe/multi-table raise it); exists as
-    the documented scale path next to the exact baseline.
+    Scale shape: corpus shuffles once on (table, bucket); queries broadcast;
+    per-bucket brute force only. The exact ``cosine_topk_bruteforce`` is the
+    recall oracle.
     """
-    sig = lsh_signatures(df, dim, n_planes, id_col=id_col, vec_col=vec_col)
-    sig = with_norm(sig, vec_col)
+    sig = lsh_signatures(
+        df, dim, n_planes, n_tables, id_col=id_col, vec_col=vec_col
+    )
     q = sig.join(query_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("q_vec_id"), "table", "bucket"
+    )
+    cand = (
+        sig.select(F.col(id_col).alias("n_vec_id"), "table", "bucket")
+        .join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "n_vec_id")
+        .distinct()
+    )
+    vecs = with_norm(df.select(id_col, vec_col), vec_col)
+    qv = vecs.select(
         F.col(id_col).alias("q_vec_id"),
         F.col(vec_col).alias("qv"),
         F.col("norm").alias("qn"),
-        "bucket",
     )
-    c = sig.select(
+    cv = vecs.select(
         F.col(id_col).alias("n_vec_id"),
         F.col(vec_col).alias("cv"),
         F.col("norm").alias("cn"),
-        "bucket",
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        cand.join(F.broadcast(qv), "q_vec_id")
+        .join(cv, "n_vec_id")
         .select(
             "q_vec_id",
             "n_vec_id",

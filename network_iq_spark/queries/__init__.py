@@ -8,6 +8,7 @@ from network_iq_spark.queries import (  # noqa: F401
     extras,
     llmdata,
     relational,
+    scale,
     star,
     telemetry,
 )

@@ -75,7 +75,15 @@ def test_dedup_keep_last_equals_pandas_sort_drop(spark, rows):
 @settings(**SETTINGS)
 def test_zscore_affine_invariance(spark, xs, shift, scale):
     """z-scores are invariant under affine transforms of the metric
-    (the property that makes baseline z comparable across scopes)."""
+    (the property that makes baseline z comparable across scopes).
+
+    Precondition: the spread must sit above fp noise — for near-constant
+    data the 1e-9 zero-std guard dominates and invariance genuinely does
+    not hold (that case is pinned by the reference-parity goldens instead).
+    """
+    from hypothesis import assume
+
+    assume(pd.Series(xs).std() > 1e-3 * (1.0 + max(abs(x) for x in xs)))
     from pyspark.sql import functions as F
 
     from network_iq_spark.operators.windows import zscore
