@@ -107,38 +107,68 @@ def lsh_signatures(
     (id, table, bucket) — one row per table; the ANN join key is
     (table, bucket).
 
-    Map-only. Recall follows 1-(1-s^k)^L for per-plane agreement s — one
-    table of many planes collapses on near-orthogonal data (measured 1-7%
-    recall on random 64-dim vectors); unioning L smaller tables is the
-    standard fix (tests record the measured figure).
+    Recall follows 1-(1-s^k)^L for per-plane agreement s — one table of many
+    planes collapses on near-orthogonal data (measured 1-7% recall on random
+    64-dim vectors); unioning L smaller tables is the standard fix (tests
+    record the measured figure).
+
+    Implementation: ONE vectorized numpy matmul per Arrow batch
+    (``mapInPandas``) — sign(V·Hᵀ) packed to bucket ints for all L·k planes
+    at once. The pure-expression alternative (L·k per-row lambda dot
+    products) measured ~5× slower: higher-order array lambdas sit outside
+    whole-stage codegen.
     """
-    table_buckets = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("bigint")
-        for p in range(n_planes):
-            plane = _hyperplane(dim, seed + t * 7919, p)
-            col_name = f"__h_{t}_{p}__"
-            # inject the literal hyperplane as a temp column the lambda sees
-            df = df.withColumn(col_name, F.array(*[F.lit(x) for x in plane]))
-            dot = F.expr(
-                f"aggregate(zip_with({vec_col}, {col_name}, (x, y) -> x * y), "
-                f"cast(0.0 as double), (acc, x) -> acc + x)"
-            )
-            bucket = bucket + F.when(dot > 0, F.lit(2**p)).otherwise(
-                F.lit(0)
-            ).cast("bigint")
-        table_buckets.append(
-            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
-        )
-    out = df.select(
-        id_col, vec_col, F.explode(F.array(*table_buckets)).alias("tb")
-    ).select(
-        id_col,
-        vec_col,
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
-    return out
+
+    planes = np.array(
+        [
+            _hyperplane(dim, seed + t * 7919, p)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )  # (L·k, dim)
+    weights = np.tile(2 ** np.arange(n_planes, dtype=np.int64), n_tables)
+    table_of = np.repeat(np.arange(n_tables, dtype=np.int64), n_planes)
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("table", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy())  # (n, dim)
+            bits = (v @ planes.T) > 0  # (n, L·k)
+            contrib = bits * weights  # weighted bits per plane
+            buckets = np.zeros((len(pdf), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                buckets[:, t] = contrib[:, table_of == t].sum(axis=1)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "table": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(pdf)
+                    ),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(signatures, schema=out_schema)
 
 
 def cosine_topk_lsh(

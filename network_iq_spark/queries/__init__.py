@@ -9,6 +9,7 @@ from network_iq_spark.queries import (  # noqa: F401
     llmdata,
     relational,
     scale,
+    sessions,
     star,
     telemetry,
 )
