@@ -63,7 +63,7 @@ def global_kpis(df: DataFrame, metrics: Sequence[str]) -> DataFrame:
     return df.agg(*[davg(m).alias(f"avg_{m}") for m in metrics])
 
 
-def global_quantile(df: DataFrame, col: str, q: float = 0.95) -> Column | DataFrame:
+def global_quantile(df: DataFrame, col: str, q: float = 0.95) -> DataFrame:
     """P95-style global quantile (A2), exact to match the pandas/DuckDB
     linear-interpolation semantics (SURVEY.md §2.4 A2 note)."""
     return df.agg(F.percentile(F.col(col), F.lit(q)).alias(f"p{int(q * 100)}_{col}"))

@@ -14,6 +14,7 @@ from hypothesis import strategies as st
 SETTINGS = dict(
     max_examples=12,
     deadline=None,
+    derandomize=True,  # stable examples — the per-round CI must not flake
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
