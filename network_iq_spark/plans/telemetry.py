@@ -294,15 +294,15 @@ def briefing_context(
     )
 
 
-def build_latest_features(
+def build_history_features(
     df: DataFrame,
     label_metric: str = "latency_ms",
     roll: int = 3,
     features: Sequence[str] = BASE_FEATURES,
 ) -> DataFrame:
-    """M1 feature builder (``_build_latest_features``,
-    streamlit_app.py:667-715) as ONE lazy plan: hour-floor → hour-of-day
-    z-baseline → per-cell trailing rolling mean/std/diff → calendar feats →
+    """M1 feature pipeline over ALL rows (the training-side variant):
+    hour-floor → hour-of-day z-baseline → per-cell trailing rolling
+    mean/std/diff → calendar feats. ``build_latest_features`` is this plan's
     latest-hour slice.
 
     The reference needs a grouped ``apply`` + positional repair (J4); here
@@ -342,5 +342,18 @@ def build_latest_features(
                 f"{c}_rdiff", F.coalesce(col - F.lag(col, 1).over(seq_w), F.lit(0.0))
             )
         )
-    use = use.withColumn("is_weekend", is_weekend(F.col("ts")))
-    return latest_snapshot(use, "ts")
+    return use.withColumn("is_weekend", is_weekend(F.col("ts")))
+
+
+def build_latest_features(
+    df: DataFrame,
+    label_metric: str = "latency_ms",
+    roll: int = 3,
+    features: Sequence[str] = BASE_FEATURES,
+) -> DataFrame:
+    """M1 feature builder (``_build_latest_features``,
+    streamlit_app.py:667-715): the history pipeline sliced to the latest
+    hour (P12) — the inference-time frame."""
+    return latest_snapshot(
+        build_history_features(df, label_metric, roll, features), "ts"
+    )

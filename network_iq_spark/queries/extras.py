@@ -247,6 +247,52 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_abs_p95",
+    oracle=f"""
+    WITH net AS (
+      SELECT hour(ts) AS hour, {_sql.davg('value')} AS net_avg
+      FROM events GROUP BY hour(ts)
+    ),
+    cell AS (
+      SELECT hour(ts) AS hour, {_sql.davg('value')} AS cell_avg
+      FROM events WHERE event_type = 'purchase' GROUP BY hour(ts)
+    ),
+    j AS (
+      SELECT net.hour, (cell.cell_avg - net.net_avg) AS delta
+      FROM net LEFT JOIN cell ON net.hour = cell.hour
+    )
+    SELECT quantile_cont(abs(delta), 0.95) AS p95_abs_delta,
+           MIN(delta) AS min_delta,
+           MAX(delta) AS max_delta,
+           COUNT(delta) AS n_hours
+    FROM j
+    """,
+)
+def q_delta_abs_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-vs-network delta + abs-quantile (J2+F5+A14;
+    streamlit_app.py:447-452): the alignment join's delta series summarized
+    by its P95 absolute deviation (the reference's winsorize bound)."""
+    from network_iq_spark.operators.joins import baseline_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    net = ev.groupBy("hour").agg(davg("value").alias("net_avg"))
+    cell = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("hour")
+        .agg(davg("value").alias("cell_avg"))
+    )
+    j = baseline_join(net, cell, ["hour"]).withColumn(
+        "delta", F.col("cell_avg") - F.col("net_avg")
+    )
+    return j.agg(
+        F.percentile(F.abs(F.col("delta")), F.lit(0.95)).alias("p95_abs_delta"),
+        F.min("delta").alias("min_delta"),
+        F.max("delta").alias("max_delta"),
+        F.count("delta").alias("n_hours"),
+    )
+
+
+@register(
     "scope_filtered_profile",
     oracle=f"""
     SELECT hour(ts) AS hour, {_sql.davg('value')} AS avg_value, COUNT(*) AS n

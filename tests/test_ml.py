@@ -11,38 +11,10 @@ from tests.telemetry_fixture import telemetry_pdf
 
 @pytest.fixture(scope="module")
 def features(spark):
-    from network_iq_spark.plans.telemetry import BASE_FEATURES
-    from pyspark.sql import functions as F
+    from network_iq_spark.plans import build_history_features
 
     tdf = spark.createDataFrame(telemetry_pdf())
-    # full-history features (not just latest): rebuild without the final slice
-    from network_iq_spark.plans import build_latest_features  # noqa: F401  (doc link)
-    from network_iq_spark.operators.joins import baseline_join
-    from network_iq_spark.functions import is_weekend, zero_guard
-    from pyspark.sql import Window
-
-    use = (
-        tdf.withColumn("ts", F.date_trunc("hour", F.col("timestamp")))
-        .filter(F.col("ts").isNotNull() & F.col("cell_id").isNotNull())
-        .withColumn("hour", F.hour("ts"))
-    )
-    base = (
-        use.groupBy("hour")
-        .agg(F.avg("latency_ms").alias("b_mean"), F.stddev_samp("latency_ms").alias("b_std"))
-        .withColumn("b_std", zero_guard(F.col("b_std")))
-    )
-    use = baseline_join(use, base, ["hour"]).withColumn(
-        "z_bad", (F.col("latency_ms") - F.col("b_mean")) / F.col("b_std")
-    )
-    roll_w = Window.partitionBy("cell_id").orderBy("ts").rowsBetween(-2, 0)
-    seq_w = Window.partitionBy("cell_id").orderBy("ts")
-    for c in BASE_FEATURES:
-        use = (
-            use.withColumn(f"{c}_rmean", F.avg(c).over(roll_w))
-            .withColumn(f"{c}_rstd", F.coalesce(F.stddev_samp(c).over(roll_w), F.lit(0.0)))
-            .withColumn(f"{c}_rdiff", F.coalesce(F.col(c) - F.lag(c, 1).over(seq_w), F.lit(0.0)))
-        )
-    use = use.withColumn("is_weekend", is_weekend(F.col("ts")))
+    use = build_history_features(tdf, "latency_ms", roll=3)
     use.persist().count()
     yield use
     use.unpersist()
