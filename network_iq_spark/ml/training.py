@@ -123,22 +123,38 @@ def train_next_hour(
 
 
 def top_coefficients(model: PipelineModel, k: int = 15) -> list[tuple[str, float]]:
-    """M5: top-k features by |coefficient| (logistic only — tree models
-    degrade gracefully like the reference's except-guard)."""
+    """M5: top-k features by |coefficient|, with real slot names — scaled
+    numerics keep their column names, one-hot slots expand to
+    ``col=category`` via each fitted StringIndexer's labels (logistic only;
+    tree models degrade gracefully like the reference's except-guard,
+    streamlit_app.py:874-891)."""
+    from pyspark.ml.feature import OneHotEncoderModel, StringIndexerModel
+
     lr = model.stages[-1]
     if not hasattr(lr, "coefficients"):
         return []
     coefs = list(lr.coefficients)
-    # names: scaled numerics first (assembler order), then OHE blocks
-    names = list(model.stages[-2].getInputCols())
-    labels: list[str] = []
-    for stage_name in names:
-        if stage_name == "num_scaled":
-            labels.extend(model.stages[-4].getInputCols())
-        else:
-            labels.append(stage_name)
-    # OHE blocks expand to multiple slots; fall back to positional names
-    if len(labels) != len(coefs):
+    labels: list[str] = list(model.stages[-4].getInputCols())  # scaled numerics
+    indexers = {
+        s.getOutputCol(): s
+        for s in model.stages
+        if isinstance(s, StringIndexerModel)
+    }
+    for s in model.stages:
+        if isinstance(s, OneHotEncoderModel):
+            idx = indexers[s.getInputCol()]
+            col = idx.getInputCol()
+            cats = list(idx.labels)
+            # handleInvalid=keep appends an invalid bucket AND suppresses
+            # dropLast (Spark keeps all slots then); otherwise dropLast
+            # removes the final category slot
+            drop = 1 if s.getDropLast() and s.getHandleInvalid() != "keep" else 0
+            n_slots = s.categorySizes[0] - drop
+            slot_names = ([f"{col}={c}" for c in cats] + [f"{col}=<invalid>"])[
+                :n_slots
+            ]
+            labels.extend(slot_names)
+    if len(labels) != len(coefs):  # defensive: never misattribute a weight
         labels = [f"f{i}" for i in range(len(coefs))]
     ranked = sorted(zip(labels, coefs), key=lambda t: -abs(t[1]))
     return [(n, float(c)) for n, c in ranked[:k]]

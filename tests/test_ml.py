@@ -51,6 +51,9 @@ def test_train_score_roundtrip(spark, features, tmp_path):
 
     coefs = top_coefficients(model, k=5)
     assert len(coefs) == 5 and all(isinstance(c, float) for _, c in coefs)
+    # names must be REAL feature/slot names, not positional fallbacks
+    known = set(model.stages[-4].getInputCols())
+    assert all(n in known or "=" in n for n, _ in coefs), coefs
 
     path = str(tmp_path / "bundle")
     export_bundle(model, meta, path)
