@@ -131,6 +131,29 @@ def minmax_normalize(
     )
 
 
+def winsorize(
+    df: DataFrame, col: str, lo_q: float = 0.05, hi_q: float = 0.95, out: str | None = None
+) -> DataFrame:
+    """Q3/A14: clip a metric to its scope quantiles (the reference's
+    declared winsorization rule, docs/KPI_dictionary.md:21, applied for viz
+    at streamlit_app.py:333-336,425-428). Quantile scalars stay in-plan
+    (empty-window aggregates — no collect)."""
+    everything = Window.partitionBy()
+    lo = F.percentile(F.col(col), F.lit(lo_q)).over(everything)
+    hi = F.percentile(F.col(col), F.lit(hi_q)).over(everything)
+    return df.withColumn(out or f"{col}_winsorized", F.least(F.greatest(F.col(col), lo), hi))
+
+
+def grouped_map(df: DataFrame, keys, fn, schema) -> DataFrame:
+    """W4: the grouped-map escape hatch (``groupby.apply`` →
+    ``applyInPandas``) for per-group logic that window functions genuinely
+    cannot express. Every reference use of this pattern
+    (streamlit_app.py:709) is covered by plain windows in this engine — this
+    exists for user extensions; Arrow-batched, one Python worker per group
+    partition."""
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
 def latest_snapshot(df: DataFrame, ts: str) -> DataFrame:
     """P12: rows where ts equals the frame-wide max (streamlit_app.py:713-715).
 

@@ -247,6 +247,41 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winsorized_profile",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events
+    )
+    SELECT hour(ts) AS hour,
+           {_sql.davg('LEAST(GREATEST(value, bounds.lo), bounds.hi)')}
+             AS avg_winsorized,
+           COUNT(*) AS n
+    FROM events, bounds GROUP BY hour(ts) ORDER BY hour
+    """,
+)
+def q_winsorized_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 winsorization (docs/KPI_dictionary.md:21 + the viz clipping at
+    streamlit_app.py:333-336): hourly profile over tail-clipped values —
+    quantile bounds stay in-plan as empty-window scalars.
+
+    Determinism: clipped rows take the interpolated quantile VALUE, so this
+    query also pins that Spark ``percentile`` and DuckDB ``quantile_cont``
+    interpolate bit-identically (empirically true; any engine pair where it
+    is not should round the bounds first)."""
+    from network_iq_spark.operators.windows import winsorize
+
+    ev = load_table(spark, sf_dir, "events")
+    w = winsorize(ev, "value", 0.05, 0.95, out="wv")
+    return (
+        w.withColumn("hour", F.hour("ts"))
+        .groupBy("hour")
+        .agg(davg(F.col("wv")).alias("avg_winsorized"), F.count("*").alias("n"))
+        .orderBy("hour")
+    )
+
+
+@register(
     "delta_abs_p95",
     oracle=f"""
     WITH net AS (
