@@ -48,11 +48,17 @@ def main() -> None:
     for n in names[:1]:
         QUERIES[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # min of 2 runs per query: single-shot timings on a shared machine swing
+    # 30-40%, which would poison cross-round regression comparisons
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for n in names:
-        t0 = time.perf_counter()
-        QUERIES[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[n] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            QUERIES[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[n] = round(best, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
