@@ -120,14 +120,22 @@ def minmax_normalize(
     df: DataFrame, value: Column | str, out: str = "norm"
 ) -> DataFrame:
     """W7: (x−min)/(max−min) over the whole frame; constant input → 1.0
-    (streamlit_app.py:996-998). Global min/max via an empty window — one
-    pass, no driver round-trip."""
+    (streamlit_app.py:996-998).
+
+    Scale shape: an empty-window ``min/max OVER ()`` would move EVERY row to
+    one partition (``WindowExec: No Partition Defined``). Instead the two
+    scalars come from a partial-aggregating ``agg`` (map-side combine, one
+    1-row exchange) and re-attach via ``crossJoin(broadcast(...))`` — a
+    BroadcastNestedLoopJoin against a 1-row build side, so the fact table
+    keeps its partitioning.
+    """
     c = F.col(value) if isinstance(value, str) else value
-    everything = Window.partitionBy()
-    mn = F.min(c).over(everything)
-    mx = F.max(c).over(everything)
-    return df.withColumn(
-        out, F.when(mx == mn, F.lit(1.0)).otherwise((c - mn) / (mx - mn))
+    scalars = df.agg(F.min(c).alias("__mn__"), F.max(c).alias("__mx__"))
+    mn, mx = F.col("__mn__"), F.col("__mx__")
+    return (
+        df.crossJoin(F.broadcast(scalars))
+        .withColumn(out, F.when(mx == mn, F.lit(1.0)).otherwise((c - mn) / (mx - mn)))
+        .drop("__mn__", "__mx__")
     )
 
 
@@ -136,12 +144,24 @@ def winsorize(
 ) -> DataFrame:
     """Q3/A14: clip a metric to its scope quantiles (the reference's
     declared winsorization rule, docs/KPI_dictionary.md:21, applied for viz
-    at streamlit_app.py:333-336,425-428). Quantile scalars stay in-plan
-    (empty-window aggregates — no collect)."""
-    everything = Window.partitionBy()
-    lo = F.percentile(F.col(col), F.lit(lo_q)).over(everything)
-    hi = F.percentile(F.col(col), F.lit(hi_q)).over(everything)
-    return df.withColumn(out or f"{col}_winsorized", F.least(F.greatest(F.col(col), lo), hi))
+    at streamlit_app.py:333-336,425-428).
+
+    The exact-percentile scalars are computed with ``agg`` and re-attached
+    via ``crossJoin(broadcast(...))`` — same 1-row-build-side shape as
+    ``minmax_normalize``; no single-partition window over the fact table.
+    """
+    scalars = df.agg(
+        F.percentile(F.col(col), F.lit(lo_q)).alias("__lo__"),
+        F.percentile(F.col(col), F.lit(hi_q)).alias("__hi__"),
+    )
+    return (
+        df.crossJoin(F.broadcast(scalars))
+        .withColumn(
+            out or f"{col}_winsorized",
+            F.least(F.greatest(F.col(col), F.col("__lo__")), F.col("__hi__")),
+        )
+        .drop("__lo__", "__hi__")
+    )
 
 
 def grouped_map(df: DataFrame, keys, fn, schema) -> DataFrame:
@@ -157,10 +177,14 @@ def grouped_map(df: DataFrame, keys, fn, schema) -> DataFrame:
 def latest_snapshot(df: DataFrame, ts: str) -> DataFrame:
     """P12: rows where ts equals the frame-wide max (streamlit_app.py:713-715).
 
-    Implemented as a max-over-empty-window filter: one pass, no self-join,
-    no collect. At scale Catalyst plans this as a single window over one
-    exchange; a broadcast scalar-subquery join is the alternative if the
-    window's single-partition exchange ever bottlenecks.
+    The max-ts scalar comes from ``agg`` (partial aggregation, 1-row result)
+    and the filter applies after a ``crossJoin(broadcast(...))`` — no
+    empty-window single-partition exchange over the fact table, and with
+    parquet sources the 1-row side can drive runtime row-group skipping.
     """
-    mx = F.max(F.col(ts)).over(Window.partitionBy())
-    return df.withColumn("__mx__", mx).filter(F.col(ts) == F.col("__mx__")).drop("__mx__")
+    mx = df.agg(F.max(F.col(ts)).alias("__mx__"))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .filter(F.col(ts) == F.col("__mx__"))
+        .drop("__mx__")
+    )

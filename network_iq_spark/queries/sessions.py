@@ -22,7 +22,7 @@ SESSION_GAP_MIN = 30
     "sessionize",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
         CASE WHEN LAG(ts) OVER w IS NULL
                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
                   > {SESSION_GAP_MIN} * 60 * 1000000
@@ -32,7 +32,7 @@ SESSION_GAP_MIN = 30
     ),
     numbered AS (
       SELECT user_id, ts, value,
-        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM flagged
     )

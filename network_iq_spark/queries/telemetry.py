@@ -441,12 +441,12 @@ def q_hourly_compare_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       COUNT(*) AS row_count,
-      SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls_event_id,
-      SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)       AS nulls_ts,
-      SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)  AS nulls_user_id,
-      SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)    AS nulls_value,
-      SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 10000)
-               THEN 1 ELSE 0 END)                       AS bad_value,
+      CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id,
+      CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)       AS nulls_ts,
+      CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)  AS nulls_user_id,
+      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)    AS nulls_value,
+      CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 10000)
+               THEN 1 ELSE 0 END) AS BIGINT)                            AS bad_value,
       CAST(0 AS BIGINT)                                 AS missing_required
     FROM events
     """,
@@ -511,10 +511,10 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
       COUNT(*) AS n,
-      SUM(CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NULL THEN 1 ELSE 0 END)
-        AS failed_numeric_casts,
-      SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
-               IS NOT NULL THEN 1 ELSE 0 END) AS ok_k_casts
+      CAST(SUM(CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS failed_numeric_casts,
+      CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+               IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_k_casts
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )

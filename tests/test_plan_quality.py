@@ -65,3 +65,20 @@ def test_window_has_single_shuffle_per_key(spark):
     user_id — exactly one hash exchange on user_id in the plan."""
     plan = _plan(spark, "rolling_features")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["latest_snapshot", "minmax_norm", "winsorized_profile"]
+)
+def test_no_unpartitioned_window_over_fact(spark, name):
+    """The global-scalar queries must NOT plan an empty-partition WindowExec
+    over the fact table (that moves every row to ONE partition — the
+    `WindowExec: No Partition Defined` scale-killer). The agg→broadcast
+    crossJoin shape keeps the fact side partitioned: expect a broadcast
+    nested-loop join against the 1-row scalar side and zero Window nodes."""
+    plan = _plan(spark, name)
+    assert "Window" not in plan, plan
+    # minmax/winsorize: BNLJ vs the 1-row scalar side; latest_snapshot:
+    # Catalyst rewrites crossJoin+filter(ts == __mx__) into a broadcast
+    # equi-join on ts — either way the build side is the broadcast scalar
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
