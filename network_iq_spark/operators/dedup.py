@@ -93,6 +93,64 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_capped(
+    sh: DataFrame, threshold: float, max_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard with stop-shingle-capped candidate generation — the
+    100 TB shape of ``jaccard_pairs``.
+
+    The all-pairs fanout of a shingle self-join is quadratic in shingle
+    document frequency (a shingle present in df docs emits df² pair rows),
+    so hot shingles are THE scale-killer. Here candidate pairs come only
+    from *rare* shingles (document frequency ≤ max_df — computed with one
+    cheap groupBy and removed via a broadcast anti-join), which bounds the
+    per-shingle fanout at max_df². The Jaccard itself is then verified over
+    the FULL shingle sets of just the candidate pairs (same verify shape as
+    ``minhash_lsh_pairs``), so reported similarities are exact, not capped.
+
+    Semantics: a pair is reported iff it shares ≥1 rare shingle. Near-dup
+    pairs share many shingles including rare ones, so top-k output matches
+    the uncapped operator in practice (asserted by an equivalence test at
+    test scale); pairs similar ONLY through ubiquitous boilerplate are
+    deliberately out of contract.
+    """
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df__"))
+    stop = dfreq.filter(F.col("__df__") > max_df).select("shingle")
+    rare = sh.join(F.broadcast(stop), "shingle", "left_anti")
+    a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # One base hash per shingle (48 bits of md5), then k affine integer
 # re-hashes (aᵢ·h + bᵢ) mod P — the classic universal-hash family. ONE md5
 # per shingle instead of k: at 100 TB the signature build is the dominant
@@ -255,4 +313,59 @@ def simhash_pairs(
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_segments(fp: Column, n_segments: int, n_bits: int = 32) -> list[Column]:
+    """Split an n-bit fingerprint into n_segments contiguous bit slices
+    (widths differ by ≤1). Returns one integer Column per segment."""
+    base, rem = divmod(n_bits, n_segments)
+    out, start = [], 0
+    for i in range(n_segments):
+        width = base + (1 if i < rem else 0)
+        out.append(
+            F.shiftright(fp, start).bitwiseAND(F.lit((1 << width) - 1)).cast("bigint")
+        )
+        start += width
+    return out
+
+
+def simhash_pairs_blocked(
+    df: DataFrame, max_hamming: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming ≤ max_hamming — the 100 TB path.
+
+    Pigeonhole blocking instead of the all-pairs scan of ``simhash_pairs``:
+    split the 32-bit fingerprint into ``max_hamming + 1`` segments. Any pair
+    within Hamming distance d differs in ≤ d bits, so at least one of the
+    d+1 segments is bit-identical — joining on (segment_idx, segment_value)
+    finds every qualifying pair (recall = 1.0, same output as brute force).
+
+    Plan shape: one explode (d+1 rows/doc) → self equi-join on the segment
+    key → Hamming verify on the candidate pairs → distinct (a pair can
+    collide in several segments). The shuffle is on segment values, never a
+    cross product; per-bucket fanout is bounded by corpus near-dup density.
+    """
+    n_seg = max_hamming + 1
+    s = simhash32(df, text_col, id_col)
+    segs = _simhash_segments(F.col("simhash"), n_seg)
+    seg_structs = [
+        F.struct(F.lit(i).alias("seg"), segs[i].alias("seg_val")) for i in range(n_seg)
+    ]
+    blocked = s.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*seg_structs)).alias("b")
+    ).select(id_col, "simhash", F.col("b.seg").alias("seg"), F.col("b.seg_val").alias("seg_val"))
+    a = blocked.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "seg", "seg_val"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "seg", "seg_val"
+    )
+    return (
+        a.join(b, ["seg", "seg_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )

