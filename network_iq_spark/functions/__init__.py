@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 # declaration) or falls back to DECIMAL(38) sums.
 
 
-def dsum(col: Column | str, scale: int = 4) -> Column:
+# default integer-unit scale for the exact-sum family (dsum/davg and the
+# salted two-phase aggregates in operators/skew.py)
+DSUM_SCALE_DEFAULT = 4
+
+
+def dsum(col: Column | str, scale: int = DSUM_SCALE_DEFAULT) -> Column:
     """Order-independent SUM: exact integer-unit sum → one double division.
 
     SQL twin: ``CAST(SUM(CAST(FLOOR(x * 1e{s} + 0.5) AS BIGINT)) AS DOUBLE)
@@ -49,7 +54,7 @@ def dsum(col: Column | str, scale: int = 4) -> Column:
     return F.sum(units).cast("double") / F.lit(mult)
 
 
-def davg(col: Column | str, scale: int = 4) -> Column:
+def davg(col: Column | str, scale: int = DSUM_SCALE_DEFAULT) -> Column:
     """Order-independent AVG: exact unit sum / (10^s · count).
 
     SQL twin: ``CAST(SUM(CAST(FLOOR(x * 1e{s} + 0.5) AS BIGINT)) AS DOUBLE)
@@ -104,6 +109,15 @@ def fill0(col: Column | str) -> Column:
     """``Series.fillna(0)`` (streamlit_app.py:700-701,829)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(c, F.lit(0.0))
+
+
+def pandas_dow(ts: Column | str) -> Column:
+    """pandas ``dt.dayofweek`` (Mon=0 … Sun=6) from Spark ``dayofweek``
+    (Sun=1 … Sat=7): ``(spark_dow + 5) % 7``. The reference feeds this
+    straight into the model's numeric features (streamlit_app.py:710;
+    bundle num_cols include ``dow``)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return ((F.dayofweek(c) + F.lit(5)) % F.lit(7)).cast("int")
 
 
 def is_weekend(ts: Column | str) -> Column:

@@ -7,11 +7,11 @@ Two interchangeable paths:
 - :func:`score_with_bundle` — the reference's pattern (sklearn bundle scored
   row-batch-wise, streamlit_app.py:717-725) done the idiomatic Spark way:
   the (small) model is **broadcast** once, a vectorized **pandas UDF** scores
-  Arrow batches on executors. This container has no sklearn, so the bundle
-  is a plain dict of numpy arrays (scaler means/scales + logistic weights) —
-  byte-for-byte the same mechanics as broadcasting a joblib bundle; swap the
-  ``_predict_proba`` body for ``bundle["model"].predict_proba`` where
-  sklearn exists.
+  Arrow batches on executors, with a plain numpy-logistic bundle.
+- :func:`score_with_reference_bundle` — same mechanics, but driving the
+  reference's ACTUAL shipped joblib artifact: the bundle's learned
+  parameters (scaler, one-hot categories, XGBoost tree arrays) are extracted
+  without sklearn/xgboost and its ``predict_proba`` is re-executed in numpy.
 """
 
 from __future__ import annotations
@@ -78,3 +78,30 @@ def score_with_bundle(df: DataFrame, bundle: dict) -> DataFrame:
         return pd.Series(1.0 / (1.0 + np.exp(-logit)))
 
     return df.withColumn("pred_prob", _predict_proba(*[F.col(c) for c in num_cols]))
+
+
+def score_with_reference_bundle(df: DataFrame, bundle_path: str) -> DataFrame:
+    """Score with the reference's ACTUAL shipped model artifact (M3/M6).
+
+    Loads ``data/models/next_hour_congestion.joblib`` structurally (no
+    sklearn/xgboost needed — see :mod:`network_iq_spark.ml.reference_bundle`),
+    rebuilds its predict_proba as pure numpy (:mod:`~.ml.xgb_scorer`:
+    scaler ÷ scale_, one-hot, sparse-missing semantics, 200-tree traversal,
+    float32 sigmoid), **broadcasts** the scorer once per executor, and scores
+    Arrow batches with a vectorized pandas UDF. Same output contract as the
+    reference's ``pred_prob`` column (streamlit_app.py:727-737).
+    """
+    from network_iq_spark.ml.reference_bundle import load_reference_bundle
+    from network_iq_spark.ml.xgb_scorer import ReferenceScorer
+
+    scorer = ReferenceScorer(load_reference_bundle(bundle_path))
+    cols = scorer.num_cols + scorer.cat_cols
+    b = df.sparkSession.sparkContext.broadcast(scorer)
+
+    @pandas_udf(DoubleType())
+    def _predict_proba(*series: pd.Series) -> pd.Series:
+        pdf = pd.concat(series, axis=1)
+        pdf.columns = cols
+        return pd.Series(b.value.predict_proba1(pdf).astype(np.float64))
+
+    return df.withColumn("pred_prob", _predict_proba(*[F.col(c) for c in cols]))

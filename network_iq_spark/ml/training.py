@@ -43,12 +43,24 @@ XGB_PARAMS = {
     "colsample_bytree": 1.0,
     "objective": "binary:logistic",
     "eval_metric": "logloss",
+    "random_state": 42,
+    # bundle clf records scale_pos_weight = 31/29 (train neg/pos); pass the
+    # ratio computed from the actual training labels, this value is the
+    # reference run's.
+    "scale_pos_weight": 1.0689655172413792,
 }
 
+# mirrors the reference bundle's num_cols layout exactly: 7 base metrics
+# interleaved as (raw, rmean, rstd, rdiff) = 28, + z_bad/b_mean/b_std/
+# hour/dow/is_weekend = 34 numeric columns, in the bundle's own order
+# (bundle num_cols / scaler feature_names_in_; tests/test_reference_bundle.py)
 NUM_FEATURES: tuple[str, ...] = tuple(
-    [f"{c}_{s}" for c in BASE_FEATURES for s in ("rmean", "rstd", "rdiff")]
-    + list(BASE_FEATURES)
-    + ["z_bad", "b_mean", "b_std", "hour", "is_weekend"]
+    [
+        name
+        for c in BASE_FEATURES
+        for name in (c, f"{c}_rmean", f"{c}_rstd", f"{c}_rdiff")
+    ]
+    + ["z_bad", "b_mean", "b_std", "hour", "dow", "is_weekend"]
 )
 CAT_FEATURES: tuple[str, ...] = ("tech", "band")
 
@@ -111,15 +123,63 @@ def train_next_hour(
     ).evaluate(scored)
     n = train.count()
     positives = int(train.agg({"label": "sum"}).collect()[0][0] or 0)
+    metrics = {"auc": auc, "ap": ap, "n": n, "positives": positives}
+    metrics.update(precision_recall_at_k(scored, ks=(10, 20)))
     meta = {
         "num_cols": present_num,
         "cat_cols": present_cat,
         "label_rule": label_rule
-        or {"metric": "latency_ms", "q": 0.8, "hi_bad_primary": True},
+        or {
+            "metric": "latency_ms",
+            "q": 0.8,
+            "hi_bad_primary": True,
+            # the reference bundle's label_rule carries the composite metric
+            # trio alongside the primary (hi-bad latency, hi-bad drop_rate,
+            # lo-bad throughput)
+            "composite": ["drop_rate", "latency_ms", "throughput_mbps"],
+        },
         "trained_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
-        "metrics": {"auc": auc, "ap": ap, "n": n, "positives": positives},
+        "metrics": metrics,
     }
     return model, meta
+
+
+def precision_recall_at_k(
+    scored: DataFrame, ks: Sequence[int] = (10, 20), label_col: str = "label"
+) -> dict[str, float]:
+    """M4 bundle metrics parity: P@k / R@k, keyed ``p_at_k``/``r_at_k``
+    exactly like the reference bundle's metrics dict
+    (data/models/next_hour_congestion.joblib: p_at_10/r_at_10/p_at_20/
+    r_at_20). Top-k by predicted P(label=1); one TakeOrderedAndProject of
+    max(ks) rows plus one scalar agg — no full collect.
+
+    Tied scores (duplicate feature rows) order negatives first — a
+    DETERMINISTIC, conservative tie-break; a bare ``orderBy(p1).limit(k)``
+    would pick among ties by partition order and flap run-to-run.  NaN
+    scores (un-scoreable feature rows) are excluded: Spark sorts NaN as
+    LARGEST, so without the filter they'd crowd out every real top-k row."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    total_pos = scored.agg(
+        F.sum(F.col(label_col).cast("double")).alias("p")
+    ).first()["p"] or 0.0
+    top = (
+        scored.select(
+            F.col(label_col).cast("double").alias("y"),
+            vector_to_array("probability").getItem(1).alias("p1"),
+        )
+        .filter(F.col("p1").isNotNull() & ~F.isnan("p1"))
+        .orderBy(F.col("p1").desc(), F.col("y").asc())
+        .limit(max(ks))
+        .collect()
+    )
+    out: dict[str, float] = {}
+    for k in ks:
+        hits = sum(r.y for r in top[:k])
+        out[f"p_at_{k}"] = hits / k
+        out[f"r_at_{k}"] = (hits / total_pos) if total_pos else 0.0
+    return out
 
 
 def top_coefficients(model: PipelineModel, k: int = 15) -> list[tuple[str, float]]:

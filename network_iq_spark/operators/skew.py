@@ -24,11 +24,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt(df: DataFrame, keys: Sequence[str], n_salts: int) -> Column:
+def _salt(df: DataFrame, n_salts: int) -> Column:
     """Deterministic pseudo-random salt (stable across retries — required
-    for exactly-once shuffle files): hash of the full row's key cols plus a
-    uniform spreader over a monotonic id would break determinism, so spread
-    on a cheap hash of all columns."""
+    for exactly-once shuffle files). Hashes the FULL row, deliberately NOT
+    just the group keys: a per-key hash would map every row of a hot key to
+    one salt and defeat the spread; ``rand()``/monotonic ids would break
+    retry determinism."""
     return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
 
 
@@ -41,17 +42,28 @@ def salted_sum_count(
     """Two-phase skew-proof aggregate: per-key sum/count/avg of ``value``.
 
     Equivalent to ``groupBy(keys).agg(sum, count, avg)`` but no reducer ever
-    sees more than ~1/n_salts of a hot key's rows in phase 1.
+    sees more than ~1/n_salts of a hot key's rows in phase 1.  Sums go
+    through the exact integer-unit path (``dsum`` pattern,
+    functions/__init__.py) so the two-phase result is bit-identical to the
+    single-phase aggregate — float SUM is order-dependent and would drift
+    in ulps with the salt regrouping.
     """
-    salted = df.withColumn("__salt__", _salt(df, keys, n_salts))
+    from network_iq_spark.functions import DSUM_SCALE_DEFAULT
+
+    mult = float(10**DSUM_SCALE_DEFAULT)
+    units = F.floor(F.col(value) * F.lit(mult) + F.lit(0.5)).cast("bigint")
+    salted = df.withColumn("__salt__", _salt(df, n_salts))
     partial = salted.groupBy(*keys, "__salt__").agg(
-        F.sum(value).alias("__psum__"),
+        F.sum(units).alias("__punits__"),
         F.count(value).alias("__pcnt__"),
     )
+    total_units = F.sum("__punits__")
     return partial.groupBy(*keys).agg(
-        F.sum("__psum__").alias(f"sum_{value}"),
+        (total_units.cast("double") / F.lit(mult)).alias(f"sum_{value}"),
         F.sum("__pcnt__").alias(f"count_{value}"),
-        (F.sum("__psum__") / F.sum("__pcnt__")).alias(f"avg_{value}"),
+        (total_units.cast("double") / (F.lit(mult) * F.sum("__pcnt__"))).alias(
+            f"avg_{value}"
+        ),
     )
 
 
@@ -67,5 +79,5 @@ def salted_broadcast_join(
     dim_rep = dim.withColumn(
         "__salt__", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    fact_s = fact.withColumn("__salt__", _salt(fact, [key], n_salts))
+    fact_s = fact.withColumn("__salt__", _salt(fact, n_salts))
     return fact_s.join(F.broadcast(dim_rep), [key, "__salt__"], how).drop("__salt__")

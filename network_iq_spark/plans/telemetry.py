@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from network_iq_spark.functions import is_weekend, zero_guard
+from network_iq_spark.functions import is_weekend, pandas_dow, zero_guard
 from network_iq_spark.operators.joins import baseline_join
 from network_iq_spark.operators.topk import top_k
 from network_iq_spark.operators.windows import centered_moving_avg, latest_snapshot
@@ -342,7 +342,9 @@ def build_history_features(
                 f"{c}_rdiff", F.coalesce(col - F.lag(col, 1).over(seq_w), F.lit(0.0))
             )
         )
-    return use.withColumn("is_weekend", is_weekend(F.col("ts")))
+    return use.withColumn("dow", pandas_dow(F.col("ts"))).withColumn(
+        "is_weekend", is_weekend(F.col("ts"))
+    )
 
 
 def build_latest_features(

@@ -87,3 +87,57 @@ def test_bundle_pandas_udf_matches_formula(spark):
     want = 1 / (1 + np.exp(-(z @ bundle["coefs"] + bundle["intercept"])))
     # Spark preserves row order only via re-collect with the same plan; sort
     np.testing.assert_allclose(np.sort(got), np.sort(want), rtol=1e-12)
+
+
+def test_precision_recall_at_k_math(spark, features):
+    from network_iq_spark.ml import derive_labels, train_next_hour
+    from network_iq_spark.ml.training import precision_recall_at_k
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    labeled = derive_labels(features, "latency_ms", q=0.8)
+    model, meta = train_next_hour(labeled)
+    # meta carries the bundle's metric keys (M4 parity)
+    assert {"p_at_10", "r_at_10", "p_at_20", "r_at_20"} <= set(meta["metrics"])
+    # recompute from the scored frame by hand
+    scored = model.transform(labeled)
+    pdf = (
+        scored.select(
+            F.col("label").cast("double").alias("y"),
+            vector_to_array("probability").getItem(1).alias("p1"),
+        )
+        .toPandas()
+    )
+    total_pos = pdf["y"].sum()  # ALL positives, even NaN-scored ones
+    pdf = pdf.dropna(subset=["p1"]).sort_values(
+        ["p1", "y"], ascending=[False, True], kind="mergesort"
+    )
+    out = precision_recall_at_k(scored, ks=(10, 20))
+    for k in (10, 20):
+        hits = pdf["y"].head(k).sum()
+        assert out[f"p_at_{k}"] == pytest.approx(hits / k)
+        assert out[f"r_at_{k}"] == pytest.approx(hits / total_pos)
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("xgboost") is None,
+    reason="xgboost not installed in this container (M6: parity training runs where it is)",
+)
+def test_xgb_parity_training(spark, features):
+    """M6: the recorded reference config is EXECUTABLE, not prose — trains
+    xgboost.spark.SparkXGBClassifier(**XGB_PARAMS) wherever the package
+    exists (skipped here; collected so the contract is visible)."""
+    from xgboost.spark import SparkXGBClassifier
+
+    from network_iq_spark.ml import derive_labels
+    from network_iq_spark.ml.training import NUM_FEATURES, XGB_PARAMS, build_pipeline
+
+    labeled = derive_labels(features, "latency_ms", q=0.8)
+    pre = build_pipeline()  # scaler + OHE stages
+    feature_cols = [c for c in NUM_FEATURES if c in labeled.columns]
+    est = SparkXGBClassifier(
+        features_col=feature_cols, label_col="label", **XGB_PARAMS
+    )
+    model = est.fit(labeled.withColumn("label", labeled["label"].cast("int")))
+    preds = model.transform(labeled)
+    assert preds.filter("probability is not null").count() == labeled.count()
