@@ -62,6 +62,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
+    _compare_with_last_round(timings, total)
     print(
         json.dumps(
             {
@@ -73,6 +74,38 @@ def main() -> None:
             }
         )
     )
+
+
+def _compare_with_last_round(timings: dict[str, float], total: float) -> None:
+    """Per-query regression report vs the newest BENCH_r{N}.json, to STDERR
+    (stdout is reserved for the one-line JSON contract). Makes a single
+    query's 2x regression visible even when the suite total hides it."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not rounds:
+        return
+    try:
+        prev = json.load(open(rounds[-1]))
+    except (OSError, ValueError):
+        return
+    if "parsed" in prev:  # driver wraps our JSON line under "parsed"
+        prev = prev["parsed"] or {}
+    prev_q = prev.get("queries") or {}
+    lines = [f"--- vs {os.path.basename(rounds[-1])} (suite {prev.get('value')}s -> {total}s) ---"]
+    for n in sorted(timings):
+        if n not in prev_q or prev_q[n] <= 0:
+            lines.append(f"{n:28s} {timings[n]:7.3f}s   (new)")
+            continue
+        ratio = timings[n] / prev_q[n]
+        flag = "  <-- REGRESSED >2x" if ratio > 2.0 else ""
+        lines.append(f"{n:28s} {timings[n]:7.3f}s  {ratio:5.2f}x{flag}")
+    print("\n".join(lines), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -169,6 +169,38 @@ def q_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "acctbal_quartiles_scalable",
+    oracle="""
+    SELECT quartile, COUNT(*) AS n,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    ) GROUP BY quartile ORDER BY quartile
+    """,
+)
+def q_acctbal_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """acctbal_quartiles' 100 TB twin: identical NTILE(4) output, but via
+    the range-partition + offset global-rank operator — no
+    single-partition WindowExec over the customer table (operators/rank.py;
+    same oracle as acctbal_quartiles)."""
+    from network_iq_spark.operators.rank import ntile_scalable
+
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    q = ntile_scalable(c, 4, ["c_acctbal", "c_custkey"], out="quartile")
+    return (
+        q.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@register(
     "customers_with_orders",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_customers
