@@ -228,3 +228,149 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "n_vec_id", F.col("rank").cast("int").alias("rank"), "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup family, SURVEY.md §7 F)
+# ---------------------------------------------------------------------------
+
+
+def int_hyperplane(dim: int, seed: int, plane: int, w_range: int = 16) -> list[int]:
+    """INTEGER hyperplane weights in [-w_range/2, w_range/2) from the same
+    splitmix-style hash as :func:`_hyperplane`.
+
+    Integer weights exist for cross-engine determinism: the signature bit is
+    the sign of an integer dot product over integerized embeddings — exact
+    under ANY summation order, so a numpy matmul, a JVM aggregate, and a SQL
+    ``SUM`` all agree bit-for-bit (float dots would flip near-zero signs
+    between engines)."""
+    vals = []
+    for i in range(dim):
+        x = (
+            seed * 0x9E3779B97F4A7C15
+            + plane * 0xBF58476D1CE4E5B9
+            + i * 0x94D049BB133111EB
+        ) % (2**64)
+        x ^= x >> 31
+        x = (x * 0xD6E8FEB86659FD93) % (2**64)
+        x ^= x >> 27
+        vals.append(int(x % w_range) - w_range // 2)
+    return vals
+
+
+def int_lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    scale: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane signatures over INTEGERIZED embeddings.
+
+    Each float component is quantized ``floor(x·scale + 0.5)`` (exact
+    double op in every engine), then bucket bit p of table t is
+    ``(q · w_{t,p}) > 0`` with integer weights — all-integer arithmetic,
+    so the buckets are reproducible anywhere (the registered oracle
+    replicates them in SQL). One int64 matmul per Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    planes = np.array(
+        [
+            int_hyperplane(dim, seed + t * 7919, p)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )  # (L·k, dim)
+    weights = np.tile(2 ** np.arange(n_planes, dtype=np.int64), n_tables)
+    table_of = np.repeat(np.arange(n_tables, dtype=np.int64), n_planes)
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("table", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(v * float(scale) + 0.5).astype(np.int64)  # (n, dim)
+            bits = (q @ planes.T) > 0  # exact integer dots
+            contrib = bits * weights
+            buckets = np.zeros((len(pdf), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                buckets[:, t] = contrib[:, table_of == t].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(signatures, schema=out_schema)
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, candidate-restricted.
+
+    The dedup-family sibling of MinHash/SimHash for the embedding modality
+    (reference has no equivalent; LLM-data tier). Candidates = unordered
+    pairs sharing a bucket in ANY of the L integerized-hyperplane tables;
+    verify = exact element-order double cosine ≥ threshold. Scale shape:
+    signatures are map-only, candidates shuffle once on (table, bucket),
+    the verify join touches candidates only — never the N² cross product.
+    Output: (id_a, id_b, cos), id_a < id_b.
+    """
+    sig = int_lsh_signatures(
+        corpus, dim, n_planes, n_tables, seed, id_col=id_col, vec_col=vec_col
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), "table", "bucket"
+    )
+    b = sig.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = with_norm(
+        corpus.select(id_col, as_double_vec(vec_col).alias("v")), "v"
+    )
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("av"), F.col("norm").alias("an")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("bv"), F.col("norm").alias("bn")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot("av", "bv") / (F.col("an") * F.col("bn"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )

@@ -442,6 +442,95 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_bruteforce(queries, vecs, k=10).orderBy("q_vec_id", "rank")
 
 
+_ND_TABLES, _ND_PLANES, _ND_THRESHOLD = 4, 8, 0.30
+
+
+def _near_dup_sql(n_tables: int, n_planes: int, threshold: float) -> str:
+    """DuckDB twin of operators/similarity.py near_dup_pairs: replicates the
+    splitmix integer-weight derivation (128-bit arithmetic with a 32-bit
+    split for the 64x64 multiply), the floor(x*2^20+0.5) quantization, the
+    integer-dot bucket bits, the (table,bucket) candidate join, and the
+    element-order double cosine — the whole approximation, not just the
+    verify stage, so the hash compare is exact by construction."""
+    return f"""
+    WITH params AS (
+      SELECT t.range::HUGEINT AS t, p.range::HUGEINT AS p, i.range::HUGEINT AS i
+      FROM range({n_tables}) t, range({n_planes}) p, range(64) i
+    ),
+    h0 AS (
+      SELECT t, p, i,
+        ((42 + t*7919) * 11400714819323198485::HUGEINT
+          + p * 13787848793156543929::HUGEINT
+          + i * 10723151780598845931::HUGEINT)
+          % 18446744073709551616::HUGEINT AS x0
+      FROM params
+    ),
+    h1 AS ( SELECT t, p, i, xor(x0, x0 >> 31) AS x1 FROM h0 ),
+    h2 AS (
+      SELECT t, p, i,
+        ((x1 % 4294967296::HUGEINT) * 15485907386658061715::HUGEINT
+         + (((x1 // 4294967296::HUGEINT) * 15485907386658061715::HUGEINT)
+            % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        ) % 18446744073709551616::HUGEINT AS x2
+      FROM h1
+    ),
+    weights AS (
+      SELECT CAST(t AS INT) AS t, CAST(p AS INT) AS p, CAST(i AS INT) AS i,
+             CAST((xor(x2, x2 >> 27) % 16) - 8 AS BIGINT) AS w
+      FROM h2
+    ),
+    q AS (
+      SELECT vec_id,
+             [CAST(FLOOR(x*1048576.0+0.5) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS qv
+      FROM embeddings
+    ),
+    comps AS (
+      SELECT q.vec_id, w.t, w.p, SUM(q.qv[w.i+1] * w.w) AS dot
+      FROM q, weights w GROUP BY q.vec_id, w.t, w.p
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM comps GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    )
+    SELECT * FROM (
+      SELECT id_a, id_b, list_dot_product(a.v, b.v)/(a.norm*b.norm) AS cos
+      FROM cand JOIN n a ON a.vec_id = cand.id_a JOIN n b ON b.vec_id = cand.id_b
+    ) WHERE cos >= {threshold} ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "embedding_near_dup",
+    oracle=_near_dup_sql(_ND_TABLES, _ND_PLANES, _ND_THRESHOLD),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup family's embedding
+    modality (alongside exact/MinHash/SimHash/Jaccard): integerized
+    hyperplane LSH candidates, exact cosine verify at threshold
+    (operators/similarity.py near_dup_pairs). The oracle replays the exact
+    bucketing, so this is full-pipeline parity, not verify-stage-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(
+        emb,
+        dim=64,
+        threshold=_ND_THRESHOLD,
+        n_planes=_ND_PLANES,
+        n_tables=_ND_TABLES,
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "embedding_label_stats",
     oracle="""

@@ -54,3 +54,79 @@ def test_lsh_recall_at_10(spark, vecs):
     # 16 tables x 4 planes on 64-dim near-orthogonal random vectors
     # measured 0.86 at defaults; alert well below that
     assert recall >= 0.6, f"recall collapsed: {recall:.2f}"
+
+
+def test_near_dup_pairs_precision_and_recall(spark, vecs):
+    """Embedding near-dup: every emitted pair must be a TRUE pair (exact
+    cosine >= tau — precision 1.0 by construction since verify is exact),
+    and candidate recall vs the brute-force truth is recorded."""
+    emb = vecs.select("vec_id", F.col("v").alias("embedding"))
+    tau = 0.30
+    got = S.near_dup_pairs(emb, dim=64, threshold=tau).collect()
+    # brute-force truth
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("av"), F.col("norm").alias("an")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("bv"), F.col("norm").alias("bn")
+    )
+    truth = {
+        (r.id_a, r.id_b): r.cos
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (S._dot("av", "bv") / (F.col("an") * F.col("bn"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+        .collect()
+    }
+    assert len(got) > 0
+    for r in got:  # precision 1.0: every pair is in the exact truth set
+        assert (r.id_a, r.id_b) in truth
+        assert r.cos == pytest.approx(truth[(r.id_a, r.id_b)], rel=1e-12)
+    recall = len(got) / len(truth)
+    # at tau=0.30 (mid-similarity, far below near-dup territory) hyperplane
+    # LSH recall is LOW by design: per-table collision (1-theta/pi)^8 with
+    # theta~72.5deg gives ~1.6%/table, ~6% over 4 tables — measured 0.063
+    # here, matching theory. The config discriminates near-identical pairs
+    # (see the planted-pairs test below); record the floor so a config
+    # change that degrades it further fails loudly.
+    assert recall >= 0.04, f"candidate recall below theory: {recall:.3f}"
+
+
+def test_near_dup_pairs_recall_on_planted_dups(spark):
+    """The operating point that matters: PLANTED near-duplicates
+    (cos >= 0.98). Per-table collision (1-theta/pi)^8 at theta~11deg is
+    ~0.6, so 4 tables give ~0.97+ recall."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    noise = rng.normal(size=(40, 64)) * 0.05
+    dup = base + noise  # cos ~ 0.9985
+    vecs = np.vstack([base, dup])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(80, dtype=np.int64),
+            "embedding": [row.astype(np.float64).tolist() for row in vecs],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.near_dup_pairs(emb, dim=64, threshold=0.95).collect()
+    }
+    planted = {(i, i + 40) for i in range(40)}
+    # exact-verify stage guarantees precision; measure candidate recall
+    found = len(got & planted)
+    assert found / len(planted) >= 0.9, f"planted recall {found}/40"
+
+
+def test_near_dup_pairs_deterministic(spark, vecs):
+    emb = vecs.select("vec_id", F.col("v").alias("embedding"))
+    r1 = sorted((r.id_a, r.id_b, r.cos) for r in S.near_dup_pairs(emb, 64, 0.30).collect())
+    r2 = sorted((r.id_a, r.id_b, r.cos) for r in S.near_dup_pairs(emb, 64, 0.30).collect())
+    assert r1 == r2
