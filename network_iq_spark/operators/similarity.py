@@ -374,3 +374,128 @@ def near_dup_pairs(
         )
         .filter(F.col("cos") >= F.lit(threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-bucketed scale path
+# ---------------------------------------------------------------------------
+
+
+def seed_centroids(
+    vecs: DataFrame, n_cells: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_cells`` corpus vectors with
+    the smallest md5-derived id hash become the cell centroids (k-means with
+    zero Lloyd iterations — a seeded init that any engine reproduces
+    bit-for-bit; float centroid *updates* would be summation-order-dependent
+    and break cross-engine parity, so they are deliberately out of scope).
+
+    Input must carry (id_col, v[array<double>], norm). Output:
+    (c_id, cv, cn) — a tiny dimension meant to be broadcast.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    return (
+        vecs.withColumn("__h__", h)
+        .orderBy("__h__", id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cn"),
+        )
+    )
+
+
+def ivf_assign(
+    vecs: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Nearest-centroid (max cosine) cell assignment — the inverted file.
+
+    Shape at scale: broadcast nested-loop against the tiny centroid dim is
+    pure map work; the argmax collapses map-side (partial ``min(struct)``)
+    so the one shuffle moves N pre-reduced rows, not N·n_cells. Ties break
+    to the smallest centroid id via the (−cos, c_id) struct order.
+    """
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        F.struct(
+            (-(_dot("v", "cv") / (F.col("norm") * F.col("cn")))).alias("neg_cos"),
+            F.col("c_id").alias("c_id"),
+        ).alias("sc"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min("sc").alias("best"))
+        .select(id_col, F.col("best.c_id").alias("cell"))
+    )
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_ids: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` nearest cells per query, exact
+    cosine against members of those cells only.
+
+    Scale shape: centroids broadcast everywhere; the corpus shuffles ONCE on
+    cell id (the inverted file — at 100 TB this is the partitioning you'd
+    persist); queries and their probe lists broadcast; per-cell brute force
+    touches ~nprobe/n_cells of the corpus. ``nprobe == n_cells`` degrades to
+    exactly `cosine_topk_bruteforce` (the recall dial's endpoint — tests
+    assert the equivalence).
+    """
+    vecs = with_norm(df.select(id_col, vec_col), vec_col).select(
+        id_col, F.col(vec_col).alias("v"), "norm"
+    )
+    cent = seed_centroids(vecs, n_cells, id_col)
+    inv = ivf_assign(vecs, cent, id_col)
+
+    qv = vecs.join(query_ids, id_col, "left_semi")
+    probe_scored = qv.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col).alias("q_vec_id"),
+        "c_id",
+        (_dot("v", "cv") / (F.col("norm") * F.col("cn"))).alias("ccos"),
+    )
+    wprobe = Window.partitionBy("q_vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_vec_id", F.col("c_id").alias("cell"))
+    )
+
+    cand = (
+        inv.select(F.col(id_col).alias("n_vec_id"), "cell")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "n_vec_id")
+    )
+    qside = qv.select(
+        F.col(id_col).alias("q_vec_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    nside = vecs.select(
+        F.col(id_col).alias("n_vec_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    scored = (
+        cand.join(F.broadcast(qside), "q_vec_id")
+        .join(nside, "n_vec_id")
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("cos").desc(), F.col("n_vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "n_vec_id", F.col("rank").cast("int").alias("rank"), "cos")
+    )

@@ -531,6 +531,80 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_IVF_CELLS, _IVF_NPROBE, _IVF_K = 16, 4, 10
+
+
+def _ivf_sql(n_cells: int, nprobe: int, k: int) -> str:
+    """DuckDB twin of operators/similarity.py cosine_topk_ivf: seeded
+    centroid pick (smallest md5-hash ids), nearest-centroid assignment with
+    (cos DESC, c_id ASC) tie order, nprobe probe list, exact in-cell cosine.
+    Every stage is deterministic, so the compare is exact by construction."""
+    cent_h = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
+    return f"""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS c_id, v AS cv, norm AS cn
+      FROM n ORDER BY {cent_h}, vec_id LIMIT {n_cells}
+    ),
+    assign AS (
+      SELECT vec_id AS n_vec_id, c_id AS cell FROM (
+        SELECT n.vec_id, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cn) DESC,
+                          c.c_id ASC) AS rn
+        FROM n, cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS q_vec_id, c_id AS cell FROM (
+        SELECT n.vec_id, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cn) DESC,
+                          c.c_id ASC) AS rn
+        FROM n, cent c WHERE n.vec_id < 10
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.q_vec_id, a.n_vec_id,
+             list_dot_product(q.v, m.v) / (q.norm * m.norm) AS cos
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.n_vec_id != p.q_vec_id
+      JOIN n q ON q.vec_id = p.q_vec_id
+      JOIN n m ON m.vec_id = a.n_vec_id
+    )
+    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, n_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY q_vec_id, rank
+    """
+
+
+@register("ivf_cosine_topk", oracle=_ivf_sql(_IVF_CELLS, _IVF_NPROBE, _IVF_K))
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for query vectors (vec_id < 10): the centroid-bucketed
+    sibling of the hyperplane-LSH path. Deterministic seeded centroids make
+    the whole approximation oracle-checkable (not just rows-only): centroid
+    pick, cell assignment, probe list, and in-cell scores all replay in SQL.
+    Scale shape: centroids broadcast, corpus shuffles once on cell id,
+    queries broadcast, exact cosine touches ~nprobe/n_cells of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
+    queries = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    return S.cosine_topk_ivf(
+        corpus,
+        queries,
+        n_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+        k=_IVF_K,
+        vec_col="v",
+    ).orderBy("q_vec_id", "rank")
+
+
 @register(
     "embedding_label_stats",
     oracle="""

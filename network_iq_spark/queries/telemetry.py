@@ -374,16 +374,20 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_risky_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-threshold flags (A15; streamlit_app.py:334-335,344-348): the
     threshold comes from the aggregated scope, rows above it are "risky".
-    Threshold via percentile-over-empty-window — no collect round-trip."""
+    Threshold as a broadcast agg-scalar cross join — no collect round-trip
+    and no unpartitioned window (the hourly aggregate is tiny, but the shape
+    should match the 100 TB posture everywhere)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.withColumn("hour", F.hour("ts"))
         .groupBy("hour")
         .agg(davg("value").alias("avg_value"))
     )
-    thr = F.percentile(F.col("avg_value"), F.lit(0.75)).over(Window.partitionBy())
+    thr = hourly.agg(
+        F.percentile(F.col("avg_value"), F.lit(0.75)).alias("__thr__")
+    )
     return (
-        hourly.withColumn("__thr__", thr)
+        hourly.crossJoin(F.broadcast(thr))
         .filter(F.col("avg_value") > F.col("__thr__"))
         .select("hour", "avg_value")
         .orderBy("hour")

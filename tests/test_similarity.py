@@ -130,3 +130,45 @@ def test_near_dup_pairs_deterministic(spark, vecs):
     r1 = sorted((r.id_a, r.id_b, r.cos) for r in S.near_dup_pairs(emb, 64, 0.30).collect())
     r2 = sorted((r.id_a, r.id_b, r.cos) for r in S.near_dup_pairs(emb, 64, 0.30).collect())
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, vecs):
+    """nprobe == n_cells probes every cell, so the IVF path must reproduce
+    the exact brute-force top-k bit-for-bit — the recall dial's endpoint."""
+    queries = vecs.select("vec_id").filter(F.col("vec_id") < 10)
+    ivf = S.cosine_topk_ivf(
+        vecs.drop("norm"), queries, n_cells=8, nprobe=8, k=10
+    )
+    exact = S.cosine_topk_bruteforce(
+        vecs.filter(F.col("vec_id") < 10), vecs, k=10
+    )
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_scores_are_exact_cosines(spark, vecs):
+    """Whatever candidates IVF surfaces, their scores must be the exact
+    cosine (approximation lives in candidate selection only)."""
+    queries = vecs.select("vec_id").filter(F.col("vec_id") < 10)
+    ivf = S.cosine_topk_ivf(vecs.drop("norm"), queries, n_cells=16, nprobe=4, k=10)
+    exact = S.cosine_topk_bruteforce(vecs.filter(F.col("vec_id") < 10), vecs, k=500)
+    exact_cos = {(r.q_vec_id, r.n_vec_id): r.cos for r in exact.collect()}
+    rows = ivf.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.cos == pytest.approx(exact_cos[(r.q_vec_id, r.n_vec_id)], rel=1e-12)
+
+
+def test_ivf_assignment_partitions_corpus(spark, vecs):
+    """The inverted file is a partition of the corpus: every vector lands in
+    exactly one cell, and cells are bounded by the candidate-fraction math."""
+    cent = S.seed_centroids(vecs, n_cells=16)
+    inv = S.ivf_assign(vecs, cent)
+    n = vecs.count()
+    assert inv.count() == n
+    assert inv.select("vec_id").distinct().count() == n
+    assert inv.select("cell").distinct().count() <= 16
