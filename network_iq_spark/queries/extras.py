@@ -380,3 +380,51 @@ def q_scope_filtered_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(davg("value").alias("avg_value"), F.count("*").alias("n"))
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join — bucketed non-equi containment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_in_windows",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    win AS (
+      SELECT i.range::BIGINT AS window_id,
+             lo + (i.range * (hi - lo + 1)) // 10 AS start_us,
+             lo + ((i.range + 2) * (hi - lo + 1)) // 10 AS end_us
+      FROM b, range(8) i
+    )
+    SELECT w.window_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           {_sql.davg('e.value')} AS avg_value
+    FROM win w JOIN events e
+      ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+    GROUP BY w.window_id ORDER BY w.window_id
+    """,
+)
+def q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: events against 8 overlapping time windows
+    derived from the fact span (operators/intervals.py). The engine runs the
+    bucketed equi-join scale shape (broadcast exploded intervals, one bucket
+    per fact, exact containment filter); the oracle is the *semantic* plain
+    BETWEEN join — so the compare proves the bucketing rewrite is lossless,
+    which is the entire point of the operator."""
+    from network_iq_spark.operators import intervals as I
+
+    ev = load_table(spark, sf_dir, "events")
+    win = I.span_windows(ev, n_windows=8, num=2, den=10)
+    joined = I.bucketed_interval_join(ev, win)
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            davg("value").alias("avg_value"),
+        )
+        .orderBy("window_id")
+    )
