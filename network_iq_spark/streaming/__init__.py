@@ -4,10 +4,12 @@ from network_iq_spark.streaming.kpis import (
     sliding_features,
     tumbling_kpis,
 )
+from network_iq_spark.streaming.sessions import streaming_sessionize
 
 __all__ = [
     "latest_per_key",
     "read_telemetry_stream",
     "sliding_features",
+    "streaming_sessionize",
     "tumbling_kpis",
 ]

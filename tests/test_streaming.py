@@ -144,3 +144,75 @@ def test_latest_per_key_matches_dedup(spark, source_dir):
     ).select("cell_id", "timestamp", "latency_ms")
     want = {r.cell_id: (r.timestamp, r.latency_ms) for r in batch.collect()}
     assert latest == want
+
+
+def test_streaming_sessionize_matches_batch_gap_split(spark, tmp_path):
+    """Stateful sessionization with EventTimeTimeout: gap-closures emit
+    in-batch; open sessions emit when the watermark passes last_event+gap
+    (forced here by sentinel events far in the future). The union must equal
+    the batch gap-split exactly — sessions are closed once, exactly once."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources import load_table
+    from network_iq_spark.streaming.sessions import streaming_sessionize
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sessions_out")
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "ts", "value")
+    )
+    ev.write.mode("overwrite").parquet(src)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "user_id bigint, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            streaming_sessionize(stream, gap_min=30)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # gap-closures only; each user's final session still open
+
+    # sentinel batches push the watermark past every open session's timeout
+    for i, hours in enumerate((10, 20)):
+        sentinel = spark.createDataFrame(
+            [(-1 - i, max_ts + datetime.timedelta(hours=hours), 0.0)],
+            "user_id bigint, ts timestamp, value double",
+        )
+        sentinel.write.mode("append").parquet(src)
+        run_once()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
+    }
+
+    # pure-Python batch gap-split over the same rows
+    rows = sorted(ev.collect(), key=lambda r: (r.user_id, r.ts))
+    want, cur = set(), None  # cur = [user, start, last, n, vsum_e4]
+    gap = datetime.timedelta(minutes=30)
+    for r in rows:
+        v = int(round(r.value * 10_000))
+        if cur is None or r.user_id != cur[0] or r.ts - cur[2] > gap:
+            if cur is not None:
+                want.add((cur[0], cur[1], cur[2], cur[3], cur[4] / 10_000))
+            cur = [r.user_id, r.ts, r.ts, 1, v]
+        else:
+            cur[2], cur[3], cur[4] = r.ts, cur[3] + 1, cur[4] + v
+    want.add((cur[0], cur[1], cur[2], cur[3], cur[4] / 10_000))
+
+    assert got == want
+    assert len(got) > 100
