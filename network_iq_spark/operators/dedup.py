@@ -212,48 +212,94 @@ def minhash_lsh_pairs(
     rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: candidates from band-bucket
-    collisions, verified with exact Jaccard ≥ threshold.
+    collisions, verified with exact Jaccard ≥ threshold over the docs'
+    shingle-hash SETS.
 
     The only all-pairs work happens inside buckets; everything else is
-    per-doc map work + one shuffle on (band, bucket) + one on shingle for
-    the candidate verification.
+    per-doc map work. Two design choices trade a constant for two shuffles
+    vs the textbook formulation:
+
+    - **First-matching-band dedup**: the signature's min values ride along
+      the band explode, and a colliding pair is kept only in the first band
+      whose slots all agree — a column filter on data already in the join
+      output, replacing a ``distinct()`` over the candidate stream.
+    - **Set-based verify**: each doc's 48-bit shingle hashes are collected
+      once into the signature row (``collect_set`` — same shuffle that
+      computes the mins); the verify stage is then ``array_intersect`` on
+      the candidate pairs, not a re-join through the exploded shingle
+      table. Jaccard over the hash sets equals string Jaccard except under
+      a 48-bit collision inside one pair's union (~|sh/doc|²/2⁴⁸); both
+      engines hash identically so cross-engine parity is unconditional.
     """
+    n_hashes = n_bands * rows_per_band
     sh = shingles(df, text_col, id_col)
-    sig = minhash_signatures(sh, n_bands * rows_per_band, id_col)
-    bb = lsh_band_buckets(sig, n_bands, rows_per_band, id_col)
-    a = bb.alias("a")
-    b = bb.alias("b")
+    h = base_hash48(F.col("shingle"))
+    sig = sh.groupBy(id_col).agg(
+        *[F.min(_affine(h, i)).alias(f"m{i}") for i in range(n_hashes)],
+        F.collect_set(h).alias("hs"),
+    )
+
+    bands = []
+    for bnd in range(n_bands):
+        cols = [
+            F.col(f"m{bnd * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(bnd).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
+            )
+        )
+    mins = F.array(*[F.col(f"m{i}") for i in range(n_hashes)])
+    bb = sig.select(
+        id_col, mins.alias("mins"), F.explode(F.array(*bands)).alias("b")
+    ).select(
+        id_col, "mins", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    a = bb.select(
+        F.col(id_col).alias("doc_a"), F.col("mins").alias("mins_a"), "band", "bucket"
+    )
+    b = bb.select(
+        F.col(id_col).alias("doc_b"), F.col("mins").alias("mins_b"), "band", "bucket"
+    )
+
+    def band_slots_equal(j: int) -> Column:
+        cond = F.lit(True)
+        for s in range(j * rows_per_band, (j + 1) * rows_per_band):
+            cond = cond & (F.col("mins_a")[s] == F.col("mins_b")[s])
+        return cond
+
+    first_band = None
+    for j in range(n_bands):
+        m = band_slots_equal(j)
+        first_band = (
+            F.when(m, F.lit(j)) if first_band is None else first_band.when(m, F.lit(j))
+        )
     cand = (
         a.join(b, ["band", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(first_band == F.col("band"))
+        .select("doc_a", "doc_b")
     )
-    # Verify ONLY candidates — never the all-pairs intersection. Stream each
-    # candidate pair through doc_a's shingles, probe doc_b's set: the join
-    # volume is O(|cand| · shingles/doc), independent of corpus pair count.
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+
+    sets = sig.select(id_col, "hs")
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.array_size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn("inter", inter)
         .select(
             "doc_a",
             "doc_b",
             (
                 F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                / (
+                    F.array_size(F.col("hs_a"))
+                    + F.array_size(F.col("hs_b"))
+                    - F.col("inter")
+                )
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -342,9 +388,13 @@ def simhash_pairs_blocked(
     finds every qualifying pair (recall = 1.0, same output as brute force).
 
     Plan shape: one explode (d+1 rows/doc) → self equi-join on the segment
-    key → Hamming verify on the candidate pairs → distinct (a pair can
-    collide in several segments). The shuffle is on segment values, never a
-    cross product; per-bucket fanout is bounded by corpus near-dup density.
+    key → Hamming verify on the candidate pairs. A pair colliding in several
+    segments is emitted ONCE via the first-matching-segment rule: keep the
+    match only where every earlier segment of ``sim_a XOR sim_b`` is
+    non-zero — a pure bitmask filter on columns already in hand, replacing
+    the ``distinct()`` shuffle the naive formulation needs. The shuffle is
+    on segment values, never a cross product; per-bucket fanout is bounded
+    by corpus near-dup density.
     """
     n_seg = max_hamming + 1
     s = simhash32(df, text_col, id_col)
@@ -361,11 +411,26 @@ def simhash_pairs_blocked(
     b = blocked.select(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "seg", "seg_val"
     )
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    # index of the FIRST segment where the fingerprints agree (the join
+    # guarantees at least one); emitting only there dedups without a shuffle
+    base, rem = divmod(32, n_seg)
+    first_match, start = None, 0
+    for i in range(n_seg):
+        width = base + (1 if i < rem else 0)
+        mask = ((1 << width) - 1) << start
+        is_match = xor.bitwiseAND(F.lit(mask)) == 0
+        first_match = (
+            F.when(is_match, F.lit(i))
+            if first_match is None
+            else first_match.when(is_match, F.lit(i))
+        )
+        start += width
     return (
         a.join(b, ["seg", "seg_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(first_match == F.col("seg"))
+        .withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .distinct()
     )

@@ -1,0 +1,81 @@
+"""Deterministic sampling & dataset splitting — the reproducibility tier of
+a training-data pipeline.
+
+``df.sample()`` / ``rand()`` are nondeterministic across retries, partition
+layouts, and engines — a training pipeline that samples with them cannot
+reproduce its own train set, and a task retry can silently change the data
+(the same reason operators/skew.py salts with a row hash, not rand()). Every
+operator here derives its randomness from an md5 of (key, salt): stable
+under retries, shuffles, scale-out, and bit-identical in any engine that
+can md5 — which is what lets the registry pair these with DuckDB oracles.
+
+Bucket = first 12 hex digits of md5 as an integer, mod 10_000 (basis-point
+resolution). At 100 TB everything below is a stateless map over the fact
+table — no shuffle, no coordination, trivially parallel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Stable pseudo-random bucket in [0, BUCKETS) from md5(key ‖ salt).
+    Same conv(substring(md5)) integer contract as dedup.base_hash48."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 12), 16, 10
+    ).cast("bigint")
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~rate of rows, chosen by key hash — the reproducible
+    ``df.sample``. Re-running, re-partitioning, or re-scaling the job keeps
+    EXACTLY the same rows; a different salt draws an independent sample."""
+    return df.filter(hash_bucket(F.col(key), salt) < int(rate * BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row to one named split (train/val/test…) by key hash.
+
+    Weights are cumulative basis-point ranges in dict order; they must sum
+    to ≤ 1.0 (any remainder becomes NULL — a loud signal, not silent
+    inclusion). A row's split NEVER changes when the corpus grows, which is
+    the property naive ``randomSplit`` lacks and leakage audits need.
+    """
+    bucket = hash_bucket(F.col(key), salt)
+    expr = None
+    cum = 0
+    for name, w in weights.items():
+        cum += int(w * BUCKETS)
+        cond = bucket < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out, expr)
+
+
+def stratified_sample(
+    df: DataFrame, key: str, strata_col: str, rates: Mapping, salt: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the reproducible ``sampleBy``):
+    each stratum keeps its own fraction, keyed by the same row hash. Strata
+    missing from ``rates`` are dropped (rate 0)."""
+    bucket = hash_bucket(F.col(key), salt)
+    thr = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == F.lit(stratum)
+        lim = F.lit(int(rate * BUCKETS))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    return df.filter(bucket < F.coalesce(thr, F.lit(0)))

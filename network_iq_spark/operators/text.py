@@ -132,3 +132,37 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     streamlit_app.py:1162-1163)."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return df.select(id_col, F.md5(norm).alias("fingerprint"))
+
+
+ROLL_B = (1 << 20) + 7          # polynomial base
+ROLL_P = 2_147_483_647          # 2³¹ − 1 (Mersenne prime)
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Karp–Rabin rolling fingerprint over the token stream:
+    ``fp = Σ h48(tok_i)·B^(n−i) mod P``, folded left-to-right as
+    ``acc = (acc·B + h48(tok)) mod P``.
+
+    ORDER-SENSITIVE, unlike the md5 content hash (:func:`fingerprint`) and
+    the shingle-set dedup families — reordered or dropped tokens change the
+    fingerprint, so it catches structural edits those miss, and the prefix
+    property (fp of a prefix is an intermediate acc) supports streaming /
+    chunked computation. All integer arithmetic: acc < P ≈ 2³¹ and
+    h48 < 2⁴⁸, so ``acc·B + h48 < 2⁵²`` — exact in int64 on every engine,
+    no overflow even under ANSI mode. One md5 per token, map-only,
+    whole-stage codegen otherwise.
+    """
+    return df.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        id_col,
+        F.expr(
+            "aggregate("
+            "  transform(_toks, t -> cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint)),"
+            "  cast(0 as bigint),"
+            f"  (acc, x) -> (acc * {ROLL_B} + x) % {ROLL_P})"
+        ).alias("rolling_fp"),
+    )

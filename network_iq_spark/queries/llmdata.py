@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from network_iq_spark.operators import dedup as D
 from network_iq_spark.operators import multimodal as M
+from network_iq_spark.operators import sampling as SA
 from network_iq_spark.operators import similarity as S
 from network_iq_spark.operators import text as T
 from network_iq_spark.registry import register
@@ -178,7 +179,7 @@ def _minhash_sql(n_bands: int, rows_per_band: int, threshold: float) -> str:
         )
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
     return f"""
-    WITH {_JACCARD},
+    WITH sh AS ({_SHINGLES}),
     hashed AS (
       SELECT doc_id, {_sql_hex_int("substr(md5(shingle), 1, 12)", 12)} AS h
       FROM sh
@@ -186,6 +187,10 @@ def _minhash_sql(n_bands: int, rows_per_band: int, threshold: float) -> str:
     sig AS (
       SELECT doc_id,
       {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    sets AS (
+      SELECT doc_id, list(DISTINCT h) AS hs, COUNT(DISTINCT h) AS sz
       FROM hashed GROUP BY doc_id
     ),
     bb AS (
@@ -196,10 +201,16 @@ def _minhash_sql(n_bands: int, rows_per_band: int, threshold: float) -> str:
       FROM bb a JOIN bb b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
-    SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, j.jaccard
-    FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-    WHERE j.jaccard >= {threshold}
-    ORDER BY c.doc_a, c.doc_b
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+               / (sa.sz + sb.sz - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.doc_a
+      JOIN sets sb ON sb.doc_id = c.doc_b
+    )
+    WHERE jaccard >= {threshold}
+    ORDER BY doc_a, doc_b
     """
 
 
@@ -664,3 +675,98 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     call is stubbed (no media libs in this container)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.extract_features(M.documents_as_media(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits & rolling fingerprint
+# ---------------------------------------------------------------------------
+
+_ROLL_FP_HEX = _sql_hex_int("substr(md5(x), 1, 12)", 12)
+
+
+@register(
+    "rolling_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST({_ROLL_FP_HEX} AS BIGINT) FOR x IN t]),
+             (acc, x) -> (acc * {T.ROLL_B} + x) % {T.ROLL_P}) AS rolling_fp
+    FROM ({_TOKS}) ORDER BY doc_id
+    """,
+)
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp–Rabin rolling fingerprint per document (order-sensitive, the
+    streaming-friendly sibling of the md5 content hash in doc_fingerprints).
+    Integer-exact fold — the oracle replays it with list_reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.rolling_fingerprint(docs).orderBy("doc_id")
+
+
+_SPLIT_SALT = "v1"
+_SPLIT_HEX = _sql_hex_int(f"md5(CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}')", 12)
+
+
+@register(
+    "doc_splits",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n_chars,
+             CAST({_SPLIT_HEX} AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM b GROUP BY 1 ORDER BY split
+    """,
+)
+def q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed train/val/test assignment (operators/sampling.py): a doc's
+    split never changes as the corpus grows — the reproducibility property
+    randomSplit lacks. Map-only at any scale; the oracle replays the md5
+    bucket arithmetic exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = SA.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=_SPLIT_SALT
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(F.length("text")).cast("double") / F.count("*")
+            ).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_STRAT_RATES = {0: 0.5, 1: 0.25, 2: 0.1}
+_STRAT_HEX = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
+
+
+@register(
+    "stratified_sample_counts",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label,
+             CAST({_STRAT_HEX} AS BIGINT) % 10000 AS bucket
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n
+    FROM b
+    WHERE bucket < CASE label WHEN 0 THEN 5000 WHEN 1 THEN 2500
+                              WHEN 2 THEN 1000 ELSE 0 END
+    GROUP BY label ORDER BY label
+    """,
+)
+def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (the reproducible sampleBy):
+    label 0 keeps 50%, label 1 keeps 25%, label 2 keeps 10%, the rest drop.
+    Stateless map at any scale; same rows on every rerun by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = SA.stratified_sample(emb, "vec_id", "label", _STRAT_RATES)
+    return kept.groupBy("label").agg(F.count("*").alias("n")).orderBy("label")

@@ -1,0 +1,66 @@
+"""Deterministic sampling/splits: stability under rerun and corpus growth —
+the properties rand()-based sampling cannot give."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from network_iq_spark.operators import sampling as SA
+from network_iq_spark.operators import text as T
+from network_iq_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_split_total_and_stable_under_growth(spark):
+    docs = load_table(spark, SF, "documents")
+    split = SA.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    assert split.filter(F.col("split").isNull()).count() == 0
+    assert split.count() == n
+    # growing the corpus must not move any existing row's split
+    subset = SA.hash_split(
+        docs.filter(F.col("doc_id") < 20), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    full = {r.doc_id: r.split for r in split.collect()}
+    for r in subset.collect():
+        assert full[r.doc_id] == r.split
+
+
+def test_hash_split_remainder_is_null(spark):
+    docs = load_table(spark, SF, "documents")
+    part = SA.hash_split(docs, "doc_id", {"train": 0.5})
+    assert part.filter(F.col("split").isNull()).count() > 0
+
+
+def test_deterministic_sample_identical_across_runs_and_salts_differ(spark):
+    docs = load_table(spark, SF, "documents")
+    a = {r.doc_id for r in SA.deterministic_sample(docs, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in SA.deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert a == b and 0 < len(a) < docs.count()
+    c = {r.doc_id for r in SA.deterministic_sample(docs, "doc_id", 0.3, salt="other").collect()}
+    assert c != a
+    # rate monotonicity: a lower-rate sample is a subset of a higher-rate one
+    d = {r.doc_id for r in SA.deterministic_sample(docs, "doc_id", 0.1).collect()}
+    assert d <= a
+
+
+def test_stratified_sample_respects_zero_rate(spark):
+    emb = load_table(spark, SF, "embeddings")
+    kept = SA.stratified_sample(emb, "vec_id", "label", {0: 1.0, 1: 0.0})
+    labels = {r.label for r in kept.select("label").distinct().collect()}
+    assert labels == {0}
+    n0 = emb.filter(F.col("label") == 0).count()
+    assert kept.count() == n0  # rate 1.0 keeps every row of the stratum
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    fp = {r.doc_id: r.rolling_fp for r in T.rolling_fingerprint(df).collect()}
+    assert fp[1] == fp[3]          # identical text → identical fingerprint
+    assert fp[1] != fp[2]          # same tokens, different order → different
+    assert all(0 <= v < T.ROLL_P for v in fp.values())
