@@ -770,3 +770,165 @@ def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     kept = SA.stratified_sample(emb, "vec_id", "label", _STRAT_RATES)
     return kept.groupBy("label").agg(F.count("*").alias("n")).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline (flagship composition)
+# ---------------------------------------------------------------------------
+
+_PIPE_QTHR = 0.45
+_PIPE_BANDS, _PIPE_ROWS, _PIPE_JTHR = 4, 4, 0.7
+
+
+def _minhash_pairs_cte(n_bands: int, rows_per_band: int, threshold: float, src: str) -> str:
+    """CTE fragment computing ``mh_pairs(doc_a, doc_b, jaccard)`` over any
+    relation ``src`` exposing (doc_id, text) — the parameterized twin of
+    ``_minhash_sql`` so pipeline oracles can run LSH dedup mid-cascade."""
+    n_hashes = n_bands * rows_per_band
+    mins = ",\n        ".join(
+        f"MIN(({2 * i + 1} * h + {7 * i + 3}) % {_MINHASH_P}) AS m{i}"
+        for i in range(n_hashes)
+    )
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"CAST(m{b * rows_per_band + j} AS VARCHAR)" for j in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM mh_sig"
+        )
+    bands_sql = "\n        UNION ALL\n        ".join(band_selects)
+    return f"""
+    mh_tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
+    ),
+    mh_sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM mh_tok WHERE len(t) >= 3
+    ),
+    mh_hashed AS (
+      SELECT doc_id, {_sql_hex_int("substr(md5(shingle), 1, 12)", 12)} AS h
+      FROM mh_sh
+    ),
+    mh_sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM mh_hashed GROUP BY doc_id
+    ),
+    mh_sets AS (
+      SELECT doc_id, list(DISTINCT h) AS hs, COUNT(DISTINCT h) AS sz
+      FROM mh_hashed GROUP BY doc_id
+    ),
+    mh_bb AS (
+        {bands_sql}
+    ),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mh_bb a JOIN mh_bb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    mh_pairs AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                 / (sa.sz + sb.sz - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+        FROM mh_cand c
+        JOIN mh_sets sa ON sa.doc_id = c.doc_a
+        JOIN mh_sets sb ON sb.doc_id = c.doc_b
+      ) WHERE jaccard >= {threshold}
+    )"""
+
+
+def _pipeline_sql() -> str:
+    stop = T.LANG_MARKERS["en"]
+    qscore = f"""GREATEST(0.0, LEAST(1.0,
+        0.5 * LEAST(1.0, CAST(len(t) AS DOUBLE) / 50.0)
+        + 0.5 * LEAST(1.0, 4.0 * (CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> x IN {stop!r})) AS DOUBLE)
+                       / len(t) END))
+        - 2.0 * (CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE)
+                       / len(text) END)))"""
+    return rf"""
+    WITH mq AS (
+      SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, len(t) AS n_tokens, {qscore} AS quality_score
+      FROM mq
+    ),
+    qpass AS (SELECT * FROM scored WHERE quality_score >= {_PIPE_QTHR}),
+    fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM qpass
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+    d1 AS (SELECT q.* FROM qpass q JOIN keepers k ON q.doc_id = k.doc_id),
+    {_minhash_pairs_cte(_PIPE_BANDS, _PIPE_ROWS, _PIPE_JTHR, "d1")},
+    dropped AS (SELECT DISTINCT doc_b AS doc_id FROM mh_pairs),
+    final AS (
+      SELECT d1.* FROM d1 LEFT JOIN dropped dr ON d1.doc_id = dr.doc_id
+      WHERE dr.doc_id IS NULL
+    ),
+    sp AS (
+      SELECT *, CAST({_SPLIT_HEX} AS BIGINT) % 10000 AS bucket FROM final
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(FLOOR(quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * COUNT(*)) AS avg_quality
+    FROM sp GROUP BY 1 ORDER BY split
+    """
+
+
+@register("training_data_pipeline", oracle=_pipeline_sql())
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: quality filter → exact dedup → MinHash-LSH
+    near-dup removal (production r=4/b=4 S-curve) → hash split → per-split
+    corpus stats. Every stage is the registered operator itself, so this
+    query proves the cascade COMPOSES — the oracle replays all five stages
+    independently in DuckDB and must match to the bit.
+
+    Near-dup removal keeps the smaller doc_id of each verified pair (the
+    standard cheap approximation of connected-component clustering — no
+    iteration, one anti-join). Scale shape: every stage is a map or a
+    single-key shuffle; the LSH stage runs on quality+exact survivors only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    qdocs = docs.join(q, "doc_id").filter(F.col("quality_score") >= _PIPE_QTHR)
+    keep = D.exact_dedup(T.fingerprint(qdocs)).select(
+        F.col("keeper").alias("doc_id")
+    )
+    d1 = qdocs.join(keep, "doc_id", "left_semi")
+    pairs = D.minhash_lsh_pairs(
+        d1, threshold=_PIPE_JTHR, n_bands=_PIPE_BANDS, rows_per_band=_PIPE_ROWS
+    )
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = d1.join(dropped, "doc_id", "left_anti")
+    split = SA.hash_split(
+        final, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=_SPLIT_SALT
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (
+                F.sum(
+                    F.floor(F.col("quality_score") * 1000000.0 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / (F.lit(1000000.0) * F.count("*"))
+            ).alias("avg_quality"),
+        )
+        .orderBy("split")
+    )

@@ -105,3 +105,132 @@ def q_hourly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, subset=list(_TYPES))
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel & cohort retention — event analytics the reference's dashboard
+# family implies but never ships. Both are single-scan with one shuffle on
+# user_id; the funnel's "step B strictly after step A" semantics use a
+# cumulative window flag (ROWS ... 1 PRECEDING), written identically in both
+# engines so tie order at equal timestamps is shared, not assumed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+    WITH f1 AS (
+      SELECT user_id, event_type, ts, event_id,
+        COALESCE(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS seen_view
+      FROM events
+    ),
+    f2 AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END
+          AS is_step2
+      FROM f1
+    ),
+    f3 AS (
+      SELECT user_id, event_type, is_step2,
+        COALESCE(MAX(is_step2)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS seen_step2
+      FROM f2
+    )
+    SELECT
+      COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+        AS n_view,
+      COUNT(DISTINCT CASE WHEN is_step2 = 1 THEN user_id END)
+        AS n_view_click,
+      COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND seen_step2 = 1
+                          THEN user_id END)
+        AS n_full_funnel
+    FROM f3
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: users whose first qualifying events
+    occur in strict (ts, event_id) order. Cumulative max-flags over a
+    1-PRECEDING frame encode "a qualifying earlier event exists" — one scan,
+    one user_id exchange shared by both window passes, no self-joins (the
+    naive 3-scan conditional-min formulation reads the fact table 3×)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f1 = ev.withColumn(
+        "seen_view",
+        F.coalesce(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w_prev),
+            F.lit(0),
+        ),
+    )
+    f2 = f1.withColumn(
+        "is_step2",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("seen_view") == 1), 1
+        ).otherwise(0),
+    )
+    f3 = f2.withColumn(
+        "seen_step2", F.coalesce(F.max("is_step2").over(w_prev), F.lit(0))
+    )
+    return f3.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_view"),
+        F.countDistinct(F.when(F.col("is_step2") == 1, F.col("user_id"))).alias(
+            "n_view_click"
+        ),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("seen_step2") == 1),
+                F.col("user_id"),
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', c.first_day) AS DATE) AS cohort_week,
+           CAST(date_diff('day', c.first_day, CAST(e.ts AS DATE)) // 7 AS INT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the ISO week of their
+    first event; n_users active at each whole-week offset. Two aggregations
+    sharing the user_id partitioning (cohort derivation + the retention
+    count); the cohort side is |users| rows — shuffle-joined, broadcastable
+    when the user dimension fits."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    return (
+        ev.join(cohorts, "user_id")
+        .select(
+            F.date_trunc("week", F.col("first_day")).cast("date").alias("cohort_week"),
+            F.expr("CAST(datediff(CAST(ts AS DATE), first_day) div 7 AS INT)").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
