@@ -180,6 +180,7 @@ def cosine_topk_lsh(
     n_tables: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN top-k: exact cosine restricted to candidates sharing a bucket in
     ANY of the L hash tables (distinct pairs before scoring — a pair is
@@ -188,6 +189,13 @@ def cosine_topk_lsh(
     Scale shape: corpus shuffles once on (table, bucket); queries broadcast;
     per-bucket brute force only. The exact ``cosine_topk_bruteforce`` is the
     recall oracle.
+
+    ``multiprobe`` additionally probes, per table, every bucket at Hamming
+    distance 1 from the query's bucket (flip each of the k plane bits) — a
+    near-boundary vector usually lands one sign-flip away, so this trades
+    k+1× more QUERY-side lookups (the tiny broadcast side; the corpus index
+    is untouched) for recall the same number of tables can't reach. The
+    standard knob when re-indexing with more tables is too expensive.
     """
     sig = lsh_signatures(
         df, dim, n_planes, n_tables, id_col=id_col, vec_col=vec_col
@@ -195,6 +203,14 @@ def cosine_topk_lsh(
     q = sig.join(query_ids, id_col, "left_semi").select(
         F.col(id_col).alias("q_vec_id"), "table", "bucket"
     )
+    if multiprobe:
+        variants = F.array(
+            F.col("bucket"),
+            *[F.expr(f"bucket ^ {1 << p}") for p in range(n_planes)],
+        )
+        q = q.select(
+            "q_vec_id", "table", F.explode(variants).alias("bucket")
+        )
     cand = (
         sig.select(F.col(id_col).alias("n_vec_id"), "table", "bucket")
         .join(F.broadcast(q), ["table", "bucket"])

@@ -63,3 +63,59 @@ def compact_parquet_dir(
     os.rename(tmp, path.rstrip("/"))
     shutil.rmtree(swap)
     return before, _count(path)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates,  # DataFrame
+    keys: Sequence[str],
+    partition_cols: Sequence[str],
+) -> int:
+    """MERGE-style upsert into a hive-partitioned parquet table without a
+    table format: rows in ``updates`` replace existing rows with the same
+    ``keys``; new keys append. Returns the number of partitions rewritten.
+
+    Only the partitions the updates touch are read and rewritten —
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` scopes the
+    overwrite to exactly those directories, so cost is O(touched partitions)
+    not O(table). The rewrite is existing-partition-data ANTI-JOIN update
+    keys, UNION update rows: one broadcast-able join per run (update sets
+    are small relative to the table by assumption — a bulk rewrite should
+    use ingest, not upsert).
+
+    This is the parquet-native floor of what Iceberg/Delta MERGE does with
+    metadata transactions; the swap here is directory-level (same caveat as
+    compact_parquet_dir — a metastore pointer flip in production). Readers
+    of UNTOUCHED partitions are never disturbed.
+    """
+    from pyspark.sql import functions as F
+
+    parts = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
+    if not parts:
+        return 0
+    pred = None
+    for vals in parts:
+        clause = None
+        for c, v in zip(partition_cols, vals):
+            eq = F.col(c) == F.lit(v)
+            clause = eq if clause is None else (clause & eq)
+        pred = clause if pred is None else (pred | clause)
+
+    existing = spark.read.parquet(path).filter(pred)
+    keep = existing.join(
+        F.broadcast(updates.select(*keys).distinct()), list(keys), "left_anti"
+    )
+    merged = keep.unionByName(updates.select(*existing.columns))
+    # the write overwrites directories the plan also reads — materialize the
+    # merged rows first (bounded: touched partitions only) to break lineage;
+    # a table format would make this a snapshot read instead
+    merged = merged.localCheckpoint()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(parts)

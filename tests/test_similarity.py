@@ -172,3 +172,36 @@ def test_ivf_assignment_partitions_corpus(spark, vecs):
     assert inv.count() == n
     assert inv.select("vec_id").distinct().count() == n
     assert inv.select("cell").distinct().count() <= 16
+
+
+def test_multiprobe_expands_candidates_and_recall(spark, vecs):
+    """Distance-1 multi-probe must return a superset of the single-probe
+    result set per query and can only raise recall@10."""
+    queries = vecs.select("vec_id").filter(F.col("vec_id") < 10)
+    single = S.cosine_topk_lsh(vecs.drop("norm"), queries, dim=64, k=500)
+    multi = S.cosine_topk_lsh(
+        vecs.drop("norm"), queries, dim=64, k=500, multiprobe=True
+    )
+    s_pairs = {(r.q_vec_id, r.n_vec_id) for r in single.collect()}
+    m_pairs = {(r.q_vec_id, r.n_vec_id) for r in multi.collect()}
+    assert s_pairs <= m_pairs
+    assert len(m_pairs) > len(s_pairs)
+
+    exact = S.cosine_topk_bruteforce(vecs.filter(F.col("vec_id") < 10), vecs, k=10)
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+
+    def recall(pairs):
+        got: dict[int, set] = {}
+        for q, n in pairs:
+            got.setdefault(q, set()).add(n)
+        return sum(
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    top_m = {(r.q_vec_id, r.n_vec_id) for r in S.cosine_topk_lsh(
+        vecs.drop("norm"), queries, dim=64, k=10, multiprobe=True).collect()}
+    top_s = {(r.q_vec_id, r.n_vec_id) for r in S.cosine_topk_lsh(
+        vecs.drop("norm"), queries, dim=64, k=10).collect()}
+    assert recall(top_m) >= recall(top_s)
