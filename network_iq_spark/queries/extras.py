@@ -428,3 +428,43 @@ def q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram — the binning pattern for profiling at scale
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+
+@register(
+    "value_histogram",
+    oracle=f"""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT bin, COUNT(*) AS n FROM (
+      SELECT LEAST(CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / {_HIST_BINS}))
+                        AS INT), {_HIST_BINS - 1}) AS bin
+      FROM events e, b WHERE e.value IS NOT NULL
+    ) GROUP BY bin ORDER BY bin
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of event values. Bounds are broadcast
+    agg-scalars (no collect, no global window); binning is a stateless map;
+    one shuffle on the bin id — the profile-at-scale shape. Bin edges use
+    the same double expression tree on both engines, so bin assignment is
+    exact, including the hi-edge clamp into the last bin."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(_HIST_BINS)
+    bin_col = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin")
+    )

@@ -233,3 +233,36 @@ def q_order_line_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(revenue).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "weighted_discount",
+    oracle="""
+    SELECT year(l_shipdate) AS ship_year,
+      CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100.0 + 0.5)
+                    AS BIGINT)) AS DOUBLE)
+        / CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+               AS DOUBLE) AS eff_discount,
+      COUNT(*) AS n_lines
+    FROM lineitem GROUP BY 1 ORDER BY ship_year
+    """,
+)
+def q_weighted_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted effective discount per ship year — the
+    ratio-of-sums aggregate (NOT avg-of-ratios). Both sums integerize at
+    cent precision before accumulating (the dsum contract), so the ratio is
+    bit-identical across engines and partitionings; plain double SUMs would
+    drift with visit order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.sum(
+        F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+    ).cast("double")
+    den = F.sum(
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    ).cast("double")
+    return (
+        li.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg((num / den).alias("eff_discount"), F.count("*").alias("n_lines"))
+        .orderBy("ship_year")
+    )
