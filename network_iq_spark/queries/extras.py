@@ -468,3 +468,78 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill — resample to a complete grid + forward fill
+# ---------------------------------------------------------------------------
+
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "hourly_gapfill",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS hour_id,
+             {_sql.davg('value')} AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(hour_id) AS lo, MAX(hour_id) AS hi FROM hourly),
+    hours AS (SELECT unnest(range(lo, hi + 1)) AS hour_id FROM b),
+    spine AS (
+      SELECT t.event_type, h.hour_id
+      FROM (SELECT DISTINCT event_type FROM events) t, hours h
+    )
+    SELECT s.event_type, s.hour_id, hourly.avg_value,
+           last_value(hourly.avg_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s
+    LEFT JOIN hourly ON hourly.event_type = s.event_type
+                    AND hourly.hour_id = s.hour_id
+    ORDER BY s.event_type, s.hour_id
+    """,
+)
+def q_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample per-type hourly averages onto the COMPLETE hour grid and
+    forward-fill gaps (last observation carried forward) — the telemetry
+    resample operator dashboards and feature pipelines assume exists.
+
+    Spine = integer hour ids (micros div 3600e6 — exact on any engine, no
+    calendar arithmetic) from a broadcast min/max scalar, cross-joined with
+    the distinct type dim; the fill is one window per type ordered by hour
+    (same single-exchange family as W2). Hours before a type's first
+    observation stay NULL — silently inventing data would be worse than a
+    visible hole. Grid size is |types|·|hours| — aggregate-grain, never
+    fact-grain."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hour_id", F.expr(f"unix_micros(ts) div {_US_PER_HOUR}")
+        )
+        .groupBy("event_type", "hour_id")
+        .agg(davg("value").alias("avg_value"))
+    )
+    bounds = hourly.agg(
+        F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour_id")
+    )
+    spine = ev.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour_id"], "left")
+        .select(
+            "event_type",
+            "hour_id",
+            "avg_value",
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("event_type", "hour_id")
+    )
