@@ -932,3 +932,43 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_cte(_MH_PROD_BANDS, _MH_PROD_ROWS, _MH_PROD_THRESHOLD, "documents")},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM mh_pairs
+    ),
+    walk(v, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.v
+    )
+    SELECT v AS doc_id, MIN(label) AS cluster_id
+    FROM walk GROUP BY v ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters over the production-config MinHash pairs:
+    min-label propagation to the fixpoint (operators/graph.py) — the exact
+    closure the pipeline's drop-larger-of-pair rule approximates. Every doc
+    gets a cluster_id = min doc_id of its component (singletons keep their
+    own id). The oracle reaches the same fixpoint by recursive CTE — the
+    labeling is order-independent, so iterative Spark and recursive SQL
+    must agree exactly."""
+    from network_iq_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs,
+        threshold=_MH_PROD_THRESHOLD,
+        n_bands=_MH_PROD_BANDS,
+        rows_per_band=_MH_PROD_ROWS,
+    )
+    return G.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    ).orderBy("doc_id")
