@@ -543,3 +543,65 @@ def q_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA — exponentially-weighted smoothing over an ordered series
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.125
+
+
+@register(
+    "ewma_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS hour_id,
+             {_sql.davg('value')} AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             (list(avg_value ORDER BY hour_id))::DOUBLE[] AS s,
+             COUNT(*) AS n_hours
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           list_reduce(s, (acc, x) ->
+             {_EWMA_ALPHA}::DOUBLE * x + {1 - _EWMA_ALPHA}::DOUBLE * acc)
+             AS ewma,
+           CAST(n_hours AS BIGINT) AS n_hours
+    FROM series ORDER BY event_type
+    """,
+)
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α=0.125) of the per-type hourly average series — the smoothing
+    recursion acc' = α·x + (1−α)·acc, seeded with the first observation.
+
+    EWMA is inherently sequential, so it CANNOT be a distributed aggregate
+    without changing its value; the correct Spark shape is: deterministic
+    grouped aggregate to series grain (720 hourly points/type — bounded),
+    collect_list + sort_array WITHIN each group, then one codegen'd
+    ``aggregate`` fold. Both engines fold the identical ordered list with
+    the identical double expression, so the result is bit-exact — the same
+    trick as the rolling fingerprint, lifted to floats."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour_id", F.expr(f"unix_micros(ts) div {_US_PER_HOUR}"))
+        .groupBy("event_type", "hour_id")
+        .agg(davg("value").alias("avg_value"))
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("hour_id", "avg_value"))
+        ).alias("s"),
+        F.count("*").alias("n_hours"),
+    )
+    ewma = F.expr(
+        "aggregate(slice(s, 2, size(s) - 1), cast(s[0].avg_value as double), "
+        f"(acc, x) -> cast({_EWMA_ALPHA} as double) * x.avg_value "
+        f"+ cast({1 - _EWMA_ALPHA} as double) * acc)"
+    )
+    return series.select(
+        "event_type", ewma.alias("ewma"), F.col("n_hours").cast("bigint").alias("n_hours")
+    ).orderBy("event_type")
