@@ -44,9 +44,14 @@ def connected_components(
     clusters). ``edges``: undirected pairs. Raises after ``max_iter``
     non-converged rounds rather than returning a partial labeling.
     """
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # materialize the symmetrized edges ONCE — edges is often an expensive
+    # pipeline (e.g. the MinHash cascade) and every round joins against it;
+    # without this the lineage re-executes that pipeline per round
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint()
+    )
     labels = vertices.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("label")
     ).localCheckpoint()
