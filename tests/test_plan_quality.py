@@ -82,3 +82,61 @@ def test_no_unpartitioned_window_over_fact(spark, name):
     # Catalyst rewrites crossJoin+filter(ts == __mx__) into a broadcast
     # equi-join on ts — either way the build side is the broadcast scalar
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_deterministic_sample_is_pure_map(spark):
+    """Hash sampling must add ZERO exchanges — it's a filter, so the scan's
+    parallelism carries through untouched at any scale."""
+    from network_iq_spark.operators import sampling as SA
+    from network_iq_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        SA.deterministic_sample(docs, "doc_id", 0.3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_hash_split_is_pure_map(spark):
+    from network_iq_spark.operators import sampling as SA
+    from network_iq_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        SA.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.2})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_ivf_has_no_unbroadcast_cartesian(spark):
+    """IVF's only nested-loop joins are against broadcast (tiny) sides —
+    centroids and the scalar bounds; a plain CartesianProduct would mean
+    the corpus is being crossed with itself."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("e", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    df = m.queries()["ivf_cosine_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # vs broadcast centroids only
+
+
+def test_histogram_binning_uses_broadcast_scalar(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("e", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    df = m.queries()["value_histogram"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds side
+    assert "Window" not in plan               # not the global-window anti-pattern
