@@ -311,29 +311,41 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over distinct word tokens.
+def simhash32(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+) -> DataFrame:
+    """SimHash over distinct word tokens (default 32-bit; pass ``n_bits``
+    up to 60 — 15 md5 hex digits is the widest prefix whose integer fits a
+    signed int64 with headroom for the positional-arithmetic oracle twin).
 
-    Per token: one md5 → 32-bit integer (``base hash``); bit b votes ±1;
+    Per token: one md5 → n-bit integer (``base hash``); bit b votes ±1;
     fingerprint bit = (vote sum > 0). Map + one groupBy — all integer
-    arithmetic after the single digest.
+    arithmetic after the single digest. Fingerprint width is the collision
+    dial: 32 bits saturates on large shared-vocabulary corpora (pair counts
+    grow ~quadratically once distinct-fingerprint space fills); 60 bits
+    keeps distance ≤ d pairs a meaningful near-dup signal at crawl scale.
     """
+    assert n_bits % 4 == 0 and 4 <= n_bits <= 60, "n_bits: multiple of 4, ≤ 60"
     tok = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
         .distinct()
         .withColumn(
-            "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            "h",
+            F.conv(F.substring(F.md5("tok"), 1, n_bits // 4), 16, 10).cast("bigint"),
         )
     )
     votes = [
         F.sum(
             (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
         ).alias(f"v{b}")
-        for b in range(32)
+        for b in range(n_bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
     acc = F.lit(0).cast("bigint")
-    for b in range(32):
+    for b in range(n_bits):
         acc = acc + F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)).cast(
             "bigint"
         )
@@ -377,12 +389,16 @@ def _simhash_segments(fp: Column, n_segments: int, n_bits: int = 32) -> list[Col
 
 
 def simhash_pairs_blocked(
-    df: DataFrame, max_hamming: int, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming ≤ max_hamming — the 100 TB path.
 
     Pigeonhole blocking instead of the all-pairs scan of ``simhash_pairs``:
-    split the 32-bit fingerprint into ``max_hamming + 1`` segments. Any pair
+    split the n-bit fingerprint into ``max_hamming + 1`` segments. Any pair
     within Hamming distance d differs in ≤ d bits, so at least one of the
     d+1 segments is bit-identical — joining on (segment_idx, segment_value)
     finds every qualifying pair (recall = 1.0, same output as brute force).
@@ -397,8 +413,8 @@ def simhash_pairs_blocked(
     by corpus near-dup density.
     """
     n_seg = max_hamming + 1
-    s = simhash32(df, text_col, id_col)
-    segs = _simhash_segments(F.col("simhash"), n_seg)
+    s = simhash32(df, text_col, id_col, n_bits=n_bits)
+    segs = _simhash_segments(F.col("simhash"), n_seg, n_bits=n_bits)
     seg_structs = [
         F.struct(F.lit(i).alias("seg"), segs[i].alias("seg_val")) for i in range(n_seg)
     ]
@@ -414,7 +430,7 @@ def simhash_pairs_blocked(
     xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
     # index of the FIRST segment where the fingerprints agree (the join
     # guarantees at least one); emitting only there dedups without a shuffle
-    base, rem = divmod(32, n_seg)
+    base, rem = divmod(n_bits, n_seg)
     first_match, start = None, 0
     for i in range(n_seg):
         width = base + (1 if i < rem else 0)

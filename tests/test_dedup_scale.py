@@ -104,3 +104,32 @@ def test_jaccard_capped_input_is_bounded(spark):
         rare.groupBy("shingle").agg(F.count("*").alias("df")).agg(F.max("df")).first()[0]
     )
     assert max_df <= _JACCARD_MAX_DF
+
+
+def test_simhash60_more_selective_than_32(spark):
+    """Wider fingerprints discriminate: at a LARGER distance budget the
+    60-bit pair set must still be smaller than the 32-bit one on this
+    shared-vocab corpus (32-bit space saturates), and every emitted pair's
+    Hamming distance must respect its bound."""
+    from network_iq_spark.operators import dedup as D
+    from network_iq_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    p32 = D.simhash_pairs_blocked(docs, max_hamming=2, n_bits=32).collect()
+    p60 = D.simhash_pairs_blocked(docs, max_hamming=3, n_bits=60).collect()
+    assert 0 < len(p60) < len(p32)
+    assert all(r.hamming <= 3 for r in p60)
+    # blocked 60-bit output must equal its own brute-force scan
+    import pyspark.sql.functions as F
+
+    s = D.simhash32(docs, n_bits=60)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    assert sorted(map(tuple, p60)) == sorted(map(tuple, brute.collect()))
