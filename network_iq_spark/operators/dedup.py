@@ -233,11 +233,23 @@ def minhash_lsh_pairs(
     """
     n_hashes = n_bands * rows_per_band
     sh = shingles(df, text_col, id_col)
-    h = base_hash48(F.col("shingle"))
-    sig = sh.groupBy(id_col).agg(
-        *[F.min(_affine(h, i)).alias(f"m{i}") for i in range(n_hashes)],
-        F.collect_set(h).alias("hs"),
+    # hoist the md5 → int48 digest into a projection so it runs ONCE per
+    # shingle row; referenced inline it appears in k+1 aggregate expressions
+    # and subexpression elimination across aggregates is not guaranteed
+    hashed = sh.select(F.col(id_col), base_hash48(F.col("shingle")).alias("h"))
+    hcol = F.col("h")
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(_affine(hcol, i)).alias(f"m{i}") for i in range(n_hashes)],
+        F.collect_set(hcol).alias("hs"),
     )
+    # The signature feeds TWO consumers — the band explode (needs m0..mk) and
+    # the set verify (needs hs). Catalyst prunes different columns into each
+    # branch, so the exchange subtrees differ and ReuseExchange never fires:
+    # without materialization the whole shingle→groupBy pipeline executes
+    # twice (measured 1.9x on the full query). localCheckpoint materializes
+    # the (small: one row per doc) signature once; both branches read it.
+    # Same idiom as graph.connected_components' edge materialization.
+    sig = sig.localCheckpoint()
 
     bands = []
     for bnd in range(n_bands):
