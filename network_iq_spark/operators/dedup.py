@@ -116,7 +116,12 @@ def jaccard_pairs_capped(
     """
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df__"))
     stop = dfreq.filter(F.col("__df__") > max_df).select("shingle")
-    rare = sh.join(F.broadcast(stop), "shingle", "left_anti")
+    # NO broadcast hint on the stop set: at crawl scale the number of
+    # shingles with df > max_df is unbounded (most high-frequency shingles
+    # qualify), so forcing a broadcast would OOM the driver. A shuffle
+    # anti-join on the shingle key is the shape that survives 100 TB; AQE
+    # still converts it to broadcast at runtime when the set is small.
+    rare = sh.join(stop, "shingle", "left_anti")
     a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
     b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
     cand = (

@@ -86,8 +86,11 @@ def global_row_number(
         .groupBy(_PID)
         .agg(F.coalesce(F.sum("__c2__"), F.lit(0)).alias(_OFF))
     )
+    # bigint, not int: a global rank tops out at the TABLE's row count —
+    # casting to 32-bit would overflow (or throw under ANSI) past 2^31-1
+    # rows, which a 100 TB fact table exceeds by orders of magnitude
     joined = local.join(F.broadcast(offsets), _PID).withColumn(
-        out, (F.col(_OFF) + F.col(_LRN)).cast("int")
+        out, (F.col(_OFF) + F.col(_LRN)).cast("bigint")
     )
     if _keep_total:
         total = counts.agg(F.sum("__cnt__").alias(_TOT))

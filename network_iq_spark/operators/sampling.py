@@ -24,6 +24,14 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
+def _bp(rate: float) -> int:
+    """Rate → basis points. ``round``, not ``int``: float error sits on
+    either side of the exact product (0.57 * 10000 = 5699.999…), and
+    truncation would skew every such rate one basis point low — diverging
+    from any oracle that computes exact basis points."""
+    return round(rate * BUCKETS)
+
+
 def hash_bucket(key: Column, salt: str = "") -> Column:
     """Stable pseudo-random bucket in [0, BUCKETS) from md5(key ‖ salt).
     Same conv(substring(md5)) integer contract as dedup.base_hash48."""
@@ -39,7 +47,7 @@ def deterministic_sample(
     """Keep ~rate of rows, chosen by key hash — the reproducible
     ``df.sample``. Re-running, re-partitioning, or re-scaling the job keeps
     EXACTLY the same rows; a different salt draws an independent sample."""
-    return df.filter(hash_bucket(F.col(key), salt) < int(rate * BUCKETS))
+    return df.filter(hash_bucket(F.col(key), salt) < _bp(rate))
 
 
 def hash_split(
@@ -58,10 +66,12 @@ def hash_split(
     """
     bucket = hash_bucket(F.col(key), salt)
     expr = None
-    cum = 0
+    cum = 0.0
     for name, w in weights.items():
-        cum += int(w * BUCKETS)
-        cond = bucket < cum
+        # accumulate in float, round the CUMULATIVE boundary: per-term
+        # truncation compounds across splits (0.57+0.1+… each a bp low)
+        cum += w
+        cond = bucket < _bp(cum)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(out, expr)
 
@@ -76,6 +86,6 @@ def stratified_sample(
     thr = None
     for stratum, rate in rates.items():
         cond = F.col(strata_col) == F.lit(stratum)
-        lim = F.lit(int(rate * BUCKETS))
+        lim = F.lit(_bp(rate))
         thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
     return df.filter(bucket < F.coalesce(thr, F.lit(0)))

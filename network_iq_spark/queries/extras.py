@@ -153,12 +153,20 @@ def q_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/rank family (absent in reference, free with windows): quartile
-    buckets over a total order (custkey tiebreak ⇒ deterministic)."""
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    buckets over a total order (custkey tiebreak ⇒ deterministic).
+
+    Registered plan = the scale path (range-partition + offset global rank,
+    operators/rank.py) — ``NTILE(4) OVER (ORDER BY ...)`` with no partition
+    key funnels the whole table through ONE task, which is exactly the plan
+    you must not ship for a fact table. The naive window formulation stays
+    in tests (test_rank.py) as the semantic reference the scalable operator
+    is checked against; the SQL oracle here is still the plain NTILE."""
+    from network_iq_spark.operators.rank import ntile_scalable
+
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    q = ntile_scalable(c, 4, ["c_acctbal", "c_custkey"], out="quartile")
     return (
-        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("quartile")
+        q.groupBy("quartile")
         .agg(
             F.count("*").alias("n"),
             F.min("c_acctbal").alias("min_bal"),

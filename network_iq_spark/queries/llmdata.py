@@ -296,11 +296,14 @@ _SIMHASH_MAX_HAMMING = 2
 @register("simhash_pairs", oracle=_simhash_sql(_SIMHASH_MAX_HAMMING))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit token-vote fingerprints, pairs within
-    Hamming distance 8. Signature build is map-only + one groupBy; the
-    test-scale pair scan is brute force (the scale path blocks on
-    fingerprint segments — pigeonhole guarantees recall)."""
+    Hamming distance ≤ 2. Registered plan = the pigeonhole-blocked
+    equi-join (recall 1.0 — a pair within distance d shares ≥1 of d+1
+    exact segments), so the driver-facing catalog carries no all-pairs
+    crossJoin; the brute-force formulation remains in tests
+    (test_dedup_scale.py) as the semantic reference, and the SQL oracle
+    here is still the brute-force pair scan."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_pairs(docs, max_hamming=_SIMHASH_MAX_HAMMING)
+    pairs = D.simhash_pairs_blocked(docs, max_hamming=_SIMHASH_MAX_HAMMING)
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     ).orderBy("doc_a", "doc_b")

@@ -44,7 +44,12 @@ def streaming_sessionize(
 
     Output order within a batch is nondeterministic (it's a stream);
     identity of the emitted sessions matches the batch gap-split exactly
-    (tests assert set equality against a pure-Python re-derivation).
+    (tests assert set equality against a pure-Python re-derivation),
+    including events arriving out of order ACROSS micro-batches as long as
+    they land within [session_start − gap, session_end + gap] of the open
+    session. The one carve-out: a within-watermark straggler older than
+    that range belongs to an already-emitted session and is issued as its
+    own closed singleton (append mode cannot retract; see inline comment).
     """
     gap_us = gap_min * US_PER_MIN
     out_schema = (
@@ -90,12 +95,28 @@ def streaming_sessionize(
                 us = int(us)
                 if open_sess is None:
                     open_sess = (us, us, 1, int(v))
-                elif us - open_sess[1] > gap_us:
+                    continue
+                s, last, n, vs = open_sess
+                if us - last > gap_us:
                     closed.append(_row(key_val, *open_sess))
                     open_sess = (us, us, 1, int(v))
+                elif us < s - gap_us:
+                    # LATE event from before the open session's reach (more
+                    # than a gap before session_start): in batch order it
+                    # belongs to an earlier session, which under the
+                    # watermark contract is already final — append mode
+                    # cannot retract it. Documented carve-out: emit the
+                    # straggler as its own closed singleton session rather
+                    # than corrupt the open session's span. Exact batch
+                    # parity for THIS case needs buffered state.
+                    closed.append(_row(key_val, us, us, 1, int(v)))
                 else:
-                    s, _, n, vs = open_sess
-                    open_sess = (s, us, n + 1, vs + int(v))
+                    # merge, late- and in-order alike: a late event within
+                    # [start - gap, last + gap] chains into the SAME batch
+                    # session, so extend the span with min/max — overwriting
+                    # last with an earlier ts would shrink session_end and
+                    # falsely split the next on-time event
+                    open_sess = (min(s, us), max(last, us), n + 1, vs + int(v))
 
         if open_sess is not None:
             state.update(open_sess)

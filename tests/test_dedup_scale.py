@@ -42,8 +42,10 @@ def test_simhash_blocked_plan_has_no_cross_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    # brute-force twin DOES plan a cartesian/BNL product — the contrast proof
-    brute = QUERIES["simhash_pairs"](spark, SF)
+    # brute-force operator (tests-only since r3 — the registered
+    # simhash_pairs now runs the blocked plan too) DOES plan a
+    # cartesian/BNL product — the contrast proof
+    brute = D.simhash_pairs(_load_docs(spark), max_hamming=2)
     bplan = brute._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" in bplan or "BroadcastNestedLoopJoin" in bplan
 

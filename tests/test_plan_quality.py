@@ -130,6 +130,26 @@ def test_ivf_has_no_unbroadcast_cartesian(spark):
     assert "BroadcastNestedLoopJoin" in plan  # vs broadcast centroids only
 
 
+def test_simhash_pairs_registered_plan_has_no_cartesian(spark):
+    """The driver-facing simhash_pairs runs the pigeonhole-blocked equi-join
+    (recall 1.0); the all-pairs crossJoin lives only in tests as the
+    semantic reference. A CartesianProduct here would be a scale-killer in
+    the registered catalog."""
+    plan = _plan(spark, "simhash_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_acctbal_quartiles_has_no_unpartitioned_window(spark):
+    """Registered ntile runs the range-partition + offset global-rank plan;
+    `NTILE OVER (ORDER BY ...)` with no partition key (single-task sort of
+    the whole table) must not appear in the driver-facing catalog."""
+    plan = _plan(spark, "acctbal_quartiles")
+    assert "Window [ntile" not in plan, plan
+    # the scalable operator range-partitions on the sort key instead
+    assert "rangepartitioning" in plan.lower(), plan
+
+
 def test_histogram_binning_uses_broadcast_scalar(spark):
     import importlib.util
 

@@ -55,6 +55,30 @@ def test_stratified_sample_respects_zero_rate(spark):
     assert kept.count() == n0  # rate 1.0 keeps every row of the stratum
 
 
+def test_rate_to_basis_points_rounds_not_truncates():
+    """0.57 * 10000 = 5699.999…: int() would skew the threshold a basis
+    point low and diverge from any oracle computing exact basis points."""
+    assert SA._bp(0.57) == 5700
+    assert SA._bp(0.8) == 8000
+    assert SA._bp(0.0001) == 1
+
+
+def test_hash_split_cumulative_boundaries_are_exact(spark):
+    """Splits whose per-term products carry float error must still land on
+    the exact cumulative basis-point boundaries (0.57 → 5700, +0.1 → 6700)."""
+    docs = load_table(spark, SF, "documents")
+    split = SA.hash_split(docs, "doc_id", {"a": 0.57, "b": 0.1})
+    bucketed = docs.select(
+        "doc_id", SA.hash_bucket(F.col("doc_id")).alias("bucket")
+    )
+    want = {
+        r.doc_id: ("a" if r.bucket < 5700 else "b" if r.bucket < 6700 else None)
+        for r in bucketed.collect()
+    }
+    got = {r.doc_id: r.split for r in split.collect()}
+    assert got == want
+
+
 def test_rolling_fingerprint_is_order_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],

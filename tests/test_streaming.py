@@ -146,6 +146,91 @@ def test_latest_per_key_matches_dedup(spark, source_dir):
     assert latest == want
 
 
+def test_streaming_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """Late-but-within-watermark events arriving in a LATER micro-batch than
+    their neighbors must still produce the batch gap-split (the 2 h
+    watermark explicitly permits lateness ≫ the 30 min gap). Covers: merge
+    extending the span backward (start=min), late event between two seen
+    events NOT shrinking session_end (the r2 bug: last overwritten with an
+    earlier ts falsely split the next on-time event), and the documented
+    singleton carve-out for stragglers older than start − gap."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.streaming.sessions import streaming_sessionize
+
+    src = str(tmp_path / "ooo_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "ooo_out")
+
+    t0 = datetime.datetime(2025, 7, 1, 12, 0, 0)
+    m = lambda k: t0 + datetime.timedelta(minutes=k)
+    ddl = "user_id bigint, ts timestamp, value double"
+    # batch 1: in-order prefix per user
+    batch1 = [
+        (1, m(0), 1.0), (1, m(10), 1.0),          # open session [0, 10]
+        (2, m(0), 1.0), (2, m(40), 1.0),          # gap-split: [0] closed, [40] open
+        (3, m(10), 1.0),                          # open session [10, 10]
+        (4, m(0), 1.0), (4, m(10), 1.0),          # open session [0, 10]
+    ]
+    # batch 2: late arrivals (within the 2 h watermark) + on-time successors
+    batch2 = [
+        (1, m(5), 1.0),                           # late, inside span → merge
+        (1, m(20), 1.0),                          # on-time continuation
+        (2, m(-40), 1.0),                         # straggler < start−gap → own session
+        (3, m(0), 1.0),                           # late, extends start BACKWARD
+        (3, m(35), 1.0),                          # 25 min after last(10) → merge
+        (4, m(1), 1.0),                           # late; must NOT shrink last to 1
+        (4, m(39), 1.0),                          # 29 min after last(10) → merge
+    ]
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(ddl).parquet(src)
+        q = (
+            streaming_sessionize(stream, gap_min=30)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, ddl).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(batch2, ddl).write.mode("append").parquet(src)
+    run_once()
+    # sentinels push the watermark past every open session's timeout
+    for i, hours in enumerate((10, 20)):
+        spark.createDataFrame(
+            [(-1 - i, m(60) + datetime.timedelta(hours=hours), 0.0)], ddl
+        ).write.mode("append").parquet(src)
+        run_once()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
+    }
+    # pure-Python batch gap-split over the union of both batches
+    rows = sorted(batch1 + batch2)
+    want, cur = set(), None
+    gap = datetime.timedelta(minutes=30)
+    for uid, ts, v in rows:
+        if cur is None or uid != cur[0] or ts - cur[2] > gap:
+            if cur is not None:
+                want.add((cur[0], cur[1], cur[2], cur[3], cur[4]))
+            cur = [uid, ts, ts, 1, v]
+        else:
+            cur[2], cur[3], cur[4] = ts, cur[3] + 1, cur[4] + v
+    want.add((cur[0], cur[1], cur[2], cur[3], cur[4]))
+    assert got == want
+    # the r2 bug signature: user 4 must be ONE session spanning [0, 39]
+    u4 = [g for g in got if g[0] == 4]
+    assert u4 == [(4, m(0), m(39), 4, 4.0)]
+
+
 def test_streaming_sessionize_matches_batch_gap_split(spark, tmp_path):
     """Stateful sessionization with EventTimeTimeout: gap-closures emit
     in-batch; open sessions emit when the watermark passes last_event+gap
@@ -216,3 +301,13 @@ def test_streaming_sessionize_matches_batch_gap_split(spark, tmp_path):
 
     assert got == want
     assert len(got) > 100
+
+    # and the registry's batch sessionize (the lag+running-sum plan) agrees
+    # on the shared columns — streaming and batch are twins of ONE contract
+    from network_iq_spark.registry import QUERIES
+
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in QUERIES["sessionize"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert {(u, s, e, n) for u, s, e, n, _ in got} == batch
