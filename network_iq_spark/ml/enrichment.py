@@ -40,6 +40,94 @@ def disabled_llm(system_msg: str, user_json: str) -> str:
     return "_AI disabled: no provider configured._"
 
 
+def http_chat_provider(
+    url: str | None = None,
+    api_key_env: str = "LLM_API_KEY",
+    model: str | None = None,
+    timeout: float = 30.0,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+) -> LlmFn:
+    """HTTP transport for M7 — the engine twin of the reference's
+    ``_ai_call`` (streamlit_app.py:1166-1193), minus the vendor SDKs: one
+    stdlib-urllib POST speaking the public chat-completions wire format
+    (``{model, messages:[{role,content}...], temperature, max_tokens}`` →
+    ``choices[0].message.content``), which Gemini/OpenAI-compatible
+    endpoints all accept.
+
+    Same degradation contract as the reference: a missing key or endpoint
+    returns an ``_AI disabled: …_`` string instead of raising, and any
+    terminal transport error returns ``_LLM error: …_`` — enrichment never
+    fails a pipeline. Retries with exponential backoff on 429/5xx and
+    connection errors; 4xx (minus 429) is terminal. The returned callable
+    carries no open resources, so it pickles into ``enrich_batch``'s
+    ``mapInPandas`` workers, where the rate limiter bounds aggregate QPS.
+    """
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    endpoint = url or os.getenv("LLM_API_URL")
+    model_name = model or os.getenv("LLM_MODEL", "gpt-4o-mini")
+
+    def call(system_msg: str, user_json: str) -> str:
+        if not endpoint:
+            return "_AI disabled: LLM_API_URL not set._"
+        api_key = os.getenv(api_key_env)
+        if not api_key:
+            return f"_AI disabled: {api_key_env} not set._"
+        # reference user-message framing: data-only, fenced JSON
+        user_msg = (
+            "Use ONLY the JSON below; do not invent numbers.\n```json\n"
+            + user_json
+            + "\n```"
+        )
+        body = _json.dumps(
+            {
+                "model": model_name,
+                "messages": [
+                    {"role": "system", "content": system_msg},
+                    {"role": "user", "content": user_msg},
+                ],
+                "temperature": 0.2,
+                "max_tokens": 700,
+            }
+        ).encode()
+        last_err: Exception | None = None
+        for attempt in range(max_retries + 1):
+            if attempt:
+                time.sleep(backoff_s * (2 ** (attempt - 1)))
+            try:
+                req = urllib.request.Request(
+                    endpoint,
+                    data=body,
+                    headers={
+                        "Content-Type": "application/json",
+                        "Authorization": f"Bearer {api_key}",
+                    },
+                )
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    payload = _json.loads(resp.read().decode())
+                text = payload["choices"][0]["message"]["content"]
+                return text or "_No response returned._"
+            except urllib.error.HTTPError as e:
+                last_err = e
+                if e.code != 429 and e.code < 500:
+                    break  # non-retryable client error
+            except (urllib.error.URLError, OSError, KeyError, ValueError) as e:
+                last_err = e
+        return f"_LLM error: {last_err}_"
+
+    return call
+
+
+def provider_from_env() -> LlmFn:
+    """Env-gated provider selection, mirroring the reference's key checks:
+    a transport only exists when ``LLM_API_URL`` is configured; otherwise
+    the disabled provider keeps every surface functional."""
+    return http_chat_provider() if os.getenv("LLM_API_URL") else disabled_llm
+
+
 class Enricher:
     """Driver-side enrichment with a hash-keyed parquet cache and run guard."""
 

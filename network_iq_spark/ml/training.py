@@ -5,10 +5,12 @@ Re-derives the reference's absent ``scripts/train_next_hour.py`` Spark-first:
 - **M2 preprocessing**: ``StandardScaler`` over the numeric features +
   ``OneHotEncoder(handleInvalid="keep")`` over (tech, band) — the Spark ML
   twins of the reference bundle's ColumnTransformer (handle_unknown=ignore).
-- **Estimator**: logistic regression (this container has no XGBoost; the
-  reference's selected XGB config — 200 trees, depth 8, lr 0.1, hist — is
-  recorded in ``XGB_PARAMS`` and plugs into ``xgboost.spark
-  .SparkXGBClassifier(**XGB_PARAMS)`` unchanged where that package exists).
+- **Estimator**: import-guarded — ``make_estimator`` slots
+  ``xgboost.spark.SparkXGBClassifier(**XGB_PARAMS)`` (the reference's
+  selected config: 200 trees, depth 8, lr 0.1, hist) into the pipeline
+  wherever xgboost imports, and falls back to LogisticRegression in this
+  container (no xgboost available). The bundle sidecar records which
+  estimator trained it plus the reference's AUC/KS comparison table.
 - **M4 metadata**: metrics (AUC/AP via evaluators), label_rule, trained_at
   — persisted as a JSON sidecar next to the PipelineModel, mirroring the
   reference's joblib-bundle dict {model, num_cols, cat_cols, label_rule,
@@ -49,6 +51,43 @@ XGB_PARAMS = {
     # reference run's.
     "scale_pos_weight": 1.0689655172413792,
 }
+
+# Reference model-comparison table (ref README.md:34-38) — recorded in the
+# bundle sidecar so a retrained bundle carries the parity target with it.
+REFERENCE_MODEL_COMPARISON = {
+    "logistic_regression": {"auc": 0.74, "ks": 0.28},
+    "random_forest": {"auc": 0.81, "ks": 0.36},
+    "xgboost": {"auc": 0.86, "ks": 0.42},  # the reference's selected model
+}
+
+
+def make_estimator(
+    features_col: str = "features_vec", label_col: str = "label"
+) -> tuple[object, str]:
+    """(estimator, name): ``SparkXGBClassifier(**XGB_PARAMS)`` wherever
+    xgboost.spark imports (M6 parity — the reference ships an XGB bundle),
+    else the LogisticRegression fallback. Both are pyspark.ml Estimators,
+    so either slots into the same Pipeline unchanged; the distributed XGB
+    trainer runs one barrier-mode task per partition, so at scale
+    repartition the training frame to the executor count first."""
+    try:
+        from xgboost.spark import SparkXGBClassifier  # type: ignore
+    except ImportError:
+        return (
+            LogisticRegression(
+                featuresCol=features_col,
+                labelCol=label_col,
+                probabilityCol="probability",
+            ),
+            "logistic_regression",
+        )
+    return (
+        SparkXGBClassifier(
+            features_col=features_col, label_col=label_col, **XGB_PARAMS
+        ),
+        "xgboost",
+    )
+
 
 # mirrors the reference bundle's num_cols layout exactly: 7 base metrics
 # interleaved as (raw, rmean, rstd, rdiff) = 28, + z_bad/b_mean/b_std/
@@ -93,11 +132,8 @@ def build_pipeline(
             inputCols=["num_scaled", *ohe_outputs], outputCol="features_vec"
         )
     )
-    stages.append(
-        LogisticRegression(
-            featuresCol="features_vec", labelCol="label", probabilityCol="probability"
-        )
-    )
+    est, _ = make_estimator(features_col="features_vec", label_col="label")
+    stages.append(est)
     return Pipeline(stages=stages)
 
 
@@ -125,7 +161,10 @@ def train_next_hour(
     positives = int(train.agg({"label": "sum"}).collect()[0][0] or 0)
     metrics = {"auc": auc, "ap": ap, "n": n, "positives": positives}
     metrics.update(precision_recall_at_k(scored, ks=(10, 20)))
+    _, est_name = make_estimator()
     meta = {
+        "estimator": est_name,
+        "reference_model_comparison": REFERENCE_MODEL_COMPARISON,
         "num_cols": present_num,
         "cat_cols": present_cat,
         "label_rule": label_rule

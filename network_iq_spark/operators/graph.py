@@ -76,3 +76,94 @@ def connected_components(
                 F.col("u").alias(id_col), F.col("label").alias("cluster_id")
             )
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node attaches its strictly-LARGER
+    neighbors to the minimum of its closed neighborhood. Shrinks tall
+    structures toward minima without ever growing a node's degree past its
+    component size."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("__mn__")).select(
+        "u", F.least(F.col("__mn__"), F.col("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge large→small, then each node
+    re-points its (all ≤ itself) neighbors — and itself — at the smallest."""
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfs = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        nbrs.unionByName(selfs).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def connected_components_two_phase(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components — same contract and output
+    as ``connected_components`` (cluster_id = component minimum), built for
+    ADVERSARIAL graphs where min-label propagation's rounds = diameter.
+
+    The alternating algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): each round runs large-star (attach
+    larger neighbors to the neighborhood minimum) then small-star (collapse
+    each node's smaller neighbors onto the smallest), which at least HALVES
+    every component's tree height — convergence in O(log n) rounds on a
+    path graph whose diameter would cost label propagation n rounds. Each
+    round is two groupBys + two joins on the node key, all
+    ``localCheckpoint``-truncated; convergence = the canonical edge set is
+    a fixpoint (checked with two anti-joins over bytes-sized star edges).
+
+    Dedup-cluster graphs have tiny diameters, so ``connected_components``
+    stays the registered default; this is the escape hatch for long-chain
+    graphs (and the property tests prove output equality on both shapes).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        # canonical-form fixpoint: both stars emit (larger → smaller) pairs,
+        # so plain set equality via two anti-joins decides convergence
+        grew = new_e.join(e, ["u", "v"], "left_anti").count()
+        shrank = e.join(new_e, ["u", "v"], "left_anti").count()
+        e = new_e
+        if grew == 0 and shrank == 0:
+            parents = e.select(F.col("u").alias(id_col), F.col("v").alias("cluster_id"))
+            return (
+                vertices.select(id_col)
+                .join(parents, id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+                )
+            )
+    raise RuntimeError(
+        f"connected_components_two_phase: no fixpoint in {max_iter} rounds"
+    )

@@ -81,6 +81,85 @@ def test_briefing_context_and_enricher(spark, tdf, tmp_path):
     assert "run limit" in enr2.briefing(ctx)
 
 
+def test_http_provider_roundtrip_retry_and_cache(spark, tdf, tmp_path, monkeypatch):
+    """M7 transport: the stdlib HTTP provider round-trips against a real
+    local server speaking the chat-completions wire format, retries a 429,
+    and composes with the Enricher cache (second briefing = no request)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from network_iq_spark.ml.enrichment import Enricher, http_chat_provider
+    from network_iq_spark.plans.telemetry import briefing_context
+
+    seen = {"n": 0, "auth": None, "bodies": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            seen["n"] += 1
+            seen["auth"] = self.headers.get("Authorization")
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            seen["bodies"].append(body)
+            if seen["n"] == 1:  # first attempt throttled — provider must retry
+                self.send_response(429)
+                self.end_headers()
+                return
+            out = json.dumps(
+                {"choices": [{"message": {"content": "## Briefing\n- from http"}}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        monkeypatch.setenv("LLM_API_KEY", "test-key")
+        llm = http_chat_provider(
+            url=f"http://127.0.0.1:{srv.server_address[1]}/v1/chat/completions",
+            model="test-model",
+            backoff_s=0.01,
+        )
+        ctx = briefing_context(tdf, model_meta={"trained_at": "2025-08-20"})
+        enr = Enricher(spark, str(tmp_path / "cache"), llm=llm, max_runs=2)
+        assert enr.briefing(ctx) == "## Briefing\n- from http"
+        assert seen["n"] == 2  # 429 then success
+        assert seen["auth"] == "Bearer test-key"
+        body = seen["bodies"][-1]
+        assert body["model"] == "test-model"
+        assert body["messages"][0]["role"] == "system"
+        assert "```json" in body["messages"][1]["content"]
+        # cache hit: no third request
+        assert enr.briefing(ctx) == "## Briefing\n- from http"
+        assert seen["n"] == 2
+    finally:
+        srv.shutdown()
+
+
+def test_http_provider_degrades_without_config(monkeypatch):
+    """No endpoint / no key → the reference's `_AI disabled_` contract, and
+    provider_from_env resolves to the disabled provider."""
+    from network_iq_spark.ml import enrichment as E
+
+    monkeypatch.delenv("LLM_API_URL", raising=False)
+    monkeypatch.delenv("LLM_API_KEY", raising=False)
+    assert E.provider_from_env() is E.disabled_llm
+    assert "_AI disabled" in E.http_chat_provider()( "sys", "{}")
+    monkeypatch.setenv("LLM_API_URL", "http://127.0.0.1:9/unreachable")
+    assert E.provider_from_env() is not E.disabled_llm
+    out = E.http_chat_provider(backoff_s=0.01, max_retries=1)("sys", "{}")
+    assert out.startswith("_AI disabled: LLM_API_KEY")
+    monkeypatch.setenv("LLM_API_KEY", "k")
+    out = E.http_chat_provider(backoff_s=0.01, max_retries=1, timeout=2)("sys", "{}")
+    assert out.startswith("_LLM error:")  # terminal transport error, no raise
+
+
 def test_enrich_batch(spark):
     from network_iq_spark.ml.enrichment import enrich_batch
 
