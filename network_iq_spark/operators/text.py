@@ -134,6 +134,92 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(id_col, F.md5(norm).alias("fingerprint"))
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals: per document, the
+    distinct-token ratio and the share of the single most frequent bigram —
+    the two cheapest detectors of boilerplate and degenerate (looping)
+    text, standard cut features in pre-training quality filters.
+
+    Distinct ratio is a pure array expression (map-only). The top-bigram
+    share explodes bigrams and double-aggregates on (doc, bigram) → (doc):
+    linear in document length (an array-only argmax would be quadratic on
+    long documents), both aggregations map-side combinable — the shape that
+    survives book-length docs at 100 TB.
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n = F.size("_toks")
+    head = base.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.size(F.array_distinct("_toks")).cast("double") / n)
+        .alias("distinct_token_ratio"),
+    )
+    bi = base.filter(n >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> concat(_toks[i - 1], ' ', _toks[i]))"
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bi.groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("__c__"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__c__").alias("__top__"),
+            F.sum("__c__").alias("__nbi__"),
+        )
+        .select(
+            id_col,
+            (F.col("__top__").cast("double") / F.col("__nbi__")).alias(
+                "top_bigram_share"
+            ),
+        )
+    )
+    return head.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "distinct_token_ratio",
+        F.coalesce("top_bigram_share", F.lit(0.0)).alias("top_bigram_share"),
+    )
+
+
+# PII patterns deliberately conservative + dialect-portable (same regex text
+# runs under Java regex and RE2): email, NANP-style phone, IPv4.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace each PII match with its ``<TYPE>`` placeholder — the standard
+    pre-training scrub pass. Chained ``regexp_replace`` (JVM, codegen,
+    map-only); patterns applied in dict order so composite strings redact
+    deterministically. Adds ``pii_<type>_count`` columns so the scrub is
+    auditable without a second scan."""
+    out = out_col or text_col
+    red = F.lower(F.col(text_col))
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 0)).alias(
+                f"pii_{name}_count"
+            )
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    keep = [c for c in df.columns if c != text_col or out != text_col]
+    return df.select(*keep, *counts, red.alias(out))
+
+
 ROLL_B = (1 << 20) + 7          # polynomial base
 ROLL_P = 2_147_483_647          # 2³¹ − 1 (Mersenne prime)
 

@@ -17,6 +17,7 @@ from network_iq_spark.operators import dedup as D
 from network_iq_spark.operators import multimodal as M
 from network_iq_spark.operators import sampling as SA
 from network_iq_spark.operators import similarity as S
+from network_iq_spark.operators import spans as SP
 from network_iq_spark.operators import text as T
 from network_iq_spark.registry import register
 from network_iq_spark.sources import load_table
@@ -321,6 +322,157 @@ def q_simhash_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Span-grain dedup & decontamination (operators/spans.py)
+# ---------------------------------------------------------------------------
+
+_WIN_K = SP.WINDOW_K
+
+_WINS = f"""
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{_WIN_K - 1}], ' ')) AS wh
+  FROM ({_TOKS}) tt,
+       LATERAL unnest(generate_series(1, len(t) - {_WIN_K} + 1)) AS g(i)
+  WHERE len(t) >= {_WIN_K}
+"""
+
+
+@register(
+    "duplicate_spans",
+    oracle=f"""
+    WITH wins AS ({_WINS}),
+    perdoc AS (SELECT DISTINCT doc_id, wh FROM wins),
+    crossdoc AS (SELECT wh FROM perdoc GROUP BY wh HAVING COUNT(*) >= 2),
+    dupc AS (
+      SELECT w.doc_id, COUNT(*) AS n_dup FROM wins w
+      JOIN crossdoc c ON w.wh = c.wh GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(tot.n_windows, 0) AS n_windows,
+           COALESCE(dupc.n_dup, 0) AS n_dup_windows,
+           CASE WHEN COALESCE(tot.n_windows, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(dupc.n_dup, 0) AS DOUBLE) / tot.n_windows
+           END AS dup_window_ratio
+    FROM documents d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN dupc ON d.doc_id = dupc.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-granularity exact-substring dedup signal (Lee et al. ACL'22):
+    per document, how many of its 8-token windows also occur in another
+    document. Windows → md5 → one shuffle on the window hash; positions
+    ride along so coverage is measurable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SP.duplicate_window_stats(docs, k=_WIN_K).orderBy("doc_id")
+
+
+_BENCH_BP = 500  # 5% of the id-hash space forms the held-out benchmark
+_BENCH_HEX = _sql_hex_int("md5(CAST(doc_id AS VARCHAR) || 'bench')", 12)
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT *, ({_BENCH_HEX}) % 10000 < {_BENCH_BP} AS is_bench FROM documents
+    ),
+    twins AS (
+      SELECT DISTINCT doc_id AS train_doc, wh FROM ({_WINS.replace("documents", "(SELECT * FROM tagged WHERE NOT is_bench)")})
+    ),
+    bwins AS (
+      SELECT DISTINCT doc_id AS bench_doc, wh FROM ({_WINS.replace("documents", "(SELECT * FROM tagged WHERE is_bench)")})
+    )
+    SELECT train_doc,
+           COUNT(DISTINCT t.wh) AS n_shared_windows,
+           COUNT(DISTINCT bench_doc) AS n_bench_docs
+    FROM twins t JOIN bwins b ON t.wh = b.wh
+    GROUP BY train_doc ORDER BY train_doc
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram benchmark decontamination (GPT-3/PaLM appendix style): a
+    deterministic 5% id-hash slice plays the held-out benchmark; training
+    docs sharing any 8-token window with it are flagged with shared-window
+    and benchmark-doc counts. One equi-join on the window hash — the
+    benchmark side broadcasts at real scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = SA.hash_bucket(F.col("doc_id"), "bench") < _BENCH_BP
+    return SP.contamination_overlap(
+        docs.filter(~is_bench), docs.filter(is_bench), k=_WIN_K
+    ).orderBy("train_doc")
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH t AS ({_TOKS}),
+    head AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+             END AS distinct_token_ratio
+      FROM t
+    ),
+    bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM t, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_share
+      FROM c GROUP BY 1
+    )
+    SELECT h.doc_id, h.n_tokens, h.distinct_token_ratio,
+           COALESCE(top.top_bigram_share, 0.0) AS top_bigram_share
+    FROM head h LEFT JOIN top ON h.doc_id = top.doc_id
+    ORDER BY h.doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: distinct-token ratio (map-only
+    array expression) + top-bigram share (explode → two map-side-combinable
+    aggregates — linear in doc length, unlike an array-only argmax)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "pii_scan",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+             '{T.PII_PATTERNS["email"]}'))) AS BIGINT) AS n_email,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+             '{T.PII_PATTERNS["phone"]}'))) AS BIGINT) AS n_phone,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+             '{T.PII_PATTERNS["ipv4"]}'))) AS BIGINT) AS n_ipv4
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit per source: match counts for the scrub patterns
+    (operators/text.py redact_pii — email/phone/IPv4). Map + one groupBy on
+    source; the redaction itself is unit-tested on synthetic rows (this
+    corpus is PII-free, and the oracle agrees it is — both engines run the
+    same conservative dialect-portable regexes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = T.redact_pii(docs, out_col="__red__")
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pii_email_count").alias("n_email"),
+            F.sum("pii_phone_count").alias("n_phone"),
+            F.sum("pii_ipv4_count").alias("n_ipv4"),
+        )
+        .orderBy("source")
+    )
 
 
 # ---------------------------------------------------------------------------
