@@ -50,6 +50,7 @@ def global_row_number(
     out: str = "rn",
     num_partitions: int | None = None,
     _keep_total: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Global 1-based row_number over a total order, fully partitioned.
 
@@ -73,6 +74,15 @@ def global_row_number(
         )
         .drop(mid)
     )
+    # TWO consumers (the per-partition counts and the final join) with
+    # different column prunings — without materialization the range
+    # shuffle + sort executes twice (Catalyst can't ReuseExchange across
+    # differing projections). One shuffle-sized localCheckpoint is the
+    # honest cost; it also pins the partition→id assignment so both
+    # consumers provably see the SAME ranking. materialize=False keeps the
+    # plan inspectable (plan-shape tests) at the price of the double run.
+    if materialize:
+        local = local.localCheckpoint()
     counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt__"))
     # cumulative offsets via a triangular broadcast self-join over the
     # per-partition COUNTS (≤ #partitions rows — bytes).  A running-sum
@@ -104,6 +114,7 @@ def ntile_scalable(
     order: Sequence[str | Column],
     out: str = "bucket",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """SQL ``NTILE(n) OVER (ORDER BY ...)`` without the global window.
 
@@ -115,7 +126,8 @@ def ntile_scalable(
     """
     rn = "__rank_rn__"
     ranked = global_row_number(
-        df, order, out=rn, num_partitions=num_partitions, _keep_total=True
+        df, order, out=rn, num_partitions=num_partitions, _keep_total=True,
+        materialize=materialize,
     )
     i, tot = F.col(rn).cast("bigint"), F.col(_TOT)
     q = (tot / n).cast("bigint")

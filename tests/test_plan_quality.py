@@ -143,11 +143,24 @@ def test_simhash_pairs_registered_plan_has_no_cartesian(spark):
 def test_acctbal_quartiles_has_no_unpartitioned_window(spark):
     """Registered ntile runs the range-partition + offset global-rank plan;
     `NTILE OVER (ORDER BY ...)` with no partition key (single-task sort of
-    the whole table) must not appear in the driver-facing catalog."""
+    the whole table) must not appear in the driver-facing catalog. The
+    registered plan materializes the ranked stream (localCheckpoint), so
+    the range exchange is asserted on the unmaterialized operator shape."""
     plan = _plan(spark, "acctbal_quartiles")
     assert "Window [ntile" not in plan, plan
-    # the scalable operator range-partitions on the sort key instead
-    assert "rangepartitioning" in plan.lower(), plan
+
+    from network_iq_spark.operators.rank import ntile_scalable
+    from network_iq_spark.sources import load_table
+
+    c = load_table(spark, SF, "customer").select("c_acctbal", "c_custkey")
+    shape = (
+        ntile_scalable(c, 4, ["c_acctbal", "c_custkey"], materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in shape.lower(), shape
+    assert "Window [ntile" not in shape, shape
 
 
 def test_histogram_binning_uses_broadcast_scalar(spark):
