@@ -284,6 +284,15 @@ def q_centered_mavg_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     The even window exercises pandas' asymmetric center=True frame:
     [i−w//2, i+(w−1)//2] = 2 preceding / 1 following. min_periods=1 edge
     shrinking matches Spark's default frame clipping.
+
+    The frame runs over the AGG-GRAIN (≤24 hourly rows regardless of input
+    size), so instead of an unpartitioned ``Window.orderBy`` — which plans a
+    single-task WindowExec over whatever the pre-agg row count is and warns
+    in every run — the row-frame is expressed as two broadcast self-joins on
+    the tiny aggregate: a triangular join assigns each hour its rank (count
+    of hours ≤ it, robust to gaps in the hour domain), then a rank-range
+    join collects the [-2, +1] frame. Sums stay integer cents throughout, so
+    regrouping the frame members cannot change the result.
     """
     ev = load_table(spark, sf_dir, "events")
     hourly = (
@@ -292,13 +301,25 @@ def q_centered_mavg_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_cents()).alias("s1"))
     )
     lo, hi = centered_frame(4)
-    frame = Window.orderBy("hour").rowsBetween(lo, hi)
-    return hourly.select(
+    ranked = (
+        hourly.alias("a")
+        .join(F.broadcast(hourly.alias("b")), F.col("b.hour") <= F.col("a.hour"))
+        .groupBy(F.col("a.hour").alias("hour"), F.col("a.s1").alias("s1"))
+        .agg(F.count(F.lit(1)).alias("__rk__"))
+    )
+    frame = (
+        ranked.alias("l")
+        .join(
+            F.broadcast(ranked.alias("r")),
+            F.col("r.__rk__").between(F.col("l.__rk__") + lo, F.col("l.__rk__") + hi),
+        )
+        .groupBy(F.col("l.hour").alias("hour"), F.col("l.s1").alias("s1"))
+        .agg(F.sum("r.s1").alias("__fs__"), F.count(F.lit(1)).alias("__fn__"))
+    )
+    return frame.select(
         "hour",
         (F.col("s1") / 100.0).alias("hourly_total"),
-        ((F.sum("s1").over(frame) / F.lit(100.0)) / F.count("*").over(frame)).alias(
-            "smoothed_total"
-        ),
+        ((F.col("__fs__") / F.lit(100.0)) / F.col("__fn__")).alias("smoothed_total"),
     ).orderBy("hour")
 
 

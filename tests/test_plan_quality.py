@@ -17,6 +17,28 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_no_unpartitioned_window_in_any_registry_plan(spark):
+    """No driver-facing query may plan `Window` with an empty partition
+    spec (single-task global sort — the `WindowExec: No Partition Defined`
+    warning). Agg-grain frames are re-expressed as broadcast self-joins
+    (`centered_mavg_volume`), global ranks via `operators/rank.py`.
+
+    An unpartitioned Window node prints `Window [fns], [order]` (two bracket
+    groups); a partitioned one adds the partition list (three groups)."""
+    offenders = {}
+    for name in sorted(QUERIES):
+        plan = _plan(spark, name)
+        hits = [
+            ln.strip()
+            for ln in plan.splitlines()
+            if ln.strip().lstrip("+-*( 0123456789)").startswith("Window ")
+            and ln.count("], [") == 1
+        ]
+        if hits:
+            offenders[name] = hits[0][:120]
+    assert not offenders, offenders
+
+
 def test_filter_pushdown_reaches_scan(spark):
     plan = _plan(spark, "pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
