@@ -34,17 +34,35 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one catalog table under ``sf_dir``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    default — read it as raw nanos (``nanosAsLong``) and convert with
-    *integer* division (nanos exceed 2^53, so float division would corrupt
-    the low bits). Truncation toward zero matches DuckDB's nanos→micros
-    narrowing for the post-epoch data at hand.
+    ``events.ts`` has shipped in two physical flavors across testdata
+    generations: parquet TIMESTAMP(NANOS) (Spark 4 refuses by default — read
+    as raw nanos via ``nanosAsLong`` and narrow with *integer* division;
+    nanos exceed 2^53 so float division would corrupt the low bits) and
+    parquet TIMESTAMP(MICROS) with ``isAdjustedToUTC=false`` (Spark 4 infers
+    TIMESTAMP_NTZ, which ``unix_micros`` et al. reject). Both are normalized
+    to classic TIMESTAMP with stored-value-is-UTC-epoch semantics — exactly
+    how DuckDB (the correctness oracle) reads the same file — by disabling
+    NTZ inference at scan time, with a cast fallback if the conf is pinned.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dt == "timestamp_ntz":
+            # Interpret the naive wall clock as UTC regardless of session tz:
+            # shift NTZ into the session zone's wall clock for the same UTC
+            # instant, then cast (which applies the session zone) back out.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "cast(convert_timezone('UTC', current_timezone(), ts)"
+                    " as timestamp)"
+                ),
+            )
     return df
 
 
