@@ -46,39 +46,66 @@ def main() -> None:
 
     # warmup: touch every table + run the first query once
     for n in names[:1]:
-        QUERIES[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        try:
+            QUERIES[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # the measured loop will record the failure per-query
 
     # min of 2 runs per query: single-shot timings on a shared machine swing
     # 30-40%, which would poison cross-round regression comparisons. Queries
     # under the noise floor get a THIRD run: at <0.5 s JVM jitter alone can
     # fake a 2x "regression", so the cheap extra repeat buys a stable min.
+    #
+    # A query that raises is recorded under "errors" and skipped — one broken
+    # plan must never cost the round its entire BENCH artifact.
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     noise_floor = float(os.environ.get("BENCH_NOISE_FLOOR_SEC", "0.5"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for n in names:
         best = float("inf")
         done = 0
-        while done < runs or (best < noise_floor and done < runs + 1):
-            t0 = time.perf_counter()
-            QUERIES[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            done += 1
+        try:
+            while done < runs or (best < noise_floor and done < runs + 1):
+                t0 = time.perf_counter()
+                QUERIES[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                done += 1
+        except Exception as exc:  # noqa: BLE001 — keep benching the rest
+            errors[n] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {n}: {errors[n]}", file=sys.stderr)
+            continue
         timings[n] = round(best, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
     _compare_with_last_round(timings, total)
-    print(
-        json.dumps(
-            {
-                "metric": "operator_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # The round driver keeps only a ~2000-char tail of our output and parses
+    # the JSON line out of it: r1's 51-query line (1524 chars) parsed, r2's
+    # 69-query line (2155 chars) was truncated mid-line and recorded as
+    # parsed=null. Emit compactly (no spaces, 2-decimal secs) and, if the
+    # registry ever outgrows even that, shed the fastest entries first so the
+    # line stays parseable and keeps the queries that dominate the suite.
+    def _line(q: dict[str, float]) -> str:
+        out = {
+            "metric": "operator_suite_sec",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in q.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+        }
+        if errors:
+            out["errors"] = {k: v[:80] for k, v in errors.items()}
+        return json.dumps(out, separators=(",", ":"))
+
+    keep = dict(timings)
+    line = _line(keep)
+    while len(line) > 1900 and keep:
+        fastest = min(keep, key=keep.get)
+        del keep[fastest]
+        line = _line(keep)
+    print(line)
 
 
 def _compare_with_last_round(timings: dict[str, float], total: float) -> None:
@@ -93,16 +120,22 @@ def _compare_with_last_round(timings: dict[str, float], total: float) -> None:
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
-    if not rounds:
+    # newest round with usable data — a crashed round records parsed=null
+    prev, prev_name = {}, None
+    for path in reversed(rounds):
+        try:
+            cand = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if "parsed" in cand:  # driver wraps our JSON line under "parsed"
+            cand = cand["parsed"] or {}
+        if cand.get("queries"):
+            prev, prev_name = cand, os.path.basename(path)
+            break
+    if not prev_name:
         return
-    try:
-        prev = json.load(open(rounds[-1]))
-    except (OSError, ValueError):
-        return
-    if "parsed" in prev:  # driver wraps our JSON line under "parsed"
-        prev = prev["parsed"] or {}
     prev_q = prev.get("queries") or {}
-    lines = [f"--- vs {os.path.basename(rounds[-1])} (suite {prev.get('value')}s -> {total}s) ---"]
+    lines = [f"--- vs {prev_name} (suite {prev.get('value')}s -> {total}s) ---"]
     for n in sorted(timings):
         if n not in prev_q or prev_q[n] <= 0:
             lines.append(f"{n:28s} {timings[n]:7.3f}s   (new)")
