@@ -1,0 +1,67 @@
+"""Sequence packing: assemble documents into fixed token-budget training
+sequences (beyond-reference LLM-data tier, SURVEY.md §7 F).
+
+The operator implements concatenate-then-chunk packing — the strategy used by
+GPT-style pre-training pipelines: documents are laid end-to-end in a
+deterministic order and the token stream is cut into ``capacity``-token
+packs. A document belongs to the pack where it *starts* (it may straddle the
+boundary; the chunker handles the split downstream), so pack assignment is a
+pure prefix-sum: ``pack_id = floor(tokens_before / capacity)``.
+
+Scale shape: the prefix sum is windowed **per shard** (``source``), never
+globally — real pipelines pack within a shard/file group precisely so the
+operation parallelizes, and an unpartitioned window would funnel the whole
+corpus through one task (the anti-pattern this repo's plan tests reject).
+Shards are independent ⇒ one hash exchange on ``source``, then a single
+in-partition sort per shard. 100 TB posture: shard count ≫ executor count is
+the operative knob; ``source`` here stands in for the crawl-shard key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from network_iq_spark.operators.text import tokens
+
+
+def sequence_packing(
+    df: DataFrame,
+    capacity: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Per-shard concat-and-chunk pack assignment + per-pack stats.
+
+    Returns one row per (shard, pack_id): number of documents starting in
+    the pack, their total token count, and the id range — the manifest a
+    downstream tokenizer-chunker consumes. Integer arithmetic only, so the
+    result is bit-identical across engines and partitionings.
+    """
+    base = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    # integer div: exact at any corpus size (double division would lose
+    # bits once a shard's cumulative token count passes 2^53)
+    assigned = base.withColumn("__cum__", cum_before).withColumn(
+        "pack_id", F.expr(f"__cum__ div {int(capacity)}")
+    )
+    return (
+        assigned.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .orderBy("shard", "pack_id")
+    )

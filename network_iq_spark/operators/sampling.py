@@ -89,3 +89,28 @@ def stratified_sample(
         lim = F.lit(_bp(rate))
         thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
     return df.filter(bucket < F.coalesce(thr, F.lit(0)))
+
+
+def equalize_groups(
+    df: DataFrame, key: str, group: str, salt: str = "mix"
+) -> DataFrame:
+    """Deterministic domain-mix resampling: downsample every group to the
+    size of the smallest so the output mix is uniform — the degenerate but
+    exactly-checkable case of target-proportion data mixing (the Pile /
+    DoReMi-style domain reweighting, public recipes).
+
+    The per-group keep rate is an *integer* basis-point floor
+    (``min_count·10⁴ div count_g``) and membership is the same md5 bucket
+    as :func:`deterministic_sample`, so the drawn set is reproducible under
+    any partitioning and any engine. Group stats are a tiny aggregate →
+    broadcast join; the pass over the facts is map-only.
+    """
+    counts = df.groupBy(group).agg(F.count("*").alias("__n__"))
+    floor_n = counts.agg(F.min("__n__").alias("__min_n__"))
+    rates = counts.crossJoin(F.broadcast(floor_n)).select(
+        group,
+        F.expr(f"__min_n__ * {BUCKETS} div __n__").alias("__rate_bp__"),
+    )
+    return df.join(F.broadcast(rates), group).filter(
+        hash_bucket(F.col(key), salt) < F.col("__rate_bp__")
+    ).drop("__rate_bp__")

@@ -515,3 +515,51 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "n_vec_id", F.col("rank").cast("int").alias("rank"), "cos")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with the deterministic coarse quantizer, then inside
+    each cluster mark every vector that has a *smaller-id* neighbor with
+    cosine ≥ threshold as a duplicate — keeping exactly one representative
+    (the min id) per near-duplicate clique that falls in one cell.
+
+    Scale shape: centroids broadcast (tiny dim), cell assignment collapses
+    map-side (see :func:`ivf_assign`), and the candidate pair join is
+    *within cells only* — one shuffle on ``cell``, O(Σ|cell|²) comparisons
+    instead of N². Cell count is the knob: n_cells ∝ N keeps expected cell
+    size (and the quadratic term) constant as the corpus grows. Output:
+    (vec_id, cell, is_dup) for every corpus vector.
+    """
+    vecs = with_norm(corpus.select(id_col, as_double_vec(vec_col).alias("v")), "v")
+    cents = seed_centroids(vecs, n_cells, id_col)
+    assign = ivf_assign(vecs, cents, id_col)
+    cellv = assign.join(vecs, id_col)
+    a = cellv.select(
+        F.col(id_col).alias("id_a"), "cell",
+        F.col("v").alias("av"), F.col("norm").alias("an"),
+    )
+    b = cellv.select(
+        F.col(id_col).alias("id_b"), "cell",
+        F.col("v").alias("bv"), F.col("norm").alias("bn"),
+    )
+    dup_ids = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _dot("av", "bv") / (F.col("an") * F.col("bn")) >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assign.join(dup_ids, id_col, "left")
+        .select(id_col, "cell", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )

@@ -252,3 +252,64 @@ def rolling_fingerprint(
             f"  (acc, x) -> (acc * {ROLL_B} + x) % {ROLL_P})"
         ).alias("rolling_fp"),
     )
+
+
+def bigram_rarity(
+    df: DataFrame,
+    rare_max: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-relative n-gram rarity: for each document, how unusual its
+    bigrams are against the whole corpus — the count-based stand-in for a
+    language-model perplexity filter (CCNet-style quality bucketing) that
+    stays bit-deterministic: every output is an integer count or a ratio of
+    integers, so no cross-engine ``ln`` drift.
+
+    Per doc: bigram count, rare-bigram count (corpus frequency ≤ rare_max),
+    rare ratio, and mean corpus frequency of its bigrams (high = boilerplate
+    phrasing shared across many docs, low = novel text).
+
+    Scale shape: explode is map-only; corpus frequencies are one map-side-
+    combinable groupBy on the bigram; the frequency join shuffles doc-bigram
+    pairs on the bigram key (AQE skew-join splits the inevitable hot
+    bigrams); the final per-doc rollup is one more combinable groupBy.
+    Linear in corpus token count — no pairwise anything.
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    bi = base.filter(F.size("_toks") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> concat(_toks[i - 1], ' ', _toks[i]))"
+            )
+        ).alias("bigram"),
+    )
+    corpus = bi.groupBy("bigram").agg(F.count("*").alias("__freq__"))
+    per_doc = (
+        bi.join(corpus, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("__freq__") <= rare_max, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_rare"),
+            F.sum("__freq__").alias("__fsum__"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("n_rare").cast("double") / F.col("n_bigrams"))
+            .alias("rare_ratio"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("__fsum__").cast("double") / F.col("n_bigrams"))
+            .alias("mean_bigram_freq"),
+        )
+    )

@@ -7,6 +7,7 @@ Importing this package registers every query into
 from network_iq_spark.queries import (  # noqa: F401
     extras,
     llmdata,
+    pipeline,
     relational,
     scale,
     sessions,

@@ -140,6 +140,33 @@ def q_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_order_stats",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {_sql.dsum("o_totalprice")} AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completes the grouping-sets family (rollup_order_counts covers
+    ROLLUP): all four grouping combinations in one pass — Spark expands the
+    sets and aggregates once, map-side combinable; the deterministic
+    integer-unit sum keeps the double totals bit-identical per set."""
+    from network_iq_spark.functions import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
     "acctbal_quartiles",
     oracle="""
     SELECT quartile, COUNT(*) AS n,

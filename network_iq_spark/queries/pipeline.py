@@ -1,0 +1,269 @@
+"""Training-data assembly queries (beyond-reference LLM-data tier, round 4).
+
+The operators a 100 TB pre-training pipeline runs *after* dedup/quality
+filtering: sequence packing into fixed token budgets, corpus-relative n-gram
+rarity (the deterministic perplexity-filter stand-in), semantic dedup over
+embeddings (SemDeDup-style), deterministic domain-mix resampling, and PII
+redaction as a checkable transform. Every query has a full DuckDB oracle —
+including the approximate/clustered ones, whose deterministic seeding makes
+the whole approximation replayable in SQL (same design as ivf_cosine_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from network_iq_spark.operators import packing as PK
+from network_iq_spark.operators import sampling as SA
+from network_iq_spark.operators import similarity as S
+from network_iq_spark.operators import text as T
+from network_iq_spark.registry import register
+from network_iq_spark.sources import load_table
+from network_iq_spark.queries.llmdata import _TOKS, _sql_hex_int
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT source AS shard, doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM t
+    )
+    SELECT shard, cum_before // {_PACK_CAPACITY} AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents laid end-to-end per
+    shard (``source``) in doc_id order, cut into {cap}-token packs; a doc
+    belongs to the pack where it starts. Per-shard window (never global) —
+    the prefix sum parallelizes across shards (operators/packing.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = PK.sequence_packing(docs, capacity=_PACK_CAPACITY)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus-relative bigram rarity (perplexity-filter stand-in)
+# ---------------------------------------------------------------------------
+
+_RARE_MAX = 2
+
+
+@register(
+    "bigram_rarity",
+    oracle=f"""
+    WITH t AS ({_TOKS}),
+    bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM t, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    corpus AS (SELECT bigram, COUNT(*) AS freq FROM bi GROUP BY 1),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(CASE WHEN freq <= {_RARE_MAX} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rare,
+             CAST(SUM(freq) AS BIGINT) AS fsum
+      FROM bi JOIN corpus USING (bigram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(n_rare, 0) AS BIGINT) AS n_rare,
+           CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+                ELSE CAST(n_rare AS DOUBLE) / n_bigrams END AS rare_ratio,
+           CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+                ELSE CAST(fsum AS DOUBLE) / n_bigrams END AS mean_bigram_freq
+    FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based corpus-rarity features — the bit-deterministic stand-in
+    for an n-gram-LM perplexity filter (no ``ln``: every value is an
+    integer count or integer ratio). operators/text.py bigram_rarity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bigram_rarity(docs, rare_max=_RARE_MAX).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster, then near-dup within cluster)
+# ---------------------------------------------------------------------------
+
+_SD_CELLS, _SD_THRESHOLD = 16, 0.30
+
+
+def _semantic_dedup_sql(n_cells: int, threshold: float) -> str:
+    cent_h = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
+    return f"""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS c_id, v AS cv, norm AS cn
+      FROM n ORDER BY {cent_h}, vec_id LIMIT {n_cells}
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.c_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cn) DESC,
+                          c.c_id ASC) AS rn
+        FROM n, cent c
+      ) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN n x ON x.vec_id = a.vec_id
+      JOIN n y ON y.vec_id = b.vec_id
+      WHERE list_dot_product(x.v, y.v) / (x.norm * y.norm) >= {threshold}
+    )
+    SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS is_dup
+    FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """
+
+
+@register("semantic_dedup", oracle=_semantic_dedup_sql(_SD_CELLS, _SD_THRESHOLD))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: deterministic coarse
+    quantizer cells, exact cosine within cells, keep the min-id
+    representative per near-dup pair set. The seeded centroids make the
+    whole clustered approximation oracle-replayable, not rows-only
+    (operators/similarity.py semantic_dedup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, n_cells=_SD_CELLS, threshold=_SD_THRESHOLD
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic domain-mix resampling
+# ---------------------------------------------------------------------------
+
+_MIX_HEX = _sql_hex_int("md5(CAST(doc_id AS VARCHAR) || 'mix')", 12)
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    r AS (
+      SELECT lang, n_docs,
+             CAST(((SELECT MIN(n_docs) FROM c) * {SA.BUCKETS}) // n_docs
+                  AS BIGINT) AS rate_bp
+      FROM c
+    ),
+    k AS (
+      SELECT d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE ({_MIX_HEX}) % {SA.BUCKETS} < rate_bp
+    ),
+    kc AS (SELECT lang, COUNT(*) AS n_kept FROM k GROUP BY 1)
+    SELECT r.lang, r.n_docs, r.rate_bp,
+           CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN kc USING (lang) ORDER BY r.lang
+    """,
+)
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing audit: every language downsampled to the
+    smallest language's size with an integer basis-point rate and the md5
+    key bucket (operators/sampling.py equalize_groups) — reproducible under
+    any partitioning. Group stats broadcast; the fact pass is map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    floor_n = counts.agg(F.min("n_docs").alias("__min_n__"))
+    rates = counts.crossJoin(F.broadcast(floor_n)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"(__min_n__ * {SA.BUCKETS}) div n_docs").alias("rate_bp"),
+    )
+    kept = (
+        SA.equalize_groups(docs, key="doc_id", group="lang")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "rate_bp",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction as a checkable transform
+# ---------------------------------------------------------------------------
+
+_E, _P, _I = (T.PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_E}'))
+              + len(regexp_extract_all(lower(text), '{_P}'))
+              + len(regexp_extract_all(lower(text), '{_I}')) AS BIGINT)
+             AS n_redactions,
+           length(red) AS redacted_len,
+           md5(red) AS redacted_md5
+    FROM (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(lower(text),
+               '{_E}', '<EMAIL>', 'g'),
+               '{_P}', '<PHONE>', 'g'),
+               '{_I}', '<IPV4>', 'g') AS red
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub transform itself (pii_scan is the audit): per doc, total
+    redaction count plus length and md5 of the post-redaction text — the
+    md5 proves byte parity of the full chained-replace pipeline across
+    engines. Map-only, chained JVM regexp_replace."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = T.redact_pii(docs, out_col="__red__")
+    return (
+        red.select(
+            "doc_id",
+            (
+                F.col("pii_email_count")
+                + F.col("pii_phone_count")
+                + F.col("pii_ipv4_count")
+            )
+            .cast("bigint")
+            .alias("n_redactions"),
+            F.length("__red__").alias("redacted_len"),
+            F.md5("__red__").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )

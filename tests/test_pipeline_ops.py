@@ -1,0 +1,123 @@
+"""Unit tests for the round-4 training-data assembly operators on synthetic
+frames: packing straddle semantics, mix-resampling determinism under
+repartitioning, SemDeDup keep-one-representative property, and hand-computed
+bigram rarity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from network_iq_spark.operators.packing import sequence_packing
+from network_iq_spark.operators.sampling import equalize_groups, hash_bucket
+from network_iq_spark.operators.similarity import semantic_dedup
+from network_iq_spark.operators.text import bigram_rarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+def test_sequence_packing_straddle_assigns_to_start_pack(spark):
+    # tokens: 3, 4, 2 with capacity 5 → cum_before 0, 3, 7 → packs 0, 0, 1.
+    # doc 2 STARTS in pack 0 (cum_before 3 < 5) even though it straddles.
+    df = _docs(
+        spark,
+        [
+            (1, "s", "a b c"),
+            (2, "s", "d e f g"),
+            (3, "s", "h i"),
+        ],
+    )
+    out = {
+        (r.shard, r.pack_id): (r.n_docs, r.pack_tokens, r.first_doc, r.last_doc)
+        for r in sequence_packing(df, capacity=5).collect()
+    }
+    assert out == {("s", 0): (2, 7, 1, 2), ("s", 1): (1, 2, 3, 3)}
+
+
+def test_sequence_packing_shards_are_independent(spark):
+    df = _docs(
+        spark,
+        [(1, "a", "x y"), (2, "b", "x y"), (3, "a", "x y"), (4, "b", "x y")],
+    )
+    out = sequence_packing(df, capacity=2).collect()
+    # each shard restarts its prefix sum at 0: second doc of each shard has
+    # cum_before=2 → pack 1, independent of the other shard's stream
+    assert {(r.shard, r.pack_id) for r in out} == {("a", 0), ("a", 1), ("b", 0), ("b", 1)}
+
+
+def test_equalize_groups_uniform_keeps_everything(spark):
+    df = _docs(spark, [(i, f"g{i % 2}", "t") for i in range(20)])
+    kept = equalize_groups(df, key="doc_id", group="source")
+    assert kept.count() == 20  # rate_bp = 10000 for both groups
+
+
+def test_equalize_groups_is_partitioning_invariant(spark):
+    rows = [(i, "big" if i < 80 else "small", "t") for i in range(100)]
+    df = _docs(spark, rows)
+    a = {r.doc_id for r in equalize_groups(df, "doc_id", "source").collect()}
+    b = {
+        r.doc_id
+        for r in equalize_groups(df.repartition(13, "doc_id"), "doc_id", "source")
+        .collect()
+    }
+    assert a == b
+    # the small group (20 rows, rate 10000) survives intact; the big group
+    # is cut to ~20 by the 2500-bp hash rate
+    small = {r.doc_id for r in df.filter(F.col("source") == "small").collect()}
+    assert small <= a
+
+
+def test_semantic_dedup_flags_only_rows_with_smaller_neighbor(spark):
+    import math
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r.is_dup for r in semantic_dedup(df, n_cells=1, threshold=0.99).collect()}
+    # one cell → exact pairwise: only vec 2 has a smaller-id neighbor ≥ 0.99
+    assert out == {1: False, 2: True, 3: False, 4: False}
+    # brute-force cross-check of the flag definition
+    vecs = {r[0]: r[1] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    for vid, flag in out.items():
+        expect = any(
+            cos(vecs[o], vecs[vid]) >= 0.99 for o in vecs if o < vid
+        )
+        assert flag == expect
+
+
+def test_bigram_rarity_hand_computed(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "s", "a b a b"),   # bigrams: ab, ba, ab
+            (2, "s", "a b c"),     # bigrams: ab, bc
+            (3, "s", "z"),         # no bigrams
+        ],
+    )
+    out = {r.doc_id: r for r in bigram_rarity(df, rare_max=1).collect()}
+    # corpus freq: "a b"=3, "b a"=1, "b c"=1
+    r1 = out[1]
+    assert (r1.n_bigrams, r1.n_rare) == (3, 1)
+    assert r1.mean_bigram_freq == pytest.approx((3 + 1 + 3) / 3)
+    r2 = out[2]
+    assert (r2.n_bigrams, r2.n_rare) == (2, 1)
+    assert r2.mean_bigram_freq == pytest.approx((3 + 1) / 2)
+    r3 = out[3]
+    assert (r3.n_bigrams, r3.n_rare, r3.rare_ratio, r3.mean_bigram_freq) == (0, 0, 0.0, 0.0)
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(1000).select(hash_bucket(F.col("id"), "t").alias("b"))
+    lo, hi = df.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= lo and hi < 10_000

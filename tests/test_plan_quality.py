@@ -195,3 +195,36 @@ def test_histogram_binning_uses_broadcast_scalar(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds side
     assert "Window" not in plan               # not the global-window anti-pattern
+
+
+def test_sequence_packing_window_is_sharded_and_pruned(spark):
+    """Packing's prefix sum must be partitioned by the shard key (a global
+    window would funnel the corpus through one task), and the scan must
+    prune to the three columns the operator touches."""
+    plan = _plan(spark, "sequence_packing")
+    win = [ln for ln in plan.splitlines() if "Window" in ln and "sum" in ln.lower()]
+    assert win and "shard" in win[0], plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "lang" not in read[0] and "n_chars" not in read[0], plan
+
+
+def test_semantic_dedup_has_no_unbroadcast_cartesian(spark):
+    """The only nested-loop join is corpus x broadcast centroids; the pair
+    generation must be an equi-join on the cell id, never a cross product."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_domain_mix_sample_broadcasts_rates(spark):
+    """The per-group rate dim joins the fact side as a broadcast — the fact
+    pass stays map-shaped (no shuffle of documents on lang)."""
+    plan = _plan(spark, "domain_mix_sample")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bigram_rarity_partial_aggregates(spark):
+    """Both groupBys (corpus frequency, per-doc rollup) must partial-agg
+    before their exchanges — map-side combine is what keeps the shuffled
+    bytes proportional to distinct keys, not exploded bigrams."""
+    plan = _plan(spark, "bigram_rarity")
+    assert "partial_count" in plan, plan
