@@ -14,3 +14,22 @@ Submodules map to the survey's inventory sections:
 - ``similarity``  — beyond-reference: cosine top-k ANN over embeddings
 - ``text``        — beyond-reference: lang-ID, quality score, tokens, fingerprint
 """
+
+from pyspark.sql import DataFrame as _DataFrame
+
+
+def ensure_parallelism(df: _DataFrame) -> _DataFrame:
+    """Spread a scan across the cluster before CPU-dense per-row work
+    (digest/regex-heavy map stages: dedup signatures, text analysis).
+
+    Tiny test files arrive as ONE scan partition (single row-group), which
+    serializes the map stage onto one core. At real scale a corpus scan
+    already has >= cores splits and this is an identity — the repartition
+    only fires when the input is under-split, so no extra exchange appears
+    in the 100 TB plan shape.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from network_iq_spark.operators import ensure_parallelism
 from network_iq_spark.operators.text import WORD_RE, tokens
 
 N_HASHES = 16
@@ -35,7 +36,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     """Distinct k-token shingles per document (docs with < k tokens drop —
     too short to near-dup on shingle evidence)."""
     toks = tokens(text_col)
-    out = df.select(F.col(id_col), toks.alias("_toks")).filter(
+    out = ensure_parallelism(df).select(F.col(id_col), toks.alias("_toks")).filter(
         F.size("_toks") >= SHINGLE_K
     )
     sh = F.expr(
@@ -237,22 +238,44 @@ def minhash_lsh_pairs(
       engines hash identically so cross-engine parity is unconditional.
     """
     n_hashes = n_bands * rows_per_band
-    sh = shingles(df, text_col, id_col)
-    # hoist the md5 → int48 digest into a projection so it runs ONCE per
-    # shingle row; referenced inline it appears in k+1 aggregate expressions
-    # and subexpression elimination across aggregates is not guaranteed
-    hashed = sh.select(F.col(id_col), base_hash48(F.col("shingle")).alias("h"))
-    hcol = F.col("h")
-    sig = hashed.groupBy(id_col).agg(
-        *[F.min(_affine(hcol, i)).alias(f"m{i}") for i in range(n_hashes)],
-        F.collect_set(hcol).alias("hs"),
+    # MAP-ONLY signature build: a doc's shingles are already co-located in
+    # its row, so the k mins and the verify set fold as array expressions —
+    # no explode, no groupBy shuffle (the exploded formulation shuffled
+    # |docs|·|shingles| rows through a 17-aggregate hash agg). Dedup of
+    # hash values (array_distinct) ≡ the old collect_set; min over the
+    # deduped set ≡ min over the multiset.
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= SHINGLE_K)
+    sh_arr = F.expr(
+        f"array_distinct(transform(sequence(0, size(_toks) - {SHINGLE_K}), "
+        f"i -> concat(_toks[i], ' ', _toks[i+1], ' ', _toks[i+2])))"
+    )
+    hs_arr = (
+        "array_distinct(transform(__sh__, "
+        "s -> cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)))"
+    )
+    sig = (
+        base.select(F.col(id_col), sh_arr.alias("__sh__"))
+        .select(F.col(id_col), F.expr(hs_arr).alias("hs"))
+        .select(
+            F.col(id_col),
+            *[
+                F.expr(
+                    f"array_min(transform(hs, "
+                    f"h -> ({2 * i + 1} * h + {7 * i + 3}) % {MINHASH_P}))"
+                ).alias(f"m{i}")
+                for i in range(n_hashes)
+            ],
+            "hs",
+        )
     )
     # The signature feeds TWO consumers — the band explode (needs m0..mk) and
-    # the set verify (needs hs). Catalyst prunes different columns into each
-    # branch, so the exchange subtrees differ and ReuseExchange never fires:
-    # without materialization the whole shingle→groupBy pipeline executes
-    # twice (measured 1.9x on the full query). localCheckpoint materializes
-    # the (small: one row per doc) signature once; both branches read it.
+    # the set verify (needs hs) — and the map-only plan has no exchange for
+    # ReuseExchange to fire on, so without materialization the whole
+    # shingle+digest pipeline executes once per branch (measured 1.9x on the
+    # full query under the old shape). localCheckpoint materializes the
+    # (small: one row per doc) signature once; both branches read it.
     # Same idiom as graph.connected_components' edge materialization.
     sig = sig.localCheckpoint()
 
@@ -339,34 +362,44 @@ def simhash32(
     signed int64 with headroom for the positional-arithmetic oracle twin).
 
     Per token: one md5 → n-bit integer (``base hash``); bit b votes ±1;
-    fingerprint bit = (vote sum > 0). Map + one groupBy — all integer
-    arithmetic after the single digest. Fingerprint width is the collision
-    dial: 32 bits saturates on large shared-vocabulary corpora (pair counts
-    grow ~quadratically once distinct-fingerprint space fills); 60 bits
-    keeps distance ≤ d pairs a meaningful near-dup signal at crawl scale.
+    fingerprint bit = (vote sum > 0). Entirely MAP-ONLY: a document's
+    distinct tokens are already co-located in its row, so the vote sums
+    fold as array ``aggregate``s — no explode, no distinct shuffle, no
+    groupBy (the earlier two-shuffle formulation measured 2× slower at
+    sf0.1 for identical output). At 100 TB the signature stage is thus pure
+    scan throughput; only the pairing step (callers) shuffles.
+
+    Fingerprint width is the collision dial: 32 bits saturates on large
+    shared-vocabulary corpora (pair counts grow ~quadratically once
+    distinct-fingerprint space fills); 60 bits keeps distance ≤ d pairs a
+    meaningful near-dup signal at crawl scale. Docs with zero tokens emit
+    no row (same contract as the explode-based formulation).
     """
     assert n_bits % 4 == 0 and 4 <= n_bits <= 60, "n_bits: multiple of 4, ≤ 60"
-    tok = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .distinct()
-        .withColumn(
-            "h",
-            F.conv(F.substring(F.md5("tok"), 1, n_bits // 4), 16, 10).cast("bigint"),
-        )
+    nd = n_bits // 4
+    hs = F.expr(
+        f"transform(array_distinct(regexp_extract_all(lower({text_col}),"
+        f" '{WORD_RE}', 0)),"
+        f" t -> cast(conv(substring(md5(t), 1, {nd}), 16, 10) as bigint))"
     )
-    votes = [
-        F.sum(
-            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
-        ).alias(f"v{b}")
-        for b in range(n_bits)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
-    acc = F.lit(0).cast("bigint")
-    for b in range(n_bits):
-        acc = acc + F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)).cast(
-            "bigint"
-        )
-    return agg.select(F.col(id_col), acc.alias("simhash"))
+    votes = (
+        f"aggregate(__hs__,"
+        f" transform(sequence(0, {n_bits - 1}), b -> cast(0 as bigint)),"
+        f" (acc, x) -> zip_with(acc,"
+        f"   transform(sequence(0, {n_bits - 1}), b -> (shiftright(x, b) & 1) * 2 - 1),"
+        f"   (a, v) -> a + cast(v as bigint)))"
+    )
+    fp = (
+        f"aggregate(zip_with({votes}, sequence(0, {n_bits - 1}),"
+        f" (v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),"
+        f" cast(0 as bigint), (a, x) -> a + x)"
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), hs.alias("__hs__"))
+        .filter(F.size("__hs__") > 0)
+        .select(id_col, F.expr(fp).alias("simhash"))
+    )
 
 
 def simhash_pairs(
@@ -379,7 +412,10 @@ def simhash_pairs(
     pair within distance d shares ≥1 exact segment — pigeonhole) so the join
     key is a segment value, not a cross join.
     """
-    s = simhash32(df, text_col, id_col)
+    # materialize the tiny signature table once: the map-only fingerprint
+    # has no exchange for Spark to reuse, so without this both sides of
+    # the self-join would re-run the whole regexp+md5 pipeline
+    s = simhash32(df, text_col, id_col).localCheckpoint()
     a = s.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
     b = s.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
     return (
@@ -430,7 +466,8 @@ def simhash_pairs_blocked(
     by corpus near-dup density.
     """
     n_seg = max_hamming + 1
-    s = simhash32(df, text_col, id_col, n_bits=n_bits)
+    # materialized once for the two self-join branches (see simhash_pairs)
+    s = simhash32(df, text_col, id_col, n_bits=n_bits).localCheckpoint()
     segs = _simhash_segments(F.col("simhash"), n_seg, n_bits=n_bits)
     seg_structs = [
         F.struct(F.lit(i).alias("seg"), segs[i].alias("seg_val")) for i in range(n_seg)

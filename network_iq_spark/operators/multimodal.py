@@ -90,7 +90,9 @@ def extract_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    from network_iq_spark.operators import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

@@ -168,7 +168,11 @@ def lsh_signatures(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(signatures, schema=out_schema)
+    from network_iq_spark.operators import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        signatures, schema=out_schema
+    )
 
 
 def cosine_topk_lsh(
@@ -335,7 +339,11 @@ def int_lsh_signatures(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(signatures, schema=out_schema)
+    from network_iq_spark.operators import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        signatures, schema=out_schema
+    )
 
 
 def near_dup_pairs(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from network_iq_spark.operators import ensure_parallelism
 from network_iq_spark.operators.text import tokens
 
 WINDOW_K = 8  # testdata docs run 10-99 tokens; 8 gives span-grain signal
@@ -39,6 +40,7 @@ def positional_windows(
     position; the window key is md5 of the space-joined tokens (identical
     digests in any engine — same contract as dedup.base_hash48). Docs with
     fewer than k tokens emit nothing. Pure map + explode."""
+    df = ensure_parallelism(df)
     out = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
         F.size("_toks") >= k
     )

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from network_iq_spark.operators import ensure_parallelism
+
 WORD_RE = "[a-z0-9]+"
 # BPE-ish segmentation: letter runs | digit runs | single non-alnum glyphs
 BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -44,6 +46,7 @@ def _in_list(lam_var: str, words: tuple[str, ...]) -> str:
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace-ish word tokens + BPE-ish segments + mean
     token length. All integer counts → deterministic ratios."""
+    df = ensure_parallelism(df)
     out = df.select(
         id_col,
         tokens(text_col).alias("_toks"),
@@ -66,6 +69,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic document-quality scoring (length / punctuation / stopword
     ratios) — the standard pre-training filter features. Score ∈ [0,1]."""
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     out = df.select(
         id_col,
@@ -104,6 +108,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-stopword language-ID heuristic: per-language marker-hit rates,
     argmax with a fixed priority order (deterministic ties)."""
+    df = ensure_parallelism(df)
     out = df.select(id_col, tokens(text_col).alias("_toks"))
     n = F.size("_toks")
     scores = {
@@ -130,6 +135,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Content fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dedup key (F13 analogue: sha-256 content hashing,
     streamlit_app.py:1162-1163)."""
+    df = ensure_parallelism(df)
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return df.select(id_col, F.md5(norm).alias("fingerprint"))
 
@@ -148,6 +154,7 @@ def repetition_stats(
     long documents), both aggregations map-side combinable — the shape that
     survives book-length docs at 100 TB.
     """
+    df = ensure_parallelism(df)
     base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     n = F.size("_toks")
     head = base.select(
@@ -240,6 +247,7 @@ def rolling_fingerprint(
     no overflow even under ANSI mode. One md5 per token, map-only,
     whole-stage codegen otherwise.
     """
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col),
         tokens(text_col).alias("_toks"),
@@ -276,6 +284,7 @@ def bigram_rarity(
     bigrams); the final per-doc rollup is one more combinable groupBy.
     Linear in corpus token count — no pairwise anything.
     """
+    df = ensure_parallelism(df)
     base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     bi = base.filter(F.size("_toks") >= 2).select(
         id_col,

@@ -110,7 +110,11 @@ def test_spans_plan_has_no_cartesian_and_window_build_is_map_only(spark):
     wplan = (
         SP.positional_windows(docs)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in wplan  # window build: pure map + explode
+    # window build: pure map + explode. The only permissible exchange is the
+    # under-split input guard (round-robin ensure_parallelism, which no-ops
+    # at real scale) — never a data-keyed shuffle.
+    assert "hashpartitioning" not in wplan
+    assert "rangepartitioning" not in wplan
     for op in (
         SP.duplicate_window_stats(docs),
         SP.contamination_overlap(
