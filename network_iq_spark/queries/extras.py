@@ -640,3 +640,73 @@ def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series.select(
         "event_type", ewma.alias("ewma"), F.col("n_hours").cast("bigint").alias("n_hours")
     ).orderBy("event_type")
+
+
+@register(
+    "customer_order_seq",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           PERCENT_RANK() OVER w AS price_seq_pr,
+           CUME_DIST() OVER w AS price_seq_cd
+    FROM orders
+    WHERE o_custkey % 1000 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def q_customer_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-rank family breadth (SURVEY §2.5 'absent in reference, free
+    with windows'): lead/lag/percent_rank/cume_dist over each customer's
+    order sequence. Ties broken by orderkey ⇒ fully deterministic; the
+    ratios are rational numbers both engines compute identically. One hash
+    exchange on the customer key — the canonical partitioned window."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 1000 == 0
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.percent_rank().over(w).alias("price_seq_pr"),
+            F.cume_dist().over(w).alias("price_seq_cd"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@register(
+    "part_type_setops",
+    oracle="""
+    WITH big AS (SELECT DISTINCT p_type FROM part WHERE p_size >= 40),
+    boxed AS (SELECT DISTINCT p_type FROM part WHERE p_brand LIKE 'Brand#1%'),
+    i AS (SELECT p_type FROM big INTERSECT SELECT p_type FROM boxed),
+    e AS (SELECT p_type FROM big EXCEPT SELECT p_type FROM boxed)
+    SELECT 'both' AS bucket, COUNT(*) AS n_types FROM i
+    UNION ALL
+    SELECT 'big_only' AS bucket, COUNT(*) AS n_types FROM e
+    ORDER BY bucket
+    """,
+)
+def q_part_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation breadth (SURVEY §2.7 'absent: intersect/except — free
+    if needed'): INTERSECT and EXCEPT of part-type domains under size/brand
+    predicates, reduced to counts. Spark plans both as aggregated
+    semi/anti joins — one shuffle per distinct-domain, no sort."""
+    p = load_table(spark, sf_dir, "part")
+    big = p.filter(F.col("p_size") >= 40).select("p_type").distinct()
+    boxed = p.filter(F.col("p_brand").startswith("Brand#1")).select(
+        "p_type"
+    ).distinct()
+    i = big.intersect(boxed).agg(F.count("*").alias("n_types")).select(
+        F.lit("both").alias("bucket"), "n_types"
+    )
+    e = big.exceptAll(boxed).agg(F.count("*").alias("n_types")).select(
+        F.lit("big_only").alias("bucket"), "n_types"
+    )
+    return i.unionByName(e).orderBy("bucket")
