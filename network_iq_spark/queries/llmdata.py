@@ -1063,11 +1063,15 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = D.exact_dedup(T.fingerprint(qdocs)).select(
         F.col("keeper").alias("doc_id")
     )
-    # deliberately NOT materialized: the six downstream branches each prune
-    # d1 to the columns they need (the signature branch never carries
-    # quality_score, the split branch never carries text) — measured 6.6 s
-    # vs 5.6 s when localCheckpoint forces the full width once
-    d1 = qdocs.join(keep, "doc_id", "left_semi")
+    # Materialized once for the three consumers (signature build, the
+    # near-dup anti-join, the split aggregation). This tradeoff has flipped
+    # twice: with the exploded signature build, recompute won (6.6 s
+    # materialized vs 5.6 s) because each branch pruned to narrow columns;
+    # with the MAP-ONLY signature there is no exchange to reuse and d1's
+    # join pipeline re-executes per branch — measured 4.8-5.4 s recompute
+    # vs 3.1-3.6 s materialized at sf0.1. At 100 TB substitute a persisted
+    # table (or .persist(DISK_ONLY)) for localCheckpoint at this boundary.
+    d1 = qdocs.join(keep, "doc_id", "left_semi").localCheckpoint()
     pairs = D.minhash_lsh_pairs(
         d1, threshold=_PIPE_JTHR, n_bands=_PIPE_BANDS, rows_per_band=_PIPE_ROWS
     )

@@ -9,6 +9,9 @@ check; the exact twins carry the correctness burden).
 - ``ann_cosine_topk``: LSH-bucketed approximate nearest neighbours — the
   scale path next to the exact ``cosine_topk`` baseline (brute force only
   inside matching hyperplane-signature buckets).
+- ``salted_event_stats`` (oracle-backed, exact): the skew-proof two-phase
+  aggregate — bit-identical to the plain groupBy because sums ride the
+  integer-unit path.
 """
 
 from __future__ import annotations
@@ -53,4 +56,32 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = vecs.select("vec_id").filter(F.col("vec_id") < 10)
     return S.cosine_topk_lsh(vecs, queries, dim=64, k=10).orderBy(
         "q_vec_id", "rank"
+    )
+
+
+@register(
+    "salted_event_stats",
+    oracle=f"""
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS sum_value,
+           COUNT(value) AS count_value,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (10000.0 * COUNT(value)) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregate as a driver-facing query: 100k events
+    over 5 hot event_type keys is exactly the one-reducer-per-hot-key shape
+    AQE cannot fix for aggregations. Phase 1 spreads each key over 16 salts;
+    phase 2 merges partials — and because sums ride the exact integer-unit
+    path, the result is BIT-IDENTICAL to the plain one-phase groupBy the
+    oracle runs (float sums would drift in ulps under the salt regrouping;
+    operators/skew.py salted_sum_count)."""
+    from network_iq_spark.operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_sum_count(ev, ["event_type"], "value", n_salts=16).orderBy(
+        "event_type"
     )

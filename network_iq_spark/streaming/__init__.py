@@ -1,3 +1,7 @@
+from network_iq_spark.streaming.dedup import (
+    streaming_exact_dedup,
+    with_content_fingerprint,
+)
 from network_iq_spark.streaming.kpis import (
     latest_per_key,
     read_telemetry_stream,
@@ -8,6 +12,8 @@ from network_iq_spark.streaming.sessions import streaming_sessionize
 
 __all__ = [
     "latest_per_key",
+    "streaming_exact_dedup",
+    "with_content_fingerprint",
     "read_telemetry_stream",
     "sliding_features",
     "streaming_sessionize",

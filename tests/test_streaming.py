@@ -311,3 +311,54 @@ def test_streaming_sessionize_matches_batch_gap_split(spark, tmp_path):
         for r in QUERIES["sessionize"](spark, "/root/testdata/sf0.001").collect()
     }
     assert {(u, s, e, n) for u, s, e, n, _ in got} == batch
+
+
+def test_streaming_exact_dedup_first_arrival_wins(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one arrival per content
+    fingerprint; the surviving CONTENT set equals the batch exact_dedup's
+    on the same data (stream/batch agreement on what a duplicate is)."""
+    import pyspark.sql.functions as F
+
+    from network_iq_spark.operators.dedup import exact_dedup
+    from network_iq_spark.operators.text import fingerprint
+    from network_iq_spark.streaming import (
+        streaming_exact_dedup,
+        with_content_fingerprint,
+    )
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    rows = [
+        (1, "alpha beta gamma", "2024-01-01 00:00:00"),
+        (2, "  ALPHA   beta GAMMA ", "2024-01-01 00:10:00"),  # dup of 1
+        (3, "delta epsilon", "2024-01-01 00:20:00"),
+        (4, "alpha beta gamma", "2024-01-01 00:30:00"),       # dup of 1
+        (5, "zeta", "2024-01-01 00:40:00"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id bigint, text string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    batch.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    deduped = streaming_exact_dedup(
+        with_content_fingerprint(stream), ["fingerprint"], "ts"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("s_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("s_dedup").collect()
+
+    # exactly-once CONTENT: one survivor per fingerprint, and the surviving
+    # fingerprint set equals the batch exact_dedup's. WHICH representative
+    # survives is arrival-order within a micro-batch (not doc_id) — only
+    # the content contract is stream/batch portable, so that is what we pin.
+    assert len(out) == len({r.fingerprint for r in out})
+    want_fps = {r.fingerprint for r in exact_dedup(fingerprint(batch)).collect()}
+    assert {r.fingerprint for r in out} == want_fps
+    assert len(out) == 3
