@@ -65,3 +65,50 @@ def sequence_packing(
         )
         .orderBy("shard", "pack_id")
     )
+
+
+def chunk_manifest(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunk manifest: the (doc, chunk, token-range) table a
+    tokenizer/embedder consumes to split long documents with overlap — the
+    standard RAG/pre-training chunking contract.
+
+    Chunk i covers tokens [i·step, min(i·step + chunk, n)) with
+    step = chunk − overlap; the last chunk is the first one whose window
+    reaches n. All integer arithmetic; the explode is bounded by
+    n/step chunks per doc, so the operator is map-only with O(1) fanout —
+    no shuffle at any scale.
+    """
+    assert 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    # number of chunks: 1 if n <= chunk else ceil((n - chunk)/step) + 1
+    n_chunks = F.expr(
+        f"if(n_tokens <= {chunk_tokens}, cast(1 as bigint), "
+        f"(n_tokens - {chunk_tokens} + {step} - 1) div {step} + 1)"
+    )
+    return (
+        base.withColumn("__nc__", n_chunks)
+        .select(
+            id_col,
+            "n_tokens",
+            F.explode(F.expr("sequence(cast(0 as bigint), __nc__ - 1)")).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * step).alias("tok_start"),
+            F.least(
+                F.col("chunk_id") * step + chunk_tokens, F.col("n_tokens")
+            ).alias("tok_end"),
+        )
+    )

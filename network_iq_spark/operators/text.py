@@ -322,3 +322,46 @@ def bigram_rarity(
             .alias("mean_bigram_freq"),
         )
     )
+
+
+def doc_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction by tf/df ranking — the deterministic
+    stand-in for tf-idf (identical top-k order: idf = ln(N/df) is monotone
+    decreasing in df, so ranking by the rational score tf·10⁶/df avoids the
+    cross-engine ``ln`` ulp drift entirely).
+
+    Shapes: one explode, two map-combinable groupBys (term frequency per
+    doc, document frequency per token), one join on the token key (AQE
+    splits hot stopword-ish tokens), one per-doc window rank. Ties break
+    (score desc, token asc) ⇒ fully deterministic output.
+    """
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df)
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tok.select(id_col, "tok").distinct().groupBy("tok").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(dfreq, "tok").select(
+        id_col,
+        "tok",
+        "tf",
+        "df",
+        (F.col("tf") * F.lit(1_000_000) / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "tok", "tf", "df", "score")
+    )

@@ -322,3 +322,75 @@ def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_cosine_topk(emb, qids, k=_QZ_K).orderBy(
         "q_vec_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking and keyword extraction
+# ---------------------------------------------------------------------------
+
+_CHUNK, _OVERLAP = 32, 8
+_KW_K = 3
+
+
+@register(
+    "chunk_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= {_CHUNK} THEN 1
+                  ELSE (n_tokens - {_CHUNK} + {_CHUNK - _OVERLAP} - 1)
+                       // {_CHUNK - _OVERLAP} + 1 END AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {_CHUNK - _OVERLAP} AS BIGINT) AS tok_start,
+           CAST(LEAST(i * {_CHUNK - _OVERLAP} + {_CHUNK}, n_tokens) AS BIGINT)
+             AS tok_end
+    FROM c, LATERAL unnest(generate_series(0, n_chunks - 1)) AS g(i)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk manifest ({chunk}=32 tokens, overlap 8): the
+    doc → token-range table a tokenizer/embedder consumes. Map-only with
+    O(n_tokens/step) bounded fanout (operators/packing.py chunk_manifest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return PK.chunk_manifest(
+        docs, chunk_tokens=_CHUNK, overlap=_OVERLAP
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "doc_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (
+      SELECT tok, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY 1
+    ),
+    scored AS (
+      SELECT doc_id, tok, tf, df, tf * 1000000 / df AS score
+      FROM tf JOIN dfreq USING (tok)
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf, df, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_KW_K} ORDER BY doc_id, rank
+    """,
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by tf/df ranking — identical order to
+    tf-idf (idf is monotone in df) without the cross-engine ln drift
+    (operators/text.py doc_keywords)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.doc_keywords(docs, k=_KW_K).orderBy("doc_id", "rank")

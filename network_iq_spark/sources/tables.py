@@ -44,22 +44,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     how DuckDB (the correctness oracle) reads the same file — by disabling
     NTZ inference at scan time, with a cast fallback if the conf is pinned.
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        dt = dict(df.dtypes).get("ts")
-        if dt == "bigint":
+    for col, dt in df.dtypes:
+        if name == "events" and col == "ts" and dt == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif dt == "timestamp_ntz":
             # Interpret the naive wall clock as UTC regardless of session tz:
             # shift NTZ into the session zone's wall clock for the same UTC
             # instant, then cast (which applies the session zone) back out.
             df = df.withColumn(
-                "ts",
+                col,
                 F.expr(
-                    "cast(convert_timezone('UTC', current_timezone(), ts)"
+                    f"cast(convert_timezone('UTC', current_timezone(), {col})"
                     " as timestamp)"
                 ),
             )
