@@ -618,9 +618,18 @@ def quantized_cosine_topk(
     runs this inside IVF cells (quantized candidate scoring, float
     re-rank of the top candidates).
     """
-    qz = quantize_int8(df, id_col, vec_col)
-    vecs = with_norm(df.select(id_col, as_double_vec(vec_col).alias("v")), "v")
-    full = qz.join(vecs, id_col)
+    # q, v, and norm all derive from the same scan row — one projection, no
+    # self-join (joining quantize_int8's output back to the float vectors
+    # would shuffle the corpus on vec_id for data already co-located)
+    base = with_norm(df.select(id_col, as_double_vec(vec_col).alias("v")), "v")
+    maxabs = F.expr("array_max(transform(v, x -> abs(x)))")
+    full = base.withColumn("__ma__", maxabs).withColumn(
+        "q",
+        F.expr(
+            "CASE WHEN __ma__ = 0.0 THEN transform(v, x -> cast(0 as bigint)) "
+            "ELSE transform(v, x -> cast(floor(x * 127.0 / __ma__ + 0.5) as bigint)) END"
+        ),
+    )
     qside = full.join(query_ids, id_col, "left_semi").select(
         F.col(id_col).alias("q_vec_id"),
         F.col("q").alias("qa"),
