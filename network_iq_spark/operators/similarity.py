@@ -669,3 +669,64 @@ def quantized_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "n_vec_id", "rank", "qcos", "cos")
     )
+
+
+def cosine_topk_int_lsh(
+    df: DataFrame,
+    query_ids: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k from INTEGERIZED hyperplane buckets — the oracle-checkable
+    sibling of :func:`cosine_topk_lsh` (whose float numpy signatures cannot
+    be replayed in SQL; these integer ones can, same trick as
+    ``embedding_near_dup``).
+
+    Candidates = corpus vectors sharing a (table, bucket) with the query in
+    ANY of the L tables; exact element-order cosine ranks them. Recall is
+    the (planes, tables) S-curve exactly as in the float variant. Scale
+    shape: signatures are one int64 matmul per Arrow batch, candidates
+    shuffle once on (table, bucket), scoring touches candidates only.
+    """
+    sig = int_lsh_signatures(
+        df, dim, n_planes, n_tables, seed, id_col=id_col, vec_col=vec_col
+    )
+    qsig = sig.join(query_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("q_vec_id"), "table", "bucket"
+    )
+    csig = sig.select(F.col(id_col).alias("n_vec_id"), "table", "bucket")
+    cand = (
+        qsig.join(csig, ["table", "bucket"])
+        .filter(F.col("q_vec_id") != F.col("n_vec_id"))
+        .select("q_vec_id", "n_vec_id")
+        .distinct()
+    )
+    vecs = with_norm(df.select(id_col, as_double_vec(vec_col).alias("v")), "v")
+    va = vecs.select(
+        F.col(id_col).alias("q_vec_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("n_vec_id"), F.col("v").alias("nv"), F.col("norm").alias("nn")
+    )
+    scored = (
+        cand.join(va, "q_vec_id")
+        .join(vb, "n_vec_id")
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            (_dot("qv", "nv") / (F.col("qn") * F.col("nn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cos").desc(), F.col("n_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "n_vec_id", "rank", "cos")
+    )

@@ -612,15 +612,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ND_TABLES, _ND_PLANES, _ND_THRESHOLD = 4, 8, 0.30
 
 
-def _near_dup_sql(n_tables: int, n_planes: int, threshold: float) -> str:
-    """DuckDB twin of operators/similarity.py near_dup_pairs: replicates the
-    splitmix integer-weight derivation (128-bit arithmetic with a 32-bit
-    split for the 64x64 multiply), the floor(x*2^20+0.5) quantization, the
-    integer-dot bucket bits, the (table,bucket) candidate join, and the
-    element-order double cosine — the whole approximation, not just the
-    verify stage, so the hash compare is exact by construction."""
-    return f"""
-    WITH params AS (
+def _int_sig_ctes(n_tables: int, n_planes: int) -> str:
+    """Shared CTE chain reproducing int_lsh_signatures in SQL: splitmix
+    integer-weight derivation (128-bit arithmetic with a 32-bit split for
+    the 64x64 multiply), floor(x*2^20+0.5) quantization, integer-dot bucket
+    bits. Ends with ``sigs(vec_id, t, bucket)``."""
+    return f"""params AS (
       SELECT t.range::HUGEINT AS t, p.range::HUGEINT AS p, i.range::HUGEINT AS i
       FROM range({n_tables}) t, range({n_planes}) p, range(64) i
     ),
@@ -660,7 +657,16 @@ def _near_dup_sql(n_tables: int, n_planes: int, threshold: float) -> str:
              CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
                   AS BIGINT) AS bucket
       FROM comps GROUP BY vec_id, t
-    ),
+    )"""
+
+
+def _near_dup_sql(n_tables: int, n_planes: int, threshold: float) -> str:
+    """DuckDB twin of operators/similarity.py near_dup_pairs: the shared
+    signature CTEs plus the (table,bucket) candidate join and the
+    element-order double cosine — the whole approximation, not just the
+    verify stage, so the hash compare is exact by construction."""
+    return f"""
+    WITH {_int_sig_ctes(n_tables, n_planes)},
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM sigs a JOIN sigs b

@@ -394,3 +394,60 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py doc_keywords)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.doc_keywords(docs, k=_KW_K).orderBy("doc_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checkable ANN (integerized hyperplane buckets)
+# ---------------------------------------------------------------------------
+
+_AI_PLANES, _AI_TABLES, _AI_K = 6, 4, 10
+
+
+def _ann_int_sql(n_tables: int, n_planes: int, k: int) -> str:
+    from network_iq_spark.queries.llmdata import _int_sig_ctes
+
+    return f"""
+    WITH {_int_sig_ctes(n_tables, n_planes)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id
+      FROM sigs a JOIN sigs b
+        ON a.t = b.t AND a.bucket = b.bucket AND b.vec_id != a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT c.q_vec_id, c.n_vec_id,
+             list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+      FROM cand c
+      JOIN n a ON a.vec_id = c.q_vec_id
+      JOIN n b ON b.vec_id = c.n_vec_id
+    )
+    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, n_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY q_vec_id, rank
+    """
+
+
+@register(
+    "ann_int_cosine_topk",
+    oracle=_ann_int_sql(_AI_TABLES, _AI_PLANES, _AI_K),
+)
+def q_ann_int_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 from integerized hyperplane buckets (query vecs =
+    vec_id < 10) — unlike the float-signature ann_cosine_topk (rows-only by
+    necessity), the integer buckets replay exactly in SQL, so this ANN
+    variant is hash-checked end to end: weight derivation, quantization,
+    bucket bits, candidate join, and cosine ranks
+    (operators/similarity.py cosine_topk_int_lsh)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    return S.cosine_topk_int_lsh(
+        emb, qids, k=_AI_K, n_planes=_AI_PLANES, n_tables=_AI_TABLES
+    ).orderBy("q_vec_id", "rank")
