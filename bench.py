@@ -105,6 +105,11 @@ def main() -> None:
         fastest = min(keep, key=keep.get)
         del keep[fastest]
         line = _line(keep)
+    if len(line) > 1900 and errors:
+        # errors alone overflow the budget: collapse to a count so the
+        # timing contract always survives the driver's tail capture
+        errors = {"error_count": str(len(errors))}
+        line = _line(keep)
     print(line)
 
 
