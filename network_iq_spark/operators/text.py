@@ -365,3 +365,51 @@ def doc_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "tok", "tf", "df", "score")
     )
+
+
+WINNOW_W = 4  # picks one fingerprint per window of WINNOW_W consecutive grams
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    w: int = WINNOW_W,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson, Aiken 2003 — the MOSS algorithm):
+    position-robust local fingerprints. In every window of ``w`` consecutive
+    3-gram hashes select the minimum (rightmost on ties); the distinct
+    (position, hash) picks are the document's fingerprint set. Guarantees:
+    any shared substring of ≥ w+2 tokens yields a shared fingerprint, and
+    the density is ~2/(w+1) — the local, position-aware complement to the
+    global rolling hash (:func:`rolling_fingerprint`) and the shingle-set
+    dedup families.
+
+    Entirely MAP-ONLY per document (array folds over the co-located token
+    array; O(m·w) integer ops per doc) + one explode — the argmin never
+    shuffles. Docs with fewer than w 3-grams emit nothing.
+    """
+    df = ensure_parallelism(df)
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 2 + w
+    )
+    # positional 3-gram 48-bit hashes (same digest as dedup.base_hash48)
+    hs = (
+        "transform(sequence(0, size(_toks) - 3), i -> "
+        "cast(conv(substring(md5(concat(_toks[i], ' ', _toks[i+1], ' ', "
+        "_toks[i+2])), 1, 12), 16, 10) as bigint))"
+    )
+    # rightmost-min pick per window: left-to-right fold with <= keeps ties'
+    # rightmost occurrence, matching the paper's robust-winnowing rule
+    picks = (
+        f"array_distinct(transform(sequence(0, size(__hs__) - {w}), j -> "
+        f"aggregate(sequence(j, j + {w - 1}), "
+        f"named_struct('pos', cast(-1 as bigint), 'h', cast(9223372036854775807 as bigint)), "
+        f"(acc, i) -> if(__hs__[i] <= acc.h, "
+        f"named_struct('pos', cast(i as bigint), 'h', __hs__[i]), acc))))"
+    )
+    return (
+        base.select(F.col(id_col), F.expr(hs).alias("__hs__"))
+        .select(F.col(id_col), F.explode(F.expr(picks)).alias("fp"))
+        .select(id_col, F.col("fp.pos").alias("pos"), F.col("fp.h").alias("h"))
+    )

@@ -451,3 +451,50 @@ def q_ann_int_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_int_lsh(
         emb, qids, k=_AI_K, n_planes=_AI_PLANES, n_tables=_AI_TABLES
     ).orderBy("q_vec_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+_WIN_W = 4
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS ({_TOKS}),
+    g AS (
+      SELECT doc_id,
+             CAST(i - 1 AS BIGINT) AS pos,
+             CAST({_sql_hex_int("substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12)", 12)} AS BIGINT) AS h,
+             len(t) - 2 AS m
+      FROM t, LATERAL unnest(generate_series(1, len(t) - 2)) AS s(i)
+      WHERE len(t) >= {2 + _WIN_W}
+    ),
+    win AS (
+      SELECT g.doc_id, w.j, g.pos, g.h
+      FROM g, LATERAL unnest(generate_series(0, g.m - {_WIN_W})) AS w(j)
+      WHERE g.pos BETWEEN w.j AND w.j + {_WIN_W - 1}
+    ),
+    picks AS (
+      SELECT doc_id, pos, h FROM (
+        SELECT doc_id, j, pos, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, j
+                                  ORDER BY h ASC, pos DESC) AS rn
+        FROM win
+      ) WHERE rn = 1
+    )
+    SELECT DISTINCT doc_id, pos, h FROM picks ORDER BY doc_id, pos
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints: rightmost-min pick per window
+    of {w}=4 consecutive 3-gram hashes, distinct (pos, hash) set per doc.
+    Position-robust overlap detection — any shared >=7-token substring
+    yields a shared fingerprint (operators/text.py
+    winnowing_fingerprints; map-only + explode, argmin never shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the operator's array_distinct already dedups picks within a doc, so
+    # no distinct shuffle is needed here
+    return T.winnowing_fingerprints(docs, w=_WIN_W).orderBy("doc_id", "pos")

@@ -154,3 +154,25 @@ def test_quantized_cosine_close_to_exact(spark):
     assert out
     for r in out:
         assert abs(r.qcos - r.cos) < 0.02
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a substring of >= w+2
+    tokens (here w=4 -> 6 tokens) share at least one (hash) fingerprint."""
+    from network_iq_spark.operators.text import winnowing_fingerprints
+
+    shared = "quick brown fox jumps over lazy"
+    df = _docs(
+        spark,
+        [
+            (1, "s", f"alpha beta {shared} gamma delta epsilon"),
+            (2, "s", f"one two three {shared} four five six seven"),
+            (3, "s", "completely different words with no overlap at all here"),
+        ],
+    )
+    fps = winnowing_fingerprints(df, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.h)
+    assert by_doc[1] & by_doc[2]          # shared substring -> shared print
+    assert not (by_doc[1] & by_doc[3])    # disjoint text -> disjoint prints
