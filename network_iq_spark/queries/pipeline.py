@@ -498,3 +498,58 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the operator's array_distinct already dedups picks within a doc, so
     # no distinct shuffle is needed here
     return T.winnowing_fingerprints(docs, w=_WIN_W).orderBy("doc_id", "pos")
+
+
+@register(
+    "winnow_overlap_pairs",
+    oracle=f"""
+    WITH t AS ({_TOKS}),
+    g AS (
+      SELECT doc_id,
+             CAST(i - 1 AS BIGINT) AS pos,
+             CAST({_sql_hex_int("substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12)", 12)} AS BIGINT) AS h,
+             len(t) - 2 AS m
+      FROM t, LATERAL unnest(generate_series(1, len(t) - 2)) AS s(i)
+      WHERE len(t) >= {2 + _WIN_W}
+    ),
+    win AS (
+      SELECT g.doc_id, w.j, g.pos, g.h
+      FROM g, LATERAL unnest(generate_series(0, g.m - {_WIN_W})) AS w(j)
+      WHERE g.pos BETWEEN w.j AND w.j + {_WIN_W - 1}
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id, j, pos, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, j
+                                  ORDER BY h ASC, pos DESC) AS rn
+        FROM win
+      ) WHERE rn = 1
+    )
+    SELECT doc_a, doc_b, n_shared FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_shared
+      FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ) ORDER BY n_shared DESC, doc_a ASC, doc_b ASC LIMIT 50
+    """,
+)
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 overlapping doc pairs by shared winnowing fingerprints — the
+    pair-level consumer of winnowing_fingerprints (MOSS-style overlap
+    report). One content-uniform shuffle on the fingerprint hash; the
+    distinct-hash projection keeps the self-join fanout at fingerprint
+    density (~2/(w+1) of grams), not token count."""
+    fp = T.winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), w=_WIN_W
+    ).select("doc_id", "h").distinct()
+    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return pairs.orderBy(
+        F.col("n_shared").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(50)

@@ -176,3 +176,32 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.h)
     assert by_doc[1] & by_doc[2]          # shared substring -> shared print
     assert not (by_doc[1] & by_doc[3])    # disjoint text -> disjoint prints
+
+
+def test_registry_results_invariant_under_shuffle_partitioning(spark):
+    """The registry's core determinism claim: results are bit-identical
+    under different shuffle-partition counts. Sampled over value-sensitive
+    query families (float aggregates, LSH dedup, window ranks)."""
+    from network_iq_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    sample = [
+        "pricing_summary",          # dsum float aggregates
+        "minhash_lsh_pairs",        # LSH banding + verify
+        "quantized_cosine_topk",    # quantized ranks
+        "salted_event_stats",       # two-phase salted agg
+        "sequence_packing",         # per-shard prefix sums
+    ]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for nparts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for name in sample:
+                rows = QUERIES[name](spark, sf).collect()
+                key = sorted(tuple(r) for r in rows)
+                results.setdefault(name, []).append(key)
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} varies with shuffle partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
