@@ -710,3 +710,48 @@ def q_part_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("big_only").alias("bucket"), "n_types"
     )
     return i.unionByName(e).orderBy("bucket")
+
+
+@register(
+    "nation_activity_full_join",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+               FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           CAST(COALESCE(n_customers, 0) AS BIGINT) AS n_customers,
+           CAST(COALESCE(n_suppliers, 0) AS BIGINT) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+)
+def q_nation_activity_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join completes the join-type surface (inner/left/semi/
+    anti/as-of/range are covered elsewhere): per-nation customer counts
+    against high-balance supplier counts, keeping nations present on
+    either side only. Both sides are pre-aggregated to nation grain before
+    the join — at 100 TB the full-outer runs on two tiny aggregates, never
+    on the facts."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        c.withColumnRenamed("nk", "c_nk")
+        .join(s.withColumnRenamed("nk", "s_nk"),
+              F.col("c_nk") == F.col("s_nk"), "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
