@@ -755,3 +755,68 @@ def q_nation_activity_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "qty_price_correlation",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer co-moments — the determinism
+    pattern (functions/__init__.py dsum) extended to second moments.
+
+    Spark's built-in ``corr`` accumulates doubles in partition-visit order,
+    so its last ulps vary with partitioning and across engines — unusable
+    under a bit-exact oracle. Here the five sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) are exact int64 sums of 2-decimal units
+    (products ≤ ~5e10/row: no overflow at any realistic group size), and
+    the final combination is the same IEEE double expression tree on both
+    engines — deterministic end to end, one map-side-combinable groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xu = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    yu = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xu).alias("sx"),
+        F.sum(yu).alias("sy"),
+        F.sum(xu * xu).alias("sxx"),
+        F.sum(yu * yu).alias("syy"),
+        F.sum(xu * yu).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
