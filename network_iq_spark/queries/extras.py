@@ -820,3 +820,86 @@ def q_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy))
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "value_equidepth_histogram",
+    oracle="""
+    SELECT decile, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM (
+      SELECT value,
+             NTILE(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    ) GROUP BY decile ORDER BY decile
+    """,
+)
+def q_value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram — the optimizer-statistics
+    sibling of the equi-width value_histogram. Runs the scale path
+    (operators/rank.py ntile_scalable: range partition + offset global
+    rank), never `NTILE OVER (ORDER BY ...)`'s single-task sort; event_id
+    tiebreak makes bucket edges deterministic."""
+    from network_iq_spark.operators.rank import ntile_scalable
+
+    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    q = ntile_scalable(ev, 10, ["value", "event_id"], out="decile")
+    return (
+        q.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value, epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)
+                    * (next_us - us)) AS DOUBLE)
+             / (10000.0 * CAST(SUM(next_us - us) AS DOUBLE)) AS twa_value,
+           COUNT(*) AS n_intervals
+    FROM seq WHERE next_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event type — the correct mean for
+    irregularly-sampled telemetry (a plain AVG over-weights bursts): each
+    reading holds until the next one, weight = interval micros. Integer
+    value-units x integer micros keep the weighted sum exact in int64
+    (fits: 5e5 units x 4e12 us-span aggregate ~ 1e17 < 2^63), so the
+    result is partition- and engine-deterministic. One window (partitioned
+    by type) + one combinable groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    vu = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+    dt = F.col("next_us") - F.col("us")
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            (
+                F.sum(vu * dt).cast("double")
+                / (F.lit(10000.0) * F.sum(dt).cast("double"))
+            ).alias("twa_value"),
+            F.count("*").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
