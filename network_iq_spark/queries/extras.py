@@ -790,20 +790,29 @@ def q_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's built-in ``corr`` accumulates doubles in partition-visit order,
     so its last ulps vary with partitioning and across engines — unusable
     under a bit-exact oracle. Here the five sufficient statistics
-    (n, Σx, Σy, Σx², Σy², Σxy) are exact int64 sums of 2-decimal units
-    (products ≤ ~5e10/row: no overflow at any realistic group size), and
-    the final combination is the same IEEE double expression tree on both
-    engines — deterministic end to end, one map-side-combinable groupBy."""
+    (n, Σx, Σy, Σx², Σy², Σxy) are exact sums of 2-decimal units. First
+    moments fit int64 at any scale, but the second moments do NOT: each
+    y² term is up to ~1.2e14 (extendedprice ≤ ~1.1e5 → 1.1e7 units), so
+    Σy² reaches ~7e18 ≈ 80% of int64 max already at sf0.1 and overflows
+    around sf0.125. They are therefore accumulated as decimal(38,0) —
+    still exact and map-side combinable, with headroom for ~6e11 rows
+    (100 TB-scale lineitem: Σy² ≤ ~7e25 « 1e38). The final combination
+    casts to double, the same IEEE expression tree on both engines
+    (DuckDB's oracle sums BIGINT into HUGEINT) — deterministic end to
+    end, one combinable groupBy."""
     li = load_table(spark, sf_dir, "lineitem")
     xu = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
     yu = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    # Per-row products max out near 1.2e14 — safe in int64 — but their
+    # group sums are not; widen to decimal before the aggregate.
+    wide = "decimal(38,0)"
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(xu).alias("sx"),
         F.sum(yu).alias("sy"),
-        F.sum(xu * xu).alias("sxx"),
-        F.sum(yu * yu).alias("syy"),
-        F.sum(xu * yu).alias("sxy"),
+        F.sum((xu * xu).cast(wide)).alias("sxx"),
+        F.sum((yu * yu).cast(wide)).alias("syy"),
+        F.sum((xu * yu).cast(wide)).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
