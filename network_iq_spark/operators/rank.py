@@ -15,8 +15,11 @@ bottleneck at 100 TB.  The classic scale-out shape used here instead:
    projection — no Window, no second exchange (a Window partitioned by
    ``spark_partition_id()`` would force a redundant hash shuffle because
    Catalyst can't see that range partitioning already satisfies it).
-3. per-partition row counts → offsets via a triangular broadcast self-join
-   over the counts (≤ #partitions rows — bytes, not data) broadcast back.
+3. per-partition row counts → offsets.  Materialized path: the counts
+   (≤ #partitions rows — bytes, not data) are collected to the driver,
+   prefix-summed, and attached as an array-literal projection — zero
+   joins after the checkpoint.  Lazy path: a triangular broadcast
+   self-join over the counts, broadcast back.
 4. ``global_rank = partition_offset + local_rank``.
 
 The order columns must form a TOTAL order (add a unique tiebreak column);
@@ -74,7 +77,7 @@ def global_row_number(
         )
         .drop(mid)
     )
-    # TWO consumers (the per-partition counts and the final join) with
+    # TWO consumers (the per-partition counts and the final rank) with
     # different column prunings — without materialization the range
     # shuffle + sort executes twice (Catalyst can't ReuseExchange across
     # differing projections). One shuffle-sized localCheckpoint is the
@@ -82,7 +85,41 @@ def global_row_number(
     # consumers provably see the SAME ranking. materialize=False keeps the
     # plan inspectable (plan-shape tests) at the price of the double run.
     if materialize:
-        local = local.localCheckpoint()
+        # eager=False: the counts collect below is the materializing
+        # action, so the checkpoint write and the per-partition counts
+        # happen in ONE job instead of two.
+        local = local.localCheckpoint(eager=False)
+        # The checkpoint makes this path eager anyway, so fuse the offset
+        # computation into the driver: collect the per-partition COUNTS
+        # (≤ #partitions rows — bytes by construction), prefix-sum in
+        # Python, and attach offsets as a pure array-literal projection.
+        # Saves jobs and two broadcast exchanges vs the lazy formulation
+        # below — the whole tail of the rank is then a single scan of the
+        # in-memory checkpoint with zero joins.
+        cnt = {
+            r[_PID]: r["__cnt__"]
+            for r in local.groupBy(_PID)
+            .agg(F.count(F.lit(1)).alias("__cnt__"))
+            .collect()
+        }
+        offs, acc = [], 0
+        for p in range(int(parts)):
+            offs.append(acc)
+            acc += cnt.get(p, 0)
+        off_arr = F.array(*[F.lit(o) for o in offs])
+        # bigint, not int: a global rank tops out at the TABLE's row
+        # count — 32-bit would overflow (or throw under ANSI) past 2^31-1
+        # rows, which a 100 TB fact table exceeds by orders of magnitude
+        ranked = local.withColumn(
+            out,
+            (
+                F.element_at(off_arr, F.col(_PID).cast("int") + 1)
+                + F.col(_LRN)
+            ).cast("bigint"),
+        )
+        if _keep_total:
+            ranked = ranked.withColumn(_TOT, F.lit(acc).cast("bigint"))
+        return ranked.drop(_PID, _LRN)
     counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt__"))
     # cumulative offsets via a triangular broadcast self-join over the
     # per-partition COUNTS (≤ #partitions rows — bytes).  A running-sum
@@ -96,9 +133,6 @@ def global_row_number(
         .groupBy(_PID)
         .agg(F.coalesce(F.sum("__c2__"), F.lit(0)).alias(_OFF))
     )
-    # bigint, not int: a global rank tops out at the TABLE's row count —
-    # casting to 32-bit would overflow (or throw under ANSI) past 2^31-1
-    # rows, which a 100 TB fact table exceeds by orders of magnitude
     joined = local.join(F.broadcast(offsets), _PID).withColumn(
         out, (F.col(_OFF) + F.col(_LRN)).cast("bigint")
     )
