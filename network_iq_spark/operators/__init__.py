@@ -15,10 +15,25 @@ Submodules map to the survey's inventory sections:
 - ``text``        — beyond-reference: lang-ID, quality score, tokens, fingerprint
 """
 
+import os as _os
+from urllib.parse import urlparse as _urlparse
+
 from pyspark.sql import DataFrame as _DataFrame
 
 
-def ensure_parallelism(df: _DataFrame) -> _DataFrame:
+def _size_suffix_to_bytes(v: str) -> int:
+    """Parse Spark size confs like ``134217728b`` / ``128m`` / ``1g``."""
+    v = v.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suffix):
+            return int(v[:-1]) * m
+    if v.endswith("b"):
+        v = v[:-1]
+    return int(v) * mult
+
+
+def ensure_parallelism(df: _DataFrame, target: int | None = None) -> _DataFrame:
     """Spread a scan across the cluster before CPU-dense per-row work
     (digest/regex-heavy map stages: dedup signatures, text analysis).
 
@@ -27,9 +42,34 @@ def ensure_parallelism(df: _DataFrame) -> _DataFrame:
     already has >= cores splits and this is an identity — the repartition
     only fires when the input is under-split, so no extra exchange appears
     in the 100 TB plan shape.
+
+    The under-split estimate comes from ``df.inputFiles()`` + driver-side
+    file stats against ``spark.sql.files.maxPartitionBytes`` — the same
+    arithmetic FileSourceScan uses to split files — NOT from an RDD
+    partition-count probe, which would force full physical planning per
+    call, is unsupported under Spark Connect, and couples plan shape to
+    cluster state.
+    Non-stat-able URIs (object stores) count as one split each; a plan
+    with no file sources at all (in-memory test data) counts as zero and
+    therefore gets the repartition, which is what a tiny literal relation
+    needs before a CPU-dense map.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    if target is None:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    max_bytes = _size_suffix_to_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes")
+    )
+    splits = 0
+    for uri in df.inputFiles():
+        parsed = _urlparse(uri)
+        size = None
+        if parsed.scheme in ("file", ""):
+            try:
+                size = _os.path.getsize(parsed.path)
+            except OSError:
+                size = None
+        splits += 1 if size is None else max(1, -(-size // max_bytes))
+        if splits >= target:  # early out: no need to stat a 100k-file list
+            return df
+    return df.repartition(target)

@@ -228,3 +228,22 @@ def test_bigram_rarity_partial_aggregates(spark):
     bytes proportional to distinct keys, not exploded bigrams."""
     plan = _plan(spark, "bigram_rarity")
     assert "partial_count" in plan, plan
+
+
+def test_no_rdd_api_anywhere():
+    """The engine is DataFrame-only: ``df.rdd`` forces full physical
+    planning on the driver at every call, is unsupported under Spark
+    Connect, and makes plan shape depend on cluster state at build time
+    (ADVICE r4). ``ensure_parallelism`` sizes from ``inputFiles()`` +
+    conf instead."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "network_iq_spark"
+    hits = [
+        f"{p.relative_to(root)}:{i}"
+        for p in sorted(root.rglob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if re.search(r"\.rdd\b", line)
+    ]
+    assert hits == []
