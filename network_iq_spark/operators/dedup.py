@@ -32,6 +32,18 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 SHINGLE_K = 3
 
 
+def shingle_array_expr(k: int = SHINGLE_K) -> str:
+    """SQL expression for the distinct k-token shingle array over a bound
+    ``_toks`` column — the ONE place the shingle shape is defined, shared
+    by the exploded path (``shingles``) and the map-only minhash inline
+    path so the two can never desync from ``SHINGLE_K``."""
+    args = ", ' ', ".join(f"_toks[i+{j}]" if j else "_toks[i]" for j in range(k))
+    return (
+        f"array_distinct(transform(sequence(0, size(_toks) - {k}), "
+        f"i -> concat({args})))"
+    )
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct k-token shingles per document (docs with < k tokens drop —
     too short to near-dup on shingle evidence)."""
@@ -39,11 +51,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     out = ensure_parallelism(df).select(F.col(id_col), toks.alias("_toks")).filter(
         F.size("_toks") >= SHINGLE_K
     )
-    sh = F.expr(
-        f"array_distinct(transform(sequence(0, size(_toks) - {SHINGLE_K}), "
-        f"i -> concat(_toks[i], ' ', _toks[i+1], ' ', _toks[i+2])))"
-    )
-    return out.select(id_col, F.explode(sh).alias("shingle"))
+    return out.select(id_col, F.explode(F.expr(shingle_array_expr())).alias("shingle"))
 
 
 def exact_dedup(fingerprints: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -247,10 +255,7 @@ def minhash_lsh_pairs(
     base = ensure_parallelism(df).select(
         F.col(id_col), tokens(text_col).alias("_toks")
     ).filter(F.size("_toks") >= SHINGLE_K)
-    sh_arr = F.expr(
-        f"array_distinct(transform(sequence(0, size(_toks) - {SHINGLE_K}), "
-        f"i -> concat(_toks[i], ' ', _toks[i+1], ' ', _toks[i+2])))"
-    )
+    sh_arr = F.expr(shingle_array_expr())
     hs_arr = (
         "array_distinct(transform(__sh__, "
         "s -> cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)))"

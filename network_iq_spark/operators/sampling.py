@@ -104,12 +104,22 @@ def equalize_groups(
     as :func:`deterministic_sample`, so the drawn set is reproducible under
     any partitioning and any engine. Group stats are a tiny aggregate →
     broadcast join; the pass over the facts is map-only.
+
+    The rate is clamped to ≥ 1 bp: a group more than ``BUCKETS`` (10⁴)×
+    larger than the smallest would otherwise floor to rate 0 and vanish
+    entirely — a plausible skew at crawl scale (one tiny language vs a
+    huge one). With the clamp such a group keeps ≈ count_g/10⁴ rows
+    (≥ min_count exactly when the clamp fires), i.e. it stays
+    over-represented rather than silently disappearing. 1 bp is the
+    minimum representable keep-rate of the bucket space.
     """
     counts = df.groupBy(group).agg(F.count("*").alias("__n__"))
     floor_n = counts.agg(F.min("__n__").alias("__min_n__"))
     rates = counts.crossJoin(F.broadcast(floor_n)).select(
         group,
-        F.expr(f"__min_n__ * {BUCKETS} div __n__").alias("__rate_bp__"),
+        F.greatest(
+            F.expr(f"__min_n__ * {BUCKETS} div __n__"), F.lit(1)
+        ).alias("__rate_bp__"),
     )
     return df.join(F.broadcast(rates), group).filter(
         hash_bucket(F.col(key), salt) < F.col("__rate_bp__")

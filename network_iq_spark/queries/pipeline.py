@@ -173,8 +173,8 @@ _MIX_HEX = _sql_hex_int("md5(CAST(doc_id AS VARCHAR) || 'mix')", 12)
     WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
     r AS (
       SELECT lang, n_docs,
-             CAST(((SELECT MIN(n_docs) FROM c) * {SA.BUCKETS}) // n_docs
-                  AS BIGINT) AS rate_bp
+             GREATEST(CAST(((SELECT MIN(n_docs) FROM c) * {SA.BUCKETS})
+                           // n_docs AS BIGINT), 1) AS rate_bp
       FROM c
     ),
     k AS (
@@ -199,7 +199,9 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = counts.crossJoin(F.broadcast(floor_n)).select(
         "lang",
         "n_docs",
-        F.expr(f"(__min_n__ * {SA.BUCKETS}) div n_docs").alias("rate_bp"),
+        F.greatest(
+            F.expr(f"(__min_n__ * {SA.BUCKETS}) div n_docs"), F.lit(1)
+        ).alias("rate_bp"),
     )
     kept = (
         SA.equalize_groups(docs, key="doc_id", group="lang")

@@ -43,10 +43,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to classic TIMESTAMP with stored-value-is-UTC-epoch semantics — exactly
     how DuckDB (the correctness oracle) reads the same file — by disabling
     NTZ inference at scan time, with a cast fallback if the conf is pinned.
+
+    Neither flavor is settable per-read (``spark.read.option`` is ignored
+    for both — verified empirically), so the two session confs are flipped
+    ONLY around the ``spark.read.parquet`` call and restored after: the
+    relation snapshots the conf at resolution time, so the returned lazy
+    DataFrame keeps the normalized schema while the caller's session state
+    is left exactly as found (ADVICE r4: no leaked side effects).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    scan_confs = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    }
+    prior = {k: spark.conf.get(k) for k in scan_confs}
+    for k, v in scan_confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
     for col, dt in df.dtypes:
         if name == "events" and col == "ts" and dt == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

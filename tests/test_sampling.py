@@ -88,3 +88,21 @@ def test_rolling_fingerprint_is_order_sensitive(spark):
     assert fp[1] == fp[3]          # identical text → identical fingerprint
     assert fp[1] != fp[2]          # same tokens, different order → different
     assert all(0 <= v < T.ROLL_P for v in fp.values())
+
+
+def test_equalize_groups_extreme_skew_keeps_every_group(spark):
+    """ADVICE r4: a group > BUCKETS (10^4)x larger than the smallest used
+    to floor to rate 0 bp and vanish. The 1-bp clamp must keep it
+    (over-represented, ~n/10^4 rows) rather than drop it."""
+    big_n = SA.BUCKETS * 2 + 1  # 20,001 rows vs 1 — rate floors to 0 pre-clamp
+    df = spark.range(big_n).select(
+        F.col("id").alias("k"), F.lit("huge").alias("g")
+    ).unionAll(
+        spark.range(1).select((F.col("id") + big_n).alias("k"), F.lit("tiny").alias("g"))
+    )
+    kept = SA.equalize_groups(df, key="k", group="g")
+    by_g = {r["g"]: r["n"] for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert by_g.get("huge", 0) > 0          # no longer dropped
+    assert by_g["tiny"] == 1                # smallest group intact
+    # clamp regime: keeps about n/BUCKETS rows (1 bp), loose 4x bound
+    assert by_g["huge"] <= 4 * (big_n // SA.BUCKETS + 1)
