@@ -80,6 +80,30 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
     _compare_with_last_round(timings, total)
+    # Full per-query visibility lives in bench_full.json (committed to the
+    # repo each round): at 92 registered queries the names alone cost
+    # 92 * (avg 16.7 chars + 5 for quotes/colon/comma) ~= 2,000 chars, so the
+    # complete dict can NEVER fit the driver's ~2000-char stdout tail no
+    # matter how the values are encoded. The file carries every timing at
+    # full precision plus run metadata; the stdout line below stays the
+    # driver-facing summary.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+        json.dump(
+            {
+                "metric": "operator_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": runs,
+                "noise_floor_sec": noise_floor,
+                "n_queries": len(timings),
+                "queries": timings,
+                "errors": errors,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     # The round driver keeps only a ~2000-char tail of our output and parses
     # the JSON line out of it: r1's 51-query line (1524 chars) parsed, r2's
     # 69-query line (2155 chars) was truncated mid-line and recorded as
@@ -95,6 +119,8 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "n_queries": len(timings),
         }
+        if len(q) < len(timings):
+            out["full"] = "bench_full.json"  # complete dict, committed in-repo
         if errors:
             out["errors"] = {k: v[:80] for k, v in errors.items()}
         return json.dumps(out, separators=(",", ":"))

@@ -1003,7 +1003,10 @@ def _minhash_pairs_cte(n_bands: int, rows_per_band: int, threshold: float, src: 
     )"""
 
 
-def _pipeline_sql() -> str:
+def _pipeline_final_ctes() -> str:
+    """The WITH-body of the pipeline oracle through ``final`` (quality →
+    exact dedup → LSH near-dup drop) — shared by the split-stats query and
+    the winnow overlap-report variant so both replay the SAME cascade."""
     stop = T.LANG_MARKERS["en"]
     qscore = f"""GREATEST(0.0, LEAST(1.0,
         0.5 * LEAST(1.0, CAST(len(t) AS DOUBLE) / 50.0)
@@ -1013,8 +1016,7 @@ def _pipeline_sql() -> str:
         - 2.0 * (CASE WHEN len(text) = 0 THEN 0.0
                   ELSE CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE)
                        / len(text) END)))"""
-    return rf"""
-    WITH mq AS (
+    return rf"""mq AS (
       SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
       FROM documents
     ),
@@ -1035,7 +1037,12 @@ def _pipeline_sql() -> str:
     final AS (
       SELECT d1.* FROM d1 LEFT JOIN dropped dr ON d1.doc_id = dr.doc_id
       WHERE dr.doc_id IS NULL
-    ),
+    )"""
+
+
+def _pipeline_sql() -> str:
+    return f"""
+    WITH {_pipeline_final_ctes()},
     sp AS (
       SELECT *, CAST({_SPLIT_HEX} AS BIGINT) % 10000 AS bucket FROM final
     )
@@ -1050,19 +1057,10 @@ def _pipeline_sql() -> str:
     """
 
 
-@register("training_data_pipeline", oracle=_pipeline_sql())
-def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship composition: quality filter → exact dedup → MinHash-LSH
-    near-dup removal (production r=4/b=4 S-curve) → hash split → per-split
-    corpus stats. Every stage is the registered operator itself, so this
-    query proves the cascade COMPOSES — the oracle replays all five stages
-    independently in DuckDB and must match to the bit.
-
-    Near-dup removal keeps the smaller doc_id of each verified pair (the
-    standard cheap approximation of connected-component clustering — no
-    iteration, one anti-join). Scale shape: every stage is a map or a
-    single-key shuffle; the LSH stage runs on quality+exact survivors only.
-    """
+def _pipeline_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side cascade through ``final`` — the twin of
+    :func:`_pipeline_final_ctes`, shared by the split-stats flagship and the
+    winnow overlap-report variant."""
     docs = load_table(spark, sf_dir, "documents")
     q = T.quality_score(docs).select("doc_id", "n_tokens", "quality_score")
     qdocs = docs.join(q, "doc_id").filter(F.col("quality_score") >= _PIPE_QTHR)
@@ -1082,7 +1080,23 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         d1, threshold=_PIPE_JTHR, n_bands=_PIPE_BANDS, rows_per_band=_PIPE_ROWS
     )
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    final = d1.join(dropped, "doc_id", "left_anti")
+    return d1.join(dropped, "doc_id", "left_anti")
+
+
+@register("training_data_pipeline", oracle=_pipeline_sql())
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: quality filter → exact dedup → MinHash-LSH
+    near-dup removal (production r=4/b=4 S-curve) → hash split → per-split
+    corpus stats. Every stage is the registered operator itself, so this
+    query proves the cascade COMPOSES — the oracle replays all five stages
+    independently in DuckDB and must match to the bit.
+
+    Near-dup removal keeps the smaller doc_id of each verified pair (the
+    standard cheap approximation of connected-component clustering — no
+    iteration, one anti-join). Scale shape: every stage is a map or a
+    single-key shuffle; the LSH stage runs on quality+exact survivors only.
+    """
+    final = _pipeline_final(spark, sf_dir)
     split = SA.hash_split(
         final, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=_SPLIT_SALT
     )
@@ -1101,6 +1115,118 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
         .orderBy("split")
+    )
+
+
+_PIPE_WIN_W = 4
+_PIPE_WIN_HEX = _sql_hex_int(
+    "substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12)", 12
+)
+
+
+def _pipeline_overlap_sql() -> str:
+    w = _PIPE_WIN_W
+    split_case = f"""CASE WHEN CAST({_SPLIT_HEX} AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST({_SPLIT_HEX} AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END"""
+    return f"""
+    WITH {_pipeline_final_ctes()},
+    wt AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM final
+    ),
+    wg AS (
+      SELECT doc_id,
+             CAST(i - 1 AS BIGINT) AS pos,
+             CAST({_PIPE_WIN_HEX} AS BIGINT) AS h,
+             len(t) - 2 AS m
+      FROM wt, LATERAL unnest(generate_series(1, len(t) - 2)) AS s(i)
+      WHERE len(t) >= {2 + w}
+    ),
+    wwin AS (
+      SELECT wg.doc_id, w.j, wg.pos, wg.h
+      FROM wg, LATERAL unnest(generate_series(0, wg.m - {w})) AS w(j)
+      WHERE wg.pos BETWEEN w.j AND w.j + {w - 1}
+    ),
+    wfp AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id, j, pos, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, j
+                                  ORDER BY h ASC, pos DESC) AS rn
+        FROM wwin
+      ) WHERE rn = 1
+    ),
+    sp AS (SELECT doc_id, {split_case} AS split FROM final),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM wfp a JOIN wfp b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           sa.split AS split_a, sb.split AS split_b,
+           CAST(sa.split <> sb.split AS INTEGER) AS cross_split
+    FROM p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    ORDER BY p.n_shared DESC, p.doc_a ASC, p.doc_b ASC
+    LIMIT 20
+    """
+
+
+@register("training_data_pipeline_overlap", oracle=_pipeline_overlap_sql())
+def q_training_data_pipeline_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MOSS overlap report as the pipeline's consumer-facing output:
+    run the SAME quality → exact dedup → LSH cascade as
+    ``training_data_pipeline``, then winnow-fingerprint the SURVIVORS and
+    report the top-20 overlapping pairs with their split assignments —
+    ``cross_split=1`` rows are residual train/val/test leakage the
+    near-dup threshold let through (exactly what a practitioner audits
+    before a training run). Winnowing per Schleimer/Wilkerson/Aiken 2003.
+
+    Scale shape preserved from the 5-stage cascade: the added stages are a
+    map-only fingerprint build, one content-uniform shuffle on the
+    fingerprint hash (distinct-hash projection bounds the self-join fanout
+    at ~2/(w+1) density), and two doc_id-key joins to attach splits."""
+    final = _pipeline_final(spark, sf_dir)
+    fp = (
+        T.winnowing_fingerprints(final, w=_PIPE_WIN_W)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    splits = SA.hash_split(
+        final, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=_SPLIT_SALT
+    ).select("doc_id", "split")
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "cross_split", (F.col("split_a") != F.col("split_b")).cast("int")
+        )
+        .orderBy(F.col("n_shared").desc(), F.col("doc_a"), F.col("doc_b"))
+        .limit(20)
+        .select(
+            "doc_a", "doc_b", "n_shared", "split_a", "split_b", "cross_split"
+        )
     )
 
 

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Scale soak for the dedup/ANN family (VERDICT r4 item 4).
+
+Every 100 TB claim in docs/SCALE.md was argued from plan shape at sf0.1;
+this script turns argument into evidence: synthesize corpora that mimic the
+driver testdata's structure (same 31-word vocabulary, similar length
+distribution, injected exact + near duplicates; 64-dim label-clustered
+embeddings) at 1x / 3x / 10x the sf0.1 row counts, run the five
+representative family queries at each size, and print the (N, seconds)
+runtime curve plus the fitted growth exponent per family
+(log t = a + e * log N  =>  e ~ 1 is linear).
+
+Corpora land under .soak/ (gitignored); registry correctness and bench
+continue to use the read-only driver testdata exclusively. Run with:
+
+    python scripts/scale_soak.py            # 1x 3x 10x
+    SOAK_MULTS=1,3 python scripts/scale_soak.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_DOCS, BASE_VECS = 5_000, 2_000  # sf0.1 row counts
+SOAK_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".soak")
+QUERIES_UNDER_TEST = [
+    "minhash_lsh_pairs_prod",
+    "dedup_clusters",
+    "training_data_pipeline",
+    "semantic_dedup",
+    "ivf_cosine_topk",
+]
+
+# the testdata corpus vocabulary (31 words, observed at sf0.1) — keeping the
+# token distribution familial keeps shingle/minhash collision rates realistic
+VOCAB = (
+    "batch part spark line column order small sort fast value scan a hash "
+    "slow group agg filter query big key window row table stream merge data "
+    "join scale read write plan"
+).split()
+LANGS = ["en", "zh", "es", "de", "fr"]
+
+
+def synth_documents(n: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    texts: list[str] = []
+    for i in range(n):
+        m = int(rng.integers(8, 90))
+        words = rng.choice(VOCAB, size=m)
+        texts.append(" ".join(words))
+    # duplicate structure mirroring testdata: ~0.2% exact dups, ~2% near
+    # dups (a base doc with a handful of token edits — lands in the LSH
+    # near-dup band without being byte-identical)
+    n_exact, n_near = max(2, n // 500), max(10, n // 50)
+    for j in range(n_exact):
+        src = int(rng.integers(0, n))
+        dst = int(rng.integers(0, n))
+        texts[dst] = texts[src]
+    for j in range(n_near):
+        src = int(rng.integers(0, n))
+        dst = int(rng.integers(0, n))
+        toks = texts[src].split()
+        for _ in range(max(1, len(toks) // 20)):
+            toks[int(rng.integers(0, len(toks)))] = str(rng.choice(VOCAB))
+        texts[dst] = " ".join(toks)
+    langs = rng.choice(LANGS, size=n, p=[0.62, 0.12, 0.10, 0.08, 0.08])
+    srcs = [f"src{int(s)}" for s in rng.integers(0, 20, size=n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([str(x) for x in langs], pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def synth_embeddings(n: int, dim: int = 64, n_labels: int = 10, seed: int = 7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_labels, dim)).astype(np.float32)
+    labels = rng.integers(0, n_labels, size=n)
+    vecs = centers[labels] + 0.35 * rng.normal(size=(n, dim)).astype(np.float32)
+    # a pinch of true near-duplicates for semantic_dedup to find
+    for _ in range(max(5, n // 100)):
+        src, dst = int(rng.integers(0, n)), int(rng.integers(0, n))
+        vecs[dst] = vecs[src] + 0.001 * rng.normal(size=dim).astype(np.float32)
+        labels[dst] = labels[src]
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def build_corpus(mult: int) -> str:
+    out = os.path.join(SOAK_DIR, f"x{mult}")
+    if os.path.isdir(out):
+        return out  # deterministic generators → safe to reuse
+    os.makedirs(out + ".tmp", exist_ok=True)
+    pq.write_table(synth_documents(BASE_DOCS * mult), f"{out}.tmp/documents.parquet")
+    pq.write_table(synth_embeddings(BASE_VECS * mult), f"{out}.tmp/embeddings.parquet")
+    shutil.move(out + ".tmp", out)
+    return out
+
+
+def main() -> None:
+    from network_iq_spark.registry import QUERIES
+    from network_iq_spark.session import get_spark
+
+    mults = [int(m) for m in os.environ.get("SOAK_MULTS", "1,3,10").split(",")]
+    runs = int(os.environ.get("SOAK_RUNS", "2"))
+    spark = get_spark(app_name="network-iq-spark-soak")
+    spark.sparkContext.setLogLevel("WARN")
+
+    dirs = {m: build_corpus(m) for m in mults}
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES_UNDER_TEST}
+    for m in mults:
+        for q in QUERIES_UNDER_TEST:
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                QUERIES[q](spark, dirs[m]).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results[q][m] = best
+            print(f"x{m:<3d} {q:28s} {best:7.2f}s", file=sys.stderr)
+
+    # markdown table + fitted exponent (least squares on log-log)
+    header = "| query | " + " | ".join(f"{m}x ({BASE_DOCS*m//1000}k docs)" for m in mults) + " | exponent |"
+    print(header)
+    print("|" + "---|" * (len(mults) + 2))
+    for q in QUERIES_UNDER_TEST:
+        ts = [results[q][m] for m in mults]
+        if len(mults) >= 2:
+            xs = [math.log(m) for m in mults]
+            ys = [math.log(t) for t in ts]
+            xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
+            e = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+                (x - xbar) ** 2 for x in xs
+            )
+        else:
+            e = float("nan")
+        cells = " | ".join(f"{t:.2f} s" for t in ts)
+        print(f"| `{q}` | {cells} | {e:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

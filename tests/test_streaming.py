@@ -362,3 +362,109 @@ def test_streaming_exact_dedup_first_arrival_wins(spark, tmp_path):
     want_fps = {r.fingerprint for r in exact_dedup(fingerprint(batch)).collect()}
     assert {r.fingerprint for r in out} == want_fps
     assert len(out) == 3
+
+
+def test_streaming_fingerprint_dedup_matches_batch_with_late_edge(
+    spark, tmp_path
+):
+    """Batch↔streaming equivalence for content-fingerprint dedup over the
+    real documents slice, micro-batch by micro-batch, with the late-data
+    edge pinned: an event older than the watermark is dropped by the stream
+    (never emitted, never deduped) while the nightly batch exact_dedup pass
+    still sees it — the lambda split streaming/dedup.py documents.
+
+    Mirrors test_streaming_sessionize_matches_batch_gap_split: availableNow
+    runs against an appended parquet source make micro-batch boundaries (and
+    hence watermark advancement) deterministic."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from network_iq_spark.operators.dedup import exact_dedup
+    from network_iq_spark.operators.text import fingerprint
+    from network_iq_spark.sources import load_table
+    from network_iq_spark.streaming import (
+        streaming_exact_dedup,
+        with_content_fingerprint,
+    )
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "deduped_out")
+    base = datetime.datetime(2024, 3, 1)
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double")),
+        )
+    )
+    b1 = docs.filter(F.col("doc_id") < 400)
+    b2_new = docs.filter(F.col("doc_id") >= 400)
+    # in-watermark duplicates of 20 batch-1 docs: same text, fresh ids,
+    # event times ~10 min after the originals (well inside the 2 h delay)
+    b2_dups = (
+        b1.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            "text",
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ts"),
+        )
+    )
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, ts timestamp"
+        ).parquet(src)
+        q = (
+            streaming_exact_dedup(
+                with_content_fingerprint(stream), ["fingerprint"], "ts"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1.write.mode("overwrite").parquet(src)
+    run_once()
+    b2_new.unionByName(b2_dups).write.mode("append").parquet(src)
+    run_once()
+    # batch 3: a far-future sentinel advances the watermark; batch 4 then
+    # delivers a LATE unique row (content no stream batch has seen) whose
+    # event time sits 10 days behind the advanced watermark → dropped late
+    late_row = [(20_000, "late unique straggler content", base - datetime.timedelta(days=10))]
+    sentinel = spark.createDataFrame(
+        [(-1, "sentinel far future", base + datetime.timedelta(days=30))],
+        "doc_id bigint, text string, ts timestamp",
+    )
+    sentinel.write.mode("append").parquet(src)
+    run_once()
+    late = spark.createDataFrame(
+        late_row, "doc_id bigint, text string, ts timestamp"
+    )
+    late.write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out).filter(F.col("doc_id") >= 0).collect()
+    got_fps = {r.fingerprint for r in got}
+    # exactly-once content within the stream
+    assert len(got) == len(got_fps)
+
+    # the nightly batch pass sees everything at rest, late rows included
+    at_rest = b1.unionByName(b2_new).unionByName(b2_dups).unionByName(late)
+    batch_fps = {r.fingerprint for r in exact_dedup(fingerprint(at_rest)).collect()}
+    late_fp = {r.fingerprint for r in fingerprint(late).collect()}
+
+    # equivalence modulo the late edge: stream == batch minus the late row
+    assert got_fps == batch_fps - late_fp
+    # and the edge itself: batch caught what the watermark had to drop
+    assert late_fp <= batch_fps and not (late_fp & got_fps)
+    # the 20 in-watermark duplicates were deduped, 500 uniques survived
+    assert len(got) == 500
