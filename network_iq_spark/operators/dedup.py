@@ -509,3 +509,73 @@ def simhash_pairs_blocked(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-grain (line/paragraph) dedup
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 20
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup at fixed-token chunk grain — the
+    RefinedWeb/CCNet "line dedup" step (boilerplate headers, repeated
+    paragraphs) adapted to corpora without newline structure: split each
+    document into consecutive ``chunk_tokens``-token chunks, keep only the
+    corpus-wide FIRST occurrence of every chunk (ordered by (doc_id,
+    chunk_idx)), and reassemble each document from its surviving chunks.
+
+    Output: (doc_id, n_chunks, kept_chunks, dedup_text) — documents whose
+    every chunk already appeared elsewhere vanish entirely (fully-duplicated
+    documents are removed, subsuming exact dedup at this grain).
+
+    Scale shape: chunking is MAP-ONLY (slice over the co-located token
+    array + one bounded posexplode, fanout = ceil(m/chunk_tokens)); the
+    first-occurrence pick is one shuffle on chunk_text (window over
+    high-cardinality keys — each partition group is the tiny duplicate set
+    of one chunk, never a global window); reassembly is one shuffle on
+    doc_id with an ordered in-group sort. At 100 TB swap the raw
+    ``chunk_text`` shuffle key for its xxhash64 (same plan, 8-byte keys);
+    md5-free here because the string itself is the exact-match key.
+    Ref provenance: beyond-reference tier (SURVEY.md §7 F).
+    """
+    from pyspark.sql.window import Window
+
+    df = ensure_parallelism(df)
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    c = int(chunk_tokens)
+    chunk_arr = (
+        f"transform(sequence(0, cast(ceil(size(_toks) / {c}.0) as int) - 1), "
+        f"i -> array_join(slice(_toks, i * {c} + 1, {c}), ' '))"
+    )
+    chunks = base.select(
+        F.col(id_col),
+        F.expr(f"cast(ceil(size(_toks) / {c}.0) as int)").alias("n_chunks"),
+        F.posexplode(F.expr(chunk_arr)).alias("chunk_idx", "chunk_text"),
+    )
+    w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx")
+    kept = chunks.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+            lambda s: s["chunk_text"],
+        ),
+        " ",
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.first("n_chunks").alias("n_chunks"),
+            F.count("*").alias("kept_chunks"),
+            rebuilt.alias("dedup_text"),
+        )
+        .orderBy(id_col)
+    )

@@ -413,3 +413,57 @@ def winnowing_fingerprints(
         .select(F.col(id_col), F.explode(F.expr(picks)).alias("fp"))
         .select(id_col, F.col("fp.pos").alias("pos"), F.col("fp.h").alias("h"))
     )
+
+
+SURPRISAL_QUANT = 1000  # milli-nats per token
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    quant: int = SURPRISAL_QUANT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM likelihood scoring (the CCNet/C4 perplexity-filter shape
+    with the corpus itself as the LM): fit a unigram model over the corpus
+    (token → count / total), then score every document by its mean token
+    surprisal −ln p(tok). Low-likelihood outliers are gibberish / wrong
+    -language / boilerplate candidates; high-likelihood outliers are
+    degenerate stopword soup.
+
+    Per-token surprisal is quantized to integer milli-nats
+    (``floor(−ln p · quant)``) before the per-document sum, so the aggregate
+    is order-independent and bit-deterministic across engines — the same
+    integer-units pattern as ``dsum`` (a real KenLM swap-in would change
+    only the per-token score column, not the plan).
+
+    Scale shape: one partial-agg shuffle builds the vocab (output is
+    vocab-sized, NOT corpus-sized); the vocab then broadcasts onto the
+    exploded token stream (map-side join — at open-vocab web scale cap to
+    the top-K vocab + an OOV floor bucket, same plan), and the per-doc
+    roll-up is the second and last shuffle.
+    Ref provenance: beyond-reference tier (SURVEY.md §7 F).
+    """
+    df = ensure_parallelism(df)
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    mnats = F.floor(
+        -F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+        * F.lit(float(quant))
+    ).cast("bigint")
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), mnats.alias("_mnats"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_mnats").alias("surprisal_mnats"),
+        )
+        .withColumn(
+            "avg_surprisal_mnats",
+            F.col("surprisal_mnats").cast("double") / F.col("n_tokens"),
+        )
+        .orderBy(id_col)
+    )

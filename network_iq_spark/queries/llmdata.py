@@ -1293,3 +1293,71 @@ def q_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=_SIMHASH60_MAX_HAMMING,
         n_bits=_SIMHASH60_BITS,
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(-ln(CAST(v.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+                        * {T.SURPRISAL_QUANT}.0) AS BIGINT) AS mnats
+      FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(mnats) AS BIGINT) AS surprisal_mnats,
+           CAST(SUM(mnats) AS DOUBLE) / COUNT(*) AS avg_surprisal_mnats
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM mean-surprisal quality scoring (CCNet-style perplexity
+    filter with the corpus as its own LM); integer milli-nat quantization
+    keeps the per-doc sums bit-deterministic across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_surprisal(docs)
+
+
+@register(
+    "chunk_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, t, CAST(CEIL(len(t) / {D.CHUNK_TOKENS}.0) AS INT) AS n_chunks
+      FROM base WHERE len(t) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, n_chunks,
+             i - 1 AS chunk_idx,
+             array_to_string(t[(i-1)*{D.CHUNK_TOKENS}+1 : i*{D.CHUNK_TOKENS}], ' ') AS chunk_text
+      FROM sized, unnest(generate_series(1, n_chunks)) AS u(i)
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT doc_id, n_chunks, chunk_idx, chunk_text,
+               ROW_NUMBER() OVER (PARTITION BY chunk_text
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+      ) WHERE rn = 1
+    )
+    SELECT doc_id,
+           MIN(n_chunks) AS n_chunks,
+           COUNT(*) AS kept_chunks,
+           string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS dedup_text
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document chunk-grain dedup (RefinedWeb line-dedup shape): keep
+    the corpus-wide first occurrence of every 20-token chunk and reassemble
+    documents from their surviving chunks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.chunk_dedup(docs)

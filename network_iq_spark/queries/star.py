@@ -266,3 +266,51 @@ def q_weighted_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((num / den).alias("eff_discount"), F.count("*").alias("n_lines"))
         .orderBy("ship_year")
     )
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS order_key,
+           {_sql.dsum(_REVENUE)} AS revenue,
+           o.o_orderdate AS order_date,
+           o.o_orderpriority AS order_priority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, order_date, order_key
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on BOTH fact sides of a 3-way
+    join, grouped revenue, top-10. The plan Catalyst should (and does)
+    pick: customer filter → broadcast; orders filter pushed to scan;
+    lineitem shipdate filter pushed to scan; one shuffle for the grouped
+    agg; TakeOrderedAndProject caps the sort at k=10 per partition. The
+    deterministic (revenue, date, key) tiebreak keeps the LIMIT stable
+    across engines and partitionings."""
+    cutoff = F.lit("1998-06-15").cast("timestamp_ntz")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), "order_date", "order_key")
+        .limit(10)
+        .select("order_key", "revenue", "order_date", "order_priority")
+    )

@@ -1,0 +1,63 @@
+"""Unit tests for the round-5 sub-document dedup and unigram-LM scoring
+operators: chunk-grain first-occurrence semantics, full-duplicate removal,
+token conservation, and surprisal ordering (rare tokens score higher)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from network_iq_spark.operators.dedup import chunk_dedup
+from network_iq_spark.operators.text import SURPRISAL_QUANT, unigram_surprisal
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_chunk_dedup_keeps_first_occurrence_and_drops_full_dups(spark):
+    para = " ".join(f"w{i}" for i in range(4))  # one 4-token chunk
+    other = " ".join(f"x{i}" for i in range(4))
+    df = _docs(
+        spark,
+        [
+            (1, para + " " + other),  # chunks: [para+..] — with c=4: 2 chunks
+            (2, para),  # exact repeat of doc 1's first chunk → vanishes
+            (3, other + " tail word here extra"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in chunk_dedup(df, chunk_tokens=4).collect()}
+    # doc 2 is fully covered by doc 1's first chunk → removed entirely
+    assert 2 not in out
+    assert out[1]["n_chunks"] == 2 and out[1]["kept_chunks"] == 2
+    # doc 3's first chunk == doc 1's second chunk → only its tail survives
+    assert out[3]["n_chunks"] == 2 and out[3]["kept_chunks"] == 1
+    assert out[3]["dedup_text"] == "tail word here extra"
+
+
+def test_chunk_dedup_reassembles_in_positional_order(spark):
+    toks = [f"t{i:03d}" for i in range(50)]
+    df = _docs(spark, [(7, " ".join(toks))])
+    row = chunk_dedup(df, chunk_tokens=20).collect()[0]
+    assert row["n_chunks"] == 3 == row["kept_chunks"]
+    assert row["dedup_text"] == " ".join(toks)  # order preserved, nothing lost
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    rows = [(i, "common common common common") for i in range(8)]
+    rows.append((100, "rareword common common common"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in unigram_surprisal(_docs(spark, rows)).collect()
+    }
+    assert out[100]["avg_surprisal_mnats"] > out[0]["avg_surprisal_mnats"]
+    # hand-check: p(common) = 35/36 → per-token milli-nats floor(-ln(35/36)*1000)
+    expect = math.floor(-math.log(35 / 36) * SURPRISAL_QUANT)
+    assert out[0]["surprisal_mnats"] == 4 * expect
+
+
+def test_unigram_surprisal_counts_every_token(spark):
+    df = _docs(spark, [(1, "a b c"), (2, ""), (3, "a a")])
+    out = {r["doc_id"]: r["n_tokens"] for r in unigram_surprisal(df).collect()}
+    assert out == {1: 3, 3: 2}  # empty doc has no tokens → no row
