@@ -432,6 +432,52 @@ def seed_centroids(
     )
 
 
+def ivf_assign_np(
+    vecs: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE numpy matmul per Arrow batch —
+    the throughput path for large cell counts. The expression-tree
+    :func:`ivf_assign` costs N·k *interpreted* array folds, which is the
+    dominant term once n_cells scales ∝ N (measured: 18.8 s of a 24 s
+    semantic-dedup run at 20k vecs × 160 cells); the matmul does the same
+    N·k·dim flops vectorized, reducing assignment to scan cost.
+
+    Semantics match :func:`ivf_assign` (max cosine, ties to the smallest
+    centroid id — centroid columns are ordered by c_id so numpy's
+    first-max argmax lands on the smallest id) up to last-ulp cosine
+    differences from matmul summation order, which is why the
+    oracle-pinned registered queries keep the interpreted path and the
+    scale/auto paths use this one. Still MAP-ONLY: centroids ride the
+    closure (tiny), output is (id, cell).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators import ensure_parallelism
+
+    cent_rows = sorted(
+        (r["c_id"], r["cv"]) for r in centroids.select("c_id", "cv").collect()
+    )
+    c_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.array([v for _, v in cent_rows], dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(axis=1))
+    Cn[Cn == 0.0] = 1.0
+    Cu = C / Cn[:, None]
+
+    def assign(pdfs):
+        for pdf in pdfs:
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            vn[vn == 0.0] = 1.0
+            cos = (V / vn[:, None]) @ Cu.T
+            best = c_ids[np.argmax(cos, axis=1)]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "cell": best})
+
+    return ensure_parallelism(vecs.select(id_col, "v")).mapInPandas(
+        assign, schema=f"{id_col} bigint, cell bigint"
+    )
+
+
 def ivf_assign(
     vecs: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -475,9 +521,11 @@ def cosine_topk_ivf(
     exactly `cosine_topk_bruteforce` (the recall dial's endpoint — tests
     assert the equivalence).
     """
-    vecs = with_norm(df.select(id_col, vec_col), vec_col).select(
-        id_col, F.col(vec_col).alias("v"), "norm"
-    )
+    from network_iq_spark.operators import ensure_parallelism
+
+    vecs = with_norm(
+        ensure_parallelism(df.select(id_col, vec_col)), vec_col
+    ).select(id_col, F.col(vec_col).alias("v"), "norm")
     cent = seed_centroids(vecs, n_cells, id_col)
     inv = ivf_assign(vecs, cent, id_col)
 
@@ -525,9 +573,23 @@ def cosine_topk_ivf(
     )
 
 
+SEMANTIC_CELL_TARGET = 125  # expected vectors per cell when auto-scaling
+
+
+def auto_n_cells(
+    n_rows: int, target_cell_size: int = SEMANTIC_CELL_TARGET, floor: int = 8
+) -> int:
+    """The n_cells ∝ N discipline as code: cells sized so the expected
+    occupancy stays ``target_cell_size`` as the corpus grows, which holds
+    the within-cell quadratic term at O(N · target) instead of O(N²/k).
+    Measured (docs/SCALE.md soak): fixed cells go super-linear by 10×
+    corpus growth; auto cells restore a near-linear runtime curve."""
+    return max(floor, n_rows // max(1, target_cell_size))
+
+
 def semantic_dedup(
     corpus: DataFrame,
-    n_cells: int,
+    n_cells: int | None,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -542,12 +604,27 @@ def semantic_dedup(
     map-side (see :func:`ivf_assign`), and the candidate pair join is
     *within cells only* — one shuffle on ``cell``, O(Σ|cell|²) comparisons
     instead of N². Cell count is the knob: n_cells ∝ N keeps expected cell
-    size (and the quadratic term) constant as the corpus grows. Output:
-    (vec_id, cell, is_dup) for every corpus vector.
+    size (and the quadratic term) constant as the corpus grows — pass
+    ``n_cells=None`` to apply that discipline automatically (one cheap
+    column-pruned count sizes the cells via :func:`auto_n_cells`; explicit
+    ``n_cells`` keeps the plan action-free for oracle-pinned configs).
+    Output: (vec_id, cell, is_dup) for every corpus vector.
     """
-    vecs = with_norm(corpus.select(id_col, as_double_vec(vec_col).alias("v")), "v")
+    from network_iq_spark.operators import ensure_parallelism
+
+    # the assignment + in-cell scoring stages are CPU-dense interpreted
+    # array folds — a single-row-group scan must not serialize them
+    vecs = with_norm(
+        ensure_parallelism(corpus.select(id_col, as_double_vec(vec_col).alias("v"))),
+        "v",
+    )
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus.select(id_col).count())
+        assigner = ivf_assign_np  # scale path: matmul assignment
+    else:
+        assigner = ivf_assign  # oracle-pinned path: SQL-replayable folds
     cents = seed_centroids(vecs, n_cells, id_col)
-    assign = ivf_assign(vecs, cents, id_col)
+    assign = assigner(vecs, cents, id_col)
     cellv = assign.join(vecs, id_col)
     a = cellv.select(
         F.col(id_col).alias("id_a"), "cell",
@@ -618,10 +695,14 @@ def quantized_cosine_topk(
     runs this inside IVF cells (quantized candidate scoring, float
     re-rank of the top candidates).
     """
+    from network_iq_spark.operators import ensure_parallelism
+
     # q, v, and norm all derive from the same scan row — one projection, no
     # self-join (joining quantize_int8's output back to the float vectors
     # would shuffle the corpus on vec_id for data already co-located)
-    base = with_norm(df.select(id_col, as_double_vec(vec_col).alias("v")), "v")
+    base = with_norm(
+        ensure_parallelism(df.select(id_col, as_double_vec(vec_col).alias("v"))), "v"
+    )
     maxabs = F.expr("array_max(transform(v, x -> abs(x)))")
     full = base.withColumn("__ma__", maxabs).withColumn(
         "q",
@@ -706,7 +787,11 @@ def cosine_topk_int_lsh(
         .select("q_vec_id", "n_vec_id")
         .distinct()
     )
-    vecs = with_norm(df.select(id_col, as_double_vec(vec_col).alias("v")), "v")
+    from network_iq_spark.operators import ensure_parallelism
+
+    vecs = with_norm(
+        ensure_parallelism(df.select(id_col, as_double_vec(vec_col).alias("v"))), "v"
+    )
     va = vecs.select(
         F.col(id_col).alias("q_vec_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )

@@ -601,9 +601,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for query vectors (vec_id < 10):
     the ANN correctness baseline. Dot products accumulate as double in
     element order — bit-identical across engines (verified empirically)."""
+    from network_iq_spark.operators import ensure_parallelism
+
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = S.with_norm(
-        emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
+        ensure_parallelism(emb.select("vec_id", S.as_double_vec("embedding").alias("v")))
     )
     queries = vecs.filter(F.col("vec_id") < 10)
     return S.cosine_topk_bruteforce(queries, vecs, k=10).orderBy("q_vec_id", "rank")

@@ -4,6 +4,7 @@ from network_iq_spark.sources.jsonl import (
     read_jsonl_split,
     write_jsonl,
 )
+from network_iq_spark.sources.orc import parquet_to_orc, read_orc, write_orc
 from network_iq_spark.sources.tables import TABLES, load_table, load_tables
 
 __all__ = [
@@ -11,7 +12,10 @@ __all__ = [
     "jsonl_to_parquet",
     "load_table",
     "load_tables",
+    "parquet_to_orc",
     "read_jsonl",
     "read_jsonl_split",
+    "read_orc",
     "write_jsonl",
+    "write_orc",
 ]

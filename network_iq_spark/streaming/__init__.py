@@ -2,6 +2,7 @@ from network_iq_spark.streaming.dedup import (
     streaming_exact_dedup,
     with_content_fingerprint,
 )
+from network_iq_spark.streaming.enrich import enrich_stream
 from network_iq_spark.streaming.kpis import (
     latest_per_key,
     read_telemetry_stream,
@@ -11,6 +12,7 @@ from network_iq_spark.streaming.kpis import (
 from network_iq_spark.streaming.sessions import streaming_sessionize
 
 __all__ = [
+    "enrich_stream",
     "latest_per_key",
     "streaming_exact_dedup",
     "with_content_fingerprint",

@@ -119,22 +119,34 @@ def build_corpus(mult: int) -> str:
 
 
 def main() -> None:
+    from network_iq_spark.operators import similarity as S
     from network_iq_spark.registry import QUERIES
     from network_iq_spark.session import get_spark
+    from network_iq_spark.sources import load_table
 
     mults = [int(m) for m in os.environ.get("SOAK_MULTS", "1,3,10").split(",")]
     runs = int(os.environ.get("SOAK_RUNS", "2"))
     spark = get_spark(app_name="network-iq-spark-soak")
     spark.sparkContext.setLogLevel("WARN")
 
+    # the registered semantic_dedup pins n_cells for its DuckDB oracle; the
+    # scale path passes n_cells=None (auto_n_cells: cells ∝ N). Soak BOTH so
+    # the curve shows why the discipline matters, not just that it exists.
+    def _semantic_auto(spark, d):
+        emb = load_table(spark, d, "embeddings")
+        return S.semantic_dedup(emb, n_cells=None, threshold=0.30)
+
+    plans = {q: QUERIES[q] for q in QUERIES_UNDER_TEST}
+    plans["semantic_dedup_autocells"] = _semantic_auto
+
     dirs = {m: build_corpus(m) for m in mults}
-    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES_UNDER_TEST}
+    results: dict[str, dict[int, float]] = {q: {} for q in plans}
     for m in mults:
-        for q in QUERIES_UNDER_TEST:
+        for q in plans:
             best = float("inf")
             for _ in range(runs):
                 t0 = time.perf_counter()
-                QUERIES[q](spark, dirs[m]).write.format("noop").mode("overwrite").save()
+                plans[q](spark, dirs[m]).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             results[q][m] = best
             print(f"x{m:<3d} {q:28s} {best:7.2f}s", file=sys.stderr)
@@ -143,7 +155,7 @@ def main() -> None:
     header = "| query | " + " | ".join(f"{m}x ({BASE_DOCS*m//1000}k docs)" for m in mults) + " | exponent |"
     print(header)
     print("|" + "---|" * (len(mults) + 2))
-    for q in QUERIES_UNDER_TEST:
+    for q in results:
         ts = [results[q][m] for m in mults]
         if len(mults) >= 2:
             xs = [math.log(m) for m in mults]

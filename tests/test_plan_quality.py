@@ -247,3 +247,32 @@ def test_no_rdd_api_anywhere():
         if re.search(r"\.rdd\b", line)
     ]
     assert hits == []
+
+
+def test_chunk_dedup_has_no_cartesian_and_partitioned_window(spark):
+    """chunk_dedup's first-occurrence pick must run as a window over the
+    chunk_text key (high-cardinality partitions), never a cartesian or an
+    unpartitioned global window — asserted on the registered plan."""
+    plan = _plan(spark, "chunk_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_unigram_surprisal_broadcasts_vocab(spark):
+    """The vocab-sized aggregate must come back onto the exploded token
+    stream as a broadcast hash join — a shuffled sort-merge join here would
+    re-shuffle the full corpus token stream on the token key."""
+    plan = _plan(spark, "unigram_surprisal")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shipping_priority_plan_shape(spark):
+    """Q3 shape: customer dim broadcast, pushed filters on both fact scans,
+    top-10 via TakeOrderedAndProject (no global sort materialization)."""
+    plan = _plan(spark, "shipping_priority")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+    assert any("l_shipdate" in ln for ln in pushed), pushed

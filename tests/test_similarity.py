@@ -205,3 +205,35 @@ def test_multiprobe_expands_candidates_and_recall(spark, vecs):
     top_s = {(r.q_vec_id, r.n_vec_id) for r in S.cosine_topk_lsh(
         vecs.drop("norm"), queries, dim=64, k=10).collect()}
     assert recall(top_m) >= recall(top_s)
+
+
+def test_ivf_assign_np_matches_interpreted_assignment(spark, vecs):
+    """The matmul assigner must agree with the SQL-replayable fold assigner
+    on real (well-separated) data — matmul summation order can flip only
+    exact cosine ties, which label-clustered corpora don't produce."""
+    cents = S.seed_centroids(vecs, 16, "vec_id")
+    flat = {
+        r["vec_id"]: r["cell"] for r in S.ivf_assign(vecs, cents, "vec_id").collect()
+    }
+    np_a = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_assign_np(vecs, cents, "vec_id").collect()
+    }
+    assert flat == np_a
+
+
+def test_semantic_dedup_autocells_matches_explicit_equivalent(spark):
+    """n_cells=None must behave exactly like passing auto_n_cells(N)
+    explicitly, modulo the assigner — on tie-free data the flagged set is
+    identical, so the auto path is the same operator, just self-sizing."""
+    emb = load_table(spark, SF, "embeddings")
+    k = S.auto_n_cells(emb.count())
+    auto = {
+        r["vec_id"]: (r["cell"], r["is_dup"])
+        for r in S.semantic_dedup(emb, n_cells=None, threshold=0.30).collect()
+    }
+    explicit = {
+        r["vec_id"]: (r["cell"], r["is_dup"])
+        for r in S.semantic_dedup(emb, n_cells=k, threshold=0.30).collect()
+    }
+    assert auto == explicit

@@ -468,3 +468,53 @@ def test_streaming_fingerprint_dedup_matches_batch_with_late_edge(
     assert late_fp <= batch_fps and not (late_fp & got_fps)
     # the 20 in-watermark duplicates were deduped, 500 uniques survived
     assert len(got) == 500
+
+
+def test_enrich_stream_broadcast_dim_matches_batch_and_keeps_unmatched(
+    spark, source_dir
+):
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.ingest import telemetry_schema
+    from network_iq_spark.streaming import enrich_stream, read_telemetry_stream
+
+    # dim deliberately missing some cell_ids → left join must pass those
+    # events through with nulls, not drop them
+    cells = sorted(
+        r.cell_id for r in spark.read.parquet(source_dir).select("cell_id").distinct().collect()
+    )
+    dim = spark.createDataFrame(
+        [(c, f"site-{c}") for c in cells[:-2]], "cell_id string, site_name string"
+    )
+    stream = read_telemetry_stream(spark, source_dir, telemetry_schema())
+    _run_to_memory(enrich_stream(stream, dim, on="cell_id"), "t_enriched", "append")
+
+    got = spark.table("t_enriched")
+    batch = spark.read.parquet(source_dir).join(F.broadcast(dim), "cell_id", "left")
+    assert got.count() == batch.count() == spark.read.parquet(source_dir).count()
+    got_by_cell = {
+        r.cell_id: (r.n, r.sites)
+        for r in got.groupBy("cell_id")
+        .agg(F.count("*").alias("n"), F.count("site_name").alias("sites"))
+        .collect()
+    }
+    for c in cells[:-2]:
+        n, sites = got_by_cell[c]
+        assert n == sites  # matched cells fully enriched
+    for c in cells[-2:]:
+        n, sites = got_by_cell[c]
+        assert n > 0 and sites == 0  # unmatched events flow through with nulls
+
+
+def test_enrich_stream_rejects_wrong_sides(spark, source_dir):
+    import pytest as _pytest
+
+    from network_iq_spark.ingest import telemetry_schema
+    from network_iq_spark.streaming import enrich_stream, read_telemetry_stream
+
+    stream = read_telemetry_stream(spark, source_dir, telemetry_schema())
+    static = spark.read.parquet(source_dir)
+    with _pytest.raises(ValueError):
+        enrich_stream(static, static.limit(1), on="cell_id")
+    with _pytest.raises(ValueError):
+        enrich_stream(stream, stream, on="cell_id")
