@@ -33,7 +33,9 @@ def _size_suffix_to_bytes(v: str) -> int:
     return int(v) * mult
 
 
-def ensure_parallelism(df: _DataFrame, target: int | None = None) -> _DataFrame:
+def ensure_parallelism(
+    df: _DataFrame, target: int | None = None, min_bytes: int = 0
+) -> _DataFrame:
     """Spread a scan across the cluster before CPU-dense per-row work
     (digest/regex-heavy map stages: dedup signatures, text analysis).
 
@@ -53,6 +55,13 @@ def ensure_parallelism(df: _DataFrame, target: int | None = None) -> _DataFrame:
     with no file sources at all (in-memory test data) counts as zero and
     therefore gets the repartition, which is what a tiny literal relation
     needs before a CPU-dense map.
+
+    ``min_bytes``: callers whose per-row work scales with the corpus (e.g.
+    the similarity family, where dots-per-row ∝ n_cells ∝ N) pass a floor —
+    when the scan's stat-able bytes are under it, the dense work is small
+    enough that the repartition's exchange would cost more than the
+    serialization it prevents, so the guard stays out of the plan. File-less
+    in-memory relations ignore the floor (they always need the spread).
     """
     spark = df.sparkSession
     if target is None:
@@ -61,6 +70,7 @@ def ensure_parallelism(df: _DataFrame, target: int | None = None) -> _DataFrame:
         spark.conf.get("spark.sql.files.maxPartitionBytes")
     )
     splits = 0
+    total_bytes = 0
     for uri in df.inputFiles():
         parsed = _urlparse(uri)
         size = None
@@ -69,7 +79,13 @@ def ensure_parallelism(df: _DataFrame, target: int | None = None) -> _DataFrame:
                 size = _os.path.getsize(parsed.path)
             except OSError:
                 size = None
+        if size is None:
+            total_bytes = None  # non-stat-able: assume big, keep the guard
+        elif total_bytes is not None:
+            total_bytes += size
         splits += 1 if size is None else max(1, -(-size // max_bytes))
         if splits >= target:  # early out: no need to stat a 100k-file list
             return df
+    if splits > 0 and total_bytes is not None and total_bytes < min_bytes:
+        return df
     return df.repartition(target)

@@ -22,6 +22,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Guard floor for the dense-projection repartition: below this the
+# family's interpreted/vectorized per-row work is cheaper than the
+# exchange the guard would add (measured: the guard cost ~1s on the
+# 0.8 MB sf0.1 embeddings while saving nothing; it saved 5x on the
+# 6 MB 10x soak corpus).
+DENSE_GUARD_MIN_BYTES = 4 << 20
+
+
 def as_double_vec(col: str) -> Column:
     return F.expr(f"transform({col}, x -> cast(x as double))")
 
@@ -170,7 +178,7 @@ def lsh_signatures(
 
     from network_iq_spark.operators import ensure_parallelism
 
-    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+    return ensure_parallelism(df.select(id_col, vec_col), min_bytes=DENSE_GUARD_MIN_BYTES).mapInPandas(
         signatures, schema=out_schema
     )
 
@@ -341,7 +349,7 @@ def int_lsh_signatures(
 
     from network_iq_spark.operators import ensure_parallelism
 
-    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+    return ensure_parallelism(df.select(id_col, vec_col), min_bytes=DENSE_GUARD_MIN_BYTES).mapInPandas(
         signatures, schema=out_schema
     )
 
@@ -473,7 +481,7 @@ def ivf_assign_np(
             best = c_ids[np.argmax(cos, axis=1)]
             yield pd.DataFrame({id_col: pdf[id_col].values, "cell": best})
 
-    return ensure_parallelism(vecs.select(id_col, "v")).mapInPandas(
+    return ensure_parallelism(vecs.select(id_col, "v"), min_bytes=DENSE_GUARD_MIN_BYTES).mapInPandas(
         assign, schema=f"{id_col} bigint, cell bigint"
     )
 
@@ -524,7 +532,7 @@ def cosine_topk_ivf(
     from network_iq_spark.operators import ensure_parallelism
 
     vecs = with_norm(
-        ensure_parallelism(df.select(id_col, vec_col)), vec_col
+        ensure_parallelism(df.select(id_col, vec_col), min_bytes=DENSE_GUARD_MIN_BYTES), vec_col
     ).select(id_col, F.col(vec_col).alias("v"), "norm")
     cent = seed_centroids(vecs, n_cells, id_col)
     inv = ivf_assign(vecs, cent, id_col)
@@ -615,7 +623,7 @@ def semantic_dedup(
     # the assignment + in-cell scoring stages are CPU-dense interpreted
     # array folds — a single-row-group scan must not serialize them
     vecs = with_norm(
-        ensure_parallelism(corpus.select(id_col, as_double_vec(vec_col).alias("v"))),
+        ensure_parallelism(corpus.select(id_col, as_double_vec(vec_col).alias("v")), min_bytes=DENSE_GUARD_MIN_BYTES),
         "v",
     )
     if n_cells is None:
@@ -701,7 +709,7 @@ def quantized_cosine_topk(
     # self-join (joining quantize_int8's output back to the float vectors
     # would shuffle the corpus on vec_id for data already co-located)
     base = with_norm(
-        ensure_parallelism(df.select(id_col, as_double_vec(vec_col).alias("v"))), "v"
+        ensure_parallelism(df.select(id_col, as_double_vec(vec_col).alias("v")), min_bytes=DENSE_GUARD_MIN_BYTES), "v"
     )
     maxabs = F.expr("array_max(transform(v, x -> abs(x)))")
     full = base.withColumn("__ma__", maxabs).withColumn(
@@ -790,7 +798,7 @@ def cosine_topk_int_lsh(
     from network_iq_spark.operators import ensure_parallelism
 
     vecs = with_norm(
-        ensure_parallelism(df.select(id_col, as_double_vec(vec_col).alias("v"))), "v"
+        ensure_parallelism(df.select(id_col, as_double_vec(vec_col).alias("v")), min_bytes=DENSE_GUARD_MIN_BYTES), "v"
     )
     va = vecs.select(
         F.col(id_col).alias("q_vec_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
