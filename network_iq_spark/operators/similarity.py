@@ -486,6 +486,83 @@ def ivf_assign_np(
     )
 
 
+def ivf_assign_hier(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Two-level (IMI-style) coarse assignment: the k centroids are grouped
+    under ~√k super-representatives (picked by the same deterministic
+    id-hash rule as :func:`seed_centroids`, each centroid joining its
+    nearest rep); a vector scores the g reps, then only the ~k/g centroids
+    of the winning group — N·(g + k/g) ≈ N·2√k score ops instead of N·k.
+
+    This is the documented next lever past :func:`ivf_assign_np`: with the
+    cells-∝-N discipline, even vectorized flat assignment is N²/target
+    flops and starts to bite around 10⁸ vectors; the hierarchy defers that
+    by another ~√k factor at the cost of an approximation (a vector whose
+    true nearest centroid lives in a losing group gets its best centroid
+    of the winning group — the standard IVF/IMI recall trade, bounded by
+    group coherence). On well-separated data it agrees with flat
+    assignment exactly (property-tested). MAP-ONLY: both levels ride the
+    closure; one Arrow pass per batch.
+    """
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators import ensure_parallelism
+
+    cent_rows = sorted(
+        (r["c_id"], r["cv"]) for r in centroids.select("c_id", "cv").collect()
+    )
+    k = len(cent_rows)
+    g = n_groups or max(1, _math.isqrt(k))
+    c_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.array([v for _, v in cent_rows], dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(axis=1))
+    Cn[Cn == 0.0] = 1.0
+    Cu = C / Cn[:, None]
+
+    # super-reps: first g centroids in md5(id)-hash order (the seed rule)
+    import hashlib
+
+    def _h(cid: int) -> int:
+        return int(hashlib.md5(str(cid).encode()).hexdigest()[:12], 16)
+
+    rep_order = sorted(range(k), key=lambda i: (_h(int(c_ids[i])), int(c_ids[i])))
+    rep_idx = np.array(sorted(rep_order[:g]), dtype=np.int64)
+    R = Cu[rep_idx]  # (g, dim), unit rows
+
+    # each centroid joins its nearest rep (ties → lowest rep position)
+    grp_of = np.argmax(Cu @ R.T, axis=1)  # (k,)
+    members = [np.where(grp_of == j)[0] for j in range(g)]
+
+    def assign(pdfs):
+        for pdf in pdfs:
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            vn[vn == 0.0] = 1.0
+            Vu = V / vn[:, None]
+            best_grp = np.argmax(Vu @ R.T, axis=1)  # (n,)
+            out = np.empty(len(pdf), dtype=np.int64)
+            for j in np.unique(best_grp):
+                rows = np.where(best_grp == j)[0]
+                mem = members[j]
+                if len(mem) == 0:  # empty group: fall back to its rep
+                    out[rows] = c_ids[rep_idx[j]]
+                    continue
+                sub = Vu[rows] @ Cu[mem].T  # (|rows|, |mem|)
+                out[rows] = c_ids[mem[np.argmax(sub, axis=1)]]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "cell": out})
+
+    return ensure_parallelism(
+        vecs.select(id_col, "v"), min_bytes=DENSE_GUARD_MIN_BYTES
+    ).mapInPandas(assign, schema=f"{id_col} bigint, cell bigint")
+
+
 def ivf_assign(
     vecs: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:

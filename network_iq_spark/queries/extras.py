@@ -912,3 +912,54 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY o_custkey) AS s,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    )
+    SELECT o_custkey AS cust_key,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE cents * n > s) AS BIGINT) AS n_above_avg
+    FROM w GROUP BY o_custkey ORDER BY cust_key
+    """,
+)
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-scalar-subquery shape ("orders above this customer's
+    own average"), decorrelated the way an engine should run it: one
+    window pass on the correlation key instead of a per-row subquery. The
+    comparison is pure integer algebra — price > S/(100·n) ⟺ cents·n > S —
+    so the boundary case is exact in both engines (no float division at
+    all). Window and final groupBy share the o_custkey partitioning: one
+    shuffle total."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("o_custkey")
+    # keep the native key name through window AND groupBy — renaming first
+    # hides the hash partitioning from Catalyst and buys a second shuffle
+    enriched = o.select(
+        "o_custkey",
+        cents.alias("cents"),
+        F.sum(cents).over(w).alias("s"),
+        F.count("*").over(w).alias("n"),
+    )
+    return (
+        enriched.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("cents") * F.col("n") > F.col("s"), 1)).alias(
+                "n_above_avg"
+            ),
+        )
+        .select(
+            F.col("o_custkey").alias("cust_key"), "n_orders", "n_above_avg"
+        )
+        .orderBy("cust_key")
+    )

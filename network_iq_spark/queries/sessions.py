@@ -234,3 +234,51 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "session_window_stats",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                  > {SESSION_GAP_MIN} * 60 * 1000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via Spark's NATIVE ``session_window`` grouping — the
+    built-in that makes the batch and streaming sessionization one plan
+    (the custom lag/cumsum `sessionize` is kept alongside as the
+    SQL-portable formulation; both must agree). session_window's window
+    end is last-event + gap, which the oracle replays with an INTERVAL
+    add. One shuffle on (user_id, merged-window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -314,3 +314,54 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("order_key", "revenue", "order_date", "order_priority")
     )
+
+
+@register(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           {_sql.dsum(_REVENUE)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+    JOIN customer c  ON o.o_custkey  = c.c_custkey
+    JOIN nation n1   ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2   ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade — the SAME dimension broadcast
+    twice under different aliases (supplier's nation vs customer's nation),
+    the pattern that trips engines resolving duplicate attribute ids. All
+    four dims broadcast; the single shuffle is the final grouped agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )

@@ -39,6 +39,11 @@ QUERIES_UNDER_TEST = [
     "training_data_pipeline",
     "semantic_dedup",
     "ivf_cosine_topk",
+    # text/sub-document family (round 5)
+    "chunk_dedup",
+    "unigram_surprisal",
+    "winnowing_fingerprints",
+    "quality_scores",
 ]
 
 # the testdata corpus vocabulary (31 words, observed at sf0.1) — keeping the

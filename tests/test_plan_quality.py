@@ -24,16 +24,24 @@ def test_no_unpartitioned_window_in_any_registry_plan(spark):
     (`centered_mavg_volume`), global ranks via `operators/rank.py`.
 
     An unpartitioned Window node prints `Window [fns], [order]` (two bracket
-    groups); a partitioned one adds the partition list (three groups)."""
+    groups); a partitioned one adds the partition list (three groups). A
+    partition-only window (no ORDER BY — e.g. a per-key scalar aggregate
+    frame) also prints two groups, but its second group is a partition
+    list, distinguished from an ordering spec by the absence of ASC/DESC
+    sort directions."""
     offenders = {}
     for name in sorted(QUERIES):
         plan = _plan(spark, name)
-        hits = [
-            ln.strip()
-            for ln in plan.splitlines()
-            if ln.strip().lstrip("+-*( 0123456789)").startswith("Window ")
-            and ln.count("], [") == 1
-        ]
+        hits = []
+        for ln in plan.splitlines():
+            s = ln.strip()
+            if not s.lstrip("+-*( 0123456789)").startswith("Window "):
+                continue
+            if s.count("], [") != 1:
+                continue
+            second = s.split("], [", 1)[1]
+            if " ASC" in second or " DESC" in second:  # ordered ⇒ unpartitioned
+                hits.append(s)
         if hits:
             offenders[name] = hits[0][:120]
     assert not offenders, offenders

@@ -237,3 +237,23 @@ def test_semantic_dedup_autocells_matches_explicit_equivalent(spark):
         for r in S.semantic_dedup(emb, n_cells=k, threshold=0.30).collect()
     }
     assert auto == explicit
+
+
+def test_ivf_assign_hier_endpoints_degrade_to_flat(spark, vecs):
+    """The recall dial's endpoints, same proof style as nprobe==n_cells:
+    with ONE super-group the second level scores every centroid (== flat
+    assignment exactly); the approximation lives strictly between the
+    endpoints. Also: every vector is assigned exactly once to a real
+    centroid id at an intermediate g."""
+    cents = S.seed_centroids(vecs, 16, "vec_id")
+    flat = {r["vec_id"]: r["cell"] for r in S.ivf_assign_np(vecs, cents).collect()}
+    one_group = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_assign_hier(vecs, cents, n_groups=1).collect()
+    }
+    assert one_group == flat
+    cent_ids = {r["c_id"] for r in cents.select("c_id").collect()}
+    mid = S.ivf_assign_hier(vecs, cents, n_groups=4).collect()
+    assert len(mid) == len(flat)
+    assert {r["vec_id"] for r in mid} == set(flat)
+    assert {r["cell"] for r in mid} <= cent_ids
