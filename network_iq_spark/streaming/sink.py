@@ -1,0 +1,56 @@
+"""Exactly-once-effect streaming sink via foreachBatch + keyed upsert.
+
+Structured Streaming's file sinks are append-only and at-least-once on
+reprocessing (a failed epoch is replayed); the standard route to
+exactly-once EFFECT without a table format is an idempotent foreachBatch:
+every micro-batch is MERGEd into the partitioned parquet table on its
+natural key, so replaying a batch rewrites the same rows instead of
+duplicating them. This composes the streaming tier with the maintenance
+tier's ``upsert_partitioned`` (the parquet-native MERGE floor).
+
+100 TB posture: cost per epoch is O(partitions touched by the batch), not
+O(table) — the same dynamic-partition-overwrite arithmetic as the batch
+upsert; the checkpoint gives at-least-once delivery, the keyed merge makes
+the effect exactly-once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def idempotent_upsert_sink(
+    path: str,
+    keys: Sequence[str],
+    partition_cols: Sequence[str],
+    bootstrap_partition_by: Sequence[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` function: each micro-batch upserts into
+    the hive-partitioned parquet table at ``path`` on ``keys``. The first
+    batch bootstraps the table (partitioned write); replays of ANY batch —
+    including the first — converge to the same table state.
+
+    Use: ``stream.writeStream.foreachBatch(idempotent_upsert_sink(...))``.
+    """
+    from network_iq_spark.sources.maintenance import upsert_partitioned
+
+    cols = list(partition_cols if bootstrap_partition_by is None else bootstrap_partition_by)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        if not os.path.isdir(path):
+            (
+                batch_df.write.mode("overwrite")
+                .partitionBy(*cols)
+                .parquet(path)
+            )
+            return
+        upsert_partitioned(
+            spark, path, batch_df, keys=keys, partition_cols=partition_cols
+        )
+
+    return sink

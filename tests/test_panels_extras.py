@@ -205,3 +205,54 @@ def test_sinks(spark, tdf, tmp_path):
         .collect()
     )
     assert [r.d for r in got] == ["2025-07-02"]
+
+
+def test_resize_media_target_dims_exact_integer_math(spark):
+    from network_iq_spark.operators.multimodal import resize_media
+
+    rows = [
+        (1, b"x", "image", 1000, 500, None),   # wide: w binds -> 336x168
+        (2, b"x", "image", 500, 1000, None),   # tall: h binds -> 168x336
+        (3, b"x", "image", 100, 100, None),    # fits: untouched
+        (4, b"x", "audio", None, None, 9000),  # no dims: pass-through
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    got = {r["media_id"]: (r["target_w"], r["target_h"], r["decode_status"])
+           for r in resize_media(df, 336, 336).collect()}
+    assert got[1] == (336, 168, "ok")
+    assert got[2] == (168, 336, "ok")
+    assert got[3] == (100, 100, "ok")
+    assert got[4][:2] == (None, None)
+
+
+def test_sample_frames_bounded_fanout_and_deterministic(spark):
+    from network_iq_spark.operators.multimodal import sample_frames
+
+    rows = [
+        (1, b"vid-a", "video", None, None, 3500),   # 3 frames at 1000ms
+        (2, b"vid-b", "video", None, None, 500),    # short: 1 frame minimum
+        (3, b"img", "image", 10, 10, None),         # not video: excluded
+        (4, b"vid-c", "video", None, None, 120000), # capped at max_frames
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    out = sample_frames(df, every_ms=1000, max_frames=8).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 3 and [r["ts_ms"] for r in sorted(
+        by_id[1], key=lambda r: r["frame_idx"])] == [0, 1000, 2000]
+    assert len(by_id[2]) == 1
+    assert 3 not in by_id
+    assert len(by_id[4]) == 8  # metadata-computed cap, not worker-discovered
+    # deterministic stub frames: same (payload, ts) -> same bytes
+    out2 = sample_frames(df, every_ms=1000, max_frames=8).collect()
+    assert sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in out) == \
+           sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in out2)
