@@ -87,7 +87,10 @@ def main() -> None:
     # matter how the values are encoded. The file carries every timing at
     # full precision plus run metadata; the stdout line below stays the
     # driver-facing summary.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    if os.environ.get("BENCH_QUICK"):
+        full_path = os.devnull  # a subset run must not clobber the committed artifact
+    with open(full_path, "w") as fh:
         json.dump(
             {
                 "metric": "operator_suite_sec",

@@ -963,3 +963,80 @@ def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_key")
     )
+
+
+def _pagerank_sql(n_iters: int) -> str:
+    """Unrolled-CTE twin of operators.graph.pagerank_int — one CTE level
+    per iteration, every quantity integer, so the replay is exact."""
+    from network_iq_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_MASS,
+    )
+
+    tele = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_MASS // PR_DAMP_DEN
+    iters = []
+    for k in range(1, n_iters + 1):
+        iters.append(f"""
+    r{k} AS (
+      SELECT n.node,
+             CAST({tele} + ({PR_DAMP_NUM} * COALESCE(c.inbound, 0)) // {PR_DAMP_DEN}
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, SUM(p.r // d.deg) AS inbound
+        FROM edges e
+        JOIN r{k - 1} p ON e.src = p.node
+        JOIN deg d      ON d.src = e.src
+        GROUP BY e.dst
+      ) c ON c.dst = n.node
+    )""")
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0
+              UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({PR_MASS} AS BIGINT) AS r FROM nodes),
+    {",".join(iters)}
+    SELECT CAST((node - 1) // 2 AS BIGINT) AS supp_key,
+           r AS rank_micro
+    FROM r{n_iters} WHERE node % 2 = 1
+    ORDER BY rank_micro DESC, supp_key LIMIT 25
+    """
+
+
+@register("supplier_pagerank", oracle=_pagerank_sql(5))
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-algorithm tier: supplier authority via 5 rounds of EXACT
+    INTEGER PageRank over the symmetrized customer↔supplier trade graph
+    (operators/graph.py pagerank_int). Float PageRank can never be
+    oracle-checked (inbound sums are summation-order-dependent); the
+    integer formulation is partition-invariant and replays in an unrolled
+    SQL CTE chain — the same determinism contract as the rest of the
+    registry, extended to an iterative algorithm."""
+    from network_iq_spark.operators.graph import pagerank_int
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_int(edges, n_iters=5)
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(
+            F.expr("div(node - 1, 2)").cast("bigint").alias("supp_key"),
+            F.col("r").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), "supp_key")
+        .limit(25)
+    )

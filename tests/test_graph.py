@@ -91,3 +91,50 @@ def test_two_phase_empty_edges_all_singletons(spark):
         verts, edges
     ).collect()}
     assert got == {i: i for i in range(5)}
+
+
+def _pagerank_py(edges, n_iters):
+    """Dict-based mirror of pagerank_int's exact integer recurrence."""
+    from network_iq_spark.operators.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_MASS
+
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    tele = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_MASS // PR_DAMP_DEN
+    r = {n: PR_MASS for n in nodes}
+    for _ in range(n_iters):
+        inbound = {n: 0 for n in nodes}
+        for s, d in edges:
+            inbound[d] += r[s] // deg[s]
+        r = {n: tele + PR_DAMP_NUM * inbound[n] // PR_DAMP_DEN for n in nodes}
+    return r
+
+
+def test_pagerank_int_matches_python_mirror_exactly(spark):
+    """Bit-exact agreement with the integer recurrence on a star graph —
+    the whole point of the integer formulation is that there is exactly
+    one right answer, independent of engine or partitioning."""
+    from network_iq_spark.operators.graph import pagerank_int
+
+    center, leaves = 0, [1, 2, 3, 4, 5]
+    edges = [(center, l) for l in leaves] + [(l, center) for l in leaves]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["r"] for r in pagerank_int(df, n_iters=4).collect()}
+    want = _pagerank_py(edges, 4)
+    assert got == want
+    assert got[center] > got[1]  # hub outranks leaves
+    assert len({got[l] for l in leaves}) == 1  # symmetric leaves tie exactly
+
+
+def test_pagerank_int_regular_graph_is_fixpoint(spark):
+    """On a symmetric regular graph every node keeps exactly PR_MASS: each
+    node sends r/deg along deg edges and receives the same back, and
+    tele + d·MASS == MASS holds exactly in the integer units chosen."""
+    from network_iq_spark.operators.graph import PR_MASS, pagerank_int
+
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    edges = ring + [(d, s) for s, d in ring]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["r"] for r in pagerank_int(df, n_iters=3).collect()}
+    assert got == {i: PR_MASS for i in range(6)}
