@@ -3,6 +3,7 @@ from network_iq_spark.streaming.dedup import (
     with_content_fingerprint,
 )
 from network_iq_spark.streaming.enrich import enrich_stream
+from network_iq_spark.streaming.joins import interval_join_streams
 from network_iq_spark.streaming.sink import idempotent_upsert_sink
 from network_iq_spark.streaming.kpis import (
     latest_per_key,
@@ -15,6 +16,7 @@ from network_iq_spark.streaming.sessions import streaming_sessionize
 __all__ = [
     "enrich_stream",
     "idempotent_upsert_sink",
+    "interval_join_streams",
     "latest_per_key",
     "streaming_exact_dedup",
     "with_content_fingerprint",

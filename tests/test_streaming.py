@@ -518,3 +518,68 @@ def test_enrich_stream_rejects_wrong_sides(spark, source_dir):
         enrich_stream(static, static.limit(1), on="cell_id")
     with _pytest.raises(ValueError):
         enrich_stream(stream, stream, on="cell_id")
+
+
+def test_interval_join_streams_matches_batch_interval_join(spark, tmp_path):
+    """Attribution shape: clicks joined to impressions on user within
+    10 minutes. The streaming result (availableNow drain) must equal the
+    batch interval join on the same data."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.streaming import interval_join_streams
+
+    base = datetime.datetime(2025, 7, 1)
+    imps = [
+        (i, base + datetime.timedelta(minutes=3 * i), i % 5)
+        for i in range(40)
+    ]
+    # clicks: some inside the 10-min window, some outside, some keyless
+    clicks = [
+        (100 + i, base + datetime.timedelta(minutes=3 * i + (4 if i % 2 else 40)), i % 5)
+        for i in range(40)
+    ]
+    imp_dir, clk_dir = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    spark.createDataFrame(imps, "imp_id bigint, imp_ts timestamp, user_id bigint").write.parquet(imp_dir)
+    spark.createDataFrame(clicks, "click_id bigint, click_ts timestamp, user_id bigint").write.parquet(clk_dir)
+
+    li = spark.readStream.schema("imp_id bigint, imp_ts timestamp, user_id bigint").parquet(imp_dir)
+    rc = spark.readStream.schema("click_id bigint, click_ts timestamp, user_id bigint").parquet(clk_dir)
+    joined = interval_join_streams(
+        li, rc, key="user_id", left_ts="imp_ts", right_ts="click_ts",
+        interval="10 minutes", watermark="2 hours",
+    ).select("imp_id", "click_id")
+    q = (
+        joined.writeStream.format("memory").queryName("t_attrib")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.imp_id, r.click_id) for r in spark.table("t_attrib").collect())
+
+    bi, bc = spark.read.parquet(imp_dir), spark.read.parquet(clk_dir).withColumnRenamed("user_id", "u2")
+    want = sorted(
+        (r.imp_id, r.click_id)
+        for r in bi.join(
+            bc,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("click_ts") >= F.col("imp_ts"))
+            & (F.col("click_ts") <= F.col("imp_ts") + F.expr("INTERVAL 10 minutes")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_streams_rejects_static_sides(spark, tmp_path):
+    import pytest as _pytest
+
+    from network_iq_spark.streaming import interval_join_streams
+
+    p = str(tmp_path / "d")
+    df = spark.createDataFrame([(1,)], "user_id bigint")
+    df.write.parquet(p)
+    stream = spark.readStream.schema("user_id bigint").parquet(p)
+    with _pytest.raises(ValueError):
+        interval_join_streams(df, stream, "user_id", "a", "b")
+    with _pytest.raises(ValueError):
+        interval_join_streams(stream, df, "user_id", "a", "b")
