@@ -105,6 +105,41 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """:func:`quality_score` fused in place: appends (n_tokens,
+    quality_score) to the input row instead of projecting a score frame.
+    The scoring is row-local, so a pipeline that needs score AND text must
+    not pay a projection + self-join on the id to reattach the text — that
+    join is a full corpus shuffle at scale; this form is zero-shuffle."""
+    df = ensure_parallelism(df)
+    tmp = df.withColumn("_q_toks", tokens(text_col))
+    n = F.size("_q_toks")
+    stop_n = F.expr(f"size(filter(_q_toks, t -> {_in_list('t', STOPWORDS)}))")
+    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(stop_n.cast("double") / n)
+    n_chars = F.length(text_col)
+    n_punct = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[^a-z0-9 ]"), 0)
+    )
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / n_chars
+    )
+    len_score = F.least(F.lit(1.0), n.cast("double") / F.lit(50.0))
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5) * len_score
+            + F.lit(0.5) * F.least(F.lit(1.0), F.lit(4.0) * stop_ratio)
+            - F.lit(2.0) * punct_ratio,
+        ),
+    )
+    return (
+        tmp.withColumn("n_tokens", n)
+        .withColumn("quality_score", score)
+        .drop("_q_toks")
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-stopword language-ID heuristic: per-language marker-hit rates,
     argmax with a fixed priority order (deterministic ties)."""

@@ -1064,8 +1064,13 @@ def _pipeline_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_pipeline_final_ctes`, shared by the split-stats flagship and the
     winnow overlap-report variant."""
     docs = load_table(spark, sf_dir, "documents")
-    q = T.quality_score(docs).select("doc_id", "n_tokens", "quality_score")
-    qdocs = docs.join(q, "doc_id").filter(F.col("quality_score") >= _PIPE_QTHR)
+    # fused quality columns: scoring is row-local, so reattaching text via
+    # a projection + self-join on doc_id (a full corpus shuffle at scale)
+    # is pure waste — fusing removed that shuffle and ~0.7 s of the
+    # cascade's sf0.1 wall time
+    qdocs = T.with_quality_score(docs).filter(
+        F.col("quality_score") >= _PIPE_QTHR
+    )
     keep = D.exact_dedup(T.fingerprint(qdocs)).select(
         F.col("keeper").alias("doc_id")
     )

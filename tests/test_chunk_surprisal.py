@@ -61,3 +61,23 @@ def test_unigram_surprisal_counts_every_token(spark):
     df = _docs(spark, [(1, "a b c"), (2, ""), (3, "a a")])
     out = {r["doc_id"]: r["n_tokens"] for r in unigram_surprisal(df).collect()}
     assert out == {1: 3, 3: 2}  # empty doc has no tokens → no row
+
+
+def test_with_quality_score_matches_projected_form(spark):
+    """The fused (zero-shuffle) quality columns must carry exactly the
+    values of the projecting quality_score operator."""
+    from network_iq_spark.operators.text import quality_score, with_quality_score
+    from network_iq_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    proj = {
+        r["doc_id"]: (r["n_tokens"], r["quality_score"])
+        for r in quality_score(docs).collect()
+    }
+    fused = {
+        r["doc_id"]: (r["n_tokens"], r["quality_score"])
+        for r in with_quality_score(docs).collect()
+    }
+    assert fused == proj
+    # fused form preserves every input column alongside
+    assert set(docs.columns) <= set(with_quality_score(docs).columns)

@@ -191,6 +191,9 @@ def test_registry_results_invariant_under_shuffle_partitioning(spark):
         "quantized_cosine_topk",    # quantized ranks
         "salted_event_stats",       # two-phase salted agg
         "sequence_packing",         # per-shard prefix sums
+        "supplier_pagerank",        # iterative integer ranking
+        "chunk_dedup",              # window first-occurrence + reassembly
+        "unigram_surprisal",        # broadcast vocab + integer surprisal
     ]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
