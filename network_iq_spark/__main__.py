@@ -1,4 +1,9 @@
-"""End-to-end demo: ``python -m network_iq_spark [workdir]``.
+"""CLI: demo pipeline + query catalog.
+
+- ``python -m network_iq_spark``            — end-to-end demo (below)
+- ``python -m network_iq_spark --list``     — print the query catalog
+- ``python -m network_iq_spark --run NAME [--sf DIR] [--n N]`` — run one
+  registered query against a testdata dir and show the first N rows.
 
 Runs the full reference capability surface on a synthetic telemetry batch:
 ingest (CSV → cleansed hive parquet) → dashboard panels (KPIs, hourly,
@@ -14,7 +19,41 @@ import sys
 import tempfile
 
 
+def _catalog_main(argv: list[str]) -> None:
+    from network_iq_spark.registry import ORACLES, QUERIES
+
+    if argv[0] == "--list":
+        for name in sorted(QUERIES):
+            doc = (QUERIES[name].__doc__ or "").strip().splitlines()
+            tag = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name:34s} [{tag}] {doc[0] if doc else ''}")
+        print(f"-- {len(QUERIES)} queries, {len(ORACLES)} oracle-paired")
+        return
+
+    # --run NAME [--sf DIR] [--n N]
+    name = argv[1]
+    sf = "/root/testdata/sf0.01"
+    n = 20
+    if "--sf" in argv:
+        sf = argv[argv.index("--sf") + 1]
+    if "--n" in argv:
+        n = int(argv[argv.index("--n") + 1])
+    if name not in QUERIES:
+        import difflib
+
+        close = difflib.get_close_matches(name, QUERIES, n=3)
+        raise SystemExit(f"unknown query {name!r}; did you mean {close}?")
+    from network_iq_spark.session import get_spark
+
+    spark = get_spark(app_name=f"network-iq-spark-run-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES[name](spark, sf).show(n, truncate=False)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] in ("--list", "--run"):
+        _catalog_main(sys.argv[1:])
+        return
     workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="niq_")
     os.makedirs(workdir, exist_ok=True)
 
