@@ -4,6 +4,8 @@
 - ``python -m network_iq_spark --list``     — print the query catalog
 - ``python -m network_iq_spark --run NAME [--sf DIR] [--n N]`` — run one
   registered query against a testdata dir and show the first N rows.
+- ``python -m network_iq_spark --explain NAME [--sf DIR]`` — print the
+  formatted physical plan (pushdown / broadcast / shuffle inspection).
 
 Runs the full reference capability surface on a synthetic telemetry batch:
 ingest (CSV → cleansed hive parquet) → dashboard panels (KPIs, hourly,
@@ -30,7 +32,8 @@ def _catalog_main(argv: list[str]) -> None:
         print(f"-- {len(QUERIES)} queries, {len(ORACLES)} oracle-paired")
         return
 
-    # --run NAME [--sf DIR] [--n N]
+    # --run/--explain NAME [--sf DIR] [--n N]
+    mode = argv[0]
     name = argv[1]
     sf = "/root/testdata/sf0.01"
     n = 20
@@ -47,11 +50,15 @@ def _catalog_main(argv: list[str]) -> None:
 
     spark = get_spark(app_name=f"network-iq-spark-run-{name}")
     spark.sparkContext.setLogLevel("ERROR")
-    QUERIES[name](spark, sf).show(n, truncate=False)
+    df = QUERIES[name](spark, sf)
+    if mode == "--explain":
+        df.explain("formatted")
+    else:
+        df.show(n, truncate=False)
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] in ("--list", "--run"):
+    if len(sys.argv) > 1 and sys.argv[1] in ("--list", "--run", "--explain"):
         _catalog_main(sys.argv[1:])
         return
     workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="niq_")
