@@ -284,3 +284,22 @@ def test_shipping_priority_plan_shape(spark):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("o_orderdate" in ln for ln in pushed), pushed
     assert any("l_shipdate" in ln for ln in pushed), pushed
+
+
+def test_nation_trade_volume_broadcasts_all_dims_single_shuffle(spark):
+    """Q7 shape: five broadcast joins (orders side included at test scale),
+    zero sort-merge joins, and exactly ONE hash exchange — the grouped
+    aggregation. The same nation dim appears twice under different aliases
+    without forcing a shuffle."""
+    plan = _plan(spark, "nation_trade_volume")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_session_window_stats_single_shuffle(spark):
+    """Native session_window grouping: one hash exchange on the user key,
+    sessions merged within partitions — no global sort, no second pass."""
+    plan = _plan(spark, "session_window_stats")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
