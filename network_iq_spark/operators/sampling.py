@@ -124,3 +124,38 @@ def equalize_groups(
     return df.join(F.broadcast(rates), group).filter(
         hash_bucket(F.col(key), salt) < F.col("__rate_bp__")
     ).drop("__rate_bp__")
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group: str,
+    key: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(k, |group|) rows per group, chosen by key hash — the
+    deterministic replacement for per-group reservoir sampling (balanced
+    eval subsets, per-domain spot-check samples). Rows ranked by
+    (md5(key ‖ salt), key) inside each group; rank ≤ k survives. Stable
+    under re-partitioning and corpus growth *within* untouched groups
+    (adding rows to one group cannot change another group's sample).
+
+    One shuffle on the group key; the per-group sort is O(|group| log k)
+    via window rank — groups are the partition, so skew mitigation for a
+    giant group is the same pre-aggregation story as any keyed window.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(salt))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(group).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1040,3 +1040,63 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "supp_key")
         .limit(25)
     )
+
+
+@register(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_type,
+           MIN(d.med) AS median_value,
+           MIN(m.mad) AS mad,
+           COUNT(*) AS n,
+           CAST(COUNT(*) FILTER (
+             WHERE d.adev > 3.0 * 1.4826 * m.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe alternative to the z-score family (a single spike
+    inflates mean AND std; median/MAD shrug it off). Three grouped passes
+    (median → MAD → flag count), each a 5-group partial agg; the group
+    medians ride back onto the fact rows as broadcast joins, so the fact
+    table is scanned, never shuffled. The 1.4826 factor scales MAD to σ
+    under normality — the classic consistency constant."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.count("*").alias("n"),
+            F.count(
+                F.when(
+                    F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+                )
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -1368,3 +1368,34 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents from their surviving chunks."""
     docs = load_table(spark, sf_dir, "documents")
     return D.chunk_dedup(docs)
+
+
+_LANG_SAMPLE_K = 5
+
+
+@register(
+    "lang_sample_k",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_sql_hex_int("substr(md5(CAST(doc_id AS VARCHAR) || 'spot'), 1, 12)", 12)} ASC,
+                        doc_id ASC
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {_LANG_SAMPLE_K}
+    ORDER BY lang, doc_id
+    """,
+)
+def q_lang_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (operators/sampling.py
+    sample_k_per_group): exactly min(k, |group|) docs per language, chosen
+    by id hash — the reproducible replacement for per-group reservoir
+    sampling (balanced eval subsets / per-domain spot checks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SA.sample_k_per_group(docs, "lang", "doc_id", _LANG_SAMPLE_K, salt="spot")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

@@ -141,8 +141,26 @@ def main() -> None:
         emb = load_table(spark, d, "embeddings")
         return S.semantic_dedup(emb, n_cells=None, threshold=0.30)
 
+    # iterative tier on a hub-heavy graph: docs ↔ their source (20 hubs),
+    # symmetrized — edge count ∝ N, so the per-iteration join/agg scales
+    # with the corpus like the real trade graph does
+    def _pagerank(spark, d):
+        from pyspark.sql import functions as F
+
+        from network_iq_spark.operators.graph import pagerank_int
+
+        docs = load_table(spark, d, "documents").select(
+            (F.col("doc_id") * 2).alias("src"),
+            (F.xxhash64("source") % 1000 * 2 + 1).alias("dst"),
+        )
+        edges = docs.union(
+            docs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return pagerank_int(edges, n_iters=5)
+
     plans = {q: QUERIES[q] for q in QUERIES_UNDER_TEST}
     plans["semantic_dedup_autocells"] = _semantic_auto
+    plans["pagerank_int_5iters"] = _pagerank
 
     dirs = {m: build_corpus(m) for m in mults}
     results: dict[str, dict[int, float]] = {q: {} for q in plans}

@@ -106,3 +106,26 @@ def test_equalize_groups_extreme_skew_keeps_every_group(spark):
     assert by_g["tiny"] == 1                # smallest group intact
     # clamp regime: keeps about n/BUCKETS rows (1 bp), loose 4x bound
     assert by_g["huge"] <= 4 * (big_n // SA.BUCKETS + 1)
+
+
+def test_sample_k_per_group_exact_k_and_group_isolation(spark):
+    """Exactly min(k, |group|) per group; and growing one group never
+    changes another group's sample (the property reservoir sampling loses
+    and hash ranking keeps)."""
+    from network_iq_spark.operators.sampling import sample_k_per_group
+
+    rows = [(i, "a") for i in range(20)] + [(100 + i, "b") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = sample_k_per_group(df, "lang", "doc_id", 5).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_g["a"]) == 5
+    assert by_g["b"] == {100, 101}  # short group kept whole
+
+    # add rows to group b only: group a's sample must be identical
+    rows2 = rows + [(200 + i, "b") for i in range(30)]
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, lang string")
+    out2 = sample_k_per_group(df2, "lang", "doc_id", 5).collect()
+    a2 = {r["doc_id"] for r in out2 if r["lang"] == "a"}
+    assert a2 == by_g["a"]
