@@ -502,3 +502,46 @@ def unigram_surprisal(
         )
         .orderBy(id_col)
     )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode normalization for multilingual corpora: NFC composition
+    (byte-identical text that differs only in combining-character order
+    must dedup together) and a fold column (casefold + accent strip) for
+    match/lookup keys. Crawl text arrives in every normalization form;
+    running exact dedup before normalizing silently misses equal documents.
+
+    Arrow-batched ``mapInPandas`` over Python's unicodedata (the reference
+    tables ship with CPython, no extra deps) — map-only, scan-bound, the
+    same posture as the rest of the text family. Spark's builtin functions
+    cover neither NFC nor full casefold (``lower`` ≠ casefold for ß, İ…).
+    """
+    import unicodedata
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _fold(s: str) -> str:
+        decomp = unicodedata.normalize("NFD", s.casefold())
+        return unicodedata.normalize(
+            "NFC", "".join(c for c in decomp if not unicodedata.combining(c))
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "text_nfc": [unicodedata.normalize("NFC", s) for s in texts],
+                    "text_folded": [_fold(s) for s in texts],
+                }
+            )
+
+    df = ensure_parallelism(df)
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} bigint, text_nfc string, text_folded string"
+    )

@@ -81,3 +81,21 @@ def test_with_quality_score_matches_projected_form(spark):
     assert fused == proj
     # fused form preserves every input column alongside
     assert set(docs.columns) <= set(with_quality_score(docs).columns)
+
+
+def test_normalize_text_nfc_and_fold(spark):
+    """Real-unicode semantics: decomposed é composes to one codepoint,
+    ß casefolds to ss, accents strip in the fold column, NFC-equal inputs
+    become byte-identical (the exact-dedup prerequisite)."""
+    from network_iq_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Café STRASSE ß"),   # decomposed é + ß
+        (2, "Café STRASSE ß"),     # precomposed é — same text, NFC-wise
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: (r["text_nfc"], r["text_folded"]) for r in normalize_text(df).collect()}
+    assert out[1][0] == out[2][0] == "Café STRASSE ß"
+    assert out[1][1] == out[2][1] == "cafe strasse ss"
+    assert out[3] == ("", "")

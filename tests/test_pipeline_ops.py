@@ -208,3 +208,40 @@ def test_registry_results_invariant_under_shuffle_partitioning(spark):
             assert a == b, f"{name} varies with shuffle partitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_stage_metrics_single_action_consistent_counts(spark):
+    """Observation-backed stage metrics: one action yields per-stage row
+    counts that match independently recomputed counts — no extra jobs, no
+    drift between stages."""
+    from network_iq_spark.operators.metrics import StageMetrics
+    from network_iq_spark.operators.text import with_quality_score
+    from network_iq_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sm = StageMetrics()
+    staged = sm.stage(docs, "raw")
+    scored = with_quality_score(staged)
+    kept = sm.stage(scored.filter(scored.quality_score >= 0.5), "quality")
+    kept.write.format("noop").mode("overwrite").save()  # ONE action
+
+    got = sm.results()
+    n_raw = docs.count()
+    n_kept = with_quality_score(docs).filter("quality_score >= 0.5").count()
+    assert got["raw"]["rows"] == n_raw
+    assert got["quality"]["rows"] == n_kept
+    report = sm.drop_report()
+    assert [r[0] for r in report] == ["raw", "quality"]
+    assert report[1][2] == n_kept / n_raw
+
+
+def test_stage_metrics_rejects_duplicate_names(spark):
+    import pytest as _pytest
+
+    from network_iq_spark.operators.metrics import StageMetrics
+
+    sm = StageMetrics()
+    df = spark.range(3)
+    sm.stage(df, "a")
+    with _pytest.raises(ValueError):
+        sm.stage(df, "a")
