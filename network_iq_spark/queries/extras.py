@@ -1100,3 +1100,50 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "range_window_stats",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           COUNT(*) OVER w AS n_win,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS sum_e4,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+             / (10000.0 * COUNT(*) OVER w) AS avg_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q_range_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval (RANGE) window frame — the event-time sibling of the
+    row-count frames in rolling_features: every event sees the TRUE
+    trailing hour regardless of how many rows fall in it (ROWS frames
+    break on irregular event spacing). Ordered by integer epoch-micros so
+    the frame bound is exact; identical-timestamp peers are all in-frame
+    in both engines by RANGE semantics. Value sums in integer e4 units →
+    the windowed aggregate is order-independent and bit-deterministic.
+    One shuffle on event_type; per-key ordering is the window sort."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    vu = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    n = F.count("*").over(w)
+    s = F.sum(vu).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            n.alias("n_win"),
+            s.alias("sum_e4"),
+            (s.cast("double") / (F.lit(10000.0) * n)).alias("avg_trailing_1h"),
+        )
+        .orderBy("event_id")
+    )
