@@ -564,3 +564,38 @@ def q_cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+                AS INTEGER) AS k_decade,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY 1 ORDER BY k_decade
+    """,
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's native VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` extraction — the scale path for JSON columns (repeated
+    ``get_json_object`` re-parses the string per expression; a variant
+    parses once and every access is a typed binary probe). Registered
+    alongside the string-path twin ``json_props_stats`` so both
+    semi-structured tiers stay oracle-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"))
+        .select(F.expr("div(k, 10)").cast("int").alias("k_decade"), "k")
+        .groupBy("k_decade")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_decade")
+    )

@@ -2,6 +2,7 @@ from network_iq_spark.sources.jsonl import (
     jsonl_to_parquet,
     read_jsonl,
     read_jsonl_split,
+    read_xml_records,
     write_jsonl,
 )
 from network_iq_spark.sources.orc import parquet_to_orc, read_orc, write_orc
@@ -15,6 +16,7 @@ __all__ = [
     "parquet_to_orc",
     "read_jsonl",
     "read_jsonl_split",
+    "read_xml_records",
     "read_orc",
     "write_jsonl",
     "write_orc",

@@ -123,3 +123,32 @@ def jsonl_to_parquet(
     valid.write.mode(mode).parquet(dst)
     corrupt.write.mode(mode).json(f"{dst.rstrip('/')}_corrupt")
     return spark.read.parquet(dst)
+
+
+# ---------------------------------------------------------------------------
+# XML edge format (Spark 4 native from_xml — same schema-first posture)
+# ---------------------------------------------------------------------------
+
+
+def read_xml_records(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    record_tag: str = "record",
+) -> DataFrame:
+    """One-XML-record-per-line edge scan (the XML sibling of
+    :func:`read_jsonl`): a distributed text scan + ``from_xml`` under an
+    EXPLICIT schema — no inference pass, map-only, file-parallel. Rows
+    whose line fails to parse or lacks the record tag come back as
+    all-null structs; callers quarantine them with the usual null-key
+    filter. Full-document (multi-line) XML needs a record-boundary-aware
+    splitter — out of scope; the record-per-line layout is what log
+    pipelines emit and is splittable for free."""
+    parsed = F.from_xml(F.col("value"), schema)
+    return (
+        spark.read.text(path)
+        .filter(F.length(F.trim(F.col("value"))) > 0)
+        .filter(F.col("value").contains(f"<{record_tag}"))
+        .select(parsed.alias("_r"))
+        .select("_r.*")
+    )

@@ -85,3 +85,25 @@ def test_jsonl_schema_is_explicit_no_inference(spark, tmp_path):
     assert row.doc_id == 7 and row.lang is None
     assert "surprise" not in valid.columns
     assert corrupt.count() == 0
+
+
+def test_xml_records_schema_first_scan(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from network_iq_spark.sources.jsonl import read_xml_records
+
+    lines = [
+        "<record><doc_id>1</doc_id><text>alpha beta</text></record>",
+        "",
+        "<record><doc_id>2</doc_id><text>gamma</text></record>",
+        "<notarecord>skip me</notarecord>",
+    ]
+    p = tmp_path / "recs.xml"
+    p.write_text("\n".join(lines))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    out = sorted(
+        (r["doc_id"], r["text"]) for r in read_xml_records(spark, str(p), schema).collect()
+    )
+    assert out == [(1, "alpha beta"), (2, "gamma")]
