@@ -169,3 +169,70 @@ def test_idempotent_upsert_sink_with_streaming_foreachbatch(spark, tmp_path):
     again = sorted(map(tuple, spark.read.parquet(table).select(
         "event_id", "day", "value").collect()))
     assert again == want
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    """Clustering-quality metric: mean per-file normalized min-max span,
+    summed over both clustering columns. A single-column sort leaves the
+    second column's span ~1.0 per file (useless for pruning); the z-order
+    layout must cut the combined span well below it."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources.maintenance import zorder_write
+
+    df = (
+        spark.range(0, 20000)
+        .select(
+            (F.col("id") % 1000).alias("a"),
+            F.floor(F.col("id") / 20).alias("b"),
+        )
+    )
+
+    def combined_span(path):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            mins = {c: None for c in ("a", "b")}
+            maxs = {c: None for c in ("a", "b")}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        st = col.statistics
+                        mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                        maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+            spans.append(
+                (maxs["a"] - mins["a"]) / 999.0 + (maxs["b"] - mins["b"]) / 999.0
+            )
+        return sum(spans) / len(spans)
+
+    sorted_path = str(tmp_path / "sorted_a")
+    (
+        df.repartitionByRange(8, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(sorted_path)
+    )
+    z_path = str(tmp_path / "zordered")
+    zorder_write(df, z_path, ["a", "b"], n_files=8)
+
+    # same rows either way
+    assert spark.read.parquet(z_path).count() == 20000
+    span_sorted = combined_span(sorted_path)
+    span_z = combined_span(z_path)
+    # sorted-by-a: a-span ~1/8, b-span ~1 → ~1.1; z-order: both ~1/sqrt(8)
+    assert span_z < span_sorted * 0.85, (span_z, span_sorted)
+
+
+def test_zorder_write_rejects_bad_arity(spark, tmp_path):
+    import pytest as _pytest
+
+    from network_iq_spark.sources.maintenance import zorder_write
+
+    df = spark.range(5).selectExpr("id AS a", "id AS b")
+    with _pytest.raises(ValueError):
+        zorder_write(df, str(tmp_path / "x"), ["a"])
