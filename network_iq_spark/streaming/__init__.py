@@ -8,6 +8,7 @@ from network_iq_spark.streaming.sink import idempotent_upsert_sink
 from network_iq_spark.streaming.kpis import (
     latest_per_key,
     read_telemetry_stream,
+    sliding_distinct_keys,
     sliding_features,
     tumbling_kpis,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "streaming_exact_dedup",
     "with_content_fingerprint",
     "read_telemetry_stream",
+    "sliding_distinct_keys",
     "sliding_features",
     "streaming_sessionize",
     "tumbling_kpis",

@@ -93,6 +93,39 @@ def sliding_features(
     )
 
 
+def sliding_distinct_keys(
+    stream: DataFrame,
+    ts_col: str = "timestamp",
+    distinct_col: str = "cell_id",
+    window: str = "3 hours",
+    slide: str = "1 hour",
+    watermark: str = "3 hours",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Distinct-cardinality per sliding window as an HLL++ sketch
+    (``approx_count_distinct``) — exact COUNT(DISTINCT) is unsupported in
+    streaming aggregations for a reason: its state is the value set itself.
+    The sketch is mergeable and register-maxing, so state per window is a
+    fixed few KB, results are independent of arrival order/micro-batching,
+    and the batch replay of the same data produces the IDENTICAL estimate
+    (equivalence-tested) — the same exact/approx duality the batch tier
+    documents for percentile vs percentile_approx."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide))
+        .agg(
+            F.approx_count_distinct(distinct_col, rsd).alias("approx_distinct"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "approx_distinct",
+            "n_rows",
+        )
+    )
+
+
 def latest_per_key(
     stream: DataFrame,
     schema_ddl: str,
