@@ -1147,3 +1147,72 @@ def q_range_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "value_autocorr_lag1",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS xu,
+             LAG(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS yu
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(xu) AS BIGINT) AS sx, CAST(SUM(yu) AS BIGINT) AS sy,
+             CAST(SUM(CAST(xu AS DECIMAL(38,0)) * xu) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(yu AS DECIMAL(38,0)) * yu) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(xu AS DECIMAL(38,0)) * yu) AS DECIMAL(38,0)) AS sxy
+      FROM seq WHERE yu IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS autocorr
+    FROM m ORDER BY event_type
+    """,
+)
+def q_value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of event values per type — the stationarity
+    smoke test a feature pipeline runs before trusting rolling statistics.
+    Same exact-integer co-moment pattern as qty_price_correlation (sums as
+    DECIMAL(38,0) for overflow headroom, one double combination at the
+    end), composed with a per-key ordered LAG — so an ordered-window +
+    deterministic-correlation pipeline replays bit-for-bit in SQL. One
+    shuffle (window and groupBy share the event_type partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    xu = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", xu.alias("xu"), F.lag(xu).over(w).alias("yu")
+    ).where(F.col("yu").isNotNull())
+    wide = "decimal(38,0)"
+    m = seq.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("xu").alias("sx"),
+        F.sum("yu").alias("sy"),
+        F.sum((F.col("xu").cast(wide) * F.col("xu"))).cast(wide).alias("sxx"),
+        F.sum((F.col("yu").cast(wide) * F.col("yu"))).cast(wide).alias("syy"),
+        F.sum((F.col("xu").cast(wide) * F.col("yu"))).cast(wide).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("autocorr"),
+    ).orderBy("event_type")

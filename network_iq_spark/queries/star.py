@@ -365,3 +365,39 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_items"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+@register(
+    "parts_bought_together",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+    """,
+)
+def q_parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same order,
+    ranked by support — the base query of affinity analysis. Distinct
+    (order, part) first so multi-line quantities don't inflate support;
+    the self-join key is the order id, so fanout per order is
+    C(items,2) — bounded by order size (~7 lines max in this schema; at
+    retail scale cap basket size or frequency-cap hot items exactly like
+    the Jaccard shingle cap). One shuffle on the order key, one grouped
+    count, TakeOrdered for the top list with full deterministic
+    tiebreak."""
+    l = load_table(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
