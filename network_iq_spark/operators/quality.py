@@ -52,3 +52,34 @@ def contract_passed(summary_row: dict) -> bool:
         for k, v in summary_row.items()
         if k != "row_count" and isinstance(v, int)
     )
+
+
+def validate_and_quarantine(
+    df: DataFrame, rules: Sequence[tuple[str, Column]]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level contract enforcement with reasons: returns
+    ``(valid, rejects)`` where rejects carry ``failed_rules`` — the sorted
+    array of every rule the row violates (not just the first: operators
+    triaging a bad feed need the full picture per row, and first-failure
+    reporting makes counts depend on rule order).
+
+    Each rule is ``(name, boolean Column)`` with True = pass; a NULL
+    predicate result counts as a failure (unknown is not a pass). ONE
+    projection computes all verdicts — both outputs share the scan, and at
+    100 TB the quarantine side is the tiny branch that feeds a rejects
+    sink while the valid side streams on. Complements Q1's aggregate
+    summary (`contract_summary`) with the row-grain operational split.
+    """
+    flags = F.array(
+        *[
+            F.when(pred.isNull() | ~pred, F.lit(name))
+            for name, pred in rules
+        ]
+    )
+    tagged = df.withColumn(
+        "failed_rules",
+        F.array_sort(F.filter(flags, lambda x: x.isNotNull())),
+    )
+    valid = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    rejects = tagged.filter(F.size("failed_rules") > 0)
+    return valid, rejects

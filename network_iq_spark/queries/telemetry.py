@@ -599,3 +599,66 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_decade")
     )
+
+
+@register(
+    "contract_quarantine_summary",
+    oracle="""
+    WITH tagged AS (
+      SELECT
+        CASE WHEN NOT (value IS NOT NULL AND value >= 0.0)
+             THEN 1 ELSE 0 END AS f_value_nonneg,
+        CASE WHEN NOT (user_id IS NOT NULL AND user_id >= 0)
+             THEN 1 ELSE 0 END AS f_user_valid,
+        CASE WHEN NOT (event_type IN ('view','click','purchase','signup','error'))
+             THEN 1 ELSE 0 END AS f_known_type
+      FROM events
+    )
+    SELECT failed_rule, n FROM (
+      SELECT 'value_nonneg' AS failed_rule,
+             CAST(SUM(f_value_nonneg) AS BIGINT) AS n FROM tagged
+      UNION ALL
+      SELECT 'user_valid', CAST(SUM(f_user_valid) AS BIGINT) FROM tagged
+      UNION ALL
+      SELECT 'known_type', CAST(SUM(f_known_type) AS BIGINT) FROM tagged
+      UNION ALL
+      SELECT '__valid_rows__',
+             CAST(SUM(CASE WHEN f_value_nonneg + f_user_valid + f_known_type = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM tagged
+    ) ORDER BY failed_rule
+    """,
+)
+def q_contract_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level contract enforcement (operators/quality.py
+    validate_and_quarantine) rolled up: per-rule violation counts from the
+    quarantine branch (exploded failed_rules — a row violating two rules
+    counts under both) plus the surviving-row count from the valid branch.
+    NULL predicate results count as failures (unknown ≠ pass)."""
+    from network_iq_spark.operators.quality import validate_and_quarantine
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        ("value_nonneg", F.col("value").isNotNull() & (F.col("value") >= 0.0)),
+        ("user_valid", F.col("user_id").isNotNull() & (F.col("user_id") >= 0)),
+        (
+            "known_type",
+            F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+        ),
+    ]
+    valid, rejects = validate_and_quarantine(ev, rules)
+    per_rule = (
+        rejects.select(F.explode("failed_rules").alias("failed_rule"))
+        .groupBy("failed_rule")
+        .agg(F.count("*").alias("n"))
+    )
+    all_rules = spark.createDataFrame(
+        [(name,) for name, _ in rules], "failed_rule string"
+    )
+    per_rule_full = (
+        all_rules.join(per_rule, "failed_rule", "left")
+        .select("failed_rule", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"))
+    )
+    valid_row = valid.agg(F.count("*").alias("n")).select(
+        F.lit("__valid_rows__").alias("failed_rule"), F.col("n")
+    )
+    return per_rule_full.unionByName(valid_row).orderBy("failed_rule")

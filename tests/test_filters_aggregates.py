@@ -75,3 +75,29 @@ def test_cleansing_filter_rules(spark):
     )
     out = cleansing_filter(df, default_clean_rules()).collect()
     assert [(r.latency_ms, r.throughput_mbps) for r in out] == [(10.0, 5.0)]
+
+
+def test_validate_and_quarantine_tags_all_failures(spark):
+    """Rejects carry EVERY failed rule (sorted), not just the first; NULL
+    predicate results are failures; valid branch has no tag column."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.operators.quality import validate_and_quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "view"), (2, -5.0, "view"), (3, None, "bogus"), (4, 7.0, None)],
+        "id bigint, v double, t string",
+    )
+    rules = [
+        ("v_nonneg", F.col("v").isNotNull() & (F.col("v") >= 0)),
+        ("t_known", F.col("t").isin("view", "click")),
+    ]
+    valid, rejects = validate_and_quarantine(df, rules)
+    assert [r["id"] for r in valid.collect()] == [1]
+    assert "failed_rules" not in valid.columns
+    got = {r["id"]: list(r["failed_rules"]) for r in rejects.collect()}
+    assert got == {
+        2: ["v_nonneg"],
+        3: ["t_known", "v_nonneg"],  # both rules, sorted
+        4: ["t_known"],              # NULL predicate counts as failure
+    }
