@@ -81,7 +81,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     _compare_with_last_round(timings, total)
     # Full per-query visibility lives in bench_full.json (committed to the
-    # repo each round): at 92 registered queries the names alone cost
+    # repo each round): at 100+ registered queries the names alone cost
     # 92 * (avg 16.7 chars + 5 for quotes/colon/comma) ~= 2,000 chars, so the
     # complete dict can NEVER fit the driver's ~2000-char stdout tail no
     # matter how the values are encoded. The file carries every timing at

@@ -1399,3 +1399,69 @@ def q_lang_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                  FROM documents),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+    ranked AS (
+      SELECT tok, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cnt
+      FROM counts
+    )
+    SELECT rank, tok, cnt, cum_cnt,
+           CAST(cum_cnt AS DOUBLE) / (SELECT total FROM tot) AS coverage
+    FROM ranked ORDER BY rank LIMIT 30
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-building first step: token
+    frequencies ranked with cumulative corpus coverage (what fraction of
+    all tokens the top-k vocab explains). Scale shape: the only
+    corpus-sized work is the combinable frequency groupBy; the top-30
+    candidates come off it via TakeOrderedAndProject (never a global
+    sort), and rank + cumulative counts are a 30×30 broadcast triangle
+    self-join — NO unpartitioned window anywhere, the same
+    agg-grain-self-join idiom as centered_mavg_volume. Integer cumulative
+    counts ⇒ the coverage doubles are one exact division each."""
+    from network_iq_spark.operators.topk import top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    top = top_k(counts, [("cnt", True)], 30, tiebreak=["tok"])
+    a = top.select(F.col("tok").alias("tok"), F.col("cnt").alias("cnt"))
+    b = top.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cnt_b"))
+    before_or_eq = (F.col("cnt_b") > F.col("cnt")) | (
+        (F.col("cnt_b") == F.col("cnt")) & (F.col("tok_b") <= F.col("tok"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), before_or_eq)
+        .groupBy("tok", "cnt")
+        .agg(
+            F.count("*").alias("rank"),
+            F.sum("cnt_b").cast("bigint").alias("cum_cnt"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "tok",
+            "cnt",
+            "cum_cnt",
+            (F.col("cum_cnt").cast("double") / F.col("total")).alias("coverage"),
+        )
+        .orderBy("rank")
+    )

@@ -37,11 +37,16 @@ def test_no_unpartitioned_window_in_any_registry_plan(spark):
             s = ln.strip()
             if not s.lstrip("+-*( 0123456789)").startswith("Window "):
                 continue
-            if s.count("], [") != 1:
-                continue
-            second = s.split("], [", 1)[1]
-            if " ASC" in second or " DESC" in second:  # ordered ⇒ unpartitioned
-                hits.append(s)
+            # windowspecdefinition(args...) lists partition columns FIRST
+            # (bare attrs), then ordering columns (attr ASC/DESC ...): an
+            # unpartitioned spec is one whose FIRST argument already
+            # carries a sort direction. Robust to however many bracket
+            # groups the node prints.
+            for frag in s.split("windowspecdefinition(")[1:]:
+                first_arg = frag.split(",", 1)[0]
+                if " ASC" in first_arg or " DESC" in first_arg:
+                    hits.append(s)
+                    break
         if hits:
             offenders[name] = hits[0][:120]
     assert not offenders, offenders
