@@ -282,3 +282,56 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    outs AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_out
+             FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, p.n,
+           CAST(p.n AS DOUBLE) / o.n_out AS p_transition
+    FROM pairs p JOIN outs o USING (prev_type)
+    ORDER BY p.prev_type, p.next_type
+    """,
+)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimates between event types: per-user
+    ordered LAG pairs → grouped counts → per-source normalization. The
+    transition probability is one exact integer division (count/out-count)
+    so the matrix replays bit-for-bit. One fact shuffle (the per-user
+    window); the pair/normalize aggregates run on the 5×5 grain. The
+    behavioral-model twin of funnel_steps — funnels fix the path, this
+    measures where users actually go next."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    pairs = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    outs = pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_out")
+    )
+    return (
+        pairs.join(F.broadcast(outs), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_out")).alias("p_transition"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
