@@ -165,6 +165,54 @@ def jaccard_pairs_capped(
     )
 
 
+def containment_pairs_capped(
+    sh: DataFrame, threshold: float, max_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Directed shingle containment C(src→dst) = |src ∩ dst| / |src| — the
+    asymmetric complement of Jaccard: a short document wholly embedded in a
+    long one has Jaccard ≈ |small|/|big| (invisible below any symmetric
+    threshold) but containment ≈ 1.0. The quote/excerpt/boilerplate-wrap
+    dedup case. Same frequency-capped candidate generation and exact
+    full-set verification as :func:`jaccard_pairs_capped`; each undirected
+    candidate yields both directions, filtered at ``threshold``.
+    """
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df__"))
+    stop = dfreq.filter(F.col("__df__") > max_df).select("shingle")
+    rare = sh.join(stop, "shingle", "left_anti")
+    a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        (F.col("inter").cast("double") / F.col("sz_a")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_dst"),
+        (F.col("inter").cast("double") / F.col("sz_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+
 # One base hash per shingle (48 bits of md5), then k affine integer
 # re-hashes (aᵢ·h + bᵢ) mod P — the classic universal-hash family. ONE md5
 # per shingle instead of k: at 100 TB the signature build is the dominant

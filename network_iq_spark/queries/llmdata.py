@@ -1465,3 +1465,42 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+_CONTAIN_THRESHOLD = 0.6
+
+
+@register(
+    "containment_top_pairs",
+    oracle=f"""
+    WITH {{JC}}
+    , directed AS (
+      SELECT i.doc_a AS doc_src, i.doc_b AS doc_dst,
+             CAST(i.inter AS DOUBLE) / sa.sz AS containment
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      UNION ALL
+      SELECT i.doc_b, i.doc_a,
+             CAST(i.inter AS DOUBLE) / sb.sz
+      FROM inter i
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+    )
+    SELECT doc_src, doc_dst, containment
+    FROM directed WHERE containment >= {_CONTAIN_THRESHOLD}
+    ORDER BY containment DESC, doc_src ASC, doc_dst ASC LIMIT 100
+    """.replace("{JC}", _JACCARD_CAPPED),
+)
+def q_containment_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup (C(src→dst) = |src∩dst|/|src|): the
+    asymmetric complement of jaccard_top_pairs — catches a short document
+    embedded in a long one (quote/excerpt/boilerplate wrap), which Jaccard
+    structurally cannot see. Same capped candidates + exact verification
+    (operators/dedup.py containment_pairs_capped)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    pairs = D.containment_pairs_capped(
+        sh, threshold=_CONTAIN_THRESHOLD, max_df=_JACCARD_MAX_DF
+    )
+    return pairs.orderBy(
+        F.col("containment").desc(), F.col("doc_src").asc(), F.col("doc_dst").asc()
+    ).limit(100)
