@@ -34,6 +34,10 @@ def _catalog_main(argv: list[str]) -> None:
 
     # --run/--explain NAME [--sf DIR] [--n N]
     mode = argv[0]
+    if len(argv) < 2:
+        raise SystemExit(
+            f"usage: python -m network_iq_spark {mode} NAME [--sf DIR] [--n N]"
+        )
     name = argv[1]
     sf = "/root/testdata/sf0.01"
     n = 20

@@ -590,7 +590,9 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.variant_get(F.parse_json("props"), "$.k", "int")
     return (
         ev.select(k.alias("k"))
-        .select(F.expr("div(k, 10)").cast("int").alias("k_decade"), "k")
+        # floor division (matches DuckDB's ``//``), not div()'s truncation
+        # toward zero — the two diverge for negative k (-5//10 = -1 vs 0).
+        .select(F.floor(F.col("k") / F.lit(10)).cast("int").alias("k_decade"), "k")
         .groupBy("k_decade")
         .agg(
             F.count("*").alias("n"),

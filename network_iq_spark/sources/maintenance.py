@@ -149,6 +149,13 @@ def zorder_write(
 
     if not (2 <= len(cols) <= 4):
         raise ValueError("zorder_write expects 2-4 clustering columns")
+    # The interleaved code must fit in the 63 value bits of a signed bigint:
+    # bit j of column i lands at j*len(cols)+i, so the top bit is at
+    # bits*len(cols)-1. With 4 columns and the default bits=16 that would be
+    # position 63 — the SIGN bit — making the upper half of the 4th column's
+    # range sort NEGATIVE and breaking the z-curve layout. Clamp per-column
+    # resolution so the code stays non-negative (4 cols → 15 bits each).
+    bits = min(bits, 63 // len(cols))
     bounds_row = df.agg(
         *[F.min(c).alias(f"_mn_{c}") for c in cols],
         *[F.max(c).alias(f"_mx_{c}") for c in cols],

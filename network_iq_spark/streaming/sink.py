@@ -38,11 +38,23 @@ def idempotent_upsert_sink(
 
     cols = list(partition_cols if bootstrap_partition_by is None else bootstrap_partition_by)
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+    def _table_ready(spark) -> bool:
+        # Probe through the Hadoop FileSystem API (works on hdfs://, s3a://,
+        # file:// alike — a driver-local os.path check silently misroutes on
+        # any non-local URI), and key on the _SUCCESS commit marker rather
+        # than directory existence: a bootstrap write that crashed
+        # mid-commit leaves the directory present but unmarked, and a replay
+        # must take the bootstrap path again, not upsert into a partial
+        # table.
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_SUCCESS")
+        fs = marker.getFileSystem(hconf)
+        return bool(fs.exists(marker))
 
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if not os.path.isdir(path):
+        if not _table_ready(spark):
             (
                 batch_df.write.mode("overwrite")
                 .partitionBy(*cols)
