@@ -563,6 +563,136 @@ def ivf_assign_hier(
     ).mapInPandas(assign, schema=f"{id_col} bigint, cell bigint")
 
 
+def ivf_assign_dist(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    n_groups: int | None = None,
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """Two-level coarse assignment with the centroid table kept
+    DISTRIBUTED — the 100 TB shape of :func:`ivf_assign_hier`.
+
+    The closure-based assigners (:func:`ivf_assign_np` /
+    :func:`ivf_assign_hier`) ``collect()`` all k centroids to the driver
+    and ship them in every task closure; with the cells-∝-N discipline that
+    is ~0.5 GB through the driver at 10⁹ vectors — the engine's last
+    driver-side data dependence. Here only the **g ≈ √k super-reps**
+    (g·dim doubles — ~1000 rows at k=10⁶) ride the closure:
+
+    1. reps = the g smallest-(md5-hash, id) centroids (the seed rule),
+       collected — g rows, not k;
+    2. every centroid resolves its group via a map-only Arrow pass against
+       the rep matrix (a rep is pinned to its OWN group, so no group is
+       ever empty — the one semantic delta vs ``ivf_assign_hier``, a no-op
+       unless two reps share a direction);
+    3. every vector resolves its winning group the same way (map-only);
+    4. vectors equi-join their group's centroid shard — ONE shuffle on
+       ``grp`` for each side (N rows + k rows), cogrouped
+       ``applyInPandas``, one exact matmul per group.
+
+    Scoring is raw-dot-then-divide (``(V@Cᵀ)/outer(|v|,|c|)``): on
+    integer-valued inputs every matmul partial sum is exact in float64, so
+    the assignment is bit-deterministic and SQL-replayable — which is what
+    lets the registered quantized query pin this operator to a DuckDB
+    oracle. Ties break to the smallest centroid id within the winning
+    group, smallest rep id at the group level (matching
+    ``ivf_assign_hier``'s position order, which is c_id order).
+
+    Memory shape: one task holds one group's vectors (~N/g rows); size g
+    (``n_groups``) accordingly when groups would outgrow a task.
+    """
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators import ensure_parallelism
+
+    k = n_centroids if n_centroids is not None else centroids.count()
+    g = n_groups or max(1, _math.isqrt(max(1, k)))
+
+    h = F.conv(
+        F.substring(F.md5(F.col("c_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    rep_rows = sorted(
+        (int(r["c_id"]), list(r["cv"]))
+        for r in centroids.withColumn("__h__", h)
+        .orderBy("__h__", "c_id")
+        .limit(g)
+        .select("c_id", "cv")
+        .collect()
+    )
+    rep_ids = np.array([c for c, _ in rep_rows], dtype=np.int64)
+    R = np.array([v for _, v in rep_rows], dtype=np.float64)
+    Rn = np.sqrt((R * R).sum(axis=1))
+    Rn[Rn == 0.0] = 1.0
+    rep_id_set = set(int(c) for c in rep_ids)
+
+    def _best_rep(M: np.ndarray) -> np.ndarray:
+        """Winning rep c_id per row (cos = raw dot / norm product)."""
+        mn = np.sqrt((M * M).sum(axis=1))
+        mn[mn == 0.0] = 1.0
+        cos = (M @ R.T) / (mn[:, None] * Rn[None, :])
+        return rep_ids[np.argmax(cos, axis=1)]
+
+    def cent_grp(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf["cv"]), dtype=np.float64)
+            grp = _best_rep(C)
+            own = np.fromiter(
+                (int(c) in rep_id_set for c in pdf["c_id"]), dtype=bool, count=len(pdf)
+            )
+            grp[own] = pdf["c_id"].values[own]
+            yield pd.DataFrame({"c_id": pdf["c_id"], "grp": grp, "cv": pdf["cv"]})
+
+    cent_g = centroids.select("c_id", "cv").mapInPandas(
+        cent_grp, schema="c_id bigint, grp bigint, cv array<double>"
+    )
+
+    def vec_grp(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "grp": _best_rep(V), "v": pdf["v"]}
+            )
+
+    vec_g = ensure_parallelism(
+        vecs.select(id_col, "v"), min_bytes=DENSE_GUARD_MIN_BYTES
+    ).mapInPandas(vec_grp, schema=f"{id_col} bigint, grp bigint, v array<double>")
+
+    def score(key, left, right):
+        if len(left) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cell": pd.Series([], dtype="int64")})
+        if len(right) == 0:  # unreachable (rep pinned to own group); guard
+            return pd.DataFrame(
+                {id_col: left[id_col].values,
+                 "cell": np.full(len(left), key[0], dtype=np.int64)}
+            )
+        order = np.argsort(right["c_id"].values.astype(np.int64), kind="stable")
+        cid = right["c_id"].values.astype(np.int64)[order]
+        C = np.array(list(right["cv"].values[order]), dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        cn[cn == 0.0] = 1.0
+        V = np.array(list(left["v"]), dtype=np.float64)
+        vn = np.sqrt((V * V).sum(axis=1))
+        vn[vn == 0.0] = 1.0
+        cos = (V @ C.T) / (vn[:, None] * cn[None, :])
+        best = cid[np.argmax(cos, axis=1)]
+        return pd.DataFrame({id_col: left[id_col].values, "cell": best})
+
+    return (
+        vec_g.groupby("grp")
+        .cogroup(cent_g.groupby("grp"))
+        .applyInPandas(score, schema=f"{id_col} bigint, cell bigint")
+    )
+
+
 def ivf_assign(
     vecs: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -595,9 +725,13 @@ def cosine_topk_ivf(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    assigner=None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` nearest cells per query, exact
-    cosine against members of those cells only.
+    cosine against members of those cells only. ``assigner`` swaps the
+    cell-assignment strategy (default: the SQL-replayable
+    :func:`ivf_assign`; pass a :func:`ivf_assign_dist` partial for the
+    distributed two-level inverted file).
 
     Scale shape: centroids broadcast everywhere; the corpus shuffles ONCE on
     cell id (the inverted file — at 100 TB this is the partitioning you'd
@@ -612,7 +746,7 @@ def cosine_topk_ivf(
         ensure_parallelism(df.select(id_col, vec_col), min_bytes=DENSE_GUARD_MIN_BYTES), vec_col
     ).select(id_col, F.col(vec_col).alias("v"), "norm")
     cent = seed_centroids(vecs, n_cells, id_col)
-    inv = ivf_assign(vecs, cent, id_col)
+    inv = (assigner or ivf_assign)(vecs, cent, id_col)
 
     qv = vecs.join(query_ids, id_col, "left_semi")
     probe_scored = qv.crossJoin(F.broadcast(cent)).select(
@@ -704,8 +838,17 @@ def semantic_dedup(
         "v",
     )
     if n_cells is None:
-        n_cells = auto_n_cells(corpus.select(id_col).count())
-        assigner = ivf_assign_np  # scale path: matmul assignment
+        import functools
+
+        n_rows = corpus.select(id_col).count()
+        n_cells = auto_n_cells(n_rows)
+        # scale path: distributed two-level assignment — only √k reps in
+        # the closure, centroids resolved via a cogrouped equi-join (the
+        # closure-collecting matmul path grows ∝ N under the cells-∝-N
+        # discipline and was the engine's last driver-side bottleneck)
+        assigner = functools.partial(
+            ivf_assign_dist, n_centroids=min(n_cells, n_rows)
+        )
     else:
         assigner = ivf_assign  # oracle-pinned path: SQL-replayable folds
     cents = seed_centroids(vecs, n_cells, id_col)

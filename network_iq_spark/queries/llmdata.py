@@ -780,6 +780,133 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_vec_id", "rank")
 
 
+_IVFD_CELLS, _IVFD_GROUPS, _IVFD_NPROBE, _IVFD_K = 16, 4, 4, 10
+_IVFD_SCALE = "1000000.0"
+
+
+def _ivf_dist_sql(n_cells: int, g: int, nprobe: int, k: int) -> str:
+    """DuckDB twin of the DISTRIBUTED two-level IVF path
+    (operators/similarity.py ivf_assign_dist + cosine_topk_ivf): vectors
+    quantized to integer-valued doubles (floor(x*1e6+0.5)) so every dot
+    product is exact in float64 regardless of summation order — which is
+    what makes the matmul-assigned cells bit-replayable in SQL. Stages:
+    seeded centroid pick → seeded √k rep pick → centroid-group resolution
+    (rep pinned to own group) → vector-group resolution → in-group argmax
+    (the inverted file) → flat probe list for queries → exact in-cell
+    cosine top-k."""
+    cent_h = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
+    rep_h = _sql_hex_int("md5(CAST(c_id AS VARCHAR))", 12)
+    return f"""
+    WITH nn AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * {_IVFD_SCALE} + 0.5)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM nn
+    ),
+    cent AS (
+      SELECT vec_id AS c_id, v AS cv, norm AS cn
+      FROM n ORDER BY {cent_h}, vec_id LIMIT {n_cells}
+    ),
+    reps AS (
+      SELECT c_id AS rep_id, cv AS rv, cn AS rn
+      FROM cent ORDER BY {rep_h}, c_id LIMIT {g}
+    ),
+    cgrp AS (
+      SELECT c_id, cv, cn,
+             CASE WHEN c_id IN (SELECT rep_id FROM reps)
+                  THEN c_id ELSE best_rep END AS grp
+      FROM (
+        SELECT c.c_id, c.cv, c.cn, r.rep_id AS best_rep,
+               ROW_NUMBER() OVER (PARTITION BY c.c_id
+                 ORDER BY list_dot_product(c.cv, r.rv) / (c.cn * r.rn) DESC,
+                          r.rep_id ASC) AS rk
+        FROM cent c, reps r
+      ) WHERE rk = 1
+    ),
+    vgrp AS (
+      SELECT vec_id, grp FROM (
+        SELECT n.vec_id, r.rep_id AS grp,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, r.rv) / (n.norm * r.rn) DESC,
+                          r.rep_id ASC) AS rk
+        FROM n, reps r
+      ) WHERE rk = 1
+    ),
+    assign AS (
+      SELECT vec_id AS n_vec_id, c_id AS cell FROM (
+        SELECT n.vec_id, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cn) DESC,
+                          c.c_id ASC) AS rk
+        FROM n
+        JOIN vgrp ON vgrp.vec_id = n.vec_id
+        JOIN cgrp c ON c.grp = vgrp.grp
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS q_vec_id, c_id AS cell FROM (
+        SELECT n.vec_id, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cn) DESC,
+                          c.c_id ASC) AS rk
+        FROM n, cent c WHERE n.vec_id < 10
+      ) WHERE rk <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.q_vec_id, a.n_vec_id,
+             list_dot_product(q.v, m.v) / (q.norm * m.norm) AS cos
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.n_vec_id != p.q_vec_id
+      JOIN n q ON q.vec_id = p.q_vec_id
+      JOIN n m ON m.vec_id = a.n_vec_id
+    )
+    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, n_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY q_vec_id, rank
+    """
+
+
+@register(
+    "ivf_centroid_join_topk",
+    oracle=_ivf_dist_sql(_IVFD_CELLS, _IVFD_GROUPS, _IVFD_NPROBE, _IVFD_K),
+)
+def q_ivf_centroid_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 whose inverted file is built by the DISTRIBUTED
+    two-level assigner (ivf_assign_dist): only the √k super-reps ride the
+    task closure; centroids stay a DataFrame and vectors meet their winning
+    group's centroid shard in a cogrouped equi-join — the 100 TB execution
+    of cell assignment (no driver-side centroid materialization, verified
+    by test_plan_quality). Embeddings are quantized to integer-valued
+    doubles (floor(x*1e6+0.5), Spark expression) so every dot product —
+    including the numpy matmuls inside the cogroup UDF — is exact in
+    float64, making the whole approximate structure hash-replayable by the
+    DuckDB oracle rather than rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    import functools
+
+    quant = F.expr(
+        f"transform(embedding, x -> floor(cast(x as double) * {_IVFD_SCALE} + 0.5))"
+    )
+    corpus = emb.select("vec_id", quant.alias("v"))
+    queries = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    return S.cosine_topk_ivf(
+        corpus,
+        queries,
+        n_cells=_IVFD_CELLS,
+        nprobe=_IVFD_NPROBE,
+        k=_IVFD_K,
+        vec_col="v",
+        assigner=functools.partial(
+            S.ivf_assign_dist, n_groups=_IVFD_GROUPS, n_centroids=_IVFD_CELLS
+        ),
+    ).orderBy("q_vec_id", "rank")
+
+
 @register(
     "embedding_label_stats",
     oracle="""

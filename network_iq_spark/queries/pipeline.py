@@ -560,15 +560,20 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("semantic_dedup_scaled")  # rows-only BY DESIGN (see docstring)
 def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path variant of ``semantic_dedup``: ``n_cells=None`` turns
-    on the cells-∝-N discipline (auto_n_cells) and the Arrow-batched numpy
-    matmul assigner (ivf_assign_np). Rows-only by design: matmul summation
-    order can differ from a SQL fold in the last ulp of a cosine, which can
-    flip an argmax on exact ties, so this plan is deliberately NOT pinned
-    to a static SQL oracle — the fixed-cell ``semantic_dedup`` twin is the
-    fully oracle-checked configuration, and
-    ``test_semantic_dedup_autocells_matches_explicit_equivalent`` proves
-    the two agree on tie-free corpora. Measured scaling: exponent 0.18
-    vs 0.91 for fixed cells (docs/SCALE.md)."""
+    on the cells-∝-N discipline (auto_n_cells) and the DISTRIBUTED
+    two-level assigner (ivf_assign_dist) — only the √k super-reps ride the
+    task closure; the centroid table stays a DataFrame and vectors resolve
+    their winning group's centroids via a cogrouped equi-join, removing
+    the engine's last driver-side data dependence (collecting all k
+    centroids grows ∝ N under the auto-cells rule). Rows-only by design:
+    matmul summation order can differ from a SQL fold in the last ulp of a
+    cosine, which can flip an argmax on exact ties, so this plan is
+    deliberately NOT pinned to a static SQL oracle — the fixed-cell
+    ``semantic_dedup`` twin is the fully oracle-checked configuration, the
+    integer-quantized ``ivf_centroid_join_topk`` pins the distributed
+    assigner itself to a DuckDB oracle, and
+    ``test_semantic_dedup_autocells_matches_dist_assignment_endpoint``
+    recomputes the flags independently. Scaling: docs/SCALE.md."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, n_cells=None, threshold=_SD_THRESHOLD).orderBy(
         "vec_id"

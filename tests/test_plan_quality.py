@@ -308,3 +308,38 @@ def test_session_window_stats_single_shuffle(spark):
     plan = _plan(spark, "session_window_stats")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_dedup_scale_path_never_collects_centroid_table(spark):
+    """The auto-cells (scale) path must not materialize the centroid table
+    on the driver: the only driver-side collect the whole plan build +
+    execution performs is the √k super-rep pick (ivf_assign_dist).
+    Guards the 100 TB posture — with cells ∝ N, collecting all k centroids
+    is ~0.5 GB through the driver at 10^9 vectors."""
+    import math
+    from unittest import mock
+
+    # patch the CLASSIC subclass — pyspark.sql.DataFrame is the abstract
+    # base in Spark 4 and instances override collect() on the subclass
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from network_iq_spark.operators import similarity as S
+    from network_iq_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    k = S.auto_n_cells(n)
+    budget = math.isqrt(k)
+    collected_sizes: list[int] = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        rows = real_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    with mock.patch.object(DataFrame, "collect", spy):
+        out = S.semantic_dedup(emb, n_cells=None, threshold=0.30)
+        assert out.count() == n  # execute without a driver-side collect
+    assert collected_sizes, "expected the rep pick to collect"
+    assert max(collected_sizes) <= budget, collected_sizes

@@ -222,21 +222,95 @@ def test_ivf_assign_np_matches_interpreted_assignment(spark, vecs):
     assert flat == np_a
 
 
-def test_semantic_dedup_autocells_matches_explicit_equivalent(spark):
-    """n_cells=None must behave exactly like passing auto_n_cells(N)
-    explicitly, modulo the assigner — on tie-free data the flagged set is
-    identical, so the auto path is the same operator, just self-sizing."""
+def test_semantic_dedup_autocells_matches_dist_assignment_endpoint(spark):
+    """The auto path (n_cells=None) is semantic dedup over the DISTRIBUTED
+    two-level assignment: its (vec_id → cell) map must equal ivf_assign_dist
+    run standalone with the same auto-sized k, and the is_dup flags must be
+    exactly the within-cell smaller-id-neighbor predicate recomputed
+    independently (numpy, exact thresholding on the same doubles)."""
+    import numpy as np
+
     emb = load_table(spark, SF, "embeddings")
-    k = S.auto_n_cells(emb.count())
+    n = emb.count()
+    k = S.auto_n_cells(n)
     auto = {
         r["vec_id"]: (r["cell"], r["is_dup"])
         for r in S.semantic_dedup(emb, n_cells=None, threshold=0.30).collect()
     }
-    explicit = {
-        r["vec_id"]: (r["cell"], r["is_dup"])
-        for r in S.semantic_dedup(emb, n_cells=k, threshold=0.30).collect()
+    vecs = S.with_norm(
+        emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
+    )
+    cents = S.seed_centroids(vecs, k, "vec_id")
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_assign_dist(
+            vecs, cents, "vec_id", n_centroids=min(k, n)
+        ).collect()
     }
-    assert auto == explicit
+    assert {v: c for v, (c, _) in auto.items()} == cells
+
+    by_cell: dict[int, list[int]] = {}
+    for vid, c in cells.items():
+        by_cell.setdefault(c, []).append(vid)
+    vmat = {r["vec_id"]: np.array(r["v"], dtype=np.float64) for r in vecs.collect()}
+    expected_dups = set()
+    for members in by_cell.values():
+        members.sort()
+        for i, a in enumerate(members):
+            va = vmat[a]
+            na = np.sqrt(va @ va) or 1.0
+            for b in members[i + 1 :]:
+                vb = vmat[b]
+                nb = np.sqrt(vb @ vb) or 1.0
+                # same sequential fold as the engine's _dot
+                dot = 0.0
+                for x, y in zip(va, vb):
+                    dot += x * y
+                if dot / (na * nb) >= 0.30:
+                    expected_dups.add(b)
+    assert {v for v, (_, d) in auto.items() if d} == expected_dups
+
+
+def test_ivf_assign_dist_one_group_equals_flat(spark, vecs):
+    """With ONE group the cogrouped second level scores every centroid —
+    identical to flat matmul assignment (dist's recall-dial endpoint)."""
+    cents = S.seed_centroids(vecs, 16, "vec_id")
+    flat = {r["vec_id"]: r["cell"] for r in S.ivf_assign_np(vecs, cents).collect()}
+    one = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_assign_dist(vecs, cents, n_groups=1, n_centroids=16).collect()
+    }
+    assert one == flat
+
+
+def test_ivf_assign_dist_matches_closure_hier(spark, vecs):
+    """The distributed two-level assigner must reproduce the closure-based
+    ivf_assign_hier exactly (same reps, same group resolution, same in-group
+    argmax) — only the execution differs: reps-only closure + cogrouped
+    equi-join instead of collecting all k centroids."""
+    cents = S.seed_centroids(vecs, 16, "vec_id")
+    for g in (2, 4):
+        hier = {
+            r["vec_id"]: r["cell"]
+            for r in S.ivf_assign_hier(vecs, cents, n_groups=g).collect()
+        }
+        dist = {
+            r["vec_id"]: r["cell"]
+            for r in S.ivf_assign_dist(
+                vecs, cents, n_groups=g, n_centroids=16
+            ).collect()
+        }
+        assert dist == hier, f"n_groups={g}"
+
+
+def test_ivf_assign_dist_partitions_corpus(spark, vecs):
+    cents = S.seed_centroids(vecs, 16, "vec_id")
+    out = S.ivf_assign_dist(vecs, cents, n_centroids=16).collect()
+    n = vecs.count()
+    assert len(out) == n
+    assert len({r["vec_id"] for r in out}) == n
+    cent_ids = {r["c_id"] for r in cents.select("c_id").collect()}
+    assert {r["cell"] for r in out} <= cent_ids
 
 
 def test_ivf_assign_hier_endpoints_degrade_to_flat(spark, vecs):
