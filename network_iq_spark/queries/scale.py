@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from network_iq_spark.functions import sql_dsum as _dsum
 from network_iq_spark.operators import similarity as S
 from network_iq_spark.registry import register
 from network_iq_spark.sources import load_table
@@ -84,4 +85,80 @@ def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return salted_sum_count(ev, ["event_type"], "value", n_salts=16).orderBy(
         "event_type"
+    )
+
+
+@register(
+    "bucketed_order_lineitem",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_bucketed_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact⋈fact join over BUCKETED tables — the co-located
+    join layout docs/SCALE.md prescribes, as code. lineitem and orders are
+    written once per (session, sf) as parquet tables bucketed by orderkey
+    with the same bucket count (sources/maintenance.py bucketed_write);
+    the join then reads bucket-to-bucket with NO Exchange on the join key
+    (asserted in test_plan_quality) — at 100 TB this converts the single
+    biggest recurring shuffle of an order-line workload into a one-time
+    write-side cost every downstream join amortizes. The aggregate rides
+    the integer-unit dsum path, so the result is bit-identical to the
+    unbucketed plan and fully oracle-checked."""
+    import hashlib
+    import os
+    import tempfile
+
+    from network_iq_spark.functions import dsum
+    from network_iq_spark.sources.maintenance import bucketed_write
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"niq_bucketed_{tag}")
+    n_buckets = 8
+    lt, ot = f"niq_lineitem_b{tag}", f"niq_orders_b{tag}"
+    # build once per session: rebuilding per call would measure the write,
+    # not the join layout (the point of bucketing is write-once amortization)
+    if not spark.catalog.tableExists(lt):
+        bucketed_write(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            lt,
+            ["l_orderkey"],
+            n_buckets,
+            os.path.join(base, "lineitem"),
+            sort_cols=["l_orderkey"],
+        )
+    if not spark.catalog.tableExists(ot):
+        bucketed_write(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            ot,
+            ["o_orderkey"],
+            n_buckets,
+            os.path.join(base, "orders"),
+            sort_cols=["o_orderkey"],
+        )
+    li, o = spark.table(lt), spark.table(ot)
+    joined = li.join(
+        # MERGE hint pins the sort-merge strategy: a broadcast of the small
+        # side would also skip the exchange at test SF but is exactly the
+        # plan that DOESN'T survive fact-sized orders at 100 TB
+        o.hint("merge"),
+        li.l_orderkey == o.o_orderkey,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
     )

@@ -188,3 +188,38 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def bucketed_write(
+    df,  # DataFrame
+    table: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    path: str,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (+ optionally sorted) parquet table — the CO-LOCATED join
+    layout (docs/SCALE.md): rows are hash-distributed into ``n_buckets``
+    files per partition by ``keys`` at WRITE time, and the layout is
+    recorded in the catalog, so any equi-join or aggregation on ``keys``
+    between tables bucketed with the same count reads bucket-to-bucket —
+    Catalyst drops the Exchange entirely. At 100 TB this converts the
+    repeated fact-fact shuffle (the single biggest recurring cost of a
+    lineitem⋈orders-shaped workload) into a one-time write-side cost that
+    every subsequent join amortizes; ``sort_cols`` additionally persists
+    the sort-merge order so the join skips its Sort as well.
+
+    The table is EXTERNAL (data at ``path``); the in-memory/Hive catalog
+    carries only the bucketing metadata. Overwrite mode keeps the call
+    idempotent.
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(int(n_buckets), *keys)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -236,3 +236,32 @@ def test_zorder_write_rejects_bad_arity(spark, tmp_path):
     df = spark.range(5).selectExpr("id AS a", "id AS b")
     with _pytest.raises(ValueError):
         zorder_write(df, str(tmp_path / "x"), ["a"])
+
+
+def test_bucketed_write_roundtrip_and_metadata(spark, tmp_path):
+    """bucketed_write records the layout in the catalog and round-trips the
+    data exactly; same-count bucketed sides join without an exchange on the
+    bucket key."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources.maintenance import bucketed_write
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    bucketed_write(df, "t_bw_left", ["k"], 4, str(tmp_path / "left"),
+                   sort_cols=["k"])
+    bucketed_write(df.select("k", (F.col("v") * 2).alias("w")),
+                   "t_bw_right", ["k"], 4, str(tmp_path / "right"),
+                   sort_cols=["k"])
+    left, right = spark.table("t_bw_left"), spark.table("t_bw_right")
+    assert left.count() == 1000
+    assert sorted(r.k for r in left.collect()) == list(range(1000))
+    joined = left.join(right.hint("merge"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert not [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "k#" in ln], plan
+    assert joined.count() == 1000
+    for t in ("t_bw_left", "t_bw_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

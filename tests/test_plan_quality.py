@@ -343,3 +343,18 @@ def test_semantic_dedup_scale_path_never_collects_centroid_table(spark):
         assert out.count() == n  # execute without a driver-side collect
     assert collected_sizes, "expected the rep pick to collect"
     assert max(collected_sizes) <= budget, collected_sizes
+
+
+def test_bucketed_join_has_no_exchange_on_join_key(spark):
+    """The bucketed lineitem⋈orders must join bucket-to-bucket: a
+    SortMergeJoin with NO Exchange on either orderkey side — the co-located
+    layout is the point of paying the bucketed write. (The aggregate's
+    exchange on o_orderpriority is expected and allowed.)"""
+    plan = _plan(spark, "bucketed_order_lineitem")
+    assert "SortMergeJoin" in plan, plan
+    offending = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "orderkey" in ln.lower()
+    ]
+    assert not offending, offending
