@@ -162,3 +162,21 @@ def q_bucketed_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register("ann_multiprobe_topk")
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-1 multi-probe variant of ``ann_cosine_topk``: per table,
+    the query also probes every bucket one sign-flip away (k+1 probes per
+    table, query side only — the corpus index is untouched). Measured
+    recall@10 vs the exact baseline: 1.000 at sf0.01 AND sf0.1 (vs
+    0.86/0.93 single-probe) at ~1.2x the runtime (docs/SCALE.md) — the
+    standard knob when re-indexing with more tables is too expensive.
+    Rows-only like its single-probe sibling: float hyperplane signatures
+    are not SQL-replayable; the int-LSH twin carries the oracle burden."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
+    queries = vecs.select("vec_id").filter(F.col("vec_id") < 10)
+    return S.cosine_topk_lsh(
+        vecs, queries, dim=64, k=10, multiprobe=True
+    ).orderBy("q_vec_id", "rank")
