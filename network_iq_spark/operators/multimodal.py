@@ -53,13 +53,114 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_stub(payload: bytes, media_type: str) -> str:
-    """Where pillow/librosa/ffmpeg decode would run. Deterministic stub:
-    flags empty payloads, accepts the rest."""
+    """Where librosa/ffmpeg decode would run for audio/video (codec libs
+    are not in this container). Deterministic stub: flags empty payloads,
+    accepts the rest. IMAGES are no longer stubbed — see
+    :func:`decode_image` (pure-numpy PGM/PPM/BMP)."""
     if payload is None or len(payload) == 0:
         return "empty"
     if media_type not in ("image", "audio", "video", "text"):
         raise NotImplementedError(f"no decoder for media_type={media_type!r}")
     return "ok"
+
+
+# ---------------------------------------------------------------------------
+# Real image codecs — pure numpy, no native deps
+# ---------------------------------------------------------------------------
+#
+# PGM (P5, 8-bit gray), PPM (P6, 8-bit RGB) and uncompressed 24-bit BMP
+# cover the "actual pixels" tier: decode → ndarray, deterministic
+# nearest-neighbor resample, re-encode. Formats outside this set fall back
+# to the pass-through stub (honest about what a pillow-less container can
+# decode); the Spark-side batch plumbing is identical either way.
+
+
+def _pnm_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
+    """Parse a PNM (P5/P6) header: (magic, w, h, maxval, data_offset)."""
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+        return None
+    magic = payload[:2].decode()
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= len(payload) or not payload[i : i + 1].isspace():
+        return None
+    w, h, maxval = fields
+    return magic, w, h, maxval, i + 1  # single whitespace after maxval
+
+
+def decode_image(payload: bytes):
+    """Decode PGM/PPM/uncompressed-24-bit-BMP bytes → uint8 ndarray
+    (H×W for gray, H×W×3 for color), or None if the format is not one of
+    the pure-numpy-decodable set."""
+    import numpy as np
+
+    if not payload:
+        return None
+    hdr = _pnm_header(bytes(payload))
+    if hdr is not None:
+        magic, w, h, maxval, off = hdr
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None
+        ch = 1 if magic == "P5" else 3
+        need = w * h * ch
+        if len(payload) < off + need:
+            return None
+        data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+        return data.reshape((h, w) if ch == 1 else (h, w, 3)).copy()
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        import struct
+
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        flipped = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        need = data_off + stride * h
+        if len(payload) < need:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        return (img[::-1] if flipped else img).copy()
+    return None
+
+
+def encode_pnm(img) -> bytes:
+    """uint8 ndarray (H×W or H×W×3) → PGM/PPM bytes."""
+    h, w = img.shape[:2]
+    magic = b"P5" if img.ndim == 2 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def resample_nearest(img, out_w: int, out_h: int):
+    """Deterministic nearest-neighbor resample: source index
+    floor((i + 0.5) · src/dst) — the classic center-aligned mapping, exact
+    in integer arithmetic ((2i+1)·src // (2·dst)) so every engine and the
+    SQL oracle agree on WHICH pixels survive."""
+    h, w = img.shape[:2]
+    rows = [((2 * r + 1) * h) // (2 * out_h) for r in range(out_h)]
+    cols = [((2 * c + 1) * w) // (2 * out_w) for c in range(out_w)]
+    return img[rows][:, cols]
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -131,9 +232,11 @@ FRAME_SCHEMA = StructType(
 def resize_media(df: DataFrame, max_w: int = 336, max_h: int = 336) -> DataFrame:
     """Aspect-preserving resize stage. The target-dimension arithmetic is
     REAL and runs JVM-side (pure integer expressions — no Python for the
-    metadata math); only the pixel resample is stubbed where pillow would
-    run, passing the payload through with a decode marker. Rows with no
-    dimensions (audio/text) pass through unresized. MAP-ONLY.
+    metadata math); the pixel resample is REAL for the pure-numpy codec
+    set (PGM/PPM/BMP → decode, nearest-neighbor resample, PNM re-encode,
+    status ``resized``); other formats pass through with the stub marker
+    exactly where a pillow call would slot in. Rows with no dimensions
+    (audio/text) pass through unresized. MAP-ONLY.
 
     target = floor(dim · s) with s = min(max_w/w, max_h/h, 1) — computed as
     integer cross-multiplication (w·max_h ≷ h·max_w picks the binding
@@ -142,17 +245,26 @@ def resize_media(df: DataFrame, max_w: int = 336, max_h: int = 336) -> DataFrame
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            payloads, statuses = [], []
+            for p, t, tw, th in zip(
+                pdf["payload"], pdf["media_type"], pdf["target_w"], pdf["target_h"]
+            ):
+                img = decode_image(p) if t == "image" else None
+                if img is not None and tw and th and tw > 0 and th > 0:
+                    if (img.shape[1], img.shape[0]) != (int(tw), int(th)):
+                        img = resample_nearest(img, int(tw), int(th))
+                    payloads.append(encode_pnm(img))
+                    statuses.append("resized")
+                else:
+                    payloads.append(p)
+                    statuses.append(decode_stub(p, t))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "target_w": pdf["target_w"],
                     "target_h": pdf["target_h"],
-                    # pillow Image.resize((target_w, target_h)) goes here
-                    "payload": pdf["payload"],
-                    "decode_status": [
-                        decode_stub(p, t)
-                        for p, t in zip(pdf["payload"], pdf["media_type"])
-                    ],
+                    "payload": payloads,
+                    "decode_status": statuses,
                 }
             )
 

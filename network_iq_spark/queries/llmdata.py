@@ -968,6 +968,109 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(M.documents_as_media(docs)).orderBy("media_id")
 
 
+_IMG_SIDE, _IMG_OUT = 8, 4  # 64-dim embedding -> 8x8 gray -> 4x4 resize
+# center-aligned nearest-neighbor survivors: floor((i+0.5)*8/4) = 2i+1
+# -> rows/cols {1,3,5,7}; DuckDB list indexing is 1-based
+_IMG_KEEP_1BASED = [
+    _IMG_SIDE * r + c + 1
+    for r in (1, 3, 5, 7)
+    for c in (1, 3, 5, 7)
+]
+_IMG_QUANT_SQL = (
+    "list_transform(embedding::DOUBLE[], x -> CAST(floor("
+    "((least(greatest(x, -1.0), 1.0)) + 1.0) / 2.0 * 255.0 + 0.5) AS BIGINT))"
+)
+
+
+@register(
+    "decoded_image_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_IMG_OUT} AS out_w, {_IMG_OUT} AS out_h,
+           ({' + '.join(f'px[{i}]' for i in _IMG_KEEP_1BASED)}) AS px_sum,
+           CAST(({' + '.join(f'px[{i}]' for i in _IMG_KEEP_1BASED)}) AS DOUBLE)
+             / {_IMG_OUT * _IMG_OUT}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end and hash-checked: each embedding is
+    quantized to 8-bit pixels (Spark expressions — both engines evaluate
+    the identical doubles), encoded as an actual PGM image in an Arrow
+    batch, pushed through resize_media's decode → center-aligned
+    nearest-neighbor resample → PNM re-encode (operators/multimodal.py,
+    pure numpy), and the OUTPUT BYTES are decoded again for the stats.
+    The oracle never sees an image: it computes the same stats from the
+    16 surviving pixel positions directly, so any defect in the codec,
+    the resample index math, or the re-encode shows up as a hash
+    mismatch. All stages MAP-ONLY (zero shuffles before the final sort)."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.multimodal import decode_image, encode_pnm
+
+    side = _IMG_SIDE
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_pnm(
+                            np.asarray(list(p), dtype=np.uint8).reshape(side, side)
+                        )
+                        for p in pdf["px"]
+                    ],
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _IMG_OUT, _IMG_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_IMG_OUT * _IMG_OUT) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits & rolling fingerprint
 # ---------------------------------------------------------------------------

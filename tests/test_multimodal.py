@@ -1,0 +1,102 @@
+"""Real image-decode tier (pure-numpy PGM/PPM/BMP): the resize stage must
+operate on ACTUAL PIXELS — tests assert on decoded dimensions and pixel
+values of the output payloads, not on metadata columns."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from network_iq_spark.operators.multimodal import (
+    decode_image,
+    encode_pnm,
+    resample_nearest,
+    resize_media,
+)
+
+
+def _make_bmp(img: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP encoder (test-side)."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    data = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = img[r][:, ::-1].tobytes()  # RGB -> BGR
+        data += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return bytes(header) + info + bytes(data)
+
+
+def test_pnm_roundtrip_gray_and_color():
+    gray = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    assert np.array_equal(decode_image(encode_pnm(gray)), gray)
+    rgb = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    assert np.array_equal(decode_image(encode_pnm(rgb)), rgb)
+
+
+def test_pnm_header_with_comments_and_whitespace():
+    gray = np.full((2, 3), 7, dtype=np.uint8)
+    payload = b"P5 # comment\n# another\n 3   2\n255\n" + gray.tobytes()
+    assert np.array_equal(decode_image(payload), gray)
+
+
+def test_bmp_decode_matches_ppm_pixels():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(_make_bmp(img)), img)
+    assert np.array_equal(decode_image(_make_bmp(img)), decode_image(encode_pnm(img)))
+
+
+def test_decode_rejects_unknown_or_truncated():
+    assert decode_image(b"") is None
+    assert decode_image(b"\x89PNG\r\n") is None
+    gray = np.zeros((4, 4), dtype=np.uint8)
+    assert decode_image(encode_pnm(gray)[:-3]) is None  # truncated raster
+
+
+def test_resample_nearest_center_aligned_indices():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = resample_nearest(img, 4, 4)
+    # floor((i+0.5)*8/4) = 2i+1 -> rows/cols {1,3,5,7}
+    assert np.array_equal(out, img[[1, 3, 5, 7]][:, [1, 3, 5, 7]])
+
+
+def test_resize_media_resamples_actual_pixels(spark):
+    """The output payload must DECODE to the target dimensions with the
+    nearest-neighbor-selected source pixels — asserting on pixels, not on
+    the metadata columns."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(500, 1000, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(100, 100), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_pnm(img)), "image", 1000, 500, None),  # wide -> 336x168
+        (2, bytearray(_make_bmp(img[:100, :100])), "image", 100, 100, None),  # fits
+        (3, bytearray(encode_pnm(gray)), "image", 100, 100, None),  # gray, fits
+        (4, bytearray(b"not-an-image"), "image", 1000, 500, None),  # stub path
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    got = {r["media_id"]: r for r in resize_media(df, 336, 336).collect()}
+
+    out1 = decode_image(bytes(got[1]["payload"]))
+    assert got[1]["decode_status"] == "resized"
+    assert out1.shape == (168, 336, 3)
+    assert np.array_equal(out1, resample_nearest(img, 336, 168))
+
+    out2 = decode_image(bytes(got[2]["payload"]))
+    assert got[2]["decode_status"] == "resized"
+    assert out2.shape == (100, 100, 3)  # within bounds: pixels untouched
+    assert np.array_equal(out2, img[:100, :100])
+
+    out3 = decode_image(bytes(got[3]["payload"]))
+    assert out3.shape == (100, 100)
+    assert np.array_equal(out3, gray)
+
+    assert got[4]["decode_status"] == "ok"  # honest fallback, payload intact
+    assert bytes(got[4]["payload"]) == b"not-an-image"
