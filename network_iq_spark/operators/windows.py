@@ -188,3 +188,70 @@ def latest_snapshot(df: DataFrame, ts: str) -> DataFrame:
         .filter(F.col(ts) == F.col("__mx__"))
         .drop("__mx__")
     )
+
+
+def time_sliced_window(
+    keys: Sequence[str], ts_col: str, n: int, slice_fmt: str = "yyyy-MM"
+) -> WindowSpec:
+    """Trailing-n frame whose partition key is SPLIT by a calendar slice —
+    the documented skewed-window mitigation (docs/SCALE.md windows §(b)).
+
+    A window partitioned only by ``keys`` sorts each key in ONE task: a
+    hot key with billions of rows is a straggler no AQE setting can split
+    (skew handling does not apply to windows). Partitioning by
+    (slice(ts), keys) bounds every sort task at rows-per-(key, slice) —
+    a billion-row key becomes #slices parallel, bounded tasks.
+
+    Semantics: IDENTICAL to the plain per-key window whenever no frame
+    spans a slice boundary (property-tested); frames that would cross a
+    boundary RESET at it — the explicit trade, correct wherever the
+    analysis is per-slice anyway (monthly features, daily sessions) or the
+    frame length ≪ slice length and edge rows are tolerable.
+
+    NOTE for multi-window plans: the slice expression here is instantiated
+    per call, so two specs built by two calls DON'T share an exchange —
+    materialize the slice as a column once and partition on it
+    (:func:`time_sliced_rolling` does) to keep ONE shuffle for a whole
+    feature family.
+    """
+    return (
+        Window.partitionBy(F.date_format(ts_col, slice_fmt), *keys)
+        .orderBy(ts_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+
+
+def time_sliced_rolling(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    metrics: Sequence[str],
+    n: int = 3,
+    slice_fmt: str = "yyyy-MM",
+) -> DataFrame:
+    """:func:`rolling_features` with the partition key split by a calendar
+    slice (see :func:`time_sliced_window`): same three features per metric
+    (trailing mean / sample std / lag-diff), ONE shuffle on (slice, keys)
+    — the slice is materialized as a column so every window spec shares
+    the same partitioning — and sort tasks bounded by
+    rows-per-(key, slice)."""
+    slice_col = "__slice__"
+    out = df.withColumn(slice_col, F.date_format(ts_col, slice_fmt))
+    roll = (
+        Window.partitionBy(slice_col, *keys)
+        .orderBy(ts_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    lag_w = Window.partitionBy(slice_col, *keys).orderBy(ts_col)
+    for m in metrics:
+        c = F.col(m)
+        out = (
+            out.withColumn(f"{m}_rmean", F.avg(c).over(roll))
+            .withColumn(
+                f"{m}_rstd", F.coalesce(F.stddev_samp(c).over(roll), F.lit(0.0))
+            )
+            .withColumn(
+                f"{m}_rdiff", F.coalesce(c - F.lag(c, 1).over(lag_w), F.lit(0.0))
+            )
+        )
+    return out.drop(slice_col)

@@ -234,6 +234,66 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "time_sliced_rolling",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+        SUM({_sql.cents('value')}) OVER roll                          AS s1,
+        SUM({_sql.cents('value')} * {_sql.cents('value')}) OVER roll  AS s2,
+        COUNT(*) OVER roll                                            AS cnt,
+        LAG(value) OVER (PARTITION BY strftime(ts, '%Y-%m'), user_id
+                         ORDER BY ts)                                 AS prev
+      FROM events
+      WINDOW roll AS (PARTITION BY strftime(ts, '%Y-%m'), user_id
+                      ORDER BY ts
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+      {_sql.mean_from_cents('s1', 'cnt')} AS rmean,
+      CASE WHEN cnt < 2 THEN 0.0 ELSE {_sql.std_from_cents('s1', 's2', 'cnt')} END AS rstd,
+      COALESCE(value - prev, 0.0) AS rdiff
+    FROM w
+    """,
+)
+def q_time_sliced_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_features with the partition key split by calendar month —
+    the skewed-window mitigation (docs/SCALE.md §(b),
+    operators/windows.py time_sliced_window) as a driver-checked query:
+    sort tasks are bounded by rows-per-(user, month) instead of
+    rows-per-user, so a hot key cannot become a single straggler task;
+    frames reset at month boundaries (the documented trade — equivalence
+    with the plain window on non-spanning frames is property-tested)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__slice__", F.date_format("ts", "yyyy-MM")
+    )
+    roll = (
+        Window.partitionBy("__slice__", "user_id").orderBy("ts").rowsBetween(-2, 0)
+    )
+    seq = Window.partitionBy("__slice__", "user_id").orderBy("ts")
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(_cents()).over(roll).alias("s1"),
+        F.sum(_cents() * _cents()).over(roll).alias("s2"),
+        F.count("*").over(roll).alias("cnt"),
+        F.lag("value").over(seq).alias("prev"),
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        _mean_from_cents(F.col("s1"), F.col("cnt")).alias("rmean"),
+        F.when(F.col("cnt") < 2, F.lit(0.0))
+        .otherwise(_std_from_cents(F.col("s1"), F.col("s2"), F.col("cnt")))
+        .alias("rstd"),
+        F.coalesce(F.col("value") - F.col("prev"), F.lit(0.0)).alias("rdiff"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # W6 — dedup keep-last
 # ---------------------------------------------------------------------------

@@ -28,11 +28,74 @@ from pyspark.sql.types import StructType
 
 
 def read_telemetry_stream(
-    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str | None = None,
+    schema: StructType | None = None,
+    fmt: str = "parquet",
+    source: str = "file",
+    options: dict | None = None,
 ) -> DataFrame:
-    """File-source stream over the same at-rest layout the batch tier scans —
-    one pipeline definition serves both (the Kappa posture)."""
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    """Telemetry stream behind a SOURCE seam — the downstream operators
+    (tumbling/sliding KPIs, sessionize, dedup, joins) never know where the
+    rows came from:
+
+    - ``file`` (default): stream over the same at-rest layout the batch
+      tier scans — one pipeline definition serves both (Kappa posture).
+    - ``rate``: the built-in deterministic-content generator (consecutive
+      ``value`` counters) — compose with :func:`telemetry_from_rate` to get
+      typed telemetry rows; used by the rate-source equivalence tests.
+    - ``kafka``: the production bus — bootstrap/topic via ``options``
+      (``kafka.bootstrap.servers``, ``subscribe``, ``startingOffsets``);
+      value bytes decode through :func:`decode_kafka_telemetry`, which is
+      also unit-testable on a static frame with Kafka's wire schema.
+      Requires the spark-sql-kafka connector on the classpath (not in this
+      container — load() raises; the decode path carries the test burden).
+    """
+    opts = dict(options or {})
+    if source == "file":
+        reader = spark.readStream.format(fmt).schema(schema)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.load(path)
+    if source == "rate":
+        reader = spark.readStream.format("rate")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    if source == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return decode_kafka_telemetry(reader.load(), schema)
+    raise ValueError(f"unknown stream source {source!r} (file|rate|kafka)")
+
+
+def decode_kafka_telemetry(raw: DataFrame, schema: StructType) -> DataFrame:
+    """Kafka wire frame (key/value binary, topic, partition, offset,
+    timestamp) → typed telemetry columns: JSON value parsed against
+    ``schema``. Pure column expressions — identical on a static frame, so
+    the decode is testable without a broker."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r")
+    ).select("r.*")
+
+
+def telemetry_from_rate(rate_df: DataFrame, epoch: str = "2025-01-01 00:00:00",
+                        n_cells: int = 4) -> DataFrame:
+    """Deterministic telemetry rows from the rate source's ``value``
+    counter (pure column expressions — apply the same transform to
+    ``spark.range`` for the batch twin): event time advances one second
+    per row from ``epoch``, cells round-robin, latency is an exact
+    integer-valued function of the counter. Content depends only on WHICH
+    counters a trigger consumed (always a contiguous prefix), never on
+    wall-clock — what makes rate-source equivalence tests exact."""
+    v = F.col("value")
+    return rate_df.select(
+        (F.to_timestamp(F.lit(epoch)) + F.make_interval(secs=v)).alias("timestamp"),
+        F.concat(F.lit("CELL-"), (v % n_cells).cast("string")).alias("cell_id"),
+        (20 + (v % 50)).cast("double").alias("latency_ms"),
+        v.alias("value"),
+    )
 
 
 def tumbling_kpis(

@@ -621,3 +621,116 @@ def test_sliding_distinct_sketch_matches_batch_replay(spark, source_dir):
         if key in got:  # streaming append emits only watermark-closed windows
             assert got[key] == (r.ad, r.n)
             assert abs(r.ad - r.exact) <= max(1, 0.1 * r.exact)
+
+
+def test_rate_source_tumbling_kpis_match_batch_twin(spark):
+    """The source seam must not change the aggregates: tumbling KPIs over a
+    RATE-source stream equal the batch aggregate over the same counter
+    prefix. telemetry_from_rate is a pure function of the counter, the rate
+    source always delivers a contiguous prefix, and the metric is
+    integer-valued — so total-n identifies the prefix exactly and sums are
+    float-exact; only stddev gets a tolerance (partial-variance order)."""
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.streaming import read_telemetry_stream, tumbling_kpis
+    from network_iq_spark.streaming.kpis import telemetry_from_rate
+
+    stream = read_telemetry_stream(
+        spark, source="rate",
+        options={"rowsPerSecond": 2000, "numPartitions": 2},
+    )
+    assert stream.isStreaming
+    telem = telemetry_from_rate(stream)
+    agg = tumbling_kpis(
+        telem, keys=["cell_id"], window="1 minute", watermark="0 seconds"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_kpis")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.table("rate_kpis").collect()
+            if sum(r.n for r in rows) >= 2000:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    got = {
+        (r.window_start, r.cell_id): (r.avg_value, r.std_value, r.n)
+        for r in spark.table("rate_kpis").collect()
+    }
+    n_total = sum(v[2] for v in got.values())
+    assert n_total >= 2000
+
+    batch = (
+        telemetry_from_rate(
+            spark.range(n_total).select(F.col("id").alias("value"))
+        )
+        .groupBy(F.window("timestamp", "1 minute"), "cell_id")
+        .agg(
+            F.avg("latency_ms").alias("avg_value"),
+            F.stddev_samp("latency_ms").alias("std_value"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("window.start").alias("ws"), "cell_id",
+            "avg_value", "std_value", "n",
+        )
+    )
+    want = {
+        (r.ws, r.cell_id): (r.avg_value, r.std_value, r.n)
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][2] == want[k][2], k          # counts exact
+        assert got[k][0] == want[k][0], k          # integer-valued avg exact
+        if want[k][1] is None:
+            assert got[k][1] is None, k
+        else:
+            assert got[k][1] == pytest.approx(want[k][1], rel=1e-9, abs=1e-9), k
+
+
+def test_kafka_value_decode_matches_schema(spark):
+    """decode_kafka_telemetry parses Kafka's wire frame (binary value) into
+    typed telemetry columns — pure column expressions, verified on a static
+    frame with the connector's exact schema (no broker needed)."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.ingest import telemetry_schema
+    from network_iq_spark.streaming.kpis import decode_kafka_telemetry
+
+    pdf = telemetry_pdf().head(20)
+    src = spark.createDataFrame(pdf)
+    wire = src.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.encode(F.to_json(F.struct(*src.columns)), "utf-8").alias("value"),
+        F.lit("telemetry").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    decoded = decode_kafka_telemetry(wire, telemetry_schema())
+    assert decoded.columns == [f.name for f in telemetry_schema().fields]
+    got = decoded.orderBy("timestamp", "cell_id").collect()
+    want = src.select(*decoded.columns).orderBy("timestamp", "cell_id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_unknown_stream_source_raises(spark):
+    import pytest
+
+    from network_iq_spark.streaming import read_telemetry_stream
+
+    with pytest.raises(ValueError, match="unknown stream source"):
+        read_telemetry_stream(spark, source="pulsar")
