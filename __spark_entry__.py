@@ -66,6 +66,9 @@ _VERIFY_FIRST = [
     "ann_multiprobe_topk",
     "decoded_image_stats",
     "ivf_centroid_join_topk",
+    "tfidf_top_terms",
+    "term_postings",
+    "grouping_sets_revenue",
 ]
 
 

@@ -545,3 +545,69 @@ def normalize_text(
     return df.select(id_col, text_col).mapInPandas(
         batches, schema=f"{id_col} bigint, text_nfc string, text_folded string"
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms with RATIONAL scoring: score =
+    tf·N / df — the idf kept as an exact integer ratio instead of
+    log(N/df), so the ranking is bit-deterministic across engines (one
+    IEEE division of exact integers; a transcendental log would differ in
+    the last ulp between libm implementations and flip near-ties). Rank
+    preserves the log ordering exactly for fixed tf since x ↦ log x is
+    monotone; ties break (score desc, term asc).
+
+    Scale shape: one shuffle to per-(doc, term) counts (map-side combine),
+    df table is vocabulary-sized → broadcast back, N is a broadcast
+    scalar, top-k via per-doc window on the tf grain (≤ distinct terms per
+    doc, never the token explosion).
+    """
+    from pyspark.sql import Window
+
+    df_in = ensure_parallelism(docs)
+    toks = df_in.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("int").alias("rank"), "term", "tf", "df", "score")
+    )
+
+
+def term_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted-index statistics pass: per term, document frequency, total
+    term frequency, and the posting-list extent (first/last doc id). The
+    full posting lists themselves would be the index payload; the stats
+    are what an index-build plans partitioning and what IDF-family
+    scoring consumes. One shuffle on term (map-side combine); hot
+    stopword-ish terms are AQE-splittable because the aggregate is
+    commutative."""
+    df_in = ensure_parallelism(docs)
+    toks = df_in.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    return toks.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df"),
+        F.count("*").alias("tf_total"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

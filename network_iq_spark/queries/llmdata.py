@@ -1734,3 +1734,53 @@ def q_containment_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("containment").desc(), F.col("doc_src").asc(), F.col("doc_dst").asc()
     ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / inverted-index statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(t) AS term FROM ({_TOKS})),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, CAST(rk AS INT) AS rank, term, tf, df, score FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df DESC,
+                        tf.term ASC) AS rk
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ) WHERE rk <= 5 ORDER BY doc_id, rank
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms with rational (log-free) idf so the
+    ranking replays bit-exactly in SQL (operators/text.py tfidf_top_terms):
+    tf·N/df preserves log-idf's ordering for fixed tf and avoids the
+    libm-divergence a transcendental would introduce. df is broadcast
+    (vocabulary-sized), N a broadcast scalar, top-k windows the per-doc
+    term grain — never the raw token explosion."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, k=5).orderBy("doc_id", "rank")
+
+
+@register(
+    "term_postings",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(t) AS term FROM ({_TOKS}))
+    SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM tok GROUP BY term ORDER BY term
+    """,
+)
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index statistics (per-term df / total tf / posting extent)
+    — the planning pass of an index build and the input of IDF-family
+    scoring. One shuffle on term with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.term_postings(docs).orderBy("term")

@@ -34,3 +34,39 @@ from network_iq_spark.sources import load_table
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: grouped multi-agg pricing summary (A5 writ large)."""
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice', 2)} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY priority, status
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization rollup/cube sugar over):
+    per-priority totals, per-status totals, and the grand total in ONE
+    pass — Spark expands the sets and shares the scan; the alternative is
+    three scans + a union. Null group labels are COALESCEd to 'ALL' so
+    both engines agree without grouping-id comparisons; sums ride the
+    integer-unit path."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    from network_iq_spark.functions import sql_dsum
+
+    # Spark SQL shares DuckDB's GROUPING SETS syntax; the dsum twin keeps
+    # the double bit-identical under any partitioning
+    return spark.sql(f"""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice', 2)} AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY priority, status
+    """)
