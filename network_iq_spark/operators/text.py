@@ -558,17 +558,25 @@ def tfidf_top_terms(
     preserves the log ordering exactly for fixed tf since x ↦ log x is
     monotone; ties break (score desc, term asc).
 
-    Scale shape: one shuffle to per-(doc, term) counts (map-side combine),
-    df table is vocabulary-sized → broadcast back, N is a broadcast
-    scalar, top-k via per-doc window on the tf grain (≤ distinct terms per
-    doc, never the token explosion).
+    Scale shape: the token explosion is scanned ONCE and collapses
+    map-side into per-(doc, term) counts; df derives from that tf grain
+    (df(term) = #rows of tf — no second explode, no count-distinct
+    Expand), comes back as a vocabulary-sized broadcast; N is a broadcast
+    scalar; top-k via per-doc window on the tf grain (≤ distinct terms
+    per doc, never the token explosion).
     """
     from pyspark.sql import Window
 
     df_in = ensure_parallelism(docs)
     toks = df_in.select(id_col, F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    # diamond lineage: tf feeds BOTH the df aggregate and the score join,
+    # and Spark 4 does not reuse the shared exchange across the two
+    # branches (verified empirically) — without this the token explosion
+    # runs twice, doubling the most expensive stage. Lazy localCheckpoint
+    # materializes the (doc, term) grain once at first action.
+    tf = tf.localCheckpoint(eager=False)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
@@ -600,14 +608,17 @@ def term_postings(
     term frequency, and the posting-list extent (first/last doc id). The
     full posting lists themselves would be the index payload; the stats
     are what an index-build plans partitioning and what IDF-family
-    scoring consumes. One shuffle on term (map-side combine); hot
-    stopword-ish terms are AQE-splittable because the aggregate is
-    commutative."""
+    scoring consumes. Two-level aggregate: the explosion first collapses
+    map-side to the (term, doc) grain — a direct count_distinct alongside
+    the other aggregates would plan an Expand that doubles the shuffled
+    rows — then one narrow shuffle on term; hot stopword-ish terms are
+    AQE-splittable because every aggregate is commutative."""
     df_in = ensure_parallelism(docs)
     toks = df_in.select(id_col, F.explode(tokens(text_col)).alias("term"))
-    return toks.groupBy("term").agg(
-        F.count_distinct(id_col).alias("df"),
-        F.count("*").alias("tf_total"),
+    per_doc = toks.groupBy("term", id_col).agg(F.count("*").alias("tf"))
+    return per_doc.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("tf_total"),
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
