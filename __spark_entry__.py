@@ -69,6 +69,8 @@ _VERIFY_FIRST = [
     "tfidf_top_terms",
     "term_postings",
     "grouping_sets_revenue",
+    "lateral_top_orders",
+    "recursive_copurchase_reach",
 ]
 
 

@@ -1216,3 +1216,102 @@ def q_value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("autocorr"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL join + recursive CTE (Spark 4 SQL surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+    ) l
+    WHERE c.c_custkey < 100
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer by price):
+    the per-row-subquery surface SQL users reach for before they learn
+    window functions. Catalyst DECORRELATES it — the executed plan is the
+    same ranked equi-join a hand-written window top-k produces, not N
+    per-customer subquery executions (no CartesianProduct; asserted in
+    test_plan_quality) — so the declarative form is also the scale form."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lt")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lt")
+    return spark.sql("""
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer_lt c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lt o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) l
+        WHERE c.c_custkey < 100
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """)
+
+
+@register(
+    "recursive_copurchase_reach",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 ORDER BY COUNT(*) DESC, src, dst LIMIT 100
+    ),
+    bi AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    start AS (SELECT MIN(src) AS s FROM bi),
+    walk AS (
+      SELECT s AS node, 0 AS depth FROM start
+      UNION ALL
+      SELECT bi.dst, w.depth + 1
+      FROM walk w JOIN bi ON bi.src = w.node
+      WHERE w.depth < 3
+    )
+    SELECT node, CAST(MIN(depth) AS INT) AS depth
+    FROM walk GROUP BY node ORDER BY depth, node
+    """,
+)
+def q_recursive_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the co-purchase graph as a RECURSIVE CTE (Spark 4):
+    top-100 co-purchase edges (parts sharing an order), walks of depth ≤ 3
+    from the smallest part key, distance = MIN(depth) over walks. The
+    declarative recursion twin of the iterative DataFrame loop in
+    operators/graph.py (dedup_clusters/pagerank) — same per-step shape
+    (one equi-join per level against a bounded frontier), with the
+    fixed-point machinery in the engine instead of driver-side Python.
+    Depth bound keeps the UNION ALL walk multiset finite and identical in
+    both engines; the MIN-collapse makes the result order-free."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_rc")
+    return spark.sql("""
+        WITH RECURSIVE edges AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem_rc a JOIN lineitem_rc b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 ORDER BY COUNT(*) DESC, src, dst LIMIT 100
+        ),
+        bi AS (
+          SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+        ),
+        start AS (SELECT MIN(src) AS s FROM bi),
+        walk AS (
+          SELECT s AS node, 0 AS depth FROM start
+          UNION ALL
+          SELECT bi.dst, w.depth + 1
+          FROM walk w JOIN bi ON bi.src = w.node
+          WHERE w.depth < 3
+        )
+        SELECT node, CAST(MIN(depth) AS INT) AS depth
+        FROM walk GROUP BY node ORDER BY depth, node
+    """)

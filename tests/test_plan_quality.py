@@ -358,3 +358,15 @@ def test_bucketed_join_has_no_exchange_on_join_key(spark):
         if "Exchange" in ln and "orderkey" in ln.lower()
     ]
     assert not offending, offending
+
+
+def test_lateral_top_orders_decorrelates(spark):
+    """The correlated LATERAL-LIMIT subquery must decorrelate into a ranked
+    equi-join (window + hash/merge join), NEVER per-row subquery execution
+    or a cartesian — the property that makes the declarative form also the
+    scale form."""
+    plan = _plan(spark, "lateral_top_orders")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
