@@ -100,3 +100,45 @@ def test_resize_media_resamples_actual_pixels(spark):
 
     assert got[4]["decode_status"] == "ok"  # honest fallback, payload intact
     assert bytes(got[4]["payload"]) == b"not-an-image"
+
+
+def test_binaryfile_source_to_resize_end_to_end(spark, tmp_path):
+    """Real files on disk → binaryFile scan → MEDIA schema → header decode
+    for dims → aspect-preserving resize on ACTUAL pixels. The whole
+    multimodal path with no synthetic DataFrames anywhere."""
+    from network_iq_spark.sources.binary import read_media_dir, with_image_dims
+
+    rng = np.random.default_rng(3)
+    imgs = {}
+    for i, (h, w) in enumerate([(64, 128), (32, 32), (100, 40)]):
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        (tmp_path / f"img_{i}.pgm").write_bytes(encode_pnm(img))
+        imgs[f"img_{i}.pgm"] = img
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    media = read_media_dir(spark, str(tmp_path), glob="*.pgm")
+    rows = with_image_dims(media).collect()
+    assert len(rows) == 3  # glob pruned the txt at listing time
+    by_name = {r["media_path"].rsplit("/", 1)[-1]: r for r in rows}
+    assert (by_name["img_0.pgm"]["width"], by_name["img_0.pgm"]["height"]) == (128, 64)
+    assert (by_name["img_2.pgm"]["width"], by_name["img_2.pgm"]["height"]) == (40, 100)
+    # ids deterministic across scans
+    again = {r["media_path"]: r["media_id"] for r in read_media_dir(
+        spark, str(tmp_path), glob="*.pgm").collect()}
+    assert {r["media_path"]: r["media_id"] for r in rows} == again
+
+    resized = resize_media(
+        with_image_dims(media).drop("media_path"), 48, 48
+    ).collect()
+    out = {r["media_id"]: r for r in resized}
+    for name, img in imgs.items():
+        mid = by_name[name]["media_id"]
+        dec = decode_image(bytes(out[mid]["payload"]))
+        h, w = img.shape
+        s = min(48 / w, 48 / h, 1.0)
+        exp_w, exp_h = (w, h) if s == 1.0 else (
+            48 if w * 48 >= h * 48 and w >= h else int(w * 48 / max(w, h)),
+            int(h * 48 / max(w, h)) if w >= h else 48,
+        )
+        assert dec.shape == (exp_h, exp_w), name
+        assert out[mid]["decode_status"] == "resized"
