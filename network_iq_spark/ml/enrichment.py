@@ -150,9 +150,16 @@ class Enricher:
         if not os.path.exists(self.cache_path):
             return None
         cutoff = time.time() - self.ttl_seconds
+        # the cache is hive-partitioned on the 2-hex-char hash prefix, so
+        # the equality filter below partition-prunes the scan to 1/256th
+        # of the table instead of re-reading the whole cache per briefing
         hit = (
             self.spark.read.parquet(self.cache_path)
-            .filter((F.col("context_hash") == key) & (F.col("created_at") >= cutoff))
+            .filter(
+                (F.col("h2") == key[:2])
+                & (F.col("context_hash") == key)
+                & (F.col("created_at") >= cutoff)
+            )
             .orderBy(F.col("created_at").desc())
             .limit(1)
             .collect()
@@ -160,10 +167,14 @@ class Enricher:
         return hit[0].briefing if hit else None
 
     def _cache_put(self, key: str, briefing: str) -> None:
-        row = [(key, briefing, time.time(), datetime.datetime.utcnow().isoformat())]
+        row = [
+            (key[:2], key, briefing, time.time(), datetime.datetime.utcnow().isoformat())
+        ]
         self.spark.createDataFrame(
-            row, "context_hash string, briefing string, created_at double, created_iso string"
-        ).write.mode("append").parquet(self.cache_path)
+            row,
+            "h2 string, context_hash string, briefing string, "
+            "created_at double, created_iso string",
+        ).write.mode("append").partitionBy("h2").parquet(self.cache_path)
 
     def briefing(self, context: DataFrame, system_msg: str = BRIEFING_SYSTEM_MSG) -> str:
         """Run (or fetch) the briefing for a 1-row context plan with
