@@ -210,7 +210,10 @@ def pagerank_int(
     with ``localCheckpoint`` (same idiom as connected components); only
     the loop counter lives in Python.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the edge set FIRST: nodes, deg and graph all derive from
+    # it, and checkpointing them separately would re-run the caller's edge
+    # lineage (often a fact-fact join) once per derivation
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -240,6 +243,10 @@ def pagerank_int(
                     )
                 ).cast("bigint").alias("r"),
             )
-            .localCheckpoint()
+            # lazy: truncates lineage identically but lets the final action
+            # drive all iterations instead of one eager job per round
+            # (fixed iteration count — nothing driver-side inspects ranks
+            # mid-loop, unlike the CC convergence check which stays eager)
+            .localCheckpoint(eager=False)
         )
     return ranks
