@@ -622,3 +622,41 @@ def term_postings(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def make_sentence_udtf():
+    """Python UDTF (Spark 4): text → (sent_idx, start_char, sentence) rows.
+
+    The table-function surface for per-row expansion whose logic doesn't
+    fit an expression — registered as ``split_sentences`` and used with
+    ``LATERAL``:
+
+        SELECT d.doc_id, s.* FROM documents d,
+        LATERAL split_sentences(d.text) s
+
+    Kept OFF the registered hot path by policy: sentence splitting that a
+    regex can express stays JVM-side (``F.split`` / ``regexp_extract_all``
+    codegen); the UDTF exists for the genuinely-procedural cases (quote
+    tracking, abbreviation lists) and as the documented escape hatch.
+    Deterministic: pure function of the input string.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, start_char int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if not text:
+                return
+            import re
+
+            idx = 0
+            pos = 0
+            # sentence = maximal run ending in .!? (+trailing quotes) or EOT
+            for m in re.finditer(r"[^.!?]*[.!?]+[\"')\]]*|[^.!?]+$", text):
+                s = m.group(0).strip()
+                if s:
+                    yield idx, m.start() + (len(m.group(0)) - len(m.group(0).lstrip())), s
+                    idx += 1
+                pos = m.end()
+
+    return SplitSentences

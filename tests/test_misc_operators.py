@@ -142,3 +142,84 @@ def test_time_sliced_window_bounds_partitions(spark):
     # keyed by (slice, user_id)
     assert len(ex) == 1 and "__slice__" in ex[0] and "user_id" in ex[0], plan
     assert "date_format" in plan
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python API surfaces: custom DataSource + UDTF
+# ---------------------------------------------------------------------------
+
+
+def test_python_datasource_partitioned_deterministic(spark):
+    """The custom source must (a) plan one task per declared partition,
+    (b) produce identical rows on every read (pure function of options),
+    (c) respect its declared schema."""
+    from network_iq_spark.sources.pysource import SyntheticTelemetry
+
+    spark.dataSource.register(SyntheticTelemetry)
+    df = (
+        spark.read.format("niq_telemetry")
+        .option("rows_per_partition", 250)
+        .option("n_partitions", 4)
+        .option("seed", 7)
+        .load()
+    )
+    assert df.count() == 1000
+    assert {f.name for f in df.schema.fields} == {
+        "ts", "cell_id", "latency_ms", "throughput_mbps", "part"
+    }
+    parts = {r.part for r in df.select("part").distinct().collect()}
+    assert parts == {0, 1, 2, 3}
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in (
+        spark.read.format("niq_telemetry")
+        .option("rows_per_partition", 250)
+        .option("n_partitions", 4)
+        .option("seed", 7)
+        .load()
+    ).collect())
+    assert a == b
+    c = (spark.read.format("niq_telemetry")
+         .option("rows_per_partition", 250)
+         .option("n_partitions", 4)
+         .option("seed", 8).load())
+    assert sorted(tuple(r) for r in c.collect()) != a  # seed actually seeds
+
+
+def test_python_datasource_feeds_engine_operators(spark):
+    """Generated rows flow through a normal aggregate plan like any scan."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources.pysource import SyntheticTelemetry
+
+    spark.dataSource.register(SyntheticTelemetry)
+    df = (
+        spark.read.format("niq_telemetry")
+        .option("rows_per_partition", 500)
+        .option("n_partitions", 2)
+        .load()
+    )
+    agg = df.groupBy("cell_id").agg(F.count("*").alias("n"),
+                                    F.avg("latency_ms").alias("avg_lat"))
+    rows = agg.collect()
+    assert sum(r.n for r in rows) == 1000
+    assert all(20 <= r.avg_lat < 70 for r in rows)
+
+
+def test_sentence_udtf_lateral_join(spark):
+    from network_iq_spark.operators.text import make_sentence_udtf
+
+    spark.udtf.register("split_sentences", make_sentence_udtf())
+    spark.createDataFrame(
+        [(1, "One. Two! Three?"), (2, "No terminator here"), (3, None)],
+        "doc_id bigint, text string",
+    ).createOrReplaceTempView("docs_udtf")
+    rows = spark.sql("""
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM docs_udtf d, LATERAL split_sentences(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+    """).collect()
+    got = [(r.doc_id, r.sent_idx, r.sentence) for r in rows]
+    assert got == [
+        (1, 0, "One."), (1, 1, "Two!"), (1, 2, "Three?"),
+        (2, 0, "No terminator here"),
+    ]
