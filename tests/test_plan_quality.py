@@ -370,3 +370,15 @@ def test_lateral_top_orders_decorrelates(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_no_cartesian_product_in_any_registry_plan(spark):
+    """Standing guard: NO driver-facing query may plan a CartesianProduct.
+    Bounded nested-loop joins against broadcast scalar/tiny sides print as
+    BroadcastNestedLoopJoin and are policed per-query; an actual cartesian
+    is always a scale-killer. Sweep measured clean at round 6."""
+    offenders = []
+    for name in sorted(QUERIES):
+        if "CartesianProduct" in _plan(spark, name):
+            offenders.append(name)
+    assert not offenders, offenders
