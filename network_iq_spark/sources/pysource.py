@@ -62,6 +62,9 @@ class SyntheticTelemetry(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _TelemetryReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return _TelemetryStreamReader(self.options)
+
 
 class _TelemetryReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
@@ -93,3 +96,46 @@ class _TelemetryReader(DataSourceReader):
                 float(10 + (z >> 16) % 240),
                 partition.index,
             )
+
+
+class _TelemetryStreamReader:
+    """Streaming face of the same generator (SimpleDataSourceStreamReader).
+
+    The offset is the global row counter — a pure cursor into the
+    deterministic row function — so `readBetweenOffsets` (the REPLAY path
+    Structured Streaming invokes when a failed batch is recovered from the
+    checkpoint) regenerates byte-identical rows for any committed range:
+    exactly the property a source must have for end-to-end exactly-once.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _rows(self, start: int, end: int):
+        base = (self.seed * 0x9E3779B97F4A7C15) & (2**64 - 1)
+        for i in range(start, end):
+            z = (base + i * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+            z ^= z >> 31
+            yield (
+                _EPOCH + datetime.timedelta(seconds=i),
+                f"CELL-{z % _CELLS:03d}",
+                float(20 + (z >> 8) % 50),
+                float(10 + (z >> 16) % 240),
+                0,
+            )
+
+    def read(self, start: dict):
+        # concrete list, not a generator: the prefetch machinery pickles
+        # the returned rows to ship them into the planned batch
+        end = {"row": start["row"] + self.rows_per_batch}
+        return list(self._rows(start["row"], end["row"])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._rows(start["row"], end["row"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the generator has no retained state

@@ -734,3 +734,48 @@ def test_unknown_stream_source_raises(spark):
 
     with pytest.raises(ValueError, match="unknown stream source"):
         read_telemetry_stream(spark, source="pulsar")
+
+
+def test_python_datasource_stream_replayable(spark, tmp_path):
+    """The Python streaming source's offset is a pure cursor: rows consumed
+    through the stream equal the deterministic row function over the
+    consumed range, and readBetweenOffsets replays any range identically
+    (the checkpoint-recovery contract)."""
+    from network_iq_spark.sources.pysource import (
+        SyntheticTelemetry,
+        _TelemetryStreamReader,
+    )
+
+    spark.dataSource.register(SyntheticTelemetry)
+    stream = (
+        spark.readStream.format("niq_telemetry")
+        .option("rows_per_batch", 50)
+        .option("seed", 3)
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysrc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("pysrc_stream").count() >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    got = sorted(tuple(r) for r in spark.table("pysrc_stream").collect())
+    n = len(got)
+    assert n >= 100
+    reader = _TelemetryStreamReader({"rows_per_batch": 50, "seed": 3})
+    want = sorted(reader.readBetweenOffsets({"row": 0}, {"row": n}))
+    assert got == want
