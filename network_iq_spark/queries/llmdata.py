@@ -1426,11 +1426,17 @@ def q_training_data_pipeline_overlap(
     map-only fingerprint build, one content-uniform shuffle on the
     fingerprint hash (distinct-hash projection bounds the self-join fanout
     at ~2/(w+1) density), and two doc_id-key joins to attach splits."""
-    final = _pipeline_final(spark, sf_dir)
+    # the cascade output feeds THREE consumers (fingerprint build + two
+    # split-attach joins) and the fingerprint frame feeds its own self-join
+    # twice — without materialization the LSH stage (the cascade's dominant
+    # cost) re-executes per consumer. Same boundary discipline as
+    # _pipeline_final's d1: at 100 TB substitute a persisted table.
+    final = _pipeline_final(spark, sf_dir).localCheckpoint()
     fp = (
         T.winnowing_fingerprints(final, w=_PIPE_WIN_W)
         .select("doc_id", "h")
         .distinct()
+        .localCheckpoint()
     )
     a = fp.select(F.col("doc_id").alias("doc_a"), "h")
     b = fp.select(F.col("doc_id").alias("doc_b"), "h")
