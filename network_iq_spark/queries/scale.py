@@ -116,7 +116,15 @@ def q_bucketed_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from network_iq_spark.functions import dsum
     from network_iq_spark.sources.maintenance import bucketed_write
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag includes source-file stats so regenerated testdata at the same
+    # path can never be served from a stale bucketed copy
+    sig = sf_dir
+    for t in ("lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            st = os.stat(p)
+            sig += f"|{t}:{st.st_size}:{int(st.st_mtime)}"
+    tag = hashlib.md5(sig.encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"niq_bucketed_{tag}")
     n_buckets = 8
     lt, ot = f"niq_lineitem_b{tag}", f"niq_orders_b{tag}"
