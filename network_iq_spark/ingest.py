@@ -75,6 +75,56 @@ def read_csv(spark: SparkSession, path: str | Sequence[str], schema: StructType)
     return spark.read.option("header", True).schema(schema).csv(paths)
 
 
+def read_csv_split(
+    spark: SparkSession,
+    path: str | Sequence[str],
+    schema: StructType,
+    bad_records_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Header-CSV scan split into (valid_rows, corrupt_lines) — the CSV
+    twin of ``sources.jsonl.read_jsonl_split``, because a raw operator feed
+    is never 100% well-formed and both failure modes of the naive scan
+    (silent null-padding of broken lines, or dying mid-scan) are wrong.
+
+    Same two-probe idiom as the JSONL tier: Spark refuses a query whose
+    only data column is the corrupt-record column, and caching the parsed
+    frame is a non-starter at scale, so the corrupt side is an INDEPENDENT
+    lazy text scan of the same files probed with ``from_csv`` under the
+    same schema+options — both sides map-only, no caching. Header lines
+    are excluded from the corrupt probe (the csv reader skips them).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType as _ST
+
+    paths = [path] if isinstance(path, str) else list(path)
+    full = _ST(list(schema.fields) + [StructField(bad_records_col, StringType())])
+    scanned = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", bad_records_col)
+        .schema(full)
+        .csv(paths)
+    )
+    valid = scanned.filter(F.col(bad_records_col).isNull()).drop(bad_records_col)
+    header = ",".join(f.name for f in schema.fields)
+    parsed = F.from_csv(
+        F.col("value"),
+        full.simpleString(),
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": bad_records_col},
+    )
+    corrupt = (
+        spark.read.text(paths)
+        .filter(F.length(F.trim(F.col("value"))) > 0)
+        .filter(F.col("value") != header)  # reader skips headers; match it
+        .withColumn("_parsed", parsed)
+        .filter(F.col(f"_parsed.{bad_records_col}").isNotNull())
+        .select(
+            F.col("value").alias("raw_line"),
+            F.input_file_name().alias("src_file"),
+        )
+    )
+    return valid, corrupt
+
+
 def ingest(
     df: DataFrame,
     output_path: str,

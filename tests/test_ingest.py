@@ -63,3 +63,39 @@ def test_resolver_aliases(spark):
 
     with pytest.raises(ValueError, match="missing required column"):
         resolve(spark.createDataFrame([(1,)], ["x"]), required=["timestamp"])
+
+
+def test_read_csv_split_quarantines_malformed_lines(spark, tmp_path):
+    """CSV two-probe split: well-typed rows on the valid side; lines the
+    schema can't parse (wrong arity / untypeable fields) quarantined with
+    their raw text and source file — nothing dropped, nothing fatal."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from network_iq_spark.ingest import read_csv_split
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,0.5\n"
+        "2,beta,not-a-number\n"
+        "3,gamma,1.5\n"
+    )
+    valid, corrupt = read_csv_split(spark, str(p), schema)
+    vrows = sorted((r.id, r.name, r.score) for r in valid.collect())
+    assert vrows == [(1, "alpha", 0.5), (3, "gamma", 1.5)]
+    crows = corrupt.collect()
+    assert [r.raw_line for r in crows] == ["2,beta,not-a-number"]
+    assert crows[0].src_file.endswith("feed.csv")
