@@ -44,6 +44,9 @@ QUERIES_UNDER_TEST = [
     "unigram_surprisal",
     "winnowing_fingerprints",
     "quality_scores",
+    # index/scoring family (round 6)
+    "tfidf_top_terms",
+    "term_postings",
 ]
 
 # the testdata corpus vocabulary (31 words, observed at sf0.1) — keeping the
