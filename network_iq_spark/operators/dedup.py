@@ -123,6 +123,12 @@ def jaccard_pairs_capped(
     test scale); pairs similar ONLY through ubiquitous boilerplate are
     deliberately out of contract.
     """
+    # the exploded shingle table feeds FIVE consumers (df counts, both
+    # candidate sides, sizes, both verify sides) — materialize it once or
+    # the explode re-executes per consumer. At 100 TB substitute a
+    # persisted shingle table at this boundary (same discipline as the
+    # pipeline's d1).
+    sh = sh.localCheckpoint()
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df__"))
     stop = dfreq.filter(F.col("__df__") > max_df).select("shingle")
     # NO broadcast hint on the stop set: at crawl scale the number of
@@ -176,6 +182,12 @@ def containment_pairs_capped(
     full-set verification as :func:`jaccard_pairs_capped`; each undirected
     candidate yields both directions, filtered at ``threshold``.
     """
+    # the exploded shingle table feeds FIVE consumers (df counts, both
+    # candidate sides, sizes, both verify sides) — materialize it once or
+    # the explode re-executes per consumer. At 100 TB substitute a
+    # persisted shingle table at this boundary (same discipline as the
+    # pipeline's d1).
+    sh = sh.localCheckpoint()
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df__"))
     stop = dfreq.filter(F.col("__df__") > max_df).select("shingle")
     rare = sh.join(stop, "shingle", "left_anti")
