@@ -83,3 +83,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All catalog tables as lazy DataFrames (no I/O until an action)."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def read_evolved_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: union directories written
+    at different schema generations (columns added over time) with
+    ``mergeSchema`` — rows from generations that predate a column read it
+    as null, the lake-standard additive-evolution contract. Column
+    RENAMES/retypes are intentionally NOT papered over (they surface as
+    new columns / read errors — resolver.py's alias map is the explicit
+    tool for renames).
+
+    Scale note: mergeSchema's footer sweep is a one-time planning cost
+    proportional to file count (driver-parallelized); pin a merged schema
+    with ``.schema(...)`` on hot paths once the layout stabilizes.
+    """
+    return spark.read.option("mergeSchema", True).parquet(*paths)

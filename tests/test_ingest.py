@@ -99,3 +99,20 @@ def test_read_csv_split_quarantines_malformed_lines(spark, tmp_path):
     crows = corrupt.collect()
     assert [r.raw_line for r in crows] == ["2,beta,not-a-number"]
     assert crows[0].src_file.endswith("feed.csv")
+
+
+def test_read_evolved_parquet_merges_additive_schemas(spark, tmp_path):
+    """Generation 1 lacks the column generation 2 added: the merged scan
+    exposes the union schema with nulls for pre-evolution rows."""
+    from network_iq_spark.sources.tables import read_evolved_parquet
+
+    g1 = str(tmp_path / "gen=1")
+    g2 = str(tmp_path / "gen=2")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(g1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(g2)
+    df = read_evolved_parquet(spark, g1, g2)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}

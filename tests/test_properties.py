@@ -170,3 +170,39 @@ def test_chunk_dedup_conserves_tokens_and_first_doc_intact(spark, texts):
                 c = " ".join(toks[j : j + 5])
                 assert c not in seen
                 seen.add(c)
+
+
+def test_aggregates_partition_invariant_under_shuffle_width(spark):
+    """The cross-engine determinism contract implies PARTITION invariance:
+    the same query must produce bit-identical rows whether the shuffle
+    fans out over 32 partitions or 5 (different partial-agg groupings,
+    different merge orders). This is the property the integer-unit dsum
+    discipline exists to buy — asserted here on a cross-section of the
+    aggregate/window/text families."""
+    from network_iq_spark.registry import QUERIES
+
+    names = [
+        "pricing_summary",
+        "qty_price_correlation",
+        "salted_event_stats",
+        "rolling_features",
+        "tfidf_top_terms",
+        "grouping_sets_revenue",
+    ]
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {
+            n: sorted(tuple(r) for r in QUERIES[n](spark, sf).collect())
+            for n in names
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {
+            n: sorted(tuple(r) for r in QUERIES[n](spark, sf).collect())
+            for n in names
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n in names:
+        assert wide[n] == narrow[n], n
