@@ -71,6 +71,8 @@ _VERIFY_FIRST = [
     "grouping_sets_revenue",
     "lateral_top_orders",
     "recursive_copurchase_reach",
+    "incremental_exact_dedup",
+    "incremental_near_dup",
 ]
 
 

@@ -277,6 +277,41 @@ def lsh_band_buckets(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def minhash_sig(
+    df: DataFrame, n_hashes: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MAP-ONLY MinHash signature frame (id, m0..m{k-1}, hs): a doc's
+    shingles are already co-located in its row, so the k mins and the
+    verify set fold as array expressions — no explode, no groupBy shuffle
+    (the exploded formulation shuffled |docs|·|shingles| rows through a
+    17-aggregate hash agg). Dedup of hash values (array_distinct) ≡ the
+    old collect_set; min over the deduped set ≡ min over the multiset.
+    Shared by :func:`minhash_lsh_pairs` and the incremental index tier."""
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= SHINGLE_K)
+    sh_arr = F.expr(shingle_array_expr())
+    hs_arr = (
+        "array_distinct(transform(__sh__, "
+        "s -> cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)))"
+    )
+    return (
+        base.select(F.col(id_col), sh_arr.alias("__sh__"))
+        .select(F.col(id_col), F.expr(hs_arr).alias("hs"))
+        .select(
+            F.col(id_col),
+            *[
+                F.expr(
+                    f"array_min(transform(hs, "
+                    f"h -> ({2 * i + 1} * h + {7 * i + 3}) % {MINHASH_P}))"
+                ).alias(f"m{i}")
+                for i in range(n_hashes)
+            ],
+            "hs",
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
@@ -306,35 +341,7 @@ def minhash_lsh_pairs(
       engines hash identically so cross-engine parity is unconditional.
     """
     n_hashes = n_bands * rows_per_band
-    # MAP-ONLY signature build: a doc's shingles are already co-located in
-    # its row, so the k mins and the verify set fold as array expressions —
-    # no explode, no groupBy shuffle (the exploded formulation shuffled
-    # |docs|·|shingles| rows through a 17-aggregate hash agg). Dedup of
-    # hash values (array_distinct) ≡ the old collect_set; min over the
-    # deduped set ≡ min over the multiset.
-    base = ensure_parallelism(df).select(
-        F.col(id_col), tokens(text_col).alias("_toks")
-    ).filter(F.size("_toks") >= SHINGLE_K)
-    sh_arr = F.expr(shingle_array_expr())
-    hs_arr = (
-        "array_distinct(transform(__sh__, "
-        "s -> cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)))"
-    )
-    sig = (
-        base.select(F.col(id_col), sh_arr.alias("__sh__"))
-        .select(F.col(id_col), F.expr(hs_arr).alias("hs"))
-        .select(
-            F.col(id_col),
-            *[
-                F.expr(
-                    f"array_min(transform(hs, "
-                    f"h -> ({2 * i + 1} * h + {7 * i + 3}) % {MINHASH_P}))"
-                ).alias(f"m{i}")
-                for i in range(n_hashes)
-            ],
-            "hs",
-        )
-    )
+    sig = minhash_sig(df, n_hashes, text_col, id_col)
     # The signature feeds TWO consumers — the band explode (needs m0..mk) and
     # the set verify (needs hs) — and the map-only plan has no exchange for
     # ReuseExchange to fire on, so without materialization the whole
@@ -638,4 +645,114 @@ def chunk_dedup(
             rebuilt.alias("dedup_text"),
         )
         .orderBy(id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (continual-ingest) dedup: new batch vs at-rest history
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    incoming_fps: DataFrame, history_fps: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup for CONTINUAL ingest: an incoming batch survives only if
+    its fingerprint is (a) absent from the at-rest history and (b) the
+    min-id of its within-batch group — the daily-crawl shape, where
+    re-deduping the whole corpus per batch would be O(history) instead of
+    O(batch).
+
+    Scale shape: one anti-join of the batch against the history fingerprint
+    table (history side pre-partitioned/bucketed on fingerprint in a real
+    deployment — the anti-join then co-locates), one within-batch groupBy.
+    History is READ, never rewritten; survivors append to it.
+    """
+    fresh = incoming_fps.join(
+        history_fps.select("fingerprint").distinct(), "fingerprint", "left_anti"
+    )
+    return exact_dedup(fresh, id_col)
+
+
+def lsh_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> tuple[DataFrame, DataFrame]:
+    """The two co-persisted artifacts of an at-rest MinHash-LSH index:
+    ``bands`` (doc_id, band, bucket) — the joinable candidate structure —
+    and ``sets`` (doc_id, hs) — the exact-verify shingle-hash sets. Split
+    in two because carrying hs on every band row would multiply the stored
+    sets by n_bands. In a deployment both are bucketed parquet tables
+    ((band, bucket) and doc_id respectively); incremental batches then
+    join candidate-side exchange-free."""
+    sig = minhash_sig(df, n_bands * rows_per_band, text_col, id_col).localCheckpoint()
+    bands = []
+    for bnd in range(n_bands):
+        cols = [
+            F.col(f"m{bnd * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(bnd).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
+            )
+        )
+    band_rows = sig.select(
+        id_col, F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    return band_rows, sig.select(id_col, "hs")
+
+
+def incremental_near_dup(
+    incoming: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Near-dup detection of an incoming batch AGAINST an at-rest LSH index
+    (:func:`lsh_index`): band-bucket collisions between batch and index
+    generate candidates; exact Jaccard over the hash sets verifies. Output
+    (new_doc, old_doc, jaccard ≥ threshold) — the rows a continual-ingest
+    pipeline drops (or links) before appending survivors and their index
+    rows. Cost is O(batch × collision rate), never O(history)."""
+    new_bands, new_sets = lsh_index(
+        incoming, text_col, id_col, n_bands, rows_per_band
+    )
+    cand = (
+        new_bands.select(
+            F.col(id_col).alias("new_doc"), "band", "bucket"
+        )
+        .join(
+            index_bands.select(F.col(id_col).alias("old_doc"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+    sa = new_sets.select(F.col(id_col).alias("new_doc"), F.col("hs").alias("hs_a"))
+    sb = index_sets.select(F.col(id_col).alias("old_doc"), F.col("hs").alias("hs_b"))
+    inter = F.array_size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    return (
+        cand.join(sa, "new_doc")
+        .join(sb, "old_doc")
+        .withColumn("inter", inter)
+        .select(
+            "new_doc",
+            "old_doc",
+            (
+                F.col("inter").cast("double")
+                / (
+                    F.array_size(F.col("hs_a"))
+                    + F.array_size(F.col("hs_b"))
+                    - F.col("inter")
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -1790,3 +1790,128 @@ def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring. One shuffle on term with map-side combine."""
     docs = load_table(spark, sf_dir, "documents")
     return T.term_postings(docs).orderBy("term")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (continual-ingest) dedup: batch vs at-rest history
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT = 250  # doc_id < split = at-rest history; >= split = incoming batch
+_INC_THRESHOLD = 0.2
+
+
+@register(
+    "incremental_exact_dedup",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ),
+    fresh AS (
+      SELECT i.* FROM fp i
+      WHERE i.doc_id >= {_INC_SPLIT}
+        AND NOT EXISTS (SELECT 1 FROM fp h
+                        WHERE h.doc_id < {_INC_SPLIT}
+                          AND h.fingerprint = i.fingerprint)
+    )
+    SELECT fingerprint, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+    FROM fresh GROUP BY 1 ORDER BY fingerprint
+    """,
+)
+def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingest exact dedup (operators/dedup.py
+    incremental_exact_dedup): the incoming batch (doc_id ≥ 250) survives
+    only where its fingerprint is absent from the at-rest history
+    (doc_id < 250) and it is the min-id of its within-batch group — one
+    anti-join against the history fingerprint table + one batch-local
+    groupBy, O(batch) not O(history) per ingest cycle."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = T.fingerprint(docs)
+    history = fps.filter(F.col("doc_id") < _INC_SPLIT)
+    incoming = fps.filter(F.col("doc_id") >= _INC_SPLIT)
+    return D.incremental_exact_dedup(incoming, history).orderBy("fingerprint")
+
+
+def _incremental_minhash_sql(
+    n_bands: int, rows_per_band: int, threshold: float, split: int
+) -> str:
+    n_hashes = n_bands * rows_per_band
+    mins = ",\n      ".join(
+        f"MIN(({2 * i + 1} * h + {7 * i + 3}) % {_MINHASH_P}) AS m{i}"
+        for i in range(n_hashes)
+    )
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"CAST(m{b * rows_per_band + j} AS VARCHAR)"
+            for j in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH sh AS ({_SHINGLES}),
+    hashed AS (
+      SELECT doc_id, {_sql_hex_int("substr(md5(shingle), 1, 12)", 12)} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    sets AS (
+      SELECT doc_id, list(DISTINCT h) AS hs, COUNT(DISTINCT h) AS sz
+      FROM hashed GROUP BY doc_id
+    ),
+    bb AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id >= {split} AND b.doc_id < {split}
+    )
+    SELECT new_doc, old_doc, jaccard FROM (
+      SELECT c.new_doc, c.old_doc,
+             CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+               / (sa.sz + sb.sz - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.new_doc
+      JOIN sets sb ON sb.doc_id = c.old_doc
+    )
+    WHERE jaccard >= {threshold}
+    ORDER BY new_doc, old_doc
+    """
+
+
+@register(
+    "incremental_near_dup",
+    oracle=_incremental_minhash_sql(_MH_BANDS, _MH_ROWS, _INC_THRESHOLD, _INC_SPLIT),
+)
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection of the incoming batch (doc_id ≥ 250) AGAINST the
+    at-rest LSH index of the history (doc_id < 250) — operators/dedup.py
+    lsh_index + incremental_near_dup. Band-bucket collisions between batch
+    and index generate candidates (cost O(batch × collision rate), never
+    O(history)); exact Jaccard over the persisted hash sets verifies. In a
+    deployment the index's two artifacts are bucketed tables on
+    (band, bucket) and doc_id, making the candidate join exchange-free on
+    the index side."""
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < _INC_SPLIT)
+    incoming = docs.filter(F.col("doc_id") >= _INC_SPLIT)
+    idx_bands, idx_sets = D.lsh_index(
+        history, n_bands=_MH_BANDS, rows_per_band=_MH_ROWS
+    )
+    return D.incremental_near_dup(
+        incoming,
+        idx_bands,
+        idx_sets,
+        threshold=_INC_THRESHOLD,
+        n_bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+    ).orderBy("new_doc", "old_doc")
