@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     "recursive_copurchase_reach",
     "incremental_exact_dedup",
     "incremental_near_dup",
+    "embedding_drift",
 ]
 
 

@@ -1915,3 +1915,100 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_MH_BANDS,
         rows_per_band=_MH_ROWS,
     ).orderBy("new_doc", "old_doc")
+
+
+_DRIFT_SPLIT, _DRIFT_SCALE = 250, "1000.0"
+
+
+@register(
+    "embedding_drift",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_DRIFT_SCALE} + 0.5) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val,
+             vec_id < {_DRIFT_SPLIT} AS is_ref, vec_id
+      FROM q
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             SUM(CASE WHEN is_ref THEN val ELSE 0 END) AS s_ref,
+             SUM(CASE WHEN is_ref THEN 0 ELSE val END) AS s_cur
+      FROM dims GROUP BY label, dim
+    ),
+    counts AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN vec_id < {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN vec_id >= {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM q GROUP BY label
+    )
+    SELECT p.label AS label, c.n_ref, c.n_cur,
+           CAST(SUM(s_ref * s_cur) AS DOUBLE)
+             / (sqrt(CAST(SUM(s_ref * s_ref) AS DOUBLE))
+                * sqrt(CAST(SUM(s_cur * s_cur) AS DOUBLE))) AS centroid_cos
+    FROM per_dim p JOIN counts c ON c.label = p.label
+    GROUP BY p.label, c.n_ref, c.n_cur
+    ORDER BY p.label
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between a reference window (vec_id <
+    250) and the current window: per label, the cosine between the two
+    windows' mean embedding directions plus both counts — the cheap
+    always-on monitor that catches encoder swaps, upstream preprocessing
+    changes, and topic shift before they poison a training run (centroid
+    cosine ≈ 1 means stable; a drop flags the label for a deeper look).
+
+    Determinism: embeddings quantize to integer-valued units (floor
+    x·1e3+0.5); per-dimension sums are exact integers and the cosine uses
+    unscaled sums directly (mean = sum/n cancels in cosine), so both
+    engines compute identical doubles. Shape: one posexplode → one
+    (label, dim) partial-agg shuffle (64 dims × labels rows) → one
+    label-grain rollup; counts ride a separate label-grain aggregate of
+    the unexploded frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        f"transform(embedding, x -> cast(floor(cast(x as double) * {_DRIFT_SCALE}"
+        " + 0.5) as bigint))"
+    )
+    q = emb.select("vec_id", "label", quant.alias("v"))
+    dims = q.select(
+        "label",
+        (F.col("vec_id") < _DRIFT_SPLIT).alias("is_ref"),
+        F.posexplode("v").alias("dim0", "val"),
+    )
+    per_dim = dims.groupBy("label", "dim0").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("val")).otherwise(F.lit(0))).alias("s_ref"),
+        F.sum(F.when(F.col("is_ref"), F.lit(0)).otherwise(F.col("val"))).alias("s_cur"),
+    )
+    counts = q.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") < _DRIFT_SPLIT, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") >= _DRIFT_SPLIT, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.sum(F.col("s_ref") * F.col("s_cur")).alias("dot"),
+            F.sum(F.col("s_ref") * F.col("s_ref")).alias("r2"),
+            F.sum(F.col("s_cur") * F.col("s_cur")).alias("c2"),
+        )
+        .join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("r2").cast("double")) * F.sqrt(F.col("c2").cast("double")))
+            ).alias("centroid_cos"),
+        )
+        .orderBy("label")
+    )
