@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "incremental_exact_dedup",
     "incremental_near_dup",
     "embedding_drift",
+    "vocab_drift_top_movers",
 ]
 
 

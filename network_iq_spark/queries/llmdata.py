@@ -2012,3 +2012,68 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "vocab_drift_top_movers",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(t) AS term FROM ({_TOKS})
+    ),
+    counts AS (
+      SELECT term,
+             SUM(CASE WHEN doc_id < {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS tf_ref,
+             SUM(CASE WHEN doc_id >= {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS tf_cur
+      FROM tok GROUP BY term
+    ),
+    totals AS (
+      SELECT SUM(tf_ref) AS n_ref, SUM(tf_cur) AS n_cur FROM counts
+    )
+    SELECT term, tf_ref, tf_cur, delta_rate FROM (
+      SELECT c.term, c.tf_ref, c.tf_cur,
+             abs(c.tf_ref * t.n_cur - c.tf_cur * t.n_ref) AS num,
+             CAST(abs(c.tf_ref * t.n_cur - c.tf_cur * t.n_ref) AS DOUBLE)
+               / (t.n_ref * t.n_cur) AS delta_rate,
+             ROW_NUMBER() OVER (
+               ORDER BY abs(c.tf_ref * t.n_cur - c.tf_cur * t.n_ref) DESC,
+                        c.term ASC) AS rk
+      FROM counts c CROSS JOIN totals t
+    ) WHERE rk <= 20 ORDER BY delta_rate DESC, term
+    """,
+)
+def q_vocab_drift_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between the reference window (doc_id < 250) and
+    the current window: the 20 terms whose unigram RATE moved most —
+    |tf_ref/N_ref − tf_cur/N_cur| ranked by the exact integer
+    cross-multiplication |tf_ref·N_cur − tf_cur·N_ref| (no float compare
+    anywhere in the ORDER, so the ranking is bit-deterministic; the
+    reported delta divides once at the end). The text-side sibling of
+    `embedding_drift` — together they catch topic shift whether or not an
+    encoder is in the loop. Shape: one token shuffle with map-side
+    combine, a 2-scalar broadcast, vocabulary-sized top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    counts = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("doc_id") < _DRIFT_SPLIT, 1).otherwise(0)).alias("tf_ref"),
+        F.sum(F.when(F.col("doc_id") >= _DRIFT_SPLIT, 1).otherwise(0)).alias("tf_cur"),
+    )
+    totals = counts.agg(
+        F.sum("tf_ref").alias("n_ref"), F.sum("tf_cur").alias("n_cur")
+    )
+    num = F.abs(F.col("tf_ref") * F.col("n_cur") - F.col("tf_cur") * F.col("n_ref"))
+    # global top-20 via orderBy+limit — plans TakeOrderedAndProject (the
+    # policy shape for bounded top-k; an unpartitioned row_number window
+    # would single-task the sort and is banned by the plan tests)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("num", num)
+        .withColumn(
+            "delta_rate",
+            F.col("num").cast("double") / (F.col("n_ref") * F.col("n_cur")),
+        )
+        .orderBy(F.col("num").desc(), F.col("term").asc())
+        .limit(20)
+        .select("term", "tf_ref", "tf_cur", "delta_rate")
+        .orderBy(F.col("delta_rate").desc(), "term")
+    )
