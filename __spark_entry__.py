@@ -75,6 +75,7 @@ _VERIFY_FIRST = [
     "incremental_near_dup",
     "embedding_drift",
     "vocab_drift_top_movers",
+    "span_corruption_manifest",
 ]
 
 

@@ -112,3 +112,63 @@ def chunk_manifest(
             ).alias("tok_end"),
         )
     )
+
+
+def span_corruption_manifest(
+    docs,  # DataFrame
+    mask_rate_pct: int = 15,
+    span_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """T5/UL2-style span-corruption manifest, fully deterministic: for each
+    document, ~mask_rate_pct% of tokens are covered by fixed-length spans
+    whose starts derive from md5(doc_id, span_index) — a pure function of
+    the document identity, so the SAME spans are masked on every run,
+    every engine, every partitioning (the property that makes corruption
+    reproducible across a restarted 100 TB preprocessing job; seeding from
+    rand() would re-mask differently per retry).
+
+    Output: one row per span (doc_id, span_id, start_tok, span_len),
+    starts deduplicated and sorted per doc (overlapping draws collapse —
+    the standard budgeted-approximation; effective coverage is ≤ the
+    budget and reported exactly by counting rows). MAP-ONLY: the explode
+    is bounded by the mask budget, never the token count.
+    """
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.operators import ensure_parallelism
+    from network_iq_spark.operators.text import tokens
+
+    base = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.size(tokens(text_col)).alias("n_tok"))
+        .filter(F.col("n_tok") >= span_len)
+    )
+    # explicit floor: a bare double→int cast truncates in Spark but ROUNDS
+    # in DuckDB — floor is the one semantics both engines share
+    n_spans = F.greatest(
+        F.lit(1),
+        F.floor(F.col("n_tok") * mask_rate_pct / 100 / span_len).cast("int"),
+    )
+    # start_i = md5(doc_id||'#'||i) first-12-hex as int, mod (n_tok - span_len + 1)
+    starts = F.expr(
+        f"array_sort(array_distinct(transform(sequence(1, __k__), "
+        f"i -> cast(conv(substring(md5(concat(cast({id_col} as string), '#', "
+        f"cast(i as string))), 1, 12), 16, 10) as bigint) "
+        f"% (n_tok - {span_len} + 1))))"
+    )
+    return (
+        base.withColumn("__k__", n_spans)
+        .withColumn("__starts__", starts)
+        .select(
+            id_col,
+            F.posexplode("__starts__").alias("span_id", "start_tok"),
+        )
+        .select(
+            id_col,
+            F.col("span_id").cast("int").alias("span_id"),
+            "start_tok",
+            F.lit(span_len).alias("span_len"),
+        )
+    )

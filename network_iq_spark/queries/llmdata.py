@@ -2077,3 +2077,42 @@ def q_vocab_drift_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "tf_ref", "tf_cur", "delta_rate")
         .orderBy(F.col("delta_rate").desc(), "term")
     )
+
+
+@register(
+    "span_corruption_manifest",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, len(t) AS n_tok FROM ({_TOKS}) WHERE len(t) >= 3
+    ),
+    spans AS (
+      SELECT doc_id, n_tok,
+             greatest(1, CAST(floor(n_tok * 15 / 100 / 3) AS INT)) AS k
+      FROM base
+    ),
+    draws AS (
+      SELECT doc_id,
+             list_sort(list_distinct([
+               CAST({_sql_hex_int("md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR))", 12)} AS BIGINT)
+                 % (n_tok - 2)
+               FOR i IN range(1, k + 1)])) AS starts
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(starts, 1) - 1 AS INT) AS span_id,
+           unnest(starts) AS start_tok,
+           3 AS span_len
+    FROM draws ORDER BY doc_id, span_id
+    """,
+)
+def q_span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5/UL2 span-corruption manifest
+    (operators/packing.py span_corruption_manifest): ~15% token budget in
+    3-token spans whose starts derive from md5(doc_id, i) — reproducible
+    across runs/engines/partitionings, map-only, fanout bounded by the
+    mask budget. Overlapping draws collapse (documented budget
+    approximation); the oracle replays the identical hash arithmetic."""
+    from network_iq_spark.operators.packing import span_corruption_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corruption_manifest(docs).orderBy("doc_id", "span_id")
