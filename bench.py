@@ -63,13 +63,19 @@ def main() -> None:
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     subnoise_runs = int(os.environ.get("BENCH_SUBNOISE_RUNS", "5"))
     noise_floor = float(os.environ.get("BENCH_NOISE_FLOOR_SEC", "0.5"))
+    # iterative queries launch dozens of tiny jobs per run; their wall time
+    # is scheduler-sensitive enough that min-of-2 can read 1.6x across
+    # rounds (dedup_clusters: 3.37 s mid-suite vs 1.9-2.4 s solo). Give
+    # the family one extra repeat.
+    iterative = {"dedup_clusters", "supplier_pagerank"}
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for n in names:
+        min_runs = runs + 1 if n in iterative else runs
         best = float("inf")
         done = 0
         try:
-            while done < runs or (best < noise_floor and done < subnoise_runs):
+            while done < min_runs or (best < noise_floor and done < subnoise_runs):
                 t0 = time.perf_counter()
                 QUERIES[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
