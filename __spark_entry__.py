@@ -76,6 +76,7 @@ _VERIFY_FIRST = [
     "embedding_drift",
     "vocab_drift_top_movers",
     "span_corruption_manifest",
+    "incremental_ann_topk",
 ]
 
 

@@ -745,10 +745,32 @@ def cosine_topk_ivf(
     vecs = with_norm(
         ensure_parallelism(df.select(id_col, vec_col), min_bytes=DENSE_GUARD_MIN_BYTES), vec_col
     ).select(id_col, F.col(vec_col).alias("v"), "norm")
+    qv = vecs.join(query_ids, id_col, "left_semi")
+    return ivf_search(
+        vecs, qv, n_cells, nprobe, k, id_col, assigner, exclude_self=True
+    )
+
+
+def ivf_search(
+    vecs: DataFrame,
+    qv: DataFrame,
+    n_cells: int,
+    nprobe: int,
+    k: int,
+    id_col: str = "vec_id",
+    assigner=None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF top-k core over pre-shaped frames — ``vecs`` is the indexed
+    corpus (id, v, norm), ``qv`` the query vectors in the same shape
+    (members of the corpus or an EXTERNAL batch — the continual-ingest
+    case searches new vectors against an at-rest index). Centroid pick,
+    cell assignment (pluggable ``assigner``), probe list, in-cell exact
+    cosine, per-query top-k. ``exclude_self`` drops identity matches when
+    queries are corpus members."""
     cent = seed_centroids(vecs, n_cells, id_col)
     inv = (assigner or ivf_assign)(vecs, cent, id_col)
 
-    qv = vecs.join(query_ids, id_col, "left_semi")
     probe_scored = qv.crossJoin(F.broadcast(cent)).select(
         F.col(id_col).alias("q_vec_id"),
         "c_id",
@@ -766,9 +788,10 @@ def cosine_topk_ivf(
     cand = (
         inv.select(F.col(id_col).alias("n_vec_id"), "cell")
         .join(F.broadcast(probes), "cell")
-        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
-        .select("q_vec_id", "n_vec_id")
     )
+    if exclude_self:
+        cand = cand.filter(F.col("n_vec_id") != F.col("q_vec_id"))
+    cand = cand.select("q_vec_id", "n_vec_id")
     qside = qv.select(
         F.col(id_col).alias("q_vec_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )

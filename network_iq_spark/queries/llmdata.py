@@ -2116,3 +2116,129 @@ def q_span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return span_corruption_manifest(docs).orderBy("doc_id", "span_id")
+
+
+_IANN_SPLIT, _IANN_QN = 250, 260  # history < 250; incoming batch [250, 260)
+
+
+def _incremental_ann_sql(n_cells: int, g: int, nprobe: int, k: int) -> str:
+    """DuckDB twin of the incremental ANN search: the history side's
+    two-level distributed inverted file (same structure as _ivf_dist_sql,
+    restricted to vec_id < split) probed by EXTERNAL query vectors (the
+    incoming batch) — integer-quantized throughout so every stage
+    hash-replays."""
+    cent_h = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
+    rep_h = _sql_hex_int("md5(CAST(c_id AS VARCHAR))", 12)
+    return f"""
+    WITH nn AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * {_IVFD_SCALE} + 0.5)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM nn
+    ),
+    hist AS (SELECT * FROM n WHERE vec_id < {_IANN_SPLIT}),
+    q AS (SELECT * FROM n
+          WHERE vec_id >= {_IANN_SPLIT} AND vec_id < {_IANN_QN}),
+    cent AS (
+      SELECT vec_id AS c_id, v AS cv, norm AS cn
+      FROM hist ORDER BY {cent_h}, vec_id LIMIT {n_cells}
+    ),
+    reps AS (
+      SELECT c_id AS rep_id, cv AS rv, cn AS rn
+      FROM cent ORDER BY {rep_h}, c_id LIMIT {g}
+    ),
+    cgrp AS (
+      SELECT c_id, cv, cn,
+             CASE WHEN c_id IN (SELECT rep_id FROM reps)
+                  THEN c_id ELSE best_rep END AS grp
+      FROM (
+        SELECT c.c_id, c.cv, c.cn, r.rep_id AS best_rep,
+               ROW_NUMBER() OVER (PARTITION BY c.c_id
+                 ORDER BY list_dot_product(c.cv, r.rv) / (c.cn * r.rn) DESC,
+                          r.rep_id ASC) AS rk
+        FROM cent c, reps r
+      ) WHERE rk = 1
+    ),
+    vgrp AS (
+      SELECT vec_id, grp FROM (
+        SELECT h.vec_id, r.rep_id AS grp,
+               ROW_NUMBER() OVER (PARTITION BY h.vec_id
+                 ORDER BY list_dot_product(h.v, r.rv) / (h.norm * r.rn) DESC,
+                          r.rep_id ASC) AS rk
+        FROM hist h, reps r
+      ) WHERE rk = 1
+    ),
+    assign AS (
+      SELECT vec_id AS n_vec_id, c_id AS cell FROM (
+        SELECT h.vec_id, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY h.vec_id
+                 ORDER BY list_dot_product(h.v, c.cv) / (h.norm * c.cn) DESC,
+                          c.c_id ASC) AS rk
+        FROM hist h
+        JOIN vgrp ON vgrp.vec_id = h.vec_id
+        JOIN cgrp c ON c.grp = vgrp.grp
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS q_vec_id, c_id AS cell FROM (
+        SELECT q.vec_id, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, c.cv) / (q.norm * c.cn) DESC,
+                          c.c_id ASC) AS rk
+        FROM q, cent c
+      ) WHERE rk <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.q_vec_id, a.n_vec_id,
+             list_dot_product(qq.v, m.v) / (qq.norm * m.norm) AS cos
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN q qq ON qq.vec_id = p.q_vec_id
+      JOIN n m ON m.vec_id = a.n_vec_id
+    )
+    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, n_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY q_vec_id, rank
+    """
+
+
+@register(
+    "incremental_ann_topk",
+    oracle=_incremental_ann_sql(_IVFD_CELLS, _IVFD_GROUPS, _IVFD_NPROBE, _IVFD_K),
+)
+def q_incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingest ANN: the incoming embedding batch (vec_id in
+    [250, 260)) searched against the AT-REST history index (vec_id < 250)
+    — the embedding sibling of `incremental_near_dup`, completing the
+    incremental story across both modalities. The history side builds the
+    distributed two-level inverted file (ivf_assign_dist — in deployment
+    a persisted table the batch only READS); incoming vectors probe the
+    nprobe nearest cells and score exactly in-cell:
+    O(batch × probed fraction), never O(history). Integer quantization
+    keeps every stage bit-replayable by the oracle."""
+    import functools
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        f"transform(embedding, x -> floor(cast(x as double) * {_IVFD_SCALE} + 0.5))"
+    )
+    base = S.with_norm(emb.select("vec_id", quant.alias("v")))
+    hist = base.filter(F.col("vec_id") < _IANN_SPLIT)
+    incoming = base.filter(
+        (F.col("vec_id") >= _IANN_SPLIT) & (F.col("vec_id") < _IANN_QN)
+    )
+    return S.ivf_search(
+        hist,
+        incoming,
+        n_cells=_IVFD_CELLS,
+        nprobe=_IVFD_NPROBE,
+        k=_IVFD_K,
+        assigner=functools.partial(
+            S.ivf_assign_dist, n_groups=_IVFD_GROUPS, n_centroids=_IVFD_CELLS
+        ),
+    ).orderBy("q_vec_id", "rank")
