@@ -77,6 +77,7 @@ _VERIFY_FIRST = [
     "vocab_drift_top_movers",
     "span_corruption_manifest",
     "incremental_ann_topk",
+    "ann_int_multiprobe_topk",
 ]
 
 

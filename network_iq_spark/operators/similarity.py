@@ -1013,6 +1013,7 @@ def cosine_topk_int_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN top-k from INTEGERIZED hyperplane buckets — the oracle-checkable
     sibling of :func:`cosine_topk_lsh` (whose float numpy signatures cannot
@@ -1021,9 +1022,13 @@ def cosine_topk_int_lsh(
 
     Candidates = corpus vectors sharing a (table, bucket) with the query in
     ANY of the L tables; exact element-order cosine ranks them. Recall is
-    the (planes, tables) S-curve exactly as in the float variant. Scale
-    shape: signatures are one int64 matmul per Arrow batch, candidates
-    shuffle once on (table, bucket), scoring touches candidates only.
+    the (planes, tables) S-curve exactly as in the float variant.
+    ``multiprobe`` additionally probes every bucket one sign-flip away per
+    table (query side only — same distance-1 scheme as the float path,
+    but here the XOR expansion replays exactly in SQL, so the multi-probe
+    variant stays fully hash-checked). Scale shape: signatures are one
+    int64 matmul per Arrow batch, candidates shuffle once on
+    (table, bucket), scoring touches candidates only.
     """
     sig = int_lsh_signatures(
         df, dim, n_planes, n_tables, seed, id_col=id_col, vec_col=vec_col
@@ -1031,6 +1036,14 @@ def cosine_topk_int_lsh(
     qsig = sig.join(query_ids, id_col, "left_semi").select(
         F.col(id_col).alias("q_vec_id"), "table", "bucket"
     )
+    if multiprobe:
+        variants = F.array(
+            F.col("bucket"),
+            *[F.expr(f"bucket ^ {1 << p}") for p in range(n_planes)],
+        )
+        qsig = qsig.select(
+            "q_vec_id", "table", F.explode(variants).alias("bucket")
+        )
     csig = sig.select(F.col(id_col).alias("n_vec_id"), "table", "bucket")
     cand = (
         qsig.join(csig, ["table", "bucket"])

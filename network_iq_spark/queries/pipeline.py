@@ -578,3 +578,67 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(emb, n_cells=None, threshold=_SD_THRESHOLD).orderBy(
         "vec_id"
     )
+
+
+def _ann_int_multiprobe_sql(n_tables: int, n_planes: int, k: int) -> str:
+    from network_iq_spark.queries.llmdata import _int_sig_ctes
+
+    probe_variants = "\n      UNION ALL\n      ".join(
+        ["SELECT vec_id, t, bucket FROM sigs WHERE vec_id < 10"]
+        + [
+            f"SELECT vec_id, t, xor(bucket, {1 << p}) AS bucket "
+            f"FROM sigs WHERE vec_id < 10"
+            for p in range(n_planes)
+        ]
+    )
+    return f"""
+    WITH {_int_sig_ctes(n_tables, n_planes)},
+    probes AS (
+      {probe_variants}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id
+      FROM probes a JOIN sigs b
+        ON a.t = b.t AND a.bucket = b.bucket AND b.vec_id != a.vec_id
+    ),
+    n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT c.q_vec_id, c.n_vec_id,
+             list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+      FROM cand c
+      JOIN n a ON a.vec_id = c.q_vec_id
+      JOIN n b ON b.vec_id = c.n_vec_id
+    )
+    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, n_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY q_vec_id, rank
+    """
+
+
+@register(
+    "ann_int_multiprobe_topk",
+    oracle=_ann_int_multiprobe_sql(_AI_TABLES, _AI_PLANES, _AI_K),
+)
+def q_ann_int_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-1 multi-probe over the INTEGERIZED LSH buckets: unlike the
+    float multi-probe sibling (rows-only by necessity), the XOR bucket
+    expansion replays exactly in SQL — so the recall-raising probe scheme
+    itself is hash-checked end to end, not just asserted by a recall test
+    (operators/similarity.py cosine_topk_int_lsh, multiprobe=True).
+    Measured recall@10 at sf0.01: 0.67 vs 0.18 single-probe at this
+    deliberately coarse 6-plane/4-table config — the probe scheme is the
+    cheap recall lever when re-indexing with more tables is too
+    expensive; the float path at 4 planes × 16 tables reaches 1.000."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    return S.cosine_topk_int_lsh(
+        emb, qids, k=_AI_K, n_planes=_AI_PLANES, n_tables=_AI_TABLES,
+        multiprobe=True,
+    ).orderBy("q_vec_id", "rank")

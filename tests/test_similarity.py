@@ -334,3 +334,39 @@ def test_ivf_assign_hier_endpoints_degrade_to_flat(spark, vecs):
     assert len(mid) == len(flat)
     assert {r["vec_id"] for r in mid} == set(flat)
     assert {r["cell"] for r in mid} <= cent_ids
+
+
+def test_int_multiprobe_superset_and_recall_gain(spark, vecs):
+    """Int-LSH distance-1 multi-probe: candidate PAIRS are a superset of
+    single-probe's and recall@10 at least doubles at the coarse
+    6-plane/4-table config (measured 0.18 -> 0.67)."""
+    emb = vecs.select("vec_id", F.col("v").alias("embedding"))
+    qids = vecs.select("vec_id").filter(F.col("vec_id") < 10)
+    single = S.cosine_topk_int_lsh(emb, qids, k=500, n_planes=6, n_tables=4)
+    multi = S.cosine_topk_int_lsh(
+        emb, qids, k=500, n_planes=6, n_tables=4, multiprobe=True
+    )
+    s_pairs = {(r.q_vec_id, r.n_vec_id) for r in single.collect()}
+    m_pairs = {(r.q_vec_id, r.n_vec_id) for r in multi.collect()}
+    assert s_pairs <= m_pairs
+    assert len(m_pairs) > len(s_pairs)
+
+    exact = S.cosine_topk_bruteforce(vecs.filter(F.col("vec_id") < 10), vecs, k=10)
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+        return sum(
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ) / len(truth)
+
+    s10 = S.cosine_topk_int_lsh(emb, qids, k=10, n_planes=6, n_tables=4)
+    m10 = S.cosine_topk_int_lsh(
+        emb, qids, k=10, n_planes=6, n_tables=4, multiprobe=True
+    )
+    rs, rm = recall(s10), recall(m10)
+    assert rm >= max(2 * rs, 0.5), (rs, rm)
