@@ -330,6 +330,15 @@ def bigram_rarity(
             )
         ).alias("bigram"),
     )
+    # NOTE on the double explode: `bi` feeds both the corpus count and the
+    # per-doc rollup and Spark won't reuse the shared subtree — but both
+    # remedies measured SLOWER at sf0.1 than just re-running the cheap
+    # map-only explode (tf-grain collapse: bigrams are mostly unique per
+    # doc, so the extra shuffle buys no reduction; localCheckpoint: the
+    # exploded stream is wide and materializing it costs more than the
+    # second explode). Recompute is the right call for map-cheap wide
+    # streams; materialize only narrow/expensive grains (cf. doc_keywords,
+    # tfidf_top_terms, minhash signatures).
     corpus = bi.groupBy("bigram").agg(F.count("*").alias("__freq__"))
     per_doc = (
         bi.join(corpus, "bigram")
@@ -381,10 +390,15 @@ def doc_keywords(
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
-    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
-    dfreq = tok.select(id_col, "tok").distinct().groupBy("tok").agg(
-        F.count("*").alias("df")
+    # df derives from the tf grain (one row per (doc, tok), so df(tok) =
+    # row count) — a second aggregate over `tok` would re-run the explode
+    # (no subtree reuse in Spark 4); the tf grain materializes once
+    tf = (
+        tok.groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     scored = tf.join(dfreq, "tok").select(
         id_col,
         "tok",
