@@ -78,6 +78,7 @@ _VERIFY_FIRST = [
     "span_corruption_manifest",
     "incremental_ann_topk",
     "ann_int_multiprobe_topk",
+    "ab_test_conversion",
 ]
 
 

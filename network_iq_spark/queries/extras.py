@@ -1315,3 +1315,99 @@ def q_recursive_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, CAST(MIN(depth) AS INT) AS depth
         FROM walk GROUP BY node ORDER BY depth, node
     """)
+
+
+@register(
+    "ab_test_conversion",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    arms AS (
+      SELECT a.arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY a.arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n_users END) AS n_a,
+        MAX(CASE WHEN arm = 0 THEN n_converted END) AS c_a,
+        MAX(CASE WHEN arm = 1 THEN n_users END) AS n_b,
+        MAX(CASE WHEN arm = 1 THEN n_converted END) AS c_b
+      FROM arms
+    )
+    SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
+           CASE WHEN se > 0 THEN (rate_b - rate_a) / se END AS z_score
+    FROM (
+      SELECT n_a, c_a, n_b, c_b,
+             CAST(c_a AS DOUBLE) / n_a AS rate_a,
+             CAST(c_b AS DOUBLE) / n_b AS rate_b,
+             sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)) AS se
+      FROM wide
+    )
+    """,
+)
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion test: users split into arms by id
+    parity (the deterministic stand-in for an assignment table),
+    conversion = any 'purchase' event, pooled-variance z-statistic — the
+    standard experiment readout, computed entirely from integer counts so
+    the single sqrt/division chain is bit-identical in both engines (the
+    pattern for ANY experiment metric here: aggregate to exact integers
+    first, apply the float formula once at the end, never sum floats).
+    Shape: two user-grain aggregates sharing the user_id partitioning, a
+    2-row rollup, scalar math."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    arms = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).alias("n_converted"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    # degenerate pools (0% or 100% conversion in BOTH arms pooled) have
+    # zero standard error — z undefined, reported NULL (ANSI mode would
+    # otherwise raise on the division)
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        F.when(se > 0, (p_b - p_a) / se).alias("z_score"),
+    )
