@@ -26,59 +26,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
-# the queries with the least external verification first: everything never
-# yet sampled in CORRECTNESS_r1–r5, the one entry that ever failed a driver
-# hash check (data_contract_events, fixed in fa26980, green locally since),
-# and this round's additions. Ever-green queries fill the remaining slots in
-# registration order.
+# the queries with the least external verification first: this round's fixes
+# (vocab_drift_top_movers oracle cast; sessionize, whose last external record
+# is an r03 TIMESTAMP_NTZ error fixed in sources/tables.py), this round's new
+# queries, then everything whose last driver sample is oldest (r1-r4), then
+# r5-sampled queries to keep the rotation moving. Ever-green queries fill the
+# remaining slots in registration order.
 _VERIFY_FIRST = [
-    "data_contract_events",
-    "training_data_pipeline_overlap",
-    "unigram_surprisal",
-    "chunk_dedup",
-    "lang_sample_k",
-    "vocab_coverage",
-    "containment_top_pairs",
-    "bigram_rarity",
-    "semantic_dedup",
-    "domain_mix_sample",
-    "pii_redact",
-    "quantized_cosine_topk",
-    "chunk_manifest",
-    "doc_keywords",
-    "ann_int_cosine_topk",
-    "winnowing_fingerprints",
-    "winnow_overlap_pairs",
-    "semantic_dedup_scaled",
-    "salted_event_stats",
-    "session_window_stats",
-    "event_type_transitions",
-    "weighted_discount",
-    "shipping_priority",
-    "nation_trade_volume",
-    "parts_bought_together",
-    "cast_coercion",
-    "variant_props_stats",
-    "contract_quarantine_summary",
-    # round-6 additions
-    "bucketed_order_lineitem",
-    "time_sliced_rolling",
-    "ann_multiprobe_topk",
-    "decoded_image_stats",
-    "ivf_centroid_join_topk",
-    "tfidf_top_terms",
-    "term_postings",
-    "grouping_sets_revenue",
-    "lateral_top_orders",
-    "recursive_copurchase_reach",
-    "incremental_exact_dedup",
-    "incremental_near_dup",
-    "embedding_drift",
+    # round-7 fixes — must re-sample
     "vocab_drift_top_movers",
-    "span_corruption_manifest",
-    "incremental_ann_topk",
-    "ann_int_multiprobe_topk",
-    "ab_test_conversion",
+    "sessionize",
+    # last sampled r1
+    "centered_mavg_volume",
+    "customers_without_orders",
+    "dedup_keep_last",
+    "event_type_domains",
+    "hourly_baseline",
+    "hourly_compare_unpivot",
+    "hourly_profile",
+    "json_props_stats",
+    "kpi_cards",
+    "latest_snapshot",
+    "minmax_norm",
+    "nation_supplier_balance",
+    "order_line_rollup",
+    "risky_hours",
+    "rolling_features",
+    "zscore_top_anomalies",
+    # last sampled r2
+    "brand_top_parts",
+    "order_priority_stats",
+    "regional_revenue",
+    "segment_acctbal_stats",
+    # last sampled r3
+    "cohort_retention",
+    "funnel_steps",
+    "hourly_type_pivot",
+    "pricing_summary",
+    "top_revenue_customers",
+    # last sampled r4
+    "dedup_clusters",
+    "sequence_packing",
+    "simhash60_pairs",
+    "stratified_sample_counts",
+    "training_data_pipeline",
+    # round-7 plan changes / perf watchlist — re-prove hashes externally
+    "recursive_copurchase_reach",
+    "ewma_hourly",
+    "events_in_windows",
+    # last sampled r5 (rotation)
+    "acctbal_quartiles",
+    "acctbal_quartiles_scalable",
+    "asof_last_purchase",
+    "contamination_check",
+    "cosine_topk",
+    "cube_order_stats",
+    "customer_order_seq",
+    "customers_with_orders",
+    "delta_abs_p95",
+    "doc_fingerprints",
+    "doc_splits",
+    "duplicate_spans",
+    "embedding_label_stats",
+    "embedding_near_dup",
+    "exact_dedup",
+    "hourly_gapfill",
 ]
 
 
@@ -89,14 +101,20 @@ def _ordered(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from network_iq_spark.registry import QUERIES
+    """One entry per implemented operator from SURVEY.md §2.
 
-    return _ordered(dict(QUERIES))
+    Excludes ``BENCH_ONLY`` queries (float-valued approximate structures
+    that are rows-only by design); each has an oracle-paired exact or
+    integer-quantized twin in the sheet, and all stay covered by bench.py
+    and the local test suite.
+    """
+    from network_iq_spark.registry import BENCH_ONLY, QUERIES
+
+    return _ordered({k: v for k, v in QUERIES.items() if k not in BENCH_ONLY})
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each (SQL-expressible) query."""
-    from network_iq_spark.registry import ORACLES
+    from network_iq_spark.registry import BENCH_ONLY, ORACLES
 
-    return _ordered(dict(ORACLES))
+    return _ordered({k: v for k, v in ORACLES.items() if k not in BENCH_ONLY})

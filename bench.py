@@ -53,16 +53,19 @@ def main() -> None:
 
     # min of 2 runs per query: single-shot timings on a shared machine swing
     # 30-40%, which would poison cross-round regression comparisons. Queries
-    # under the noise floor get up to FIVE runs: at <0.5 s JVM jitter alone
-    # can fake a 2x "regression" (r5's centered_mavg_volume read 2.07x vs r1
-    # with both sides sub-noise), so cheap extra repeats buy a stable min —
-    # they cost milliseconds precisely because the query is sub-noise.
+    # under the noise floor get up to FIVE runs: JVM jitter alone can fake a
+    # 2x "regression" (r5's centered_mavg_volume read 2.07x vs r1 with both
+    # sides sub-noise; r6's ewma_hourly read 1.07 s mid-suite min-of-2 vs a
+    # measured 0.50 s solo steady state — [1.21, 0.63, 0.60, 0.52, 0.50,
+    # 0.51] — so the jitter band extends to ~1.2 s), and cheap extra repeats
+    # buy a stable min — they cost little precisely because the query is
+    # small.
     #
     # A query that raises is recorded under "errors" and skipped — one broken
     # plan must never cost the round its entire BENCH artifact.
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     subnoise_runs = int(os.environ.get("BENCH_SUBNOISE_RUNS", "5"))
-    noise_floor = float(os.environ.get("BENCH_NOISE_FLOOR_SEC", "0.5"))
+    noise_floor = float(os.environ.get("BENCH_NOISE_FLOOR_SEC", "1.2"))
     # iterative queries launch dozens of tiny jobs per run; their wall time
     # is scheduler-sensitive enough that min-of-2 can read 1.6x across
     # rounds (dedup_clusters: 3.37 s mid-suite vs 1.9-2.4 s solo). Give

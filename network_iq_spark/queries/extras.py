@@ -1292,17 +1292,32 @@ def q_recursive_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one equi-join per level against a bounded frontier), with the
     fixed-point machinery in the engine instead of driver-side Python.
     Depth bound keeps the UNION ALL walk multiset finite and identical in
-    both engines; the MIN-collapse makes the result order-free."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_rc")
+    both engines; the MIN-collapse makes the result order-free.
+
+    The expensive part is NOT the recursion (≤3 levels over a 100-edge
+    graph) but the edge mining: a lineitem self-join + top-100. Spark
+    inlines CTEs and reuses no exchanges across diamonds, so leaving
+    ``edges`` as a CTE re-executes that self-join at every recursion
+    level. Materialize the 100-row edge set once (localCheckpoint — the
+    operators/graph.py idiom) and let the recursion consume the
+    in-memory scan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "src", "dst")
+        .limit(100)
+        .select("src", "dst")
+    )
+    edges.localCheckpoint(eager=True).createOrReplaceTempView("edges_rc")
     return spark.sql("""
-        WITH RECURSIVE edges AS (
-          SELECT a.l_partkey AS src, b.l_partkey AS dst
-          FROM lineitem_rc a JOIN lineitem_rc b ON a.l_orderkey = b.l_orderkey
-          WHERE a.l_partkey < b.l_partkey
-          GROUP BY 1, 2 ORDER BY COUNT(*) DESC, src, dst LIMIT 100
-        ),
-        bi AS (
-          SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+        WITH RECURSIVE bi AS (
+          SELECT src, dst FROM edges_rc UNION ALL SELECT dst, src FROM edges_rc
         ),
         start AS (SELECT MIN(src) AS s FROM bi),
         walk AS (

@@ -2022,8 +2022,8 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     counts AS (
       SELECT term,
-             SUM(CASE WHEN doc_id < {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS tf_ref,
-             SUM(CASE WHEN doc_id >= {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS tf_cur
+             CAST(SUM(CASE WHEN doc_id < {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS tf_ref,
+             CAST(SUM(CASE WHEN doc_id >= {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS tf_cur
       FROM tok GROUP BY term
     ),
     totals AS (

@@ -557,7 +557,7 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
-@register("semantic_dedup_scaled")  # rows-only BY DESIGN (see docstring)
+@register("semantic_dedup_scaled", bench_only=True)  # rows-only BY DESIGN (see docstring)
 def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path variant of ``semantic_dedup``: ``n_cells=None`` turns
     on the cells-∝-N discipline (auto_n_cells) and the DISTRIBUTED

@@ -25,7 +25,7 @@ from network_iq_spark.registry import register
 from network_iq_spark.sources import load_table
 
 
-@register("approx_profile")
+@register("approx_profile", bench_only=True)
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per event_type: approx distinct users (HLL++,
     rsd 1%) and approx P50/P95 (percentile_approx, accuracy 10k)."""
@@ -46,7 +46,7 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_cosine_topk")
+@register("ann_cosine_topk", bench_only=True)
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-10 for query vectors (vec_id < 10): candidates
     share a bucket in any of 16 4-plane random-hyperplane tables; exact cosine only inside
@@ -172,7 +172,7 @@ def q_bucketed_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_multiprobe_topk")
+@register("ann_multiprobe_topk", bench_only=True)
 def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-1 multi-probe variant of ``ann_cosine_topk``: per table,
     the query also probes every bucket one sign-flip away (k+1 probes per

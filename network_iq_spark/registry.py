@@ -21,14 +21,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Queries that run in bench.py and the local test suite but are EXCLUDED from
+# the driver-facing ``__spark_entry__.queries()`` sheet: float-valued
+# approximate structures whose results are legitimate but not SQL-replayable
+# (each has an oracle-paired exact or integer-quantized twin that carries the
+# correctness burden — see VERDICT r6 item 6).
+BENCH_ONLY: set[str] = set()
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+
+def register(
+    name: str, oracle: str | None = None, bench_only: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query (and optional DuckDB oracle) to the registry."""
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if bench_only:
+            BENCH_ONLY.add(name)
         return fn
 
     return deco
