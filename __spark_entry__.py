@@ -36,6 +36,9 @@ _VERIFY_FIRST = [
     # round-7 fixes — must re-sample
     "vocab_drift_top_movers",
     "sessionize",
+    # round-7 additions
+    "decoded_png_stats",
+    "decoded_jpeg_stats",
     # last sampled r1
     "centered_mavg_volume",
     "customers_without_orders",

@@ -86,12 +86,21 @@ def read_csv_split(
     is never 100% well-formed and both failure modes of the naive scan
     (silent null-padding of broken lines, or dying mid-scan) are wrong.
 
-    Same two-probe idiom as the JSONL tier: Spark refuses a query whose
-    only data column is the corrupt-record column, and caching the parsed
-    frame is a non-starter at scale, so the corrupt side is an INDEPENDENT
-    lazy text scan of the same files probed with ``from_csv`` under the
-    same schema+options — both sides map-only, no caching. Header lines
-    are excluded from the corrupt probe (the csv reader skips them).
+    Both sides come from ONE permissive csv scan (map-only, no caching),
+    so header handling is exactly the reader's own per-file first-line
+    skip — no reconstructed-header string matching, which mis-quarantined
+    real headers that differ in spacing/quoting/case and silently dropped
+    data lines that happen to equal the header text. Spark refuses a scan
+    whose only referenced data column is the corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and — more
+    subtly — only parses (and therefore only validates) the columns the
+    query requires, so a probe that references one data column would miss
+    corruption in the others. The corrupt side handles both by routing
+    ``raw_line`` through a ``coalesce`` over EVERY data column: the full
+    schema stays in the required set (full-width parse, same validation
+    the valid side gets) without changing the value (the filter
+    guarantees the corrupt column is non-null, so the coalesce always
+    takes it).
     """
     from pyspark.sql.types import StringType, StructField, StructType as _ST
 
@@ -105,20 +114,21 @@ def read_csv_split(
         .csv(paths)
     )
     valid = scanned.filter(F.col(bad_records_col).isNull()).drop(bad_records_col)
-    header = ",".join(f.name for f in schema.fields)
-    parsed = F.from_csv(
-        F.col("value"),
-        full.simpleString(),
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": bad_records_col},
+    # concat_ws over every data column: always-true at runtime (concat_ws
+    # skips nulls, length is never negative) but not provably so to the
+    # optimizer, which keeps the full schema in the required set even under
+    # aggressive pruning (e.g. corrupt.count(), which discards the
+    # projection and would otherwise reduce the scan back to the lone
+    # corrupt column)
+    all_cols = F.concat_ws(
+        ",", *[F.col(f.name).cast("string") for f in schema.fields]
     )
     corrupt = (
-        spark.read.text(paths)
-        .filter(F.length(F.trim(F.col("value"))) > 0)
-        .filter(F.col("value") != header)  # reader skips headers; match it
-        .withColumn("_parsed", parsed)
-        .filter(F.col(f"_parsed.{bad_records_col}").isNotNull())
+        scanned.filter(
+            F.col(bad_records_col).isNotNull() & (F.length(all_cols) >= 0)
+        )
         .select(
-            F.col("value").alias("raw_line"),
+            F.coalesce(F.col(bad_records_col), all_cols).alias("raw_line"),
             F.input_file_name().alias("src_file"),
         )
     )

@@ -152,29 +152,39 @@ class Enricher:
         cutoff = time.time() - self.ttl_seconds
         # the cache is hive-partitioned on the 2-hex-char hash prefix, so
         # the equality filter below partition-prunes the scan to 1/256th
-        # of the table instead of re-reading the whole cache per briefing
-        hit = (
-            self.spark.read.parquet(self.cache_path)
-            .filter(
-                (F.col("h2") == key[:2])
-                & (F.col("context_hash") == key)
-                & (F.col("created_at") >= cutoff)
+        # of the table instead of re-reading the whole cache per briefing.
+        # Caches written by the pre-h2 flat layout lack the partition
+        # column: filter without pruning rather than crash; a cache that
+        # can't be read at all (e.g. mixed flat+partitioned files breaking
+        # partition discovery) is a MISS, never an error — the cache is an
+        # optimization, and the entry will be re-written in the new layout.
+        try:
+            cache = self.spark.read.parquet(self.cache_path)
+            pred = (F.col("context_hash") == key) & (F.col("created_at") >= cutoff)
+            if "h2" in cache.columns:
+                pred = (F.col("h2") == key[:2]) & pred
+            hit = (
+                cache.filter(pred)
+                .orderBy(F.col("created_at").desc())
+                .limit(1)
+                .collect()
             )
-            .orderBy(F.col("created_at").desc())
-            .limit(1)
-            .collect()
-        )
+        except Exception:  # noqa: BLE001 — any unreadable cache is a miss
+            return None
         return hit[0].briefing if hit else None
 
     def _cache_put(self, key: str, briefing: str) -> None:
         row = [
             (key[:2], key, briefing, time.time(), datetime.datetime.utcnow().isoformat())
         ]
-        self.spark.createDataFrame(
-            row,
-            "h2 string, context_hash string, briefing string, "
-            "created_at double, created_iso string",
-        ).write.mode("append").partitionBy("h2").parquet(self.cache_path)
+        try:
+            self.spark.createDataFrame(
+                row,
+                "h2 string, context_hash string, briefing string, "
+                "created_at double, created_iso string",
+            ).write.mode("append").partitionBy("h2").parquet(self.cache_path)
+        except Exception:  # noqa: BLE001 — the cache is an optimization;
+            pass  # failing to persist must not fail the briefing itself
 
     def briefing(self, context: DataFrame, system_msg: str = BRIEFING_SYSTEM_MSG) -> str:
         """Run (or fetch) the briefing for a 1-row context plan with

@@ -68,9 +68,11 @@ def decode_stub(payload: bytes, media_type: str) -> str:
 # Real image codecs — pure numpy, no native deps
 # ---------------------------------------------------------------------------
 #
-# PGM (P5, 8-bit gray), PPM (P6, 8-bit RGB) and uncompressed 24-bit BMP
-# cover the "actual pixels" tier: decode → ndarray, deterministic
-# nearest-neighbor resample, re-encode. Formats outside this set fall back
+# PGM (P5, 8-bit gray), PPM (P6, 8-bit RGB), uncompressed 24-bit BMP,
+# PNG (stdlib zlib inflate + all five filter types, operators here) and
+# baseline JPEG (operators/jpeg.py: Huffman + dequant + IDCT) cover the
+# "actual pixels" tier: decode → ndarray, deterministic nearest-neighbor
+# resample, re-encode. Formats outside this set fall back
 # to the pass-through stub (honest about what a pillow-less container can
 # decode); the Spark-side batch plumbing is identical either way.
 
@@ -103,14 +105,181 @@ def _pnm_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
     return magic, w, h, maxval, i + 1  # single whitespace after maxval
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: gray, RGB, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + per-row unfilter) →
+    uint8 ndarray: H×W for grayscale, H×W×3 for color (alpha channels are
+    decoded then dropped — pixel stats don't want them). Supports 8-bit
+    depth, color types 0/2/4/6, no interlacing; anything else → None.
+
+    All five filter types (None/Sub/Up/Average/Paeth) are implemented —
+    an encoder choosing filters per row is the NORM in the wild, so a
+    decoder handling only filter 0 would reject most real files.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or bytes(payload[:8]) != _PNG_SIG:
+        return None
+    data = bytes(payload)
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None  # truncated
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    ch = _PNG_CHANNELS.get(color)
+    if depth != 8 or ch is None or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for r in range(h):
+        ftype = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        off += stride + 1
+        if ftype == 0:
+            cur = row.copy()
+        elif ftype == 2:  # Up — vectorized over the whole row
+            cur = (row.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need a sequential scan
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    pred = _paeth(a, b, c)
+                cur[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            return None
+        out[r] = cur
+        prev = cur
+    img = out.reshape(h, w, ch)
+    if ch in (2, 4):  # drop alpha
+        img = img[:, :, : ch - 1]
+    if img.shape[2] == 1:
+        img = img[:, :, 0]
+    return img.copy()
+
+
+def encode_png(img, row_filters=None) -> bytes:
+    """uint8 ndarray (H×W gray or H×W×3 RGB) → PNG bytes.
+
+    ``row_filters`` picks the per-row filter type (default: cycle
+    0,1,2,3,4 so a round-trip exercises EVERY unfilter path, not just
+    the trivial one); all choices produce a spec-valid file any PNG
+    reader accepts.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ch = 1 if gray else img.shape[2]
+    color = {1: 0, 3: 2}[ch]
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    lines = []
+    for r in range(h):
+        ftype = (
+            row_filters[r % len(row_filters)] if row_filters else r % 5
+        )
+        cur = flat[r]
+        left = np.zeros(w * ch, dtype=np.int32)
+        left[ch:] = cur[:-ch]
+        ul = np.zeros(w * ch, dtype=np.int32)
+        ul[ch:] = prev[:-ch]
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            enc = cur - left
+        elif ftype == 2:
+            enc = cur - prev
+        elif ftype == 3:
+            enc = cur - (left + prev) // 2
+        else:  # Paeth
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)],
+                dtype=np.int32,
+            )
+            enc = cur - pred
+        lines.append(bytes([ftype]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes):
-    """Decode PGM/PPM/uncompressed-24-bit-BMP bytes → uint8 ndarray
-    (H×W for gray, H×W×3 for color), or None if the format is not one of
-    the pure-numpy-decodable set."""
+    """Decode PGM/PPM/uncompressed-24-bit-BMP/PNG/baseline-JPEG bytes →
+    uint8 ndarray (H×W for gray, H×W×3 for color), or None if the format
+    is not one of the pure-numpy-decodable set."""
     import numpy as np
 
     if not payload:
         return None
+    if bytes(payload[:8]) == _PNG_SIG:
+        return decode_png(payload)
+    if bytes(payload[:2]) == b"\xFF\xD8":
+        from network_iq_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     hdr = _pnm_header(bytes(payload))
     if hdr is not None:
         magic, w, h, maxval, off = hdr

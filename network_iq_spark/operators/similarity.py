@@ -760,6 +760,7 @@ def ivf_search(
     id_col: str = "vec_id",
     assigner=None,
     exclude_self: bool = False,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF top-k core over pre-shaped frames — ``vecs`` is the indexed
     corpus (id, v, norm), ``qv`` the query vectors in the same shape
@@ -767,9 +768,19 @@ def ivf_search(
     case searches new vectors against an at-rest index). Centroid pick,
     cell assignment (pluggable ``assigner``), probe list, in-cell exact
     cosine, per-query top-k. ``exclude_self`` drops identity matches when
-    queries are corpus members."""
-    cent = seed_centroids(vecs, n_cells, id_col)
-    inv = (assigner or ivf_assign)(vecs, cent, id_col)
+    queries are corpus members.
+
+    ``prebuilt``: optional ``(centroids, inverted_file)`` pair — the
+    at-rest index a deployment persists as parquet (centroids with
+    (c_id, cv, cn); inverted file with (id_col, cell)). When given, the
+    build stage is skipped entirely and the search cost is
+    O(batch × probed fraction), independent of corpus size — the seam
+    scripts/scale_soak.py measures for the incremental O(batch) claim."""
+    if prebuilt is not None:
+        cent, inv = prebuilt
+    else:
+        cent = seed_centroids(vecs, n_cells, id_col)
+        inv = (assigner or ivf_assign)(vecs, cent, id_col)
 
     probe_scored = qv.crossJoin(F.broadcast(cent)).select(
         F.col(id_col).alias("q_vec_id"),

@@ -804,24 +804,30 @@ def _ivf_dist_sql(n_cells: int, g: int, nprobe: int, k: int) -> str:
       FROM embeddings
     ),
     n AS (
-      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM nn
+      -- gn mirrors the Spark assigner's zero-norm guard (norm==0 -> 1.0,
+      -- operators/similarity.py ivf_assign_dist): guarded norms drive the
+      -- group-resolution/assignment stages only; probes + final scoring
+      -- divide by the RAW norm exactly like the Spark plan
+      SELECT vec_id, v, norm,
+             CASE WHEN norm = 0 THEN 1.0 ELSE norm END AS gn
+      FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM nn)
     ),
     cent AS (
-      SELECT vec_id AS c_id, v AS cv, norm AS cn
+      SELECT vec_id AS c_id, v AS cv, norm AS cn, gn AS gcn
       FROM n ORDER BY {cent_h}, vec_id LIMIT {n_cells}
     ),
     reps AS (
-      SELECT c_id AS rep_id, cv AS rv, cn AS rn
+      SELECT c_id AS rep_id, cv AS rv, gcn AS grn
       FROM cent ORDER BY {rep_h}, c_id LIMIT {g}
     ),
     cgrp AS (
-      SELECT c_id, cv, cn,
+      SELECT c_id, cv, gcn,
              CASE WHEN c_id IN (SELECT rep_id FROM reps)
                   THEN c_id ELSE best_rep END AS grp
       FROM (
-        SELECT c.c_id, c.cv, c.cn, r.rep_id AS best_rep,
+        SELECT c.c_id, c.cv, c.gcn, r.rep_id AS best_rep,
                ROW_NUMBER() OVER (PARTITION BY c.c_id
-                 ORDER BY list_dot_product(c.cv, r.rv) / (c.cn * r.rn) DESC,
+                 ORDER BY list_dot_product(c.cv, r.rv) / (c.gcn * r.grn) DESC,
                           r.rep_id ASC) AS rk
         FROM cent c, reps r
       ) WHERE rk = 1
@@ -830,7 +836,7 @@ def _ivf_dist_sql(n_cells: int, g: int, nprobe: int, k: int) -> str:
       SELECT vec_id, grp FROM (
         SELECT n.vec_id, r.rep_id AS grp,
                ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                 ORDER BY list_dot_product(n.v, r.rv) / (n.norm * r.rn) DESC,
+                 ORDER BY list_dot_product(n.v, r.rv) / (n.gn * r.grn) DESC,
                           r.rep_id ASC) AS rk
         FROM n, reps r
       ) WHERE rk = 1
@@ -839,7 +845,7 @@ def _ivf_dist_sql(n_cells: int, g: int, nprobe: int, k: int) -> str:
       SELECT vec_id AS n_vec_id, c_id AS cell FROM (
         SELECT n.vec_id, c.c_id,
                ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cn) DESC,
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.gn * c.gcn) DESC,
                           c.c_id ASC) AS rk
         FROM n
         JOIN vgrp ON vgrp.vec_id = n.vec_id
@@ -1061,6 +1067,208 @@ def q_decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "out_h": pd.array(out_h, dtype="int32"),
                     "px_sum": pd.array(sums, dtype="int64"),
                     "px_mean": [s / (_IMG_OUT * _IMG_OUT) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
+_PNG_OUT = 2
+# center-aligned nearest-neighbor survivors for 8 -> 2: floor((i+0.5)*8/2)
+# -> rows/cols {2, 6}; DuckDB list indexing is 1-based
+_PNG_KEEP_1BASED = [_IMG_SIDE * r + c + 1 for r in (2, 6) for c in (2, 6)]
+
+_JPEG_BLOCKS = 2  # 2x2 grid of constant 8x8 blocks -> 16x16 image
+_JPEG_OUT = 2
+# survivors for 16 -> 2: floor((i+0.5)*16/2) -> rows/cols {4, 12}; pixel
+# (4,4) lands in block (0,0), (4,12) in (0,1), ... — i.e. the resample
+# picks exactly the 4 block constants, which are embedding dims 1..4
+_JPEG_KEEP_1BASED = [1, 2, 3, 4]
+
+
+@register(
+    "decoded_png_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_PNG_OUT} AS out_w, {_PNG_OUT} AS out_h,
+           ({' + '.join(f'px[{i}]' for i in _PNG_KEEP_1BASED)}) AS px_sum,
+           CAST(({' + '.join(f'px[{i}]' for i in _PNG_KEEP_1BASED)}) AS DOUBLE)
+             / {_PNG_OUT * _PNG_OUT}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG sibling of `decoded_image_stats` — same decode → resample →
+    re-encode pipeline, but the input payloads are REAL PNG files
+    (zlib-compressed, CRC-chunked, per-row filters cycling through all
+    five spec types so every unfilter path — None/Sub/Up/Average/Paeth —
+    runs inside the distributed Arrow batches, not just in a unit test).
+    The oracle never inflates a PNG: it computes the same stats from the
+    4 surviving pixel positions of the 8×8 → 2×2 center-aligned resample,
+    so a defect anywhere in the codec (CRC layout, filter math, alpha
+    handling) or the resample surfaces as a hash mismatch. MAP-ONLY
+    before the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.multimodal import decode_image, encode_png
+
+    side = _IMG_SIDE
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_png(
+                            np.asarray(list(p), dtype=np.uint8).reshape(side, side)
+                        )
+                        for p in pdf["px"]
+                    ],
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _PNG_OUT, _PNG_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_PNG_OUT * _PNG_OUT) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
+@register(
+    "decoded_jpeg_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_JPEG_OUT} AS out_w, {_JPEG_OUT} AS out_h,
+           ({' + '.join(f'px[{i}]' for i in _JPEG_KEEP_1BASED)}) AS px_sum,
+           CAST(({' + '.join(f'px[{i}]' for i in _JPEG_KEEP_1BASED)}) AS DOUBLE)
+             / {_JPEG_OUT * _JPEG_OUT}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG sibling of `decoded_image_stats`: embedding dims 1–4
+    become the constants of a 2×2 grid of 8×8 blocks (16×16 gray image),
+    encoded as a REAL baseline JPEG (operators/jpeg.py — Annex-K Huffman
+    tables, byte stuffing, restart markers every 2 MCUs) and decoded by
+    the full entropy-decode → dequantize → IDCT path inside the
+    distributed resize stage. Constant blocks are the one signal a LOSSY
+    codec transports bit-exactly (DC coefficient only, quantization step
+    1), so the DuckDB oracle can hash-replay the whole machinery without
+    ever inflating a JPEG: the 16×16 → 2×2 center-aligned resample picks
+    pixel (4,4) of each block — the block constant — and the oracle reads
+    the same values straight from the embedding dims. Any defect in the
+    Huffman tables, bitstream, DC prediction, restart handling, or IDCT
+    shifts a constant and breaks the hash. MAP-ONLY before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.jpeg import encode_jpeg_gray
+    from network_iq_spark.operators.multimodal import decode_image
+
+    side = _JPEG_BLOCKS * 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_jpeg_gray(
+                            np.kron(
+                                np.asarray(list(p), dtype=np.uint8).reshape(
+                                    _JPEG_BLOCKS, _JPEG_BLOCKS
+                                ),
+                                ones,
+                            ),
+                            restart_interval=2,
+                        )
+                        for p in pdf["px"]
+                    ],
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _JPEG_OUT, _JPEG_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_JPEG_OUT * _JPEG_OUT) for s in sums],
                 }
             )
 
@@ -2137,27 +2345,30 @@ def _incremental_ann_sql(n_cells: int, g: int, nprobe: int, k: int) -> str:
       FROM embeddings
     ),
     n AS (
-      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM nn
+      -- gn mirrors the Spark assigner's zero-norm guard (see _ivf_dist_sql)
+      SELECT vec_id, v, norm,
+             CASE WHEN norm = 0 THEN 1.0 ELSE norm END AS gn
+      FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM nn)
     ),
     hist AS (SELECT * FROM n WHERE vec_id < {_IANN_SPLIT}),
     q AS (SELECT * FROM n
           WHERE vec_id >= {_IANN_SPLIT} AND vec_id < {_IANN_QN}),
     cent AS (
-      SELECT vec_id AS c_id, v AS cv, norm AS cn
+      SELECT vec_id AS c_id, v AS cv, norm AS cn, gn AS gcn
       FROM hist ORDER BY {cent_h}, vec_id LIMIT {n_cells}
     ),
     reps AS (
-      SELECT c_id AS rep_id, cv AS rv, cn AS rn
+      SELECT c_id AS rep_id, cv AS rv, gcn AS grn
       FROM cent ORDER BY {rep_h}, c_id LIMIT {g}
     ),
     cgrp AS (
-      SELECT c_id, cv, cn,
+      SELECT c_id, cv, gcn,
              CASE WHEN c_id IN (SELECT rep_id FROM reps)
                   THEN c_id ELSE best_rep END AS grp
       FROM (
-        SELECT c.c_id, c.cv, c.cn, r.rep_id AS best_rep,
+        SELECT c.c_id, c.cv, c.gcn, r.rep_id AS best_rep,
                ROW_NUMBER() OVER (PARTITION BY c.c_id
-                 ORDER BY list_dot_product(c.cv, r.rv) / (c.cn * r.rn) DESC,
+                 ORDER BY list_dot_product(c.cv, r.rv) / (c.gcn * r.grn) DESC,
                           r.rep_id ASC) AS rk
         FROM cent c, reps r
       ) WHERE rk = 1
@@ -2166,7 +2377,7 @@ def _incremental_ann_sql(n_cells: int, g: int, nprobe: int, k: int) -> str:
       SELECT vec_id, grp FROM (
         SELECT h.vec_id, r.rep_id AS grp,
                ROW_NUMBER() OVER (PARTITION BY h.vec_id
-                 ORDER BY list_dot_product(h.v, r.rv) / (h.norm * r.rn) DESC,
+                 ORDER BY list_dot_product(h.v, r.rv) / (h.gn * r.grn) DESC,
                           r.rep_id ASC) AS rk
         FROM hist h, reps r
       ) WHERE rk = 1
@@ -2175,7 +2386,7 @@ def _incremental_ann_sql(n_cells: int, g: int, nprobe: int, k: int) -> str:
       SELECT vec_id AS n_vec_id, c_id AS cell FROM (
         SELECT h.vec_id, c.c_id,
                ROW_NUMBER() OVER (PARTITION BY h.vec_id
-                 ORDER BY list_dot_product(h.v, c.cv) / (h.norm * c.cn) DESC,
+                 ORDER BY list_dot_product(h.v, c.cv) / (h.gn * c.gcn) DESC,
                           c.c_id ASC) AS rk
         FROM hist h
         JOIN vgrp ON vgrp.vec_id = h.vec_id

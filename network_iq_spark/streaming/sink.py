@@ -38,19 +38,30 @@ def idempotent_upsert_sink(
 
     cols = list(partition_cols if bootstrap_partition_by is None else bootstrap_partition_by)
 
+    def _marker_path(spark, name: str):
+        jvm = spark._jvm
+        return jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name)
+
+    def _fs(spark, p):
+        return p.getFileSystem(spark._jsc.hadoopConfiguration())
+
     def _table_ready(spark) -> bool:
         # Probe through the Hadoop FileSystem API (works on hdfs://, s3a://,
         # file:// alike — a driver-local os.path check silently misroutes on
-        # any non-local URI), and key on the _SUCCESS commit marker rather
-        # than directory existence: a bootstrap write that crashed
-        # mid-commit leaves the directory present but unmarked, and a replay
-        # must take the bootstrap path again, not upsert into a partial
-        # table.
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        marker = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_SUCCESS")
-        fs = marker.getFileSystem(hconf)
-        return bool(fs.exists(marker))
+        # any non-local URI), and key on a commit marker rather than
+        # directory existence: a bootstrap write that crashed mid-commit
+        # leaves the directory present but unmarked, and a replay must take
+        # the bootstrap path again, not upsert into a partial table.
+        # Two markers are accepted: the committer's _SUCCESS, and the
+        # sink-owned _BOOTSTRAPPED written below — committers configured
+        # with marksuccessfuljobs=false (common on cloud/S3 committers)
+        # emit no _SUCCESS, and keying on it alone would silently re-run
+        # the truncating bootstrap write on EVERY micro-batch.
+        for name in ("_SUCCESS", "_BOOTSTRAPPED"):
+            p = _marker_path(spark, name)
+            if bool(_fs(spark, p).exists(p)):
+                return True
+        return False
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -60,6 +71,11 @@ def idempotent_upsert_sink(
                 .partitionBy(*cols)
                 .parquet(path)
             )
+            # sink-owned marker, written only AFTER the bootstrap write
+            # returned — so crash-replay still re-bootstraps, but the
+            # ready-probe no longer depends on the committer's _SUCCESS
+            p = _marker_path(spark, "_BOOTSTRAPPED")
+            _fs(spark, p).create(p, True).close()
             return
         upsert_partitioned(
             spark, path, batch_df, keys=keys, partition_cols=partition_cols

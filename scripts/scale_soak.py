@@ -47,7 +47,19 @@ QUERIES_UNDER_TEST = [
     # index/scoring family (round 6)
     "tfidf_top_terms",
     "term_postings",
+    # distributed-IVF + codec family (rounds 6-7): full build each run —
+    # these curves measure INDEX BUILD + search, the incremental_* plans
+    # below measure search-only against pre-materialized artifacts
+    "ivf_centroid_join_topk",
+    "decoded_image_stats",
+    "decoded_png_stats",
+    "decoded_jpeg_stats",
 ]
+
+# fixed batch sizes for the incremental tier: the history grows with the
+# corpus multiplier while the batch does NOT — a near-flat curve is the
+# measured form of the "O(batch) per cycle" claim
+BATCH_DOCS, BATCH_VECS = 200, 50
 
 # the testdata corpus vocabulary (31 words, observed at sf0.1) — keeping the
 # token distribution familial keeps shingle/minhash collision rates realistic
@@ -165,7 +177,87 @@ def main() -> None:
     plans["semantic_dedup_autocells"] = _semantic_auto
     plans["pagerank_int_5iters"] = _pagerank
 
+    # ---- incremental tier: search-only against AT-REST artifacts -------
+    # The artifacts (fingerprint table, LSH bands+sets, IVF centroids +
+    # inverted file) are built and written ONCE per corpus size, outside
+    # the timed loop — exactly what a deployment persists. The timed plans
+    # read them back and process a FIXED-size batch, so the curve isolates
+    # the per-cycle cost from the one-time index build.
+    def _prepare_incremental(d: str) -> None:
+        from pyspark.sql import functions as F
+
+        from network_iq_spark.operators import dedup as D
+        from network_iq_spark.operators import text as T
+
+        art = os.path.join(d, "art")
+        if os.path.isdir(art):
+            return
+        docs = load_table(spark, d, "documents")
+        n_docs = docs.count()
+        hist_docs = docs.filter(F.col("doc_id") < n_docs - BATCH_DOCS)
+        T.fingerprint(hist_docs).write.parquet(f"{art}.tmp/fp_hist")
+        bands, sets = D.lsh_index(hist_docs)
+        bands.write.parquet(f"{art}.tmp/lsh_bands")
+        sets.write.parquet(f"{art}.tmp/lsh_sets")
+        emb = load_table(spark, d, "embeddings")
+        n_vecs = emb.count()
+        vecs = S.with_norm(
+            emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
+        ).select("vec_id", "v", "norm")
+        hist_vecs = vecs.filter(F.col("vec_id") < n_vecs - BATCH_VECS)
+        cent = S.seed_centroids(hist_vecs, max(16, math.isqrt(n_vecs)))
+        inv = S.ivf_assign(hist_vecs, cent)
+        cent.write.parquet(f"{art}.tmp/ivf_cent")
+        inv.write.parquet(f"{art}.tmp/ivf_inv")
+        shutil.move(art + ".tmp", art)
+
+    def _inc_exact(spark, d):
+        from pyspark.sql import functions as F
+
+        from network_iq_spark.operators import dedup as D
+        from network_iq_spark.operators import text as T
+
+        docs = load_table(spark, d, "documents")
+        n_docs = docs.count()
+        batch = T.fingerprint(docs.filter(F.col("doc_id") >= n_docs - BATCH_DOCS))
+        hist = spark.read.parquet(os.path.join(d, "art", "fp_hist"))
+        return D.incremental_exact_dedup(batch, hist)
+
+    def _inc_near(spark, d):
+        from pyspark.sql import functions as F
+
+        from network_iq_spark.operators import dedup as D
+
+        docs = load_table(spark, d, "documents")
+        n_docs = docs.count()
+        batch = docs.filter(F.col("doc_id") >= n_docs - BATCH_DOCS)
+        bands = spark.read.parquet(os.path.join(d, "art", "lsh_bands"))
+        sets = spark.read.parquet(os.path.join(d, "art", "lsh_sets"))
+        return D.incremental_near_dup(batch, bands, sets, threshold=0.6)
+
+    def _inc_ann(spark, d):
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, d, "embeddings")
+        n_vecs = emb.count()
+        vecs = S.with_norm(
+            emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
+        ).select("vec_id", "v", "norm")
+        hist = vecs.filter(F.col("vec_id") < n_vecs - BATCH_VECS)
+        batch = vecs.filter(F.col("vec_id") >= n_vecs - BATCH_VECS)
+        cent = spark.read.parquet(os.path.join(d, "art", "ivf_cent"))
+        inv = spark.read.parquet(os.path.join(d, "art", "ivf_inv"))
+        return S.ivf_search(
+            hist, batch, n_cells=0, nprobe=4, k=10, prebuilt=(cent, inv)
+        )
+
+    plans["incremental_exact_dedup_batch"] = _inc_exact
+    plans["incremental_near_dup_batch"] = _inc_near
+    plans["incremental_ann_batch"] = _inc_ann
+
     dirs = {m: build_corpus(m) for m in mults}
+    for m in mults:
+        _prepare_incremental(dirs[m])
     results: dict[str, dict[int, float]] = {q: {} for q in plans}
     for m in mults:
         for q in plans:

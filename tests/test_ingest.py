@@ -116,3 +116,32 @@ def test_read_evolved_parquet_merges_additive_schemas(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r.id: (r.name, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_read_csv_split_header_variants(spark, tmp_path):
+    """The corrupt probe uses the csv reader's own per-file header skip,
+    not reconstructed-header string matching (ADVICE r6): a header that
+    differs in spacing/case is still just a header (not quarantined), a
+    DATA line that happens to equal the header text is kept (all-string
+    schema parses it fine), and corruption in a column other than the
+    first is still detected (the probe forces a full-width parse)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from network_iq_spark.ingest import read_csv_split
+
+    # (a) header with spacing + case drift; (b) corrupt value in LAST column
+    s1 = StructType([StructField("id", LongType()), StructField("score", LongType())])
+    p1 = tmp_path / "spaced.csv"
+    p1.write_text("ID , Score\n1,10\n2,zzz\n")
+    valid, corrupt = read_csv_split(spark, str(p1), s1)
+    assert sorted((r.id, r.score) for r in valid.collect()) == [(1, 10)]
+    assert [r.raw_line for r in corrupt.collect()] == ["2,zzz"]
+
+    # (c) a data line textually equal to the header, under an all-string
+    # schema: previously silently dropped from BOTH sides, now valid
+    s2 = StructType([StructField("a", StringType()), StructField("b", StringType())])
+    p2 = tmp_path / "headerlike.csv"
+    p2.write_text("a,b\nx,y\na,b\n")
+    valid2, corrupt2 = read_csv_split(spark, str(p2), s2)
+    assert sorted((r.a, r.b) for r in valid2.collect()) == [("a", "b"), ("x", "y")]
+    assert corrupt2.count() == 0

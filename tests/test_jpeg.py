@@ -1,0 +1,139 @@
+"""Baseline JPEG codec (operators/jpeg.py): pure-numpy decode must invert
+the encoder bit-exactly for constant blocks (the oracle-bearing property),
+stay within rounding error at quantization step 1, and reject everything
+outside the supported subset instead of emitting garbage."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from network_iq_spark.operators.jpeg import (
+    _AC_LUM_BITS,
+    _AC_LUM_VALS,
+    _DC_LUM_BITS,
+    _DC_LUM_VALS,
+    _BitWriter,
+    _encode_codes,
+    decode_jpeg,
+    encode_jpeg_gray,
+)
+from network_iq_spark.operators.multimodal import decode_image
+
+
+def test_constant_blocks_roundtrip_exactly():
+    """DC-only blocks with step-1 quantization survive the lossy pipeline
+    bit-exactly — the property decoded_jpeg_stats' oracle relies on."""
+    rng = np.random.default_rng(3)
+    for grid in [(1, 1), (2, 2), (3, 5)]:
+        vals = rng.integers(0, 256, size=grid, dtype=np.uint8)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        got = decode_jpeg(encode_jpeg_gray(img))
+        assert got is not None and got.shape == img.shape
+        assert (got == img).all(), grid
+
+
+def test_general_image_step1_quantization_near_lossless():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(24, 16), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg_gray(img))
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_odd_dimensions_and_restart_markers():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(13, 10), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg_gray(img))
+    with_rst = decode_jpeg(encode_jpeg_gray(img, restart_interval=1))
+    assert plain.shape == (13, 10)
+    assert (plain == with_rst).all()  # restart path decodes identically
+
+
+def test_lossy_quant_table_decodes_sanely():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg_gray(img, quant=16))
+    assert got.shape == img.shape
+    # heavily quantized but still the same picture, not noise
+    assert np.abs(got.astype(float) - img.astype(float)).mean() < 16
+
+
+def test_decode_image_dispatches_jpeg():
+    img = np.kron(
+        np.array([[7, 250]], dtype=np.uint8), np.ones((8, 8), dtype=np.uint8)
+    )
+    assert (decode_image(encode_jpeg_gray(img)) == img).all()
+
+
+def test_rejects_garbage_truncation_and_progressive():
+    img = np.full((8, 8), 90, dtype=np.uint8)
+    good = encode_jpeg_gray(img)
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\xFF\xD8\xFF\xD9") is None
+    assert decode_jpeg(good[:30]) is None
+    # flip SOF0 (0xC0) to SOF2 (0xC2, progressive) -> unsupported, None
+    prog = bytearray(good)
+    idx = prog.find(b"\xFF\xC0")
+    prog[idx + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+
+
+def _encode_color_444_gray_chroma(y_img: np.ndarray) -> bytes:
+    """Test-side 3-component 4:4:4 encoder: luma = constant blocks from
+    ``y_img``, both chroma planes = 128 (zero after level shift), all
+    components sharing the luminance tables. Exercises the decoder's
+    interleaved-MCU and YCbCr→RGB paths."""
+    h, w = y_img.shape
+    dc = _encode_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac = _encode_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+    )
+    sos = bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    out += seg(0xDA, sos + bytes([0, 63, 0]))
+
+    wtr = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci in range(3):
+                const = (
+                    int(y_img[by * 8, bx * 8]) if ci == 0 else 128
+                )
+                dc_coef = round((const - 128) * 8.0)  # orthonormal DC = 8*mean
+                diff = dc_coef - pred[ci]
+                pred[ci] = dc_coef
+                size = abs(diff).bit_length()
+                code, ln = dc[size]
+                wtr.write(code, ln)
+                if size:
+                    v = diff if diff > 0 else diff + (1 << size) - 1
+                    wtr.write(v, size)
+                code, ln = ac[0x00]  # EOB — constant block has no ACs
+                wtr.write(code, ln)
+    wtr.flush()
+    out += wtr.out + b"\xFF\xD9"
+    return bytes(out)
+
+
+def test_color_444_decode_neutral_chroma_yields_gray_rgb():
+    rng = np.random.default_rng(8)
+    vals = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+    y = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    got = decode_jpeg(_encode_color_444_gray_chroma(y))
+    assert got is not None and got.shape == (16, 16, 3)
+    for c in range(3):
+        assert (got[:, :, c] == y).all(), c

@@ -265,3 +265,35 @@ def test_bucketed_write_roundtrip_and_metadata(spark, tmp_path):
     assert joined.count() == 1000
     for t in ("t_bw_left", "t_bw_right"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_upsert_sink_survives_missing_success_marker(spark, tmp_path):
+    """Committers configured with marksuccessfuljobs=false emit no _SUCCESS.
+    The sink's ready-probe must key on its own _BOOTSTRAPPED marker so a
+    missing committer marker doesn't silently re-run the truncating
+    bootstrap write on every micro-batch (ADVICE r6)."""
+    import os
+
+    from network_iq_spark.streaming import idempotent_upsert_sink
+
+    path = str(tmp_path / "sink_table")
+    sink = idempotent_upsert_sink(path, keys=["event_id"], partition_cols=["day"])
+
+    b0 = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d2", 20.0)],
+        "event_id bigint, day string, value double",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "d2", 30.0)], "event_id bigint, day string, value double"
+    )
+    sink(b0, 0)
+    assert os.path.exists(os.path.join(path, "_BOOTSTRAPPED"))
+    # simulate a cloud committer: no _SUCCESS anywhere
+    success = os.path.join(path, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    sink(b1, 1)  # must UPSERT, not re-bootstrap (which would drop b0's rows)
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("event_id", "value").collect())
+    )
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]

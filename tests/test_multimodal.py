@@ -142,3 +142,87 @@ def test_binaryfile_source_to_resize_end_to_end(spark, tmp_path):
         )
         assert dec.shape == (exp_h, exp_w), name
         assert out[mid]["decode_status"] == "resized"
+
+
+def test_png_roundtrip_all_filters_gray_and_rgb():
+    """encode_png/decode_png round-trip bit-exactly for every filter type
+    (None/Sub/Up/Average/Paeth), both pinned per-file and cycling, on gray
+    and RGB images of awkward shapes."""
+    from network_iq_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8), (5, 9), (1, 1), (8, 8, 3), (3, 4, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for filters in [None, [0], [1], [2], [3], [4], [4, 2, 0]]:
+            got = decode_png(encode_png(img, filters))
+            assert got is not None and got.shape == img.shape
+            assert (got == img).all(), (shape, filters)
+    # dispatch through decode_image
+    img = rng.integers(0, 256, size=(6, 7), dtype=np.uint8)
+    assert (decode_image(encode_png(img)) == img).all()
+
+
+def test_png_alpha_channels_decoded_and_dropped():
+    """Color types 4 (gray+alpha) and 6 (RGBA) decode with the alpha plane
+    stripped — stats pipelines want pixels, not opacity."""
+    import zlib
+
+    from network_iq_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(t: bytes, b: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(12)
+    for color_type, ch in [(4, 2), (6, 4)]:
+        w, h = 4, 3
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+        png = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png(png)
+        want = px[:, :, 0] if ch == 2 else px[:, :, :3]
+        assert got.shape == want.shape and (got == want).all(), color_type
+
+
+def test_png_rejects_corrupt_truncated_unsupported():
+    from network_iq_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = encode_png(img)
+    assert decode_png(b"") is None
+    assert decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk") is None
+    assert decode_png(good[:20]) is None  # truncated mid-IHDR
+    bad = bytearray(good)
+    bad[50] ^= 0xFF  # corrupt the deflate stream
+    assert decode_png(bytes(bad)) is None
+    # 16-bit depth unsupported -> None, not garbage
+    hdr16 = bytearray(good)
+    hdr16[24] = 16  # bit-depth byte inside IHDR
+    assert decode_png(bytes(hdr16)) is None
+
+
+def test_resize_media_handles_png_payloads(spark):
+    """A PNG payload flows through the SAME distributed resize stage as
+    PNM/BMP: decoded (all filter paths), resampled, re-encoded, status
+    'resized'."""
+    from network_iq_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)), "image", 8, 8, None)],
+        "media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    out = resize_media(df, 4, 4).collect()[0]
+    assert out.decode_status == "resized"
+    dec = decode_image(bytes(out.payload))
+    assert dec.shape == (4, 4)
+    assert (dec == resample_nearest(img, 4, 4)).all()

@@ -256,3 +256,41 @@ def test_sample_frames_bounded_fanout_and_deterministic(spark):
     out2 = sample_frames(df, every_ms=1000, max_frames=8).collect()
     assert sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in out) == \
            sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in out2)
+
+
+def test_enricher_legacy_flat_cache_compat(spark, tmp_path):
+    """A cache directory written by the pre-h2 FLAT layout must still be
+    usable: lookups hit through the unpartitioned filter instead of
+    crashing on the missing partition column, and an unreadable cache
+    degrades to a miss, never an error (ADVICE r6)."""
+    import time as _time
+
+    from network_iq_spark.ml.enrichment import Enricher
+
+    key = "a" * 64
+    cache = str(tmp_path / "legacy_cache")
+    # old flat layout: no h2 column, no partitioning
+    spark.createDataFrame(
+        [(key, "cached briefing", _time.time(), "iso")],
+        "context_hash string, briefing string, created_at double, created_iso string",
+    ).write.parquet(cache)
+
+    calls = []
+
+    def fake_llm(system_msg: str, user_json: str) -> str:
+        calls.append(1)
+        return "fresh"
+
+    ctx = spark.createDataFrame(
+        [("{}", key)], "context_json string, context_hash string"
+    )
+    enr = Enricher(spark, cache, llm=fake_llm, max_runs=2)
+    assert enr.briefing(ctx) == "cached briefing"  # legacy hit, no crash
+    assert not calls
+
+    # unreadable cache path (a file, not a parquet dir) -> miss, not error
+    bad = tmp_path / "not_parquet"
+    bad.write_text("junk")
+    enr2 = Enricher(spark, str(bad), llm=fake_llm, max_runs=2)
+    assert enr2.briefing(ctx) == "fresh"
+    assert len(calls) == 1
