@@ -39,6 +39,8 @@ _VERIFY_FIRST = [
     # round-7 additions
     "decoded_png_stats",
     "decoded_jpeg_stats",
+    "decoded_audio_stats",
+    "decoded_video_stats",
     # last sampled r1
     "centered_mavg_volume",
     "customers_without_orders",

@@ -468,19 +468,36 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32) -> 
     """Frame-sampling stage for video rows: one output row per sampled
     timestamp (bounded explode — fanout = min(duration/every_ms,
     max_frames), computed from METADATA before any Python runs, so the
-    blow-up is capped in the plan, not discovered in a worker). The frame
-    decode is stubbed with a deterministic payload digest where the ffmpeg
-    seek+decode would run; the schema, timestamps, and batch shape are the
-    real contract a CLIP-style embedding stage consumes.
+    blow-up is capped in the plan, not discovered in a worker).
+
+    For Y4M payloads (operators/video.py) the frame at each sampled
+    timestamp is REALLY extracted — integer frame-index math, luma plane
+    re-encoded as PGM so downstream image stages (resize, stats, a
+    CLIP-style embed) consume it like any other image. Compressed
+    containers fall back to a deterministic payload digest exactly where
+    the ffmpeg seek+decode would run; schema and batch shape are
+    identical either way.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from network_iq_spark.operators.video import decode_y4m, frame_at_ms
+
         for pdf in it:
-            # ffmpeg -ss <ts_ms> decode goes here; deterministic stub frame
-            frames = [
-                hashlib.sha256((b or b"") + ts.to_bytes(8, "big")).digest()
-                for b, ts in zip(pdf["payload"], pdf["ts_ms"])
-            ]
+            frames = []
+            for b, ts in zip(pdf["payload"], pdf["ts_ms"]):
+                dec = decode_y4m(bytes(b)) if b is not None else None
+                if dec is not None:
+                    w, h, fps, luma = dec
+                    frames.append(
+                        encode_pnm(luma[frame_at_ms(fps, len(luma), int(ts))])
+                    )
+                else:
+                    # ffmpeg -ss <ts_ms> would go here; deterministic stub
+                    frames.append(
+                        hashlib.sha256(
+                            (b or b"") + int(ts).to_bytes(8, "big")
+                        ).digest()
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

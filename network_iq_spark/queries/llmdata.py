@@ -1279,6 +1279,231 @@ def q_decoded_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+_WAV_RATE, _WAV_DECIM = 8000, 2
+_WAV_QUANT_SQL = (
+    "list_transform(embedding::DOUBLE[], x -> CAST(floor("
+    "(least(greatest(x, -1.0), 1.0)) * 32767.0 + 0.5) AS INT))"
+)
+
+
+@register(
+    "decoded_audio_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_WAV_QUANT_SQL} AS s FROM embeddings
+    ),
+    t AS (
+      SELECT media_id, unnest(s) AS v,
+             unnest(range(1, len(s) + 1)) AS i
+      FROM q
+    ),
+    d AS (  -- decimation by {_WAV_DECIM}: 1-based odd positions survive
+      SELECT media_id, i, v,
+             CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
+      FROM t WHERE (i - 1) % {_WAV_DECIM} = 0
+    ),
+    lagged AS (
+      SELECT media_id, v, sgn,
+             LAG(sgn) OVER (PARTITION BY media_id ORDER BY i) AS prev_sgn
+      FROM d
+    )
+    SELECT media_id,
+           {_WAV_RATE} AS sample_rate,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(COUNT(*) * 1000 / {_WAV_RATE} AS INT) AS duration_ms,
+           CAST(MAX(abs(v)) AS INT) AS peak,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sumsq,
+           CAST(SUM(CASE WHEN prev_sgn IS NOT NULL AND sgn != prev_sgn
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged GROUP BY media_id ORDER BY media_id
+    """,
+)
+def q_decoded_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end to end and hash-checked — the WAV sibling of
+    `decoded_image_stats`: each embedding becomes 64 int16 PCM samples
+    encoded as an actual RIFF/WAVE file (operators/audio.py), decoded,
+    decimated ×2 (deterministic integer downsample), RE-encoded, decoded
+    AGAIN, and reduced to integer-exact features (peak, Σs², sign-change
+    count). The oracle never parses a WAV: it computes the same integers
+    from the surviving embedding positions, so any defect in the RIFF
+    chunk walk, PCM layout, chunk padding, or decimation arithmetic
+    breaks the hash. All stages MAP-ONLY before the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.audio import (
+        audio_stats,
+        decimate,
+        decode_wav,
+        encode_wav,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) * 32767.0D + 0.5D) as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
+
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_wav(
+                            np.asarray(list(s), dtype=np.int16), _WAV_RATE
+                        )
+                        for s in pdf["s"]
+                    ],
+                }
+            )
+
+    def process(it):
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(p))
+                down = decimate(samples, _WAV_DECIM)
+                rate2, again = decode_wav(encode_wav(down, rate))
+                st = audio_stats(again)
+                rows.append(
+                    (
+                        mid,
+                        rate2,
+                        st["n_samples"],
+                        st["n_samples"] * 1000 // rate2,
+                        st["peak"],
+                        st["sumsq"],
+                        st["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "peak", "sumsq", "zero_crossings",
+                ],
+            )
+
+    wav = src.mapInPandas(build, schema="media_id bigint, payload binary")
+    return wav.mapInPandas(
+        process,
+        schema="media_id bigint, sample_rate int, n_samples int, "
+        "duration_ms int, peak int, sumsq bigint, zero_crossings bigint",
+    ).orderBy("media_id")
+
+
+_VID_FRAMES, _VID_SIDE, _VID_FPS = 4, 4, 2  # 4 frames of 4x4 luma at 2 fps
+# sample_frames(every_ms=1000) on a 2000 ms clip emits ts {0, 1000};
+# frame_at_ms((2,1), 4, ts) -> source frames {0, 2}. Frame f covers
+# embedding dims [16f+1, 16f+16] (1-based).
+_VID_SAMPLED = [(0, 0, 0), (1, 1000, 2)]  # (frame_idx, ts_ms, src_frame)
+
+
+def _vid_frame_sum_sql(src_frame: int) -> str:
+    lo = 16 * src_frame + 1
+    return "(" + " + ".join(f"px[{i}]" for i in range(lo, lo + 16)) + ")"
+
+
+@register(
+    "decoded_video_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id, frame_idx, ts_ms, px_sum,
+           CAST(px_sum AS DOUBLE) / {_VID_SIDE * _VID_SIDE}.0 AS px_mean
+    FROM (
+      {" UNION ALL ".join(
+        f"SELECT media_id, {fi} AS frame_idx, {ts} AS ts_ms, "
+        f"{_vid_frame_sum_sql(sf)} AS px_sum FROM q"
+        for fi, ts, sf in _VID_SAMPLED
+      )}
+    ) ORDER BY media_id, frame_idx
+    """,
+)
+def q_decoded_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, end to end and hash-checked — the Y4M sibling of
+    `decoded_image_stats`: each embedding becomes a 4-frame 4×4 mono
+    YUV4MPEG2 clip at 2 fps (operators/video.py), pushed through the
+    METADATA-bounded frame-sampling explode (`sample_frames` — fanout
+    capped in the plan from duration_ms, one row per sampled timestamp),
+    which REALLY extracts the frame at each timestamp (integer
+    frame-index math) and re-encodes it as PGM; the stats stage decodes
+    those frame images back to pixels. The oracle never parses a clip: it
+    reads the same pixels straight from the embedding dims of the frames
+    the timestamp math selects, so any defect in the Y4M header/FRAME
+    walk, the ts→frame mapping, or the luma extraction breaks the hash.
+    Bounded explode + maps only before the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.multimodal import decode_image
+    from network_iq_spark.operators.video import encode_y4m
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    dur = _VID_FRAMES * 1000 // _VID_FPS
+
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_y4m(
+                            list(
+                                np.asarray(list(p), dtype=np.uint8).reshape(
+                                    _VID_FRAMES, _VID_SIDE, _VID_SIDE
+                                )
+                            ),
+                            fps=(_VID_FPS, 1),
+                        )
+                        for p in pdf["px"]
+                    ],
+                    "media_type": "video",
+                    "width": np.int32(_VID_SIDE),
+                    "height": np.int32(_VID_SIDE),
+                    "duration_ms": np.int32(dur),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    sampled = M.sample_frames(media, every_ms=1000, max_frames=32)
+
+    def stats(it):
+        for pdf in it:
+            sums = []
+            for fb in pdf["frame"]:
+                img = decode_image(bytes(fb))
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "ts_ms": pdf["ts_ms"],
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_VID_SIDE * _VID_SIDE) for s in sums],
+                }
+            )
+
+    return sampled.mapInPandas(
+        stats,
+        schema="media_id bigint, frame_idx int, ts_ms int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id", "frame_idx")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits & rolling fingerprint
 # ---------------------------------------------------------------------------

@@ -39,3 +39,19 @@ def test_cli_catalog_list_and_run(spark):
 
     with _pytest.raises(SystemExit):
         _catalog_main(["--run", "not_a_query"])
+
+
+def test_verify_first_names_all_resolve():
+    """Every name in the driver-sheet rotation list must exist in the
+    (bench-only-filtered) sheet — a typo would silently drop a query out
+    of the externally-verified window instead of failing loudly."""
+    qs = e.queries()
+    missing = [n for n in e._VERIFY_FIRST if n not in qs]
+    assert not missing, missing
+    # the sheet is 100% oracle-paired (bench-only queries are filtered out)
+    assert set(e.oracle_sql()) == set(qs)
+    # this round's fixes and additions must sit inside the first-50 window
+    window = list(qs)[:50]
+    for must in ("vocab_drift_top_movers", "sessionize",
+                 "decoded_png_stats", "decoded_jpeg_stats"):
+        assert must in window, must
