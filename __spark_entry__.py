@@ -41,6 +41,10 @@ _VERIFY_FIRST = [
     "decoded_jpeg_stats",
     "decoded_audio_stats",
     "decoded_video_stats",
+    "cluster_keep_best",
+    "html_extract",
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
     # last sampled r1
     "centered_mavg_volume",
     "customers_without_orders",

@@ -756,3 +756,42 @@ def incremental_near_dup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Cluster-representative selection POLICY: given near-dup clusters
+    (id, cluster_id) and per-doc scores, keep the highest-quality member
+    of each cluster (score DESC, then id ASC for a deterministic tie
+    break) — production pipelines keep the BEST duplicate, not the one
+    with the smallest id (reference keeps first-seen, a crawl-order
+    accident; see SURVEY §7 F dedup notes).
+
+    Output: (cluster_id, keeper, keeper_score, cluster_size). One shuffle
+    on cluster_id; the window sorts only within a cluster (bounded by the
+    largest near-dup family, not the corpus).
+    """
+    from pyspark.sql import Window
+
+    joined = clusters.join(scores.select(id_col, score_col), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("__rk__", F.row_number().over(w))
+        .withColumn(
+            "cluster_size", F.count("*").over(Window.partitionBy(cluster_col))
+        )
+        .filter(F.col("__rk__") == 1)
+        .select(
+            F.col(cluster_col),
+            F.col(id_col).alias("keeper"),
+            F.col(score_col).alias("keeper_score"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )

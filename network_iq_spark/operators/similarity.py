@@ -1090,3 +1090,184 @@ def cosine_topk_int_lsh(
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "n_vec_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-vector tier of IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    vecs: DataFrame, m: int, k: int, dim: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Seeded PQ codebook: the ``k`` corpus vectors with the smallest
+    md5-id hash (the `seed_centroids` idiom — reproducible in any engine,
+    no float k-means) donate their subvectors as codewords. Output:
+    (s, j, cv) — subspace s ∈ [0, m), codeword index j ∈ [0, k),
+    cv = dim/m ints. A tiny dim (m·k rows) meant to be broadcast.
+    """
+    sub = dim // m
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    seeds = (
+        vecs.withColumn("__h__", h)
+        .orderBy("__h__", id_col)
+        .limit(k)
+        .select(id_col, "v", "__h__")
+        .withColumn(
+            "j",
+            F.row_number().over(
+                Window.orderBy(F.col("__h__").asc(), F.col(id_col).asc())
+            )
+            - 1,
+        )
+    )
+    s_ids = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    return seeds.select("j", s_ids, "v").select(
+        "s",
+        "j",
+        F.slice("v", F.col("s") * sub + 1, sub).alias("cv"),
+    )
+
+
+def _sq_l2(a: str, b: str):
+    """Exact squared L2 over integer-valued double arrays."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"cast(0.0 as double), (acc, d) -> acc + d)"
+    )
+
+
+def pq_encode(
+    vecs: DataFrame, codebook: DataFrame, m: int, dim: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """PQ encoding: per (vector, subspace), the codeword index minimizing
+    exact squared L2 (tie → smallest j). Output: (id_col, s, code) —
+    m·log2(k) bits per vector in a real deployment (the 64× memory win
+    that lets a 100 TB corpus's index fit its cluster's RAM).
+
+    Shape: explode to (vector, subspace) rows — map-only — then a
+    broadcast join against the m·k codebook and a map-side min_by argmax.
+    One shuffle on (id, s) for the argmin aggregate.
+    """
+    sub = dim // m
+    s_ids = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    subs = vecs.select(id_col, s_ids, "v").select(
+        id_col, "s", F.slice("v", F.col("s") * sub + 1, sub).alias("sv")
+    )
+    scored = subs.join(F.broadcast(codebook), "s").select(
+        id_col,
+        "s",
+        F.struct(
+            _sq_l2("sv", "cv").alias("d2"), F.col("j").cast("int").alias("j")
+        ).alias("dj"),
+    )
+    return (
+        scored.groupBy(id_col, "s")
+        .agg(F.min("dj").alias("best"))
+        .select(id_col, "s", F.col("best.j").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    vecs: DataFrame,
+    query_ids: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries keep their
+    full vectors, corpus vectors are m codes; distance ≈ Σ_s ||q_s −
+    codeword[s][code_s]||², computed by joining the corpus CODES against
+    the per-query lookup table (Q·m·k partial distances — broadcast).
+
+    This is the scoring shape of IVF-PQ at 100 TB: the big side touches
+    only (id, s, code) rows — never the raw vectors — and the per-query
+    tables ride the closure. Exact integer arithmetic end to end, so the
+    approximation itself is hash-replayable in SQL (`ann_pq_adc_topk`).
+    """
+    sub = dim // m
+    cb = pq_codebook(vecs, m, k_codes, dim, id_col).localCheckpoint(eager=False)
+    codes = pq_encode(vecs, cb, m, dim, id_col)
+
+    qv = vecs.join(query_ids, id_col, "left_semi")
+    s_ids = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    qsubs = qv.select(F.col(id_col).alias("q_vec_id"), s_ids, "v").select(
+        "q_vec_id", "s", F.slice("v", F.col("s") * sub + 1, sub).alias("qsv")
+    )
+    lut = qsubs.join(F.broadcast(cb), "s").select(
+        "q_vec_id",
+        F.col("s").alias("lut_s"),
+        F.col("j").alias("lut_j"),
+        _sq_l2("qsv", "cv").alias("pd"),
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("n_vec_id"), "s", "code")
+        .join(
+            F.broadcast(lut),
+            (F.col("s") == F.col("lut_s")) & (F.col("code") == F.col("lut_j")),
+        )
+        .groupBy("q_vec_id", "n_vec_id")
+        .agg(F.sum("pd").alias("adist"))
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("adist").asc(), F.col("n_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("adist").cast("bigint").alias("adist"),
+        )
+    )
+
+
+def pq_rerank_topk(
+    vecs: DataFrame,
+    query_ids: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage PQ search — the PRODUCTION shape: ADC over compressed
+    codes preselects ``rerank`` candidates per query (cheap, touches only
+    codes), then the exact squared-L2 re-scores just those candidates
+    from their raw vectors (expensive per row, but only Q·rerank rows).
+    Compressed-domain recall losses mostly vanish because the true
+    neighbors only need to land in the top-``rerank``, not the top-k.
+    Output: (q_vec_id, n_vec_id, rank, d2) by exact distance."""
+    cand = pq_adc_topk(
+        vecs, query_ids, m=m, k_codes=k_codes, dim=dim, k=rerank, id_col=id_col
+    ).select("q_vec_id", "n_vec_id")
+    qside = vecs.join(query_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("q_vec_id"), F.col("v").alias("qv")
+    )
+    nside = vecs.select(F.col(id_col).alias("n_vec_id"), F.col("v").alias("cv"))
+    rescored = (
+        cand.join(F.broadcast(qside), "q_vec_id")
+        .join(nside, "n_vec_id")
+        .select("q_vec_id", "n_vec_id", _sq_l2("qv", "cv").alias("d2"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("d2").asc(), F.col("n_vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("d2").cast("bigint").alias("d2"),
+        )
+    )

@@ -674,3 +674,48 @@ def make_sentence_udtf():
                 pos = m.end()
 
     return SplitSentences
+
+
+# HTML entity decode order matters: named/numeric entities first, &amp;
+# LAST — decoding &amp; first would turn "&amp;lt;" into "<" (double
+# decode). Shared by the Spark operator and the DuckDB oracle builder.
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&copy;", "(c)"),
+    ("&amp;", "&"),
+]
+
+# RE2 (the DuckDB engine) has no backreferences, so script/style each get
+# their own non-greedy dotall pattern instead of <(script|style)>.*?</\1>
+HTML_STRIP_PATTERNS = [
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"<[^>]+>",
+]
+
+
+def html_to_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """HTML → plain text, entirely JVM-side (regexp chain, zero Python):
+    drop script/style bodies and comments, strip tags, decode the common
+    entities, collapse whitespace. The extraction step of a web-crawl
+    pipeline (reference ingests pre-extracted CSV; a 100 TB crawl corpus
+    arrives as WARC/HTML, so the engine needs this stage first-class).
+
+    Every pattern is RE2-compatible (no backreferences, no lookaround) so
+    the DuckDB oracle can run the IDENTICAL chain — the whole extraction
+    is hash-replayable, not just spot-checked.
+    """
+    x = F.col(html_col)
+    for pat in HTML_STRIP_PATTERNS:
+        x = F.regexp_replace(x, pat, " ")
+    for src, dst in HTML_ENTITIES:
+        x = F.replace(x, F.lit(src), F.lit(dst))
+    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    return df.withColumn(out_col, x)

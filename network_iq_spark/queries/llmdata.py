@@ -502,17 +502,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(docs).orderBy("doc_id")
 
 
-@register(
-    "quality_scores",
-    oracle=f"""
-    WITH q AS (
-      SELECT doc_id, t,
-        len(text) AS n_chars,
-        len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
-        len(list_filter(t, x -> x IN {T.LANG_MARKERS['en']!r})) AS stop_n
-      FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-            FROM documents)
-    )
+_QUALITY_CORE = f"""
     SELECT doc_id, n_chars, len(t) AS n_tokens,
       CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(stop_n AS DOUBLE) / len(t) END
         AS stopword_ratio,
@@ -525,14 +515,96 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2.0 * (CASE WHEN n_chars = 0 THEN 0.0
                       ELSE CAST(n_punct AS DOUBLE) / n_chars END)))
         AS quality_score
-    FROM q ORDER BY doc_id
-    """,
+    FROM (
+      SELECT doc_id, t,
+        len(text) AS n_chars,
+        len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+        len(list_filter(t, x -> x IN {T.LANG_MARKERS['en']!r})) AS stop_n
+      FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents)
+    )
+"""
+
+
+@register(
+    "quality_scores",
+    oracle=f"{_QUALITY_CORE} ORDER BY doc_id",
 )
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training quality filter features: length/stopword/punctuation
     ratios folded into a clamped [0,1] score."""
     docs = load_table(spark, sf_dir, "documents")
     return T.quality_score(docs).orderBy("doc_id")
+
+
+# Synthetic page wrapper for the HTML-extraction query: title/nav/footer
+# boilerplate, a style block, a script whose body contains raw < and >
+# (stripping tags before scripts would corrupt it — order is part of the
+# contract), comments, and entities. The document text rides in the <p>.
+_HTML_PRE1 = (
+    '<html><head><title>Doc '
+)
+_HTML_PRE2 = (
+    '</title><style>p { color: #333; }</style>'
+    '<script type="text/javascript">var t = "x < y && y > z";</script>'
+    '</head><body><!-- layout --><nav><a href="/">Home</a> &gt; '
+    '<a href="/docs">Docs</a></nav><h1>Doc '
+)
+_HTML_PRE3 = "</h1><p>"
+_HTML_POST = (
+    "</p><footer>&copy; 2026 Example &amp; Co.&nbsp;"
+    "All rights reserved.</footer></body></html>"
+)
+
+
+def _html_extract_sql() -> str:
+    """DuckDB twin of operators/text.py html_to_text: the IDENTICAL
+    pattern/entity chain, applied to the identically-constructed page."""
+    x = "html"
+    for pat in T.HTML_STRIP_PATTERNS:
+        x = "regexp_replace(" + x + ", '" + pat + "', ' ', 'gs')"
+    for src, dst in T.HTML_ENTITIES:
+        x = "replace(" + x + ", '" + src + "', '" + dst.replace("'", "''") + "')"
+    x = "trim(regexp_replace(" + x + ", '\\s+', ' ', 'g'))"
+    return (
+        "WITH h AS (SELECT doc_id, "
+        "'" + _HTML_PRE1 + "' || CAST(doc_id AS VARCHAR) || "
+        "'" + _HTML_PRE2 + "' || CAST(doc_id AS VARCHAR) || "
+        "'" + _HTML_PRE3 + "' || text || '" + _HTML_POST + "' AS html "
+        "FROM documents) "
+        "SELECT doc_id, " + x + " AS text, "
+        "CAST(len(" + x + ") AS BIGINT) AS n_chars "
+        "FROM h ORDER BY doc_id"
+    )
+
+
+@register("html_extract", oracle=_html_extract_sql())
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction, hash-checked on the FULL extracted string:
+    each document is wrapped in a realistic page (script body containing
+    raw ``<``/``>``, style block, comments, nav/footer boilerplate,
+    entities), then stripped by the JVM-side regexp chain
+    (operators/text.py html_to_text — RE2-compatible patterns, so DuckDB
+    runs the identical chain). The extraction stage a 100 TB crawl corpus
+    needs before any other text operator; map-only, whole-stage codegen,
+    zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE1),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_PRE2),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_PRE3),
+            F.col("text"),
+            F.lit(_HTML_POST),
+        ).alias("html"),
+    )
+    out = T.html_to_text(page)
+    return out.select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("n_chars")
+    ).orderBy("doc_id")
 
 
 def _lang_sql() -> str:
@@ -910,6 +982,169 @@ def q_ivf_centroid_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigner=functools.partial(
             S.ivf_assign_dist, n_groups=_IVFD_GROUPS, n_centroids=_IVFD_CELLS
         ),
+    ).orderBy("q_vec_id", "rank")
+
+
+_PQ_M, _PQ_K, _PQ_DIM, _PQ_TOPK, _PQ_NQ = 8, 64, 64, 10, 10
+
+
+def _pq_core_sql() -> str:
+    """Shared WITH-block of the PQ oracles: quantize → seeded codebook →
+    per-subspace argmin codes → per-query lookup tables → ADC sums."""
+    hexi = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
+    sub = _PQ_DIM // _PQ_M
+    d2 = (
+        "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    ss = ", ".join(str(i) for i in range(_PQ_M))
+    return f"""
+    WITH nn AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * {_IVFD_SCALE} + 0.5)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, v,
+             ROW_NUMBER() OVER (ORDER BY {hexi}, vec_id) - 1 AS j
+      FROM nn ORDER BY {hexi}, vec_id LIMIT {_PQ_K}
+    ),
+    ss AS (SELECT unnest([{ss}]) AS s),
+    cb AS (
+      SELECT ss.s, seeds.j,
+             list_slice(v, ss.s * {sub} + 1, ss.s * {sub} + {sub}) AS cv
+      FROM seeds, ss
+    ),
+    subs AS (
+      SELECT vec_id, ss.s,
+             list_slice(v, ss.s * {sub} + 1, ss.s * {sub} + {sub}) AS sv
+      FROM nn, ss
+    ),
+    codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT sub.vec_id, sub.s, cb.j,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY {d2.format(a="sub.sv", b="cb.cv")} ASC, cb.j ASC
+               ) AS rk
+        FROM subs sub JOIN cb ON cb.s = sub.s
+      ) WHERE rk = 1
+    ),
+    lut AS (
+      SELECT sub.vec_id AS q_vec_id, cb.s, cb.j,
+             {d2.format(a="sub.sv", b="cb.cv")} AS pd
+      FROM subs sub JOIN cb ON cb.s = sub.s
+      WHERE sub.vec_id < {_PQ_NQ}
+    ),
+    scored AS (
+      SELECT l.q_vec_id, c.vec_id AS n_vec_id, SUM(l.pd) AS adist
+      FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+      WHERE c.vec_id != l.q_vec_id
+      GROUP BY 1, 2
+    )
+    """
+
+
+def _pq_adc_sql() -> str:
+    """DuckDB twin of the raw ADC path (operators/similarity.py
+    pq_codebook/pq_encode/pq_adc_topk): integer-quantized vectors make
+    every squared-L2 exact, so the codebook seeding, per-subspace argmin
+    encoding, and ADC lookup-sum all hash-replay."""
+    return f"""{_pq_core_sql()}
+    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank,
+           CAST(adist AS BIGINT) AS adist
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                   ORDER BY adist ASC, n_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_PQ_TOPK} ORDER BY q_vec_id, rank
+    """
+
+
+# measured on sf0.01 (tests/test_similarity.py pins the floor):
+# k_codes=16/rerank=50 -> recall 0.45; 16/200 -> 0.82; 64/200 -> 0.94
+_PQ_RERANK = 200
+
+
+def _pq_rerank_sql() -> str:
+    """DuckDB twin of pq_rerank_topk: ADC top-{rerank} candidates, exact
+    squared-L2 rescoring on just those rows, exact top-k."""
+    d2 = (
+        "(list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, n.v)"
+        " + list_dot_product(n.v, n.v))"
+    )
+    return f"""{_pq_core_sql()},
+    cand AS (
+      SELECT q_vec_id, n_vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                     ORDER BY adist ASC, n_vec_id ASC) AS rk
+        FROM scored
+      ) WHERE rk <= {_PQ_RERANK}
+    ),
+    rescored AS (
+      SELECT c.q_vec_id, c.n_vec_id, {d2} AS d2
+      FROM cand c
+      JOIN nn q ON q.vec_id = c.q_vec_id
+      JOIN nn n ON n.vec_id = c.n_vec_id
+    )
+    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank,
+           CAST(d2 AS BIGINT) AS d2
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                   ORDER BY d2 ASC, n_vec_id ASC) AS rank
+      FROM rescored
+    ) WHERE rank <= {_PQ_TOPK} ORDER BY q_vec_id, rank
+    """
+
+
+@register("ann_pq_adc_topk", oracle=_pq_adc_sql())
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring — the
+    COMPRESSED-vector tier of IVF-PQ, the structure that actually fits a
+    100 TB corpus's index in cluster RAM (m·log2(k) bits per vector vs
+    full floats): seeded per-subspace codebooks (`pq_codebook`), map-side
+    argmin encoding (`pq_encode`), then ADC top-k where the corpus side
+    touches only its (id, subspace, code) rows and each query's m·k
+    lookup table broadcasts (`pq_adc_topk`). Integer quantization makes
+    every squared-L2 exact in float64, so the entire approximate
+    structure hash-replays in the DuckDB oracle. Recall vs the exact
+    scorer is pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        f"transform(embedding, x -> floor(cast(x as double) * {_IVFD_SCALE} + 0.5))"
+    )
+    corpus = emb.select("vec_id", quant.alias("v"))
+    queries = emb.select("vec_id").filter(F.col("vec_id") < _PQ_NQ)
+    return S.pq_adc_topk(
+        corpus, queries, m=_PQ_M, k_codes=_PQ_K, dim=_PQ_DIM, k=_PQ_TOPK
+    ).orderBy("q_vec_id", "rank")
+
+
+@register("ann_pq_rerank_topk", oracle=_pq_rerank_sql())
+def q_ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search, the shape production vector stores run: the
+    compressed-domain ADC pass preselects a candidate set per query
+    (touching only (id, subspace, code) rows), then exact squared-L2
+    re-scores just those Q·rerank rows from raw vectors. Recall losses
+    of the coarse seeded quantizer mostly vanish — the true neighbors
+    only have to survive into the candidate set, not the final top-k
+    (measured 0.94 recall@10 at k_codes=64/rerank=200 vs 0.20 for raw
+    ADC; floor pinned in tests/test_similarity.py). Fully
+    hash-replayable: both stages are exact integer arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        f"transform(embedding, x -> floor(cast(x as double) * {_IVFD_SCALE} + 0.5))"
+    )
+    corpus = emb.select("vec_id", quant.alias("v"))
+    queries = emb.select("vec_id").filter(F.col("vec_id") < _PQ_NQ)
+    return S.pq_rerank_topk(
+        corpus,
+        queries,
+        m=_PQ_M,
+        k_codes=_PQ_K,
+        dim=_PQ_DIM,
+        k=_PQ_TOPK,
+        rerank=_PQ_RERANK,
     ).orderBy("q_vec_id", "rank")
 
 
@@ -1944,6 +2179,64 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id", src="doc_a", dst="doc_b"
     ).orderBy("doc_id")
+
+
+@register(
+    "cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_cte(_MH_PROD_BANDS, _MH_PROD_ROWS, _MH_PROD_THRESHOLD, "documents")},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM mh_pairs
+    ),
+    walk(v, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.v
+    ),
+    clusters AS (
+      SELECT v AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY v
+    ),
+    quality AS ({_QUALITY_CORE}),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.quality_score,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+               ORDER BY q.quality_score DESC, c.doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id AS keeper, quality_score AS keeper_score,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rk = 1 ORDER BY cluster_id
+    """,
+)
+def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection POLICY over the transitive
+    near-dup clusters: keep each cluster's HIGHEST-quality member
+    (quality_score DESC, doc_id tie-break) instead of the smallest id —
+    the decision production pipelines actually make (crawl order is an
+    accident; quality is the asset). Composes three existing stages
+    (MinHash-LSH pairs → connected components → quality scores) with one
+    window over cluster_id; the sort is bounded by the largest near-dup
+    family, never the corpus. The quality double is a deterministic
+    integer-ratio chain, so cross-engine ordering (and therefore the
+    keeper choice) is exact."""
+    from network_iq_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs,
+        threshold=_MH_PROD_THRESHOLD,
+        n_bands=_MH_PROD_BANDS,
+        rows_per_band=_MH_PROD_ROWS,
+    )
+    clusters = G.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return D.keep_best_per_cluster(clusters, T.quality_score(docs)).orderBy(
+        "cluster_id"
+    )
 
 
 _SIMHASH60_BITS, _SIMHASH60_MAX_HAMMING = 60, 3

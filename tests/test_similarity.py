@@ -370,3 +370,68 @@ def test_int_multiprobe_superset_and_recall_gain(spark, vecs):
     )
     rs, rm = recall(s10), recall(m10)
     assert rm >= max(2 * rs, 0.5), (rs, rm)
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """PQ encoding: every vector gets exactly m codes, each in [0, k);
+    re-encoding is bit-identical (seeded codebook, no RNG)."""
+    emb = load_table(spark, SF, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> floor(cast(x as double) * 1000000.0 + 0.5))"
+    )
+    corpus = emb.select("vec_id", quant.alias("v"))
+    cb = S.pq_codebook(corpus, m=8, k=16, dim=64)
+    assert cb.count() == 8 * 16
+    codes = S.pq_encode(corpus, cb, m=8, dim=64)
+    n = corpus.count()
+    assert codes.count() == n * 8
+    rng = codes.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi")
+    ).collect()[0]
+    assert rng.lo >= 0 and rng.hi < 16
+    a = sorted(map(tuple, codes.collect()))
+    b = sorted(map(tuple, S.pq_encode(corpus, cb, m=8, dim=64).collect()))
+    assert a == b
+
+
+def test_pq_rerank_recall_floor(spark):
+    """Two-stage PQ (ADC preselect -> exact rerank) measured 0.94
+    recall@10 at k_codes=64/rerank=200 on sf0.01 (raw ADC alone: 0.20).
+    Floor pinned at 0.85 so a codebook/LUT/rerank regression fails
+    loudly."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, SF, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> floor(cast(x as double) * 1000000.0 + 0.5))"
+    )
+    corpus = emb.select("vec_id", quant.alias("v"))
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    rr = S.pq_rerank_topk(corpus, qids, m=8, k_codes=64, dim=64, k=10, rerank=200)
+    got: dict[int, set[int]] = {}
+    for r in rr.collect():
+        got.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+
+    q = corpus.join(qids, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("q_vec_id"), F.col("v").alias("qv")
+    )
+    c = corpus.select(F.col("vec_id").alias("n_vec_id"), F.col("v").alias("cv"))
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (x,y) -> (x-y)*(x-y)), "
+        "cast(0.0 as double), (a,d) -> a+d)"
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("d2").asc(), F.col("n_vec_id").asc()
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "n_vec_id", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+    truth: dict[int, set[int]] = {}
+    for r in exact.collect():
+        truth.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+    recall = sum(len(truth[k] & got[k]) / 10 for k in truth) / len(truth)
+    assert recall >= 0.85, recall
