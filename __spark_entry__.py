@@ -45,6 +45,7 @@ _VERIFY_FIRST = [
     "html_extract",
     "ann_pq_adc_topk",
     "ann_pq_rerank_topk",
+    "bpe_token_stats",
     # last sampled r1
     "centered_mavg_volume",
     "customers_without_orders",

@@ -719,3 +719,64 @@ def html_to_text(
         x = F.replace(x, F.lit(src), F.lit(dst))
     x = F.trim(F.regexp_replace(x, r"\s+", " "))
     return df.withColumn(out_col, x)
+
+
+# A fixed merge table in priority order — REAL byte-pair-encoding merge
+# application (the GPT-2 mechanism) with the training step replaced by a
+# corpus-independent table of common English pairs, so the operator is
+# deterministic and SQL-replayable. Each entry merges the space-separated
+# symbol pair left-to-right, exactly like the reference BPE algorithm's
+# per-word greedy loop: sequential non-overlapping replace() IS the
+# leftmost-first merge ('a a a' -> 'aa a', not 'a aa').
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("a", "r"), ("o", "u"), ("s", "t"), ("in", "g"), ("l", "e"),
+]
+
+
+def bpe_segment(word_col: Column) -> Column:
+    """Apply the BPE merge table to one lowercase word: explode to
+    space-separated characters, then run each merge as a sequential
+    left-to-right replace. Returns the space-joined symbol string; the
+    BPE token count of the word is its symbol count."""
+    x = F.trim(F.regexp_replace(word_col, "(.)", "$1 "))
+    for a, b in BPE_MERGES:
+        x = F.replace(x, F.lit(f"{a} {b}"), F.lit(a + b))
+    return x
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document REAL-BPE statistics: total merged-symbol count,
+    character count, and the compression ratio chars/tokens — the number
+    a training-data pipeline budgets context length with. Pure JVM
+    (regexp + transform/aggregate over the token array, zero Python,
+    zero explode — the per-word merge chain runs inside one projection).
+    """
+    df = ensure_parallelism(df)
+    toks = tokens(text_col)
+    # the merge chain as SQL text so it can run INSIDE the transform
+    # lambda over the token array (a Column can't cross the lambda scope)
+    seg_sql = "trim(regexp_replace(w, '(.)', '$1 '))"
+    for a, b in BPE_MERGES:
+        seg_sql = f"replace({seg_sql}, '{a} {b}', '{a}{b}')"
+    out = df.select(
+        id_col,
+        toks.alias("_toks"),
+        F.length(text_col).alias("n_chars"),
+    )
+    total = F.expr(
+        f"aggregate(transform(_toks, w -> size(split({seg_sql}, ' '))), "
+        "0, (a, x) -> a + x)"
+    )
+    return out.select(
+        id_col,
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size("_toks").cast("bigint").alias("n_words"),
+        total.cast("bigint").alias("n_bpe_tokens"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(F.col("n_chars").cast("double") / total)
+        .alias("chars_per_token"),
+    )

@@ -537,6 +537,50 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_score(docs).orderBy("doc_id")
 
 
+def _bpe_sql() -> str:
+    """DuckDB twin of operators/text.py bpe_token_stats: the identical
+    merge chain (sequential left-to-right replace == leftmost-first BPE
+    merge) inside a list_transform over the word tokens."""
+    seg = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for a, b in T.BPE_MERGES:
+        seg = f"replace({seg}, '{a} {b}', '{a}{b}')"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n_chars,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(toks,
+                w -> len(str_split({seg}, ' ')))), 0) AS BIGINT)
+             AS n_bpe_tokens,
+           CASE WHEN COALESCE(list_sum(list_transform(toks,
+                     w -> len(str_split({seg}, ' ')))), 0) = 0 THEN 0.0
+                ELSE CAST(n_chars AS DOUBLE)
+                     / list_sum(list_transform(toks,
+                         w -> len(str_split({seg}, ' '))))
+           END AS chars_per_token
+    FROM t ORDER BY doc_id
+    """
+
+
+@register("bpe_token_stats", oracle=_bpe_sql())
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-pair-encoding merge application (the GPT-2 mechanism,
+    fixed public merge table instead of a trained one): every word
+    explodes to characters and the merge list applies left-to-right —
+    sequential non-overlapping replace IS the leftmost-first merge — all
+    inside one JVM projection (no Python, no explode; the chain runs in
+    a transform lambda over the token array). Output: per-doc BPE token
+    count and chars/token, the number a pipeline budgets context length
+    with. The oracle runs the identical chain, so the tokenizer itself
+    is hash-checked, not just its row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_token_stats(docs).orderBy("doc_id")
+
+
 # Synthetic page wrapper for the HTML-extraction query: title/nav/footer
 # boilerplate, a style block, a script whose body contains raw < and >
 # (stripping tags before scripts would corrupt it — order is part of the

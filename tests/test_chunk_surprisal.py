@@ -99,3 +99,30 @@ def test_normalize_text_nfc_and_fold(spark):
     assert out[1][0] == out[2][0] == "Café STRASSE ß"
     assert out[1][1] == out[2][1] == "cafe strasse ss"
     assert out[3] == ("", "")
+
+
+def test_bpe_segment_leftmost_first_merges(spark):
+    """The merge chain must behave exactly like BPE's per-word greedy
+    loop: leftmost-first, non-overlapping, priority order. 'thinking':
+    t h -> th; th e (no e here); i n -> in; in g -> ing => th in k ing."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.operators.text import bpe_segment, bpe_token_stats
+
+    df = spark.createDataFrame(
+        [("thinking",), ("aaa",), ("the",), ("x",)], ["w"]
+    )
+    got = {r.w: r.seg for r in df.select("w", bpe_segment(F.col("w")).alias("seg")).collect()}
+    assert got["thinking"] == "th in k ing"
+    assert got["the"] == "the"        # t h -> th, then th e -> the
+    assert got["x"] == "x"
+    assert got["aaa"] == "a a a"      # no a-a merge in the table
+
+    docs = spark.createDataFrame(
+        [(1, "the thinking cat"), (2, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in bpe_token_stats(docs).collect()}
+    # the=1, thinking=4 (th in k ing), cat=2 (c at) -> 7 bpe tokens
+    assert rows[1].n_words == 3 and rows[1].n_bpe_tokens == 7
+    assert rows[2].n_bpe_tokens == 0 and rows[2].chars_per_token == 0.0
