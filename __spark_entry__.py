@@ -46,6 +46,7 @@ _VERIFY_FIRST = [
     "ann_pq_adc_topk",
     "ann_pq_rerank_topk",
     "bpe_token_stats",
+    "ann_ivfpq_topk",
     # last sampled r1
     "centered_mavg_volume",
     "customers_without_orders",

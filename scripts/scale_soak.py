@@ -54,6 +54,14 @@ QUERIES_UNDER_TEST = [
     "decoded_image_stats",
     "decoded_png_stats",
     "decoded_jpeg_stats",
+    # round-7 additions: codecs, extraction, policy, PQ family
+    "decoded_audio_stats",
+    "decoded_video_stats",
+    "html_extract",
+    "bpe_token_stats",
+    "cluster_keep_best",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_topk",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the

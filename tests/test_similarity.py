@@ -435,3 +435,57 @@ def test_pq_rerank_recall_floor(spark):
         truth.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
     recall = sum(len(truth[k] & got[k]) / 10 for k in truth) / len(truth)
     assert recall >= 0.85, recall
+
+
+def test_ivfpq_recall_floor_and_lloyd_gain(spark):
+    """IVF-PQ (64 cells + 1 integer-Lloyd round, nprobe 16, rerank 100)
+    measured 0.80 recall@10 touching ~8% of the corpus; seeded cells
+    without the refinement measured 0.65. Floors pinned: composed >= 0.7
+    and the Lloyd round must not make things worse than seeded."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, SF, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> floor(cast(x as double) * 1000000.0 + 0.5))"
+    )
+    corpus = emb.select("vec_id", quant.alias("v"))
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+
+    q = corpus.join(qids, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("q_vec_id"), F.col("v").alias("qv")
+    )
+    c = corpus.select(F.col("vec_id").alias("n_vec_id"), F.col("v").alias("cv"))
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (x,y) -> (x-y)*(x-y)), "
+        "cast(0.0 as double), (a,d) -> a+d)"
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("d2").asc(), F.col("n_vec_id").asc()
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "n_vec_id", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+    truth: dict[int, set[int]] = {}
+    for r in exact.collect():
+        truth.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+
+    def recall(df):
+        got: dict[int, set[int]] = {}
+        for r in df.collect():
+            got.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+        return sum(len(truth[k] & got.get(k, set())) / 10 for k in truth) / len(truth)
+
+    lloyd = recall(
+        S.ivfpq_topk(corpus, qids, n_cells=64, nprobe=16, m=8, k_codes=64,
+                     dim=64, k=10, rerank=100, lloyd_rounds=1)
+    )
+    seeded = recall(
+        S.ivfpq_topk(corpus, qids, n_cells=64, nprobe=16, m=8, k_codes=64,
+                     dim=64, k=10, rerank=100, lloyd_rounds=0)
+    )
+    assert lloyd >= 0.7, lloyd
+    assert lloyd >= seeded, (lloyd, seeded)
