@@ -1139,6 +1139,46 @@ def _sq_l2(a: str, b: str):
     )
 
 
+def assign_np_l2(
+    vecs: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Nearest-centroid (squared-L2) assignment as one numpy matmul per
+    Arrow batch — the vectorized twin of the ``_sq_l2`` argmin used by
+    the PQ/IVF-PQ tier. Unlike the cosine `ivf_assign_np`, this IS the
+    registered path: over INTEGER-VALUED vectors every product and sum
+    stays below 2^53, so d2 = ‖v‖² − 2·v·c + ‖c‖² is exact in float64
+    regardless of summation order and the matmul is bit-identical to the
+    interpreted expression fold (ties: centroid rows sorted by c_id,
+    argmin's first-minimum = smallest id — same as the ROW_NUMBER
+    tie-break). Centroids ride the closure (bounded: n_cells rows).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators import ensure_parallelism
+
+    rows = sorted(
+        (int(r["c_id"]), list(r["cv"]))
+        for r in centroids.select("c_id", "cv").collect()
+    )
+    c_ids = np.array([c for c, _ in rows], dtype=np.int64)
+    C = np.array([v for _, v in rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def assign(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+            best = c_ids[np.argmin(d2, axis=1)]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "cell": best})
+
+    return ensure_parallelism(
+        vecs.select(id_col, "v"), min_bytes=DENSE_GUARD_MIN_BYTES
+    ).mapInPandas(assign, schema=f"{id_col} bigint, cell bigint")
+
+
 def pq_encode(
     vecs: DataFrame, codebook: DataFrame, m: int, dim: int, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -1147,27 +1187,56 @@ def pq_encode(
     m·log2(k) bits per vector in a real deployment (the 64× memory win
     that lets a 100 TB corpus's index fit its cluster's RAM).
 
-    Shape: explode to (vector, subspace) rows — map-only — then a
-    broadcast join against the m·k codebook and a map-side min_by argmax.
-    One shuffle on (id, s) for the argmin aggregate.
+    Vectorized: ONE numpy matmul per (Arrow batch, subspace) against the
+    closure-borne codebook (bounded: m·k rows). Over integer-valued
+    vectors the d2 arithmetic is exact in float64, so this is
+    bit-identical to the interpreted `_sq_l2` argmin fold it replaced —
+    which cost N·m·k interpreted array lambdas and was the dominant term
+    of the soak curve (`ann_pq_rerank_topk` 14.3 s → vectorized at the
+    10× corpus; see docs/SCALE.md). MAP-ONLY, no shuffle at all.
     """
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators import ensure_parallelism
+
     sub = dim // m
-    s_ids = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
-    subs = vecs.select(id_col, s_ids, "v").select(
-        id_col, "s", F.slice("v", F.col("s") * sub + 1, sub).alias("sv")
+    rows = sorted(
+        (int(r["s"]), int(r["j"]), list(r["cv"]))
+        for r in codebook.select("s", "j", "cv").collect()
     )
-    scored = subs.join(F.broadcast(codebook), "s").select(
-        id_col,
-        "s",
-        F.struct(
-            _sq_l2("sv", "cv").alias("d2"), F.col("j").cast("int").alias("j")
-        ).alias("dj"),
-    )
-    return (
-        scored.groupBy(id_col, "s")
-        .agg(F.min("dj").alias("best"))
-        .select(id_col, "s", F.col("best.j").alias("code"))
-    )
+    k = max(j for _, j, _ in rows) + 1
+    C = np.zeros((m, k, sub), dtype=np.float64)
+    for s, j, cv in rows:
+        C[s, j] = cv
+    C2 = (C * C).sum(axis=2)  # (m, k)
+
+    def encode(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64).reshape(-1, m, sub)
+            n = V.shape[0]
+            codes = np.zeros((n, m), dtype=np.int32)
+            for s in range(m):
+                Vs = V[:, s, :]
+                d2 = (
+                    (Vs * Vs).sum(axis=1)[:, None]
+                    - 2.0 * (Vs @ C[s].T)
+                    + C2[s][None, :]
+                )
+                codes[:, s] = np.argmin(d2, axis=1)  # first-min = smallest j
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].values, m),
+                    "s": np.tile(np.arange(m, dtype=np.int32), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return ensure_parallelism(
+        vecs.select(id_col, "v"), min_bytes=DENSE_GUARD_MIN_BYTES
+    ).mapInPandas(encode, schema=f"{id_col} bigint, s int, code int")
 
 
 def pq_adc_topk(
@@ -1291,17 +1360,7 @@ def ivf_lloyd_round(
     collect_list-based mean would hold a whole cell in one task at
     100 TB).
     """
-    scored = vecs.select(id_col, "v").crossJoin(F.broadcast(cent)).select(
-        id_col,
-        F.struct(_sq_l2("v", "cv").alias("d2"), F.col("c_id").alias("c_id")).alias(
-            "sc"
-        ),
-    )
-    inv = (
-        scored.groupBy(id_col)
-        .agg(F.min("sc").alias("best"))
-        .select(id_col, F.col("best.c_id").alias("cell"))
-    )
+    inv = assign_np_l2(vecs, cent, id_col)
     mem = vecs.select(id_col, "v").join(inv, id_col).select(
         "cell", F.posexplode("v").alias("di", "val")
     )
@@ -1351,17 +1410,7 @@ def ivfpq_topk(
     cent = seed_centroids(with_norm(vv), n_cells, id_col).drop("cn")
     for _ in range(lloyd_rounds):
         cent = ivf_lloyd_round(vv, cent, id_col).localCheckpoint(eager=False)
-    inv_scored = vv.crossJoin(F.broadcast(cent)).select(
-        id_col,
-        F.struct(
-            _sq_l2("v", "cv").alias("d2"), F.col("c_id").alias("c_id")
-        ).alias("sc"),
-    )
-    inv = (
-        inv_scored.groupBy(id_col)
-        .agg(F.min("sc").alias("best"))
-        .select(id_col, F.col("best.c_id").alias("cell"))
-    )
+    inv = assign_np_l2(vv, cent, id_col)
     cb = pq_codebook(vecs, m, k_codes, dim, id_col).localCheckpoint(eager=False)
     codes = pq_encode(vecs, cb, m, dim, id_col)
 
