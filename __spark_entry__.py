@@ -47,6 +47,7 @@ _VERIFY_FIRST = [
     "ann_pq_rerank_topk",
     "bpe_token_stats",
     "ann_ivfpq_topk",
+    "order_snapshot_diff",
     # last sampled r1
     "centered_mavg_volume",
     "customers_without_orders",

@@ -188,3 +188,62 @@ def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_lsh(
         vecs, queries, dim=64, k=10, multiprobe=True
     ).orderBy("q_vec_id", "rank")
+
+
+@register(
+    "order_snapshot_diff",
+    oracle="""
+    WITH old_v AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31),
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                 o_orderstatus)) AS old_hash
+      FROM orders WHERE o_orderkey % 10 != 0
+    ),
+    new_v AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31),
+                 CAST(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN o_totalprice + 1.0 ELSE o_totalprice END
+                      AS DECIMAL(12,2)) AS VARCHAR),
+                 o_orderstatus)) AS new_hash
+      FROM orders WHERE o_orderkey % 7 != 0
+    )
+    SELECT o_orderkey,
+           CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash != new_hash THEN 'changed' END AS change,
+           old_hash, new_hash
+    FROM old_v FULL OUTER JOIN new_v USING (o_orderkey)
+    WHERE (old_hash IS NULL OR new_hash IS NULL OR old_hash != new_hash)
+    ORDER BY o_orderkey
+    """,
+)
+def q_order_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two dataset versions — the reproducibility
+    primitive run between corpus snapshots before re-training: rows
+    classified added / removed / changed by md5 over the compared columns
+    (sources/maintenance.py snapshot_diff: one shuffle per side on the
+    key, hashes computed map-side, output ∝ change size, never the
+    table). Versions are synthesized deterministically from orders (old
+    drops keys ≡0 mod 10; new drops ≡0 mod 7 and bumps urgent-priority
+    prices), and prices compare through DECIMAL(12,2) strings so both
+    engines hash identical bytes."""
+    from network_iq_spark.sources.maintenance import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    price2 = F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", price2.alias("price"), "o_orderstatus"
+    )
+    bumped = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") + 1.0
+    ).otherwise(F.col("o_totalprice"))
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        bumped.cast("decimal(12,2)").cast("string").alias("price"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["price", "o_orderstatus"]
+    ).orderBy("o_orderkey")

@@ -20,7 +20,7 @@ import shutil
 import tempfile
 from collections.abc import Sequence
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def compact_parquet_dir(
@@ -223,3 +223,45 @@ def bucketed_write(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Dataset-version delta: full-outer join on the key, rows classified
+    ``added`` / ``removed`` / ``changed`` by comparing an md5 over the
+    compared columns (unchanged rows are dropped — the diff is sparse).
+    The reproducibility primitive a training-data pipeline runs between
+    corpus snapshots before re-training: what actually moved, not just
+    row counts.
+
+    Scale shape: ONE shuffle per side on the key (the join), row hashes
+    computed map-side so the exchange carries (key, hash) semantics, not
+    a wide compare; the output is proportional to the CHANGE size, never
+    the table.
+    """
+    from pyspark.sql import functions as F
+
+    cmp_cols = list(compare_cols) if compare_cols is not None else [
+        c for c in old.columns if c not in keys
+    ]
+    k = list(keys)
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cmp_cols]))
+        return df.select(*k, h.alias(f"{side}_hash"))
+
+    joined = hashed(old, "old").join(hashed(new, "new"), k, "full_outer")
+    change = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*k, "change", "old_hash", "new_hash")
+    )

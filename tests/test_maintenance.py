@@ -297,3 +297,25 @@ def test_upsert_sink_survives_missing_success_marker(spark, tmp_path):
         map(tuple, spark.read.parquet(path).select("event_id", "value").collect())
     )
     assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]
+
+
+def test_snapshot_diff_classifies_added_removed_changed(spark):
+    from network_iq_spark.sources.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "d", 40.0)],
+        "k bigint, s string, v double",
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    # key 2 is unchanged -> absent from the sparse diff
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+    # compare_cols restriction: v excluded -> 3 is no longer "changed"
+    got2 = {
+        r.k: r.change
+        for r in snapshot_diff(old, new, keys=["k"], compare_cols=["s"]).collect()
+    }
+    assert got2 == {1: "removed", 4: "added"}
