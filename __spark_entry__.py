@@ -48,6 +48,9 @@ _VERIFY_FIRST = [
     "bpe_token_stats",
     "ann_ivfpq_topk",
     "order_snapshot_diff",
+    "url_canonical_dedup",
+    "quality_psi_drift",
+    "lsh_quality_report",
     # last sampled r1
     "centered_mavg_volume",
     "customers_without_orders",

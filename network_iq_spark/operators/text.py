@@ -780,3 +780,37 @@ def bpe_token_stats(
         .otherwise(F.col("n_chars").cast("double") / total)
         .alias("chars_per_token"),
     )
+
+
+# Tracking parameters every crawl pipeline strips before URL dedup.
+URL_TRACKING_RE = "^(utm_[a-z]+|fbclid|gclid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """URL canonicalization, entirely JVM-side and RE2-compatible (the
+    DuckDB oracle runs the identical chain): drop the fragment, lowercase
+    scheme and host (path/query stay case-sensitive), strip default ports
+    (:80/:443), drop tracking query params (utm_*/fbclid/gclid/ref),
+    SORT the surviving params (param order is transport noise), and trim
+    a trailing slash from non-root paths. The normalization step before
+    exact URL dedup of a crawl frontier — without it the same page counts
+    4-5 times (case, utm, fragment, slash variants)."""
+    u = F.regexp_replace(url, "#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, ":(80|443)$", "")
+    path = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, "(.)/$", "$1")
+    )
+    qs = F.regexp_extract(u, "\\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(URL_TRACKING_RE),
+        )
+    )
+    query = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, path, query)

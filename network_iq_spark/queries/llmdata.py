@@ -537,6 +537,180 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_score(docs).orderBy("doc_id")
 
 
+_PSI_BINS, _PSI_QUANT = 10, 1_000_000
+_PSI_SPLIT = 250  # doc_id window split, same convention as the drift pair
+
+
+@register(
+    "quality_psi_drift",
+    oracle=f"""
+    WITH quality AS ({_QUALITY_CORE}),
+    binned AS (
+      SELECT doc_id,
+             LEAST({_PSI_BINS - 1},
+                   CAST(FLOOR(quality_score * {_PSI_BINS}) AS INT)) AS bin
+      FROM quality
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN doc_id < {_PSI_SPLIT} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN doc_id >= {_PSI_SPLIT} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts),
+    rates AS (
+      SELECT c.bin, c.n_ref, c.n_cur,
+             CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + {_PSI_BINS}) AS p,
+             CAST(c.n_cur + 1 AS DOUBLE) / (t.t_cur + {_PSI_BINS}) AS q
+      FROM counts c CROSS JOIN tot t
+    )
+    SELECT bin, n_ref, n_cur, p AS rate_ref, q AS rate_cur,
+           CAST(FLOOR((p - q) * ln(p / q) * {_PSI_QUANT}) AS BIGINT)
+             AS psi_contrib_micro
+    FROM rates ORDER BY bin
+    """,
+)
+def q_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over the quality-score distribution
+    between the reference window (doc_id < 250) and the current window —
+    THE standard production drift gauge (PSI < 0.1 stable, > 0.25 act),
+    completing the drift family (`embedding_drift` = representation
+    space, `vocab_drift_top_movers` = token space, this = quality-filter
+    space). Ten fixed-width bins; Laplace-smoothed rates from exact
+    integer counts so p/q are deterministic doubles; the per-bin
+    contribution is floor-quantized to integer micro-units exactly like
+    the surprisal operator's mnats (ln at this quantization is
+    cross-engine stable — driver-green precedent). One quality map, one
+    bin aggregate, one 2-scalar broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_score(docs).select("doc_id", "quality_score")
+    binned = q.select(
+        "doc_id",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor(F.col("quality_score") * _PSI_BINS).cast("int"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("doc_id") < _PSI_SPLIT, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("doc_id") >= _PSI_SPLIT, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + _PSI_BINS)
+    qq = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + _PSI_BINS)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            p.alias("rate_ref"),
+            qq.alias("rate_cur"),
+            F.floor(
+                (p - qq) * F.log(p / qq) * _PSI_QUANT
+            ).cast("bigint").alias("psi_contrib_micro"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _canon_url_sql() -> str:
+    """DuckDB twin of operators/text.py canonical_url — the identical
+    RE2 chain over identically-synthesized URL variants."""
+    host = (
+        "regexp_replace(lower(regexp_extract(u,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(80|443)$', '')"
+    )
+    path = (
+        "CASE WHEN regexp_extract(u,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/'"
+        " ELSE regexp_replace(regexp_extract(u,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '(.)/$', '\\1')"
+        " END"
+    )
+    kept = (
+        "list_sort(list_filter(str_split(regexp_extract(u, '\\?([^#]*)', 1),"
+        " '&'), p -> p != '' AND NOT regexp_matches(p,"
+        f" '{T.URL_TRACKING_RE}')))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS var FROM documents
+    ),
+    urls AS (
+      SELECT doc_id,
+        CASE var
+          WHEN 0 THEN 'https://Example.COM/docs/' || base || '/'
+          WHEN 1 THEN 'https://example.com/docs/' || base || '?a=1&b=2'
+          WHEN 2 THEN 'https://example.com/docs/' || base
+                      || '/?b=2&a=1&utm_source=feed'
+          ELSE 'HTTPS://example.com:443/docs/' || base || '#frag'
+        END AS u
+      FROM v
+    ),
+    canon AS (
+      SELECT doc_id,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+        || {host} || {path}
+        || CASE WHEN len({kept}) > 0
+                THEN '?' || array_to_string({kept}, '&') ELSE '' END
+          AS canonical
+      FROM (SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM urls)
+    )
+    SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           MIN(doc_id) AS keeper
+    FROM canon GROUP BY canonical ORDER BY canonical
+    """
+
+
+@register("url_canonical_dedup", oracle=_canon_url_sql())
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization → exact dedup, the crawl-frontier step before
+    any content fetch: four deterministic variants per page (host case +
+    trailing slash, sorted params, unsorted params + utm tracking +
+    slash, scheme case + default port + fragment) must collapse to two
+    canonical forms per base page — one without query, one with the
+    sorted ?a=1&b=2. The chain (operators/text.py canonical_url) is
+    JVM-only, RE2-compatible, and hash-checked on the FULL canonical
+    string. Map-only + one groupBy on the canonical key."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.expr("doc_id div 4").cast("string")
+    var = F.col("doc_id") % 4
+    url = (
+        F.when(var == 0, F.concat(F.lit("https://Example.COM/docs/"), base, F.lit("/")))
+        .when(var == 1, F.concat(F.lit("https://example.com/docs/"), base, F.lit("?a=1&b=2")))
+        .when(
+            var == 2,
+            F.concat(
+                F.lit("https://example.com/docs/"),
+                base,
+                F.lit("/?b=2&a=1&utm_source=feed"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("HTTPS://example.com:443/docs/"), base, F.lit("#frag"))
+        )
+    )
+    urls = docs.select("doc_id", url.alias("u"))
+    canon = urls.select("doc_id", T.canonical_url(F.col("u")).alias("canonical"))
+    return (
+        canon.groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .orderBy("canonical")
+    )
+
+
 def _bpe_sql() -> str:
     """DuckDB twin of operators/text.py bpe_token_stats: the identical
     merge chain (sequential left-to-right replace == leftmost-first BPE
@@ -3191,3 +3365,81 @@ def q_incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             S.ivf_assign_dist, n_groups=_IVFD_GROUPS, n_centroids=_IVFD_CELLS
         ),
     ).orderBy("q_vec_id", "rank")
+
+
+_LSHQ_T = 0.7
+
+
+@register(
+    "lsh_quality_report",
+    oracle=f"""
+    WITH {_JACCARD_CAPPED},
+    {_minhash_pairs_cte(_MH_PROD_BANDS, _MH_PROD_ROWS, _LSHQ_T, "documents")},
+    ex AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {_LSHQ_T}),
+    mh AS (SELECT doc_a, doc_b FROM mh_pairs),
+    u AS (
+      SELECT COALESCE(e.doc_a, m.doc_a) AS doc_a,
+             CASE WHEN e.doc_a IS NOT NULL AND m.doc_a IS NOT NULL THEN 'both'
+                  WHEN e.doc_a IS NOT NULL THEN 'exact_only'
+                  ELSE 'lsh_only' END AS cls
+      FROM ex e FULL OUTER JOIN mh m
+        ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+    )
+    SELECT
+      CAST(SUM(CASE WHEN cls = 'both' THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      CAST(SUM(CASE WHEN cls = 'lsh_only' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_lsh_only,
+      CAST(SUM(CASE WHEN cls = 'exact_only' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_exact_only,
+      CASE WHEN SUM(CASE WHEN cls != 'lsh_only' THEN 1 ELSE 0 END) = 0
+           THEN 1.0
+           ELSE CAST(SUM(CASE WHEN cls = 'both' THEN 1 ELSE 0 END) AS DOUBLE)
+                / SUM(CASE WHEN cls != 'lsh_only' THEN 1 ELSE 0 END)
+      END AS lsh_recall
+    FROM u
+    """,
+)
+def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation audit as a first-class QUERY: the MinHash-LSH pair
+    set cross-tabulated against the capped-exact Jaccard pair set at the
+    same threshold — every near-dup pipeline should ship this number
+    next to its dedup stats instead of asserting recall only in tests.
+    `n_lsh_only` / `n_exact_only` localize which candidate generator
+    missed (band collisions vs the df-capped shingle join); `lsh_recall`
+    is the headline. Two independent candidate pipelines sharing one
+    corpus scan grain, a full-outer join on the pair key, one global
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    ex = D.jaccard_pairs_capped(sh, threshold=_LSHQ_T, max_df=_JACCARD_MAX_DF)
+    mh = D.minhash_lsh_pairs(
+        docs,
+        threshold=_LSHQ_T,
+        n_bands=_MH_PROD_BANDS,
+        rows_per_band=_MH_PROD_ROWS,
+    )
+    e = ex.select("doc_a", "doc_b", F.lit(1).alias("in_ex"))
+    m = mh.select("doc_a", "doc_b", F.lit(1).alias("in_mh"))
+    u = e.join(m, ["doc_a", "doc_b"], "full_outer").select(
+        F.when(F.col("in_ex").isNotNull() & F.col("in_mh").isNotNull(), "both")
+        .when(F.col("in_ex").isNotNull(), "exact_only")
+        .otherwise("lsh_only")
+        .alias("cls")
+    )
+    n = lambda c: F.sum(F.when(F.col("cls") == c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    exact_total = F.col("n_both") + F.col("n_exact_only")
+    return (
+        u.agg(
+            n("both").alias("n_both"),
+            n("lsh_only").alias("n_lsh_only"),
+            n("exact_only").alias("n_exact_only"),
+        )
+        .select(
+            "n_both",
+            "n_lsh_only",
+            "n_exact_only",
+            F.when(exact_total == 0, F.lit(1.0))
+            .otherwise(F.col("n_both").cast("double") / exact_total)
+            .alias("lsh_recall"),
+        )
+    )

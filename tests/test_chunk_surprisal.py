@@ -126,3 +126,29 @@ def test_bpe_segment_leftmost_first_merges(spark):
     # the=1, thinking=4 (th in k ing), cat=2 (c at) -> 7 bpe tokens
     assert rows[1].n_words == 3 and rows[1].n_bpe_tokens == 7
     assert rows[2].n_bpe_tokens == 0 and rows[2].chars_per_token == 0.0
+
+
+def test_canonical_url_variants_collapse(spark):
+    """The canonicalization chain must merge case/port/fragment/tracking/
+    slash variants and keep param ORDER-insensitivity, without merging
+    genuinely different URLs."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.operators.text import canonical_url
+
+    urls = [
+        "https://Example.COM/docs/7/",
+        "HTTPS://example.com:443/docs/7#frag",
+        "https://example.com/docs/7?b=2&a=1&utm_source=feed&fbclid=xyz",
+        "https://example.com/docs/7/?a=1&b=2",
+        "https://example.com/docs/8",          # different page
+        "https://example.com/docs/7?a=1&b=3",  # different params
+        "http://example.com:80/",              # root path survives as /
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    got = [r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got[0] == got[1] == "https://example.com/docs/7"
+    assert got[2] == got[3] == "https://example.com/docs/7?a=1&b=2"
+    assert got[4] == "https://example.com/docs/8"
+    assert got[5] == "https://example.com/docs/7?a=1&b=3"
+    assert got[6] == "http://example.com/"

@@ -206,3 +206,91 @@ def test_aggregates_partition_invariant_under_shuffle_width(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for n in names:
         assert wide[n] == narrow[n], n
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    color=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, color, seed):
+    """Any uint8 image, any shape, cycling filters: decode(encode(x)) == x."""
+    import numpy as np
+
+    from network_iq_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    got = decode_png(encode_png(img))
+    assert got is not None and got.shape == img.shape and (got == img).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    stereo=st.booleans(),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, stereo, rate, seed):
+    import numpy as np
+
+    from network_iq_spark.operators.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    shape = (n, 2) if stereo else (n,)
+    s = rng.integers(-32768, 32768, size=shape, dtype=np.int16)
+    got_rate, got = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate
+    want = s[:, None] if s.ndim == 1 else s
+    assert (got == want).all()
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_constant_blocks_roundtrip_property(vals, seed):
+    """The oracle-bearing JPEG property: ANY grid of constant 8x8 blocks
+    survives encode->decode bit-exactly at quantization step 1."""
+    import numpy as np
+
+    from network_iq_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.default_rng(seed)
+    n = len(vals)
+    cols = int(rng.integers(1, n + 1))
+    rows = (n + cols - 1) // cols
+    grid = np.zeros((rows, cols), dtype=np.uint8)
+    grid.flat[: n] = vals
+    img = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+    got = decode_jpeg(encode_jpeg_gray(img))
+    assert got is not None and (got == img).all()
+
+
+@given(
+    nframes=st.integers(min_value=1, max_value=5),
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_y4m_roundtrip_property(nframes, w, h, seed):
+    import numpy as np
+
+    from network_iq_spark.operators.video import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(nframes)
+    ]
+    dec = decode_y4m(encode_y4m(frames, fps=(30, 1)))
+    assert dec is not None
+    dw, dh, fps, got = dec
+    assert (dw, dh) == (w, h) and len(got) == nframes
+    for a, b in zip(got, frames):
+        assert (a == b).all()
