@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "url_canonical_dedup",
     "quality_psi_drift",
     "lsh_quality_report",
+    "group_safe_splits",
     # last sampled r1
     "centered_mavg_volume",
     "customers_without_orders",

@@ -2200,6 +2200,68 @@ def q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GSPLIT_HEX = _sql_hex_int(f"md5(source || '{_SPLIT_SALT}')", 12)
+
+
+@register(
+    "group_safe_splits",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST({_GSPLIT_HEX} AS BIGINT) % 10000 AS bucket
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN bucket < 8000 THEN 'train'
+                  WHEN bucket < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    ),
+    leak AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS max_splits_per_source FROM (
+        SELECT source, COUNT(DISTINCT split) AS n FROM assigned GROUP BY source
+      )
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MAX(l.max_splits_per_source) AS max_splits_per_source
+    FROM assigned CROSS JOIN leak l
+    GROUP BY split ORDER BY split
+    """,
+)
+def q_group_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test assignment: the split hash keys on the
+    SOURCE (site/domain), not the document — near-duplicates from the
+    same origin land in the same split, so eval never scores lightly-
+    edited copies of training documents (the leakage mode per-doc
+    hashing, `doc_splits`, cannot prevent). The result carries its own
+    audit column: max_splits_per_source == 1 IS the no-leakage proof,
+    computed in-plan rather than asserted offline. Map-only assignment +
+    two small aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = SA.hash_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=_SPLIT_SALT
+    )
+    leak = (
+        split.select("source", "split")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").cast("bigint").alias("max_splits_per_source"))
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_sources", "max_splits_per_source")
+        .orderBy("split")
+    )
+
+
 _STRAT_RATES = {0: 0.5, 1: 0.25, 2: 0.1}
 _STRAT_HEX = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
 
