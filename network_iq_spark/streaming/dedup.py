@@ -55,3 +55,75 @@ def streaming_exact_dedup(
     return stream.withWatermark(
         event_time_col, watermark_delay
     ).dropDuplicatesWithinWatermark(list(keys))
+
+
+def incremental_near_dup_sink(
+    corpus_path: str,
+    bands_path: str,
+    sets_path: str,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """``foreachBatch`` sink closing the continual-ingest dedup loop AS A
+    STREAM: each micro-batch is near-dup-checked against the AT-REST
+    MinHash-LSH index (operators/dedup.py ``incremental_near_dup`` —
+    O(batch × collision rate), never O(history)); survivors append to the
+    corpus and their band/set rows append to the index, so the next batch
+    sees them.
+
+    This is the scale-correct home for UNBOUNDED dedup state: the
+    watermark-bounded ``streaming_exact_dedup`` keeps state in executor
+    memory and must forget beyond the horizon, while here the "state" is
+    the parquet index itself — unbounded history at parquet cost, shared
+    with the batch tier (same artifacts ``lsh_index`` builds offline).
+
+    Exactly-once effect: every output lands under a ``batch=<id>``
+    partition written with ``overwrite`` of just that partition, so a
+    replayed micro-batch rewrites its own partition instead of appending
+    twice (same discipline as streaming/sink.py, without a key-merge).
+    """
+    from network_iq_spark.operators.dedup import incremental_near_dup, lsh_index
+
+    def _read_or_none(spark, path: str):
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — first batch: no index yet
+            return None
+
+    def _write(df: DataFrame, path: str, batch_id: int) -> None:
+        (
+            df.withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(path)
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        bands = _read_or_none(spark, bands_path)
+        sets = _read_or_none(spark, sets_path)
+        if bands is not None and sets is not None:
+            matches = incremental_near_dup(
+                batch,
+                bands.drop("batch"),
+                sets.drop("batch"),
+                threshold,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            dup_ids = matches.select(
+                F.col("new_doc").alias(id_col)
+            ).distinct()
+            survivors = batch.join(dup_ids, id_col, "left_anti")
+        else:
+            survivors = batch
+        survivors = survivors.localCheckpoint()  # one evaluation, 3 writes
+        new_bands, new_sets = lsh_index(survivors, text_col, id_col)
+        _write(survivors, corpus_path, batch_id)
+        _write(new_bands, bands_path, batch_id)
+        _write(new_sets, sets_path, batch_id)
+
+    return sink

@@ -779,3 +779,82 @@ def test_python_datasource_stream_replayable(spark, tmp_path):
     reader = _TelemetryStreamReader({"rows_per_batch": 50, "seed": 3})
     want = sorted(reader.readBetweenOffsets({"row": 0}, {"row": n}))
     assert got == want
+
+
+def test_incremental_near_dup_sink_streams_against_at_rest_index(spark, tmp_path):
+    """Continual-ingest near-dup AS A STREAM: batch 0 bootstraps the
+    corpus + LSH index; batch 1's near-duplicate of a batch-0 doc is
+    dropped while its novel doc survives and joins the index; replaying
+    batch 1 converges (per-batch partition overwrite, not append); a
+    batch-2 near-dup of the BATCH-1 survivor is caught too (the index
+    grew mid-stream)."""
+    from network_iq_spark.streaming.dedup import incremental_near_dup_sink
+
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    sets = str(tmp_path / "sets")
+    sink = incremental_near_dup_sink(corpus, bands, sets, threshold=0.6)
+
+    base = ("the quick brown fox jumps over the lazy dog again and again today "
+            "while the merry little band of travellers watches from the old hill")
+    nd1 = base.replace("lazy", "sleepy")      # near-dup of doc 1
+    novel = ("completely different words about spark parquet shuffles and joins "
+             "plus executors partitions codegen catalyst and adaptive planning")
+    nd_novel = novel.replace("codegen", "compile")  # near-dup of batch-1 survivor
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sink(docs([(1, base), (2, "some other unrelated text entirely here okay")]), 0)
+    sink(docs([(10, nd1), (11, novel)]), 1)
+
+    def corpus_ids():
+        return sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+
+    assert corpus_ids() == [1, 2, 11]  # 10 dropped as near-dup of 1
+    sink(docs([(10, nd1), (11, novel)]), 1)  # replay converges
+    assert corpus_ids() == [1, 2, 11]
+    sink(docs([(20, nd_novel)]), 2)  # near-dup of the MID-STREAM survivor
+    assert corpus_ids() == [1, 2, 11]
+    # index grew with every surviving batch
+    assert sorted(set(r.doc_id for r in spark.read.parquet(bands).collect())) == [1, 2, 11]
+
+
+def test_incremental_near_dup_sink_with_streaming_source(spark, tmp_path):
+    """End-to-end through a real file-source stream: two availableNow
+    drains, the second re-delivering an overlapping near-dup batch — the
+    at-rest corpus holds exactly the distinct-content docs."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.streaming.dedup import incremental_near_dup_sink
+
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "c2")
+    sink = incremental_near_dup_sink(
+        corpus, str(tmp_path / "b2"), str(tmp_path / "s2"), threshold=0.6
+    )
+    base = ("one two three four five six seven eight nine ten eleven twelve "
+           "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty")
+    spark.createDataFrame(
+        [(1, base)], "doc_id bigint, text string"
+    ).write.mode("append").parquet(src)
+
+    def drain():
+        (
+            spark.readStream.schema("doc_id bigint, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    drain()
+    spark.createDataFrame(
+        [(2, base), (3, "unrelated totally fresh content words here now")],
+        "doc_id bigint, text string",
+    ).write.mode("append").parquet(src)
+    drain()
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 3]  # 2 = duplicate content of 1, dropped mid-stream
