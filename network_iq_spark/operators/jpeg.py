@@ -218,6 +218,9 @@ def decode_jpeg(payload: bytes):
         if data[pos] != 0xFF:
             return None
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (spec allows 0xFF padding runs)
+            pos += 1
+            continue
         if marker == 0xD8:
             pos += 2
             continue

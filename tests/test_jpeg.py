@@ -137,3 +137,18 @@ def test_color_444_decode_neutral_chroma_yields_gray_rgb():
     assert got is not None and got.shape == (16, 16, 3)
     for c in range(3):
         assert (got[:, :, c] == y).all(), c
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """The spec allows runs of 0xFF fill bytes before any marker — real
+    encoders emit them for alignment; a parser that treats 0xFF as a
+    marker id misreads everything after."""
+    img = np.kron(
+        np.array([[50, 200]], dtype=np.uint8), np.ones((8, 8), dtype=np.uint8)
+    )
+    good = encode_jpeg_gray(img)
+    # inject fill bytes before the SOF0 marker
+    idx = good.find(b"\xFF\xC0")
+    padded = good[:idx] + b"\xFF\xFF\xFF" + good[idx:]
+    got = decode_jpeg(padded)
+    assert got is not None and (got == img).all()
