@@ -52,6 +52,8 @@ _VERIFY_FIRST = [
     "quality_psi_drift",
     "lsh_quality_report",
     "group_safe_splits",
+    "dataset_card",
+    "bpe_train_merges",
     # last sampled r1
     "centered_mavg_volume",
     "customers_without_orders",

@@ -814,3 +814,96 @@ def canonical_url(url: Column) -> Column:
         F.lit("")
     )
     return F.concat(scheme, F.lit("://"), host, path, query)
+
+
+def bpe_train_merges(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """LEARN a BPE merge table from the corpus itself — the training half
+    of the tokenizer story (``bpe_segment``/``bpe_token_stats`` apply a
+    merge table; this induces one), implementing the classic
+    Sennrich-et-al./GPT-2 trainer: (1) one corpus-scale pass builds the
+    distinct-word frequency table, (2) each of ``n_merges`` rounds counts
+    adjacent symbol pairs weighted by word frequency (overlaps counted,
+    exactly like the reference ``get_stats``), picks the most frequent
+    pair — ties broken by pair string ascending so the result is total-
+    order deterministic — and merges it greedily leftmost-first in every
+    word.
+
+    Symbol sequences use a marker representation that makes plain
+    ``replace()`` a CORRECT greedy BPE merge: every symbol is prefixed
+    ``|`` and the sequence keeps a trailing space, so the pattern
+    ``'|x |y '`` can only match a whole (x, y) symbol pair (the marker
+    pins the symbol start, the trailing space pins its end) and
+    consecutive occurrences chain ('|a |a |a |a ' -> '|aa |aa ', the
+    textbook greedy result). Both engines' ``replace`` is leftmost-first
+    non-overlapping, so the DuckDB oracle replays the training loop
+    bit-identically as nested CTEs.
+
+    Scale shape: the only corpus-scale work is the word-count pass (one
+    map + one partial-agg shuffle on ``word``); every training round then
+    runs on the compact distinct-word vocabulary — exactly how production
+    BPE trainers stay tractable at 100 TB (vocab is millions of rows when
+    the corpus is billions of documents). Each round's vocabulary is
+    lazily localCheckpoint-ed (the fixed-iteration-loop idiom) so round
+    i+1 consumes a materialized table instead of re-deriving i rounds of
+    lineage; the top-pair pick stays IN-PLAN (1-row broadcast join), no
+    driver collect anywhere.
+    """
+    df = ensure_parallelism(df)
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    vocab = words.select(
+        F.regexp_replace("word", "(.)", "|$1 ").alias("seq"), "cnt"
+    ).localCheckpoint(eager=False)
+    merge_rows = []
+    for rank in range(1, n_merges + 1):
+        pc = (
+            vocab.select(F.split(F.trim(F.col("seq")), " ").alias("_s"), "cnt")
+            .filter(F.size("_s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(_s) - 2), "
+                        "i -> concat(_s[i], ' ', _s[i + 1]))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        )
+        top1 = (
+            pc.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merge_rows.append(
+            top1.select(
+                F.lit(rank).cast("int").alias("rank"),
+                F.expr("substring(split_part(pair, ' ', 1), 2)").alias("left_sym"),
+                F.expr("substring(split_part(pair, ' ', 2), 2)").alias("right_sym"),
+                "pair_count",
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top1.select(F.col("pair").alias("_p"))))
+            .select(
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.col("_p"), F.lit(" ")),
+                    F.concat(
+                        F.replace(F.col("_p"), F.lit(" |"), F.lit("")), F.lit(" ")
+                    ),
+                ).alias("seq"),
+                "cnt",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("rank")
