@@ -166,12 +166,19 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return out.select(*sel, pred.alias("pred_lang"))
 
 
+# Whitespace class shared by every normalization chain AND its DuckDB
+# oracle twin. Java regex \s includes vertical tab (\x0B) while RE2
+# (DuckDB) \s does not, so a bare \s+ silently diverges on documents
+# containing \x0B; this explicit class reads identically on both engines.
+WS_RE = r"[ \t\n\r\f\x0b]+"
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dedup key (F13 analogue: sha-256 content hashing,
     streamlit_app.py:1162-1163)."""
     df = ensure_parallelism(df)
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " ")
     return df.select(id_col, F.md5(norm).alias("fingerprint"))
 
 
@@ -717,17 +724,22 @@ def html_to_text(
         x = F.regexp_replace(x, pat, " ")
     for src, dst in HTML_ENTITIES:
         x = F.replace(x, F.lit(src), F.lit(dst))
-    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    x = F.trim(F.regexp_replace(x, WS_RE, " "))
     return df.withColumn(out_col, x)
 
 
 # A fixed merge table in priority order — REAL byte-pair-encoding merge
 # application (the GPT-2 mechanism) with the training step replaced by a
 # corpus-independent table of common English pairs, so the operator is
-# deterministic and SQL-replayable. Each entry merges the space-separated
-# symbol pair left-to-right, exactly like the reference BPE algorithm's
-# per-word greedy loop: sequential non-overlapping replace() IS the
-# leftmost-first merge ('a a a' -> 'aa a', not 'a aa').
+# deterministic and SQL-replayable. Merges run over the marker
+# representation (every symbol prefixed '|', trailing space kept — the
+# same encoding bpe_train_merges uses) so the pattern '|a |b ' can only
+# match a whole (a, b) symbol pair: the marker pins the symbol start and
+# the trailing space pins its end, so a merge can never glue the tail of
+# a multi-char symbol to the next symbol ('other' segments [o, the, r],
+# never [o, ther]). replace() is leftmost-first non-overlapping on both
+# engines, so consecutive pairs chain like the textbook greedy loop
+# ('|a |a |a ' -> '|aa |a ', not '|a |aa ').
 BPE_MERGES = [
     ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
     ("r", "e"), ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"),
@@ -737,13 +749,16 @@ BPE_MERGES = [
 
 def bpe_segment(word_col: Column) -> Column:
     """Apply the BPE merge table to one lowercase word: explode to
-    space-separated characters, then run each merge as a sequential
-    left-to-right replace. Returns the space-joined symbol string; the
-    BPE token count of the word is its symbol count."""
-    x = F.trim(F.regexp_replace(word_col, "(.)", "$1 "))
+    '|'-marked space-separated characters, run each merge as a
+    sequential left-to-right replace on the marker form ('|a |b ' ->
+    '|ab '), then strip the markers. Returns the space-joined symbol
+    string; the BPE token count of the word is its symbol count.
+    Words are assumed not to contain '|' or spaces (tokens() yields
+    [a-z0-9]+ only)."""
+    x = F.regexp_replace(word_col, "(.)", "|$1 ")
     for a, b in BPE_MERGES:
-        x = F.replace(x, F.lit(f"{a} {b}"), F.lit(a + b))
-    return x
+        x = F.replace(x, F.lit(f"|{a} |{b} "), F.lit(f"|{a}{b} "))
+    return F.trim(F.replace(x, F.lit("|"), F.lit("")))
 
 
 def bpe_token_stats(
@@ -758,10 +773,12 @@ def bpe_token_stats(
     df = ensure_parallelism(df)
     toks = tokens(text_col)
     # the merge chain as SQL text so it can run INSIDE the transform
-    # lambda over the token array (a Column can't cross the lambda scope)
-    seg_sql = "trim(regexp_replace(w, '(.)', '$1 '))"
+    # lambda over the token array (a Column can't cross the lambda
+    # scope); marker representation — see BPE_MERGES comment
+    seg_sql = "regexp_replace(w, '(.)', '|$1 ')"
     for a, b in BPE_MERGES:
-        seg_sql = f"replace({seg_sql}, '{a} {b}', '{a}{b}')"
+        seg_sql = f"replace({seg_sql}, '|{a} |{b} ', '|{a}{b} ')"
+    seg_sql = f"trim({seg_sql})"
     out = df.select(
         id_col,
         toks.alias("_toks"),

@@ -63,7 +63,7 @@ _JACCARD = f"""
     "doc_fingerprints",
     oracle=r"""
     SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+           md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fingerprint
     FROM documents ORDER BY doc_id
     """,
 )
@@ -77,7 +77,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "exact_dedup",
     oracle=r"""
-    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+    SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fingerprint,
            MIN(doc_id) AS keeper,
            COUNT(*) AS n_docs
     FROM documents GROUP BY 1 ORDER BY fingerprint
@@ -714,11 +714,14 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_sql() -> str:
     """DuckDB twin of operators/text.py bpe_token_stats: the identical
-    merge chain (sequential left-to-right replace == leftmost-first BPE
-    merge) inside a list_transform over the word tokens."""
-    seg = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    merge chain (leftmost-first replace over the '|'-marker symbol
+    representation — a marker pins each symbol start, the trailing
+    space its end, so a merge never crosses a symbol boundary) inside a
+    list_transform over the word tokens."""
+    seg = "regexp_replace(w, '(.)', '|\\1 ', 'g')"
     for a, b in T.BPE_MERGES:
-        seg = f"replace({seg}, '{a} {b}', '{a}{b}')"
+        seg = f"replace({seg}, '|{a} |{b} ', '|{a}{b} ')"
+    seg = f"trim({seg})"
     return f"""
     WITH t AS (
       SELECT doc_id, length(text) AS n_chars,
@@ -745,8 +748,9 @@ def _bpe_sql() -> str:
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL byte-pair-encoding merge application (the GPT-2 mechanism,
     fixed public merge table instead of a trained one): every word
-    explodes to characters and the merge list applies left-to-right —
-    sequential non-overlapping replace IS the leftmost-first merge — all
+    explodes to '|'-marked characters and the merge list applies
+    left-to-right on the marker form — boundary-safe leftmost-first
+    greedy merge, same encoding as bpe_train_merges — all
     inside one JVM projection (no Python, no explode; the chain runs in
     a transform lambda over the token array). Output: per-doc BPE token
     count and chars/token, the number a pipeline budgets context length
@@ -784,7 +788,8 @@ def _html_extract_sql() -> str:
         x = "regexp_replace(" + x + ", '" + pat + "', ' ', 'gs')"
     for src, dst in T.HTML_ENTITIES:
         x = "replace(" + x + ", '" + src + "', '" + dst.replace("'", "''") + "')"
-    x = "trim(regexp_replace(" + x + ", '\\s+', ' ', 'g'))"
+    # explicit class, NOT \s: Java \s includes \x0B, RE2 \s does not
+    x = "trim(regexp_replace(" + x + ", '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))"
     return (
         "WITH h AS (SELECT doc_id, "
         "'" + _HTML_PRE1 + "' || CAST(doc_id AS VARCHAR) || "
@@ -2384,7 +2389,7 @@ def _pipeline_final_ctes() -> str:
     qpass AS (SELECT * FROM scored WHERE quality_score >= {_PIPE_QTHR}),
     fps AS (
       SELECT doc_id,
-             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fp
       FROM qpass
     ),
     keepers AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
@@ -2988,7 +2993,7 @@ _INC_THRESHOLD = 0.2
     oracle=rf"""
     WITH fp AS (
       SELECT doc_id,
-             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+             md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fingerprint
       FROM documents
     ),
     fresh AS (
@@ -3528,7 +3533,7 @@ def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fps AS (
       SELECT CAST(COUNT(*) - COUNT(DISTINCT
-               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+               md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')))
              AS BIGINT) AS n_exact_dups
       FROM documents
     ),

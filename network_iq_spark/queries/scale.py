@@ -196,17 +196,17 @@ def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH old_v AS (
       SELECT o_orderkey,
              md5(concat_ws(chr(31),
-                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
-                 o_orderstatus)) AS old_hash
+                 COALESCE(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), chr(0)),
+                 COALESCE(o_orderstatus, chr(0)))) AS old_hash
       FROM orders WHERE o_orderkey % 10 != 0
     ),
     new_v AS (
       SELECT o_orderkey,
              md5(concat_ws(chr(31),
-                 CAST(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                 COALESCE(CAST(CAST(CASE WHEN o_orderpriority = '1-URGENT'
                            THEN o_totalprice + 1.0 ELSE o_totalprice END
-                      AS DECIMAL(12,2)) AS VARCHAR),
-                 o_orderstatus)) AS new_hash
+                      AS DECIMAL(12,2)) AS VARCHAR), chr(0)),
+                 COALESCE(o_orderstatus, chr(0)))) AS new_hash
       FROM orders WHERE o_orderkey % 7 != 0
     )
     SELECT o_orderkey,

@@ -251,7 +251,17 @@ def snapshot_diff(
     k = list(keys)
 
     def hashed(df: DataFrame, side: str) -> DataFrame:
-        h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cmp_cols]))
+        # concat_ws SKIPS nulls, so without the coalesce ('a', NULL) and
+        # (NULL, 'a') hash identically and a real change would be
+        # classified unchanged and dropped. The NUL sentinel keeps NULL
+        # position in the hash; \x00 cannot appear in a cast-to-string
+        # value of any non-binary type.
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cmp_cols],
+            )
+        )
         return df.select(*k, h.alias(f"{side}_hash"))
 
     joined = hashed(old, "old").join(hashed(new, "new"), k, "full_outer")

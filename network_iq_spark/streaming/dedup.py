@@ -35,7 +35,9 @@ def with_content_fingerprint(
     """md5 over whitespace-normalized lowercase text — identical to the
     batch ``operators.text.fingerprint`` key, usable on a stream (pure
     map, no state)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    from network_iq_spark.operators.text import WS_RE
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " ")
     return df.withColumn(out, F.md5(norm))
 
 
@@ -86,10 +88,19 @@ def incremental_near_dup_sink(
     from network_iq_spark.operators.dedup import incremental_near_dup, lsh_index
 
     def _read_or_none(spark, path: str):
-        try:
-            return spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — first batch: no index yet
+        # Distinguish "no index yet" (first batch — legitimate None) from
+        # a genuine read failure: a transient storage/permission error
+        # swallowed here would silently disable near-dup checking for the
+        # batch and admit duplicates permanently. Probe existence through
+        # the Hadoop FileSystem API (the sink.py idiom — correct on
+        # hdfs:// and s3a:// where a driver-local os.path check is not)
+        # and let read errors on an EXISTING path propagate, failing the
+        # micro-batch so the engine retries it.
+        p = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not bool(fs.exists(p)):
             return None
+        return spark.read.parquet(path)
 
     def _write(df: DataFrame, path: str, batch_id: int) -> None:
         (

@@ -128,6 +128,27 @@ def test_bpe_segment_leftmost_first_merges(spark):
     assert rows[2].n_bpe_tokens == 0 and rows[2].chars_per_token == 0.0
 
 
+def test_bpe_segment_marker_boundary_safety(spark):
+    """A merge pattern must never glue the TAIL of a multi-char symbol
+    to the next symbol — the failure mode of unmarked space-separated
+    replace, where 'e r' matched across a boundary ('other' -> [o, ther]
+    and 'there' -> [there]). With the '|'-marker representation the true
+    greedy results come out."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.operators.text import bpe_segment
+
+    df = spark.createDataFrame([("other",), ("there",), ("here",)], ["w"])
+    got = {r.w: r.seg for r in df.select("w", bpe_segment(F.col("w")).alias("seg")).collect()}
+    # other: t h -> th; th e -> the => o the r (never [o, ther])
+    assert got["other"] == "o the r"
+    # there: th; the; then r e -> re => the re (never one symbol [there])
+    assert got["there"] == "the re"
+    # here: e r fires on the FIRST e (h er e); 'er' tail is not a
+    # standalone r, so r-e cannot fire afterwards
+    assert got["here"] == "h er e"
+
+
 def test_canonical_url_variants_collapse(spark):
     """The canonicalization chain must merge case/port/fragment/tracking/
     slash variants and keep param ORDER-insensitivity, without merging

@@ -101,6 +101,40 @@ def test_read_csv_split_quarantines_malformed_lines(spark, tmp_path):
     assert crows[0].src_file.endswith("feed.csv")
 
 
+def test_read_csv_split_corrupt_scan_requires_all_columns(spark, tmp_path):
+    """Plan-level guard for the corrupt probe's full-width parse: the
+    corrupt side anchors every data column in the required set via a
+    concat_ws the optimizer can't prove away (ingest.py). If a future
+    Spark version constant-folds it, the scan would re-prune to the lone
+    corrupt column — silently missing corruption in unreferenced columns
+    or resurrecting QUERY_ONLY_CORRUPT_RECORD_COLUMN. Assert the
+    ReadSchema of the most aggressively pruned consumer (a bare count,
+    which discards the projection entirely) still reads every column."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from network_iq_spark.ingest import read_csv_split
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    p = tmp_path / "feed.csv"
+    p.write_text("id,name,score\n1,alpha,0.5\n2,beta,bad\n")
+    _, corrupt = read_csv_split(spark, str(p), schema)
+    plan = (
+        corrupt.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+    )
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    for col in ("id", "name", "score"):
+        assert col in read[0], (col, read[0])
+    # and the probe still works end-to-end under that pruning
+    assert corrupt.count() == 1
+
+
 def test_read_evolved_parquet_merges_additive_schemas(spark, tmp_path):
     """Generation 1 lacks the column generation 2 added: the merged scan
     exposes the union schema with nulls for pre-evolution rows."""

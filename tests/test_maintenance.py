@@ -319,3 +319,23 @@ def test_snapshot_diff_classifies_added_removed_changed(spark):
         for r in snapshot_diff(old, new, keys=["k"], compare_cols=["s"]).collect()
     }
     assert got2 == {1: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_position_participates_in_hash(spark):
+    """concat_ws skips NULLs, so without the coalesce-to-sentinel
+    ('a', NULL) and (NULL, 'a') would hash identically and a real change
+    would vanish from the diff; a value moving between NULL and non-NULL
+    likewise must classify as changed."""
+    from network_iq_spark.sources.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "x", "y"), (3, None, None)],
+        "k bigint, c1 string, c2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, None, "a"), (2, "x", "y"), (3, None, "")],
+        "k bigint, c1 string, c2 string",
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    # 1: NULL swapped columns; 3: NULL -> empty string — both real changes
+    assert got == {1: "changed", 3: "changed"}
