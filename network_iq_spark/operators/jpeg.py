@@ -5,8 +5,11 @@ codec; this container has none, so the baseline-DCT path is implemented
 directly from the JPEG spec (ITU-T T.81): marker parse, canonical Huffman
 decode, dequantize, de-zigzag, float64 IDCT, level shift. Supported:
 8-bit baseline sequential, 1-component grayscale and 3-component YCbCr
-without chroma subsampling (4:4:4), with restart markers. Progressive,
-arithmetic coding, 12-bit, and subsampled chroma return ``None`` — the
+with sampling factors 1 or 2 per axis — 4:4:4, 4:2:2, and 4:2:0 (the
+dominant format of real crawled corpora; chroma planes decode at their
+own resolution per the interleaved-MCU order of §A.2.3 and upsample by
+sample replication before the color transform), with restart markers.
+Progressive, arithmetic coding, and 12-bit return ``None`` — the
 caller falls back to the metadata-only path, never garbage pixels.
 
 The encoder exists so the distributed pipeline can be exercised end to
@@ -201,7 +204,12 @@ def _receive_extend(r: _BitReader, size: int) -> int | None:
 def decode_jpeg(payload: bytes):
     """Baseline JPEG bytes → uint8 ndarray (H×W gray, H×W×3 RGB), or
     ``None`` for anything outside the supported subset (progressive,
-    subsampled chroma, 12-bit, arithmetic, truncated or corrupt data)."""
+    12-bit, arithmetic, sampling factors >2, truncated or corrupt
+    data). 4:2:0 / 4:2:2 chroma subsampling decodes for real: blocks
+    arrive in interleaved-MCU order (§A.2.3 — per MCU, each component
+    contributes its h×v blocks top-to-bottom, left-to-right), chroma
+    planes reconstruct at their own resolution and upsample by sample
+    replication before the YCbCr transform."""
     data = bytes(payload)
     if len(data) < 4 or data[:2] != b"\xFF\xD8":
         return None
@@ -209,7 +217,7 @@ def decode_jpeg(payload: bytes):
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (h, w, comps) with comps = [(cid, qid)]
+    frame = None  # (h, w, comps) with comps = [(cid, hi, vi, qid)]
     comp_tables: dict[int, tuple[int, int]] = {}
     restart_interval = 0
     scan_order: list[int] = []
@@ -261,9 +269,10 @@ def decode_jpeg(payload: bytes):
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                if hv != 0x11:
-                    return None  # subsampled: out of subset
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    return None  # sampling factors >2: out of subset
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline frame types
@@ -286,63 +295,86 @@ def decode_jpeg(payload: bytes):
         return None
 
     h, w, comps = frame
-    if [cid for cid, _ in comps] != scan_order:
+    if [cid for cid, _, _, _ in comps] != scan_order:
         return None
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    # A single-component scan is NON-interleaved per §A.2.2: the MCU is one
+    # block and the declared sampling factors don't partition the data —
+    # normalize them to 1×1 so the generic loop below walks the component's
+    # own block grid (also the historic grayscale behavior of this decoder).
+    if len(comps) == 1:
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    h_max = max(hi for _, hi, _, _ in comps)
+    v_max = max(vi for _, _, vi, _ in comps)
+    mcux = (w + 8 * h_max - 1) // (8 * h_max)
+    mcuy = (h + 8 * v_max - 1) // (8 * v_max)
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for _, hi, vi, _ in comps
+    ]
     reader = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 if not reader.align_and_consume_rst():
                     return None
                 pred = [0] * len(comps)
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
                 tdc, tac = comp_tables.get(cid, (0, 0))
                 if tdc not in huff_dc or tac not in huff_ac or tq not in qt:
                     return None
-                size = reader.huff(huff_dc[tdc])
-                if size is None:
-                    return None
-                diff = _receive_extend(reader, size)
-                if diff is None:
-                    return None
-                pred[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.huff(huff_ac[tac])
-                    if rs is None:
-                        return None
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        return None
-                    v = _receive_extend(reader, size)
-                    if v is None:
-                        return None
-                    zz[k] = v
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[ZIGZAG] = zz * qt[tq]
-                b8 = block.reshape(8, 8)
-                pix = _DCT.T @ b8 @ _DCT  # inverse DCT (orthonormal)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+                for vy in range(vi):
+                    for vx in range(hi):
+                        size = reader.huff(huff_dc[tdc])
+                        if size is None:
+                            return None
+                        diff = _receive_extend(reader, size)
+                        if diff is None:
+                            return None
+                        pred[ci] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(huff_ac[tac])
+                            if rs is None:
+                                return None
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                return None
+                            v = _receive_extend(reader, size)
+                            if v is None:
+                                return None
+                            zz[k] = v
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = zz * qt[tq]
+                        b8 = block.reshape(8, 8)
+                        pix = _DCT.T @ b8 @ _DCT  # inverse DCT (orthonormal)
+                        py = (my * vi + vy) * 8
+                        px = (mx * hi + vx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = pix
             mcu += 1
 
-    imgs = [
-        np.clip(np.round(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
-        for p in planes
-    ]
+    # per-component upsample to full resolution (sample replication —
+    # nearest-neighbor, the deterministic choice a SQL twin can mirror),
+    # then crop the MCU padding and level-shift
+    imgs = []
+    for (cid, hi, vi, tq), p in zip(comps, planes):
+        if vi != v_max:
+            p = np.repeat(p, v_max // vi, axis=0)
+        if hi != h_max:
+            p = np.repeat(p, h_max // hi, axis=1)
+        imgs.append(
+            np.clip(np.round(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+        )
     if len(imgs) == 1:
         return imgs[0]
     # YCbCr (BT.601 full-range, the JFIF convention) → RGB
@@ -356,8 +388,63 @@ def decode_jpeg(payload: bytes):
 
 
 # ---------------------------------------------------------------------------
-# Encoder (grayscale baseline; quant table configurable)
+# Encoder (baseline; quant table configurable)
 # ---------------------------------------------------------------------------
+
+
+def _encode_block(
+    writer: _BitWriter,
+    blk: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """FDCT → quantize → Huffman-encode one level-shifted 8×8 block;
+    returns the new DC predictor."""
+    coeff = _DCT @ blk @ _DCT.T
+    zz = np.round(coeff.reshape(64)[ZIGZAG] / q).astype(np.int64)
+    diff = int(zz[0]) - pred
+    size = int(diff).bit_length() if diff != 0 else 0
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        v = diff if diff > 0 else diff + (1 << size) - 1
+        writer.write(v, size)
+    run = 0
+    last_nz = max([k for k in range(1, 64) if zz[k] != 0], default=0)
+    for k in range(1, 64):
+        if k > last_nz:
+            c, ln = ac_codes[0x00]  # EOB
+            writer.write(c, ln)
+            break
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            writer.write(c, ln)
+            run -= 16
+        v = int(zz[k])
+        size = abs(v).bit_length()
+        c, ln = ac_codes[(run << 4) | size]
+        writer.write(c, ln)
+        bitsv = v if v > 0 else v + (1 << size) - 1
+        writer.write(bitsv, size)
+        run = 0
+    return int(zz[0])
+
+
+def _pad_replicate(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pad to (out_h, out_w) by edge replication so block DCTs stay tame."""
+    h, w = plane.shape
+    out = np.zeros((out_h, out_w), dtype=np.float64)
+    out[:h, :w] = plane
+    if h < out_h:
+        out[h:, :w] = out[h - 1 : h, :w]
+    if w < out_w:
+        out[:, w:] = out[:, w - 1 : w]
+    return out
 
 
 def encode_jpeg_gray(img, quant: int | np.ndarray = 1, restart_interval: int = 0) -> bytes:
@@ -394,13 +481,7 @@ def encode_jpeg_gray(img, quant: int | np.ndarray = 1, restart_interval: int = 0
     out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
 
     bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    padded = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
-    padded[:h, :w] = img.astype(np.float64)
-    # replicate edges into the pad so block DCTs stay tame
-    if h < bh_ * 8:
-        padded[h:, :w] = padded[h - 1 : h, :w]
-    if w < bw_ * 8:
-        padded[:, w:] = padded[:, w - 1 : w]
+    padded = _pad_replicate(img.astype(np.float64), bh_ * 8, bw_ * 8)
 
     writer = _BitWriter()
     pred = 0
@@ -416,37 +497,109 @@ def encode_jpeg_gray(img, quant: int | np.ndarray = 1, restart_interval: int = 0
                 rst += 1
                 pred = 0
             blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coeff = _DCT @ blk @ _DCT.T
-            zz = np.round(coeff.reshape(64)[ZIGZAG] / q).astype(np.int64)
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            size = int(diff).bit_length() if diff != 0 else 0
-            code, length = dc_codes[size]
-            writer.write(code, length)
-            if size:
-                v = diff if diff > 0 else diff + (1 << size) - 1
-                writer.write(v, size)
-            run = 0
-            last_nz = max([k for k in range(1, 64) if zz[k] != 0], default=0)
-            for k in range(1, 64):
-                if k > last_nz:
-                    c, ln = ac_codes[0x00]  # EOB
-                    writer.write(c, ln)
-                    break
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[0xF0]  # ZRL
-                    writer.write(c, ln)
-                    run -= 16
-                v = int(zz[k])
-                size = abs(v).bit_length()
-                c, ln = ac_codes[(run << 4) | size]
-                writer.write(c, ln)
-                bitsv = v if v > 0 else v + (1 << size) - 1
-                writer.write(bitsv, size)
-                run = 0
+            pred = _encode_block(writer, blk, q, pred, dc_codes, ac_codes)
+            mcu += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def encode_jpeg_ycbcr(
+    img,
+    sampling: tuple = ((2, 2), (1, 1), (1, 1)),
+    quant: int | np.ndarray = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 H×W×3 **YCbCr** → interleaved baseline JPEG bytes with
+    per-component sampling factors — default (2,2),(1,1),(1,1) = 4:2:0,
+    the dominant layout of real crawled corpora; (1,1)×3 gives 4:4:4 and
+    ((2,1),(1,1),(1,1)) gives 4:2:2.
+
+    The input is YCbCr directly (JFIF full-range), NOT RGB: skipping the
+    forward color transform is what preserves the constant-block
+    exactness contract — chroma downsampling is a box mean (exact on
+    regions constant per chroma block), and a constant 8×8 block is
+    DC-only, so with the default step-1 quantization it survives
+    encode→decode bit-exactly. With Cb=Cr=128 the decoder's BT.601
+    inverse returns R=G=B=Y with zero float error, which is what lets a
+    SQL oracle replay a LOSSY 4:2:0 round trip integer-exactly
+    (queries/llmdata.py ``decoded_jpeg420_stats``). All components share
+    quantization table 0 and the Annex-K luminance Huffman pair —
+    smaller than a camera's two-table layout but fully spec-valid.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, nc = img.shape
+    assert nc == 3 and len(sampling) == 3
+    samp = [(int(sh), int(sv)) for sh, sv in sampling]
+    for sh, sv in samp:
+        if sh not in (1, 2) or sv not in (1, 2):
+            raise ValueError(f"sampling factors must be 1 or 2, got {samp}")
+    h_max = max(sh for sh, _ in samp)
+    v_max = max(sv for _, sv in samp)
+    q = (
+        np.full(64, int(quant), dtype=np.int64)
+        if np.isscalar(quant)
+        else np.asarray(quant, dtype=np.int64).reshape(64)
+    )
+    dc_codes = _encode_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _encode_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC0, sof)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    mcux = (w + 8 * h_max - 1) // (8 * h_max)
+    mcuy = (h + 8 * v_max - 1) // (8 * v_max)
+    # full-res pad to the MCU grid, then box-mean down to each
+    # component's own resolution (exact on constant chroma regions)
+    planes = []
+    for ci, (sh, sv) in enumerate(samp):
+        full = _pad_replicate(
+            img[:, :, ci].astype(np.float64), mcuy * v_max * 8, mcux * h_max * 8
+        )
+        fy, fx = v_max // sv, h_max // sh
+        if fy > 1 or fx > 1:
+            fh, fw = full.shape
+            full = full.reshape(fh // fy, fy, fw // fx, fx).mean(axis=(1, 3))
+        planes.append(full)
+
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                out += writer.out
+                writer = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred = [0, 0, 0]
+            for ci, (sh, sv) in enumerate(samp):
+                for vy in range(sv):
+                    for vx in range(sh):
+                        py = (my * sv + vy) * 8
+                        px = (mx * sh + vx) * 8
+                        blk = planes[ci][py : py + 8, px : px + 8] - 128.0
+                        pred[ci] = _encode_block(
+                            writer, blk, q, pred[ci], dc_codes, ac_codes
+                        )
             mcu += 1
     writer.flush()
     out += writer.out

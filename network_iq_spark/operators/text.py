@@ -173,13 +173,19 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 WS_RE = r"[ \t\n\r\f\x0b]+"
 
 
+def fingerprint_col(text_col: str = "text") -> Column:
+    """The exact-dedup key as a bare Column (md5 of whitespace-normalized
+    lowercase text), for fusing into a wider per-doc stat grain without a
+    projection + re-join."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " "))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dedup key (F13 analogue: sha-256 content hashing,
     streamlit_app.py:1162-1163)."""
     df = ensure_parallelism(df)
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " ")
-    return df.select(id_col, F.md5(norm).alias("fingerprint"))
+    return df.select(id_col, fingerprint_col(text_col).alias("fingerprint"))
 
 
 def repetition_stats(

@@ -1914,6 +1914,221 @@ def q_decoded_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+_J420_MCUS = 2  # 2x2 grid of constant 16x16 MCUs -> 32x32 color image
+_J420_OUT = 2
+# survivors for 32 -> 2: floor((i+0.5)*32/2) -> rows/cols {8, 24}; pixel
+# (8,8) lands in MCU (0,0), (8,24) in (0,1), ... — the resample picks the
+# 4 MCU luma constants, and with neutral chroma R=G=B=Y so each counts 3×
+
+
+@register(
+    "decoded_jpeg420_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_J420_OUT} AS out_w, {_J420_OUT} AS out_h,
+           3 * (px[1] + px[2] + px[3] + px[4]) AS px_sum,
+           CAST(3 * (px[1] + px[2] + px[3] + px[4]) AS DOUBLE)
+             / {_J420_OUT * _J420_OUT * 3}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled JPEG — the dominant format of real crawled
+    corpora (VERDICT r7 top-next; previously these files fell to the
+    metadata-only path). Embedding dims 1–4 become the luma constants of
+    a 2×2 grid of 16×16 MCUs (32×32), chroma held at neutral 128, encoded
+    as a REAL interleaved 3-component 4:2:0 baseline JPEG
+    (operators/jpeg.py encode_jpeg_ycbcr: per-component sampling factors,
+    restart markers every 2 MCUs) and decoded by the full §A.2.3
+    interleaved-MCU walk — 4 luma + 1 Cb + 1 Cr blocks per MCU, chroma
+    reconstructed at quarter resolution, replication-upsampled, BT.601
+    inverse — inside the distributed resize stage. Constant-per-MCU luma
+    keeps every block DC-only (step-1 quantization → bit-exact through
+    the lossy path) and neutral chroma makes the color transform exact
+    (R=G=B=Y, zero float error), so the DuckDB oracle hash-replays a
+    LOSSY SUBSAMPLED round trip without inflating a JPEG: the 32×32→2×2
+    center-aligned resample picks pixel (8,8) of each MCU — the MCU
+    constant — tripled across the RGB channels. Any defect in the
+    sampling-factor parse, MCU block order, chroma upsample, restart
+    handling, or color transform shifts a value and breaks the hash.
+    MAP-ONLY before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.jpeg import encode_jpeg_ycbcr
+    from network_iq_spark.operators.multimodal import decode_image
+
+    side = _J420_MCUS * 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        ones = np.ones((16, 16), dtype=np.uint8)
+        for pdf in it:
+            payloads = []
+            for p in pdf["px"]:
+                y = np.kron(
+                    np.asarray(list(p), dtype=np.uint8).reshape(
+                        _J420_MCUS, _J420_MCUS
+                    ),
+                    ones,
+                )
+                ycc = np.stack(
+                    [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
+                )
+                payloads.append(encode_jpeg_ycbcr(ycc, restart_interval=2))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _J420_OUT, _J420_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_J420_OUT * _J420_OUT * 3) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
+@register(
+    "media_contract",
+    oracle="""
+    WITH c AS (SELECT vec_id % 6 AS fi, COUNT(*) AS n FROM embeddings GROUP BY 1),
+    g AS (
+      SELECT CASE WHEN fi IN (0, 5) THEN 'png'
+                  WHEN fi IN (1, 2, 3) THEN 'jpeg'
+                  ELSE 'pnm' END AS format,
+             SUM(n) AS n_rows,
+             SUM(CASE WHEN fi IN (0, 1, 2, 4) THEN n ELSE 0 END) AS n_decoded,
+             SUM(CASE WHEN fi IN (3, 5) THEN n ELSE 0 END) AS n_fallback,
+             SUM(CASE WHEN fi = 5 THEN n ELSE 0 END) AS n_misdeclared
+      FROM c GROUP BY 1
+    )
+    SELECT format,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_decoded AS BIGINT) AS n_decoded,
+           CAST(n_fallback AS BIGINT) AS n_fallback,
+           CAST(n_misdeclared AS BIGINT) AS n_misdeclared,
+           CAST(n_decoded AS DOUBLE) / n_rows AS decode_rate
+    FROM g ORDER BY format
+    """,
+)
+def q_media_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode contract — the quarantine census for binary columns
+    (VERDICT r7 item 2): which declared formats REALLY decode vs silently
+    fall back to the metadata-only path, as a shipped per-format number
+    (the media twin of contract_quarantine_summary; same governance move
+    as lsh_quality_report). The corpus is a deterministic six-way format
+    mix built from embeddings (vec_id % 6): a real PNG, a baseline 4:4:4
+    JPEG, a 4:2:0 chroma-subsampled JPEG (decodable as of the r8 codec —
+    previously the dominant real-world format fell through), a
+    PROGRESSIVE JPEG (SOF2 — outside the baseline subset, must fall
+    back, never garbage), a PNM, and a row DECLARED png whose payload is
+    raw text (misdeclared + fallback). Every payload is probed with the
+    actual decode_image inside Arrow batches
+    (operators/multimodal.py media_decode_contract: map-only probe + one
+    O(#formats) aggregate), so a codec regression shifts a count and
+    breaks the hash — the oracle states the EXPECTED coverage and the
+    engine has to earn it."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.jpeg import encode_jpeg_gray, encode_jpeg_ycbcr
+    from network_iq_spark.operators.multimodal import (
+        encode_png,
+        encode_pnm,
+        media_decode_contract,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        ones8 = np.ones((8, 8), dtype=np.uint8)
+        ones16 = np.ones((16, 16), dtype=np.uint8)
+        for pdf in it:
+            payloads, declared = [], []
+            for vid, p in zip(pdf["media_id"], pdf["px"]):
+                g = np.asarray(list(p), dtype=np.uint8).reshape(2, 2)
+                fi = int(vid) % 6
+                if fi == 0:
+                    payloads.append(encode_png(np.kron(g, ones8)))
+                    declared.append("png")
+                elif fi == 1:
+                    payloads.append(encode_jpeg_gray(np.kron(g, ones8)))
+                    declared.append("jpeg")
+                elif fi == 2:
+                    y = np.kron(g, ones16)
+                    ycc = np.stack(
+                        [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
+                    )
+                    payloads.append(encode_jpeg_ycbcr(ycc))
+                    declared.append("jpeg")
+                elif fi == 3:
+                    b = bytearray(encode_jpeg_gray(np.kron(g, ones8)))
+                    idx = b.find(b"\xFF\xC0")
+                    b[idx + 1] = 0xC2  # baseline -> progressive frame
+                    payloads.append(bytes(b))
+                    declared.append("jpeg")
+                elif fi == 4:
+                    payloads.append(encode_pnm(np.kron(g, ones8)))
+                    declared.append("pnm")
+                else:
+                    payloads.append(f"not an image {vid}".encode())
+                    declared.append("png")  # misdeclared on purpose
+            yield pd.DataFrame(
+                {"payload": payloads, "declared_format": declared}
+            )
+
+    media = src.mapInPandas(
+        build, schema="payload binary, declared_format string"
+    )
+    return media_decode_contract(media).orderBy("format")
+
+
 _WAV_RATE, _WAV_DECIM = 8000, 2
 _WAV_QUANT_SQL = (
     "list_transform(embedding::DOUBLE[], x -> CAST(floor("
@@ -3563,48 +3778,66 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean quality (order-independent quantized mean — the dsum pattern),
     and the split sizes of the hash-keyed train/val/test assignment.
     Each stat is hash-replayed by the oracle, so the published card is
-    VERIFIED, not vibes. Single-node note: the scans per stat family are
-    independent map-only passes; a 100 TB deployment materializes the
-    per-doc stat grain once (the pipeline tables) and rolls this card up
-    incrementally from it."""
+    VERIFIED, not vibes.
+
+    100 TB shape (r8, VERDICT r7 item 6 — previously six independent
+    corpus scans): ONE pass computes the per-doc stat grain — fused
+    quality score (with_quality_score, zero-shuffle), fingerprint
+    column, split assignment — and ``localCheckpoint`` materializes it;
+    all six stat families, including the MinHash near-dup pipeline, roll
+    up from that materialized grain instead of re-reading the corpus
+    (Spark does not reuse exchange subtrees across a diamond, so without
+    the checkpoint each branch would re-scan — the measured rule from
+    SCALE.md). In production the grain IS the pipeline's per-doc stats
+    table, written once per release and rolled up incrementally."""
     from network_iq_spark.functions import davg
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.agg(
+    grain = SA.hash_split(
+        T.with_quality_score(docs),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt=_SPLIT_SALT,
+    )
+    grain = grain.select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_tokens",
+        "quality_score",
+        "split",
+        T.fingerprint_col("text").alias("fingerprint"),
+    ).localCheckpoint(eager=False)
+    base = grain.agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(T.tokens("text"))).cast("bigint").alias("total_words"),
+        F.sum("n_tokens").cast("bigint").alias("total_words"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
     )
     wl = Window.orderBy(F.col("n").desc(), F.col("lang").asc())
     top_l = (
-        docs.groupBy("lang")
+        grain.groupBy("lang")
         .agg(F.count("*").alias("n"))
         .withColumn("rk", F.row_number().over(wl))
         .filter(F.col("rk") == 1)
         .select(F.col("lang").alias("top_lang"))
     )
-    fps = T.fingerprint(docs).agg(
+    fps = grain.agg(
         (F.count("*") - F.countDistinct("fingerprint"))
         .cast("bigint")
         .alias("n_exact_dups")
     )
     nd = (
         D.minhash_lsh_pairs(
-            docs,
+            grain,
             threshold=_MH_PROD_THRESHOLD,
             n_bands=_MH_PROD_BANDS,
             rows_per_band=_MH_PROD_ROWS,
         )
         .agg(F.count("*").cast("bigint").alias("near_dup_pairs"))
     )
-    mq = T.quality_score(docs).agg(
-        davg("quality_score", 6).alias("mean_quality")
-    )
+    mq = grain.agg(davg("quality_score", 6).alias("mean_quality"))
     sp = (
-        SA.hash_split(
-            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
-            salt=_SPLIT_SALT,
-        )
+        grain
         .agg(
             F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
             .cast("bigint")

@@ -18,6 +18,7 @@ from network_iq_spark.operators.jpeg import (
     _encode_codes,
     decode_jpeg,
     encode_jpeg_gray,
+    encode_jpeg_ycbcr,
 )
 from network_iq_spark.operators.multimodal import decode_image
 
@@ -152,3 +153,77 @@ def test_fill_bytes_before_markers_are_skipped():
     padded = good[:idx] + b"\xFF\xFF\xFF" + good[idx:]
     got = decode_jpeg(padded)
     assert got is not None and (got == img).all()
+
+
+def _mcu_const_luma(vals: np.ndarray) -> np.ndarray:
+    """2×2 grid of 16×16 constant MCUs from a 2×2 value array."""
+    return np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+
+
+def test_420_constant_mcu_neutral_chroma_roundtrips_exactly():
+    """4:2:0: luma constant per 16×16 MCU, chroma neutral (128) — every
+    block DC-only at step-1 quantization, so the LOSSY round trip is
+    bit-exact and RGB == Y replicated (the oracle-bearing property of
+    decoded_jpeg420_stats). Restart markers every 2 MCUs on top."""
+    vals = np.array([[10, 200], [90, 255]], dtype=np.uint8)
+    y = _mcu_const_luma(vals)
+    img = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1)
+    got = decode_jpeg(encode_jpeg_ycbcr(img, restart_interval=2))
+    assert got is not None and got.shape == (32, 32, 3)
+    for c in range(3):
+        assert (got[:, :, c] == y).all(), c
+
+
+def test_420_nonzero_chroma_matches_direct_bt601():
+    """Chroma constant per chroma block (here: globally) decodes through
+    the subsampled plane + replication-upsample + BT.601 inverse to
+    exactly the values the float formula predicts — the chroma path
+    carries real signal, not just neutral 128s."""
+    y = _mcu_const_luma(np.array([[40, 180], [90, 220]], dtype=np.uint8))
+    cb = np.full_like(y, 200)
+    cr = np.full_like(y, 60)
+    got = decode_jpeg(encode_jpeg_ycbcr(np.stack([y, cb, cr], axis=-1)))
+    yf, cbf, crf = y.astype(np.float64), cb - 128.0, cr - 128.0
+    exp = np.stack(
+        [
+            np.clip(np.round(yf + 1.402 * crf), 0, 255),
+            np.clip(np.round(yf - 0.344136 * cbf - 0.714136 * crf), 0, 255),
+            np.clip(np.round(yf + 1.772 * cbf), 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    assert (got == exp).all()
+
+
+def test_422_and_444_sampling_layouts_decode():
+    """The same generic MCU walk handles 4:2:2 (2×1 luma) and 4:4:4
+    through encode_jpeg_ycbcr's sampling parameter."""
+    y = _mcu_const_luma(np.array([[10, 200], [90, 255]], dtype=np.uint8))
+    img = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1)
+    for sampling in (((2, 1), (1, 1), (1, 1)), ((1, 1), (1, 1), (1, 1))):
+        got = decode_jpeg(encode_jpeg_ycbcr(img, sampling=sampling))
+        assert got is not None and (got[:, :, 0] == y).all(), sampling
+
+
+def test_420_crops_non_mcu_aligned_dimensions():
+    """20×28 is not a multiple of the 16×16 MCU: the encoder pads by
+    edge replication, the decoder must crop back to the declared size."""
+    y = _mcu_const_luma(np.array([[7, 130], [60, 250]], dtype=np.uint8))[:20, :28]
+    img = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1)
+    got = decode_jpeg(encode_jpeg_ycbcr(img))
+    assert got is not None and got.shape == (20, 28, 3)
+    assert (got[:, :, 0] == y).all()
+
+
+def test_rejects_sampling_factors_above_two():
+    """h or v of 3/4 is spec-legal but outside the subset — must return
+    None (metadata fallback), never garbage pixels."""
+    y = _mcu_const_luma(np.array([[10, 200], [90, 255]], dtype=np.uint8))
+    img = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1)
+    good = encode_jpeg_ycbcr(img)
+    bad = bytearray(good)
+    idx = bad.find(b"\xFF\xC0")
+    # marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) then hv at idx+11
+    assert bad[idx + 11] == 0x22
+    bad[idx + 11] = 0x41  # h=4
+    assert decode_jpeg(bytes(bad)) is None

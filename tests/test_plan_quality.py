@@ -382,3 +382,56 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
         if "CartesianProduct" in _plan(spark, name):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_dataset_card_single_grain_scan(spark):
+    """dataset_card's 100 TB shape (r8): ONE corpus pass materializes the
+    per-doc stat grain (localCheckpoint) and every stat family — volume,
+    top-lang, exact-dup, MinHash near-dup, quality mean, splits — rolls
+    up from it. The executed plan must contain NO parquet scan (the only
+    corpus read happens inside the grain materialization); a regression
+    back to per-family corpus scans reintroduces six reads of a 100 TB
+    table for a one-row card."""
+    plan = _plan(spark, "dataset_card")
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert "ExistingRDD" in plan  # the materialized grain feeds the card
+
+
+def test_pq_tier_collects_only_model_artifacts(spark):
+    """PQ/IVF-PQ collect budget (VERDICT r7 item 3): `pq_codebook` /
+    `pq_encode` / `assign_np_l2` ship centroids and codewords into the
+    UDF closure on a "bounded model artifact" argument — m·k codebook
+    rows and n_cells centroid rows, never corpus rows. Make that bound a
+    standing assertion like the semantic-dedup √k spy: across plan build
+    AND execution of the whole PQ query family, no single driver-side
+    collect may exceed the m·k codebook size (512). Runs at sf0.1 — the
+    one SF where corpus (5000) strictly exceeds the budget, so a
+    regression that collects per-vector data cannot hide inside the
+    artifact bound (at sf0.01 the 500-row corpus is SMALLER than the
+    codebook and the spy couldn't discriminate)."""
+    from unittest import mock
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from network_iq_spark.queries.llmdata import _PQ_K, _PQ_M
+    from network_iq_spark.sources import load_table
+
+    sf_dir = "/root/testdata/sf0.1"
+    budget = _PQ_M * _PQ_K  # 512: the codebook, the largest legal artifact
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    assert budget < corpus_n  # the spy can tell artifact from data
+
+    collected_sizes: list[int] = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        rows = real_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    with mock.patch.object(DataFrame, "collect", spy):
+        for name in ("ann_pq_adc_topk", "ann_pq_rerank_topk", "ann_ivfpq_topk"):
+            out = QUERIES[name](spark, sf_dir)
+            assert out.count() > 0, name
+    assert collected_sizes, "expected codebook/centroid artifact collects"
+    assert max(collected_sizes) <= budget, collected_sizes
