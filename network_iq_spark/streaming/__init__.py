@@ -1,3 +1,4 @@
+from network_iq_spark.streaming.ann import incremental_ann_search_sink
 from network_iq_spark.streaming.dedup import (
     streaming_exact_dedup,
     with_content_fingerprint,
@@ -16,6 +17,7 @@ from network_iq_spark.streaming.sessions import streaming_sessionize
 
 __all__ = [
     "enrich_stream",
+    "incremental_ann_search_sink",
     "idempotent_upsert_sink",
     "interval_join_streams",
     "latest_per_key",

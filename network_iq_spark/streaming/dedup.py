@@ -59,6 +59,40 @@ def streaming_exact_dedup(
     ).dropDuplicatesWithinWatermark(list(keys))
 
 
+def read_if_exists(spark, path: str) -> DataFrame | None:
+    """Read a parquet path, or None if it does not exist yet.
+
+    Distinguishes "not written yet" (first batch — legitimate None) from
+    a genuine read failure: a transient storage/permission error
+    swallowed here would silently disable the stage that needed the data
+    (e.g. admit duplicates permanently in the near-dup sink), so only
+    path-absence maps to None. Existence is probed through the Hadoop
+    FileSystem API (the sink.py idiom — correct on hdfs:// and s3a://
+    where a driver-local os.path check is not); read errors on an
+    EXISTING path propagate, failing the micro-batch so the engine
+    retries it.
+    """
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not bool(fs.exists(p)):
+        return None
+    return spark.read.parquet(path)
+
+
+def write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Exactly-once micro-batch append: write under a ``batch=<id>``
+    partition with dynamic partition overwrite, so a replayed batch
+    rewrites its own partition instead of appending twice (the
+    streaming/sink.py discipline, without a key-merge)."""
+    (
+        df.withColumn("batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(path)
+    )
+
+
 def incremental_near_dup_sink(
     corpus_path: str,
     bands_path: str,
@@ -87,35 +121,11 @@ def incremental_near_dup_sink(
     """
     from network_iq_spark.operators.dedup import incremental_near_dup, lsh_index
 
-    def _read_or_none(spark, path: str):
-        # Distinguish "no index yet" (first batch — legitimate None) from
-        # a genuine read failure: a transient storage/permission error
-        # swallowed here would silently disable near-dup checking for the
-        # batch and admit duplicates permanently. Probe existence through
-        # the Hadoop FileSystem API (the sink.py idiom — correct on
-        # hdfs:// and s3a:// where a driver-local os.path check is not)
-        # and let read errors on an EXISTING path propagate, failing the
-        # micro-batch so the engine retries it.
-        p = spark._jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not bool(fs.exists(p)):
-            return None
-        return spark.read.parquet(path)
-
-    def _write(df: DataFrame, path: str, batch_id: int) -> None:
-        (
-            df.withColumn("batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(path)
-        )
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col)
-        bands = _read_or_none(spark, bands_path)
-        sets = _read_or_none(spark, sets_path)
+        bands = read_if_exists(spark, bands_path)
+        sets = read_if_exists(spark, sets_path)
         if bands is not None and sets is not None:
             matches = incremental_near_dup(
                 batch,
@@ -133,8 +143,8 @@ def incremental_near_dup_sink(
             survivors = batch
         survivors = survivors.localCheckpoint()  # one evaluation, 3 writes
         new_bands, new_sets = lsh_index(survivors, text_col, id_col)
-        _write(survivors, corpus_path, batch_id)
-        _write(new_bands, bands_path, batch_id)
-        _write(new_sets, sets_path, batch_id)
+        write_batch_partition(survivors, corpus_path, batch_id)
+        write_batch_partition(new_bands, bands_path, batch_id)
+        write_batch_partition(new_sets, sets_path, batch_id)
 
     return sink
