@@ -26,73 +26,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
-# the queries with the least external verification first: this round's fixes
-# (vocab_drift_top_movers oracle cast; sessionize, whose last external record
-# is an r03 TIMESTAMP_NTZ error fixed in sources/tables.py), this round's new
-# queries, then everything whose last driver sample is oldest (r1-r4), then
-# r5-sampled queries to keep the rotation moving. Ever-green queries fill the
-# remaining slots in registration order.
+# the queries with the least external verification first. Round 8: the one
+# query whose HASH changed this round (bpe_token_stats — boundary-safe
+# marker-representation BPE), the two round-8 additions, the round-8 plan
+# rewrite (dataset_card — single-grain-scan shape, hash unchanged), then
+# the ENTIRE 46-query cohort whose last driver sample is r5 (everything
+# r6/r7-stamped is ≤2 rounds old already) — 4 + 46 = exactly the 50-slot
+# window. Ever-green queries fill the remaining slots in registration
+# order.
 _VERIFY_FIRST = [
-    # round-7 fixes — must re-sample
-    "vocab_drift_top_movers",
-    "sessionize",
-    # round-7 additions
-    "decoded_png_stats",
-    "decoded_jpeg_stats",
-    "decoded_audio_stats",
-    "decoded_video_stats",
-    "cluster_keep_best",
-    "html_extract",
-    "ann_pq_adc_topk",
-    "ann_pq_rerank_topk",
+    # round-8 semantics fix — hash changed, must re-sample
     "bpe_token_stats",
-    "ann_ivfpq_topk",
-    "order_snapshot_diff",
-    "url_canonical_dedup",
-    "quality_psi_drift",
-    "lsh_quality_report",
-    "group_safe_splits",
+    # round-8 additions
+    "decoded_jpeg420_stats",
+    "media_contract",
+    # round-8 plan rewrite (six corpus scans -> one grain scan)
     "dataset_card",
-    "bpe_train_merges",
-    # last sampled r1
-    "centered_mavg_volume",
-    "customers_without_orders",
-    "dedup_keep_last",
-    "event_type_domains",
-    "hourly_baseline",
-    "hourly_compare_unpivot",
-    "hourly_profile",
-    "json_props_stats",
-    "kpi_cards",
-    "latest_snapshot",
-    "minmax_norm",
-    "nation_supplier_balance",
-    "order_line_rollup",
-    "risky_hours",
-    "rolling_features",
-    "zscore_top_anomalies",
-    # last sampled r2
-    "brand_top_parts",
-    "order_priority_stats",
-    "regional_revenue",
-    "segment_acctbal_stats",
-    # last sampled r3
-    "cohort_retention",
-    "funnel_steps",
-    "hourly_type_pivot",
-    "pricing_summary",
-    "top_revenue_customers",
-    # last sampled r4
-    "dedup_clusters",
-    "sequence_packing",
-    "simhash60_pairs",
-    "stratified_sample_counts",
-    "training_data_pipeline",
-    # round-7 plan changes / perf watchlist — re-prove hashes externally
-    "recursive_copurchase_reach",
-    "ewma_hourly",
-    "events_in_windows",
-    # last sampled r5 (rotation)
+    # last sampled r5 (full cohort)
     "acctbal_quartiles",
     "acctbal_quartiles_scalable",
     "asof_last_purchase",
@@ -107,8 +57,38 @@ _VERIFY_FIRST = [
     "duplicate_spans",
     "embedding_label_stats",
     "embedding_near_dup",
+    "events_in_windows",
+    "ewma_hourly",
     "exact_dedup",
     "hourly_gapfill",
+    "ivf_cosine_topk",
+    "jaccard_top_pairs",
+    "lang_id",
+    "mad_outliers",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_prod",
+    "multimodal_features",
+    "nation_activity_full_join",
+    "orders_above_customer_avg",
+    "part_type_setops",
+    "pii_scan",
+    "qty_price_correlation",
+    "quality_scores",
+    "range_window_stats",
+    "repetition_stats",
+    "rolling_fingerprints",
+    "rollup_order_counts",
+    "scope_filtered_profile",
+    "simhash_pairs",
+    "simhash_pairs_blocked",
+    "supplier_pagerank",
+    "time_weighted_avg",
+    "token_stats",
+    "union_label_dims",
+    "value_autocorr_lag1",
+    "value_equidepth_histogram",
+    "value_histogram",
+    "winsorized_profile",
 ]
 
 

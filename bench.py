@@ -66,15 +66,19 @@ def main() -> None:
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     subnoise_runs = int(os.environ.get("BENCH_SUBNOISE_RUNS", "5"))
     noise_floor = float(os.environ.get("BENCH_NOISE_FLOOR_SEC", "1.2"))
-    # iterative queries launch dozens of tiny jobs per run; their wall time
-    # is scheduler-sensitive enough that min-of-2 can read 1.6x across
-    # rounds (dedup_clusters: 3.37 s mid-suite vs 1.9-2.4 s solo). Give
-    # the family one extra repeat.
-    iterative = {"dedup_clusters", "supplier_pagerank"}
+    # Jittery families get one extra repeat. Iterative queries launch
+    # dozens of tiny jobs per run; their wall time is scheduler-sensitive
+    # enough that min-of-2 can read 1.6x across rounds (dedup_clusters:
+    # 3.37 s mid-suite vs 1.9-2.4 s solo). Arrow-UDF-heavy media plans
+    # pay Python-worker pool warm-up on early runs: decoded_image_stats
+    # read 2.35 s mid-suite in r7 vs a solo steady-state profile of
+    # [9.10, 1.87, 1.70, 1.57, 1.54, 1.45] — min 1.446 s, exactly its r6
+    # baseline, so the 1.61x was run-count, not plan (r8 root-cause).
+    jittery = {"dedup_clusters", "supplier_pagerank", "decoded_image_stats"}
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for n in names:
-        min_runs = runs + 1 if n in iterative else runs
+        min_runs = runs + 1 if n in jittery else runs
         best = float("inf")
         done = 0
         try:

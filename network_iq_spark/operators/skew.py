@@ -47,6 +47,15 @@ def salted_sum_count(
     functions/__init__.py) so the two-phase result is bit-identical to the
     single-phase aggregate — float SUM is order-dependent and would drift
     in ulps with the salt regrouping.
+
+    When NOT to use it (measured, docs/SCALE.md hot-key soak): for plain
+    sum/count/avg, map-side partial aggregation already collapses a
+    50%-hot key to one row per map task — the naive aggregate's runtime
+    is FLAT in corpus size while this two-phase form pays a second
+    shuffle (~2× slower at every size). Reach for salting only when the
+    per-key state is too large to combine map-side (collect-style
+    accumulators, exact-distinct sets) or the aggregate is fed by a prior
+    shuffle on the bare key.
     """
     from network_iq_spark.functions import DSUM_SCALE_DEFAULT
 

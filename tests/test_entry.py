@@ -52,6 +52,6 @@ def test_verify_first_names_all_resolve():
     assert set(e.oracle_sql()) == set(qs)
     # this round's fixes and additions must sit inside the first-50 window
     window = list(qs)[:50]
-    for must in ("vocab_drift_top_movers", "sessionize",
-                 "decoded_png_stats", "decoded_jpeg_stats"):
+    for must in ("bpe_token_stats", "decoded_jpeg420_stats",
+                 "media_contract", "dataset_card"):
         assert must in window, must
