@@ -8,14 +8,17 @@ decode, dequantize, de-zigzag, float64 IDCT, level shift. Supported:
 with sampling factors 1 or 2 per axis — 4:4:4, 4:2:2, and 4:2:0 (the
 dominant format of real crawled corpora; chroma planes decode at their
 own resolution per the interleaved-MCU order of §A.2.3 and upsample by
-sample replication before the color transform), with restart markers.
-Progressive, arithmetic coding, and 12-bit return ``None`` — the
-caller falls back to the metadata-only path, never garbage pixels.
+sample replication before the color transform), with restart markers —
+in BOTH baseline-sequential (SOF0) and progressive (SOF2, Annex G:
+spectral selection, successive approximation, EOB runs) modes, which
+share one multi-scan coefficient-accumulation core. Arithmetic coding,
+12-bit, lossless/hierarchical, and sampling factors >2 return ``None``
+— the caller falls back to the metadata-only path, never garbage pixels.
 
-The encoder exists so the distributed pipeline can be exercised end to
-end on REAL JPEG bytes without shipping binary fixtures: it emits
-spec-valid baseline files (Annex K quantization + Huffman tables work
-everywhere). Constant 8×8 blocks survive the DCT→quantize→dequantize→IDCT
+The encoders exist so the distributed pipeline can be exercised end to
+end on REAL JPEG bytes without shipping binary fixtures: they emit
+spec-valid baseline and progressive files (Annex K quantization + Huffman
+tables work everywhere). Constant 8×8 blocks survive the DCT→quantize→dequantize→IDCT
 round trip bit-exactly (only the DC coefficient is nonzero and it is
 quantized with step 1), which is what makes an integer-exact DuckDB
 oracle possible for a lossy codec — see queries/llmdata.py
@@ -62,6 +65,12 @@ _AC_LUM_VALS = [
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+
+# Decode-side allocation cap (pixels per frame). Headers are attacker- or
+# corruption-controlled; every allocation must be bounded by this, never
+# by a declared dimension alone. 2^26 = 64 Mpixel ≈ a 8192x8192 frame.
+_MAX_PIXELS = 1 << 26
 
 
 def _dct_matrix() -> np.ndarray:
@@ -188,6 +197,11 @@ class _BitReader:
 def _receive_extend(r: _BitReader, size: int) -> int | None:
     if size == 0:
         return 0
+    if size > 16:
+        # spec max is 11 (8-bit DC diff); a larger "size" can only come
+        # from a corrupt DHT whose value bytes aren't magnitude classes —
+        # reading it would overflow the int64 coefficient store
+        return None
     v = r.bits(size)
     if v is None:
         return None
@@ -197,19 +211,292 @@ def _receive_extend(r: _BitReader, size: int) -> int | None:
 
 
 # ---------------------------------------------------------------------------
-# Decoder
+# Decoder — multi-scan coefficient accumulation (baseline AND progressive)
 # ---------------------------------------------------------------------------
+#
+# Every scan decodes into per-component int64 coefficient arrays in zigzag
+# order; pixels materialize once at EOI (dequantize → de-zigzag → IDCT →
+# upsample → color). Baseline is the one-scan special case, progressive
+# (SOF2, ITU-T T.81 §G) accumulates DC first/refinement and AC
+# first/refinement (spectral-selection bands, successive approximation,
+# EOB runs) across scans — the refinement algorithms follow §G.2 in the
+# same shape as the libjpeg reference implementation.
+
+
+def _decode_block_seq(reader, blk, dc_tbl, ac_tbl, pred: int):
+    """Sequential full-band block decode into zigzag-order ``blk``;
+    returns the new DC predictor or None."""
+    size = reader.huff(dc_tbl)
+    if size is None:
+        return None
+    diff = _receive_extend(reader, size)
+    if diff is None:
+        return None
+    pred += diff
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.huff(ac_tbl)
+        if rs is None:
+            return None
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            return None
+        v = _receive_extend(reader, size)
+        if v is None:
+            return None
+        blk[k] = v
+        k += 1
+    return pred
+
+
+def _decode_block_dc_first(reader, blk, dc_tbl, al: int, pred: int):
+    """Progressive DC first scan: predictor arithmetic as sequential,
+    value stored shifted left by the successive-approximation Al."""
+    size = reader.huff(dc_tbl)
+    if size is None:
+        return None
+    diff = _receive_extend(reader, size)
+    if diff is None:
+        return None
+    pred += diff
+    blk[0] = pred << al
+    return pred
+
+def _decode_block_dc_refine(reader, blk, al: int) -> bool:
+    """Progressive DC refinement: one appended bit per block, OR-ed into
+    bit Al of the (two's-complement) DC value."""
+    bit = reader.bits(1)
+    if bit is None:
+        return False
+    if bit:
+        blk[0] = int(blk[0]) | (1 << al)
+    return True
+
+
+def _decode_block_ac_first(reader, blk, ac_tbl, ss, se, al, eobrun):
+    """Progressive AC first scan for one block (§G.2.2): returns the new
+    EOB run or None. Values store sign-magnitude shifted by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(ac_tbl)
+        if rs is None:
+            return None
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << run) - 1  # EOBn: current block ends now
+            if run:
+                more = reader.bits(run)
+                if more is None:
+                    return None
+                eobrun += more
+            return eobrun
+        k += run
+        if k > se:
+            return None
+        v = _receive_extend(reader, size)
+        if v is None:
+            return None
+        blk[k] = v << al if v >= 0 else -((-v) << al)
+        k += 1
+    return 0
+
+
+def _decode_block_ac_refine(reader, blk, ac_tbl, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (§G.2.3 / libjpeg
+    decode_mcu_AC_refine): returns the new EOB run or None. Correction
+    bits refine already-nonzero coefficients (sign-magnitude: bit Al of
+    the magnitude); symbols with s==1 make coefficients newly significant
+    at ±2^Al after skipping ``r`` zero-HISTORY positions."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff(ac_tbl)
+            if rs is None:
+                return None
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        more = reader.bits(run)
+                        if more is None:
+                            return None
+                        eobrun += more
+                    break  # correction bits for the band tail, below
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            elif size == 1:
+                bit = reader.bits(1)
+                if bit is None:
+                    return None
+                val = p1 if bit else -p1
+            else:
+                return None  # refinement symbols carry s in {0, 1} only
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    bit = reader.bits(1)
+                    if bit is None:
+                        return None
+                    if bit and (abs(c) & p1) == 0:
+                        blk[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB case: correction bits through the band tail
+            c = int(blk[k])
+            if c != 0:
+                bit = reader.bits(1)
+                if bit is None:
+                    return None
+                if bit and (abs(c) & p1) == 0:
+                    blk[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First position ≥ pos of a real marker (0xFF followed by a non-zero,
+    non-fill byte) — where the entropy-coded segment ends."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_scan(
+    data,
+    pos,
+    scomps,  # [(ci, tdc, tac)] in scan order
+    ss,
+    se,
+    ah,
+    al,
+    comps,  # [(cid, hi, vi, tq)] frame order
+    coef,  # per-comp (BH, BW, 64) int64 zigzag arrays
+    own_blocks,  # per-comp (own_bh, own_bw) non-interleaved block dims
+    mcu_dims,  # (mcuy, mcux)
+    huff_dc,
+    huff_ac,
+    restart_interval,
+    progressive,
+):
+    """Decode one entropy-coded scan into ``coef``; returns the position
+    of the marker after the scan, or None on corrupt data."""
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    need_dc = ss == 0
+    need_ac = se > 0
+
+    def check_tables(tdc, tac) -> bool:
+        if need_dc and not (progressive and ah > 0) and tdc not in huff_dc:
+            return False
+        if need_ac and tac not in huff_ac:
+            return False
+        return True
+
+    def do_block(ci, tdc, tac, blk):
+        nonlocal eobrun
+        if not progressive:
+            p = _decode_block_seq(reader, blk, huff_dc.get(tdc), huff_ac.get(tac), pred[ci])
+            if p is None:
+                return False
+            pred[ci] = p
+            return True
+        if ss == 0:  # DC scan (progressive DC scans have Se == 0)
+            if ah == 0:
+                p = _decode_block_dc_first(reader, blk, huff_dc.get(tdc), al, pred[ci])
+                if p is None:
+                    return False
+                pred[ci] = p
+                return True
+            return _decode_block_dc_refine(reader, blk, al)
+        if ah == 0:
+            e = _decode_block_ac_first(reader, blk, huff_ac.get(tac), ss, se, al, eobrun)
+        else:
+            e = _decode_block_ac_refine(reader, blk, huff_ac.get(tac), ss, se, al, eobrun)
+        if e is None:
+            return False
+        eobrun = e
+        return True
+
+    for ci, tdc, tac in scomps:
+        if not check_tables(tdc, tac):
+            return None
+
+    mcuy, mcux = mcu_dims
+    unit = 0
+    if len(scomps) == 1:
+        # non-interleaved (§A.2.2): the component's OWN block grid; the
+        # restart interval counts blocks
+        ci, tdc, tac = scomps[0]
+        own_bh, own_bw = own_blocks[ci]
+        for by in range(own_bh):
+            for bx in range(own_bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    if not reader.align_and_consume_rst():
+                        return None
+                    pred = [0] * len(comps)
+                    eobrun = 0
+                if not do_block(ci, tdc, tac, coef[ci][by, bx]):
+                    return None
+                unit += 1
+    else:
+        # interleaved (§A.2.3): MCU grid; per MCU each scan component
+        # contributes its hi×vi blocks top-to-bottom, left-to-right
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    if not reader.align_and_consume_rst():
+                        return None
+                    pred = [0] * len(comps)
+                    eobrun = 0
+                for ci, tdc, tac in scomps:
+                    _, hi, vi, _ = comps[ci]
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            blk = coef[ci][my * vi + vy, mx * hi + vx]
+                            if not do_block(ci, tdc, tac, blk):
+                                return None
+                unit += 1
+    return _next_marker(data, reader.pos)
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG bytes → uint8 ndarray (H×W gray, H×W×3 RGB), or
-    ``None`` for anything outside the supported subset (progressive,
-    12-bit, arithmetic, sampling factors >2, truncated or corrupt
-    data). 4:2:0 / 4:2:2 chroma subsampling decodes for real: blocks
-    arrive in interleaved-MCU order (§A.2.3 — per MCU, each component
-    contributes its h×v blocks top-to-bottom, left-to-right), chroma
-    planes reconstruct at their own resolution and upsample by sample
-    replication before the YCbCr transform."""
+    """JPEG bytes → uint8 ndarray (H×W gray, H×W×3 RGB), or ``None`` for
+    anything outside the supported subset (12-bit, arithmetic coding,
+    lossless/hierarchical frames, sampling factors >2, truncated or
+    corrupt data).
+
+    Supported for real: 8-bit baseline sequential (SOF0) AND progressive
+    (SOF2 — spectral selection, successive approximation, EOB runs,
+    interleaved DC + non-interleaved AC scans per §G), 1-component
+    grayscale and 3-component YCbCr at sampling factors 1-2 per axis
+    (4:4:4 / 4:2:2 / 4:2:0), restart markers in both modes. All scans
+    accumulate into per-component coefficient arrays; pixels materialize
+    once at EOI — dequantize, de-zigzag, float64 IDCT, replication
+    chroma upsample, BT.601 inverse."""
     data = bytes(payload)
     if len(data) < 4 or data[:2] != b"\xFF\xD8":
         return None
@@ -218,11 +505,13 @@ def decode_jpeg(payload: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hi, vi, qid)]
-    comp_tables: dict[int, tuple[int, int]] = {}
+    progressive = False
     restart_interval = 0
-    scan_order: list[int] = []
+    coef = None
+    own_blocks = mcu_dims = None
+    got_scan = False
 
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             return None
         marker = data[pos + 1]
@@ -233,7 +522,11 @@ def decode_jpeg(payload: bytes):
             pos += 2
             continue
         if marker == 0xD9:
-            return None  # EOI before SOS
+            break  # EOI
+        if 0xD0 <= marker <= 0xD7:
+            return None  # stray restart marker outside a scan
+        if pos + 4 > len(data):
+            return None
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         seg = data[pos + 4 : pos + 2 + seglen]
         if len(seg) < seglen - 2:
@@ -250,7 +543,7 @@ def decode_jpeg(payload: bytes):
                     seg, dtype=np.uint8, count=64, offset=i + 1
                 ).astype(np.int64)
                 i += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (may arrive between scans)
             i = 0
             while i + 17 <= len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
@@ -262,9 +555,20 @@ def decode_jpeg(payload: bytes):
                 tbl = _canonical_codes(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
-            prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                return None
+            progressive = marker == 0xC2
+            prec = seg[0]
+            h = struct.unpack_from(">H", seg, 1)[0]
+            w = struct.unpack_from(">H", seg, 3)[0]
+            nc = seg[5]
             if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                return None
+            if h * w > _MAX_PIXELS:
+                # a 2-byte header field can declare 65535x65535 (34 GB of
+                # float64 plane per component) — corrupt or adversarial
+                # bytes must quarantine, not OOM the executor
                 return None
             comps = []
             for c in range(nc):
@@ -273,107 +577,109 @@ def decode_jpeg(payload: bytes):
                 if hi not in (1, 2) or vi not in (1, 2):
                     return None  # sampling factors >2: out of subset
                 comps.append((cid, hi, vi, tq))
+            if nc == 1:
+                # a single-component image is always scanned
+                # non-interleaved; its sampling factors don't partition
+                # the data — normalize so the grids below match
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/lossless/arithmetic frame types
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
-            ns = seg[0]
+            h, w, comps = frame
+            if coef is None:
+                h_max = max(hi for _, hi, _, _ in comps)
+                v_max = max(vi for _, _, vi, _ in comps)
+                mcux = (w + 8 * h_max - 1) // (8 * h_max)
+                mcuy = (h + 8 * v_max - 1) // (8 * v_max)
+                mcu_dims = (mcuy, mcux)
+                coef = [
+                    np.zeros((mcuy * vi * 8 // 8, mcux * hi * 8 // 8, 64), dtype=np.int64)
+                    for _, hi, vi, _ in comps
+                ]
+                own_blocks = []
+                for _, hi, vi, _ in comps:
+                    cw = (w * hi + h_max - 1) // h_max
+                    ch = (h * vi + v_max - 1) // v_max
+                    own_blocks.append(((ch + 7) // 8, (cw + 7) // 8))
+            ns = seg[0] if seg else 0
+            if ns < 1 or len(seg) < 1 + 2 * ns + 3:
+                return None
+            cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+            scomps = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp_tables[cid] = (tabs >> 4, tabs & 0x0F)
-            scan_order = [seg[1 + 2 * c] for c in range(ns)]
-            pos = pos + 2 + seglen
-            break
+                if cid not in cid_to_ci:
+                    return None
+                scomps.append((cid_to_ci[cid], tabs >> 4, tabs & 0x0F))
+            if [ci for ci, _, _ in scomps] != sorted(set(ci for ci, _, _ in scomps)):
+                return None  # scan components must follow frame order
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            else:
+                if ss > 63 or se > 63 or se < ss:
+                    return None
+                if ss == 0 and se != 0:
+                    return None  # progressive DC scans carry only DC
+                if ss > 0 and ns != 1:
+                    return None  # AC scans are single-component
+            nxt = _decode_scan(
+                data,
+                pos + 2 + seglen,
+                scomps,
+                ss,
+                se,
+                ah,
+                al,
+                comps,
+                coef,
+                own_blocks,
+                mcu_dims,
+                huff_dc,
+                huff_ac,
+                restart_interval,
+                progressive,
+            )
+            if nxt is None:
+                return None
+            pos = nxt
+            got_scan = True
+            continue
         pos += 2 + seglen
-    else:
-        return None
-    if frame is None or not scan_order:
+    if frame is None or not got_scan:
         return None
 
     h, w, comps = frame
-    if [cid for cid, _, _, _ in comps] != scan_order:
-        return None
-    # A single-component scan is NON-interleaved per §A.2.2: the MCU is one
-    # block and the declared sampling factors don't partition the data —
-    # normalize them to 1×1 so the generic loop below walks the component's
-    # own block grid (also the historic grayscale behavior of this decoder).
-    if len(comps) == 1:
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
     h_max = max(hi for _, hi, _, _ in comps)
     v_max = max(vi for _, _, vi, _ in comps)
-    mcux = (w + 8 * h_max - 1) // (8 * h_max)
-    mcuy = (h + 8 * v_max - 1) // (8 * v_max)
-    planes = [
-        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-        for _, hi, vi, _ in comps
-    ]
-    reader = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                if not reader.align_and_consume_rst():
-                    return None
-                pred = [0] * len(comps)
-            for ci, (cid, hi, vi, tq) in enumerate(comps):
-                tdc, tac = comp_tables.get(cid, (0, 0))
-                if tdc not in huff_dc or tac not in huff_ac or tq not in qt:
-                    return None
-                for vy in range(vi):
-                    for vx in range(hi):
-                        size = reader.huff(huff_dc[tdc])
-                        if size is None:
-                            return None
-                        diff = _receive_extend(reader, size)
-                        if diff is None:
-                            return None
-                        pred[ci] += diff
-                        zz = np.zeros(64, dtype=np.int64)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(huff_ac[tac])
-                            if rs is None:
-                                return None
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                return None
-                            v = _receive_extend(reader, size)
-                            if v is None:
-                                return None
-                            zz[k] = v
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = zz * qt[tq]
-                        b8 = block.reshape(8, 8)
-                        pix = _DCT.T @ b8 @ _DCT  # inverse DCT (orthonormal)
-                        py = (my * vi + vy) * 8
-                        px = (mx * hi + vx) * 8
-                        planes[ci][py : py + 8, px : px + 8] = pix
-            mcu += 1
-
-    # per-component upsample to full resolution (sample replication —
-    # nearest-neighbor, the deterministic choice a SQL twin can mirror),
-    # then crop the MCU padding and level-shift
     imgs = []
-    for (cid, hi, vi, tq), p in zip(comps, planes):
+    for (cid, hi, vi, tq), arr in zip(comps, coef):
+        if tq not in qt:
+            return None
+        q = qt[tq]
+        bh, bw = arr.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = np.zeros(64, dtype=np.float64)
+                block[ZIGZAG] = arr[by, bx] * q
+                b8 = block.reshape(8, 8)
+                pix = _DCT.T @ b8 @ _DCT  # inverse DCT (orthonormal)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+        # sample-replication upsample (deterministic — a SQL twin can
+        # mirror it), then crop the MCU padding and level-shift
         if vi != v_max:
-            p = np.repeat(p, v_max // vi, axis=0)
+            plane = np.repeat(plane, v_max // vi, axis=0)
         if hi != h_max:
-            p = np.repeat(p, h_max // hi, axis=1)
+            plane = np.repeat(plane, h_max // hi, axis=1)
         imgs.append(
-            np.clip(np.round(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+            np.clip(np.round(plane[:h, :w] + 128.0), 0, 255).astype(np.uint8)
         )
     if len(imgs) == 1:
         return imgs[0]
@@ -603,5 +909,313 @@ def encode_jpeg_ycbcr(
             mcu += 1
     writer.flush()
     out += writer.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (SOF2, ITU-T T.81 Annex G)
+# ---------------------------------------------------------------------------
+#
+# Exists so the distributed pipeline (and the decoder above) can be
+# exercised on REAL multi-scan progressive streams without shipping
+# binary fixtures. The AC-scan emitters mirror the decoder's walk
+# position-for-position — every symbol is followed by exactly the
+# correction bits the refinement decoder consumes while advancing over
+# that symbol's span — so bit-order agreement is true by construction
+# rather than by matching a third-party implementation's buffering.
+# Annex K's AC table lacks the EOBn symbols (n ≥ 1) progressive needs,
+# so progressive files carry their own flat 8-bit-code AC table.
+
+_PROG_AC_VALS = sorted(
+    [n << 4 for n in range(15)]                       # EOBn, n = 0..14
+    + [0xF0]                                          # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0] * 7 + [len(_PROG_AC_VALS)] + [0] * 8  # all codes len 8
+
+
+class _ProgScanState:
+    """Per-scan entropy state: bit writer + pending EOB run with the
+    correction bits owned by the run's blocks (emitted after the EOBn
+    symbol, in block-walk order — exactly where the decoder's EOB-tail
+    processing reads them)."""
+
+    def __init__(self, writer, dc_codes, ac_codes):
+        self.w = writer
+        self.dc = dc_codes
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.corr: list[int] = []
+
+    def sym(self, codes, s) -> None:
+        c, l = codes[s]
+        self.w.write(c, l)
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            self.sym(self.ac, n << 4)
+            if n:
+                self.w.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+            for b in self.corr:
+                self.w.write(b, 1)
+            self.corr = []
+
+    def bump_eob(self, tail_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.corr.extend(tail_bits)
+        # EOBn tops out at n=14 → run ≤ 0x7FFF; keep the bit buffer bounded
+        if self.eobrun == 0x7FFF or len(self.corr) >= 937:
+            self.flush_eob()
+
+
+def _enc_dc_first(st, dcval: int, al: int, pred: int) -> int:
+    """DC first scan: diff coding of the point-transformed (arithmetic
+    right shift, §G.1.2.1) DC value."""
+    t = dcval >> al
+    diff = t - pred
+    size = abs(diff).bit_length()
+    st.sym(st.dc, size)
+    if size:
+        st.w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    return t
+
+
+def _enc_ac_first(st, zz, ss: int, se: int, al: int) -> None:
+    """AC first scan for one block: run/size coding of the
+    truncate-toward-zero point-transformed band, EOB runs for all-zero
+    tails and blocks."""
+    tvals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        tvals.append(v >> al if v >= 0 else -((-v) >> al))
+    nz = [i for i, t in enumerate(tvals) if t != 0]
+    if not nz:
+        st.bump_eob([])
+        return
+    st.flush_eob()
+    r = 0
+    for i in range(nz[-1] + 1):
+        t = tvals[i]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            st.sym(st.ac, 0xF0)
+            r -= 16
+        size = abs(t).bit_length()
+        st.sym(st.ac, (r << 4) | size)
+        st.w.write(t if t > 0 else t + (1 << size) - 1, size)
+        r = 0
+    if nz[-1] < len(tvals) - 1:
+        st.bump_eob([])
+
+
+def _enc_ac_refine(st, zz, ss: int, se: int, al: int) -> None:
+    """AC refinement scan for one block (§G.1.2.3). ``run`` counts only
+    zero-HISTORY positions; already-significant coefficients contribute
+    a correction bit (bit ``al`` of the magnitude) at the moment the
+    decoder's advance walk passes them."""
+    band = [int(zz[k]) for k in range(ss, se + 1)]
+    tv = [abs(v) >> al for v in band]
+    newly = [i for i, t in enumerate(tv) if t == 1]
+    if not newly:
+        st.bump_eob([tv[j] & 1 for j in range(len(tv)) if tv[j] > 1])
+        return
+    st.flush_eob()
+    i = 0  # decoder walk pointer over the band
+    for target in newly:
+        r = sum(1 for j in range(i, target) if tv[j] == 0)
+        while r > 15:
+            # ZRL: the decoder consumes 16 zero-history positions,
+            # reading a correction bit at each history coefficient passed
+            st.sym(st.ac, 0xF0)
+            zeros = 0
+            while zeros < 16:
+                if tv[i] == 0:
+                    zeros += 1
+                elif tv[i] > 1:
+                    st.w.write(tv[i] & 1, 1)
+                i += 1
+            r -= 16
+        st.sym(st.ac, (r << 4) | 1)
+        st.w.write(1 if band[target] > 0 else 0, 1)
+        for j in range(i, target):
+            if tv[j] > 1:
+                st.w.write(tv[j] & 1, 1)
+        i = target + 1
+    if i < len(tv):
+        st.bump_eob([tv[j] & 1 for j in range(i, len(tv)) if tv[j] > 1])
+
+
+def _fdct_quant_blocks(plane, q):
+    """Level-shift → FDCT → quantize a padded float64 plane into a
+    (bh, bw, 64) int64 zigzag-order coefficient grid."""
+    import numpy as _np
+
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = _np.zeros((bh, bw, 64), dtype=_np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coeff = _DCT @ blk @ _DCT.T
+            out[by, bx] = _np.round(coeff.reshape(64)[ZIGZAG] / q).astype(_np.int64)
+    return out
+
+
+def encode_jpeg_progressive(
+    img,
+    sampling: tuple = ((2, 2), (1, 1), (1, 1)),
+    quant: int | np.ndarray = 1,
+    restart_interval: int = 0,
+    dc_al: int = 1,
+    ac_bands: tuple = ((1, 5), (6, 63)),
+    ac_al: int = 1,
+) -> bytes:
+    """uint8 H×W grayscale or H×W×3 **YCbCr** → progressive (SOF2) JPEG.
+
+    Scan script: interleaved DC first scan at Al=``dc_al`` plus one DC
+    refinement per remaining bit; then per spectral band in ``ac_bands``
+    (must tile 1..63) a non-interleaved AC first scan per component at
+    Al=``ac_al`` plus successive-approximation refinements down to 0.
+    Same coefficient math, sampling-factor layout, and constant-block
+    exactness contract as ``encode_jpeg_ycbcr`` — a progressive file of
+    the same image decodes to bit-identical pixels (the property the
+    round-trip tests pin)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if gray:
+        h, w = img.shape
+        samp = [(1, 1)]
+    else:
+        h, w, nc3 = img.shape
+        assert nc3 == 3 and len(sampling) == 3
+        samp = [(int(sh), int(sv)) for sh, sv in sampling]
+        for sh, sv in samp:
+            if sh not in (1, 2) or sv not in (1, 2):
+                raise ValueError(f"sampling factors must be 1 or 2, got {samp}")
+    nc = len(samp)
+    flat = sorted(ac_bands)
+    if [b for band in flat for b in band] != [
+        x for ss, se in zip([1] + [e + 1 for _, e in flat[:-1]], [e for _, e in flat]) for x in (ss, se)
+    ] or flat[0][0] != 1 or flat[-1][1] != 63:
+        raise ValueError(f"ac_bands must tile 1..63 contiguously, got {ac_bands}")
+    h_max = max(sh for sh, _ in samp)
+    v_max = max(sv for _, sv in samp)
+    q = (
+        np.full(64, int(quant), dtype=np.int64)
+        if np.isscalar(quant)
+        else np.asarray(quant, dtype=np.int64).reshape(64)
+    )
+    mcux = (w + 8 * h_max - 1) // (8 * h_max)
+    mcuy = (h + 8 * v_max - 1) // (8 * v_max)
+    coefs = []
+    own = []
+    for ci, (sh, sv) in enumerate(samp):
+        plane = (img if gray else img[:, :, ci]).astype(np.float64)
+        full = _pad_replicate(plane, mcuy * v_max * 8, mcux * h_max * 8)
+        fy, fx = v_max // sv, h_max // sh
+        if fy > 1 or fx > 1:
+            fh, fw = full.shape
+            full = full.reshape(fh // fy, fy, fw // fx, fx).mean(axis=(1, 3))
+        coefs.append(_fdct_quant_blocks(full, q))
+        cw = (w * sh + h_max - 1) // h_max
+        ch = (h * sv + v_max - 1) // v_max
+        own.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    dc_codes = _encode_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _encode_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC2, sof)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS),
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    # scan script
+    scans = [(list(range(nc)), 0, 0, 0, dc_al)]
+    for al in range(dc_al - 1, -1, -1):
+        scans.append((list(range(nc)), 0, 0, al + 1, al))
+    for ss, se in ac_bands:
+        for ci in range(nc):
+            scans.append(([ci], ss, se, 0, ac_al))
+    for al in range(ac_al - 1, -1, -1):
+        for ss, se in ac_bands:
+            for ci in range(nc):
+                scans.append(([ci], ss, se, al + 1, al))
+
+    rst = 0
+    for scomps, ss, se, ah, al in scans:
+        body = bytes([len(scomps)])
+        for ci in scomps:
+            body += bytes([ci + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, body)
+
+        writer = _BitWriter()
+        st = _ProgScanState(writer, dc_codes, ac_codes)
+        pred = [0] * nc
+        unit = 0
+
+        def maybe_restart():
+            nonlocal writer, st, pred, rst
+            if restart_interval and unit and unit % restart_interval == 0:
+                st.flush_eob()
+                writer.flush()
+                out.extend(writer.out)
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                writer = _BitWriter()
+                st.w = writer
+                pred = [0] * nc
+
+        def block(ci, by, bx):
+            zz = coefs[ci][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    pred[ci] = _enc_dc_first(st, int(zz[0]), al, pred[ci])
+                else:
+                    st.w.write((int(zz[0]) >> al) & 1, 1)
+            else:
+                if ah == 0:
+                    _enc_ac_first(st, zz, ss, se, al)
+                else:
+                    _enc_ac_refine(st, zz, ss, se, al)
+
+        if len(scomps) == 1:
+            ci = scomps[0]
+            own_bh, own_bw = own[ci]
+            for by in range(own_bh):
+                for bx in range(own_bw):
+                    maybe_restart()
+                    block(ci, by, bx)
+                    unit += 1
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for ci in scomps:
+                        sh, sv = samp[ci]
+                        for vy in range(sv):
+                            for vx in range(sh):
+                                block(ci, my * sv + vy, mx * sh + vx)
+                    unit += 1
+        st.flush_eob()
+        writer.flush()
+        out.extend(writer.out)
+
     out += b"\xFF\xD9"
     return bytes(out)

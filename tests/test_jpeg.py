@@ -67,13 +67,15 @@ def test_decode_image_dispatches_jpeg():
     assert (decode_image(encode_jpeg_gray(img)) == img).all()
 
 
-def test_rejects_garbage_truncation_and_progressive():
+def test_rejects_garbage_truncation_and_invalid_progressive():
     img = np.full((8, 8), 90, dtype=np.uint8)
     good = encode_jpeg_gray(img)
     assert decode_jpeg(b"") is None
     assert decode_jpeg(b"\xFF\xD8\xFF\xD9") is None
     assert decode_jpeg(good[:30]) is None
-    # flip SOF0 (0xC0) to SOF2 (0xC2, progressive) -> unsupported, None
+    # flip SOF0 (0xC0) to SOF2 (0xC2): the stream now CLAIMS progressive
+    # but its single scan has Ss=0, Se=63 — illegal for SOF2 (progressive
+    # DC scans carry only DC, §G.1.1.1.1) -> None, never garbage
     prog = bytearray(good)
     idx = prog.find(b"\xFF\xC0")
     prog[idx + 1] = 0xC2
@@ -227,3 +229,161 @@ def test_rejects_sampling_factors_above_two():
     assert bad[idx + 11] == 0x22
     bad[idx + 11] = 0x41  # h=4
     assert decode_jpeg(bytes(bad)) is None
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — every pixel must match the baseline decode of the
+# same image: the two modes carry identical coefficients, so any defect in
+# multi-scan accumulation, successive approximation, spectral bands, EOB
+# runs, or restart handling surfaces as a pixel diff.
+# ---------------------------------------------------------------------------
+
+from network_iq_spark.operators.jpeg import (  # noqa: E402
+    _DCT,
+    ZIGZAG,
+    encode_jpeg_progressive,
+)
+
+
+def _kq() -> np.ndarray:
+    """A perceptual-style quant table (zigzag order) so sweeps also hit
+    the sparse-coefficient regime with long zero runs."""
+    return np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+        dtype=np.int64,
+    )
+
+
+def test_progressive_gray_matches_baseline():
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        quant = [1, 4, 16, _kq()][trial % 4]
+        ri = [0, 0, 3, 7][trial % 4]
+        bands = [((1, 63),), ((1, 5), (6, 63)), ((1, 2), (3, 9), (10, 63))][trial % 3]
+        base = decode_jpeg(encode_jpeg_gray(img, quant=quant, restart_interval=ri))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, quant=quant, restart_interval=ri,
+                dc_al=int(rng.integers(0, 3)), ac_bands=bands,
+                ac_al=int(rng.integers(0, 3)),
+            )
+        )
+        assert prog is not None and np.array_equal(base, prog), f"trial {trial}"
+
+
+def test_progressive_color_all_samplings_match_baseline():
+    rng = np.random.default_rng(12)
+    for trial in range(9):
+        h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        samp = [((1, 1),) * 3, ((2, 1), (1, 1), (1, 1)), ((2, 2), (1, 1), (1, 1))][
+            trial % 3
+        ]
+        quant = [1, 4, _kq()][trial % 3]
+        ri = [0, 2, 5][trial % 3]
+        base = decode_jpeg(
+            encode_jpeg_ycbcr(img, sampling=samp, quant=quant, restart_interval=ri)
+        )
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, sampling=samp, quant=quant, restart_interval=ri,
+                dc_al=int(rng.integers(0, 3)),
+                ac_bands=[((1, 63),), ((1, 5), (6, 63))][trial % 2],
+                ac_al=int(rng.integers(0, 3)),
+            )
+        )
+        assert prog is not None and np.array_equal(base, prog), f"trial {trial}"
+
+
+def test_progressive_sparse_ac_long_eob_runs():
+    """Near-constant images with speckles: the all-EOB and EOBn>0 paths
+    dominate, with multi-level successive approximation."""
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        img = np.full((48, 48), 128, dtype=np.uint8)
+        n = int(rng.integers(1, 12))
+        img[rng.integers(0, 48, n), rng.integers(0, 48, n)] = rng.integers(0, 256, n)
+        quant = [1, 8][trial % 2]
+        base = decode_jpeg(encode_jpeg_gray(img, quant=quant))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quant=quant, dc_al=2, ac_al=2)
+        )
+        assert prog is not None and np.array_equal(base, prog), f"trial {trial}"
+
+
+def test_progressive_ac_refine_zrl_with_history_coefficients(monkeypatch):
+    """The adversarial refinement bit-ordering case: a newly-significant
+    coefficient behind a >15 zero-history run (ZRL inside a refinement
+    scan) with an already-significant coefficient interspersed — the
+    decoder consumes each symbol's correction bits while advancing over
+    that symbol's span, so any buffering mismatch in the encoder desyncs
+    the stream. Random images essentially never produce this pattern, so
+    it is injected at the coefficient level."""
+    import network_iq_spark.operators.jpeg as J
+
+    blk = np.zeros(64, dtype=np.int64)
+    blk[0] = 37   # DC
+    blk[5] = 8    # significant from the al=2 first scan (history coef)
+    blk[20] = 1   # newly significant only at the final al=0 refine
+    blk[40] = 3   # newly significant at al=1 after >15 zero-history slots
+    blk[63] = -2  # band-tail newly-significant, negative sign path
+
+    monkeypatch.setattr(
+        J,
+        "_fdct_quant_blocks",
+        lambda plane, q: np.tile(blk, (plane.shape[0] // 8, plane.shape[1] // 8, 1)),
+    )
+    full = np.zeros(64)
+    full[ZIGZAG] = blk
+    exp = np.clip(
+        np.round(_DCT.T @ full.reshape(8, 8) @ _DCT + 128), 0, 255
+    ).astype(np.uint8)
+
+    one = decode_jpeg(
+        encode_jpeg_progressive(
+            np.zeros((8, 8), np.uint8), quant=1, ac_bands=((1, 63),), ac_al=2
+        )
+    )
+    assert one is not None and np.array_equal(one, exp)
+    four = decode_jpeg(
+        encode_jpeg_progressive(
+            np.zeros((16, 16), np.uint8), quant=1, dc_al=2,
+            ac_bands=((1, 30), (31, 63)), ac_al=2, restart_interval=2,
+        )
+    )
+    assert four is not None and np.array_equal(four, np.tile(exp, (2, 2)))
+
+
+def test_progressive_constant_mcu_420_bit_exact():
+    """The oracle-bearing property for decoded_jpeg_prog_stats: constant
+    16x16 MCUs + neutral chroma survive a progressive 4:2:0 encode→decode
+    bit-exactly (DC-only blocks, step-1 quantization, exact BT.601)."""
+    ones = np.ones((16, 16), dtype=np.uint8)
+    g = np.array([[200, 17], [93, 150]], dtype=np.uint8)
+    y = np.kron(g, ones)
+    ycc = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1)
+    img = decode_jpeg(encode_jpeg_progressive(ycc, restart_interval=2))
+    assert img is not None and img.shape == (32, 32, 3)
+    assert np.array_equal(img, np.stack([y] * 3, axis=-1))
+
+
+def test_progressive_truncation_returns_none():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    p = encode_jpeg_progressive(img, quant=1)
+    assert decode_jpeg(p[:40]) is None
+    assert decode_jpeg(p[: len(p) // 2]) is None
+
+
+def test_progressive_rejects_bad_band_spec():
+    import pytest
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_jpeg_progressive(img, ac_bands=((1, 5), (7, 63)))  # gap at 6
+    with pytest.raises(ValueError):
+        encode_jpeg_progressive(img, ac_bands=((2, 63),))  # misses 1
