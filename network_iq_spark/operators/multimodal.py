@@ -147,6 +147,8 @@ def decode_png(payload: bytes):
         if len(body) < length:
             return None  # truncated
         if ctype == b"IHDR":
+            if len(body) != 13:
+                return None  # malformed header chunk
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.append(body)
@@ -161,12 +163,18 @@ def decode_png(payload: bytes):
         return None
     if w <= 0 or h <= 0:
         return None
+    stride = w * ch
+    need = h * (stride + 1)
+    if need > (1 << 28):
+        # IHDR carries 32-bit dims: bound every allocation by this cap
+        # (and bound the inflate below by `need`) so a corrupt header or
+        # a zip-bomb IDAT quarantines instead of OOM-ing the executor
+        return None
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -267,9 +275,10 @@ def encode_png(img, row_filters=None) -> bytes:
 
 
 def decode_image(payload: bytes):
-    """Decode PGM/PPM/uncompressed-24-bit-BMP/PNG/baseline-JPEG bytes →
-    uint8 ndarray (H×W for gray, H×W×3 for color), or None if the format
-    is not one of the pure-numpy-decodable set."""
+    """Decode PGM/PPM/uncompressed-24-bit-BMP/PNG/GIF/JPEG (baseline
+    AND progressive) bytes → uint8 ndarray (H×W for gray, H×W×3 for
+    color), or None if the format is not in the pure-numpy-decodable
+    set. Never raises on corrupt bytes (tests/test_media_fuzz.py)."""
     import numpy as np
 
     if not payload:
@@ -280,6 +289,10 @@ def decode_image(payload: bytes):
         from network_iq_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        from network_iq_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     hdr = _pnm_header(bytes(payload))
     if hdr is not None:
         magic, w, h, maxval, off = hdr
@@ -316,8 +329,8 @@ def decode_image(payload: bytes):
 
 def sniff_format(payload: bytes | None) -> str:
     """Magic-byte format sniff for the contract census: png / jpeg /
-    pnm / bmp / wav / y4m / empty / unknown. Pure function of the first
-    bytes — no decode attempt."""
+    gif / pnm / bmp / wav / y4m / empty / unknown. Pure function of the
+    first bytes — no decode attempt."""
     if payload is None or len(payload) == 0:
         return "empty"
     b = bytes(payload[:12])
@@ -325,6 +338,8 @@ def sniff_format(payload: bytes | None) -> str:
         return "png"
     if b[:2] == b"\xFF\xD8":
         return "jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if b[:1] == b"P" and b[1:2] in (b"5", b"6"):
         return "pnm"
     if b[:2] == b"BM":
@@ -357,9 +372,16 @@ def media_decode_contract(
             for p in pdf["payload"]:
                 b = bytes(p) if p is not None else None
                 sniffed.append(sniff_format(b))
-                decoded.append(
-                    int(b is not None and len(b) > 0 and decode_image(b) is not None)
-                )
+                try:
+                    ok = b is not None and len(b) > 0 and decode_image(b) is not None
+                except Exception:
+                    # the decoders are fuzz-hardened to return None on
+                    # corrupt bytes (tests/test_media_fuzz.py), but THIS
+                    # query is the one that runs over untrusted corpora
+                    # by definition — an unknown decoder defect must
+                    # count the row as fallback, never kill a 100 TB job
+                    ok = False
+                decoded.append(int(ok))
             yield pd.DataFrame(
                 {
                     "declared_format": pdf[format_col],
