@@ -28,20 +28,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
 # the queries with the least external verification first. Round 8: the one
 # query whose HASH changed this round (bpe_token_stats — boundary-safe
-# marker-representation BPE), the two round-8 additions, the round-8 plan
-# rewrite (dataset_card — single-grain-scan shape, hash unchanged), then
-# the ENTIRE 46-query cohort whose last driver sample is r5 (everything
-# r6/r7-stamped is ≤2 rounds old already) — 4 + 46 = exactly the 50-slot
-# window. Ever-green queries fill the remaining slots in registration
+# marker-representation BPE), the three round-8 additions (incl. the
+# progressive-JPEG query and media_contract, whose oracle counts moved
+# when progressive flipped from fallback to decoded), then the ENTIRE
+# 46-query cohort whose last driver sample is r5 (everything r6/r7-stamped
+# is ≤2 rounds old already) — 4 + 46 = exactly the 50-slot window.
+# dataset_card (plan rewrite, hash unchanged, r7-stamped) heads the
+# overflow; ever-green queries fill the remaining slots in registration
 # order.
 _VERIFY_FIRST = [
     # round-8 semantics fix — hash changed, must re-sample
     "bpe_token_stats",
     # round-8 additions
     "decoded_jpeg420_stats",
+    "decoded_jpeg_prog_stats",
     "media_contract",
-    # round-8 plan rewrite (six corpus scans -> one grain scan)
-    "dataset_card",
+    "warc_extract_stats",
+    "decoded_gif_stats",
     # last sampled r5 (full cohort)
     "acctbal_quartiles",
     "acctbal_quartiles_scalable",
@@ -87,8 +90,15 @@ _VERIFY_FIRST = [
     "union_label_dims",
     "value_autocorr_lag1",
     "value_equidepth_histogram",
+    # --- 50-slot window boundary ---
+    # overflow: value_histogram and winsorized_profile (r5-green,
+    # displaced by the brand-new warc_extract_stats/decoded_gif_stats —
+    # never-sampled queries outrank stale green stamps; these two lead
+    # the r9 window) and dataset_card (plan rewrite, hash unchanged,
+    # externally r7-green)
     "value_histogram",
     "winsorized_profile",
+    "dataset_card",
 ]
 
 

@@ -831,6 +831,105 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _warc_extract_sql() -> str:
+    """DuckDB twin of the whole WARC pipeline: the builder is
+    deterministic (same page wrapper, status 200, chunked for odd
+    doc_id), so after the reader undoes the WARC/HTTP/chunked framing the
+    surviving content is exactly the html_extract page — the oracle
+    re-states the framing as VALUES and replays the identical strip
+    chain. Any defect in record framing, member-wise gunzip, HTTP parse,
+    or chunked decoding changes a row and breaks the hash."""
+    x = "html"
+    for pat in T.HTML_STRIP_PATTERNS:
+        x = "regexp_replace(" + x + ", '" + pat + "', ' ', 'gs')"
+    for src, dst in T.HTML_ENTITIES:
+        x = "replace(" + x + ", '" + src + "', '" + dst.replace("'", "''") + "')"
+    x = "trim(regexp_replace(" + x + ", '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))"
+    return (
+        "WITH h AS (SELECT doc_id, "
+        "'" + _HTML_PRE1 + "' || CAST(doc_id AS VARCHAR) || "
+        "'" + _HTML_PRE2 + "' || CAST(doc_id AS VARCHAR) || "
+        "'" + _HTML_PRE3 + "' || text || '" + _HTML_POST + "' AS html "
+        "FROM documents) "
+        "SELECT doc_id, 200 AS http_status, 'text/html' AS mime, "
+        "doc_id % 2 = 1 AS chunked, "
+        + x + " AS text, CAST(len(" + x + ") AS BIGINT) AS n_chars "
+        "FROM h ORDER BY doc_id"
+    )
+
+
+@register("warc_extract_stats", oracle=_warc_extract_sql())
+def q_warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC → HTTP → HTML → text, end to end — the ingest stage a 100 TB
+    crawl corpus actually starts from (Common Crawl .warc.gz: one gzip
+    member per record). Each Arrow batch of documents becomes a REAL
+    multi-member .warc.gz in-plan (sources/warc.py: warcinfo record +
+    one HTTP response record per doc, chunked transfer coding for odd
+    doc_ids — the builder-side fixture trick of the codec tier), then
+    the actual reader explodes it back to records (member-aware gunzip,
+    WARC framing, HTTP status/header parse, dechunk) and the JVM-side
+    html_to_text chain extracts the text. Map-only end to end until the
+    final sort: at scale this is binaryFile-per-task parallelism with
+    zero shuffle. Hash-checked on the FULL extracted string plus the
+    status/mime/chunked columns the reader recovered."""
+    import pandas as pd
+
+    from network_iq_spark.operators import ensure_parallelism
+    from network_iq_spark.sources import warc as W
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def build(it):
+        for pdf in it:
+            recs = [
+                W.build_warc_record(
+                    "warcinfo",
+                    b"software: network-iq-spark\r\n",
+                    record_seq=0,
+                    content_type="application/warc-fields",
+                )
+            ]
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                page = (
+                    f"{_HTML_PRE1}{did}{_HTML_PRE2}{did}{_HTML_PRE3}"
+                    f"{text}{_HTML_POST}"
+                ).encode("utf-8")
+                http = W.build_http_response(
+                    page, status=200, chunked=bool(did % 2)
+                )
+                recs.append(
+                    W.build_warc_record(
+                        "response",
+                        http,
+                        target_uri=f"https://example.org/doc/{did}",
+                        record_seq=did + 1,
+                    )
+                )
+            yield pd.DataFrame({"content": [W.encode_warc_gz(recs)]})
+
+    blobs = docs.mapInPandas(build, schema="content binary")
+    recs = W.warc_records(blobs).filter(F.col("rec_type") == "response")
+    page = recs.select(
+        F.regexp_extract("target_uri", r"doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "http_status",
+        "mime",
+        "chunked",
+        F.col("body").cast("string").alias("html"),
+    )
+    out = T.html_to_text(page)
+    return out.select(
+        "doc_id",
+        F.col("http_status").cast("int").alias("http_status"),
+        "mime",
+        "chunked",
+        "text",
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def _lang_sql() -> str:
     langs = list(T.LANG_MARKERS)
     score_cols = ",\n      ".join(
@@ -2029,16 +2128,215 @@ def q_decoded_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decoded_jpeg_prog_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_J420_OUT} AS out_w, {_J420_OUT} AS out_h,
+           3 * (px[1] + px[2] + px[3] + px[4]) AS px_sum,
+           CAST(3 * (px[1] + px[2] + px[3] + px[4]) AS DOUBLE)
+             / {_J420_OUT * _J420_OUT * 3}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) 4:2:0 JPEG decode at scale — the multi-scan
+    half of the real-corpus format pair (VERDICT r7 item 1's remaining
+    gap: baseline 4:2:0 shipped r8-early, progressive previously fell to
+    the metadata-only path). Same 2×2-grid-of-constant-MCUs construction
+    as decoded_jpeg420_stats, but encoded as a REAL progressive stream
+    (operators/jpeg.py encode_jpeg_progressive): interleaved DC first
+    scan at Al=1 + DC refinement, then per-component spectral-band AC
+    scans (1-5, 6-63) at Al=1 with refinements, restart markers every 2
+    MCUs — decoded by the Annex-G coefficient-accumulation core (EOB
+    runs, successive approximation, per-scan restart resets). Constant
+    DC-only blocks keep the multi-scan round trip bit-exact, so the SAME
+    DuckDB oracle as the baseline-420 twin hash-replays it: any defect
+    in scan sequencing, refinement bit order, or EOB-run accounting
+    shifts a pixel and breaks the hash. MAP-ONLY before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.jpeg import encode_jpeg_progressive
+    from network_iq_spark.operators.multimodal import decode_image
+
+    side = _J420_MCUS * 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        ones = np.ones((16, 16), dtype=np.uint8)
+        for pdf in it:
+            payloads = []
+            for p in pdf["px"]:
+                y = np.kron(
+                    np.asarray(list(p), dtype=np.uint8).reshape(
+                        _J420_MCUS, _J420_MCUS
+                    ),
+                    ones,
+                )
+                ycc = np.stack(
+                    [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
+                )
+                payloads.append(encode_jpeg_progressive(ycc, restart_interval=2))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _J420_OUT, _J420_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_J420_OUT * _J420_OUT * 3) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
+@register(
+    "decoded_gif_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_J420_OUT} AS out_w, {_J420_OUT} AS out_h,
+           3 * (px[1] + px[2] + px[3] + px[4]) AS px_sum,
+           CAST(3 * (px[1] + px[2] + px[3] + px[4]) AS DOUBLE)
+             / {_J420_OUT * _J420_OUT * 3}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF (LZW) decode at scale — the third real crawl format after
+    PNG and JPEG. Embedding dims 1–4 become a 2×2 grid of constant 16×16
+    tiles, palette-encoded as a REAL GIF89a (operators/gif.py: global
+    color table, variable-width LZW with the CLEAR/width-bump schedule;
+    INTERLACED for odd media_ids so the four-pass row reorder runs at
+    corpus scale, not just in unit tests), then decoded and
+    center-resampled inside Arrow batches. GIF is LOSSLESS, so the
+    round trip is bit-exact by construction and the DuckDB oracle replays
+    pixels directly — a defect in LZW table growth, sub-block framing,
+    palette indexing, or interlace reordering shifts a value and breaks
+    the hash. MAP-ONLY before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.gif import encode_gif
+    from network_iq_spark.operators.multimodal import decode_image
+
+    side = _J420_MCUS * 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        ones = np.ones((16, 16), dtype=np.uint8)
+        for pdf in it:
+            payloads = []
+            for vid, p in zip(pdf["media_id"], pdf["px"]):
+                g = np.kron(
+                    np.asarray(list(p), dtype=np.uint8).reshape(
+                        _J420_MCUS, _J420_MCUS
+                    ),
+                    ones,
+                )
+                payloads.append(encode_gif(g, interlace=bool(int(vid) % 2)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _J420_OUT, _J420_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_J420_OUT * _J420_OUT * 3) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
+@register(
     "media_contract",
     oracle="""
-    WITH c AS (SELECT vec_id % 6 AS fi, COUNT(*) AS n FROM embeddings GROUP BY 1),
+    WITH c AS (SELECT vec_id % 7 AS fi, COUNT(*) AS n FROM embeddings GROUP BY 1),
     g AS (
       SELECT CASE WHEN fi IN (0, 5) THEN 'png'
                   WHEN fi IN (1, 2, 3) THEN 'jpeg'
+                  WHEN fi = 6 THEN 'gif'
                   ELSE 'pnm' END AS format,
              SUM(n) AS n_rows,
-             SUM(CASE WHEN fi IN (0, 1, 2, 4) THEN n ELSE 0 END) AS n_decoded,
-             SUM(CASE WHEN fi IN (3, 5) THEN n ELSE 0 END) AS n_fallback,
+             SUM(CASE WHEN fi <> 5 THEN n ELSE 0 END) AS n_decoded,
+             SUM(CASE WHEN fi = 5 THEN n ELSE 0 END) AS n_fallback,
              SUM(CASE WHEN fi = 5 THEN n ELSE 0 END) AS n_misdeclared
       FROM c GROUP BY 1
     )
@@ -2057,12 +2355,15 @@ def q_media_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall back to the metadata-only path, as a shipped per-format number
     (the media twin of contract_quarantine_summary; same governance move
     as lsh_quality_report). The corpus is a deterministic six-way format
-    mix built from embeddings (vec_id % 6): a real PNG, a baseline 4:4:4
-    JPEG, a 4:2:0 chroma-subsampled JPEG (decodable as of the r8 codec —
-    previously the dominant real-world format fell through), a
-    PROGRESSIVE JPEG (SOF2 — outside the baseline subset, must fall
-    back, never garbage), a PNM, and a row DECLARED png whose payload is
-    raw text (misdeclared + fallback). Every payload is probed with the
+    mix built from embeddings (vec_id % 7): a real PNG, a baseline 4:4:4
+    JPEG, a 4:2:0 chroma-subsampled JPEG, a real PROGRESSIVE 4:2:0 JPEG
+    (SOF2 multi-scan — the census row that flipped from fallback to
+    decoded when the Annex-G decoder landed, which is exactly the
+    coverage movement this query exists to publish), a PNM, a row
+    DECLARED png whose payload is raw text (misdeclared + fallback —
+    proving the quarantine path still catches what genuinely cannot
+    decode), and an LZW GIF (interlaced for odd ids). Every payload is
+    probed with the
     actual decode_image inside Arrow batches
     (operators/multimodal.py media_decode_contract: map-only probe + one
     O(#formats) aggregate), so a codec regression shifts a count and
@@ -2071,7 +2372,12 @@ def q_media_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from network_iq_spark.operators.jpeg import encode_jpeg_gray, encode_jpeg_ycbcr
+    from network_iq_spark.operators.gif import encode_gif
+    from network_iq_spark.operators.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
     from network_iq_spark.operators.multimodal import (
         encode_png,
         encode_pnm,
@@ -2093,7 +2399,7 @@ def q_media_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads, declared = [], []
             for vid, p in zip(pdf["media_id"], pdf["px"]):
                 g = np.asarray(list(p), dtype=np.uint8).reshape(2, 2)
-                fi = int(vid) % 6
+                fi = int(vid) % 7
                 if fi == 0:
                     payloads.append(encode_png(np.kron(g, ones8)))
                     declared.append("png")
@@ -2108,17 +2414,23 @@ def q_media_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(encode_jpeg_ycbcr(ycc))
                     declared.append("jpeg")
                 elif fi == 3:
-                    b = bytearray(encode_jpeg_gray(np.kron(g, ones8)))
-                    idx = b.find(b"\xFF\xC0")
-                    b[idx + 1] = 0xC2  # baseline -> progressive frame
-                    payloads.append(bytes(b))
+                    y = np.kron(g, ones16)
+                    ycc = np.stack(
+                        [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
+                    )
+                    payloads.append(encode_jpeg_progressive(ycc))
                     declared.append("jpeg")
                 elif fi == 4:
                     payloads.append(encode_pnm(np.kron(g, ones8)))
                     declared.append("pnm")
-                else:
+                elif fi == 5:
                     payloads.append(f"not an image {vid}".encode())
                     declared.append("png")  # misdeclared on purpose
+                else:
+                    payloads.append(
+                        encode_gif(np.kron(g, ones8), interlace=bool(vid % 2))
+                    )
+                    declared.append("gif")
             yield pd.DataFrame(
                 {"payload": payloads, "declared_format": declared}
             )

@@ -51,7 +51,14 @@ def test_verify_first_names_all_resolve():
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
     # this round's fixes and additions must sit inside the first-50 window
+    # (dataset_card — plan rewrite with UNCHANGED hash, externally
+    # r7-green — yields its slot to the new progressive-JPEG query and
+    # heads the overflow instead)
     window = list(qs)[:50]
     for must in ("bpe_token_stats", "decoded_jpeg420_stats",
-                 "media_contract", "dataset_card"):
+                 "decoded_jpeg_prog_stats", "media_contract",
+                 "warc_extract_stats", "decoded_gif_stats"):
         assert must in window, must
+    assert list(qs)[50:53] == [
+        "value_histogram", "winsorized_profile", "dataset_card"
+    ]
