@@ -100,6 +100,7 @@ def incremental_near_dup_sink(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
 ):
     """``foreachBatch`` sink closing the continual-ingest dedup loop AS A
     STREAM: each micro-batch is near-dup-checked against the AT-REST
@@ -118,12 +119,15 @@ def incremental_near_dup_sink(
     partition written with ``overwrite`` of just that partition, so a
     replayed micro-batch rewrites its own partition instead of appending
     twice (same discipline as streaming/sink.py, without a key-merge).
+
+    ``carry_cols`` ride along into the corpus rows (url, crawl metadata)
+    without touching the dedup keys or the index artifacts.
     """
     from network_iq_spark.operators.dedup import incremental_near_dup, lsh_index
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select(id_col, text_col)
+        batch = batch_df.select(id_col, text_col, *carry_cols)
         bands = read_if_exists(spark, bands_path)
         sets = read_if_exists(spark, sets_path)
         if bands is not None and sets is not None:
