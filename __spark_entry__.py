@@ -91,13 +91,15 @@ _VERIFY_FIRST = [
     "value_autocorr_lag1",
     "value_equidepth_histogram",
     # --- 50-slot window boundary ---
-    # overflow: value_histogram and winsorized_profile (r5-green,
-    # displaced by the brand-new warc_extract_stats/decoded_gif_stats —
-    # never-sampled queries outrank stale green stamps; these two lead
-    # the r9 window) and dataset_card (plan rewrite, hash unchanged,
-    # externally r7-green)
+    # overflow, in r9-priority order: the two r5-green queries displaced
+    # by the brand-new warc_extract_stats/decoded_gif_stats (never-
+    # sampled queries outrank stale green stamps), the two late-r8
+    # additions that did not fit the window, and dataset_card (plan
+    # rewrite, hash unchanged, externally r7-green)
     "value_histogram",
     "winsorized_profile",
+    "mixture_sample_counts",
+    "hard_negatives_topk",
     "dataset_card",
 ]
 

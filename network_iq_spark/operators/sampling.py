@@ -126,6 +126,61 @@ def equalize_groups(
     ).drop("__rate_bp__")
 
 
+def target_mixture(
+    df: DataFrame,
+    key: str,
+    group: str,
+    targets_bp: Mapping[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic downsampling to an ARBITRARY target mixture — the
+    general form of :func:`equalize_groups` (Pile/DoReMi-style domain
+    reweighting with explicit shares, public recipes). ``targets_bp``
+    gives each group's intended share of the OUTPUT in integer basis
+    points (e.g. ``{"en": 4000, "es": 2500}``); groups absent from the
+    targets are dropped.
+
+    The math is ALL integer so any engine replays it exactly:
+    feasible output size ``T = min_g(count_g * 10^4 div share_g)`` (the
+    largest total for which every group can supply its share without
+    upsampling — the binding group keeps everything), per-group keep
+    target ``share_g * T div 10^4``, and keep-rate
+    ``rate_bp_g = max(keep_g * 10^4 div count_g, 1)`` (the ≥1 bp clamp of
+    :func:`equalize_groups`, same vanishing-group rationale). Membership
+    is the shared md5 bucket, so the drawn set is stable under growth,
+    any partitioning, and any engine; realized counts track the targets
+    to bucket granularity (~1 bp), which a mixture audit then verifies.
+
+    Scale shape: one tiny per-group aggregate → scalar min → broadcast
+    rate table; the pass over the corpus is map-only.
+    """
+    shares = F.create_map(
+        *[x for g, bp in targets_bp.items() for x in (F.lit(g), F.lit(int(bp)))]
+    )
+    counts = (
+        df.groupBy(group)
+        .agg(F.count("*").alias("__n__"))
+        .withColumn("__share__", shares[F.col(group)])
+        .filter(F.col("__share__").isNotNull() & (F.col("__share__") > 0))
+    )
+    feasible = counts.agg(
+        F.min(F.expr(f"__n__ * {BUCKETS} div __share__")).alias("__T__")
+    )
+    rates = counts.crossJoin(F.broadcast(feasible)).select(
+        group,
+        F.col("__n__"),
+        F.greatest(
+            F.expr(f"(__share__ * __T__ div {BUCKETS}) * {BUCKETS} div __n__"),
+            F.lit(1),
+        ).alias("__rate_bp__"),
+    )
+    return (
+        df.join(F.broadcast(rates.drop("__n__")), group)
+        .filter(hash_bucket(F.col(key), salt) < F.col("__rate_bp__"))
+        .drop("__rate_bp__")
+    )
+
+
 def sample_k_per_group(
     df: DataFrame,
     group: str,

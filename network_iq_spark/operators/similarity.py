@@ -945,9 +945,16 @@ def quantized_cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_match_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine over int8-quantized vectors, with the true
     float cosine reported alongside (the quantization-error audit).
+
+    ``exclude_match_col`` names a column (e.g. a class label): candidates
+    sharing the query row's value are skipped and both values are
+    returned — which turns the operator into HARD-NEGATIVE MINING for
+    contrastive training (the nearest vectors that are NOT the query's
+    class are exactly the negatives that sharpen an embedding model).
 
     The integer dot (≤ dim·127² per pair) is exact in doubles, so ranks
     are engine-deterministic — which is what makes a *quantized* ANN
@@ -962,8 +969,9 @@ def quantized_cosine_topk(
     # q, v, and norm all derive from the same scan row — one projection, no
     # self-join (joining quantize_int8's output back to the float vectors
     # would shuffle the corpus on vec_id for data already co-located)
+    keep = [id_col] + ([exclude_match_col] if exclude_match_col else [])
     base = with_norm(
-        ensure_parallelism(df.select(id_col, as_double_vec(vec_col).alias("v")), min_bytes=DENSE_GUARD_MIN_BYTES), "v"
+        ensure_parallelism(df.select(*keep, as_double_vec(vec_col).alias("v")), min_bytes=DENSE_GUARD_MIN_BYTES), "v"
     )
     maxabs = F.expr("array_max(transform(v, x -> abs(x)))")
     full = base.withColumn("__ma__", maxabs).withColumn(
@@ -973,17 +981,25 @@ def quantized_cosine_topk(
             "ELSE transform(v, x -> cast(floor(x * 127.0 / __ma__ + 0.5) as bigint)) END"
         ),
     )
+    qextra = (
+        [F.col(exclude_match_col).alias("q_label")] if exclude_match_col else []
+    )
+    cextra = (
+        [F.col(exclude_match_col).alias("n_label")] if exclude_match_col else []
+    )
     qside = full.join(query_ids, id_col, "left_semi").select(
         F.col(id_col).alias("q_vec_id"),
         F.col("q").alias("qa"),
         F.col("v").alias("va"),
         F.col("norm").alias("na"),
+        *qextra,
     )
     cside = full.select(
         F.col(id_col).alias("n_vec_id"),
         F.col("q").alias("qb"),
         F.col("v").alias("vb"),
         F.col("norm").alias("nb"),
+        *cextra,
     )
     qdot = F.expr(
         "aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (a, x) -> a + x)"
@@ -994,15 +1010,17 @@ def quantized_cosine_topk(
     qnb = F.expr(
         "sqrt(aggregate(transform(qb, x -> x * x), cast(0 as bigint), (a, x) -> a + x))"
     )
-    scored = (
-        cside.crossJoin(F.broadcast(qside))
-        .filter(F.col("q_vec_id") != F.col("n_vec_id"))
-        .select(
-            "q_vec_id",
-            "n_vec_id",
-            (qdot.cast("double") / (qna * qnb)).alias("qcos"),
-            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"),
-        )
+    pairs = cside.crossJoin(F.broadcast(qside)).filter(
+        F.col("q_vec_id") != F.col("n_vec_id")
+    )
+    out_cols = ["q_vec_id", "n_vec_id"]
+    if exclude_match_col:
+        pairs = pairs.filter(F.col("q_label") != F.col("n_label"))
+        out_cols += ["q_label", "n_label"]
+    scored = pairs.select(
+        *out_cols,
+        (qdot.cast("double") / (qna * qnb)).alias("qcos"),
+        (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"),
     )
     w = Window.partitionBy("q_vec_id").orderBy(
         F.col("qcos").desc(), F.col("n_vec_id").asc()
@@ -1010,7 +1028,7 @@ def quantized_cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .select("q_vec_id", "n_vec_id", "rank", "qcos", "cos")
+        .select(*out_cols, "rank", "qcos", "cos")
     )
 
 

@@ -2823,6 +2823,59 @@ def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("label").agg(F.count("*").alias("n")).orderBy("label")
 
 
+_MIX_TARGETS = {"en": 4000, "es": 2500, "de": 2000, "fr": 1000, "zh": 500}
+_MIX_HEX = _sql_hex_int("md5(CAST(doc_id AS VARCHAR) || 'mix')", 12)
+
+
+def _mixture_sql() -> str:
+    case = " ".join(
+        f"WHEN '{g}' THEN {bp}" for g, bp in _MIX_TARGETS.items()
+    )
+    return f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT lang, n, CASE lang {case} END AS share FROM c),
+    f AS (SELECT MIN(n * 10000 // share) AS T FROM t
+          WHERE share IS NOT NULL AND share > 0),
+    r AS (SELECT lang, n,
+                 GREATEST((share * (SELECT T FROM f) // 10000) * 10000 // n,
+                          1) AS rate
+          FROM t WHERE share IS NOT NULL AND share > 0),
+    b AS (SELECT lang, CAST({_MIX_HEX} AS BIGINT) % 10000 AS bucket
+          FROM documents),
+    k AS (SELECT b.lang, COUNT(*) AS n_kept FROM b JOIN r ON b.lang = r.lang
+          WHERE b.bucket < r.rate GROUP BY b.lang)
+    SELECT c.lang, CAST(c.n AS BIGINT) AS n_total,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM c LEFT JOIN k ON c.lang = k.lang ORDER BY c.lang
+    """
+
+
+@register("mixture_sample_counts", oracle=_mixture_sql())
+def q_mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic downsampling to a TARGET language mixture
+    (operators/sampling.py target_mixture — the general form of
+    equalize_groups: Pile/DoReMi-style domain reweighting with explicit
+    shares, all-integer feasibility/rate math, md5-bucket membership).
+    Per-language corpus count and kept count under targets
+    en 40% / es 25% / de 20% / fr 10% / zh 5% of the feasible output.
+    One tiny per-group aggregate + broadcast rate table + map-only pass;
+    the oracle replays the feasibility computation AND the drawn set
+    exactly, so both the math and the membership hash are checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SA.target_mixture(docs, "doc_id", "lang", _MIX_TARGETS)
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    kcount = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    return (
+        totals.join(kcount, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end training-data pipeline (flagship composition)
 # ---------------------------------------------------------------------------

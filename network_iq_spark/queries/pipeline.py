@@ -326,6 +326,61 @@ def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hard_negatives_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS maxabs
+      FROM embeddings
+    ),
+    q8 AS (
+      SELECT vec_id, label, v, norm,
+             CASE WHEN maxabs = 0.0
+                  THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(v,
+                         x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5)
+                                        AS BIGINT) AS DOUBLE)) END AS q
+      FROM n
+    ),
+    scored AS (
+      SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+             a.label AS q_label, b.label AS n_label,
+             list_dot_product(a.q, b.q)
+               / (sqrt(list_dot_product(a.q, a.q))
+                  * sqrt(list_dot_product(b.q, b.q))) AS qcos,
+             list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+      FROM q8 a JOIN q8 b
+        ON b.vec_id != a.vec_id AND b.label != a.label
+      WHERE a.vec_id < 10
+    )
+    SELECT q_vec_id, n_vec_id, q_label, n_label,
+           CAST(rank AS INT) AS rank, qcos, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                   ORDER BY qcos DESC, n_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_QZ_K} ORDER BY q_vec_id, rank
+    """,
+)
+def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector
+    (vec_id < 10), the top-k most-similar corpus vectors whose LABEL
+    differs — the near-misses an embedding model learns the most from.
+    Same int8-quantized exact-in-doubles cosine as quantized_cosine_topk
+    (ranks engine-deterministic → fully hash-replayable), query side
+    broadcast, corpus side map-scored, per-query window top-k. The
+    100 TB shape swaps the brute-force corpus scan for IVF candidate
+    generation and keeps the label-exclusion + rerank identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    return S.quantized_cosine_topk(
+        emb, qids, k=_QZ_K, exclude_match_col="label"
+    ).orderBy("q_vec_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Chunking and keyword extraction
 # ---------------------------------------------------------------------------

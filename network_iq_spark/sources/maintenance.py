@@ -275,3 +275,116 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*k, "change", "old_hash", "new_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# File-stats manifest + file-level pruned reads
+# ---------------------------------------------------------------------------
+
+
+def parquet_file_manifest(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Per-FILE min/max/null-count manifest for ``cols``, built from
+    parquet FOOTERS only — the Iceberg/Delta data-skipping structure for
+    a plain parquet directory. Spark's own pushdown prunes ROW GROUPS
+    after a task has already been scheduled per file; at 100 TB with
+    millions of files the scheduling itself is the cost, and file-level
+    skipping needs exactly this manifest.
+
+    Scale shape: the FILE LIST parallelizes (``spark.range``-style
+    repartition of paths), each task opens only footers (KBs per file,
+    zero data pages) via Arrow, and the manifest is O(#files) rows —
+    metadata-sized, like an Iceberg manifest. Rebuild cost after append:
+    run over the new files' paths only and union (the manifest is itself
+    a parquet-able table).
+
+    Footers are read with :mod:`pyarrow` on locally-reachable paths; an
+    object-store deployment points Arrow at the same URIs via fsspec.
+    """
+    import pandas as pd
+
+    want = list(cols)
+    names = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    files = spark.createDataFrame(
+        [(os.path.join(path, f),) for f in sorted(names)], "file string"
+    ).repartition(max(1, min(len(names), 64)))
+
+    def footers(it):
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            out = {"file": [], "n_rows": []}
+            for c in want:
+                out[f"min_{c}"] = []
+                out[f"max_{c}"] = []
+                out[f"nulls_{c}"] = []
+            for fpath in pdf["file"]:
+                md = pq.ParquetFile(fpath).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                mins: dict = {c: None for c in want}
+                maxs: dict = {c: None for c in want}
+                nulls: dict = {c: 0 for c in want}
+                for rg in range(md.num_row_groups):
+                    for c in want:
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            mins[c] = maxs[c] = None
+                            break
+                        mins[c] = (
+                            st.min if mins[c] is None else min(mins[c], st.min)
+                        )
+                        maxs[c] = (
+                            st.max if maxs[c] is None else max(maxs[c], st.max)
+                        )
+                        nulls[c] += st.null_count or 0
+                out["file"].append(fpath)
+                out["n_rows"].append(md.num_rows)
+                for c in want:
+                    out[f"min_{c}"].append(mins[c])
+                    out[f"max_{c}"].append(maxs[c])
+                    out[f"nulls_{c}"].append(nulls[c])
+            yield pd.DataFrame(out)
+
+    probe = spark.read.parquet(path)
+    fields = {f.name: f.dataType.simpleString() for f in probe.schema.fields}
+    schema = "file string, n_rows bigint, " + ", ".join(
+        f"min_{c} {fields[c]}, max_{c} {fields[c]}, nulls_{c} bigint"
+        for c in want
+    )
+    return files.mapInPandas(footers, schema=schema)
+
+
+def pruned_parquet_read(
+    spark: SparkSession,
+    manifest: DataFrame,
+    ranges: dict[str, tuple],
+) -> tuple[DataFrame, int, int]:
+    """Read only the files whose [min, max] envelope intersects every
+    ``col: (lo, hi)`` range — file-level data skipping driven by the
+    manifest. Returns (df, files_kept, files_total).
+
+    The interval-overlap filter runs ON the manifest DataFrame
+    (distributed); only the surviving file PATHS come to the driver —
+    O(matching files), the same driver-side footprint as an Iceberg scan
+    plan. Files with absent stats for a column are kept (skipping must
+    be sound, never lossy). The returned DataFrame still carries the
+    predicate columns, so the caller applies the row-level filter on
+    top — the manifest prunes I/O and task scheduling, correctness comes
+    from the filter as always.
+    """
+    from pyspark.sql import functions as F
+
+    total = manifest.count()
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        ok = (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))
+        cond = cond & (ok | F.col(f"min_{c}").isNull())
+    kept = [r.file for r in manifest.filter(cond).select("file").collect()]
+    if not kept:
+        empty = spark.read.parquet(*[r.file for r in manifest.select("file").limit(1).collect()]).limit(0)
+        return empty, 0, total
+    return spark.read.parquet(*kept), len(kept), total

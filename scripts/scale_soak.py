@@ -62,6 +62,13 @@ QUERIES_UNDER_TEST = [
     "cluster_keep_best",
     "ann_pq_rerank_topk",
     "ann_ivfpq_topk",
+    # round-8 additions: progressive JPEG + GIF codecs, WARC ingest,
+    # mixture sampling, hard-negative mining
+    "decoded_jpeg_prog_stats",
+    "decoded_gif_stats",
+    "warc_extract_stats",
+    "mixture_sample_counts",
+    "hard_negatives_topk",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the
@@ -263,9 +270,18 @@ def main() -> None:
     plans["incremental_near_dup_batch"] = _inc_near
     plans["incremental_ann_batch"] = _inc_ann
 
+    only = os.environ.get("SOAK_ONLY")
+    if only:  # subset runs for newly-added families (full sweep untouched)
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = wanted - set(plans)
+        if unknown:
+            raise SystemExit(f"SOAK_ONLY names not in the plan set: {unknown}")
+        plans = {q: f for q, f in plans.items() if q in wanted}
+
     dirs = {m: build_corpus(m) for m in mults}
-    for m in mults:
-        _prepare_incremental(dirs[m])
+    if any(q.startswith("incremental_") for q in plans):
+        for m in mults:
+            _prepare_incremental(dirs[m])
     results: dict[str, dict[int, float]] = {q: {} for q in plans}
     for m in mults:
         for q in plans:

@@ -59,6 +59,7 @@ def test_verify_first_names_all_resolve():
                  "decoded_jpeg_prog_stats", "media_contract",
                  "warc_extract_stats", "decoded_gif_stats"):
         assert must in window, must
-    assert list(qs)[50:53] == [
-        "value_histogram", "winsorized_profile", "dataset_card"
+    assert list(qs)[50:55] == [
+        "value_histogram", "winsorized_profile",
+        "mixture_sample_counts", "hard_negatives_topk", "dataset_card",
     ]

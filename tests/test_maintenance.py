@@ -339,3 +339,90 @@ def test_snapshot_diff_null_position_participates_in_hash(spark):
     got = {r.k: r.change for r in snapshot_diff(old, new, keys=["k"]).collect()}
     # 1: NULL swapped columns; 3: NULL -> empty string — both real changes
     assert got == {1: "changed", 3: "changed"}
+
+
+def test_file_manifest_and_pruned_read_skip_files(spark, tmp_path):
+    """The Iceberg-style skipping loop: a footer-only manifest over a
+    z-ordered directory lets a 2-D box predicate read a FRACTION of the
+    files on BOTH columns, while the sorted-by-a layout prunes only on
+    a; results must equal the full scan either way (skipping is an I/O
+    optimization, never a semantics change)."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources.maintenance import (
+        parquet_file_manifest,
+        pruned_parquet_read,
+        zorder_write,
+    )
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 1000).alias("a"),
+        F.floor(F.col("id") / 20).alias("b"),
+    )
+    z_path = str(tmp_path / "z")
+    zorder_write(df, z_path, ["a", "b"], n_files=16)
+    a_path = str(tmp_path / "bya")
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(a_path)
+    )
+
+    box = {"a": (100, 199), "b": (100, 199)}
+    expected = df.filter(
+        F.col("a").between(100, 199) & F.col("b").between(100, 199)
+    ).count()
+    assert expected > 0
+
+    results = {}
+    for name, path in (("z", z_path), ("bya", a_path)):
+        man = parquet_file_manifest(spark, path, ["a", "b"])
+        sub, kept, total = pruned_parquet_read(spark, man, box)
+        got = sub.filter(
+            F.col("a").between(100, 199) & F.col("b").between(100, 199)
+        ).count()
+        assert got == expected, name  # pruning never changes results
+        assert total == 16, name
+        results[name] = kept
+
+    # z-order: both columns selective at file grain → strictly fewer
+    # files than the single-column layout for a 2-D box
+    assert results["z"] < results["bya"], results
+    assert results["z"] <= 8, results
+
+
+def test_pruned_read_keeps_files_with_missing_stats(spark, tmp_path):
+    """Soundness: a file whose stats are absent for a predicate column
+    must be KEPT (skipping may only drop provably-disjoint files)."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources.maintenance import (
+        parquet_file_manifest,
+        pruned_parquet_read,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(0, 100).select(F.col("id").alias("a")).coalesce(2).write.parquet(p)
+    man = parquet_file_manifest(spark, p, ["a"]).withColumn(
+        "min_a", F.lit(None).cast("bigint")
+    )
+    sub, kept, total = pruned_parquet_read(spark, man, {"a": (5, 6)})
+    assert kept == total  # stats gone → nothing may be skipped
+    assert sub.filter(F.col("a").between(5, 6)).count() == 2
+
+
+def test_pruned_read_empty_selection(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources.maintenance import (
+        parquet_file_manifest,
+        pruned_parquet_read,
+    )
+
+    p = str(tmp_path / "t2")
+    spark.range(0, 100).select(F.col("id").alias("a")).coalesce(4).write.parquet(p)
+    man = parquet_file_manifest(spark, p, ["a"])
+    sub, kept, total = pruned_parquet_read(spark, man, {"a": (1000, 2000)})
+    assert kept == 0 and total == 4
+    assert sub.count() == 0 and "a" in sub.columns

@@ -129,3 +129,42 @@ def test_sample_k_per_group_exact_k_and_group_isolation(spark):
     out2 = sample_k_per_group(df2, "lang", "doc_id", 5).collect()
     a2 = {r["doc_id"] for r in out2 if r["lang"] == "a"}
     assert a2 == by_g["a"]
+
+
+def test_target_mixture_hits_shares_and_drops_untargeted(spark):
+    """target_mixture: realized group shares track the integer targets to
+    bucket granularity; groups absent from the targets are dropped; the
+    binding (scarcest-relative-to-share) group keeps everything."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "big") for i in range(8000)]
+        + [(i + 10000, "mid") for i in range(3000)]
+        + [(i + 20000, "rare") for i in range(400)]
+        + [(i + 30000, "junk") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "k bigint, g string")
+    # rare is binding: T = 400*10^4 div 2000 = 2000 → big keeps 1200 of
+    # 8000 (15%), mid keeps 400 of 3000 (~13.3%), rare keeps all 400
+    kept = SA.target_mixture(
+        df, key="k", group="g", targets_bp={"big": 6000, "mid": 2000, "rare": 2000}
+    )
+    counts = {r.g: r.n for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert "junk" not in counts
+    assert counts["rare"] == 400  # binding group: rate clamps to 100%
+    # hash granularity makes realized counts approximate; ±15% is far
+    # tighter than any wrong-math outcome
+    assert abs(counts["big"] - 1200) / 1200 < 0.15, counts
+    assert abs(counts["mid"] - 400) / 400 < 0.15, counts
+
+
+def test_target_mixture_deterministic_and_stable_under_growth(spark):
+    """Membership never changes when the corpus grows (only rates do) —
+    re-running on the same data draws the same rows."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(3000)], "k bigint, g string"
+    )
+    t = {"a": 5000, "b": 5000}
+    ids1 = {r.k for r in SA.target_mixture(df, "k", "g", t).select("k").collect()}
+    ids2 = {r.k for r in SA.target_mixture(df, "k", "g", t).select("k").collect()}
+    assert ids1 == ids2 and ids1
