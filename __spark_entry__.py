@@ -45,6 +45,8 @@ _VERIFY_FIRST = [
     "media_contract",
     "warc_extract_stats",
     "decoded_gif_stats",
+    "kn_trigram_surprisal",
+    "incremental_rollup_refresh",
     # last sampled r5 (full cohort)
     "acctbal_quartiles",
     "acctbal_quartiles_scalable",
@@ -88,14 +90,14 @@ _VERIFY_FIRST = [
     "time_weighted_avg",
     "token_stats",
     "union_label_dims",
+    # --- 50-slot window boundary ---
+    # overflow, in r9-priority order: the four r5-green queries displaced
+    # by brand-new round-8 queries (never-sampled queries outrank stale
+    # green stamps), the two late-r8 additions that did not fit the
+    # window, and dataset_card (plan rewrite, hash unchanged, externally
+    # r7-green)
     "value_autocorr_lag1",
     "value_equidepth_histogram",
-    # --- 50-slot window boundary ---
-    # overflow, in r9-priority order: the two r5-green queries displaced
-    # by the brand-new warc_extract_stats/decoded_gif_stats (never-
-    # sampled queries outrank stale green stamps), the two late-r8
-    # additions that did not fit the window, and dataset_card (plan
-    # rewrite, hash unchanged, externally r7-green)
     "value_histogram",
     "winsorized_profile",
     "mixture_sample_counts",

@@ -531,6 +531,117 @@ def unigram_surprisal(
     )
 
 
+KN_DISCOUNT = 0.75  # the standard absolute discount (Chen & Goodman 1998)
+
+
+def kn_trigram_surprisal(
+    df: DataFrame,
+    discount: float = KN_DISCOUNT,
+    quant: int = SURPRISAL_QUANT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram-LM surprisal — the real CCNet/KenLM
+    perplexity-filter shape (``unigram_surprisal`` is the order-1 stand-in).
+    The corpus is its own LM: every scored trigram was observed, so the
+    discounted probability is strictly positive without an OOV backstop.
+
+    Model (absolute discount D, continuation counts per Chen & Goodman):
+
+      P(w3|w1w2) = max(c(w1w2w3)-D,0)/c(w1w2•)
+                   + D·N1+(w1w2•)/c(w1w2•) · Pcont(w3|w2)
+      Pcont(w3|w2) = max(N1+(•w2w3)-D,0)/N1+(•w2•)
+                   + D·N1+(w2•)/N1+(•w2•) · N1+(•w3)/N1+(••)
+
+    Every model quantity derives from ONE trigram-type table: c(w1w2•) and
+    N1+(w1w2•) by grouping types on the context, the continuation counts by
+    grouping on (w2,w3) and re-grouping. All arithmetic is +,-,×,÷ over
+    integers cast to double — bit-identical across engines — with a single
+    ``ln`` at the end, quantized to integer milli-nats exactly like
+    ``unigram_surprisal`` so per-doc sums are order-independent.
+
+    Scale shape: the corpus-sized work is one trigram explode (map-only)
+    plus TWO shuffles of the corpus grain (the type-count groupBy and the
+    final per-doc rollup); everything between operates on the trigram-TYPE
+    grain (vocab-scale, « corpus-scale). The type table feeds four
+    consumers, so it is lazily localCheckpointed — materializing the narrow
+    shuffled grain instead of re-running explode+shuffle per diamond (the
+    checkpoint-vs-recompute rule: materialize narrow/expensive, recompute
+    wide/cheap). Scoring joins the doc-trigram stream to ONE pre-scored
+    type table on the trigram key (AQE handles the inevitable hot trigrams)
+    rather than five model tables.
+    Ref provenance: beyond-reference tier (SURVEY.md §7 F).
+    """
+    d_lit = repr(float(discount))  # exact decimal repr; 0.75 is binary-exact
+    df = ensure_parallelism(df)
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 3
+    )
+    tri = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(_toks) - 1), i -> "
+                "struct(_toks[i-2] AS w1, _toks[i-1] AS w2, _toks[i] AS w3))"
+            )
+        ).alias("_t"),
+    ).select(id_col, "_t.w1", "_t.w2", "_t.w3")
+    # trigram TYPE grain — narrow, shuffled once, consumed by 4 diamonds
+    t3 = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    t3 = t3.localCheckpoint(eager=False)
+    ctx = t3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("ctx_cnt"), F.count("*").alias("ctx_types")
+    )
+    l2 = t3.groupBy("w2", "w3").agg(F.count("*").alias("cont_w1"))
+    l2 = l2.localCheckpoint(eager=False)
+    mid = l2.groupBy("w2").agg(
+        F.sum("cont_w1").alias("mid_total"), F.count("*").alias("mid_types")
+    )
+    right = l2.groupBy("w3").agg(F.count("*").alias("cont_prec"))
+    tot = l2.agg(F.count("*").alias("total_bigram_types"))
+    # identical infix text in the DuckDB oracle → identical IEEE op tree
+    p_cont = (
+        f"(greatest(cast(cont_w1 as double) - {d_lit}, 0.0) "
+        f"/ cast(mid_total as double)) "
+        f"+ (({d_lit} * cast(mid_types as double) / cast(mid_total as double)) "
+        f"* (cast(cont_prec as double) / cast(total_bigram_types as double)))"
+    )
+    p_tri = (
+        f"(greatest(cast(c3 as double) - {d_lit}, 0.0) "
+        f"/ cast(ctx_cnt as double)) "
+        f"+ (({d_lit} * cast(ctx_types as double) / cast(ctx_cnt as double)) "
+        f"* ({p_cont}))"
+    )
+    scored = (
+        t3.join(ctx, ["w1", "w2"])
+        .join(l2, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(right, "w3")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.expr(
+                f"cast(floor(-ln({p_tri}) * {quant}.0) as bigint)"
+            ).alias("_mnats"),
+        )
+    )
+    return (
+        tri.join(scored, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("_mnats").alias("kn_surprisal_mnats"),
+        )
+        .withColumn(
+            "avg_kn_surprisal_mnats",
+            F.col("kn_surprisal_mnats").cast("double") / F.col("n_trigrams"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def normalize_text(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -105,6 +105,67 @@ def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney trigram surprisal (the real perplexity-filter LM)
+# ---------------------------------------------------------------------------
+
+# the discounted-probability expression, shared verbatim between the Spark
+# plan (operators/text.py builds the identical infix via F.expr) and the
+# oracle below — identical text → identical IEEE op tree → identical ln arg
+_KN_P = """
+           (greatest(cast(c3 as double) - 0.75, 0.0)
+            / cast(ctx_cnt as double))
+           + ((0.75 * cast(ctx_types as double) / cast(ctx_cnt as double))
+              * ((greatest(cast(cont_w1 as double) - 0.75, 0.0)
+                  / cast(mid_total as double))
+                 + ((0.75 * cast(mid_types as double)
+                     / cast(mid_total as double))
+                    * (cast(cont_prec as double)
+                       / cast(total_bigram_types as double)))))
+"""
+
+
+@register(
+    "kn_trigram_surprisal",
+    oracle=f"""
+    WITH t AS ({_TOKS}),
+    tri AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+      FROM t, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    t3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+    ctx AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS ctx_cnt,
+                   COUNT(*) AS ctx_types
+            FROM t3 GROUP BY 1, 2),
+    l2 AS (SELECT w2, w3, COUNT(*) AS cont_w1 FROM t3 GROUP BY 1, 2),
+    mid AS (SELECT w2, CAST(SUM(cont_w1) AS BIGINT) AS mid_total,
+                   COUNT(*) AS mid_types
+            FROM l2 GROUP BY 1),
+    r AS (SELECT w3, COUNT(*) AS cont_prec FROM l2 GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total_bigram_types FROM l2),
+    scored AS (
+      SELECT w1, w2, w3,
+             CAST(FLOOR(-ln({_KN_P}) * 1000.0) AS BIGINT) AS mnats
+      FROM t3 JOIN ctx USING (w1, w2) JOIN l2 USING (w2, w3)
+           JOIN mid USING (w2) JOIN r USING (w3) CROSS JOIN tot
+    )
+    SELECT tri.doc_id, COUNT(*) AS n_trigrams,
+           CAST(SUM(mnats) AS BIGINT) AS kn_surprisal_mnats,
+           CAST(SUM(mnats) AS DOUBLE) / COUNT(*) AS avg_kn_surprisal_mnats
+    FROM tri JOIN scored USING (w1, w2, w3)
+    GROUP BY tri.doc_id ORDER BY tri.doc_id
+    """,
+)
+def q_kn_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram surprisal per document — the actual
+    CCNet/KenLM perplexity-filter mechanism (continuation counts, absolute
+    discount 0.75), bit-replayable via integer milli-nat quantization.
+    operators/text.py kn_trigram_surprisal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.kn_trigram_surprisal(docs)
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style: cluster, then near-dup within cluster)
 # ---------------------------------------------------------------------------
 

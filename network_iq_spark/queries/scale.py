@@ -247,3 +247,109 @@ def q_order_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, keys=["o_orderkey"], compare_cols=["price", "o_orderstatus"]
     ).orderBy("o_orderkey")
+
+
+@register(
+    "incremental_rollup_refresh",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_rows,
+           COUNT(value) AS n_vals,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS sum_value,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 / COUNT(value) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, hour
+    """,
+)
+def q_incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh (batch IVM): the hourly
+    per-type KPI rollup maintained as a mergeable monoid STATE instead of
+    re-aggregated from the fact table. The plan splits events into a
+    "history" segment (before the last day) and two "arriving" batches
+    (last-day events, split by event_id parity — simulating two refresh
+    cycles), builds the state for each INDEPENDENTLY, folds them with
+    ``merge_rollup_states``, and presents the result. The oracle is the
+    single-pass GROUP BY over the union — hash equality IS the proof that
+    the state is a lossless monoid (merge order / batch boundaries cannot
+    change a byte, because counts add, integer-unit sums add, mins/maxes
+    combine). At 100 TB the history state lives at rest (partitioned by
+    hour); a refresh touches O(batch keys), never the fact table
+    (sources/maintenance.py rollup_state / merge_rollup_states)."""
+    from network_iq_spark.sources.maintenance import (
+        merge_rollup_states,
+        present_rollup,
+        rollup_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("ts"),
+        "value",
+    )
+    cutoff = ev.agg(F.date_trunc("day", F.max("ts")).alias("__cut__"))
+    tagged = ev.crossJoin(F.broadcast(cutoff))
+    keys = ["event_type", "hour"]
+    history = rollup_state(tagged.filter(F.col("ts") < F.col("__cut__")), keys)
+    # eqNullSafe keeps the parity split a true PARTITION even under NULL
+    # ids (plain `% 2 == 0` maps NULL to neither batch and loses the row)
+    is_even = (F.col("event_id") % 2).eqNullSafe(F.lit(0))
+    batch_even = rollup_state(
+        tagged.filter((F.col("ts") >= F.col("__cut__")) & is_even), keys
+    )
+    batch_odd = rollup_state(
+        tagged.filter((F.col("ts") >= F.col("__cut__")) & ~is_even), keys
+    )
+    merged = merge_rollup_states([history, batch_even, batch_odd], keys)
+    return present_rollup(merged).orderBy("event_type", "hour")
+
+
+@register("incremental_distinct_refresh", bench_only=True)
+def q_incremental_distinct_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch sibling of incremental_rollup_refresh: per-type hourly
+    DISTINCT USERS maintained as a mergeable HLL state (exact distinct is
+    not boundedly mergeable; the register array is). Same split-and-merge
+    plan; merged estimates are bit-identical to the direct state's
+    (register-wise max is order-independent) — asserted in
+    tests/test_maintenance.py; no SQL oracle because DuckDB's HLL is a
+    different sketch (bench_only, same policy as approx_profile)."""
+    from network_iq_spark.sources.maintenance import (
+        merge_distinct_states,
+        present_distinct_rollup,
+        rollup_distinct_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("ts"),
+        "user_id",
+    )
+    cutoff = ev.agg(F.date_trunc("day", F.max("ts")).alias("__cut__"))
+    tagged = ev.crossJoin(F.broadcast(cutoff))
+    keys = ["event_type", "hour"]
+    is_even = (F.col("event_id") % 2).eqNullSafe(F.lit(0))
+    states = [
+        rollup_distinct_state(
+            tagged.filter(F.col("ts") < F.col("__cut__")), keys, "user_id"
+        ),
+        rollup_distinct_state(
+            tagged.filter((F.col("ts") >= F.col("__cut__")) & is_even),
+            keys,
+            "user_id",
+        ),
+        rollup_distinct_state(
+            tagged.filter((F.col("ts") >= F.col("__cut__")) & ~is_even),
+            keys,
+            "user_id",
+        ),
+    ]
+    merged = merge_distinct_states(states, keys)
+    return present_distinct_rollup(merged).orderBy("event_type", "hour")

@@ -5,6 +5,11 @@ from network_iq_spark.streaming.dedup import (
 )
 from network_iq_spark.streaming.enrich import enrich_stream
 from network_iq_spark.streaming.joins import interval_join_streams
+from network_iq_spark.streaming.rollup import (
+    compact_rollup_state,
+    read_rollup_state,
+    rollup_state_sink,
+)
 from network_iq_spark.streaming.sink import idempotent_upsert_sink
 from network_iq_spark.streaming.kpis import (
     latest_per_key,

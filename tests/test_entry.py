@@ -57,9 +57,11 @@ def test_verify_first_names_all_resolve():
     window = list(qs)[:50]
     for must in ("bpe_token_stats", "decoded_jpeg420_stats",
                  "decoded_jpeg_prog_stats", "media_contract",
-                 "warc_extract_stats", "decoded_gif_stats"):
+                 "warc_extract_stats", "decoded_gif_stats",
+                 "kn_trigram_surprisal", "incremental_rollup_refresh"):
         assert must in window, must
-    assert list(qs)[50:55] == [
+    assert list(qs)[50:57] == [
+        "value_autocorr_lag1", "value_equidepth_histogram",
         "value_histogram", "winsorized_profile",
         "mixture_sample_counts", "hard_negatives_topk", "dataset_card",
     ]

@@ -426,3 +426,109 @@ def test_pruned_read_empty_selection(spark, tmp_path):
     sub, kept, total = pruned_parquet_read(spark, man, {"a": (1000, 2000)})
     assert kept == 0 and total == 4
     assert sub.count() == 0 and "a" in sub.columns
+
+
+def test_distinct_sketch_merge_deterministic_and_bounded(spark):
+    """Sketch-state properties: (a) the merge is deterministic — replaying
+    the same partials can never move the estimate (what a streaming replay
+    needs); (b) batching-invariant — 3-way and 2-level merges of the same
+    rows agree (associativity of register-max); (c) merged AND direct
+    estimates are within the HLL error bound of exact. NOT asserted:
+    merged == direct — DataSketches unions run through an HLL_8 gadget
+    whose estimator differs from a directly-built sketch by a few counts
+    (both stay in-bound); see rollup_distinct_state's docstring."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources.maintenance import (
+        merge_distinct_states,
+        present_distinct_rollup,
+        rollup_distinct_state,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        # collisions on purpose: ~1700 distinct users spread over groups
+        (F.col("id") * 37 % 1701).alias("user_id"),
+        F.col("id").alias("event_id"),
+    )
+    keys = ["k"]
+
+    def snap(state_df):
+        return {
+            r.k: (r.n_rows, r.approx_distinct)
+            for r in present_distinct_rollup(state_df).collect()
+        }
+
+    direct = snap(rollup_distinct_state(df, keys, "user_id"))
+    parts = [
+        rollup_distinct_state(df.filter(F.col("event_id") % 3 == i), keys, "user_id")
+        for i in range(3)
+    ]
+    m3 = snap(merge_distinct_states(parts, keys))
+    # (a) deterministic replay: merging the same partials again → identical
+    assert snap(merge_distinct_states(parts, keys)) == m3
+    # (b) batching-invariant: ((p0 ⊕ p1) ⊕ p2) == (p0 ⊕ p1 ⊕ p2)
+    two_level = merge_distinct_states(
+        [merge_distinct_states(parts[:2], keys), parts[2]], keys
+    )
+    assert snap(two_level) == m3
+    # row counts are the exact monoid — merged must equal direct exactly
+    assert {k: v[0] for k, v in m3.items()} == {k: v[0] for k, v in direct.items()}
+    # (c) both estimates within 5% of exact per group (~2.5% bound at lgk=12)
+    exact = {
+        r.k: r.x
+        for r in df.groupBy("k").agg(F.countDistinct("user_id").alias("x")).collect()
+    }
+    for est_map in (direct, m3):
+        for k, (_, est) in est_map.items():
+            assert abs(est - exact[k]) / exact[k] < 0.05
+
+
+def test_delete_keys_partitioned(spark, tmp_path):
+    """Right-to-be-forgotten: matching rows gone (including a partition
+    deleted WHOLE — the dynamic-overwrite blind spot), untouched
+    partitions' files never rewritten, audit counts exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources.maintenance import delete_keys_partitioned
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        # day 1: users 1,2;  day 2: ONLY user 1 (fully emptied by delete);
+        # day 3: user 3 (untouched)
+        [(1, "d1", 10.0), (2, "d1", 20.0), (1, "d2", 30.0), (3, "d3", 40.0)],
+        "user_id bigint, day string, value double",
+    )
+    df.write.partitionBy("day").parquet(path)
+    untouched_files = {
+        f for f in os.listdir(os.path.join(path, "day=d3")) if f.endswith(".parquet")
+    }
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, "day=d3", f)) for f in untouched_files
+    }
+
+    forget = spark.createDataFrame([(1,)], "user_id bigint")
+    out = delete_keys_partitioned(
+        spark, path, forget, keys=["user_id"], partition_cols=["day"]
+    )
+    assert out == {"rows_deleted": 2, "partitions_rewritten": 2}
+
+    back = spark.read.parquet(path)
+    assert sorted(tuple(r) for r in back.select("user_id", "day", "value").collect()) == [
+        (2, "d1", 20.0),
+        (3, "d3", 40.0),
+    ]
+    # the fully-emptied partition directory is gone
+    assert not os.path.exists(os.path.join(path, "day=d2"))
+    # untouched partition files were not rewritten
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(path, "day=d3", f)) == m
+
+    # no-match delete is a no-op
+    out2 = delete_keys_partitioned(
+        spark, path, spark.createDataFrame([(99,)], "user_id bigint"),
+        keys=["user_id"], partition_cols=["day"],
+    )
+    assert out2 == {"rows_deleted": 0, "partitions_rewritten": 0}

