@@ -69,6 +69,10 @@ QUERIES_UNDER_TEST = [
     "warc_extract_stats",
     "mixture_sample_counts",
     "hard_negatives_topk",
+    # round-8 late additions: trigram-LM scoring (type-table growth is the
+    # interesting axis — trigram types grow near-linearly in corpus tokens
+    # until vocab saturation)
+    "kn_trigram_surprisal",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the

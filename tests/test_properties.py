@@ -294,3 +294,48 @@ def test_y4m_roundtrip_property(nframes, w, h, seed):
     assert (dw, dh) == (w, h) and len(got) == nframes
     for a, b in zip(got, frames):
         assert (a == b).all()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=64),
+            ),
+            st.integers(0, 2),  # which batch the row lands in
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_rollup_state_monoid_law_any_partition(spark, rows):
+    """merge(state(A), state(B), state(C)) == state(A∪B∪C) for EVERY
+    partition of the rows hypothesis draws — the batch-boundary
+    invariance the IVM tier's oracle equality proves at one split,
+    generalized. Values quantized to 1e-4 grid so the integer-unit sum is
+    exact recovery (the dsum precondition)."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources.maintenance import (
+        merge_rollup_states,
+        present_rollup,
+        rollup_state,
+    )
+
+    quantized = [
+        (k, None if v is None else round(v, 4), b) for k, v, b in rows
+    ]
+    schema = "k bigint, value double, b int"
+    df = spark.createDataFrame(quantized, schema)
+    direct = sorted(
+        tuple(r) for r in present_rollup(rollup_state(df, ["k"])).collect()
+    )
+    parts = [rollup_state(df.filter(F.col("b") == i), ["k"]) for i in range(3)]
+    merged = sorted(
+        tuple(r)
+        for r in present_rollup(merge_rollup_states(parts, ["k"])).collect()
+    )
+    assert merged == direct
