@@ -1041,3 +1041,132 @@ def bpe_train_merges(
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out.orderBy("rank")
+
+
+# Gopher quality-rule stop-word set (Rae et al. 2021, Appendix A: "contains
+# at least two of" these)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The C4 line-grain cleaning rules (Raffel et al. 2020 §2.2) as one
+    map-only transform: keep a line iff it ends in terminal punctuation
+    ([.!?"]), has ≥ ``min_words`` words, and does not contain
+    "javascript"; a document survives iff ≥ ``min_kept_lines`` lines
+    survive and it contains neither "lorem ipsum" nor "{". Output carries
+    the cleaned text (kept lines re-joined) plus the audit counts — the
+    filter is a transform AND its own evidence.
+
+    Pure array expressions inside whole-stage codegen: split → filter
+    lambda → array_join, zero shuffle, zero Python — at 100 TB this runs
+    at scan speed next to the other map-only text operators.
+    """
+    df = ensure_parallelism(df)
+    lc = F.lower(F.col(text_col))
+    kept = F.expr(
+        f"filter(split({text_col}, '\\n'), l -> "
+        f"l rlike '[.!?\"]$' "
+        f"AND size(regexp_extract_all(lower(l), '{WORD_RE}', 0)) >= {min_words} "
+        f"AND NOT contains(lower(l), 'javascript'))"
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("kept_lines"),
+        F.array_join(kept, "\n").alias("kept_text"),
+        (~F.contains(lc, F.lit("lorem ipsum"))
+         & ~F.contains(F.col(text_col), F.lit("{"))).alias("_doc_ok"),
+    )
+    return out.select(
+        id_col,
+        "n_lines",
+        "kept_lines",
+        ((F.col("kept_lines") >= min_kept_lines) & F.col("_doc_ok")).alias(
+            "keep_doc"
+        ),
+        "kept_text",
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Gopher document-grain quality rules (Rae et al. 2021, Appendix
+    A) as measured columns plus the combined keep flag: word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio (# and
+    ellipses) ≤ 0.1, ≤ 90% of lines starting with a bullet, ≤ 30% of
+    lines ending with an ellipsis, ≥ 80% of words containing an alphabetic
+    character, and ≥ 2 distinct stop words from the paper's set. Every
+    measure is an integer count or a ratio of integers (deterministic
+    across engines); ellipsis/symbol counts use the replace-length trick
+    so both engines count identical substrings.
+
+    Map-only (array lambdas in codegen), zero shuffle — the same 100 TB
+    posture as quality_score; this is the NAMED rule set next to that
+    generic score, so corpus governance can cite the exact filter.
+    """
+    df = ensure_parallelism(df)
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+        F.split(t, "\n").alias("_lines"),
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+            + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+            + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+        ).cast("bigint").alias("_n_sym"),
+    )
+    n = F.size("_toks")
+    n_lines = F.size("_lines")
+    wl_sum = F.expr("aggregate(transform(_toks, t -> length(t)), 0, (a, x) -> a + x)")
+    n_alpha = F.expr("size(filter(_toks, t -> t rlike '[a-z]'))")
+    n_bullet = F.expr(
+        "size(filter(_lines, l -> ltrim(l) like '•%' OR ltrim(l) like '- %'))"
+    )
+    n_ellipsis = F.expr(
+        "size(filter(_lines, l -> rtrim(l) rlike '(\\\\.\\\\.\\\\.|…)$'))"
+    )
+    stop_hits = None
+    for w in GOPHER_STOPS:
+        hit = F.array_contains("_toks", w).cast("int")
+        stop_hits = hit if stop_hits is None else (stop_hits + hit)
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    measured = base.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        F.when(n == 0, F.lit(0.0)).otherwise(dbl(wl_sum) / dbl(n)).alias(
+            "mean_word_len"
+        ),
+        F.when(n == 0, F.lit(0.0)).otherwise(dbl(F.col("_n_sym")) / dbl(n)).alias(
+            "symbol_ratio"
+        ),
+        F.when(n_lines == 0, F.lit(0.0)).otherwise(dbl(n_bullet) / dbl(n_lines)).alias(
+            "bullet_line_ratio"
+        ),
+        F.when(n_lines == 0, F.lit(0.0))
+        .otherwise(dbl(n_ellipsis) / dbl(n_lines))
+        .alias("ellipsis_line_ratio"),
+        F.when(n == 0, F.lit(0.0)).otherwise(dbl(n_alpha) / dbl(n)).alias(
+            "frac_alpha_words"
+        ),
+        stop_hits.cast("bigint").alias("n_stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_line_ratio") <= 0.9)
+        & (F.col("ellipsis_line_ratio") <= 0.3)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("n_stop_hits") >= 2)
+    )
+    return measured.withColumn("keep", keep)

@@ -4292,3 +4292,155 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     training loop hash-replays in the DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return T.bpe_train_merges(docs, n_merges=_BPE_TRAIN_K)
+
+
+# ---------------------------------------------------------------------------
+# Named quality-rule sets: C4 line filter + Gopher document flags
+# ---------------------------------------------------------------------------
+
+# Deterministic multi-line article fixture (the html_extract pattern): the
+# synthetic corpus is single-line and punctuation-free, so the line-grain
+# C4 rules need structure — each doc's tokens are folded into 8-word lines
+# decorated by (doc_id + line_idx) residue: bullet lines (no terminal
+# punct), "javascript" lines, bare lines, and clean sentences. Both engines
+# build the IDENTICAL text, then replay the IDENTICAL filter.
+_C4_LINES_SPARK = (
+    "if(size(_toks) = 0, array(), "
+    "transform(sequence(0, cast(ceil(size(_toks) / 8.0) as int) - 1), i -> "
+    "CASE WHEN (doc_id + i) % 5 = 0 "
+    "  THEN concat('• ', array_join(slice(_toks, i*8+1, 8), ' ')) "
+    "WHEN (doc_id + i) % 7 = 0 "
+    "  THEN concat(array_join(slice(_toks, i*8+1, 8), ' '), ' javascript') "
+    "WHEN (doc_id + i) % 3 = 0 THEN array_join(slice(_toks, i*8+1, 8), ' ') "
+    "ELSE concat(array_join(slice(_toks, i*8+1, 8), ' '), '.') END))"
+)
+
+_C4_LINES_DUCK = (
+    "list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INT)), i -> "
+    "CASE WHEN (doc_id + i) % 5 = 0 "
+    "  THEN chr(8226) || ' ' || array_to_string(list_slice(t, i*8+1, i*8+8), ' ') "
+    "WHEN (doc_id + i) % 7 = 0 "
+    "  THEN array_to_string(list_slice(t, i*8+1, i*8+8), ' ') || ' javascript' "
+    "WHEN (doc_id + i) % 3 = 0 "
+    "  THEN array_to_string(list_slice(t, i*8+1, i*8+8), ' ') "
+    "ELSE array_to_string(list_slice(t, i*8+1, i*8+8), ' ') || '.' END)"
+)
+
+
+@register(
+    "c4_line_filter",
+    oracle=f"""
+    WITH t AS ({_TOKS}),
+    built AS (
+      SELECT doc_id,
+             array_to_string({_C4_LINES_DUCK}, chr(10)) AS text
+      FROM t
+    ),
+    split_again AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM built
+    ),
+    filtered AS (
+      SELECT doc_id, text, len(ls) AS n_lines,
+             list_filter(ls, l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(regexp_extract_all(lower(l), '[a-z0-9]+')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kl
+      FROM split_again
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kl) AS BIGINT) AS kept_lines,
+           (len(kl) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{')) AS keep_doc,
+           -- empty list: DuckDB array_to_string → NULL, Spark array_join → ''
+           COALESCE(array_to_string(kl, chr(10)), '') AS kept_text
+    FROM filtered ORDER BY doc_id
+    """,
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NAMED C4 cleaning rules (Raffel et al. 2020 §2.2) end to end:
+    keep lines ending in terminal punctuation with ≥5 words and no
+    "javascript"; keep documents with ≥3 surviving lines and no
+    "lorem ipsum"/"{{". Runs on a deterministic multi-line article built
+    in-plan from each doc's tokens (bullet/bare/javascript/sentence lines
+    by residue — the html_extract fixture pattern), hash-checked on the
+    FULL cleaned text. Map-only, array lambdas in codegen, zero Python
+    (operators/text.py c4_line_filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fixture = docs.select(
+        "doc_id", T.tokens("text").alias("_toks")
+    ).select(
+        "doc_id",
+        F.array_join(F.expr(_C4_LINES_SPARK), "\n").alias("text"),
+    )
+    return T.c4_line_filter(fixture).orderBy("doc_id")
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+    for w in T.GOPHER_STOPS
+)
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             string_split(text, chr(10)) AS ls
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, w -> length(w)))
+                            AS DOUBLE) / CAST(len(toks) AS DOUBLE) END
+               AS mean_word_len,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(CAST(
+                         (length(text) - length(replace(text, '#', '')))
+                         + (length(text) - length(replace(text, '...', ''))) / 3
+                         + (length(text) - length(replace(text, chr(8230), '')))
+                       AS BIGINT) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END
+               AS symbol_ratio,
+             CASE WHEN len(ls) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(ls, l ->
+                         ltrim(l) LIKE chr(8226) || '%' OR ltrim(l) LIKE '- %'))
+                       AS DOUBLE) / CAST(len(ls) AS DOUBLE) END
+               AS bullet_line_ratio,
+             CASE WHEN len(ls) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(ls, l ->
+                         regexp_matches(rtrim(l), '(\\.\\.\\.|' || chr(8230) || ')$')))
+                       AS DOUBLE) / CAST(len(ls) AS DOUBLE) END
+               AS ellipsis_line_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                       AS DOUBLE) / CAST(len(toks) AS DOUBLE) END
+               AS frac_alpha_words,
+             CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stop_hits
+      FROM t
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_line_ratio <= 0.9
+            AND ellipsis_line_ratio <= 0.3
+            AND frac_alpha_words >= 0.8
+            AND n_stop_hits >= 2) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NAMED Gopher quality rules (Rae et al. 2021 Appendix A) as
+    measured per-document columns + combined keep flag — the exact filter
+    a corpus card can cite, next to the generic quality_score. Word-count
+    and stop-word rules discriminate on this corpus; the symbol/bullet/
+    ellipsis rules are structurally zero on the synthetic single-line
+    docs but computed honestly (and exercised with real structure in the
+    operator's unit tests). Map-only, deterministic integer ratios
+    (operators/text.py gopher_quality_flags)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.gopher_quality_flags(docs).orderBy("doc_id")

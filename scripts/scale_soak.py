@@ -71,8 +71,10 @@ QUERIES_UNDER_TEST = [
     "hard_negatives_topk",
     # round-8 late additions: trigram-LM scoring (type-table growth is the
     # interesting axis — trigram types grow near-linearly in corpus tokens
-    # until vocab saturation)
+    # until vocab saturation), named quality-rule sets (pure map)
     "kn_trigram_surprisal",
+    "c4_line_filter",
+    "gopher_quality_flags",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the

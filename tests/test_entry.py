@@ -58,9 +58,11 @@ def test_verify_first_names_all_resolve():
     for must in ("bpe_token_stats", "decoded_jpeg420_stats",
                  "decoded_jpeg_prog_stats", "media_contract",
                  "warc_extract_stats", "decoded_gif_stats",
-                 "kn_trigram_surprisal", "incremental_rollup_refresh"):
+                 "kn_trigram_surprisal", "incremental_rollup_refresh",
+                 "c4_line_filter", "gopher_quality_flags"):
         assert must in window, must
-    assert list(qs)[50:57] == [
+    assert list(qs)[50:59] == [
+        "token_stats", "union_label_dims",
         "value_autocorr_lag1", "value_equidepth_histogram",
         "value_histogram", "winsorized_profile",
         "mixture_sample_counts", "hard_negatives_topk", "dataset_card",

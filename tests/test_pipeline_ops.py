@@ -346,3 +346,50 @@ def test_incremental_rollup_merge_equals_direct(spark):
     ] + [rollup_state(df.filter(F.col("event_id") % 3 == 1000 % 3).limit(0), keys)]
     merged = present_rollup(merge_rollup_states(parts, keys)).orderBy("event_type")
     assert merged.collect() == direct.collect()
+
+
+def test_c4_line_filter_rules(spark):
+    from network_iq_spark.operators.text import c4_line_filter
+
+    good = "this line has five good words."
+    docs = [
+        # kept: 3 qualifying lines; dropped: short / bullet / javascript / bare
+        (1, "s", "\n".join([good, "too short.", "• bullet line with many words",
+                            "enable javascript to view this page.", good, good])),
+        # only 2 qualifying lines → doc dropped
+        (2, "s", "\n".join([good, good, "no terminal punctuation here"])),
+        # lorem ipsum kills the doc even with enough lines
+        (3, "s", "\n".join([good, good, good, "lorem ipsum dolor sit amet."])),
+        # question mark and quote are terminal punctuation too
+        (4, "s", "\n".join(["is this a five word question?",
+                            '"a quoted line of five words."', good])),
+        # brace kills the doc
+        (5, "s", "\n".join([good, good, good, "function() { return 1; }"])),
+    ]
+    out = {r.doc_id: r for r in c4_line_filter(_docs(spark, docs)).collect()}
+    assert (out[1].n_lines, out[1].kept_lines, out[1].keep_doc) == (6, 3, True)
+    assert out[1].kept_text == "\n".join([good, good, good])
+    assert (out[2].kept_lines, out[2].keep_doc) == (2, False)
+    assert out[3].kept_lines == 4 and not out[3].keep_doc
+    assert (out[4].kept_lines, out[4].keep_doc) == (3, True)
+    assert not out[5].keep_doc
+
+
+def test_gopher_quality_flags_rules(spark):
+    from network_iq_spark.operators.text import gopher_quality_flags
+
+    stops = "the be to of and that have with"
+    filler = " ".join(["word"] * 48)
+    docs = [
+        (1, "s", f"{stops} {filler}"),                       # passes everything
+        (2, "s", "short text the and"),                      # word count < 50
+        (3, "s", f"{stops} {filler} " + "... " * 20),        # symbol ratio > 0.1
+        (4, "s", "\n".join(["• bullet"] * 19 + ["clean line"])),  # bullets > 90%
+        (5, "s", f"{stops} " + " ".join(["1234"] * 48)),     # alpha frac < 0.8
+    ]
+    out = {r.doc_id: r for r in gopher_quality_flags(_docs(spark, docs)).collect()}
+    assert out[1].keep and out[1].n_stop_hits == 8 and out[1].n_words == 56
+    assert not out[2].keep and out[2].n_words == 4
+    assert not out[3].keep and out[3].symbol_ratio > 0.1
+    assert not out[4].keep and out[4].bullet_line_ratio == 0.95
+    assert not out[5].keep and out[5].frac_alpha_words < 0.8
