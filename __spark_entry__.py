@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "incremental_rollup_refresh",
     "c4_line_filter",
     "gopher_quality_flags",
+    "bm25_topk",
     # last sampled r5 (full cohort)
     "acctbal_quartiles",
     "acctbal_quartiles_scalable",
@@ -89,13 +90,13 @@ _VERIFY_FIRST = [
     "simhash_pairs",
     "simhash_pairs_blocked",
     "supplier_pagerank",
-    "time_weighted_avg",
     # --- 50-slot window boundary ---
-    # overflow, in r9-priority order: the six r5-green queries displaced
+    # overflow, in r9-priority order: the seven r5-green queries displaced
     # by brand-new round-8 queries (never-sampled queries outrank stale
     # green stamps), the two late-r8 additions that did not fit the
     # window, and dataset_card (plan rewrite, hash unchanged, externally
     # r7-green)
+    "time_weighted_avg",
     "token_stats",
     "union_label_dims",
     "value_autocorr_lag1",

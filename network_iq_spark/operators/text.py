@@ -1170,3 +1170,109 @@ def gopher_quality_flags(
         & (F.col("n_stop_hits") >= 2)
     )
     return measured.withColumn("keep", keep)
+
+
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_QUANT = 1_000_000  # per-term score micro-units (order-independent sums)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_pred,  # Column: which docs act as queries
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval (Robertson/Lucene idf variant): every query document
+    retrieves its top-k corpus neighbours by summed per-term BM25 — the
+    classic sparse-retrieval scorer, used in pipelines for related-doc
+    mining and eval-set decontamination beyond exact n-gram overlap.
+
+    Determinism contract: the per-(query,doc,term) score is one float
+    expression over integer counts (tf, df, dl, N) — identical infix in
+    the DuckDB oracle, so bit-identical — quantized to integer micro-units
+    BEFORE the per-pair sum, so aggregation order cannot move a score
+    (dsum pattern); ranking sorts (score_units DESC, doc_id) — ties break
+    on the integer key, never on float ulps.
+
+    Scale shape: one corpus explode → one (doc,term) combinable groupBy;
+    df/dl/avgdl are term-/doc-grain aggregates of that grain; the scoring
+    join streams postings against the (small) query-term side on the term
+    key — hot stopword terms are AQE-splittable, and a production run
+    would drop terms with df/N above a ceiling (stopword pruning) exactly
+    like every inverted index. Top-k is a per-query window over candidate
+    pairs, bounded by the query vocabulary's posting sizes.
+    """
+    df_in = ensure_parallelism(docs)
+    base = df_in.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    dl = base.select(F.col(id_col).alias("doc_id"), F.size("_toks").alias("dl"))
+    toks = base.select(
+        F.col(id_col).alias("doc_id"), F.explode("_toks").alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=False)  # feeds df, query side, and scoring
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scalars = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("len_sum")
+    ).select(
+        "n_docs",
+        (F.col("len_sum").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    qterms = (
+        df_in.filter(query_pred)
+        .select(F.col(id_col).alias("q_doc_id"))
+        .join(tf.select(F.col("doc_id").alias("q_doc_id"), "term"), "q_doc_id")
+        .distinct()
+    )
+    k1_l, b_l = repr(float(k1)), repr(float(b))
+    # identical infix in the oracle → identical IEEE tree
+    units = (
+        f"cast(floor(ln((cast(n_docs as double) - cast(df as double) + 0.5) "
+        f"/ (cast(df as double) + 0.5) + 1.0) "
+        f"* ((cast(tf as double) * ({k1_l} + 1.0)) "
+        f"/ (cast(tf as double) + {k1_l} * (1.0 - {b_l} + {b_l} "
+        f"* cast(dl as double) / avgdl))) * {BM25_QUANT}.0) as bigint)"
+    )
+    pairs = (
+        qterms.join(tf, "term")
+        .filter(F.col("doc_id") != F.col("q_doc_id"))
+        .join(dfreq, "term")
+        # dl is DOC-grain (corpus-sized) — never broadcast it; AQE picks
+        # the strategy at actual size (broadcast at test SF, SMJ at 100 TB)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "q_doc_id",
+            "doc_id",
+            F.expr(units).alias("_u"),
+        )
+        .groupBy("q_doc_id", "doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.sum("_u").alias("score_units"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_doc_id").orderBy(
+        F.col("score_units").desc(), F.col("doc_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_doc_id",
+            "rank",
+            "doc_id",
+            "n_terms_matched",
+            "score_units",
+            (F.col("score_units").cast("double") / F.lit(float(BM25_QUANT))).alias(
+                "score"
+            ),
+        )
+        .orderBy("q_doc_id", "rank")
+    )

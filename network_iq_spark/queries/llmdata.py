@@ -4444,3 +4444,63 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py gopher_quality_flags)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.gopher_quality_flags(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 sparse retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY_DOCS = 5
+_BM25_UNITS_SQL = (
+    "CAST(FLOOR(ln((cast(n_docs as double) - cast(df as double) + 0.5) "
+    "/ (cast(df as double) + 0.5) + 1.0) "
+    "* ((cast(tf as double) * (1.2 + 1.0)) "
+    "/ (cast(tf as double) + 1.2 * (1.0 - 0.75 + 0.75 "
+    "* cast(dl as double) / avgdl))) * 1000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH t AS ({_TOKS}),
+    dl AS (SELECT doc_id, len(t) AS dl FROM t),
+    toks AS (SELECT doc_id, unnest(t) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    s AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM dl),
+    q AS (SELECT DISTINCT doc_id AS q_doc_id, term FROM tf
+          WHERE doc_id < {_BM25_QUERY_DOCS}),
+    pairs AS (
+      SELECT q.q_doc_id, tf.doc_id,
+             COUNT(*) AS n_terms_matched,
+             CAST(SUM({_BM25_UNITS_SQL}) AS BIGINT) AS score_units
+      FROM q JOIN tf USING (term) JOIN dfreq USING (term)
+           JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s
+      WHERE tf.doc_id != q.q_doc_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_doc_id ORDER BY score_units DESC, doc_id
+             ) AS INT) AS rank
+      FROM pairs
+    )
+    SELECT q_doc_id, rank, doc_id, n_terms_matched, score_units,
+           CAST(score_units AS DOUBLE) / 1000000.0 AS score
+    FROM ranked WHERE rank <= 5 ORDER BY q_doc_id, rank
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 related-document retrieval: the first {n} docs each retrieve
+    their top-5 corpus neighbours by summed per-term BM25 (Robertson idf,
+    k1=1.2, b=0.75) — the classic sparse scorer next to the dense-ANN
+    tier, the tool for decontamination-beyond-exact-overlap and related-
+    doc mining. Per-term scores are quantized to integer micro-units
+    before the pair sum (dsum pattern) so engines cannot drift on
+    aggregation order, and ranking ties break on the integer score + doc
+    id (operators/text.py bm25_topk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(docs, F.col("doc_id") < _BM25_QUERY_DOCS, k=5)

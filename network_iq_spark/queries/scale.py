@@ -353,3 +353,18 @@ def q_incremental_distinct_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     ]
     merged = merge_distinct_states(states, keys)
     return present_distinct_rollup(merged).orderBy("event_type", "hour")
+
+
+@register("embedding_pca_project", bench_only=True)
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (exact integer-unit Gram pass, driver eigh on the
+    64x64 covariance — a bounded model artifact) projecting the embedding
+    corpus to 8 dims: the dimensionality-reduction stage run before
+    IVF/PQ indexing. bench_only: eigendecomposition is not
+    SQL-replayable; exactness is asserted against numpy and under
+    repartitioning in tests/test_similarity.py."""
+    from network_iq_spark.operators.similarity import as_double_vec, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    return pca_project(vecs, dim=64, out_dim=8).orderBy("vec_id")

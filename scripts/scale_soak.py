@@ -75,6 +75,7 @@ QUERIES_UNDER_TEST = [
     "kn_trigram_surprisal",
     "c4_line_filter",
     "gopher_quality_flags",
+    "bm25_topk",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the

@@ -59,10 +59,10 @@ def test_verify_first_names_all_resolve():
                  "decoded_jpeg_prog_stats", "media_contract",
                  "warc_extract_stats", "decoded_gif_stats",
                  "kn_trigram_surprisal", "incremental_rollup_refresh",
-                 "c4_line_filter", "gopher_quality_flags"):
+                 "c4_line_filter", "gopher_quality_flags", "bm25_topk"):
         assert must in window, must
-    assert list(qs)[50:59] == [
-        "token_stats", "union_label_dims",
+    assert list(qs)[50:60] == [
+        "time_weighted_avg", "token_stats", "union_label_dims",
         "value_autocorr_lag1", "value_equidepth_histogram",
         "value_histogram", "winsorized_profile",
         "mixture_sample_counts", "hard_negatives_topk", "dataset_card",

@@ -393,3 +393,62 @@ def test_gopher_quality_flags_rules(spark):
     assert not out[3].keep and out[3].symbol_ratio > 0.1
     assert not out[4].keep and out[4].bullet_line_ratio == 0.95
     assert not out[5].keep and out[5].frac_alpha_words < 0.8
+
+
+def test_bm25_topk_hand_computed(spark):
+    """Independent pure-Python BM25 (same op order as the shared
+    Spark/DuckDB expression) on a tiny corpus — ranking and quantized
+    scores must match exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.operators.text import bm25_topk
+
+    texts = {
+        0: "spark joins data with data",
+        1: "spark joins tables",
+        2: "data data data lake",
+        3: "unrelated words entirely here",
+    }
+    df = _docs(spark, [(i, "s", t) for i, t in texts.items()])
+
+    toks = {i: t.split() for i, t in texts.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / float(n_docs)
+    dfreq = {}
+    for t in toks.values():
+        for w in set(t):
+            dfreq[w] = dfreq.get(w, 0) + 1
+
+    def units(tf, dfc, dl):
+        return int(
+            math.floor(
+                math.log((n_docs - dfc + 0.5) / (dfc + 0.5) + 1.0)
+                * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+                * 1_000_000.0
+            )
+        )
+
+    def expect(q):
+        scores = {}
+        for d, t in toks.items():
+            if d == q:
+                continue
+            s = 0
+            hits = 0
+            for w in set(toks[q]):
+                tf = t.count(w)
+                if tf:
+                    hits += 1
+                    s += units(tf, dfreq[w], len(t))
+            if hits:
+                scores[d] = (hits, s)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))
+        return [(q, r + 1, d, h, s) for r, (d, (h, s)) in enumerate(ranked)]
+
+    got = [
+        (r.q_doc_id, r.rank, r.doc_id, r.n_terms_matched, r.score_units)
+        for r in bm25_topk(df, F.col("doc_id") < 2, k=5).collect()
+    ]
+    assert got == expect(0) + expect(1)

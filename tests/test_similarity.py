@@ -489,3 +489,54 @@ def test_ivfpq_recall_floor_and_lloyd_gain(spark):
     )
     assert lloyd >= 0.7, lloyd
     assert lloyd >= seeded, (lloyd, seeded)
+
+
+def test_pca_exact_vs_numpy_and_partition_invariant(spark):
+    """The integer-unit Gram pass must reproduce numpy's PCA on the
+    quantized data exactly-up-to-fp (same covariance bytes in, same eigh
+    out), and — the property float Gram passes lack — be bit-identical
+    under any repartitioning (int64 partials commute exactly)."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    dim, n = 16, 400
+    # anisotropic data so components are well-separated
+    base = rng.normal(size=(n, dim)) * np.linspace(3.0, 0.1, dim)
+    pdf = pd.DataFrame({"vec_id": range(n), "v": list(base.astype(np.float64))})
+    df = spark.createDataFrame(pdf)
+
+    comps, s_units, cnt, evals = pca_fit(df, dim=dim, out_dim=4)
+    # numpy reference on the SAME quantized values
+    u = np.floor(base * 1e4 + 0.5).astype(np.int64)
+    cov = (u.T @ u / n - np.outer(u.mean(0), u.mean(0))) / 1e8
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:4]
+    ref = evec[:, order].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert cnt == n
+    assert np.allclose(evals, ev[order], rtol=0, atol=1e-12)
+    assert np.allclose(comps, ref, rtol=0, atol=1e-9)
+    # variance ordering
+    assert all(evals[i] >= evals[i + 1] for i in range(3))
+
+    # partitioning invariance: projections bit-identical at 1 vs 7 parts
+    p1 = {
+        r.vec_id: tuple(r.proj)
+        for r in pca_project(df.repartition(1), dim=dim, out_dim=4).collect()
+    }
+    p7 = {
+        r.vec_id: tuple(r.proj)
+        for r in pca_project(df.repartition(7), dim=dim, out_dim=4).collect()
+    }
+    assert p1 == p7
+    # projection matches numpy
+    w = ref.T
+    y = (u / 1e4 - u.mean(0) / 1e4) @ w
+    for i in range(n):
+        assert np.allclose(p1[i], y[i], rtol=0, atol=1e-9)
