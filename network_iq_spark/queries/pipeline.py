@@ -758,3 +758,49 @@ def q_ann_int_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qids, k=_AI_K, n_planes=_AI_PLANES, n_tables=_AI_TABLES,
         multiprobe=True,
     ).orderBy("q_vec_id", "rank")
+
+
+@register(
+    "fertility_by_lang",
+    oracle="""
+    WITH per AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_w,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS n_b
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_w) AS BIGINT) AS n_words,
+           CAST(SUM(n_b) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN SUM(n_w) = 0 THEN 0.0
+                ELSE CAST(SUM(n_b) AS DOUBLE) / CAST(SUM(n_w) AS DOUBLE) END
+             AS fertility
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+)
+def q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — BPE-ish segments per whitespace
+    word, the standard multilingual-tokenizer health metric (fertility
+    far above ~1.3 for a language means its text pays more sequence
+    length per word than the tokenizer's home languages). Integer token
+    counts → deterministic ratio; one combinable groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(T.tokens("text")).alias("n_w"),
+        F.size(T.tokens("text", T.BPE_RE)).alias("n_b"),
+    )
+    sw, sb = F.sum("n_w"), F.sum("n_b")
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            sw.alias("n_words"),
+            sb.alias("n_bpe_tokens"),
+            F.when(sw == 0, F.lit(0.0))
+            .otherwise(sb.cast("double") / sw.cast("double"))
+            .alias("fertility"),
+        )
+        .orderBy("lang")
+    )

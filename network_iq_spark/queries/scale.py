@@ -368,3 +368,75 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", as_double_vec("embedding").alias("v"))
     return pca_project(vecs, dim=64, out_dim=8).orderBy("vec_id")
+
+
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 1000.0, 200  # fixed domain, 5-unit bins
+
+
+@register(
+    "incremental_quantile_refresh",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             LEAST({_HQ_BINS - 1}, GREATEST(0,
+               CAST(FLOOR((value - 0.0) / 1000.0 * {_HQ_BINS}) AS INT))) AS bin,
+             COUNT(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM b
+    )
+    SELECT event_type,
+           CAST(MAX(total) AS BIGINT) AS n_vals,
+           0.0 + (CAST(MIN(CASE WHEN cum * 100 >= 50 * total THEN bin END)
+                  AS DOUBLE) + 1.0) * 5.0 AS p50_est,
+           0.0 + (CAST(MIN(CASE WHEN cum * 100 >= 95 * total THEN bin END)
+                  AS DOUBLE) + 1.0) * 5.0 AS p95_est
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_incremental_quantile_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles for the IVM tier: per-type P50/P95 maintained as a
+    MERGEABLE fixed-boundary histogram state (bin counts are a plain
+    count monoid — unlike t-digest/KLL the merge is exactly
+    SQL-replayable). Same split-and-merge plan as
+    incremental_rollup_refresh (history + two parity batches, states
+    folded); the oracle computes the histogram in one pass — hash
+    equality proves bin-count merging is lossless and the integer
+    threshold rule (cum·100 ≥ p·total) picks identical bins. Estimate
+    error ≤ one bin width (5 units on the [0, 1000] domain) by
+    construction — the declared contract of a fixed histogram
+    (sources/maintenance.py histogram_state / histogram_quantiles)."""
+    from network_iq_spark.sources.maintenance import (
+        histogram_quantiles,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts"), "value"
+    )
+    cutoff = ev.agg(F.date_trunc("day", F.max("ts")).alias("__cut__"))
+    tagged = ev.crossJoin(F.broadcast(cutoff))
+    keys = ["event_type"]
+    is_even = (F.col("event_id") % 2).eqNullSafe(F.lit(0))
+    args = dict(value_col="value", lo=_HQ_LO, hi=_HQ_HI, n_bins=_HQ_BINS)
+    states = [
+        histogram_state(tagged.filter(F.col("ts") < F.col("__cut__")), keys, **args),
+        histogram_state(
+            tagged.filter((F.col("ts") >= F.col("__cut__")) & is_even), keys, **args
+        ),
+        histogram_state(
+            tagged.filter((F.col("ts") >= F.col("__cut__")) & ~is_even), keys, **args
+        ),
+    ]
+    merged = merge_histogram_states(states, keys)
+    return histogram_quantiles(
+        merged, keys, lo=_HQ_LO, hi=_HQ_HI, n_bins=_HQ_BINS, pcts=(50, 95)
+    ).orderBy("event_type")

@@ -612,3 +612,96 @@ def delete_keys_partitioned(
             if fs.exists(p):
                 fs.delete(p, True)
     return {"rows_deleted": rows_deleted, "partitions_rewritten": n_parts}
+
+
+def histogram_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Mergeable QUANTILE state: a fixed-boundary histogram — per-key bin
+    counts, which are a plain count monoid, so quantile estimates compose
+    with the same at-rest/merge/refresh pattern as ``rollup_state`` and
+    stay EXACTLY replayable in SQL (unlike t-digest/KLL, whose merge is
+    sketch-dependent). The trade is declared up front: boundaries are
+    fixed a priori (domain knowledge), resolution is (hi-lo)/n_bins, and
+    out-of-range values clamp into the edge bins — the honest contract of
+    every fixed-histogram monitoring system. NULLs are excluded (they
+    carry no quantile information; count them in the rollup_state twin).
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col)
+    span = float(hi) - float(lo)
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((v - F.lit(float(lo))) / F.lit(span) * F.lit(n_bins)).cast(
+                "int"
+            ),
+        ),
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, bin_.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_histogram_states(
+    states: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Fold histogram states: bin counts add (one combinable groupBy over
+    key×bin grain — at most n_bins rows per key per state)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    return unioned.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    state: DataFrame,
+    keys: Sequence[str],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    pcts: Sequence[int] = (50, 95),
+) -> DataFrame:
+    """Quantile estimates from the histogram state: for each percentile p,
+    the RIGHT EDGE of the smallest bin whose cumulative count reaches p% —
+    an integer-arithmetic threshold (cum·100 ≥ p·total), so engines cannot
+    disagree at the boundary. Error ≤ one bin width by construction."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    width = (float(hi) - float(lo)) / n_bins
+    cum = state.select(
+        *keys,
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    aggs = [F.max("total").alias("n_vals")]
+    for p in pcts:
+        hit = F.when(
+            F.col("cum") * 100 >= F.lit(int(p)) * F.col("total"), F.col("bin")
+        )
+        aggs.append(
+            (
+                F.lit(float(lo))
+                + (F.min(hit).cast("double") + F.lit(1.0)) * F.lit(width)
+            ).alias(f"p{p}_est")
+        )
+    return cum.groupBy(*keys).agg(*aggs)

@@ -532,3 +532,47 @@ def test_delete_keys_partitioned(spark, tmp_path):
         keys=["user_id"], partition_cols=["day"],
     )
     assert out2 == {"rows_deleted": 0, "partitions_rewritten": 0}
+
+
+def test_histogram_state_merge_and_error_bound(spark):
+    """Histogram-state laws: merged quantiles == direct (bin counts are a
+    count monoid), and the estimate is within one bin width of the true
+    quantile (the fixed-histogram contract)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources.maintenance import (
+        histogram_quantiles,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(0, 900, size=2000)
+    rows = [(int(i), "k%d" % (i % 2), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id bigint, k string, value double")
+    keys = ["k"]
+    args = dict(value_col="value", lo=0.0, hi=1000.0, n_bins=200)
+
+    def snap(state):
+        return {
+            r.k: (r.n_vals, r.p50_est, r.p95_est)
+            for r in histogram_quantiles(
+                state, keys, lo=0.0, hi=1000.0, n_bins=200, pcts=(50, 95)
+            ).collect()
+        }
+
+    direct = snap(histogram_state(df, keys, **args))
+    parts = [
+        histogram_state(df.filter(F.col("event_id") % 3 == i), keys, **args)
+        for i in range(3)
+    ]
+    merged = snap(merge_histogram_states(parts, keys))
+    assert merged == direct
+    # error bound: within one 5-unit bin of the exact quantile
+    for g in ("k0", "k1"):
+        sub = np.sort(vals[np.arange(2000) % 2 == (0 if g == "k0" else 1)])
+        for pct, est in ((50, direct[g][1]), (95, direct[g][2])):
+            exact = sub[int(np.ceil(pct / 100 * len(sub))) - 1]
+            assert abs(est - exact) <= 5.0 + 1e-9, (g, pct, est, exact)
