@@ -1276,3 +1276,104 @@ def bm25_topk(
         )
         .orderBy("q_doc_id", "rank")
     )
+
+
+JACCARD_QUANT = 1_000_000
+
+
+def jaccard_topk(
+    docs: DataFrame,
+    query_pred,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard retrieval for a SMALL query set: each query
+    doc ranks every doc sharing ≥1 token by |A∩B| / |A∪B|, quantized to
+    integer units via INTEGER division ((10^6·∩) div ∪ — both operands
+    exact ints, so both engines produce the same integer; no float in the
+    ranking at all). The lexical-overlap leg of hybrid retrieval next to
+    BM25's frequency weighting.
+
+    Scale: the candidate join streams the distinct (doc, token) grain
+    against the query tokens on the token key — with a handful of query
+    docs this is postings-bounded; a full all-pairs Jaccard belongs to the
+    MinHash-LSH tier, not here (the operator guards nothing because the
+    query side is an explicit predicate, not a cross join)."""
+    df_in = ensure_parallelism(docs)
+    dtok = (
+        df_in.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .distinct()
+    )
+    dtok = dtok.localCheckpoint(eager=False)  # feeds sizes, query side, join
+    sizes = dtok.groupBy("doc_id").agg(F.count("*").alias("n_dist"))
+    qt = (
+        df_in.filter(query_pred)
+        .select(F.col(id_col).alias("q_doc_id"))
+        .join(dtok.select(F.col("doc_id").alias("q_doc_id"), "term"), "q_doc_id")
+    )
+    inter = (
+        qt.join(dtok, "term")
+        .filter(F.col("doc_id") != F.col("q_doc_id"))
+        .groupBy("q_doc_id", "doc_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = (
+        inter.join(sizes.select(F.col("doc_id").alias("q_doc_id"), F.col("n_dist").alias("qa")), "q_doc_id")
+        .join(sizes.select("doc_id", F.col("n_dist").alias("qb")), "doc_id")
+        .select(
+            "q_doc_id",
+            "doc_id",
+            F.expr(
+                f"cast(({JACCARD_QUANT} * n_inter) div (qa + qb - n_inter) as bigint)"
+            ).alias("jaccard_units"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_doc_id").orderBy(
+        F.col("jaccard_units").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_doc_id", "rank", "doc_id", "jaccard_units")
+    )
+
+
+RRF_K = 60
+
+
+def rrf_fuse(rank_lists: list[DataFrame], k: int = 5, k_rrf: int = RRF_K) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): each list contributes
+    10^6 div (k_rrf + rank) — pure INTEGER arithmetic, so fused scores and
+    their ordering are engine-exact with no float anywhere. Inputs carry
+    (q_doc_id, rank, doc_id); candidates absent from a list contribute 0
+    (union semantics). The standard way to combine lexical (BM25/Jaccard)
+    and dense (ANN) rankings without score calibration."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    contrib = [
+        df.select(
+            "q_doc_id",
+            "doc_id",
+            F.expr(f"cast(1000000 div ({k_rrf} + rank) as bigint)").alias("_u"),
+        )
+        for df in rank_lists
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), contrib)
+        .groupBy("q_doc_id", "doc_id")
+        .agg(F.sum("_u").alias("rrf_units"), F.count("*").alias("n_lists"))
+    )
+    w = Window.partitionBy("q_doc_id").orderBy(
+        F.col("rrf_units").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_doc_id", "rank", "doc_id", "n_lists", "rrf_units")
+        .orderBy("q_doc_id", "rank")
+    )

@@ -4460,10 +4460,8 @@ _BM25_UNITS_SQL = (
 )
 
 
-@register(
-    "bm25_topk",
-    oracle=f"""
-    WITH t AS ({_TOKS}),
+# the full BM25 CTE chain, shared by bm25_topk and the RRF fusion oracle
+_BM25_CTES = f"""t AS ({_TOKS}),
     dl AS (SELECT doc_id, len(t) AS dl FROM t),
     toks AS (SELECT doc_id, unnest(t) AS term FROM t),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -4487,7 +4485,13 @@ _BM25_UNITS_SQL = (
                PARTITION BY q_doc_id ORDER BY score_units DESC, doc_id
              ) AS INT) AS rank
       FROM pairs
-    )
+    )"""
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT q_doc_id, rank, doc_id, n_terms_matched, score_units,
            CAST(score_units AS DOUBLE) / 1000000.0 AS score
     FROM ranked WHERE rank <= 5 ORDER BY q_doc_id, rank
@@ -4504,3 +4508,67 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     id (operators/text.py bm25_topk)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.bm25_topk(docs, F.col("doc_id") < _BM25_QUERY_DOCS, k=5)
+
+
+@register(
+    "related_docs_rrf",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    dtok AS (SELECT DISTINCT doc_id, term FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_dist FROM dtok GROUP BY 1),
+    jq AS (SELECT doc_id AS q_doc_id, term FROM dtok
+           WHERE doc_id < {_BM25_QUERY_DOCS}),
+    inter AS (
+      SELECT jq.q_doc_id, dtok.doc_id, COUNT(*) AS n_inter
+      FROM jq JOIN dtok USING (term)
+      WHERE dtok.doc_id != jq.q_doc_id
+      GROUP BY 1, 2
+    ),
+    jscored AS (
+      SELECT i.q_doc_id, i.doc_id,
+             (1000000 * n_inter) // (sa.n_dist + sb.n_dist - n_inter)
+               AS jaccard_units
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.q_doc_id
+                   JOIN sizes sb ON sb.doc_id = i.doc_id
+    ),
+    jranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY q_doc_id ORDER BY jaccard_units DESC, doc_id
+             ) AS jrank
+      FROM jscored
+    ),
+    contrib AS (
+      SELECT q_doc_id, doc_id, 1000000 // (60 + rank) AS u
+      FROM ranked WHERE rank <= 10
+      UNION ALL
+      SELECT q_doc_id, doc_id, 1000000 // (60 + jrank) AS u
+      FROM jranked WHERE jrank <= 10
+    ),
+    fused AS (
+      SELECT q_doc_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+             CAST(SUM(u) AS BIGINT) AS rrf_units
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT q_doc_id, rank, doc_id, n_lists, rrf_units FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_doc_id ORDER BY rrf_units DESC, doc_id
+             ) AS INT) AS rank
+      FROM fused
+    ) WHERE rank <= 5 ORDER BY q_doc_id, rank
+    """,
+)
+def q_related_docs_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    BM25 (frequency-weighted lexical) and exact token-set Jaccard
+    (overlap-weighted lexical) each rank top-10 related docs per query
+    doc; RRF fuses the two lists with pure INTEGER arithmetic
+    (10^6 div (60 + rank)) — no score calibration, no floats in the fused
+    ordering, the whole two-system pipeline hash-replayable. The shape a
+    production decontamination/related-doc service runs (swap the second
+    list for the dense-ANN tier's ranks via the same rrf_fuse seam)
+    (operators/text.py bm25_topk / jaccard_topk / rrf_fuse)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = F.col("doc_id") < _BM25_QUERY_DOCS
+    bm = T.bm25_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
+    jc = T.jaccard_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
+    return T.rrf_fuse([bm, jc], k=5)

@@ -76,6 +76,7 @@ QUERIES_UNDER_TEST = [
     "c4_line_filter",
     "gopher_quality_flags",
     "bm25_topk",
+    "related_docs_rrf",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the

@@ -452,3 +452,46 @@ def test_bm25_topk_hand_computed(spark):
         for r in bm25_topk(df, F.col("doc_id") < 2, k=5).collect()
     ]
     assert got == expect(0) + expect(1)
+
+
+def test_jaccard_topk_and_rrf_fuse_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.operators.text import jaccard_topk, rrf_fuse
+
+    texts = {
+        0: "a b c d",
+        1: "a b c x",      # jaccard vs 0: 3/5
+        2: "a b y z",      # jaccard vs 0: 2/6
+        3: "p q r s",      # no overlap with 0
+    }
+    df = _docs(spark, [(i, "s", t) for i, t in texts.items()])
+    jc = [
+        (r.q_doc_id, r.rank, r.doc_id, r.jaccard_units)
+        for r in jaccard_topk(df, F.col("doc_id") == 0, k=10)
+        .orderBy("q_doc_id", "rank")
+        .collect()
+    ]
+    assert jc == [
+        (0, 1, 1, 1_000_000 * 3 // 5),
+        (0, 2, 2, 1_000_000 * 2 // 6),
+    ]
+
+    # fuse two hand-built rank lists: doc 7 is rank 1 in A and rank 2 in B,
+    # doc 8 only in A (rank 2), doc 9 only in B (rank 1)
+    a = spark.createDataFrame(
+        [(0, 1, 7), (0, 2, 8)], "q_doc_id bigint, rank int, doc_id bigint"
+    )
+    b = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 7)], "q_doc_id bigint, rank int, doc_id bigint"
+    )
+    fused = [
+        (r.rank, r.doc_id, r.n_lists, r.rrf_units)
+        for r in rrf_fuse([a, b], k=5).collect()
+    ]
+    u1, u2 = 1_000_000 // 61, 1_000_000 // 62
+    assert fused == [
+        (1, 7, 2, u1 + u2),  # in both lists → wins
+        (2, 9, 1, u1),
+        (3, 8, 1, u2),
+    ]
