@@ -106,6 +106,12 @@ def main() -> None:
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     if os.environ.get("BENCH_QUICK"):
         full_path = os.devnull  # a subset run must not clobber the committed artifact
+    elif sf != "0.1":
+        # a non-canonical SF run (e.g. the verify recipe's sf0.001 pass)
+        # must not clobber the committed sf0.1 artifact either — round 8
+        # shipped three commits with sf0.001 numbers in bench_full.json
+        # exactly this way before the guard existed
+        full_path = os.devnull
     with open(full_path, "w") as fh:
         json.dump(
             {
