@@ -250,3 +250,82 @@ def pagerank_int(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    topk: int = 20,
+    cc_quant: int = 1_000_000,
+) -> DataFrame:
+    """Distributed triangle counting by DEGREE ORIENTATION (the
+    Cohen/Suri-Vassilvitskii MapReduce classic): orient every undirected
+    edge from its (degree, id)-smaller endpoint to the larger, build
+    wedges only from each node's OUT-edges, and close them against the
+    oriented edge set. Orientation is the whole 100 TB story: out-degree
+    is bounded by O(√m) on any graph, so the wedge join fans out
+    m^(3/2) worst-case instead of Σ deg² — the hot-celebrity node whose
+    deg² wedge set would melt a reducer has tiny OUT-degree because
+    nearly all its edges point INTO it. Each triangle is generated
+    exactly once (at its ≺-smallest vertex, with v ≺ w ordering the pair).
+
+    Input: distinct undirected edges (a < b). Output: top-k nodes by
+    triangle participation with degree and local clustering coefficient
+    in integer units ((quant·2·tri) div (deg·(deg−1)) — exact integer
+    division, engine-proof), plus the global triangle count on every row
+    (scalar broadcast).
+    """
+    und = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("deg_dst"),
+    )
+    oriented = oriented.localCheckpoint(eager=False)  # 3 consumers
+    o1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("deg_dst").alias("dv")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("deg_dst").alias("dw")
+    )
+    v_first = (F.col("dv") < F.col("dw")) | (
+        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
+    )
+    wedges = o1.join(o2, "u").filter(v_first)
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).select("u", "v", "w")
+    tri = tri.localCheckpoint(eager=False)  # feeds per-node counts + total
+    total = tri.agg(F.count("*").alias("n_triangles_total"))
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+        .join(deg, "node")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "node",
+            "deg",
+            "n_tri",
+            F.expr(
+                f"cast(({cc_quant} * 2 * n_tri) div (deg * (deg - 1)) as bigint)"
+            ).alias("cc_units"),
+            "n_triangles_total",
+        )
+    )
+    return per_node.orderBy(F.desc("n_tri"), "node").limit(topk)

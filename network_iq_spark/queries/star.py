@@ -401,3 +401,79 @@ def q_parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(25)
     )
+
+
+_TRI_SUPPORT = 2
+
+
+@register(
+    "copurchase_triangles",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_SUPPORT}
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+      ) GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
+             CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst,
+             CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END
+               AS deg_dst
+      FROM e JOIN deg d1 ON d1.node = e.a
+             JOIN deg d2 ON d2.node = e.b,
+           LATERAL (SELECT d1.deg AS da, d2.deg AS db) x
+    ),
+    w AS (
+      SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      FROM o o1 JOIN o o2 ON o1.src = o2.src
+      WHERE o1.deg_dst < o2.deg_dst
+         OR (o1.deg_dst = o2.deg_dst AND o1.dst < o2.dst)
+    ),
+    tri AS (
+      SELECT u, v, w FROM w JOIN o ON o.src = w.v AND o.dst = w.w
+    ),
+    tot AS (SELECT COUNT(*) AS n_triangles_total FROM tri),
+    pn AS (
+      SELECT node, COUNT(*) AS n_tri FROM (
+        SELECT u AS node FROM tri UNION ALL
+        SELECT v AS node FROM tri UNION ALL
+        SELECT w AS node FROM tri
+      ) GROUP BY 1
+    )
+    SELECT node, deg, n_tri,
+           (1000000 * 2 * n_tri) // (deg * (deg - 1)) AS cc_units,
+           n_triangles_total
+    FROM pn JOIN deg USING (node) CROSS JOIN tot
+    ORDER BY n_tri DESC, node LIMIT 20
+    """,
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (edges: part pairs bought
+    together in ≥{s} orders): top-20 parts by triangle participation with
+    local clustering coefficient — the community-density signal affinity
+    analysis builds on. Degree-ORIENTED wedge join (each triangle
+    generated once, out-degree bounded by O(√m) — the hot-item node whose
+    deg² wedge set would melt a reducer has tiny OUT-degree), all
+    counting integer-exact (operators/graph.py triangle_stats)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _TRI_SUPPORT)
+        .select("a", "b")
+    )
+    from network_iq_spark.operators.graph import triangle_stats
+
+    return triangle_stats(edges, topk=20)

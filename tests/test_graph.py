@@ -138,3 +138,26 @@ def test_pagerank_int_regular_graph_is_fixpoint(spark):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r["node"]: r["r"] for r in pagerank_int(df, n_iters=3).collect()}
     assert got == {i: PR_MASS for i in range(6)}
+
+
+def test_triangle_stats_hand_computed(spark):
+    """K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (no new
+    triangle): per-node counts, clustering coefficients, and the global
+    count are all hand-checkable."""
+    from network_iq_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "a bigint, b bigint",
+    )
+    rows = triangle_stats(edges, topk=10).collect()
+    got = {r.node: (r.deg, r.n_tri, r.cc_units, r.n_triangles_total) for r in rows}
+    # nodes 1,2,3: deg 3, in 3 triangles each, cc = 2*3/(3*2) = 1.0
+    for n in (1, 2, 3):
+        assert got[n] == (3, 3, 1_000_000, 4)
+    # node 4: deg 4 (pendant edge), 3 triangles, cc = 6/(4*3) = 0.5
+    assert got[4] == (4, 3, 500_000, 4)
+    # node 5: no triangles → absent from the census
+    assert 5 not in got
+    # ordering: ties on n_tri break by node id
+    assert [r.node for r in rows] == [1, 2, 3, 4]
