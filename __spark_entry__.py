@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     "fertility_by_lang",
     "related_docs_rrf",
     "copurchase_triangles",
+    "cm_heavy_hitters",
     # last sampled r5 (full cohort)
     "acctbal_quartiles",
     "acctbal_quartiles_scalable",
@@ -89,13 +90,13 @@ _VERIFY_FIRST = [
     "range_window_stats",
     "repetition_stats",
     "rolling_fingerprints",
-    "rollup_order_counts",
     # --- 50-slot window boundary ---
-    # overflow, in r9-priority order: the eleven r5-green queries displaced
+    # overflow, in r9-priority order: the twelve r5-green queries displaced
     # by brand-new round-8 queries (never-sampled queries outrank stale
     # green stamps), the two late-r8 additions that did not fit the
     # window, and dataset_card (plan rewrite, hash unchanged, externally
     # r7-green)
+    "rollup_order_counts",
     "scope_filtered_profile",
     "simhash_pairs",
     "simhash_pairs_blocked",

@@ -4572,3 +4572,86 @@ def q_related_docs_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = T.bm25_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
     jc = T.jaccard_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
     return T.rrf_fuse([bm, jc], k=5)
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch (third mergeable-state family member)
+# ---------------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 256
+_CM_BUCKET = (
+    "(" + _sql_hex_int("md5(CAST(row AS VARCHAR) || ':' || tok)", 12)
+    + f") % {_CM_W}"
+)
+
+
+@register(
+    "cm_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    hrows AS (
+      SELECT tok, i AS row
+      FROM toks, LATERAL unnest(generate_series(0, {_CM_D - 1})) AS g(i)
+    ),
+    state AS (
+      SELECT row, {_CM_BUCKET} AS bucket, COUNT(*) AS cnt
+      FROM hrows GROUP BY 1, 2
+    ),
+    exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY 1),
+    probes AS (
+      SELECT tok, i AS row, {_CM_BUCKET.replace("row", "i")} AS bucket
+      FROM (SELECT DISTINCT tok FROM toks),
+           LATERAL unnest(generate_series(0, {_CM_D - 1})) AS g(i)
+    ),
+    est AS (
+      SELECT tok, CAST(MIN(cnt) AS BIGINT) AS cm_est
+      FROM probes JOIN state USING (row, bucket) GROUP BY 1
+    )
+    SELECT tok, exact_cnt, cm_est, cm_est - exact_cnt AS overestimate
+    FROM exact JOIN est USING (tok)
+    ORDER BY exact_cnt DESC, tok LIMIT 20
+    """,
+)
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over the corpus token stream, built the IVM
+    way: three per-batch sketches (doc_id mod 3) FOLDED with the sum
+    monoid, then point-estimated for every candidate token and compared
+    to the exact counts in one output (overestimate ≥ 0 always — the CM
+    guarantee as a shipped column). md5-derived row hashes make the whole
+    sketch exactly SQL-replayable, so the oracle's single-pass sketch
+    hash-matching the engine's split-and-merge IS the monoid proof —
+    the frequency sibling of incremental_rollup_refresh
+    (operators/sketches.py)."""
+    from network_iq_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_state,
+        merge_cm_states,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    )
+    states = [
+        cm_sketch_state(
+            toks.filter(F.col("doc_id") % 3 == i), "tok", _CM_D, _CM_W
+        )
+        for i in range(3)
+    ]
+    state = merge_cm_states(states)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    est = cm_estimate(state, exact.select("tok"), "tok", _CM_D, _CM_W)
+    return (
+        exact.join(est, "tok")
+        .select(
+            "tok",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "tok")
+        .limit(20)
+    )

@@ -495,3 +495,38 @@ def test_jaccard_topk_and_rrf_fuse_hand_computed(spark):
         (2, 9, 1, u1),
         (3, 8, 1, u2),
     ]
+
+
+def test_cm_sketch_guarantee_and_merge(spark):
+    """Count-min laws: estimate ≥ exact for every item (never under);
+    merged per-batch sketches == the single-pass sketch (sum monoid);
+    and on a stream with few distinct items vs buckets, heavy items
+    estimate exactly."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_state,
+        merge_cm_states,
+    )
+
+    items = spark.range(3000).select(
+        F.concat(F.lit("it"), (F.col("id") % 37).cast("string")).alias("it"),
+        F.col("id").alias("i"),
+    )
+    direct = cm_sketch_state(items, "it")
+    parts = [cm_sketch_state(items.filter(F.col("i") % 4 == k), "it") for k in range(4)]
+    merged = merge_cm_states(parts)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    cands = items.select("it").distinct()
+    est = {r.it: r.cm_est for r in cm_estimate(direct, cands, "it").collect()}
+    exact = {
+        r.it: r.c
+        for r in items.groupBy("it").agg(F.count("*").alias("c")).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+    # 37 distinct items over 4x256 buckets: collisions possible per row but
+    # the min over 4 rows should be exact for nearly all — require most
+    exact_hits = sum(1 for k in exact if est[k] == exact[k])
+    assert exact_hits >= 30
