@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "related_docs_rrf",
     "copurchase_triangles",
     "cm_heavy_hitters",
+    "scd2_user_type_history",
     # last sampled r5 (full cohort)
     "acctbal_quartiles",
     "acctbal_quartiles_scalable",
@@ -89,13 +90,13 @@ _VERIFY_FIRST = [
     "quality_scores",
     "range_window_stats",
     "repetition_stats",
-    "rolling_fingerprints",
     # --- 50-slot window boundary ---
-    # overflow, in r9-priority order: the twelve r5-green queries displaced
-    # by brand-new round-8 queries (never-sampled queries outrank stale
-    # green stamps), the two late-r8 additions that did not fit the
-    # window, and dataset_card (plan rewrite, hash unchanged, externally
-    # r7-green)
+    # overflow, in r9-priority order: the thirteen r5-green queries
+    # displaced by brand-new round-8 queries (never-sampled queries
+    # outrank stale green stamps), the two late-r8 additions that did not
+    # fit the window, and dataset_card (plan rewrite, hash unchanged,
+    # externally r7-green)
+    "rolling_fingerprints",
     "rollup_order_counts",
     "scope_filtered_profile",
     "simhash_pairs",

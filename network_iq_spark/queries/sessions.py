@@ -335,3 +335,67 @@ def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "scd2_user_type_history",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE user_id % 10 = 0
+    ),
+    marked AS (
+      SELECT *, LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM src
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM marked
+      WHERE prev_type IS NULL OR event_type != prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id
+           ) AS valid_to,
+           (LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id
+           ) IS NULL) AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def q_scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build from an event log: collapse
+    each user's event stream into [valid_from, valid_to) intervals of
+    their event_type attribute — keep only CHANGE rows (lag compare),
+    then close each interval with the next change's start (lead) and
+    flag the open one. The standard way a warehouse derives a versioned
+    dimension from a mutation stream; two windows over the same per-user
+    partitioning (one shuffle — the second window reuses the first's
+    partition+sort), deterministic tiebreak on (ts, event_id). At 100 TB
+    the change-row reduction happens BEFORE the second window, so the
+    interval pass runs on the (usually tiny) change grain, not the event
+    stream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w_ev))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+        )
+    )
+    # tiebreak on event_id: two change rows at one timestamp would make a
+    # ts-only lead() engine-dependent
+    w_ch = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (
+        changes.withColumn("valid_to", F.lead("valid_from").over(w_ch))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from", "event_id")
+        .drop("event_id")
+    )
