@@ -6,7 +6,10 @@ from network_iq_spark.streaming.dedup import (
 from network_iq_spark.streaming.enrich import enrich_stream
 from network_iq_spark.streaming.joins import interval_join_streams
 from network_iq_spark.streaming.rollup import (
+    compact_monoid_state,
     compact_rollup_state,
+    monoid_state_sink,
+    read_monoid_state,
     read_rollup_state,
     rollup_state_sink,
 )

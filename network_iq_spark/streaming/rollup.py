@@ -95,3 +95,58 @@ def compact_rollup_state(
         merged.write.mode("overwrite").partitionBy("_batch_id").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def monoid_state_sink(
+    path: str,
+    state_fn,  # Callable[[DataFrame], DataFrame]: batch → partial state
+) -> Callable[[DataFrame, int], None]:
+    """Generalized log-structured sink: any monoid state builder (the
+    rollup state, a histogram_state, a cm_sketch_state — anything whose
+    merge is a groupBy-SUM/MIN/MAX over its own output) gets the same
+    replay-idempotent storage shape: per-epoch partials at
+    ``_batch_id=N`` under dynamic overwrite. The read side merges with
+    the state family's own merge function; compaction is
+    ``compact_monoid_state`` with the same merge."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        partial = state_fn(batch_df).withColumn("_batch_id", F.lit(int(batch_id)))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            partial.write.mode("overwrite").partitionBy("_batch_id").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return sink
+
+
+def read_monoid_state(
+    spark: SparkSession, path: str, merge_fn
+) -> DataFrame:
+    """Queryable state for a generalized sink: ``merge_fn`` is the state
+    family's own fold (e.g. ``merge_histogram_states`` /
+    ``merge_cm_states``), applied to the at-rest partial log."""
+    return merge_fn([spark.read.parquet(path).drop("_batch_id")])
+
+
+def compact_monoid_state(spark: SparkSession, path: str, merge_fn) -> None:
+    """Fold the partial log down to one base partial with the family's own
+    merge (associativity makes any compaction moment safe); STATIC
+    overwrite for the same reason as ``compact_rollup_state``."""
+    from pyspark.sql import functions as F
+
+    merged = (
+        read_monoid_state(spark, path, merge_fn)
+        .withColumn("_batch_id", F.lit(-1))
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        merged.write.mode("overwrite").partitionBy("_batch_id").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -983,3 +983,75 @@ def test_rollup_state_sink_replay_and_compact(spark, tmp_path):
     assert snap() == direct
     # the log really was folded: one partial left
     assert spark.read.parquet(path).select("_batch_id").distinct().count() == 1
+
+
+def test_monoid_state_sink_histogram_and_cm(spark, tmp_path):
+    """The generalized log-structured sink carries ANY monoid state:
+    histogram quantiles and count-min sketches streamed per-epoch must
+    equal their direct single-pass builds, survive replay, and compact
+    losslessly — the same laws the rollup sink proves, via the shared
+    storage shape."""
+    import pyspark.sql.functions as F
+
+    from network_iq_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_state,
+        merge_cm_states,
+    )
+    from network_iq_spark.sources.maintenance import (
+        histogram_quantiles,
+        histogram_state,
+        merge_histogram_states,
+    )
+    from network_iq_spark.streaming.rollup import (
+        compact_monoid_state,
+        monoid_state_sink,
+        read_monoid_state,
+    )
+
+    def bdf(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 2).cast("string").alias("k"),
+            (F.col("id") % 997).cast("double").alias("value"),
+            F.concat(F.lit("t"), (F.col("id") % 13).cast("string")).alias("tok"),
+        )
+
+    hargs = dict(value_col="value", lo=0.0, hi=1000.0, n_bins=100)
+    hp = str(tmp_path / "hist")
+    hsink = monoid_state_sink(hp, lambda b: histogram_state(b, ["k"], **hargs))
+    cp = str(tmp_path / "cm")
+    csink = monoid_state_sink(cp, lambda b: cm_sketch_state(b, "tok"))
+
+    for i, (lo, hi) in enumerate([(0, 400), (400, 900), (900, 1200)]):
+        hsink(bdf(lo, hi), i)
+        csink(bdf(lo, hi), i)
+    hsink(bdf(400, 900), 1)  # replay
+    csink(bdf(400, 900), 1)
+
+    full = bdf(0, 1200)
+
+    def hq(state):
+        return sorted(
+            tuple(r)
+            for r in histogram_quantiles(
+                state, ["k"], lo=0.0, hi=1000.0, n_bins=100, pcts=(50, 95)
+            ).collect()
+        )
+
+    direct_h = hq(histogram_state(full, ["k"], **hargs))
+    streamed = read_monoid_state(spark, hp, lambda s: merge_histogram_states(s, ["k"]))
+    assert hq(streamed) == direct_h
+    compact_monoid_state(spark, hp, lambda s: merge_histogram_states(s, ["k"]))
+    assert hq(read_monoid_state(spark, hp, lambda s: merge_histogram_states(s, ["k"]))) == direct_h
+
+    cands = full.select("tok").distinct()
+
+    def est(state):
+        return sorted(
+            tuple(r) for r in cm_estimate(state, cands, "tok").collect()
+        )
+
+    direct_c = est(cm_sketch_state(full, "tok"))
+    assert est(read_monoid_state(spark, cp, merge_cm_states)) == direct_c
+    compact_monoid_state(spark, cp, merge_cm_states)
+    assert est(read_monoid_state(spark, cp, merge_cm_states)) == direct_c
