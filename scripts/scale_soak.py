@@ -77,6 +77,7 @@ QUERIES_UNDER_TEST = [
     "gopher_quality_flags",
     "bm25_topk",
     "related_docs_rrf",
+    "cm_heavy_hitters",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the
