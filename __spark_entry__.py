@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     "copurchase_triangles",
     "cm_heavy_hitters",
     "scd2_user_type_history",
+    "weighted_sample_per_source",
     # last sampled r5 (full cohort)
     "acctbal_quartiles",
     "acctbal_quartiles_scalable",
@@ -89,13 +90,13 @@ _VERIFY_FIRST = [
     "qty_price_correlation",
     "quality_scores",
     "range_window_stats",
-    "repetition_stats",
     # --- 50-slot window boundary ---
-    # overflow, in r9-priority order: the thirteen r5-green queries
+    # overflow, in r9-priority order: the fourteen r5-green queries
     # displaced by brand-new round-8 queries (never-sampled queries
     # outrank stale green stamps), the two late-r8 additions that did not
     # fit the window, and dataset_card (plan rewrite, hash unchanged,
     # externally r7-green)
+    "repetition_stats",
     "rolling_fingerprints",
     "rollup_order_counts",
     "scope_filtered_profile",

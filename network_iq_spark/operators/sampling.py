@@ -214,3 +214,48 @@ def sample_k_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+ES_QUANT = 1_000_000_000  # nano-units for the quantized E-S key
+_ES_POW48 = float(1 << 48)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis-Spirakis one-pass reservoir (2006): draw u ~ U(0,1] per
+    item, keep the k largest u^(1/w). Ranking by ln(u)/w is equivalent
+    and avoids the pow; u is md5-derived ((h+1)/2^48 — an exact rational
+    in (0,1], the minhash trick), so the "random" draw replays on any
+    engine, retry, or partitioning. The key is floor-quantized to integer
+    nano-units and ties break on the id, so the selected set is
+    engine-exact like every other sampler here.
+
+    This is the right primitive when mixture construction must weight by
+    quality/length instead of sampling uniformly (target_mixture's md5
+    buckets draw uniformly WITHIN a domain; this draws proportionally to
+    a per-item weight). One map for the key + one per-group top-k window
+    — no global sort, no second pass over the data, weights never need
+    normalizing (the classic reservoir requirement)."""
+    from pyspark.sql import Window
+
+    key = (
+        f"cast(floor(ln((cast(conv(substring(md5(cast({id_col} as string)), 1, 12), "
+        f"16, 10) as double) + 1.0) / {_ES_POW48!r}) "
+        f"/ cast({weight_col} as double) * {ES_QUANT}.0) as bigint)"
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("es_key_units"), F.col(id_col)
+    )
+    return (
+        df.withColumn("es_key_units", F.expr(key))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", id_col, weight_col, "es_key_units")
+        .orderBy(group_col, "rank")
+    )

@@ -804,3 +804,40 @@ def q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_WS_K = 3
+_WS_POW48 = float(1 << 48)
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             CAST(FLOOR(ln((CAST(({{hex}}) AS DOUBLE) + 1.0) / {_WS_POW48!r})
+                  / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT)
+               AS es_key_units
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY es_key_units DESC, doc_id
+             ) AS INT) AS rank
+      FROM keyed
+    )
+    SELECT source, rank, doc_id, n_chars, es_key_units
+    FROM ranked WHERE rank <= {_WS_K} ORDER BY source, rank
+    """.replace(
+        "{hex}", _sql_hex_int("md5(CAST(doc_id AS VARCHAR))", 12)
+    ),
+)
+def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 3 docs per source,
+    length-weighted — the Efraimidis-Spirakis one-pass reservoir with an
+    md5-derived uniform draw, so the sample is identical on every engine,
+    retry, and partitioning (the property a reproducible mixture build
+    needs). Key quantized to integer nano-units, id tiebreak
+    (operators/sampling.py weighted_sample_k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.weighted_sample_k(docs, "source", "n_chars", k=_WS_K)

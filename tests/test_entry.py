@@ -62,10 +62,11 @@ def test_verify_first_names_all_resolve():
                  "c4_line_filter", "gopher_quality_flags", "bm25_topk",
                  "incremental_quantile_refresh", "fertility_by_lang",
                  "related_docs_rrf", "copurchase_triangles",
-                 "cm_heavy_hitters", "scd2_user_type_history"):
+                 "cm_heavy_hitters", "scd2_user_type_history",
+                 "weighted_sample_per_source"):
         assert must in window, must
-    assert list(qs)[50:66] == [
-        "rolling_fingerprints", "rollup_order_counts",
+    assert list(qs)[50:67] == [
+        "repetition_stats", "rolling_fingerprints", "rollup_order_counts",
         "scope_filtered_profile", "simhash_pairs",
         "simhash_pairs_blocked", "supplier_pagerank",
         "time_weighted_avg", "token_stats", "union_label_dims",

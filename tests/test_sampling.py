@@ -168,3 +168,32 @@ def test_target_mixture_deterministic_and_stable_under_growth(spark):
     ids1 = {r.k for r in SA.target_mixture(df, "k", "g", t).select("k").collect()}
     ids2 = {r.k for r in SA.target_mixture(df, "k", "g", t).select("k").collect()}
     assert ids1 == ids2 and ids1
+
+
+def test_weighted_sample_k_determinism_and_weight_dominance(spark):
+    """E-S reservoir laws: (a) a weight-dominant item always wins its
+    group (key ln(u)/w → 0⁻ as w grows, beating every unit-weight key);
+    (b) the selected set is identical under repartitioning (md5 draw +
+    integer key); (c) k bounds group output."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.operators.sampling import weighted_sample_k
+
+    rows = []
+    for g in range(5):
+        for i in range(40):
+            did = g * 100 + i
+            rows.append((did, f"g{g}", 1_000_000_000 if i == 7 else 1 + (i % 9)))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+
+    out = weighted_sample_k(df, "source", "n_chars", k=3).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.source, []).append(r)
+    for g, rs in by_g.items():
+        assert len(rs) == 3
+        assert rs[0].rank == 1 and rs[0].n_chars == 1_000_000_000  # dominant wins
+    assert len(by_g) == 5
+
+    again = weighted_sample_k(df.repartition(13), "source", "n_chars", k=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
