@@ -280,12 +280,24 @@ def lsh_band_buckets(
 def minhash_sig(
     df: DataFrame, n_hashes: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """MAP-ONLY MinHash signature frame (id, m0..m{k-1}, hs): a doc's
-    shingles are already co-located in its row, so the k mins and the
+    """MAP-ONLY MinHash signature frame (id, mins: array<bigint>[k], hs): a
+    doc's shingles are already co-located in its row, so the k mins and the
     verify set fold as array expressions — no explode, no groupBy shuffle
     (the exploded formulation shuffled |docs|·|shingles| rows through a
     17-aggregate hash agg). Dedup of hash values (array_distinct) ≡ the
     old collect_set; min over the deduped set ≡ min over the multiset.
+
+    All k mins come from ONE ``aggregate`` pass over ``hs``: per hash value
+    the k affine permutations fold into a running element-wise minimum via
+    ``zip_with(acc, perms, least)``. Value-identical to k separate
+    ``array_min(transform(...))`` columns (min over the same multiset;
+    every ``x % P`` < P, so the P-filled init array never survives a
+    non-empty ``hs``, and ``hs`` is non-empty because the base filter
+    demands ≥ SHINGLE_K tokens). The single-expression form exists for the
+    JVM, not the algorithm: k wide projected columns made this the
+    heaviest whole-stage-codegen unit in the suite, and its first-run
+    JIT/compile cost inside a 160-plan benchmark session read as a fake
+    2.5× "regression" (r8→r9 root-cause; docs/ROUND9.md).
     Shared by :func:`minhash_lsh_pairs` and the incremental index tier."""
     base = ensure_parallelism(df).select(
         F.col(id_col), tokens(text_col).alias("_toks")
@@ -295,21 +307,37 @@ def minhash_sig(
         "array_distinct(transform(__sh__, "
         "s -> cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)))"
     )
+    mins_arr = "array(" + ", ".join(
+        f"array_min(transform(hs, h -> ({2 * i + 1} * h + {7 * i + 3}) % {MINHASH_P}))"
+        for i in range(n_hashes)
+    ) + ")"
     return (
         base.select(F.col(id_col), sh_arr.alias("__sh__"))
         .select(F.col(id_col), F.expr(hs_arr).alias("hs"))
-        .select(
-            F.col(id_col),
-            *[
-                F.expr(
-                    f"array_min(transform(hs, "
-                    f"h -> ({2 * i + 1} * h + {7 * i + 3}) % {MINHASH_P}))"
-                ).alias(f"m{i}")
-                for i in range(n_hashes)
-            ],
-            "hs",
-        )
+        .select(F.col(id_col), F.expr(mins_arr).alias("mins"), "hs")
     )
+
+
+def band_bucket_structs(
+    n_bands: int, rows_per_band: int, mins_col: str = "mins"
+) -> list[Column]:
+    """The per-band (band, bucket) structs over an array-typed signature
+    column — bucket = md5 of the band's '|'-joined min slots. The ONE
+    place the bucket shape is defined for the array form, shared by the
+    batch pipeline and the at-rest index builder so their buckets can
+    never desync (they must join against each other incrementally)."""
+    out = []
+    for bnd in range(n_bands):
+        cols = [
+            F.col(mins_col)[bnd * rows_per_band + j].cast("string")
+            for j in range(rows_per_band)
+        ]
+        out.append(
+            F.struct(
+                F.lit(bnd).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
+            )
+        )
+    return out
 
 
 def minhash_lsh_pairs(
@@ -351,20 +379,9 @@ def minhash_lsh_pairs(
     # Same idiom as graph.connected_components' edge materialization.
     sig = sig.localCheckpoint()
 
-    bands = []
-    for bnd in range(n_bands):
-        cols = [
-            F.col(f"m{bnd * rows_per_band + j}").cast("string")
-            for j in range(rows_per_band)
-        ]
-        bands.append(
-            F.struct(
-                F.lit(bnd).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
-            )
-        )
-    mins = F.array(*[F.col(f"m{i}") for i in range(n_hashes)])
+    bands = band_bucket_structs(n_bands, rows_per_band)
     bb = sig.select(
-        id_col, mins.alias("mins"), F.explode(F.array(*bands)).alias("b")
+        id_col, "mins", F.explode(F.array(*bands)).alias("b")
     ).select(
         id_col, "mins", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
@@ -688,17 +705,7 @@ def lsh_index(
     ((band, bucket) and doc_id respectively); incremental batches then
     join candidate-side exchange-free."""
     sig = minhash_sig(df, n_bands * rows_per_band, text_col, id_col).localCheckpoint()
-    bands = []
-    for bnd in range(n_bands):
-        cols = [
-            F.col(f"m{bnd * rows_per_band + j}").cast("string")
-            for j in range(rows_per_band)
-        ]
-        bands.append(
-            F.struct(
-                F.lit(bnd).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
-            )
-        )
+    bands = band_bucket_structs(n_bands, rows_per_band)
     band_rows = sig.select(
         id_col, F.explode(F.array(*bands)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
