@@ -1184,6 +1184,7 @@ def bm25_topk(
     b: float = BM25_B,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """BM25 retrieval (Robertson/Lucene idf variant): every query document
     retrieves its top-k corpus neighbours by summed per-term BM25 — the
@@ -1200,10 +1201,18 @@ def bm25_topk(
     Scale shape: one corpus explode → one (doc,term) combinable groupBy;
     df/dl/avgdl are term-/doc-grain aggregates of that grain; the scoring
     join streams postings against the (small) query-term side on the term
-    key — hot stopword terms are AQE-splittable, and a production run
-    would drop terms with df/N above a ceiling (stopword pruning) exactly
-    like every inverted index. Top-k is a per-query window over candidate
-    pairs, bounded by the query vocabulary's posting sizes.
+    key — hot stopword terms are AQE-splittable. Top-k is a per-query
+    window over candidate pairs, bounded by the query vocabulary's
+    posting sizes.
+
+    ``max_df_ratio`` is the inverted-index stopword ceiling: terms with
+    df/N above it are dropped from the postings BEFORE the query-side
+    join (the ``dedup.py`` jaccard df-cap precedent). The postings join
+    fans out as Σ_term(q_df·df), so on a crawled corpus the few hundred
+    stopword terms dominate the shuffle — the ceiling bounds every
+    term's fanout at (max_df_ratio·N)·q_df. Semantics: capped scores
+    simply omit those terms' contributions (they carry the least idf
+    mass by construction). None = exact uncapped BM25.
     """
     df_in = ensure_parallelism(docs)
     base = df_in.select(F.col(id_col), tokens(text_col).alias("_toks"))
@@ -1222,6 +1231,19 @@ def bm25_topk(
             "avgdl"
         ),
     )
+    if max_df_ratio is not None:
+        # 1-row frame feeds two consumers (this filter + the scoring
+        # crossJoin) and Spark reuses no exchange across plan diamonds —
+        # materialize once lazily instead of re-running the corpus agg
+        scalars = scalars.localCheckpoint(eager=False)
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(scalars.select("n_docs")))
+            .filter(
+                F.col("df").cast("double")
+                <= F.lit(float(max_df_ratio)) * F.col("n_docs").cast("double")
+            )
+            .select("term", "df")
+        )
     qterms = (
         df_in.filter(query_pred)
         .select(F.col(id_col).alias("q_doc_id"))
@@ -1237,10 +1259,11 @@ def bm25_topk(
         f"/ (cast(tf as double) + {k1_l} * (1.0 - {b_l} + {b_l} "
         f"* cast(dl as double) / avgdl))) * {BM25_QUANT}.0) as bigint)"
     )
+    # df rides the postings BEFORE the query-side join: with the ceiling
+    # on, a dropped stopword term never reaches the q_df·df fanout at all
     pairs = (
-        qterms.join(tf, "term")
+        qterms.join(tf.join(dfreq, "term"), "term")
         .filter(F.col("doc_id") != F.col("q_doc_id"))
-        .join(dfreq, "term")
         # dl is DOC-grain (corpus-sized) — never broadcast it; AQE picks
         # the strategy at actual size (broadcast at test SF, SMJ at 100 TB)
         .join(dl, "doc_id")
