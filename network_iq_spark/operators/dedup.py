@@ -596,6 +596,91 @@ def simhash_pairs_blocked(
 
 
 # ---------------------------------------------------------------------------
+# Image near-dup: perceptual dHash over decoded luma (r9)
+# ---------------------------------------------------------------------------
+
+
+def image_dhash(px_col: str = "px", side: int = 8) -> Column:
+    """Row-wise gradient perceptual hash (dHash) over a ``side``×``side``
+    luma raster stored row-major in an int array: bit (r, c) is set iff
+    px[r][c+1] > px[r][c] — side·(side−1) bits (56 for 8×8) packed
+    little-endian into one bigint. Integer-exact over the repo's bit-exact
+    decoders, so unlike float perceptual hashes it is SQL-replayable. One
+    ``aggregate`` over a bit-index sequence (the minhash_sig codegen
+    lesson: one compact expression, not 56 projected conditions)."""
+    n_c = side - 1
+    n_bits = side * n_c
+    return F.expr(
+        f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), (acc, k) -> "
+        f"acc + IF({px_col}[(k div {n_c}) * {side} + (k % {n_c}) + 1] "
+        f"> {px_col}[(k div {n_c}) * {side} + (k % {n_c})], "
+        f"shiftleft(cast(1 as bigint), k), cast(0 as bigint)))"
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    px_col: str = "px",
+    side: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs by dHash Hamming ≤ max_hamming — the
+    image twin of MinHash near-dup that a multimodal corpus run needs,
+    wired to the codec tier (callers feed DECODED luma, so the hash sees
+    what the bit-exact decoders produced, not the compressed bytes).
+
+    Same pigeonhole blocking as :func:`simhash_pairs_blocked`: the
+    (side·(side−1))-bit hash splits into max_hamming+1 segments; a pair
+    within the threshold is bit-identical in ≥1 segment, so the
+    (segment, value) equi-join finds every qualifying pair (recall 1.0 vs
+    brute force, never an all-pairs scan). First-matching-segment emits
+    each pair once — a bitmask filter, not a distinct() shuffle. Scale:
+    shuffle is on segment values; per-bucket fanout is bounded by corpus
+    near-dup density exactly as in the text family.
+    """
+    n_seg = max_hamming + 1
+    n_bits = side * (side - 1)
+    s = df.select(
+        F.col(id_col), image_dhash(px_col, side).alias("dhash")
+    ).localCheckpoint()
+    segs = _simhash_segments(F.col("dhash"), n_seg, n_bits=n_bits)
+    seg_structs = [
+        F.struct(F.lit(i).alias("seg"), segs[i].alias("seg_val")) for i in range(n_seg)
+    ]
+    blocked = s.select(
+        F.col(id_col), F.col("dhash"), F.explode(F.array(*seg_structs)).alias("b")
+    ).select(id_col, "dhash", F.col("b.seg").alias("seg"), F.col("b.seg_val").alias("seg_val"))
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("dhash").alias("dh_a"), "seg", "seg_val"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("dhash").alias("dh_b"), "seg", "seg_val"
+    )
+    xor = F.col("dh_a").bitwiseXOR(F.col("dh_b"))
+    base, rem = divmod(n_bits, n_seg)
+    first_match, start = None, 0
+    for i in range(n_seg):
+        width = base + (1 if i < rem else 0)
+        mask = ((1 << width) - 1) << start
+        is_match = xor.bitwiseAND(F.lit(mask)) == 0
+        first_match = (
+            F.when(is_match, F.lit(i))
+            if first_match is None
+            else first_match.when(is_match, F.lit(i))
+        )
+        start += width
+    return (
+        a.join(b, ["seg", "seg_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_match == F.col("seg"))
+        .withColumn("hamming", F.bit_count(xor).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chunk-grain (line/paragraph) dedup
 # ---------------------------------------------------------------------------
 

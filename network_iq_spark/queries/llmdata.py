@@ -1913,6 +1913,107 @@ def q_decoded_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Image near-dup fixture: every {_DHASH_TWIN_EVERY}th image gets a planted
+# perturbed twin (+3 on the four col-0 pixels of rows 0/2/4/6, clamped) —
+# a bump that can flip at most the 4 adjacent gradient comparisons, so a
+# twin's dHash Hamming distance is ≤ 4 by construction and every planted
+# pair lands under the threshold. The corpus itself has no near-identical
+# embeddings (max pairwise cosine ≈ 0.51), so without planting the query
+# would be a 0-row test.
+_DHASH_MAX_HAMMING = 6
+_DHASH_TWIN_EVERY = 10
+_DHASH_TWIN_OFFSET = 1_000_000
+
+
+@register(
+    "image_near_dup_pairs",
+    oracle=f"""
+    WITH q0 AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    q AS (
+      SELECT media_id, px FROM q0
+      UNION ALL
+      SELECT media_id + {_DHASH_TWIN_OFFSET},
+             list_transform(generate_series(1, {_IMG_SIDE * _IMG_SIDE}),
+               i -> CASE WHEN (i - 1) % 16 = 0
+                         THEN least(px[i] + 3, 255) ELSE px[i] END)
+      FROM q0 WHERE media_id % {_DHASH_TWIN_EVERY} = 0
+    ),
+    bits AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                   + (k % {_IMG_SIDE - 1}) + 2]
+                           > px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                + (k % {_IMG_SIDE - 1}) + 1]
+                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dhash
+      FROM q, LATERAL unnest(generate_series(0, {_IMG_SIDE * (_IMG_SIDE - 1) - 1}))
+                AS s(k)
+      GROUP BY media_id
+    ),
+    bands AS (
+      SELECT media_id, dhash, b, (dhash >> (8 * b)) & 255 AS v
+      FROM bits, LATERAL unnest(generate_series(0, {_DHASH_MAX_HAMMING})) AS g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.dhash AS da, b.dhash AS db
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= {_DHASH_MAX_HAMMING} ORDER BY id_a, id_b
+    """,
+)
+def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup — the codec tier wired into the
+    dedup tier (r9): images synthesized from quantized embeddings (plus
+    the planted perturbed twins) make a REAL PNG encode → decode round
+    trip inside Arrow batches, dHash (56-bit row-gradient hash) folds
+    over the decoded luma, and pairs come from pigeonhole Hamming
+    blocking — never an all-pairs scan (operators/dedup.py image_dhash /
+    image_near_dup_pairs; blocking precedent simhash_pairs_blocked).
+    The oracle replays dHash/bands/verify from the quantized values
+    directly — decoders are bit-exact, so a defect anywhere in the codec
+    or the hash surfaces as a mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.multimodal import decode_image, encode_png
+
+    side = _IMG_SIDE
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    twin = src.filter(F.col("media_id") % _DHASH_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _DHASH_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(px, (x, i) -> IF(i % 16 = 0, least(x + 3, 255), x))"
+        ).alias("px"),
+    )
+    imgs = src.unionByName(twin)
+
+    def roundtrip(it):
+        for pdf in it:
+            out = []
+            for p in pdf["px"]:
+                img = np.asarray(list(p), dtype=np.uint8).reshape(side, side)
+                dec = decode_image(encode_png(img))
+                out.append([int(v) for v in dec.reshape(-1)])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
+
+    decoded = imgs.mapInPandas(roundtrip, schema="media_id bigint, px array<int>")
+    return D.image_near_dup_pairs(
+        decoded, max_hamming=_DHASH_MAX_HAMMING
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "decoded_jpeg_stats",
     oracle=f"""

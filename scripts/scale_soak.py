@@ -78,6 +78,12 @@ QUERIES_UNDER_TEST = [
     "bm25_topk",
     "related_docs_rrf",
     "cm_heavy_hitters",
+    # round-9 additions: stopword-ceiling BM25 twin, lexical+dense hybrid
+    # fusion, perceptual-hash image near-dup (PNG round-trip + dHash +
+    # Hamming-banded pairs)
+    "bm25_topk_capped",
+    "related_docs_rrf_dense",
+    "image_near_dup_pairs",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the

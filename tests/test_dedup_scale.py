@@ -135,3 +135,61 @@ def test_simhash60_more_selective_than_32(spark):
         .select("doc_a", "doc_b", "hamming")
     )
     assert sorted(map(tuple, p60)) == sorted(map(tuple, brute.collect()))
+
+
+def test_image_dhash_matches_python_reference(spark):
+    """The SQL `aggregate` fold in image_dhash packs bit k iff
+    px[row][col+1] > px[row][col] — verified bit-for-bit against a plain
+    Python reimplementation over deterministic 8x8 rasters."""
+    rows = [(i, [((i * 37 + j * 11) % 256) for j in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id int, px array<int>")
+    got = {
+        r.media_id: r.dh
+        for r in df.select("media_id", D.image_dhash("px").alias("dh")).collect()
+    }
+    for mid, px in rows:
+        want = 0
+        for k in range(56):
+            r_, c = divmod(k, 7)
+            if px[r_ * 8 + c + 1] > px[r_ * 8 + c]:
+                want |= 1 << k
+        assert got[mid] == want, mid
+
+
+def test_image_near_dup_blocked_equals_bruteforce(spark):
+    """Pigeonhole recall proof for the image tier: the (segment, value)
+    equi-join pair set equals the all-pairs Hamming scan, including the
+    planted near-twins (base raster +1 on one pixel => small distance)."""
+    base = [(i, [((i * 53 + j * 7) % 251) for j in range(64)]) for i in range(30)]
+    twins = [
+        (i + 1000, [v + 1 if j == 9 else v for j, v in enumerate(px)])
+        for i, px in base
+        if i % 3 == 0
+    ]
+    df = spark.createDataFrame(base + twins, "media_id int, px array<int>")
+    blocked = sorted(
+        map(tuple, D.image_near_dup_pairs(df, max_hamming=6, id_col="media_id").collect())
+    )
+    s = df.select("media_id", D.image_dhash("px").alias("dh"))
+    a = s.select(F.col("media_id").alias("id_a"), F.col("dh").alias("da"))
+    b = s.select(F.col("media_id").alias("id_b"), F.col("dh").alias("db"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("da").bitwiseXOR(F.col("db"))).cast("int")
+        )
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )
+    assert blocked == sorted(map(tuple, brute.collect()))
+    # non-vacuous: every planted twin pair is within the threshold
+    found = {(ia, ib) for ia, ib, _ in blocked}
+    assert all((i, i + 1000) in found for i, _ in base if i % 3 == 0)
+
+
+def test_image_near_dup_plan_has_no_cross_join(spark):
+    df = QUERIES["image_near_dup_pairs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
