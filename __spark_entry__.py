@@ -26,76 +26,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
-# the queries with the least external verification first. Round 8: the one
-# query whose HASH changed this round (bpe_token_stats — boundary-safe
-# marker-representation BPE), the three round-8 additions (incl. the
-# progressive-JPEG query and media_contract, whose oracle counts moved
-# when progressive flipped from fallback to decoded), then the ENTIRE
-# 46-query cohort whose last driver sample is r5 (everything r6/r7-stamped
-# is ≤2 rounds old already) — 4 + 46 = exactly the 50-slot window.
-# dataset_card (plan rewrite, hash unchanged, r7-stamped) heads the
-# overflow; ever-green queries fill the remaining slots in registration
-# order.
+# the queries with the least external verification first. Round 9 drains
+# the rotation debt: the five never-driver-sampled queries (two late-r8
+# additions + the three r9 additions), the ENTIRE 14-query r5-stamped
+# cohort, dataset_card (r8 plan rewrite, hash unchanged, externally
+# r7-green), the four queries whose shared code changed this round, then
+# 26 of the 46 r6-stamped queries (dedup/text family first). After this
+# window samples green, every sheet query's latest external stamp is
+# >= r6 and <= 3 rounds old; the 20 remaining r6-stamped queries head the
+# overflow for r10.
 _VERIFY_FIRST = [
-    # round-8 semantics fix — hash changed, must re-sample
-    "bpe_token_stats",
-    # round-8 additions
-    "decoded_jpeg420_stats",
-    "decoded_jpeg_prog_stats",
-    "media_contract",
-    "warc_extract_stats",
-    "decoded_gif_stats",
-    "kn_trigram_surprisal",
-    "incremental_rollup_refresh",
-    "c4_line_filter",
-    "gopher_quality_flags",
-    "bm25_topk",
-    "incremental_quantile_refresh",
-    "fertility_by_lang",
-    "related_docs_rrf",
-    "copurchase_triangles",
-    "cm_heavy_hitters",
-    "scd2_user_type_history",
-    "weighted_sample_per_source",
-    # last sampled r5 (full cohort)
-    "acctbal_quartiles",
-    "acctbal_quartiles_scalable",
-    "asof_last_purchase",
-    "contamination_check",
-    "cosine_topk",
-    "cube_order_stats",
-    "customer_order_seq",
-    "customers_with_orders",
-    "delta_abs_p95",
-    "doc_fingerprints",
-    "doc_splits",
-    "duplicate_spans",
-    "embedding_label_stats",
-    "embedding_near_dup",
-    "events_in_windows",
-    "ewma_hourly",
-    "exact_dedup",
-    "hourly_gapfill",
-    "ivf_cosine_topk",
-    "jaccard_top_pairs",
-    "lang_id",
-    "mad_outliers",
-    "minhash_lsh_pairs",
-    "minhash_lsh_pairs_prod",
-    "multimodal_features",
-    "nation_activity_full_join",
-    "orders_above_customer_avg",
-    "part_type_setops",
-    "pii_scan",
-    "qty_price_correlation",
-    "quality_scores",
-    "range_window_stats",
-    # --- 50-slot window boundary ---
-    # overflow, in r9-priority order: the fourteen r5-green queries
-    # displaced by brand-new round-8 queries (never-sampled queries
-    # outrank stale green stamps), the two late-r8 additions that did not
-    # fit the window, and dataset_card (plan rewrite, hash unchanged,
-    # externally r7-green)
+    # never driver-sampled: two late-r8 additions, three r9 additions
+    "mixture_sample_counts",
+    "hard_negatives_topk",
+    "image_near_dup_pairs",
+    "bm25_topk_capped",
+    "related_docs_rrf_dense",
+    # last sampled r5 (full cohort, displaced past the r8 window)
     "repetition_stats",
     "rolling_fingerprints",
     "rollup_order_counts",
@@ -110,9 +57,66 @@ _VERIFY_FIRST = [
     "value_equidepth_histogram",
     "value_histogram",
     "winsorized_profile",
-    "mixture_sample_counts",
-    "hard_negatives_topk",
+    # r8 plan rewrite, hash unchanged, externally r7-green
     "dataset_card",
+    # code under these changed THIS round (values identical by
+    # construction; the external hash re-proves it): dedup.py
+    # signature-frame reshape (2d134c5), text.py postings seam (d1aed88)
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_prod",
+    "bm25_topk",
+    "related_docs_rrf",
+    # oldest remaining stamps (r6) — dedup/text family first (they ride
+    # the same shared helpers), then registration-ordered rest
+    "incremental_near_dup",
+    "incremental_exact_dedup",
+    "chunk_dedup",
+    "containment_top_pairs",
+    "term_postings",
+    "tfidf_top_terms",
+    "winnow_overlap_pairs",
+    "winnowing_fingerprints",
+    "semantic_dedup",
+    "doc_keywords",
+    "bigram_rarity",
+    "unigram_surprisal",
+    "vocab_coverage",
+    "ab_test_conversion",
+    "ann_int_cosine_topk",
+    "ann_int_multiprobe_topk",
+    "bucketed_order_lineitem",
+    "calendar_features",
+    "cast_coercion",
+    "chunk_manifest",
+    "contract_quarantine_summary",
+    "data_contract_events",
+    "decoded_image_stats",
+    "distinct_users_head",
+    "domain_mix_sample",
+    "embedding_drift",
+    # --- 50-slot window boundary ---
+    # overflow, in r10-priority order: the twenty r6-stamped queries that
+    # did not fit this window
+    "event_type_transitions",
+    "grouped_quantile",
+    "grouping_sets_revenue",
+    "incremental_ann_topk",
+    "ivf_centroid_join_topk",
+    "lang_sample_k",
+    "lateral_top_orders",
+    "nation_trade_volume",
+    "ordered_preview",
+    "parts_bought_together",
+    "pii_redact",
+    "quantized_cosine_topk",
+    "salted_event_stats",
+    "session_window_stats",
+    "shipping_priority",
+    "span_corruption_manifest",
+    "time_sliced_rolling",
+    "training_data_pipeline_overlap",
+    "variant_props_stats",
+    "weighted_discount",
 ]
 
 

@@ -50,27 +50,29 @@ def test_verify_first_names_all_resolve():
     assert not missing, missing
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
-    # this round's fixes and additions must sit inside the first-50 window
-    # (dataset_card — plan rewrite with UNCHANGED hash, externally
-    # r7-green — yields its slot to the new progressive-JPEG query and
-    # heads the overflow instead)
+    # the r9 window drains the rotation debt: the five never-sampled
+    # queries lead, the full r5-stamped cohort and dataset_card follow,
+    # the four queries whose shared code changed this round re-prove
+    # their hashes, and the rest is oldest-r6 fill
     window = list(qs)[:50]
-    for must in ("bpe_token_stats", "decoded_jpeg420_stats",
-                 "decoded_jpeg_prog_stats", "media_contract",
-                 "warc_extract_stats", "decoded_gif_stats",
-                 "kn_trigram_surprisal", "incremental_rollup_refresh",
-                 "c4_line_filter", "gopher_quality_flags", "bm25_topk",
-                 "incremental_quantile_refresh", "fertility_by_lang",
-                 "related_docs_rrf", "copurchase_triangles",
-                 "cm_heavy_hitters", "scd2_user_type_history",
-                 "weighted_sample_per_source"):
+    for must in ("mixture_sample_counts", "hard_negatives_topk",
+                 "image_near_dup_pairs", "bm25_topk_capped",
+                 "related_docs_rrf_dense",
+                 # the 14-query r5 cohort
+                 "repetition_stats", "rolling_fingerprints",
+                 "rollup_order_counts", "scope_filtered_profile",
+                 "simhash_pairs", "simhash_pairs_blocked",
+                 "supplier_pagerank", "time_weighted_avg", "token_stats",
+                 "union_label_dims", "value_autocorr_lag1",
+                 "value_equidepth_histogram", "value_histogram",
+                 "winsorized_profile",
+                 "dataset_card",
+                 # shared code changed this round
+                 "minhash_lsh_pairs", "minhash_lsh_pairs_prod",
+                 "bm25_topk", "related_docs_rrf"):
         assert must in window, must
-    assert list(qs)[50:67] == [
-        "repetition_stats", "rolling_fingerprints", "rollup_order_counts",
-        "scope_filtered_profile", "simhash_pairs",
-        "simhash_pairs_blocked", "supplier_pagerank",
-        "time_weighted_avg", "token_stats", "union_label_dims",
-        "value_autocorr_lag1", "value_equidepth_histogram",
-        "value_histogram", "winsorized_profile",
-        "mixture_sample_counts", "hard_negatives_topk", "dataset_card",
-    ]
+    # after this window samples green, no sheet query's latest external
+    # stamp predates r6: everything NOT in the window is r6-or-newer
+    assert window[:5] == ["mixture_sample_counts", "hard_negatives_topk",
+                          "image_near_dup_pairs", "bm25_topk_capped",
+                          "related_docs_rrf_dense"]
