@@ -347,6 +347,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: candidates from band-bucket
     collisions, verified with exact Jaccard ≥ threshold over the docs'
@@ -367,6 +368,22 @@ def minhash_lsh_pairs(
       table. Jaccard over the hash sets equals string Jaccard except under
       a 48-bit collision inside one pair's union (~|sh/doc|²/2⁴⁸); both
       engines hash identically so cross-engine parity is unconditional.
+
+    ``max_bucket_size`` is the hot-band guard every corpus-scale dedup
+    eventually needs: a degenerate bucket with |B| members (boilerplate
+    text, empty-ish docs sharing one min value) costs |B|² candidate
+    pairs — quadratic blowup no join strategy fixes, because the pairs
+    are REAL join output. The cap drops buckets larger than the bound
+    from candidate generation BEFORE the self-join (one combinable
+    groupBy count + an equi-join back on the same (band, bucket) key the
+    candidate join already shuffles on). Semantics are deterministic and
+    SQL-replayable: a pair survives iff its globally-first matching band
+    (unchanged attribution, computed from the signature mins) is a
+    surviving bucket — if the first-match band is hot, the pair is
+    dropped even when a later band would catch it. Recall trade-off is
+    the standard one (a hot bucket's pairs are near-uninformative: with
+    r min-slots shared by |B| docs, the bucket's Jaccard evidence is the
+    same for every member). None = exact uncapped LSH.
     """
     n_hashes = n_bands * rows_per_band
     sig = minhash_sig(df, n_hashes, text_col, id_col)
@@ -385,6 +402,17 @@ def minhash_lsh_pairs(
     ).select(
         id_col, "mins", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
+    if max_bucket_size is not None:
+        # partial aggregation absorbs the hot key map-side; the join back
+        # shuffles on the same (band, bucket) key the candidate self-join
+        # uses, so the surviving rows arrive already co-partitioned
+        small = (
+            bb.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bn__"))
+            .filter(F.col("__bn__") <= int(max_bucket_size))
+            .select("band", "bucket")
+        )
+        bb = bb.join(small, ["band", "bucket"])
     a = bb.select(
         F.col(id_col).alias("doc_a"), F.col("mins").alias("mins_a"), "band", "bucket"
     )
@@ -596,8 +624,63 @@ def simhash_pairs_blocked(
 
 
 # ---------------------------------------------------------------------------
-# Image near-dup: perceptual dHash over decoded luma (r9)
+# Media near-dup: perceptual gradient hashes over decoded samples (r9)
 # ---------------------------------------------------------------------------
+
+
+def hamming_blocked_pairs(
+    df: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    n_bits: int,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Generic Hamming-≤-d pair finder over any integer fingerprint
+    column — the pigeonhole segment-blocking core shared by the image
+    (dHash) and audio (waveform gradient) near-dup tiers, same recall
+    proof as :func:`simhash_pairs_blocked`: split the n_bits hash into
+    max_hamming+1 segments; a pair within the threshold is bit-identical
+    in ≥1 segment, so the (segment, value) equi-join finds every
+    qualifying pair without an all-pairs scan. First-matching-segment
+    emits each pair once — a bitmask filter, not a distinct() shuffle.
+    Scale: shuffle is on segment values; per-bucket fanout is bounded by
+    corpus near-dup density exactly as in the text family."""
+    n_seg = max_hamming + 1
+    s = df.select(F.col(id_col), F.col(hash_col).alias("__h__")).localCheckpoint()
+    segs = _simhash_segments(F.col("__h__"), n_seg, n_bits=n_bits)
+    seg_structs = [
+        F.struct(F.lit(i).alias("seg"), segs[i].alias("seg_val")) for i in range(n_seg)
+    ]
+    blocked = s.select(
+        F.col(id_col), F.col("__h__"), F.explode(F.array(*seg_structs)).alias("b")
+    ).select(id_col, "__h__", F.col("b.seg").alias("seg"), F.col("b.seg_val").alias("seg_val"))
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("__h__").alias("h_a"), "seg", "seg_val"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("__h__").alias("h_b"), "seg", "seg_val"
+    )
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    base, rem = divmod(n_bits, n_seg)
+    first_match, start = None, 0
+    for i in range(n_seg):
+        width = base + (1 if i < rem else 0)
+        mask = ((1 << width) - 1) << start
+        is_match = xor.bitwiseAND(F.lit(mask)) == 0
+        first_match = (
+            F.when(is_match, F.lit(i))
+            if first_match is None
+            else first_match.when(is_match, F.lit(i))
+        )
+        start += width
+    return (
+        a.join(b, ["seg", "seg_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_match == F.col("seg"))
+        .withColumn("hamming", F.bit_count(xor).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def image_dhash(px_col: str = "px", side: int = 8) -> Column:
@@ -630,53 +713,90 @@ def image_near_dup_pairs(
     wired to the codec tier (callers feed DECODED luma, so the hash sees
     what the bit-exact decoders produced, not the compressed bytes).
 
-    Same pigeonhole blocking as :func:`simhash_pairs_blocked`: the
-    (side·(side−1))-bit hash splits into max_hamming+1 segments; a pair
-    within the threshold is bit-identical in ≥1 segment, so the
-    (segment, value) equi-join finds every qualifying pair (recall 1.0 vs
-    brute force, never an all-pairs scan). First-matching-segment emits
-    each pair once — a bitmask filter, not a distinct() shuffle. Scale:
-    shuffle is on segment values; per-bucket fanout is bounded by corpus
-    near-dup density exactly as in the text family.
+    Blocking/dedup semantics live in :func:`hamming_blocked_pairs`
+    (recall 1.0 vs brute force, never an all-pairs scan).
     """
-    n_seg = max_hamming + 1
-    n_bits = side * (side - 1)
-    s = df.select(
-        F.col(id_col), image_dhash(px_col, side).alias("dhash")
-    ).localCheckpoint()
-    segs = _simhash_segments(F.col("dhash"), n_seg, n_bits=n_bits)
-    seg_structs = [
-        F.struct(F.lit(i).alias("seg"), segs[i].alias("seg_val")) for i in range(n_seg)
-    ]
-    blocked = s.select(
-        F.col(id_col), F.col("dhash"), F.explode(F.array(*seg_structs)).alias("b")
-    ).select(id_col, "dhash", F.col("b.seg").alias("seg"), F.col("b.seg_val").alias("seg_val"))
-    a = blocked.select(
-        F.col(id_col).alias("id_a"), F.col("dhash").alias("dh_a"), "seg", "seg_val"
+    hashed = df.select(F.col(id_col), image_dhash(px_col, side).alias("dhash"))
+    return hamming_blocked_pairs(
+        hashed, "dhash", max_hamming, n_bits=side * (side - 1), id_col=id_col
     )
-    b = blocked.select(
-        F.col(id_col).alias("id_b"), F.col("dhash").alias("dh_b"), "seg", "seg_val"
+
+
+def waveform_dhash(s_col: str = "s", n_samples: int = 64) -> Column:
+    """1-D gradient fingerprint over decoded PCM samples — the audio twin
+    of :func:`image_dhash`: bit k is set iff s[k+1] > s[k], n_samples−1
+    bits (63 for 64-sample clips) packed little-endian into one bigint.
+    Robust to uniform gain/DC offset (monotone transforms preserve every
+    comparison), integer-exact over the bit-exact WAV decoder, so
+    SQL-replayable — unlike spectral fingerprints there is no float FFT
+    to drift across engines."""
+    n_bits = n_samples - 1
+    return F.expr(
+        f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), (acc, k) -> "
+        f"acc + IF({s_col}[k + 1] > {s_col}[k], "
+        f"shiftleft(cast(1 as bigint), k), cast(0 as bigint)))"
     )
-    xor = F.col("dh_a").bitwiseXOR(F.col("dh_b"))
-    base, rem = divmod(n_bits, n_seg)
-    first_match, start = None, 0
-    for i in range(n_seg):
-        width = base + (1 if i < rem else 0)
-        mask = ((1 << width) - 1) << start
-        is_match = xor.bitwiseAND(F.lit(mask)) == 0
-        first_match = (
-            F.when(is_match, F.lit(i))
-            if first_match is None
-            else first_match.when(is_match, F.lit(i))
-        )
-        start += width
-    return (
-        a.join(b, ["seg", "seg_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(first_match == F.col("seg"))
-        .withColumn("hamming", F.bit_count(xor).cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+
+
+def video_dhash(
+    px_col: str = "px", frames: int = 4, side: int = 4
+) -> Column:
+    """Per-frame gradient hash over a decoded clip stored as a flat
+    row-major int array (frames × side × side luma): frame f contributes
+    side·(side−1) bits (its :func:`image_dhash`) at offset
+    f·side·(side−1) — 48 bits for a 4-frame 4×4 clip. Temporal structure
+    is preserved (frame order is part of the fingerprint), and the hash
+    stays integer-exact over the bit-exact Y4M decoder."""
+    n_c = side - 1
+    per = side * n_c
+    n_bits = frames * per
+    fsz = side * side
+    return F.expr(
+        f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), (acc, k) -> "
+        f"acc + IF({px_col}[(k div {per}) * {fsz} "
+        f"+ ((k % {per}) div {n_c}) * {side} + ((k % {per}) % {n_c}) + 1] "
+        f"> {px_col}[(k div {per}) * {fsz} "
+        f"+ ((k % {per}) div {n_c}) * {side} + ((k % {per}) % {n_c})], "
+        f"shiftleft(cast(1 as bigint), k), cast(0 as bigint)))"
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 5,
+    id_col: str = "media_id",
+    px_col: str = "px",
+    frames: int = 4,
+    side: int = 4,
+) -> DataFrame:
+    """Video near-duplicate pairs by per-frame gradient Hamming ≤
+    max_hamming — same segment blocking as the image/audio tiers
+    (default max_hamming=5 gives six exact 8-bit segments over the
+    48-bit clip fingerprint)."""
+    hashed = df.select(
+        F.col(id_col), video_dhash(px_col, frames, side).alias("vhash")
+    )
+    return hamming_blocked_pairs(
+        hashed, "vhash", max_hamming, n_bits=frames * side * (side - 1), id_col=id_col
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    n_samples: int = 64,
+) -> DataFrame:
+    """Audio near-duplicate pairs by waveform-gradient Hamming ≤
+    max_hamming — same segment blocking as the image tier (callers feed
+    DECODED samples so the fingerprint sees what the RIFF/PCM decoder
+    produced, catching re-encoded/gain-adjusted copies)."""
+    hashed = df.select(
+        F.col(id_col), waveform_dhash(s_col, n_samples).alias("whash")
+    )
+    return hamming_blocked_pairs(
+        hashed, "whash", max_hamming, n_bits=n_samples - 1, id_col=id_col
     )
 
 

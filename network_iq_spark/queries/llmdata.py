@@ -164,7 +164,12 @@ def _sql_hex_int(expr: str, ndigits: int) -> str:
 _MINHASH_P = D.MINHASH_P
 
 
-def _minhash_sql(n_bands: int, rows_per_band: int, threshold: float) -> str:
+def _minhash_sql(
+    n_bands: int,
+    rows_per_band: int,
+    threshold: float,
+    max_bucket_size: int | None = None,
+) -> str:
     n_hashes = n_bands * rows_per_band
     mins = ",\n      ".join(
         f"MIN(({2 * i + 1} * h + {7 * i + 3}) % {_MINHASH_P}) AS m{i}"
@@ -180,6 +185,37 @@ def _minhash_sql(n_bands: int, rows_per_band: int, threshold: float) -> str:
             f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
         )
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    if max_bucket_size is not None:
+        # capped candidate generation replays the operator's attribution
+        # rule: a pair survives iff its globally-FIRST matching band
+        # (min band over all bucket collisions) is a bucket at or under
+        # the cap — identical to the Spark plan's pre-join bucket filter
+        # composed with the first-matching-band dedup filter
+        cand_sql = f"""sizes AS (
+      SELECT band, bucket, COUNT(*) AS n FROM bb GROUP BY 1, 2
+    ),
+    allmatch AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band, a.bucket
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    firstband AS (
+      SELECT doc_a, doc_b, MIN(band) AS fband FROM allmatch GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT f.doc_a, f.doc_b
+      FROM firstband f
+      JOIN allmatch m
+        ON m.doc_a = f.doc_a AND m.doc_b = f.doc_b AND m.band = f.fband
+      JOIN sizes s ON s.band = m.band AND s.bucket = m.bucket
+      WHERE s.n <= {max_bucket_size}
+    )"""
+    else:
+        cand_sql = """cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )"""
     return f"""
     WITH sh AS ({_SHINGLES}),
     hashed AS (
@@ -198,11 +234,7 @@ def _minhash_sql(n_bands: int, rows_per_band: int, threshold: float) -> str:
     bb AS (
       {bands_sql}
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bb a JOIN bb b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
+    {cand_sql}
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT c.doc_a, c.doc_b,
              CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
@@ -254,6 +286,35 @@ def q_minhash_lsh_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_MH_PROD_THRESHOLD,
         n_bands=_MH_PROD_BANDS,
         rows_per_band=_MH_PROD_ROWS,
+    ).orderBy("doc_a", "doc_b")
+
+
+_MH_MAX_BUCKET = 4
+
+
+@register(
+    "minhash_lsh_pairs_capped",
+    oracle=_minhash_sql(
+        _MH_BANDS, _MH_ROWS, _MH_THRESHOLD, max_bucket_size=_MH_MAX_BUCKET
+    ),
+)
+def q_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the hot-band guard on (r9): buckets larger than
+    ``_MH_MAX_BUCKET`` members are dropped from candidate generation
+    BEFORE the self-join — the cap that keeps a degenerate boilerplate
+    bucket from costing |B|² pairs at corpus scale (operators/dedup.py
+    minhash_lsh_pairs max_bucket_size). At this SF the cap prunes the
+    largest buckets of the recall-heavy b=16/r=1 config, so the result
+    observably differs from the uncapped flagship — the oracle replays
+    the exact attribution rule (pair survives iff its globally-first
+    matching band is an under-cap bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        threshold=_MH_THRESHOLD,
+        n_bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+        max_bucket_size=_MH_MAX_BUCKET,
     ).orderBy("doc_a", "doc_b")
 
 
@@ -2657,6 +2718,104 @@ def q_decoded_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Audio near-dup fixture, mirroring the image one: every 10th clip gets a
+# planted twin with +300 on 1-based sample positions 1/17/33 (clamped to
+# int16 max). Position 1 touches one gradient comparison, 17 and 33 touch
+# two each, so a twin's waveform-dHash Hamming distance is ≤ 5 by
+# construction — under the threshold, and the pigeonhole blocking
+# guarantees recall. 63 bits split into 7 exact 9-bit segments.
+_WHASH_MAX_HAMMING = 6
+_WHASH_TWIN_EVERY = 10
+_WHASH_TWIN_OFFSET = 1_000_000
+
+
+@register(
+    "audio_near_dup_pairs",
+    oracle=f"""
+    WITH q0 AS (
+      SELECT vec_id AS media_id, {_WAV_QUANT_SQL} AS s FROM embeddings
+    ),
+    q AS (
+      SELECT media_id, s FROM q0
+      UNION ALL
+      SELECT media_id + {_WHASH_TWIN_OFFSET},
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN i = 1 OR i = 17 OR i = 33
+                         THEN least(s[i] + 300, 32767) ELSE s[i] END)
+      FROM q0 WHERE media_id % {_WHASH_TWIN_EVERY} = 0
+    ),
+    bits AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN s[k + 2] > s[k + 1]
+                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS whash
+      FROM q, LATERAL unnest(generate_series(0, 62)) AS g(k)
+      GROUP BY media_id
+    ),
+    bands AS (
+      SELECT media_id, whash, b, (whash >> (9 * b)) & 511 AS v
+      FROM bits, LATERAL unnest(generate_series(0, {_WHASH_MAX_HAMMING})) AS g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.whash AS wa, b.whash AS wb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST(bit_count(xor(wa, wb)) AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= {_WHASH_MAX_HAMMING} ORDER BY id_a, id_b
+    """,
+)
+def q_audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform-fingerprint audio near-dup (r9) — the audio twin of
+    image_near_dup_pairs, closing near-dup coverage across all three
+    modalities (text MinHash/SimHash, image dHash, audio gradient hash):
+    clips synthesized from int16-quantized embeddings (plus planted
+    perturbed twins) make a REAL RIFF/WAVE encode → decode round trip
+    inside Arrow batches, a 63-bit 1-D gradient fingerprint folds over
+    the DECODED PCM (operators/dedup.py waveform_dhash — gain/DC-offset
+    invariant, integer-exact, no float FFT), and pairs come from the
+    shared pigeonhole Hamming blocking (hamming_blocked_pairs). The
+    oracle replays fingerprint/bands/verify from the quantized values
+    directly — the decoder is bit-exact, so a defect anywhere in the
+    RIFF walk or the hash surfaces as a mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.audio import decode_wav, encode_wav
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) * 32767.0D + 0.5D) as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
+    twin = src.filter(F.col("media_id") % _WHASH_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _WHASH_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(s, (x, i) -> IF(i = 0 OR i = 16 OR i = 32, "
+            "least(x + 300, 32767), x))"
+        ).alias("s"),
+    )
+    clips = src.unionByName(twin)
+
+    def roundtrip(it):
+        for pdf in it:
+            out = []
+            for s in pdf["s"]:
+                _, dec = decode_wav(
+                    encode_wav(np.asarray(list(s), dtype=np.int16), _WAV_RATE)
+                )
+                out.append([int(v) for v in dec])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "s": out})
+
+    decoded = clips.mapInPandas(roundtrip, schema="media_id bigint, s array<int>")
+    return D.audio_near_dup_pairs(
+        decoded, max_hamming=_WHASH_MAX_HAMMING
+    ).orderBy("id_a", "id_b")
+
+
 _VID_FRAMES, _VID_SIDE, _VID_FPS = 4, 4, 2  # 4 frames of 4x4 luma at 2 fps
 # sample_frames(every_ms=1000) on a 2000 ms clip emits ts {0, 1000};
 # frame_at_ms((2,1), 4, ts) -> source frames {0, 2}. Frame f covers
@@ -2765,6 +2924,116 @@ def q_decoded_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id bigint, frame_idx int, ts_ms int, px_sum bigint, "
         "px_mean double",
     ).orderBy("media_id", "frame_idx")
+
+
+# Video near-dup fixture: every 10th clip gets a planted twin with +3 on
+# the (row 0, col 0) pixel of each of the 4 frames (1-based flat positions
+# 1/17/33/49, clamped). A col-0 pixel feeds exactly ONE gradient
+# comparison, so the twin's 48-bit clip fingerprint is ≤ 4 Hamming away —
+# under the threshold, and blocking guarantees recall. max_hamming=5
+# gives six exact 8-bit segments.
+_VHASH_MAX_HAMMING = 5
+_VHASH_TWIN_EVERY = 10
+_VHASH_TWIN_OFFSET = 1_000_000
+
+
+@register(
+    "video_near_dup_pairs",
+    oracle=f"""
+    WITH q0 AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    q AS (
+      SELECT media_id, px FROM q0
+      UNION ALL
+      SELECT media_id + {_VHASH_TWIN_OFFSET},
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN (i - 1) % 16 = 0
+                         THEN least(px[i] + 3, 255) ELSE px[i] END)
+      FROM q0 WHERE media_id % {_VHASH_TWIN_EVERY} = 0
+    ),
+    bits AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN px[(k // 12) * 16
+                                   + ((k % 12) // 3) * 4 + (k % 12) % 3 + 2]
+                           > px[(k // 12) * 16
+                                + ((k % 12) // 3) * 4 + (k % 12) % 3 + 1]
+                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS vhash
+      FROM q, LATERAL unnest(generate_series(0, 47)) AS s(k)
+      GROUP BY media_id
+    ),
+    bands AS (
+      SELECT media_id, vhash, b, (vhash >> (8 * b)) & 255 AS v
+      FROM bits, LATERAL unnest(generate_series(0, {_VHASH_MAX_HAMMING})) AS g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.vhash AS va, b.vhash AS vb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST(bit_count(xor(va, vb)) AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= {_VHASH_MAX_HAMMING} ORDER BY id_a, id_b
+    """,
+)
+def q_video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-fingerprint video near-dup (r9) — completes near-dup across
+    all four modalities (text MinHash/SimHash, image dHash, audio
+    waveform hash, video per-frame hash) on ONE shared blocked-Hamming
+    core: clips synthesized from quantized embeddings (plus planted
+    twins) make a REAL YUV4MPEG2 encode → decode round trip inside Arrow
+    batches, the 48-bit per-frame gradient fingerprint folds over the
+    DECODED 4-frame luma (operators/dedup.py video_dhash — temporal
+    order is part of the fingerprint), and pairs come from
+    hamming_blocked_pairs. The oracle replays everything from the
+    quantized values — the Y4M decoder is bit-exact, so a defect in the
+    header/FRAME walk or the hash surfaces as a mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.video import decode_y4m, encode_y4m
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    twin = src.filter(F.col("media_id") % _VHASH_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _VHASH_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(px, (x, i) -> IF(i % 16 = 0, least(x + 3, 255), x))"
+        ).alias("px"),
+    )
+    clips = src.unionByName(twin)
+
+    def roundtrip(it):
+        for pdf in it:
+            out = []
+            for p in pdf["px"]:
+                frames = list(
+                    np.asarray(list(p), dtype=np.uint8).reshape(
+                        _VID_FRAMES, _VID_SIDE, _VID_SIDE
+                    )
+                )
+                _w, _h, _fps, dec = decode_y4m(
+                    encode_y4m(frames, fps=(_VID_FPS, 1))
+                )
+                out.append(
+                    [int(v) for f in dec for v in np.asarray(f).reshape(-1)]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
+
+    decoded = clips.mapInPandas(roundtrip, schema="media_id bigint, px array<int>")
+    return D.video_near_dup_pairs(
+        decoded,
+        max_hamming=_VHASH_MAX_HAMMING,
+        frames=_VID_FRAMES,
+        side=_VID_SIDE,
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

@@ -193,3 +193,137 @@ def test_image_near_dup_plan_has_no_cross_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_bucket_cap_semantics(spark):
+    """Hot-band guard: with a planted degenerate bucket (30 identical
+    boilerplate docs → every band collides), the capped candidate set
+    must (a) drop the boilerplate blowup, (b) keep every pair whose
+    first matching band is an under-cap bucket, and (c) be a subset of
+    the uncapped output."""
+    import itertools
+
+    docs = _load_docs(spark)
+    boiler = spark.createDataFrame(
+        [(100000 + i, "the same boilerplate footer text appears here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(boiler)
+    un = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(both, threshold=0.0, n_bands=16, rows_per_band=1).collect()
+    }
+    cap = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(
+            both, threshold=0.0, n_bands=16, rows_per_band=1, max_bucket_size=20
+        ).collect()
+    }
+    assert cap <= un
+    boiler_pairs = set(itertools.combinations(range(100000, 100030), 2))
+    # the 435 boilerplate pairs all sit in 30-member buckets → all dropped
+    assert boiler_pairs <= un
+    assert not (boiler_pairs & cap)
+    assert len(cap) > 0
+
+
+def test_waveform_dhash_matches_python_reference(spark):
+    rows = [(i, [((i * 29 + j * 13) % 1000 - 500) for j in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id int, s array<int>")
+    got = {
+        r.media_id: r.wh
+        for r in df.select("media_id", D.waveform_dhash("s").alias("wh")).collect()
+    }
+    for mid, s in rows:
+        want = sum(1 << k for k in range(63) if s[k + 1] > s[k])
+        assert got[mid] == want, mid
+
+
+def test_audio_near_dup_blocked_equals_bruteforce(spark):
+    """Pigeonhole recall for the 63-bit waveform fingerprint, including
+    planted gain-bumped twins (+1 on one sample => <= 2 bit flips)."""
+    base = [(i, [((i * 41 + j * 17) % 2000 - 1000) for j in range(64)]) for i in range(30)]
+    twins = [
+        (i + 1000, [v + 1 if j == 20 else v for j, v in enumerate(s)])
+        for i, s in base
+        if i % 3 == 0
+    ]
+    df = spark.createDataFrame(base + twins, "media_id int, s array<int>")
+    blocked = sorted(
+        map(tuple, D.audio_near_dup_pairs(df, max_hamming=6, id_col="media_id").collect())
+    )
+    h = df.select("media_id", D.waveform_dhash("s").alias("wh"))
+    a = h.select(F.col("media_id").alias("id_a"), F.col("wh").alias("wa"))
+    b = h.select(F.col("media_id").alias("id_b"), F.col("wh").alias("wb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("wa").bitwiseXOR(F.col("wb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )
+    assert blocked == sorted(map(tuple, brute.collect()))
+    found = {(ia, ib) for ia, ib, _ in blocked}
+    assert all((i, i + 1000) in found for i, _ in base if i % 3 == 0)
+
+
+def test_audio_near_dup_plan_has_no_cross_join(spark):
+    df = QUERIES["audio_near_dup_pairs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_video_dhash_matches_python_reference(spark):
+    rows = [(i, [((i * 31 + j * 19) % 256) for j in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id int, px array<int>")
+    got = {
+        r.media_id: r.vh
+        for r in df.select("media_id", D.video_dhash("px").alias("vh")).collect()
+    }
+    for mid, px in rows:
+        want = 0
+        for k in range(48):
+            f, kb = divmod(k, 12)
+            r_, c = divmod(kb, 3)
+            p = f * 16 + r_ * 4 + c
+            if px[p + 1] > px[p]:
+                want |= 1 << k
+        assert got[mid] == want, mid
+
+
+def test_video_near_dup_blocked_equals_bruteforce(spark):
+    base = [(i, [((i * 43 + j * 23) % 251) for j in range(64)]) for i in range(30)]
+    twins = [
+        (i + 1000, [v + 1 if j == 5 else v for j, v in enumerate(px)])
+        for i, px in base
+        if i % 3 == 0
+    ]
+    df = spark.createDataFrame(base + twins, "media_id int, px array<int>")
+    blocked = sorted(
+        map(tuple, D.video_near_dup_pairs(df, max_hamming=5, id_col="media_id").collect())
+    )
+    h = df.select("media_id", D.video_dhash("px").alias("vh"))
+    a = h.select(F.col("media_id").alias("id_a"), F.col("vh").alias("va"))
+    b = h.select(F.col("media_id").alias("id_b"), F.col("vh").alias("vb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= 5)
+        .select("id_a", "id_b", "hamming")
+    )
+    assert blocked == sorted(map(tuple, brute.collect()))
+    found = {(ia, ib) for ia, ib, _ in blocked}
+    assert all((i, i + 1000) in found for i, _ in base if i % 3 == 0)
+
+
+def test_video_near_dup_plan_has_no_cross_join(spark):
+    df = QUERIES["video_near_dup_pairs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
