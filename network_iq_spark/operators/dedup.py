@@ -683,6 +683,81 @@ def hamming_blocked_pairs(
     )
 
 
+def hamming_index(
+    df: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    n_bits: int,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """At-rest segment index for incremental Hamming dedup: (id, hash,
+    seg, seg_val) — one row per fingerprint segment. A deployment
+    persists this partitioned/bucketed by (seg, seg_val) so the batch
+    probe co-locates without a history-side shuffle (the lsh_index
+    precedent for the text tier)."""
+    n_seg = max_hamming + 1
+    segs = _simhash_segments(F.col(hash_col), n_seg, n_bits=n_bits)
+    seg_structs = [
+        F.struct(F.lit(i).alias("seg"), segs[i].alias("seg_val")) for i in range(n_seg)
+    ]
+    return df.select(
+        F.col(id_col), F.col(hash_col).alias("__h__"),
+        F.explode(F.array(*seg_structs)).alias("b"),
+    ).select(
+        F.col(id_col), F.col("__h__").alias(hash_col),
+        F.col("b.seg").alias("seg"), F.col("b.seg_val").alias("seg_val"),
+    )
+
+
+def incremental_hamming_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    n_bits: int,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-dup detection of an incoming media batch AGAINST an at-rest
+    fingerprint index (:func:`hamming_index`) — the media twin of
+    :func:`incremental_near_dup`: segment collisions between batch and
+    index generate candidates, the Hamming bound verifies. Output
+    (new_id, old_id, hamming ≤ max_hamming) — what a continual-ingest
+    pipeline drops (or links) before appending survivors' index rows.
+    Cost is O(batch × collision rate), never O(history); recall is 1.0
+    by the pigeonhole argument. First-matching-segment dedup (computed
+    from the hash pair, data already in the join output) replaces a
+    distinct() shuffle, exactly as in :func:`hamming_blocked_pairs`."""
+    n_seg = max_hamming + 1
+    probe = hamming_index(batch, hash_col, max_hamming, n_bits, id_col).select(
+        F.col(id_col).alias("new_id"), F.col(hash_col).alias("h_new"),
+        "seg", "seg_val",
+    )
+    base_idx = index.select(
+        F.col(id_col).alias("old_id"), F.col(hash_col).alias("h_old"),
+        "seg", "seg_val",
+    )
+    xor = F.col("h_new").bitwiseXOR(F.col("h_old"))
+    base, rem = divmod(n_bits, n_seg)
+    first_match, start = None, 0
+    for i in range(n_seg):
+        width = base + (1 if i < rem else 0)
+        mask = ((1 << width) - 1) << start
+        is_match = xor.bitwiseAND(F.lit(mask)) == 0
+        first_match = (
+            F.when(is_match, F.lit(i))
+            if first_match is None
+            else first_match.when(is_match, F.lit(i))
+        )
+        start += width
+    return (
+        probe.join(base_idx, ["seg", "seg_val"])
+        .filter(first_match == F.col("seg"))
+        .withColumn("hamming", F.bit_count(xor).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "old_id", "hamming")
+    )
+
+
 def image_dhash(px_col: str = "px", side: int = 8) -> Column:
     """Row-wise gradient perceptual hash (dHash) over a ``side``×``side``
     luma raster stored row-major in an int array: bit (r, c) is set iff

@@ -2076,6 +2076,116 @@ def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_image_dedup",
+    oracle=f"""
+    WITH hist AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    batch AS (
+      SELECT media_id + {_DHASH_TWIN_OFFSET} AS media_id,
+             list_transform(generate_series(1, {_IMG_SIDE * _IMG_SIDE}),
+               i -> CASE WHEN (i - 1) % 16 = 0
+                         THEN least(px[i] + 3, 255) ELSE px[i] END) AS px
+      FROM hist WHERE media_id % {_DHASH_TWIN_EVERY} = 0
+    ),
+    hbits AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                   + (k % {_IMG_SIDE - 1}) + 2]
+                           > px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                + (k % {_IMG_SIDE - 1}) + 1]
+                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dhash
+      FROM hist, LATERAL unnest(generate_series(0, {_IMG_SIDE * (_IMG_SIDE - 1) - 1}))
+                AS s(k)
+      GROUP BY media_id
+    ),
+    bbits AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                   + (k % {_IMG_SIDE - 1}) + 2]
+                           > px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                + (k % {_IMG_SIDE - 1}) + 1]
+                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dhash
+      FROM batch, LATERAL unnest(generate_series(0, {_IMG_SIDE * (_IMG_SIDE - 1) - 1}))
+                AS s(k)
+      GROUP BY media_id
+    ),
+    hband AS (
+      SELECT media_id, dhash, b, (dhash >> (8 * b)) & 255 AS v
+      FROM hbits, LATERAL unnest(generate_series(0, {_DHASH_MAX_HAMMING})) AS g(b)
+    ),
+    bband AS (
+      SELECT media_id, dhash, b, (dhash >> (8 * b)) & 255 AS v
+      FROM bbits, LATERAL unnest(generate_series(0, {_DHASH_MAX_HAMMING})) AS g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT n.media_id AS new_id, o.media_id AS old_id,
+             n.dhash AS dn, o.dhash AS do_
+      FROM bband n JOIN hband o ON n.b = o.b AND n.v = o.v
+    )
+    SELECT new_id, old_id, hamming FROM (
+      SELECT new_id, old_id, CAST(bit_count(xor(dn, do_)) AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= {_DHASH_MAX_HAMMING} ORDER BY new_id, old_id
+    """,
+)
+def q_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental media dedup (r9) — the media twin of
+    incremental_near_dup: the at-rest corpus is indexed once by dHash
+    segment (operators/dedup.py hamming_index — persisted partitioned by
+    (seg, seg_val) in a deployment), and an incoming batch (perturbed
+    copies of every 10th image, pushed through the REAL PNG
+    encode → decode round trip like any new crawl item) probes it via
+    segment collisions + Hamming verify (incremental_hamming_dedup).
+    Cost is O(batch × collision rate), never O(history); recall 1.0 by
+    the pigeonhole argument. The oracle replays index, probe, and verify
+    from the quantized values directly."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.multimodal import decode_image, encode_png
+
+    side = _IMG_SIDE
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    hist = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    # history index built in-plan here; a deployment reads it at rest
+    n_bits = side * (side - 1)
+    hist_hashed = hist.select(
+        "media_id", D.image_dhash("px", side).alias("dhash")
+    )
+    index = D.hamming_index(
+        hist_hashed, "dhash", _DHASH_MAX_HAMMING, n_bits=n_bits
+    )
+    batch_px = hist.filter(F.col("media_id") % _DHASH_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _DHASH_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(px, (x, i) -> IF(i % 16 = 0, least(x + 3, 255), x))"
+        ).alias("px"),
+    )
+
+    def roundtrip(it):
+        for pdf in it:
+            out = []
+            for p in pdf["px"]:
+                img = np.asarray(list(p), dtype=np.uint8).reshape(side, side)
+                dec = decode_image(encode_png(img))
+                out.append([int(v) for v in dec.reshape(-1)])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
+
+    batch = batch_px.mapInPandas(
+        roundtrip, schema="media_id bigint, px array<int>"
+    ).select("media_id", D.image_dhash("px", side).alias("dhash"))
+    return D.incremental_hamming_dedup(
+        batch, index, "dhash", _DHASH_MAX_HAMMING, n_bits=n_bits
+    ).orderBy("new_id", "old_id")
+
+
+@register(
     "decoded_jpeg_stats",
     oracle=f"""
     WITH q AS (

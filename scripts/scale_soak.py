@@ -79,11 +79,14 @@ QUERIES_UNDER_TEST = [
     "related_docs_rrf",
     "cm_heavy_hitters",
     # round-9 additions: stopword-ceiling BM25 twin, lexical+dense hybrid
-    # fusion, perceptual-hash image near-dup (PNG round-trip + dHash +
-    # Hamming-banded pairs)
+    # fusion, perceptual-hash media near-dup (codec round-trips + gradient
+    # fingerprints + Hamming-banded pairs), bucket-capped LSH
     "bm25_topk_capped",
     "related_docs_rrf_dense",
     "image_near_dup_pairs",
+    "audio_near_dup_pairs",
+    "video_near_dup_pairs",
+    "minhash_lsh_pairs_capped",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the

@@ -327,3 +327,33 @@ def test_video_near_dup_plan_has_no_cross_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_hamming_equals_full_cross_pairs(spark):
+    """The batch-vs-index probe must find exactly the cross (batch,
+    history) pairs the full blocked scan finds over the union — the
+    O(batch) path loses nothing (pigeonhole recall, both directions)."""
+    hist = [(i, [((i * 37 + j * 11) % 256) for j in range(64)]) for i in range(40)]
+    batch = [
+        (i + 1000, [min(v + 3, 255) if j % 16 == 0 else v for j, v in enumerate(px)])
+        for i, px in hist
+        if i % 4 == 0
+    ]
+    hdf = spark.createDataFrame(hist, "media_id int, px array<int>")
+    bdf = spark.createDataFrame(batch, "media_id int, px array<int>")
+    hh = hdf.select("media_id", D.image_dhash("px").alias("dhash"))
+    bh = bdf.select("media_id", D.image_dhash("px").alias("dhash"))
+    idx = D.hamming_index(hh, "dhash", 6, n_bits=56)
+    inc = sorted(
+        map(tuple, D.incremental_hamming_dedup(bh, idx, "dhash", 6, n_bits=56).collect())
+    )
+    full = D.image_near_dup_pairs(
+        hdf.unionByName(bdf), max_hamming=6
+    )
+    cross = sorted(
+        (r.id_a if r.id_a >= 1000 else r.id_b, r.id_b if r.id_a >= 1000 else r.id_a, r.hamming)
+        for r in full.collect()
+        if (r.id_a >= 1000) != (r.id_b >= 1000)
+    )
+    assert inc == cross
+    assert all((i + 1000, i) in {(a, b) for a, b, _ in inc} for i, _ in hist if i % 4 == 0)

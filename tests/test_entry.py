@@ -57,7 +57,9 @@ def test_verify_first_names_all_resolve():
     window = list(qs)[:50]
     for must in ("mixture_sample_counts", "hard_negatives_topk",
                  "image_near_dup_pairs", "bm25_topk_capped",
-                 "related_docs_rrf_dense",
+                 "related_docs_rrf_dense", "minhash_lsh_pairs_capped",
+                 "audio_near_dup_pairs", "video_near_dup_pairs",
+                 "incremental_image_dedup",
                  # the 14-query r5 cohort
                  "repetition_stats", "rolling_fingerprints",
                  "rollup_order_counts", "scope_filtered_profile",
