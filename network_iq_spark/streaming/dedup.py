@@ -152,3 +152,63 @@ def incremental_near_dup_sink(
         write_batch_partition(new_sets, sets_path, batch_id)
 
     return sink
+
+
+def incremental_media_dedup_sink(
+    corpus_path: str,
+    index_path: str,
+    hash_col: str,
+    max_hamming: int,
+    n_bits: int,
+    id_col: str = "media_id",
+    carry_cols: Sequence[str] = (),
+):
+    """``foreachBatch`` sink closing the continual-ingest MEDIA dedup
+    loop — the perceptual-hash sibling of :func:`incremental_near_dup_sink`:
+    each micro-batch (already fingerprinted by a pure-map
+    ``image_dhash`` / ``waveform_dhash`` / ``video_dhash`` select
+    upstream — all three are stream-safe expressions) is checked against
+    the AT-REST segment index (operators/dedup.py
+    ``incremental_hamming_dedup`` — O(batch × collision rate), never
+    O(history)); survivors append to the corpus and their segment rows
+    (``hamming_index``) append to the index, so the next batch sees
+    them. Same exactly-once discipline: every output lands under its
+    ``batch=<id>`` partition via dynamic partition overwrite, so a
+    replayed micro-batch converges instead of appending twice.
+
+    One sink serves all modalities — the index schema is
+    (id, hash, seg, seg_val) regardless of whether the fingerprint came
+    from pixels, PCM, or frames; a deployment runs one sink per modality
+    stream against per-modality paths.
+    """
+    from network_iq_spark.operators.dedup import (
+        hamming_index,
+        incremental_hamming_dedup,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, hash_col, *carry_cols)
+        index = read_if_exists(spark, index_path)
+        if index is not None:
+            matches = incremental_hamming_dedup(
+                batch.select(id_col, hash_col),
+                index.drop("batch"),
+                hash_col,
+                max_hamming,
+                n_bits,
+                id_col=id_col,
+            )
+            dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+            survivors = batch.join(dup_ids, id_col, "left_anti")
+        else:
+            survivors = batch
+        survivors = survivors.localCheckpoint()  # one evaluation, 2 writes
+        new_index = hamming_index(
+            survivors.select(id_col, hash_col), hash_col, max_hamming, n_bits,
+            id_col=id_col,
+        )
+        write_batch_partition(survivors, corpus_path, batch_id)
+        write_batch_partition(new_index, index_path, batch_id)
+
+    return sink

@@ -1055,3 +1055,52 @@ def test_monoid_state_sink_histogram_and_cm(spark, tmp_path):
     assert est(read_monoid_state(spark, cp, merge_cm_states)) == direct_c
     compact_monoid_state(spark, cp, merge_cm_states)
     assert est(read_monoid_state(spark, cp, merge_cm_states)) == direct_c
+
+
+def test_incremental_media_dedup_sink_streams_against_at_rest_index(spark, tmp_path):
+    """Continual-ingest MEDIA near-dup as a stream: batch 0 bootstraps
+    the corpus + dHash segment index; batch 1's perturbed copy of a
+    batch-0 image is dropped (Hamming <= 6) while its novel image
+    survives and joins the index; replaying batch 1 converges; a batch-2
+    perturbed copy of the BATCH-1 survivor is caught (the index grew
+    mid-stream)."""
+    from network_iq_spark.operators.dedup import image_dhash
+    from network_iq_spark.streaming.dedup import incremental_media_dedup_sink
+
+    corpus = str(tmp_path / "mcorpus")
+    index = str(tmp_path / "mindex")
+    sink = incremental_media_dedup_sink(
+        corpus, index, "dhash", max_hamming=6, n_bits=56
+    )
+
+    def img(seed):
+        # md5-derived pixels: deterministic, and the GRADIENTS differ per
+        # seed (a linear ramp would give every image the same dHash)
+        import hashlib
+
+        return [
+            int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:2], 16)
+            for j in range(64)
+        ]
+
+    def perturb(px):
+        return [min(v + 3, 255) if j % 16 == 0 else v for j, v in enumerate(px)]
+
+    def media(rows):
+        df = spark.createDataFrame(rows, "media_id bigint, px array<int>")
+        return df.select("media_id", image_dhash("px").alias("dhash"))
+
+    a, b = img(1), img(2)
+    novel = img(40)
+    sink(media([(1, a), (2, b)]), 0)
+    sink(media([(10, perturb(a)), (11, novel)]), 1)
+
+    def corpus_ids():
+        return sorted(r.media_id for r in spark.read.parquet(corpus).collect())
+
+    assert corpus_ids() == [1, 2, 11]  # 10 dropped: perturbed copy of 1
+    sink(media([(10, perturb(a)), (11, novel)]), 1)  # replay converges
+    assert corpus_ids() == [1, 2, 11]
+    sink(media([(20, perturb(novel))]), 2)  # near-dup of mid-stream survivor
+    assert corpus_ids() == [1, 2, 11]
+    assert sorted(set(r.media_id for r in spark.read.parquet(index).collect())) == [1, 2, 11]
