@@ -1986,9 +1986,7 @@ _DHASH_TWIN_EVERY = 10
 _DHASH_TWIN_OFFSET = 1_000_000
 
 
-@register(
-    "image_near_dup_pairs",
-    oracle=f"""
+_IMG_ND_ORACLE = f"""
     WITH q0 AS (
       SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
     ),
@@ -2026,8 +2024,10 @@ _DHASH_TWIN_OFFSET = 1_000_000
       SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INT) AS hamming
       FROM cand
     ) WHERE hamming <= {_DHASH_MAX_HAMMING} ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@register("image_near_dup_pairs", oracle=_IMG_ND_ORACLE)
 def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup — the codec tier wired into the
     dedup tier (r9): images synthesized from quantized embeddings (plus
@@ -2839,9 +2839,7 @@ _WHASH_TWIN_EVERY = 10
 _WHASH_TWIN_OFFSET = 1_000_000
 
 
-@register(
-    "audio_near_dup_pairs",
-    oracle=f"""
+_AUD_ND_ORACLE = f"""
     WITH q0 AS (
       SELECT vec_id AS media_id, {_WAV_QUANT_SQL} AS s FROM embeddings
     ),
@@ -2875,8 +2873,10 @@ _WHASH_TWIN_OFFSET = 1_000_000
       SELECT id_a, id_b, CAST(bit_count(xor(wa, wb)) AS INT) AS hamming
       FROM cand
     ) WHERE hamming <= {_WHASH_MAX_HAMMING} ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@register("audio_near_dup_pairs", oracle=_AUD_ND_ORACLE)
 def q_audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Waveform-fingerprint audio near-dup (r9) — the audio twin of
     image_near_dup_pairs, closing near-dup coverage across all three
@@ -3047,9 +3047,7 @@ _VHASH_TWIN_EVERY = 10
 _VHASH_TWIN_OFFSET = 1_000_000
 
 
-@register(
-    "video_near_dup_pairs",
-    oracle=f"""
+_VID_ND_ORACLE = f"""
     WITH q0 AS (
       SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
     ),
@@ -3086,8 +3084,10 @@ _VHASH_TWIN_OFFSET = 1_000_000
       SELECT id_a, id_b, CAST(bit_count(xor(va, vb)) AS INT) AS hamming
       FROM cand
     ) WHERE hamming <= {_VHASH_MAX_HAMMING} ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@register("video_near_dup_pairs", oracle=_VID_ND_ORACLE)
 def q_video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clip-fingerprint video near-dup (r9) — completes near-dup across
     all four modalities (text MinHash/SimHash, image dHash, audio
@@ -3144,6 +3144,66 @@ def q_video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames=_VID_FRAMES,
         side=_VID_SIDE,
     ).orderBy("id_a", "id_b")
+
+
+def _nd_census_arm(modality: str, oracle: str, offset: int) -> str:
+    return f"""
+      SELECT '{modality}' AS modality,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN id_b = id_a + {offset} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_twin_links,
+             CAST(MAX(hamming) AS INT) AS max_hamming
+      FROM ({oracle})"""
+
+
+@register(
+    "media_near_dup_census",
+    oracle=f"""
+    SELECT modality, n_pairs, n_twin_links, max_hamming FROM (
+      {_nd_census_arm("audio", _AUD_ND_ORACLE, _WHASH_TWIN_OFFSET)}
+      UNION ALL
+      {_nd_census_arm("image", _IMG_ND_ORACLE, _DHASH_TWIN_OFFSET)}
+      UNION ALL
+      {_nd_census_arm("video", _VID_ND_ORACLE, _VHASH_TWIN_OFFSET)}
+    ) ORDER BY modality
+    """,
+)
+def q_media_near_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality near-dup census (r9) — the dedup-rate dashboard a
+    multimodal corpus run reports: all three media near-dup pipelines
+    (REAL codec round trips + gradient fingerprints + blocked Hamming
+    pairs) rolled up to one row per modality — pair count, planted-twin
+    links recovered (the recall floor: every planted twin MUST appear),
+    max Hamming seen. The oracle re-runs all three full pipelines in SQL
+    and rolls up identically — the heaviest single oracle in the sheet,
+    by design: one hash covers the whole media-dedup surface."""
+
+    def arm(df: DataFrame, modality: str, offset: int) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("id_b") == F.col("id_a") + offset, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_twin_links"),
+            F.max("hamming").cast("int").alias("max_hamming"),
+        ).select(
+            F.lit(modality).alias("modality"),
+            "n_pairs",
+            "n_twin_links",
+            "max_hamming",
+        )
+
+    return (
+        arm(q_audio_near_dup_pairs(spark, sf_dir), "audio", _WHASH_TWIN_OFFSET)
+        .unionByName(
+            arm(q_image_near_dup_pairs(spark, sf_dir), "image", _DHASH_TWIN_OFFSET)
+        )
+        .unionByName(
+            arm(q_video_near_dup_pairs(spark, sf_dir), "video", _VHASH_TWIN_OFFSET)
+        )
+        .orderBy("modality")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3351,6 +3411,78 @@ def q_mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.col("n_total").cast("bigint").alias("n_total"),
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "temperature_mix_weights",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM t GROUP BY 1
+    ),
+    g2 AS (
+      SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                     AS BIGINT) AS sqrt_units
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(sqrt_units) AS BIGINT) AS tot_units,
+             CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+      FROM g2
+    )
+    SELECT lang, n_docs, n_tokens,
+           (sqrt_units * 1000000) // tot_units AS weight_ppm,
+           (n_tokens * 1000000) // tot_tokens AS natural_ppm
+    FROM g2, tot ORDER BY lang
+    """,
+)
+def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-sampling weights (r9) — the
+    exponent-smoothed sampling multilingual pipelines use (XLM-R-style
+    p_i ∝ n_i^α with α = 0.5) next to the explicit-share
+    ``target_mixture``: per-language token counts, the α-scaled share,
+    and the natural share, both in integer ppm. Determinism: IEEE sqrt
+    is correctly rounded so both engines agree bit-for-bit; each
+    language's α-weight quantizes to integer micro-units BEFORE the
+    cross-language sum (the dsum pattern), and the shares are integer
+    floor-division — no float aggregation order anywhere. One tiny
+    per-lang aggregate + a broadcast 1-row totals join."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("lang", F.size(T.tokens("text")).alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "sqrt_units",
+            F.expr(
+                "cast(floor(sqrt(cast(n_tokens as double)) * 1000000.0D) as bigint)"
+            ),
+        )
+    )
+    tot = g.agg(
+        F.sum("sqrt_units").alias("tot_units"),
+        F.sum("n_tokens").alias("tot_tokens"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("(sqrt_units * 1000000) div tot_units").alias("weight_ppm"),
+            F.expr("(n_tokens * 1000000) div tot_tokens").alias("natural_ppm"),
         )
         .orderBy("lang")
     )
