@@ -27,13 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
 # the queries with the least external verification first. Round 9 drains
-# the rotation debt: the eleven never-driver-sampled queries (two late-r8
-# additions + the nine r9 additions), the ENTIRE 14-query r5-stamped
+# the rotation debt: the twelve never-driver-sampled queries (two late-r8
+# additions + the ten r9 additions), the ENTIRE 14-query r5-stamped
 # cohort, dataset_card (r8 plan rewrite, hash unchanged, externally
 # r7-green), the four queries whose shared code changed this round, then
-# 20 of the 46 r6-stamped queries (dedup/text family first). After this
+# 19 of the 46 r6-stamped queries (dedup/text family first). After this
 # window samples green, every sheet query's latest external stamp is
-# >= r6 and <= 3 rounds old; the 26 remaining r6-stamped queries head the
+# >= r6 and <= 3 rounds old; the 27 remaining r6-stamped queries head the
 # overflow for r10.
 _VERIFY_FIRST = [
     # never driver-sampled: two late-r8 additions, seven r9 additions
@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     "incremental_image_dedup",
     "media_near_dup_census",
     "temperature_mix_weights",
+    "image_dedup_clusters",
     # last sampled r5 (full cohort, displaced past the r8 window)
     "repetition_stats",
     "rolling_fingerprints",
@@ -93,10 +94,10 @@ _VERIFY_FIRST = [
     "bucketed_order_lineitem",
     "calendar_features",
     "cast_coercion",
-    "chunk_manifest",
     # --- 50-slot window boundary ---
-    # overflow, in r10-priority order: the twenty-six r6-stamped queries
+    # overflow, in r10-priority order: the twenty-seven r6-stamped queries
     # that did not fit this window
+    "chunk_manifest",
     "contract_quarantine_summary",
     "data_contract_events",
     "decoded_image_stats",

@@ -1986,8 +1986,9 @@ _DHASH_TWIN_EVERY = 10
 _DHASH_TWIN_OFFSET = 1_000_000
 
 
-_IMG_ND_ORACLE = f"""
-    WITH q0 AS (
+# shared CTE chain (quantize -> plant twins -> dHash -> bands -> candidate
+# pairs) reused verbatim by the pairs oracle and the clusters oracle
+_IMG_ND_CHAIN = f"""q0 AS (
       SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
     ),
     q AS (
@@ -2019,7 +2020,10 @@ _IMG_ND_ORACLE = f"""
              a.dhash AS da, b.dhash AS db
       FROM bands a JOIN bands b
         ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
-    )
+    )"""
+
+_IMG_ND_ORACLE = f"""
+    WITH {_IMG_ND_CHAIN}
     SELECT id_a, id_b, hamming FROM (
       SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INT) AS hamming
       FROM cand
@@ -2027,18 +2031,11 @@ _IMG_ND_ORACLE = f"""
     """
 
 
-@register("image_near_dup_pairs", oracle=_IMG_ND_ORACLE)
-def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image near-dup — the codec tier wired into the
-    dedup tier (r9): images synthesized from quantized embeddings (plus
-    the planted perturbed twins) make a REAL PNG encode → decode round
-    trip inside Arrow batches, dHash (56-bit row-gradient hash) folds
-    over the decoded luma, and pairs come from pigeonhole Hamming
-    blocking — never an all-pairs scan (operators/dedup.py image_dhash /
-    image_near_dup_pairs; blocking precedent simhash_pairs_blocked).
-    The oracle replays dHash/bands/verify from the quantized values
-    directly — decoders are bit-exact, so a defect anywhere in the codec
-    or the hash surfaces as a mismatch."""
+def _image_nd_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image near-dup fixture frame: quantized-embedding rasters plus
+    planted perturbed twins, pushed through the REAL PNG encode → decode
+    round trip inside Arrow batches. Shared by the pairs query and the
+    clusters query (same corpus, same decode path)."""
     import numpy as np
     import pandas as pd
 
@@ -2069,10 +2066,100 @@ def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append([int(v) for v in dec.reshape(-1)])
             yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
 
-    decoded = imgs.mapInPandas(roundtrip, schema="media_id bigint, px array<int>")
+    return imgs.mapInPandas(roundtrip, schema="media_id bigint, px array<int>")
+
+
+@register("image_near_dup_pairs", oracle=_IMG_ND_ORACLE)
+def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup — the codec tier wired into the
+    dedup tier (r9): images synthesized from quantized embeddings (plus
+    the planted perturbed twins) make a REAL PNG encode → decode round
+    trip inside Arrow batches, dHash (56-bit row-gradient hash) folds
+    over the decoded luma, and pairs come from pigeonhole Hamming
+    blocking — never an all-pairs scan (operators/dedup.py image_dhash /
+    image_near_dup_pairs; blocking precedent simhash_pairs_blocked).
+    The oracle replays dHash/bands/verify from the quantized values
+    directly — decoders are bit-exact, so a defect anywhere in the codec
+    or the hash surfaces as a mismatch."""
     return D.image_near_dup_pairs(
-        decoded, max_hamming=_DHASH_MAX_HAMMING
+        _image_nd_decoded(spark, sf_dir), max_hamming=_DHASH_MAX_HAMMING
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "image_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_IMG_ND_CHAIN},
+    prs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INT) AS hamming
+        FROM cand
+      ) WHERE hamming <= {_DHASH_MAX_HAMMING}
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    walk(v, label) AS (
+      SELECT media_id, media_id FROM q
+      UNION
+      SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.v
+    ),
+    clusters AS (
+      SELECT v AS media_id, MIN(label) AS cluster_id FROM walk GROUP BY v
+    ),
+    scores AS (
+      SELECT media_id,
+             {_IMG_SIDE * _IMG_SIDE} * CAST(list_sum(list_transform(px,
+               x -> CAST(x AS BIGINT) * x)) AS BIGINT)
+             - CAST(list_sum(list_transform(px,
+               x -> CAST(x AS BIGINT))) AS BIGINT)
+             * CAST(list_sum(list_transform(px,
+               x -> CAST(x AS BIGINT))) AS BIGINT) AS px_var_units
+      FROM q
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.media_id, s.px_var_units,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+               ORDER BY s.px_var_units DESC, c.media_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM clusters c JOIN scores s ON s.media_id = c.media_id
+    )
+    SELECT cluster_id, media_id AS keeper, px_var_units AS keeper_score,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rk = 1 ORDER BY cluster_id
+    """,
+)
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full media-dedup decision, end to end (r9): detect (dHash +
+    blocked Hamming pairs over REAL PNG round-trip decodes) → cluster
+    (min-label connected components, operators/graph.py) → policy (keep
+    each cluster's highest-INFORMATION member: integer pixel-variance
+    units n·Σx² − (Σx)², a blur/flat-image tiebreak production keeps —
+    the media analogue of cluster_keep_best's quality score; exact, so
+    cross-engine keeper choice can't drift). The oracle reaches the same
+    fixpoint by recursive CTE and replays the variance policy."""
+    from network_iq_spark.operators import graph as G
+
+    decoded = _image_nd_decoded(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = D.image_near_dup_pairs(decoded, max_hamming=_DHASH_MAX_HAMMING)
+    clusters = G.connected_components(
+        decoded.select("media_id"), pairs, id_col="media_id",
+        src="id_a", dst="id_b",
+    )
+    ss = "aggregate(px, cast(0 as bigint), (a, x) -> a + cast(x as bigint) * x)"
+    s1 = "aggregate(px, cast(0 as bigint), (a, x) -> a + cast(x as bigint))"
+    scores = decoded.select(
+        "media_id",
+        F.expr(
+            f"{_IMG_SIDE * _IMG_SIDE} * ({ss}) - ({s1}) * ({s1})"
+        ).alias("px_var_units"),
+    )
+    return D.keep_best_per_cluster(
+        clusters, scores, id_col="media_id",
+        cluster_col="cluster_id", score_col="px_var_units",
+    ).orderBy("cluster_id")
 
 
 @register(

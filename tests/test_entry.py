@@ -60,7 +60,7 @@ def test_verify_first_names_all_resolve():
                  "related_docs_rrf_dense", "minhash_lsh_pairs_capped",
                  "audio_near_dup_pairs", "video_near_dup_pairs",
                  "incremental_image_dedup", "media_near_dup_census",
-                 "temperature_mix_weights",
+                 "temperature_mix_weights", "image_dedup_clusters",
                  # the 14-query r5 cohort
                  "repetition_stats", "rolling_fingerprints",
                  "rollup_order_counts", "scope_filtered_profile",
