@@ -27,14 +27,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
 # the queries with the least external verification first. Round 9 drains
-# the rotation debt: the twelve never-driver-sampled queries (two late-r8
-# additions + the ten r9 additions), the ENTIRE 14-query r5-stamped
-# cohort, dataset_card (r8 plan rewrite, hash unchanged, externally
-# r7-green), the four queries whose shared code changed this round, then
-# 19 of the 46 r6-stamped queries (dedup/text family first). After this
-# window samples green, every sheet query's latest external stamp is
-# >= r6 and <= 3 rounds old; the 27 remaining r6-stamped queries head the
-# overflow for r10.
+# the rotation debt: the thirteen never-driver-sampled queries (two
+# late-r8 additions + the eleven r9 additions), the ENTIRE 14-query
+# r5-stamped cohort, dataset_card (r8 plan rewrite, hash unchanged,
+# externally r7-green), the four queries whose shared code changed this
+# round, then 18 of the 46 r6-stamped queries (dedup/text family first).
+# After this window samples green, every sheet query's latest external
+# stamp is >= r6 and <= 3 rounds old; the 28 remaining r6-stamped queries
+# head the overflow for r10.
 _VERIFY_FIRST = [
     # never driver-sampled: two late-r8 additions, seven r9 additions
     "mixture_sample_counts",
@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "media_near_dup_census",
     "temperature_mix_weights",
     "image_dedup_clusters",
+    "ivf_int_recenter_stats",
     # last sampled r5 (full cohort, displaced past the r8 window)
     "repetition_stats",
     "rolling_fingerprints",
@@ -93,10 +94,10 @@ _VERIFY_FIRST = [
     "ann_int_multiprobe_topk",
     "bucketed_order_lineitem",
     "calendar_features",
-    "cast_coercion",
     # --- 50-slot window boundary ---
-    # overflow, in r10-priority order: the twenty-seven r6-stamped queries
+    # overflow, in r10-priority order: the twenty-eight r6-stamped queries
     # that did not fit this window
+    "cast_coercion",
     "chunk_manifest",
     "contract_quarantine_summary",
     "data_contract_events",

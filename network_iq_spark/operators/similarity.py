@@ -1628,3 +1628,110 @@ def pca_project(
     return ensure_parallelism(
         vecs.select(id_col, vec_col), min_bytes=DENSE_GUARD_MIN_BYTES
     ).mapInPandas(project, schema=f"{id_col} bigint, proj array<double>")
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance: integer-exact Lloyd re-centering (r9)
+# ---------------------------------------------------------------------------
+
+
+def ivf_int_recenter(
+    qvecs: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """One Lloyd re-centering step over an INTEGER-quantized corpus — the
+    index-maintenance pass ``seed_centroids`` deliberately skips in float
+    (its docstring: float centroid updates are summation-order-dependent
+    and break cross-engine parity). Integer quantization removes the
+    obstruction: assignment is integer squared-L2 (exact), the new
+    centroid is the per-dimension floor-mean ``sum div count`` (exact,
+    non-negative inputs), so the whole maintenance step is
+    SQL-replayable and safe to hash.
+
+    Inputs: (id, q array<bigint>, values ≥ 0). Seeds are the ``n_cells``
+    smallest ids' vectors (cell_id = rank by id — every seed is its own
+    member at distance 0, so no cell starts empty). Output one row per
+    cell: ``n_members`` under the old centroids, ``moved_l2_units``
+    (squared L2 between old and new centroid — the drift magnitude an
+    operator alerts on), and ``n_reassigned`` (members whose argmin
+    changes under the new centroids — the churn the next assignment pass
+    would perform).
+
+    Scale shape: centroids are a broadcast dimension (n_cells rows) on
+    BOTH assignment passes; the per-dim sums are one combinable
+    (cell, dim) groupBy over a bounded posexplode (fanout = dim); no
+    corpus self-join anywhere. Ties break on cell_id — integer keys,
+    never float ulps.
+    """
+    from network_iq_spark.operators import ensure_parallelism
+
+    vecs = ensure_parallelism(qvecs.select(F.col(id_col), F.col(q_col).alias("q")))
+    w = Window.orderBy(id_col)
+    seeds = (
+        vecs.orderBy(id_col)
+        .limit(n_cells)
+        .withColumn("cell_id", F.row_number().over(w) - 1)
+        .select("cell_id", F.col("q").alias("c"))
+    )
+    dist = "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (s, x) -> s + x)"
+
+    def assign(frame: DataFrame, cents: DataFrame, out: str) -> DataFrame:
+        return (
+            frame.crossJoin(F.broadcast(cents))
+            .withColumn("__d__", F.expr(dist))
+            .groupBy(id_col)
+            .agg(F.min(F.struct("__d__", "cell_id")).alias("__m__"))
+            .select(id_col, F.col("__m__.cell_id").alias(out))
+        )
+
+    vecs = vecs.localCheckpoint(eager=False)  # feeds both passes + the sums
+    old = assign(vecs, seeds, "old_cell").localCheckpoint(eager=False)
+    dims = (
+        vecs.join(old, id_col)
+        .select("old_cell", F.posexplode("q").alias("dim", "val"))
+        .groupBy("old_cell", "dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    newc = (
+        dims.withColumn("nv", F.expr("s div n"))
+        .groupBy("old_cell")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "nv"))),
+                lambda st: st["nv"],
+            ).alias("c"),
+        )
+        .select(F.col("old_cell").alias("cell_id"), "n_members", "c")
+        .localCheckpoint(eager=False)  # feeds movement + the 2nd assign
+    )
+    moved = (
+        newc.join(seeds.select("cell_id", F.col("c").alias("c0")), "cell_id")
+        .withColumn(
+            "moved_l2_units",
+            F.expr(
+                "aggregate(zip_with(c, c0, (a, b) -> (a - b) * (a - b)), "
+                "cast(0 as bigint), (s, x) -> s + x)"
+            ),
+        )
+        .select("cell_id", "n_members", "moved_l2_units")
+    )
+    new_assign = assign(vecs, newc.select("cell_id", "c"), "new_cell")
+    churn = (
+        old.join(new_assign, id_col)
+        .groupBy("old_cell")
+        .agg(
+            F.sum(
+                F.when(F.col("new_cell") != F.col("old_cell"), 1).otherwise(0)
+            ).alias("n_reassigned")
+        )
+        .select(F.col("old_cell").alias("cell_id"), "n_reassigned")
+    )
+    return moved.join(churn, "cell_id").select(
+        "cell_id",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("moved_l2_units").cast("bigint").alias("moved_l2_units"),
+        F.col("n_reassigned").cast("bigint").alias("n_reassigned"),
+    )

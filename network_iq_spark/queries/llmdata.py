@@ -1481,6 +1481,98 @@ def _pq_rerank_sql() -> str:
     """
 
 
+_RECENTER_CELLS = 8
+_RECENTER_D2 = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+# same 0..255 quantization as _IMG_QUANT_SQL (defined later in the file —
+# the media fixtures section); duplicated here because oracles are built
+# at module-definition time
+_RECENTER_QUANT_SQL = (
+    "list_transform(embedding::DOUBLE[], x -> CAST(floor("
+    "((least(greatest(x, -1.0), 1.0)) + 1.0) / 2.0 * 255.0 + 0.5) AS BIGINT))"
+)
+
+
+@register(
+    "ivf_int_recenter_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_RECENTER_QUANT_SQL} AS qv FROM embeddings
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, qv AS c
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {_RECENTER_CELLS})
+    ),
+    a0 AS (
+      SELECT vec_id, cell_id AS old_cell FROM (
+        SELECT v.vec_id, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_RECENTER_D2.format(a="v.qv", b="s.c")} ASC,
+                          s.cell_id ASC) AS rk
+        FROM q v, seeds s
+      ) WHERE rk = 1
+    ),
+    sums AS (
+      SELECT a.old_cell, g.i AS dim,
+             CAST(SUM(v.qv[g.i]) AS BIGINT) AS s, COUNT(*) AS n
+      FROM a0 a JOIN q v ON v.vec_id = a.vec_id,
+           LATERAL unnest(generate_series(1, 64)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    newc AS (
+      SELECT old_cell AS cell_id, CAST(MAX(n) AS BIGINT) AS n_members,
+             list(s // n ORDER BY dim) AS c
+      FROM sums GROUP BY 1
+    ),
+    moved AS (
+      SELECT n.cell_id, n.n_members,
+             CAST({_RECENTER_D2.format(a="n.c", b="s.c")} AS BIGINT)
+               AS moved_l2_units
+      FROM newc n JOIN seeds s ON s.cell_id = n.cell_id
+    ),
+    a1 AS (
+      SELECT vec_id, cell_id AS new_cell FROM (
+        SELECT v.vec_id, n.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_RECENTER_D2.format(a="v.qv", b="n.c")} ASC,
+                          n.cell_id ASC) AS rk
+        FROM q v, newc n
+      ) WHERE rk = 1
+    ),
+    churn AS (
+      SELECT a0.old_cell AS cell_id,
+             CAST(SUM(CASE WHEN a1.new_cell != a0.old_cell
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_reassigned
+      FROM a0 JOIN a1 ON a1.vec_id = a0.vec_id GROUP BY 1
+    )
+    SELECT m.cell_id, m.n_members, m.moved_l2_units, c.n_reassigned
+    FROM moved m JOIN churn c ON c.cell_id = m.cell_id ORDER BY m.cell_id
+    """,
+)
+def q_ivf_int_recenter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance, oracle-checked (r9): one integer-exact
+    Lloyd re-centering step over the int-quantized corpus
+    (operators/similarity.py ivf_int_recenter). seed_centroids'
+    docstring rules float centroid updates out of scope because float
+    summation order breaks cross-engine parity — integer quantization
+    lifts that restriction: assignment is integer squared-L2, the new
+    centroid is the per-dim floor-mean, and the whole maintenance pass
+    (drift magnitude per cell + the churn the next assignment would
+    perform) hashes identically in both engines. This is the nightly
+    index-health job a 100 TB vector deployment runs against the
+    incremental tier's ever-appending inverted lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as bigint))"
+    )
+    qvecs = emb.select("vec_id", quant.alias("q"))
+    return S.ivf_int_recenter(qvecs, n_cells=_RECENTER_CELLS).orderBy("cell_id")
+
+
 @register("ann_pq_adc_topk", oracle=_pq_adc_sql())
 def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance scoring — the

@@ -540,3 +540,47 @@ def test_pca_exact_vs_numpy_and_partition_invariant(spark):
     y = (u / 1e4 - u.mean(0) / 1e4) @ w
     for i in range(n):
         assert np.allclose(p1[i], y[i], rtol=0, atol=1e-9)
+
+
+def test_ivf_int_recenter_lloyd_monotonicity(spark):
+    """One integer Lloyd step must not increase total within-cell squared
+    error (the k-means descent property), membership must cover the
+    corpus exactly once, and churn must be consistent with the second
+    assignment pass — checked against a NumPy replay of the same
+    integer arithmetic."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.operators.similarity import ivf_int_recenter
+
+    rng = np.random.default_rng(3)
+    n, dim, k = 200, 16, 5
+    q = rng.integers(0, 256, size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [int(v) for v in q[i]]) for i in range(n)],
+        "vec_id long, q array<bigint>",
+    )
+    got = {
+        r.cell_id: (r.n_members, r.moved_l2_units, r.n_reassigned)
+        for r in ivf_int_recenter(df, n_cells=k).collect()
+    }
+    assert sum(m for m, _, _ in got.values()) == n
+    # NumPy replay with identical integer semantics
+    seeds = q[:k].astype(np.int64)
+    d0 = ((q[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    old = d0.argmin(axis=1)  # argmin ties -> lowest index, same as the op
+    newc = np.stack(
+        [q[old == j].sum(axis=0) // (old == j).sum() for j in range(k)]
+    ).astype(np.int64)
+    d1 = ((q[:, None, :] - newc[None, :, :]) ** 2).sum(axis=2)
+    new = d1.argmin(axis=1)
+    for j in range(k):
+        nm, moved, chn = got[j]
+        assert nm == int((old == j).sum())
+        assert moved == int(((newc[j] - seeds[j]) ** 2).sum())
+        assert chn == int(((old == j) & (new != old)).sum())
+    # Lloyd descent: SSE(new centroids, re-assigned) <= SSE(seeds, old)
+    sse_old = int(d0[np.arange(n), old].sum())
+    sse_new = int(d1[np.arange(n), new].sum())
+    assert sse_new <= sse_old
