@@ -134,3 +134,60 @@ def contamination_overlap(
             F.countDistinct("bench_doc").alias("n_bench_docs"),
         )
     )
+
+
+def decontamination_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = WINDOW_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-grain decontamination — the EXCISION list, one step past
+    :func:`contamination_overlap`'s doc-grain flags: for each training
+    document, the maximal merged ``[span_start, span_end)`` token
+    intervals covered by ANY k-token window shared with the benchmark.
+    Production pipelines cut these spans (or drop docs whose excised
+    fraction is too high) rather than discarding every flagged document
+    wholesale — the Lee-et-al./GPT-3-appendix practice at span grain.
+
+    Plan: positional windows (map-only) → semi-join against the distinct
+    benchmark hashes (one shuffle on the hash; benchmark side broadcasts
+    at real scale) → classic gaps-and-islands merge with two windows over
+    (doc, position) — partition size is bounded by a document's window
+    count, never the corpus. All-integer interval arithmetic, so the
+    span list is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    tw = positional_windows(train, k, text_col, id_col)
+    bw = positional_windows(benchmark, k, text_col, id_col).select("win_hash")
+    hits = tw.join(bw, "win_hash", "left_semi").select(
+        F.col(id_col).alias("train_doc"),
+        F.col("pos").alias("s"),
+        (F.col("pos") + k).alias("e"),
+    )
+    prev = (
+        Window.partitionBy("train_doc")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("train_doc")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max("e").over(prev)
+    flagged = hits.withColumn(
+        "__new__",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn("__island__", F.sum("__new__").over(run))
+    return (
+        flagged.groupBy("train_doc", "__island__")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            (F.max("e") - F.min("s")).alias("span_tokens"),
+        )
+        .select("train_doc", "span_start", "span_end", "span_tokens")
+    )

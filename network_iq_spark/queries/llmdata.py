@@ -469,6 +469,65 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontamination_spans",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT *, ({_BENCH_HEX}) % 10000 < {_BENCH_BP} AS is_bench FROM documents
+    ),
+    twins AS (
+      SELECT doc_id AS train_doc, pos, wh
+      FROM ({_WINS.replace("documents", "(SELECT * FROM tagged WHERE NOT is_bench)")})
+    ),
+    bw AS (
+      SELECT DISTINCT wh
+      FROM ({_WINS.replace("documents", "(SELECT * FROM tagged WHERE is_bench)")})
+    ),
+    hits AS (
+      SELECT train_doc, pos AS s, pos + {_WIN_K} AS e
+      FROM twins JOIN bw USING (wh)
+    ),
+    marked AS (
+      SELECT *,
+             MAX(e) OVER (PARTITION BY train_doc ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM hits
+    ),
+    islands AS (
+      SELECT *,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY train_doc ORDER BY s
+                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    )
+    SELECT train_doc, CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(s) AS BIGINT) AS span_tokens
+    FROM islands GROUP BY train_doc, island
+    ORDER BY train_doc, span_start
+    """,
+)
+def q_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-grain benchmark decontamination (r9) — the EXCISION list one
+    step past contamination_check's doc-grain flags: the maximal merged
+    token intervals of each training doc covered by any 8-token window
+    shared with the (5% id-hash slice) benchmark — what a pipeline cuts
+    instead of discarding whole documents (operators/spans.py
+    decontamination_spans; gaps-and-islands merge, all-integer interval
+    arithmetic, per-doc window partitions bounded by doc length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = SA.hash_bucket(F.col("doc_id"), "bench") < _BENCH_BP
+    out = SP.decontamination_spans(
+        docs.filter(~is_bench), docs.filter(is_bench), k=_WIN_K
+    )
+    return out.select(
+        "train_doc",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+    ).orderBy("train_doc", "span_start")
+
+
+@register(
     "repetition_stats",
     oracle=f"""
     WITH t AS ({_TOKS}),

@@ -61,7 +61,7 @@ def test_verify_first_names_all_resolve():
                  "audio_near_dup_pairs", "video_near_dup_pairs",
                  "incremental_image_dedup", "media_near_dup_census",
                  "temperature_mix_weights", "image_dedup_clusters",
-                 "ivf_int_recenter_stats",
+                 "ivf_int_recenter_stats", "decontamination_spans",
                  # the 14-query r5 cohort
                  "repetition_stats", "rolling_fingerprints",
                  "rollup_order_counts", "scope_filtered_profile",

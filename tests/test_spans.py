@@ -123,3 +123,32 @@ def test_spans_plan_has_no_cartesian_and_window_build_is_map_only(spark):
     ):
         plan = op._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+def test_decontamination_spans_merges_overlapping_windows(spark):
+    """Planted contamination: a train doc embeds two benchmark fragments —
+    one long (many overlapping shared windows -> ONE merged island) and
+    one disjoint (its own island); clean docs emit nothing. Intervals are
+    1-based [start, end) token positions, verified by hand."""
+    from network_iq_spark.operators.spans import decontamination_spans
+
+    bench_frag = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench2 = "one two three four five six seven eight"
+    filler = "red green blue cyan magenta yellow black white purple orange"
+    train_text = f"{filler} {bench_frag} {filler} {bench2}"
+    train = spark.createDataFrame(
+        [(1, train_text), (2, f"{filler} {filler} {filler}")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_frag), (101, bench2)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.train_doc, r.span_start, r.span_end, r.span_tokens)
+        for r in decontamination_spans(train, bench, k=8).collect()
+    )
+    # doc 1 tokens: 10 filler + 10 frag + 10 filler + 8 bench2 = 38.
+    # bench_frag's 8-token windows start at train positions 11, 12, 13
+    # (frag has 10 tokens -> 3 windows) -> merged island [11, 21).
+    # bench2 (8 tokens) = one window at position 31 -> island [31, 39).
+    assert got == [(1, 11, 21, 10), (1, 31, 39, 8)]
