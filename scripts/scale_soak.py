@@ -87,6 +87,15 @@ QUERIES_UNDER_TEST = [
     "audio_near_dup_pairs",
     "video_near_dup_pairs",
     "minhash_lsh_pairs_capped",
+    # round-9 late additions: incremental media probe, cross-modality
+    # census, detect->cluster->keep-best composition, mixture weights,
+    # integer Lloyd maintenance, span-grain decontamination
+    "incremental_image_dedup",
+    "media_near_dup_census",
+    "image_dedup_clusters",
+    "temperature_mix_weights",
+    "ivf_int_recenter_stats",
+    "decontamination_spans",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the
@@ -244,6 +253,64 @@ def main() -> None:
         inv.write.parquet(f"{art}.tmp/ivf_inv")
         shutil.move(art + ".tmp", art)
 
+    # media twin of the at-rest artifacts: the dHash segment index over the
+    # history rasters (hashed straight from the quantized rasters — the
+    # decoders are bit-exact, so dHash(raster) == dHash(decoded)); kept in
+    # its own dir so pre-existing art/ caches stay valid
+    _IMG_QUANT = (
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+
+    def _prepare_media_index(d: str) -> None:
+        from pyspark.sql import functions as F
+
+        from network_iq_spark.operators import dedup as D
+
+        art = os.path.join(d, "art_media")
+        if os.path.isdir(art):
+            return
+        emb = load_table(spark, d, "embeddings")
+        n_vecs = emb.count()
+        hist = emb.filter(F.col("vec_id") < n_vecs - BATCH_VECS).select(
+            F.col("vec_id").alias("media_id"), F.expr(_IMG_QUANT).alias("px")
+        )
+        hashed = hist.select("media_id", D.image_dhash("px").alias("dhash"))
+        os.makedirs(art + ".tmp", exist_ok=True)
+        D.hamming_index(hashed, "dhash", 6, n_bits=56).write.parquet(
+            f"{art}.tmp/img_index"
+        )
+        shutil.move(art + ".tmp", art)
+
+    def _inc_media(spark, d):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from network_iq_spark.operators import dedup as D
+        from network_iq_spark.operators.multimodal import decode_image, encode_png
+
+        emb = load_table(spark, d, "embeddings")
+        n_vecs = emb.count()
+        batch_px = emb.filter(F.col("vec_id") >= n_vecs - BATCH_VECS).select(
+            F.col("vec_id").alias("media_id"), F.expr(_IMG_QUANT).alias("px")
+        )
+
+        def roundtrip(it):
+            for pdf in it:
+                out = []
+                for p in pdf["px"]:
+                    img = np.asarray(list(p), dtype=np.uint8).reshape(8, 8)
+                    out.append([int(v) for v in decode_image(encode_png(img)).reshape(-1)])
+                yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
+
+        batch = batch_px.mapInPandas(
+            roundtrip, schema="media_id bigint, px array<int>"
+        ).select("media_id", D.image_dhash("px").alias("dhash"))
+        index = spark.read.parquet(os.path.join(d, "art_media", "img_index"))
+        return D.incremental_hamming_dedup(batch, index, "dhash", 6, n_bits=56)
+
     def _inc_exact(spark, d):
         from pyspark.sql import functions as F
 
@@ -287,6 +354,7 @@ def main() -> None:
     plans["incremental_exact_dedup_batch"] = _inc_exact
     plans["incremental_near_dup_batch"] = _inc_near
     plans["incremental_ann_batch"] = _inc_ann
+    plans["incremental_media_dedup_batch"] = _inc_media
 
     only = os.environ.get("SOAK_ONLY")
     if only:  # subset runs for newly-added families (full sweep untouched)
@@ -300,6 +368,9 @@ def main() -> None:
     if any(q.startswith("incremental_") for q in plans):
         for m in mults:
             _prepare_incremental(dirs[m])
+    if "incremental_media_dedup_batch" in plans:
+        for m in mults:
+            _prepare_media_index(dirs[m])
     results: dict[str, dict[int, float]] = {q: {} for q in plans}
     for m in mults:
         for q in plans:
