@@ -4184,6 +4184,84 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_surprisal(docs)
 
 
+_CHUNK_ND_THRESHOLD = 0.5
+_CHUNK_ID_BASE = 10_000
+
+
+@register(
+    "chunk_near_dup_pairs",
+    oracle=f"""
+    WITH cbase AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    csized AS (
+      SELECT doc_id, t, CAST(CEIL(len(t) / {D.CHUNK_TOKENS}.0) AS INT) AS n_chunks
+      FROM cbase WHERE len(t) > 0
+    ),
+    cchunks AS (
+      SELECT doc_id * {_CHUNK_ID_BASE} + (i - 1) AS doc_id,
+             array_to_string(t[(i-1)*{D.CHUNK_TOKENS}+1 : i*{D.CHUNK_TOKENS}], ' ') AS text
+      FROM csized, unnest(generate_series(1, n_chunks)) AS u(i)
+    ),
+    {_minhash_pairs_cte(_MH_BANDS, _MH_ROWS, _CHUNK_ND_THRESHOLD, "cchunks")}
+    SELECT doc_a AS chunk_a, doc_b AS chunk_b,
+           doc_a // {_CHUNK_ID_BASE} AS doc_a,
+           doc_b // {_CHUNK_ID_BASE} AS doc_b,
+           jaccard
+    FROM mh_pairs
+    WHERE doc_a // {_CHUNK_ID_BASE} != doc_b // {_CHUNK_ID_BASE}
+    ORDER BY chunk_a, chunk_b
+    """,
+)
+def q_chunk_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain NEAR-dup across documents (r9) — the fuzzy sibling of
+    chunk_dedup's exact first-occurrence pass: 20-token chunks become
+    LSH documents (chunk_id = doc_id·10000 + idx), the same
+    MinHash→band→verify pipeline runs at chunk grain, and only
+    CROSS-document pairs survive — templated boilerplate that repeats
+    across pages with small edits (dates, ids), which exact chunk dedup
+    misses and doc-grain MinHash dilutes below threshold. One operator,
+    two grains: minhash_lsh_pairs is reused verbatim with the chunk
+    frame as its corpus (within-doc repetition is repetition_stats'
+    job). Scale: chunk fanout is ceil(m/20) map-side; everything after
+    is the measured LSH path, bucket-cappable via the same guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = D.CHUNK_TOKENS
+    base = docs.select("doc_id", T.tokens("text").alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    chunk_arr = (
+        f"transform(sequence(0, cast(ceil(size(_toks) / {c}.0) as int) - 1), "
+        f"i -> array_join(slice(_toks, i * {c} + 1, {c}), ' '))"
+    )
+    chunks = base.select(
+        "doc_id", F.posexplode(F.expr(chunk_arr)).alias("chunk_idx", "text")
+    ).select(
+        (F.col("doc_id") * _CHUNK_ID_BASE + F.col("chunk_idx")).alias("doc_id"),
+        "text",
+    )
+    pairs = D.minhash_lsh_pairs(
+        chunks,
+        threshold=_CHUNK_ND_THRESHOLD,
+        n_bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+    )
+    return (
+        pairs.filter(
+            F.expr(f"doc_a div {_CHUNK_ID_BASE} != doc_b div {_CHUNK_ID_BASE}")
+        )
+        .select(
+            F.col("doc_a").alias("chunk_a"),
+            F.col("doc_b").alias("chunk_b"),
+            F.expr(f"doc_a div {_CHUNK_ID_BASE}").alias("doc_a"),
+            F.expr(f"doc_b div {_CHUNK_ID_BASE}").alias("doc_b"),
+            "jaccard",
+        )
+        .orderBy("chunk_a", "chunk_b")
+    )
+
+
 @register(
     "chunk_dedup",
     oracle=f"""
