@@ -96,6 +96,7 @@ QUERIES_UNDER_TEST = [
     "temperature_mix_weights",
     "ivf_int_recenter_stats",
     "decontamination_spans",
+    "chunk_near_dup_pairs",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the
