@@ -27,13 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
 # the queries with the least external verification first. Round 9 drains
-# the rotation debt: the fifteen never-driver-sampled queries (two
-# late-r8 additions + the thirteen r9 additions), the ENTIRE 14-query
+# the rotation debt: the sixteen never-driver-sampled queries (two
+# late-r8 additions + the fourteen r9 additions), the ENTIRE 14-query
 # r5-stamped cohort, dataset_card (r8 plan rewrite, hash unchanged,
 # externally r7-green), the four queries whose shared code changed this
-# round, then 16 of the 46 r6-stamped queries (dedup/text family first).
+# round, then 15 of the 46 r6-stamped queries (dedup/text family first).
 # After this window samples green, every sheet query's latest external
-# stamp is >= r6 and <= 3 rounds old; the 30 remaining r6-stamped queries
+# stamp is >= r6 and <= 3 rounds old; the 31 remaining r6-stamped queries
 # head the overflow for r10.
 _VERIFY_FIRST = [
     # never driver-sampled: two late-r8 additions, seven r9 additions
@@ -52,6 +52,7 @@ _VERIFY_FIRST = [
     "ivf_int_recenter_stats",
     "decontamination_spans",
     "chunk_near_dup_pairs",
+    "packing_ffd",
     # last sampled r5 (full cohort, displaced past the r8 window)
     "repetition_stats",
     "rolling_fingerprints",
@@ -93,10 +94,10 @@ _VERIFY_FIRST = [
     "vocab_coverage",
     "ab_test_conversion",
     "ann_int_cosine_topk",
-    "ann_int_multiprobe_topk",
     # --- 50-slot window boundary ---
-    # overflow, in r10-priority order: the thirty r6-stamped queries that
-    # did not fit this window
+    # overflow, in r10-priority order: the thirty-one r6-stamped queries
+    # that did not fit this window
+    "ann_int_multiprobe_topk",
     "bucketed_order_lineitem",
     "calendar_features",
     "cast_coercion",

@@ -172,3 +172,78 @@ def span_corruption_manifest(
             F.lit(span_len).alias("span_len"),
         )
     )
+
+
+def ffd_packing(
+    df: DataFrame,
+    capacity: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """First-fit-decreasing bin packing WITHOUT document splitting — the
+    other production packing strategy: when truncating/straddling a
+    document across sequences is unacceptable (instruction tuning,
+    contrastive pairs), each doc goes whole into the first open pack
+    with room, docs considered longest-first (the classic FFD ≤
+    (11/9)·OPT + 1 guarantee). Deterministic: order is
+    (n_tokens DESC, id ASC), pack ids are 1-based creation order, all
+    arithmetic integer — so the assignment is engine-exact and
+    SQL-replayable by a recursive CTE.
+
+    Output: one row per (shard, pack_id) — n_docs, pack_tokens, padding
+    (= capacity − pack_tokens, the waste this strategy exists to
+    minimize). Docs longer than ``capacity`` get a pack of their own
+    (padding 0 reported as capacity − min(pack_tokens, capacity) would
+    lie; they report NEGATIVE padding, surfacing the overflow instead of
+    hiding it).
+
+    Scale shape: the shard is the parallel unit — one hash exchange on
+    ``shard_col``, then per-shard FFD inside ``applyInPandas`` (state =
+    the shard's open-pack loads, O(packs) memory; the sequential loop is
+    inherent to bin packing, so the design keeps it BOUNDED by shard
+    size, exactly like real pipelines pack within crawl shards). A shard
+    too large for one task is pre-split by a salt on a coarser key
+    upstream; the global concat-and-chunk packer (:func:`sequence_packing`)
+    remains the strategy for unbounded shards.
+    """
+    import pandas as pd
+
+    cap = int(capacity)
+    base = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        )
+        loads: list[int] = []
+        counts: list[int] = []
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            for j, load in enumerate(loads):
+                if load + nt <= cap:
+                    loads[j] = load + nt
+                    counts[j] += 1
+                    break
+            else:
+                loads.append(nt)
+                counts.append(1)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].iloc[0],
+                "pack_id": range(1, len(loads) + 1),
+                "n_docs": counts,
+                "pack_tokens": loads,
+                "padding": [cap - load for load in loads],
+            }
+        )
+
+    return base.groupBy("shard").applyInPandas(
+        pack,
+        schema="shard string, pack_id bigint, n_docs bigint, "
+        "pack_tokens bigint, padding bigint",
+    )

@@ -62,6 +62,76 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_FFD_CAPACITY = 128
+
+
+@register(
+    "packing_ffd",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT source AS shard, doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+      FROM documents
+    ),
+    docs AS (
+      SELECT shard, doc_id, nt,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY nt DESC, doc_id)
+               AS step
+      FROM base WHERE nt > 0
+    ),
+    counts AS (SELECT shard, MAX(step) AS n_steps FROM docs GROUP BY 1),
+    sim(shard, step, loads, counts_l) AS (
+      SELECT shard, 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]) FROM counts
+      UNION ALL
+      SELECT s.shard, s.step + 1,
+             CASE WHEN fit.j IS NULL
+                  THEN list_append(s.loads, d.nt)
+                  ELSE list_transform(generate_series(1, len(s.loads)),
+                         i -> CASE WHEN i = fit.j THEN s.loads[i] + d.nt
+                              ELSE s.loads[i] END)
+             END,
+             CASE WHEN fit.j IS NULL
+                  THEN list_append(s.counts_l, CAST(1 AS BIGINT))
+                  ELSE list_transform(generate_series(1, len(s.counts_l)),
+                         i -> CASE WHEN i = fit.j THEN s.counts_l[i] + 1
+                              ELSE s.counts_l[i] END)
+             END
+      FROM sim s
+      JOIN docs d ON d.shard = s.shard AND d.step = s.step + 1
+      LEFT JOIN LATERAL (
+        SELECT MIN(i) AS j
+        FROM unnest(generate_series(1, len(s.loads))) AS t(i)
+        WHERE s.loads[i] + d.nt <= {_FFD_CAPACITY}
+      ) AS fit ON TRUE
+    ),
+    final AS (
+      SELECT s.shard, s.loads, s.counts_l
+      FROM sim s JOIN counts c ON c.shard = s.shard AND s.step = c.n_steps
+    )
+    SELECT shard, CAST(i AS BIGINT) AS pack_id,
+           counts_l[i] AS n_docs, loads[i] AS pack_tokens,
+           {_FFD_CAPACITY} - loads[i] AS padding
+    FROM final, unnest(generate_series(1, len(loads))) AS g(i)
+    ORDER BY shard, pack_id
+    """,
+)
+def q_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing WITHOUT document splitting (r9) — the
+    strategy for workloads where a doc must not straddle sequences
+    (instruction tuning, contrastive pairs): longest-first, each doc
+    whole into the first open pack with room (classic FFD ≤ 11/9·OPT+1).
+    Per-shard FFD inside applyInPandas — the sequential loop is inherent
+    to bin packing, so the design bounds it by shard size, the same
+    parallel unit real pipelines pack within (operators/packing.py
+    ffd_packing). All-integer and deterministic, so the DuckDB oracle
+    replays the simulation exactly with a recursive CTE (per-shard state
+    = the open-pack load list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return PK.ffd_packing(docs, capacity=_FFD_CAPACITY).orderBy(
+        "shard", "pack_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-relative bigram rarity (perplexity-filter stand-in)
 # ---------------------------------------------------------------------------

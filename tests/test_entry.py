@@ -62,7 +62,7 @@ def test_verify_first_names_all_resolve():
                  "incremental_image_dedup", "media_near_dup_census",
                  "temperature_mix_weights", "image_dedup_clusters",
                  "ivf_int_recenter_stats", "decontamination_spans",
-                 "chunk_near_dup_pairs",
+                 "chunk_near_dup_pairs", "packing_ffd",
                  # the 14-query r5 cohort
                  "repetition_stats", "rolling_fingerprints",
                  "rollup_order_counts", "scope_filtered_profile",

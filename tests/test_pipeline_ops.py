@@ -530,3 +530,52 @@ def test_cm_sketch_guarantee_and_merge(spark):
     # the min over 4 rows should be exact for nearly all — require most
     exact_hits = sum(1 for k in exact if est[k] == exact[k])
     assert exact_hits >= 30
+
+
+def test_ffd_packing_matches_python_replay_and_invariants(spark):
+    """Distributed FFD == a sequential Python replay of the same rule
+    (longest-first, first open pack with room), with the packing
+    invariants: no pack exceeds capacity (no oversized docs here), the
+    padding column is exact, and every tokenized doc lands in exactly
+    one pack."""
+    import collections
+
+    from network_iq_spark.operators.packing import ffd_packing
+    from network_iq_spark.sources import load_table
+
+    cap = 128
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = sorted(
+        (r.shard, r.pack_id, r.n_docs, r.pack_tokens, r.padding)
+        for r in ffd_packing(docs, capacity=cap).collect()
+    )
+    import re
+
+    rows = docs.select("source", "doc_id", "text").collect()
+    byshard = collections.defaultdict(list)
+    for r in rows:
+        nt = len(re.findall(r"[a-z0-9]+", r.text.lower()))
+        if nt > 0:
+            byshard[r.source].append((nt, r.doc_id))
+    want = []
+    for s, items in byshard.items():
+        loads, cnts = [], []
+        for nt, d in sorted(items, key=lambda x: (-x[0], x[1])):
+            for j, load in enumerate(loads):
+                if load + nt <= cap:
+                    loads[j] += nt
+                    cnts[j] += 1
+                    break
+            else:
+                loads.append(nt)
+                cnts.append(1)
+        want.extend(
+            (s, i, c, l, cap - l)
+            for i, (l, c) in enumerate(zip(loads, cnts), 1)
+        )
+    assert got == sorted(want)
+    assert all(pt <= cap for _, _, _, pt, _ in got)
+    assert sum(nd for _, _, nd, _, _ in got) == sum(
+        len(v) for v in byshard.values()
+    )
