@@ -97,6 +97,7 @@ QUERIES_UNDER_TEST = [
     "ivf_int_recenter_stats",
     "decontamination_spans",
     "chunk_near_dup_pairs",
+    "packing_ffd",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the
