@@ -138,7 +138,7 @@ def main() -> None:
     # previous committed bench_full.json and embed the comparison IN the
     # artifact, so a drifting query is caught the round it moves instead of
     # at judge time (r8's minhash drift sat unflagged for a full round).
-    drift = _drift_vs_committed(timings, total)
+    drift = _drift_vs_committed(timings, full_run=not os.environ.get("BENCH_QUICK"))
     if drift:
         movers = drift.get("moves_gt_1_5x") or {}
         if movers:
@@ -147,6 +147,31 @@ def main() -> None:
                 + ", ".join(f"{k}={v}x" for k, v in sorted(movers.items())),
                 file=sys.stderr,
             )
+        if drift.get("missing_queries"):
+            print(
+                "BENCH MISSING vs committed bench_full.json (errored or "
+                "removed): " + ", ".join(drift["missing_queries"]),
+                file=sys.stderr,
+            )
+    # Slow-creep watchdog (r10, VERDICT item 2): vs_committed only sees one
+    # round of movement, so a query drifting <1.5x/round compounds
+    # invisibly (three queries reached 1.55-1.82x their earliest records
+    # without ever flagging). bench_floor.json pins each query's EARLIEST
+    # committed sf0.1 record; the cumulative ratio is compared against
+    # that. New queries are appended to the floor file at their first
+    # recorded value (only on canonical full runs), existing floors are
+    # never rewritten — the file stays "earliest record" by construction.
+    vs_floor = _drift_vs_floor(timings, update=full_path != os.devnull)
+    if vs_floor:
+        for key in ("moves_gt_1_5x_vs_floor", "moves_gt_1_8x_vs_floor"):
+            if vs_floor.get(key):
+                print(
+                    f"BENCH CREEP {key.replace('_vs_floor', '')} vs earliest "
+                    "record: " + ", ".join(
+                        f"{k}={v}x" for k, v in sorted(vs_floor[key].items())
+                    ),
+                    file=sys.stderr,
+                )
     with open(full_path, "w") as fh:
         json.dump(
             {
@@ -160,6 +185,7 @@ def main() -> None:
                 "queries": timings,
                 "errors": errors,
                 "vs_committed": drift,
+                "vs_floor": vs_floor,
             },
             fh,
             indent=1,
@@ -200,13 +226,17 @@ def main() -> None:
     print(line)
 
 
-def _drift_vs_committed(timings: dict[str, float], total: float) -> dict | None:
+def _drift_vs_committed(timings: dict[str, float], full_run: bool = True) -> dict | None:
     """Comparison block vs the last committed bench_full.json (the
     git-HEAD copy, so the driver's own post-commit rerun of THIS round
     never masks a drift by comparing a run to itself). Returns None when
     no usable prior artifact exists. Queries under the 1.2 s noise floor
     on BOTH sides are exempt from the movers list — JVM jitter alone
-    fakes >1.5x there (the standing bench.py policy)."""
+    fakes >1.5x there (the standing bench.py policy). ``missing_queries``
+    lists names present in the committed artifact but absent from this
+    run's timings — a query that regressed into an ERROR or was removed
+    produces no drift ratio, which is exactly the silent-regression class
+    the watchdog exists to catch."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -236,7 +266,54 @@ def _drift_vs_committed(timings: dict[str, float], total: float) -> dict | None:
         "prev_total": prev.get("value"),
         "prev_n_queries": prev.get("n_queries"),
         "new_queries": sorted(n for n in timings if n not in prev_q),
+        # only meaningful on a full-suite run: a BENCH_QUICK subset would
+        # report every deselected query as "missing"
+        "missing_queries": sorted(n for n in prev_q if n not in timings)
+        if full_run
+        else [],
         "moves_gt_1_5x": movers,
+    }
+
+
+def _drift_vs_floor(timings: dict[str, float], update: bool) -> dict | None:
+    """Cumulative-creep block vs bench_floor.json (each query's earliest
+    committed sf0.1 record; seeded by scripts/bench_floor_seed.py).
+    Two thresholds: >1.5x is the watchlist (compounding slower than the
+    per-round watchdog can see), >1.8x is the alarm band approaching the
+    2x rule. Same 1.2 s noise-floor exemption as vs_committed. With
+    ``update`` (canonical full sf0.1 runs only), queries not yet in the
+    floor file are appended at this run's value — existing floors are
+    never modified."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "bench_floor.json")
+    try:
+        rec = json.load(open(path))
+        floors = rec.get("floors") or {}
+    except (OSError, ValueError):
+        return None
+    noise = 1.2
+    watch, alarm = {}, {}
+    for n, sec in timings.items():
+        f = (floors.get(n) or {}).get("sec")
+        if not f or f <= 0 or (sec < noise and f < noise):
+            continue
+        ratio = round(sec / f, 2)
+        if ratio > 1.8:
+            alarm[n] = ratio
+        elif ratio > 1.5:
+            watch[n] = ratio
+    fresh = sorted(n for n in timings if n not in floors)
+    if update and fresh:
+        for n in fresh:
+            floors[n] = {"sec": timings[n], "src": "self-seeded"}
+        rec["floors"] = floors
+        with open(path, "w") as fh:
+            json.dump(rec, fh, indent=1, sort_keys=True)
+    return {
+        "floor_file": "bench_floor.json",
+        "self_seeded": fresh,
+        "moves_gt_1_5x_vs_floor": watch,
+        "moves_gt_1_8x_vs_floor": alarm,
     }
 
 

@@ -287,17 +287,15 @@ def minhash_sig(
     17-aggregate hash agg). Dedup of hash values (array_distinct) ≡ the
     old collect_set; min over the deduped set ≡ min over the multiset.
 
-    All k mins come from ONE ``aggregate`` pass over ``hs``: per hash value
-    the k affine permutations fold into a running element-wise minimum via
-    ``zip_with(acc, perms, least)``. Value-identical to k separate
-    ``array_min(transform(...))`` columns (min over the same multiset;
-    every ``x % P`` < P, so the P-filled init array never survives a
-    non-empty ``hs``, and ``hs`` is non-empty because the base filter
-    demands ≥ SHINGLE_K tokens). The single-expression form exists for the
-    JVM, not the algorithm: k wide projected columns made this the
-    heaviest whole-stage-codegen unit in the suite, and its first-run
-    JIT/compile cost inside a 160-plan benchmark session read as a fake
-    2.5× "regression" (r8→r9 root-cause; docs/ROUND9.md).
+    The k mins are k independent ``array_min(transform(hs, h -> (a·h+b) %
+    P))`` folds wrapped in ONE ``array(...)`` literal — i.e. a single
+    projected signature column, not k projected columns. Value-identical
+    to the k-column form (each slot mins the same multiset), and the
+    single-column shape exists for the JVM, not the algorithm: k wide
+    projected columns made this the heaviest whole-stage-codegen unit in
+    the suite, and its first-run JIT/compile cost inside a 160-plan
+    benchmark session read as a fake 2.5× "regression" (r8→r9
+    root-cause; docs/ROUND9.md).
     Shared by :func:`minhash_lsh_pairs` and the incremental index tier."""
     base = ensure_parallelism(df).select(
         F.col(id_col), tokens(text_col).alias("_toks")

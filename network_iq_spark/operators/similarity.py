@@ -1651,8 +1651,14 @@ def ivf_int_recenter(
     SQL-replayable and safe to hash.
 
     Inputs: (id, q array<bigint>, values ≥ 0). Seeds are the ``n_cells``
-    smallest ids' vectors (cell_id = rank by id — every seed is its own
-    member at distance 0, so no cell starts empty). Output one row per
+    smallest ids' vectors (cell_id = rank by id). Each seed is its own
+    member at distance 0, so a cell can only start empty if two seed
+    VECTORS are identical: the distance tie then breaks to the lower
+    cell_id, both seeds land there, and the higher seed's cell emits no
+    row (the output has fewer than ``n_cells`` rows). That is the
+    intended tie semantics — a duplicate seed is a degenerate quantizer
+    cell, and surfacing it as an absent row (vs a fabricated
+    n_members=0) keeps the SQL twin trivially identical. Output one row per
     cell: ``n_members`` under the old centroids, ``moved_l2_units``
     (squared L2 between old and new centroid — the drift magnitude an
     operator alerts on), and ``n_reassigned`` (members whose argmin

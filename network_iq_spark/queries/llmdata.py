@@ -4217,7 +4217,9 @@ _CHUNK_ID_BASE = 10_000
 def q_chunk_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-grain NEAR-dup across documents (r9) — the fuzzy sibling of
     chunk_dedup's exact first-occurrence pass: 20-token chunks become
-    LSH documents (chunk_id = doc_id·10000 + idx), the same
+    LSH documents (chunk_id = doc_id·10000 + idx; injective only while
+    idx < _CHUNK_ID_BASE, i.e. docs under ~200k tokens — the encoding
+    raises past the bound rather than mislabel attribution), the same
     MinHash→band→verify pipeline runs at chunk grain, and only
     CROSS-document pairs survive — templated boilerplate that repeats
     across pages with small edits (dates, ids), which exact chunk dedup
@@ -4235,10 +4237,29 @@ def q_chunk_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, cast(ceil(size(_toks) / {c}.0) as int) - 1), "
         f"i -> array_join(slice(_toks, i * {c} + 1, {c}), ' '))"
     )
+    # chunk_id = doc_id·BASE + idx is only injective while idx < BASE
+    # (a >=200k-token doc would collide into the next doc's id space and
+    # silently corrupt the cross-document filter below), so the encoding
+    # itself raises past the bound instead of wrapping — the guard lives
+    # in the expression that DEFINES the column, where pruning can't
+    # drop it.
     chunks = base.select(
         "doc_id", F.posexplode(F.expr(chunk_arr)).alias("chunk_idx", "text")
     ).select(
-        (F.col("doc_id") * _CHUNK_ID_BASE + F.col("chunk_idx")).alias("doc_id"),
+        F.when(
+            F.col("chunk_idx") < _CHUNK_ID_BASE,
+            F.col("doc_id") * _CHUNK_ID_BASE + F.col("chunk_idx"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"chunk_near_dup_pairs: chunk_idx >= {_CHUNK_ID_BASE} "
+                    "(doc too long for the chunk-id encoding; raise "
+                    "_CHUNK_ID_BASE)"
+                )
+            )
+        )
+        .alias("doc_id"),
         "text",
     )
     pairs = D.minhash_lsh_pairs(

@@ -80,17 +80,16 @@ def read_if_exists(spark, path: str) -> DataFrame | None:
 
 
 def write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
-    """Exactly-once micro-batch append: write under a ``batch=<id>``
-    partition with dynamic partition overwrite, so a replayed batch
-    rewrites its own partition instead of appending twice (the
-    streaming/sink.py discipline, without a key-merge)."""
-    (
-        df.withColumn("batch", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch")
-        .parquet(path)
-    )
+    """Exactly-once micro-batch append: write DIRECTLY to the
+    ``batch=<id>`` partition directory with overwrite, so a replayed
+    batch truncates-and-rewrites its own partition (the streaming/sink.py
+    discipline, without a key-merge). The direct-path form (vs dynamic
+    partition overwrite of the root) matters in one replay corner: a
+    replay whose recomputed frame is EMPTY still rewrites the directory —
+    dynamic overwrite of an empty frame touches no partitions and would
+    leave the original rows standing. The ``batch`` column comes back at
+    read time from partition discovery over the directory name."""
+    df.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
 
 
 def incremental_near_dup_sink(
@@ -131,10 +130,16 @@ def incremental_near_dup_sink(
         bands = read_if_exists(spark, bands_path)
         sets = read_if_exists(spark, sets_path)
         if bands is not None and sets is not None:
+            # History is STRICTLY earlier batches (the ann.py discipline):
+            # on a replay the index already holds THIS batch's own rows,
+            # and probing them would make every row self-match (jaccard 1
+            # with itself), empty the survivor set, and leave the stale
+            # partition standing — the replay must see the same snapshot
+            # the original run saw.
             matches = incremental_near_dup(
                 batch,
-                bands.drop("batch"),
-                sets.drop("batch"),
+                bands.filter(F.col("batch") < batch_id).drop("batch"),
+                sets.filter(F.col("batch") < batch_id).drop("batch"),
                 threshold,
                 text_col=text_col,
                 id_col=id_col,
@@ -191,9 +196,13 @@ def incremental_media_dedup_sink(
         batch = batch_df.select(id_col, hash_col, *carry_cols)
         index = read_if_exists(spark, index_path)
         if index is not None:
+            # Strictly earlier batches only — a replay otherwise probes
+            # its own index rows, self-matches at hamming 0, and emits an
+            # empty survivor set instead of recomputing the partition
+            # (see incremental_near_dup_sink).
             matches = incremental_hamming_dedup(
                 batch.select(id_col, hash_col),
-                index.drop("batch"),
+                index.filter(F.col("batch") < batch_id).drop("batch"),
                 hash_col,
                 max_hamming,
                 n_bits,

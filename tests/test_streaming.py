@@ -820,6 +820,90 @@ def test_incremental_near_dup_sink_streams_against_at_rest_index(spark, tmp_path
     assert sorted(set(r.doc_id for r in spark.read.parquet(bands).collect())) == [1, 2, 11]
 
 
+def test_incremental_near_dup_sink_replay_with_changed_contents(spark, tmp_path):
+    """A replayed micro-batch with DIFFERENT contents (source correction,
+    late rows) must genuinely recompute and rewrite its partition — the
+    probe excludes the batch's own at-rest index rows (otherwise every
+    row self-matches at jaccard 1, the survivor set comes back empty, and
+    the stale partition stands), and an all-duplicate replay truncates
+    the partition rather than leaving the original rows."""
+    from network_iq_spark.streaming.dedup import incremental_near_dup_sink
+
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    sets = str(tmp_path / "sets")
+    sink = incremental_near_dup_sink(corpus, bands, sets, threshold=0.6)
+
+    base = ("the quick brown fox jumps over the lazy dog again and again today "
+            "while the merry little band of travellers watches from the old hill")
+    novel = ("completely different words about spark parquet shuffles and joins "
+             "plus executors partitions codegen catalyst and adaptive planning")
+    novel2 = ("a third corpus of text concerning rivers bridges harbours and "
+              "ferries crossing them at dawn with lanterns swinging in the fog")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def corpus_ids():
+        return sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+
+    sink(docs([(1, base)]), 0)
+    sink(docs([(11, novel)]), 1)
+    assert corpus_ids() == [1, 11]
+    # corrected replay: 11 withdrawn, 12 delivered instead
+    sink(docs([(12, novel2)]), 1)
+    assert corpus_ids() == [1, 12]
+    index_ids = sorted(set(r.doc_id for r in spark.read.parquet(bands).collect()))
+    assert index_ids == [1, 12]  # 11's index rows rewritten away too
+    # corrected replay where EVERYTHING is a near-dup of history: the
+    # batch partition must end up empty, not keep its previous rows
+    sink(docs([(13, base.replace("lazy", "sleepy"))]), 1)
+    assert corpus_ids() == [1]
+
+
+def test_incremental_media_dedup_sink_replay_with_changed_contents(spark, tmp_path):
+    """Same replay contract for the media sink: a corrected batch-1
+    replay (different images) recomputes against the strictly-earlier
+    index snapshot — no hamming-0 self-matches against its own at-rest
+    rows — and rewrites both the corpus and index partitions."""
+    import hashlib
+
+    from network_iq_spark.operators.dedup import image_dhash
+    from network_iq_spark.streaming.dedup import incremental_media_dedup_sink
+
+    corpus = str(tmp_path / "mcorpus")
+    index = str(tmp_path / "mindex")
+    sink = incremental_media_dedup_sink(
+        corpus, index, "dhash", max_hamming=6, n_bits=56
+    )
+
+    def img(seed):
+        return [
+            int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:2], 16)
+            for j in range(64)
+        ]
+
+    def perturb(px):
+        return [min(v + 3, 255) if j % 16 == 0 else v for j, v in enumerate(px)]
+
+    def media(rows):
+        df = spark.createDataFrame(rows, "media_id bigint, px array<int>")
+        return df.select("media_id", image_dhash("px").alias("dhash"))
+
+    def corpus_ids():
+        return sorted(r.media_id for r in spark.read.parquet(corpus).collect())
+
+    a, novel, novel2 = img(1), img(40), img(41)
+    sink(media([(1, a)]), 0)
+    sink(media([(11, novel)]), 1)
+    assert corpus_ids() == [1, 11]
+    sink(media([(12, novel2)]), 1)  # corrected replay: 11 -> 12
+    assert corpus_ids() == [1, 12]
+    assert sorted(set(r.media_id for r in spark.read.parquet(index).collect())) == [1, 12]
+    sink(media([(13, perturb(a))]), 1)  # all-duplicate replay truncates
+    assert corpus_ids() == [1]
+
+
 def test_incremental_near_dup_sink_with_streaming_source(spark, tmp_path):
     """End-to-end through a real file-source stream: two availableNow
     drains, the second re-delivering an overlapping near-dup batch — the
