@@ -26,77 +26,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
-# the queries with the least external verification first. Round 9 drains
-# the rotation debt: the sixteen never-driver-sampled queries (two
-# late-r8 additions + the fourteen r9 additions), the ENTIRE 14-query
-# r5-stamped cohort, dataset_card (r8 plan rewrite, hash unchanged,
-# externally r7-green), the four queries whose shared code changed this
-# round, then 15 of the 46 r6-stamped queries (dedup/text family first).
-# After this window samples green, every sheet query's latest external
-# stamp is >= r6 and <= 3 rounds old; the 31 remaining r6-stamped queries
-# head the overflow for r10.
+# the queries with the least external verification first. Round 10
+# FINISHES the rotation: the 31 r6-stamped overflow queries (ordered
+# exactly as the r9 window left them) drain the last pre-r7 stamps; then
+# the queries whose code r10 touched — three new oracle-paired additions
+# (capped chunk LSH, the media index build, the at-rest-index probe
+# shape), the two whose expressions changed (chunk-id overflow guard;
+# incremental_image_dedup's helper extraction), and the five riding
+# hamming_blocked_pairs (which gained the max_bucket_size seam; default
+# path byte-identical, the external hash re-proves it); then oldest-r7
+# fills. After this window samples green, NO sheet stamp predates r7 and
+# steady-state rotation (50/round over ~180) keeps every stamp <= 4
+# rounds old.
 _VERIFY_FIRST = [
-    # never driver-sampled: two late-r8 additions, seven r9 additions
-    "mixture_sample_counts",
-    "hard_negatives_topk",
-    "image_near_dup_pairs",
-    "bm25_topk_capped",
-    "related_docs_rrf_dense",
-    "minhash_lsh_pairs_capped",
-    "audio_near_dup_pairs",
-    "video_near_dup_pairs",
-    "incremental_image_dedup",
-    "media_near_dup_census",
-    "temperature_mix_weights",
-    "image_dedup_clusters",
-    "ivf_int_recenter_stats",
-    "decontamination_spans",
-    "chunk_near_dup_pairs",
-    "packing_ffd",
-    # last sampled r5 (full cohort, displaced past the r8 window)
-    "repetition_stats",
-    "rolling_fingerprints",
-    "rollup_order_counts",
-    "scope_filtered_profile",
-    "simhash_pairs",
-    "simhash_pairs_blocked",
-    "supplier_pagerank",
-    "time_weighted_avg",
-    "token_stats",
-    "union_label_dims",
-    "value_autocorr_lag1",
-    "value_equidepth_histogram",
-    "value_histogram",
-    "winsorized_profile",
-    # r8 plan rewrite, hash unchanged, externally r7-green
-    "dataset_card",
-    # code under these changed THIS round (values identical by
-    # construction; the external hash re-proves it): dedup.py
-    # signature-frame reshape (2d134c5), text.py postings seam (d1aed88)
-    "minhash_lsh_pairs",
-    "minhash_lsh_pairs_prod",
-    "bm25_topk",
-    "related_docs_rrf",
-    # oldest remaining stamps (r6) — dedup/text family first (they ride
-    # the same shared helpers), then registration-ordered rest
-    "incremental_near_dup",
-    "incremental_exact_dedup",
-    "chunk_dedup",
-    "containment_top_pairs",
-    "term_postings",
-    "tfidf_top_terms",
-    "winnow_overlap_pairs",
-    "winnowing_fingerprints",
-    "semantic_dedup",
-    "doc_keywords",
-    "bigram_rarity",
-    "unigram_surprisal",
-    "vocab_coverage",
-    "ab_test_conversion",
-    "ann_int_cosine_topk",
-    # --- 50-slot window boundary ---
-    # overflow, in r10-priority order: the thirty-one r6-stamped queries
-    # that did not fit this window
+    # the 31 r6-stamped overflow queries — the last pre-r7 stamps
     "ann_int_multiprobe_topk",
     "bucketed_order_lineitem",
     "calendar_features",
@@ -128,6 +71,72 @@ _VERIFY_FIRST = [
     "training_data_pipeline_overlap",
     "variant_props_stats",
     "weighted_discount",
+    # r10 additions (never driver-sampled)
+    "chunk_near_dup_pairs_capped",
+    "media_dhash_index",
+    "incremental_image_dedup_probe",
+    # expressions changed this round (values identical by construction;
+    # the external hash re-proves it): chunk-id guard, helper extraction
+    "chunk_near_dup_pairs",
+    "incremental_image_dedup",
+    # hamming_blocked_pairs consumers (max_bucket_size seam added r10;
+    # default path unchanged)
+    "image_near_dup_pairs",
+    "audio_near_dup_pairs",
+    "video_near_dup_pairs",
+    "media_near_dup_census",
+    "image_dedup_clusters",
+    # oldest-r7 fills
+    "vocab_drift_top_movers",
+    "sessionize",
+    "decoded_png_stats",
+    "decoded_jpeg_stats",
+    "decoded_audio_stats",
+    "decoded_video_stats",
+    "cluster_keep_best",
+    "html_extract",
+    "ann_pq_adc_topk",
+    # --- 50-slot window boundary ---
+    # overflow, in r11-priority order: the remaining r7-stamped queries
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_topk",
+    "order_snapshot_diff",
+    "url_canonical_dedup",
+    "quality_psi_drift",
+    "lsh_quality_report",
+    "group_safe_splits",
+    "bpe_train_merges",
+    "centered_mavg_volume",
+    "customers_without_orders",
+    "dedup_keep_last",
+    "event_type_domains",
+    "hourly_baseline",
+    "hourly_compare_unpivot",
+    "hourly_profile",
+    "json_props_stats",
+    "kpi_cards",
+    "latest_snapshot",
+    "minmax_norm",
+    "nation_supplier_balance",
+    "order_line_rollup",
+    "risky_hours",
+    "rolling_features",
+    "zscore_top_anomalies",
+    "brand_top_parts",
+    "order_priority_stats",
+    "regional_revenue",
+    "segment_acctbal_stats",
+    "cohort_retention",
+    "funnel_steps",
+    "hourly_type_pivot",
+    "pricing_summary",
+    "top_revenue_customers",
+    "dedup_clusters",
+    "sequence_packing",
+    "simhash60_pairs",
+    "stratified_sample_counts",
+    "training_data_pipeline",
+    "recursive_copurchase_reach",
 ]
 
 

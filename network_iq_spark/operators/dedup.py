@@ -632,6 +632,7 @@ def hamming_blocked_pairs(
     max_hamming: int,
     n_bits: int,
     id_col: str = "media_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Generic Hamming-≤-d pair finder over any integer fingerprint
     column — the pigeonhole segment-blocking core shared by the image
@@ -642,7 +643,19 @@ def hamming_blocked_pairs(
     qualifying pair without an all-pairs scan. First-matching-segment
     emits each pair once — a bitmask filter, not a distinct() shuffle.
     Scale: shuffle is on segment values; per-bucket fanout is bounded by
-    corpus near-dup density exactly as in the text family."""
+    corpus near-dup density exactly as in the text family.
+
+    ``max_bucket_size`` (r10): the hot-bucket guard for the media
+    family's skew axis — a planted identical-crop/clip cluster of |B|
+    members puts all of them in ONE (seg, seg_val) bucket per segment
+    and costs |B|² join output per colliding segment, exactly the
+    celebrity-bucket case the text tier caps (minhash_lsh_pairs
+    max_bucket_size). Buckets above the cap are dropped BEFORE the
+    self-join, with the same deterministic attribution rule: a pair
+    survives iff its globally-FIRST matching segment's bucket is at or
+    under the cap (the first-matching filter runs on the ORIGINAL
+    hashes, so attribution is unaffected by which buckets were
+    dropped) — SQL-replayable, measured in scripts/media_skew_soak.py."""
     n_seg = max_hamming + 1
     s = df.select(F.col(id_col), F.col(hash_col).alias("__h__")).localCheckpoint()
     segs = _simhash_segments(F.col("__h__"), n_seg, n_bits=n_bits)
@@ -652,6 +665,14 @@ def hamming_blocked_pairs(
     blocked = s.select(
         F.col(id_col), F.col("__h__"), F.explode(F.array(*seg_structs)).alias("b")
     ).select(id_col, "__h__", F.col("b.seg").alias("seg"), F.col("b.seg_val").alias("seg_val"))
+    if max_bucket_size is not None:
+        sizes = (
+            blocked.groupBy("seg", "seg_val")
+            .agg(F.count("*").alias("__bn__"))
+            .filter(F.col("__bn__") <= max_bucket_size)
+            .select("seg", "seg_val")
+        )
+        blocked = blocked.join(sizes, ["seg", "seg_val"], "left_semi")
     a = blocked.select(
         F.col(id_col).alias("id_a"), F.col("__h__").alias("h_a"), "seg", "seg_val"
     )
@@ -802,7 +823,18 @@ def waveform_dhash(s_col: str = "s", n_samples: int = 64) -> Column:
     Robust to uniform gain/DC offset (monotone transforms preserve every
     comparison), integer-exact over the bit-exact WAV decoder, so
     SQL-replayable — unlike spectral fingerprints there is no float FFT
-    to drift across engines."""
+    to drift across engines.
+
+    BOUNDARY: this is an exact-twin detector, NOT shift-invariant — a
+    copy re-encoded with even a 1-sample offset moves every comparison
+    to a different sample pair and scrambles the bits (measured ~32/63
+    flipped on random-walk clips), so time-misaligned duplicates are
+    invisible to it. That is what it claims: the oracle-paired sheet
+    query detects perturbed-in-place twins. Shift-tolerant detection is
+    :func:`audio_shifted_pairs` (energy-envelope blocking + integer
+    lag-scan verify, BENCH_ONLY tier); a production audio pipeline would
+    use spectral-landmark fingerprints, which need a float FFT and are
+    deliberately out of the oracle-able tier."""
     n_bits = n_samples - 1
     return F.expr(
         f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), (acc, k) -> "
@@ -870,6 +902,124 @@ def audio_near_dup_pairs(
     )
     return hamming_blocked_pairs(
         hashed, "whash", max_hamming, n_bits=n_samples - 1, id_col=id_col
+    )
+
+
+# (win, stride) per time scale of the energy-envelope fingerprint: 64-sample
+# clips give (64-8)/2+1=29, (64-16)/4+1=13, (64-32)/8+1=5 windows → 28+12+4
+# = 44 gradient bits. Overlapping windows at three scales make each bit a
+# comparison of ~win·sample² sums, so a 1-sample shift perturbs both sides
+# of every comparison by at most one sample's square — measured ~4.9/44
+# bits flipped (p95 = 9) on random-walk clips, vs ~32/63 for waveform_dhash.
+AUDIO_EB_SCALES = ((8, 2), (16, 4), (32, 8))
+
+
+def audio_energy_hash(s_col: str = "s", n_samples: int = 64) -> Column:
+    """Shift-tolerant audio fingerprint: gradient signs of OVERLAPPING
+    frame energies at three time scales (the Haitsma–Kalker energy-band
+    idea restricted to the time domain so it stays integer-exact — no
+    FFT). Bit (scale, k) is set iff E(k+1) > E(k), where E(j) is the sum
+    of squared samples in window j of that scale; scales pack
+    little-endian into one bigint (:data:`AUDIO_EB_SCALES` → 44 bits for
+    64-sample clips). Energies of 16-bit PCM windows stay < 2^35, so the
+    whole fold is exact in bigint and bit-identical to the numpy
+    reference (tests/test_dedup_scale.py). Unlike :func:`waveform_dhash`
+    this hashes the ENVELOPE, not sample alignment — robust to small
+    time shifts, but distinct clips with similar loudness contours can
+    collide, which is why the pair tier verifies candidates with an
+    exact lag-scan (:func:`audio_shifted_pairs`)."""
+
+    def wsum(j: str, win: int, stride: int) -> str:
+        return (
+            f"aggregate(sequence(({j}) * {stride}, ({j}) * {stride} + {win - 1}), "
+            f"cast(0 as bigint), (a, i) -> "
+            f"a + cast({s_col}[i] as bigint) * cast({s_col}[i] as bigint))"
+        )
+
+    parts, off = [], 0
+    for win, stride in AUDIO_EB_SCALES:
+        n_win = (n_samples - win) // stride + 1
+        parts.append(
+            f"aggregate(sequence(0, {n_win - 2}), cast(0 as bigint), (acc, k) -> "
+            f"acc + IF({wsum('k + 1', win, stride)} > {wsum('k', win, stride)}, "
+            f"shiftleft(cast(1 as bigint), k + {off}), cast(0 as bigint)))"
+        )
+        off += n_win - 1
+    return F.expr(" + ".join(parts))
+
+
+def audio_energy_hash_bits(n_samples: int = 64) -> int:
+    """Total bit width of :func:`audio_energy_hash` for a clip length."""
+    # n_win - 1 gradient bits per scale, n_win = (n - win) // stride + 1
+    return sum((n_samples - win) // stride for win, stride in AUDIO_EB_SCALES)
+
+
+def audio_shifted_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    max_lag: int = 2,
+    ssd_tol: int = 0,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    n_samples: int = 64,
+) -> DataFrame:
+    """Shift-TOLERANT audio near-dup (BENCH_ONLY tier): candidates from
+    pigeonhole blocking over the energy-envelope hash, verified by an
+    exact integer lag-scan — for each candidate pair the minimum
+    sum-of-squared-differences over alignments lag ∈ [−max_lag, max_lag]
+    (overlap-only, so a pure ℓ-sample shift scores ssd = 0 at lag ℓ).
+    Output (id_a, id_b, hamming, lag, ssd) for pairs with ssd ≤ ssd_tol.
+
+    Semantics: catches time-shifted re-encodes of the same clip that
+    :func:`waveform_dhash` provably misses (its docstring boundary).
+    Recall is empirical, not pigeonhole-guaranteed: a 1-sample shift
+    flips ≤ max_hamming envelope bits for ~95 % of random-walk clips
+    (p95 = 9 measured), the remainder land outside the blocking radius —
+    acceptable for an approximate recall tier whose exact-twin floor
+    (hamming 0) is still guaranteed. Precision is exact: the lag-scan is
+    integer arithmetic, no envelope collision survives it. Gain changes
+    break the SSD (use the gain-invariant gradient tier for those);
+    shift+gain together need the spectral-landmark family, out of scope.
+    Scale shape: blocking shuffle on (seg, seg_val) as everywhere else;
+    the verify is O(candidates × max_lag · n_samples) map work."""
+    n_bits = audio_energy_hash_bits(n_samples)
+    hashed = df.select(
+        F.col(id_col), F.col(s_col), audio_energy_hash(s_col, n_samples).alias("ehash")
+    ).localCheckpoint(eager=False)
+    cand = hamming_blocked_pairs(
+        hashed.select(id_col, "ehash"), "ehash", max_hamming,
+        n_bits=n_bits, id_col=id_col,
+    )
+    sa = hashed.select(F.col(id_col).alias("id_a"), F.col(s_col).alias("__sa__"))
+    sb = hashed.select(F.col(id_col).alias("id_b"), F.col(s_col).alias("__sb__"))
+
+    def ssd(lag: int) -> str:
+        # positive lag: a leads (a[i+lag] vs b[i]); negative: b leads
+        if lag >= 0:
+            hi, a_i, b_i = n_samples - 1 - lag, f"i + {lag}", "i"
+        else:
+            hi, a_i, b_i = n_samples - 1 + lag, "i", f"i + {-lag}"
+        return (
+            f"named_struct('ssd', aggregate(sequence(0, {hi}), "
+            f"cast(0 as bigint), (a, i) -> a + "
+            f"(cast(__sa__[{a_i}] as bigint) - cast(__sb__[{b_i}] as bigint)) * "
+            f"(cast(__sa__[{a_i}] as bigint) - cast(__sb__[{b_i}] as bigint))), "
+            f"'lag', {lag})"
+        )
+
+    best = "array_min(array(" + ", ".join(
+        ssd(lag) for lag in range(-max_lag, max_lag + 1)
+    ) + "))"
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__best__", F.expr(best))
+        .filter(F.col("__best__.ssd") <= ssd_tol)
+        .select(
+            "id_a", "id_b", "hamming",
+            F.col("__best__.lag").alias("lag"),
+            F.col("__best__.ssd").alias("ssd"),
+        )
     )
 
 

@@ -14,7 +14,7 @@ declared-dimension cap (same contract as operators/jpeg.py).
 
 GIF is LOSSLESS, so the oracle story needs no constant-block trick: any
 palette image round-trips bit-exactly, and the DuckDB twin of a decode
-query replays pixels directly (queries/llmdata.py ``decoded_gif_stats``).
+query replays pixels directly (queries/media.py ``decoded_gif_stats``).
 
 The encoder emits spec-valid GIF89a with an exact LZW literal coder that
 mirrors the decoder's width/CLEAR schedule — fixtures are built in-plan,

@@ -21,7 +21,7 @@ spec-valid baseline and progressive files (Annex K quantization + Huffman
 tables work everywhere). Constant 8×8 blocks survive the DCT→quantize→dequantize→IDCT
 round trip bit-exactly (only the DC coefficient is nonzero and it is
 quantized with step 1), which is what makes an integer-exact DuckDB
-oracle possible for a lossy codec — see queries/llmdata.py
+oracle possible for a lossy codec — see queries/media.py
 ``decoded_jpeg_stats``.
 """
 
@@ -830,7 +830,7 @@ def encode_jpeg_ycbcr(
     encode→decode bit-exactly. With Cb=Cr=128 the decoder's BT.601
     inverse returns R=G=B=Y with zero float error, which is what lets a
     SQL oracle replay a LOSSY 4:2:0 round trip integer-exactly
-    (queries/llmdata.py ``decoded_jpeg420_stats``). All components share
+    (queries/media.py ``decoded_jpeg420_stats``). All components share
     quantization table 0 and the Annex-K luminance Huffman pair —
     smaller than a camera's two-table layout but fully spec-valid.
     """

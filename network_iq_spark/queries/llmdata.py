@@ -1,3730 +1,38 @@
-"""Beyond-reference LLM-training-data queries (SURVEY.md §7 F).
-
-Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), text analysis
-(lang-ID / quality / tokens / fingerprints), similarity search (cosine
-top-k), and multimodal binary plumbing — each with a full DuckDB oracle.
-The md5-string hashing in dedup ops is chosen precisely because both engines
-produce byte-identical digests; the 100 TB path swaps in xxhash64 with the
-same plan shapes (documented per operator).
+"""End-to-end training-data pipeline queries (flagship composition):
+quality -> exact dedup -> LSH near-dup cascade, its winnow-overlap
+report, dedup clusters + keep-best, SimHash60, chunk-grain dedup and
+near-dup (+ capped twin), vocab coverage, containment. The rest of the
+original llmdata.py lives in the r10 family modules (_fragments,
+dedup_q, text_q, similarity_q, media, sampling_q, retrieval,
+incremental) behind the same registry.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from network_iq_spark.operators import dedup as D
-from network_iq_spark.operators import multimodal as M
 from network_iq_spark.operators import sampling as SA
-from network_iq_spark.operators import similarity as S
-from network_iq_spark.operators import spans as SP
 from network_iq_spark.operators import text as T
-from network_iq_spark.functions import sql_davg as _sql_davg
 from network_iq_spark.registry import register
 from network_iq_spark.sources import load_table
 
-# ---------------------------------------------------------------------------
-# Shared oracle CTE fragments (must mirror the operators token-for-token)
-# ---------------------------------------------------------------------------
-
-_TOKS = "SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents"
-
-_SHINGLES = f"""
-  SELECT doc_id, unnest(list_distinct(list_transform(
-           generate_series(1, len(t) - 2),
-           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-  FROM ({_TOKS}) WHERE len(t) >= 3
-"""
-
-_JACCARD = f"""
-  sh AS ({_SHINGLES}),
-  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-  inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-  ),
-  jac AS (
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON i.doc_a = sa.doc_id
-    JOIN sizes sb ON i.doc_b = sb.doc_id
-  )
-"""
-
-
-# ---------------------------------------------------------------------------
-# Fingerprints & exact dedup
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "doc_fingerprints",
-    oracle=r"""
-    SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fingerprint
-    FROM documents ORDER BY doc_id
-    """,
+from network_iq_spark.queries._fragments import (  # noqa: F401
+    _JACCARD_CAPPED,
+    _JACCARD_MAX_DF,
+    _MH_BANDS,
+    _MH_PROD_BANDS,
+    _MH_PROD_ROWS,
+    _MH_PROD_THRESHOLD,
+    _MH_ROWS,
+    _QUALITY_CORE,
+    _SPLIT_HEX,
+    _SPLIT_SALT,
+    _minhash_pairs_cte,
+    _simhash_sql,
+    _sql_hex_int,
 )
-def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprinting (md5 over normalized text) — the exact-dedup
-    key; cf. the reference's sha-256 context hash (streamlit_app.py:1162)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.fingerprint(docs).orderBy("doc_id")
-
-
-@register(
-    "exact_dedup",
-    oracle=r"""
-    SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fingerprint,
-           MIN(doc_id) AS keeper,
-           COUNT(*) AS n_docs
-    FROM documents GROUP BY 1 ORDER BY fingerprint
-    """,
-)
-def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
-    One shuffle on the hash — the first stage of any dedup cascade."""
-    docs = load_table(spark, sf_dir, "documents")
-    return D.exact_dedup(T.fingerprint(docs)).orderBy("fingerprint")
-
-
-# ---------------------------------------------------------------------------
-# N-gram Jaccard near-dup
-# ---------------------------------------------------------------------------
-
-
-# candidate pairs come only from shingles in ≤ 4 docs — bounds the
-# self-join fanout at max_df² per shingle (the uncapped join is quadratic in
-# shingle document frequency). Verified on testdata: identical top-100 to
-# the uncapped operator (tests/test_dedup_scale.py equivalence test).
-_JACCARD_MAX_DF = 4
-
-_JACCARD_CAPPED = f"""
-  sh AS ({_SHINGLES}),
-  dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
-  rare AS (SELECT s.doc_id, s.shingle FROM sh s
-           JOIN dfreq d ON s.shingle = d.shingle WHERE d.df <= {_JACCARD_MAX_DF}),
-  cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  ),
-  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-  inter AS (
-    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-    GROUP BY 1, 2
-  ),
-  jac AS (
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON i.doc_a = sa.doc_id
-    JOIN sizes sb ON i.doc_b = sb.doc_id
-  )
-"""
-
-
-@register(
-    "jaccard_top_pairs",
-    oracle=f"""
-    WITH {_JACCARD_CAPPED}
-    SELECT doc_a, doc_b, jaccard FROM jac
-    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 100
-    """,
-)
-def q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup: top-100 most-similar pairs.
-
-    Candidate pairs from frequency-capped (df ≤ 4) shingles — no unbounded
-    co-shingle self-join; exact Jaccard verified over full shingle sets of
-    candidates only. Integer counts make the similarity deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs)
-    pairs = D.jaccard_pairs_capped(sh, threshold=0.0, max_df=_JACCARD_MAX_DF)
-    return pairs.orderBy(
-        F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
-    ).limit(100)
-
-
-def _sql_hex_int(expr: str, ndigits: int) -> str:
-    """Hex-prefix → integer via per-nibble positional arithmetic (DuckDB has
-    no ``conv``). Must equal Spark's ``conv(substring(md5,1,n),16,10)``."""
-    terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {j + 1}, 1)) - 1)"
-        f" * {16 ** (ndigits - 1 - j)}"
-        for j in range(ndigits)
-    )
-    return f"({terms})"
-
-
-_MINHASH_P = D.MINHASH_P
-
-
-def _minhash_sql(
-    n_bands: int,
-    rows_per_band: int,
-    threshold: float,
-    max_bucket_size: int | None = None,
-) -> str:
-    n_hashes = n_bands * rows_per_band
-    mins = ",\n      ".join(
-        f"MIN(({2 * i + 1} * h + {7 * i + 3}) % {_MINHASH_P}) AS m{i}"
-        for i in range(n_hashes)
-    )
-    band_selects = []
-    for b in range(n_bands):
-        cols = " || '|' || ".join(
-            f"CAST(m{b * rows_per_band + j} AS VARCHAR)"
-            for j in range(rows_per_band)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
-        )
-    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
-    if max_bucket_size is not None:
-        # capped candidate generation replays the operator's attribution
-        # rule: a pair survives iff its globally-FIRST matching band
-        # (min band over all bucket collisions) is a bucket at or under
-        # the cap — identical to the Spark plan's pre-join bucket filter
-        # composed with the first-matching-band dedup filter
-        cand_sql = f"""sizes AS (
-      SELECT band, bucket, COUNT(*) AS n FROM bb GROUP BY 1, 2
-    ),
-    allmatch AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band, a.bucket
-      FROM bb a JOIN bb b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
-    firstband AS (
-      SELECT doc_a, doc_b, MIN(band) AS fband FROM allmatch GROUP BY 1, 2
-    ),
-    cand AS (
-      SELECT f.doc_a, f.doc_b
-      FROM firstband f
-      JOIN allmatch m
-        ON m.doc_a = f.doc_a AND m.doc_b = f.doc_b AND m.band = f.fband
-      JOIN sizes s ON s.band = m.band AND s.bucket = m.bucket
-      WHERE s.n <= {max_bucket_size}
-    )"""
-    else:
-        cand_sql = """cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bb a JOIN bb b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )"""
-    return f"""
-    WITH sh AS ({_SHINGLES}),
-    hashed AS (
-      SELECT doc_id, {_sql_hex_int("substr(md5(shingle), 1, 12)", 12)} AS h
-      FROM sh
-    ),
-    sig AS (
-      SELECT doc_id,
-      {mins}
-      FROM hashed GROUP BY doc_id
-    ),
-    sets AS (
-      SELECT doc_id, list(DISTINCT h) AS hs, COUNT(DISTINCT h) AS sz
-      FROM hashed GROUP BY doc_id
-    ),
-    bb AS (
-      {bands_sql}
-    ),
-    {cand_sql}
-    SELECT doc_a, doc_b, jaccard FROM (
-      SELECT c.doc_a, c.doc_b,
-             CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-               / (sa.sz + sb.sz - len(list_intersect(sa.hs, sb.hs))) AS jaccard
-      FROM cand c
-      JOIN sets sa ON sa.doc_id = c.doc_a
-      JOIN sets sb ON sb.doc_id = c.doc_b
-    )
-    WHERE jaccard >= {threshold}
-    ORDER BY doc_a, doc_b
-    """
-
-
-_MH_BANDS, _MH_ROWS, _MH_THRESHOLD = 16, 1, 0.008
-
-
-@register("minhash_lsh_pairs", oracle=_minhash_sql(_MH_BANDS, _MH_ROWS, _MH_THRESHOLD))
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: shingle → 16 min-hashes → band buckets →
-    candidate pairs → exact-Jaccard verify.
-
-    b=16/r=1 is the recall-heavy config suited to this low-similarity
-    corpus; production dedup at ~0.8 similarity uses r=4/b=4 (same plan,
-    different constants). Only bucket-collision pairs are ever scored — the
-    all-pairs join never happens.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(
-        docs, threshold=_MH_THRESHOLD, n_bands=_MH_BANDS, rows_per_band=_MH_ROWS
-    ).orderBy("doc_a", "doc_b")
-
-
-_MH_PROD_BANDS, _MH_PROD_ROWS, _MH_PROD_THRESHOLD = 4, 4, 0.7
-
-
-@register(
-    "minhash_lsh_pairs_prod",
-    oracle=_minhash_sql(_MH_PROD_BANDS, _MH_PROD_ROWS, _MH_PROD_THRESHOLD),
-)
-def q_minhash_lsh_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH at the production S-curve constants: r=4 rows/band ×
-    b=4 bands, verify threshold 0.7 — P(candidate) = 1-(1-s⁴)⁴ ≈ 0.5 at
-    s≈0.72, so sub-threshold pairs rarely even reach the verify join. This
-    is the config the 100 TB dedup cascade runs (the b=16/r=1 twin above is
-    the recall-heavy low-similarity test setting)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(
-        docs,
-        threshold=_MH_PROD_THRESHOLD,
-        n_bands=_MH_PROD_BANDS,
-        rows_per_band=_MH_PROD_ROWS,
-    ).orderBy("doc_a", "doc_b")
-
-
-_MH_MAX_BUCKET = 4
-
-
-@register(
-    "minhash_lsh_pairs_capped",
-    oracle=_minhash_sql(
-        _MH_BANDS, _MH_ROWS, _MH_THRESHOLD, max_bucket_size=_MH_MAX_BUCKET
-    ),
-)
-def q_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH with the hot-band guard on (r9): buckets larger than
-    ``_MH_MAX_BUCKET`` members are dropped from candidate generation
-    BEFORE the self-join — the cap that keeps a degenerate boilerplate
-    bucket from costing |B|² pairs at corpus scale (operators/dedup.py
-    minhash_lsh_pairs max_bucket_size). At this SF the cap prunes the
-    largest buckets of the recall-heavy b=16/r=1 config, so the result
-    observably differs from the uncapped flagship — the oracle replays
-    the exact attribution rule (pair survives iff its globally-first
-    matching band is an under-cap bucket)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(
-        docs,
-        threshold=_MH_THRESHOLD,
-        n_bands=_MH_BANDS,
-        rows_per_band=_MH_ROWS,
-        max_bucket_size=_MH_MAX_BUCKET,
-    ).orderBy("doc_a", "doc_b")
-
-
-def _simhash_sql(max_hamming: int, n_bits: int = 32) -> str:
-    votes = [
-        f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(n_bits)
-    ]
-    fp_terms = [
-        f"CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
-        for b in range(n_bits)
-    ]
-    votes_sql = ",\n        ".join(votes)
-    fp_sql = "\n        + ".join(fp_terms)
-    nd = n_bits // 4
-    return f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, tok FROM (
-        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-        FROM documents
-      )
-    ),
-    h AS (SELECT doc_id, {_sql_hex_int(f"substr(md5(tok), 1, {nd})", nd)} AS h FROM tok),
-    votes AS (
-      SELECT doc_id,
-        {votes_sql}
-      FROM h GROUP BY doc_id
-    ),
-    sim AS (SELECT doc_id, ({fp_sql}) AS simhash FROM votes)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
-    ORDER BY doc_a, doc_b
-    """
-
-
-# the shared-vocab synthetic corpus clusters tightly in SimHash space —
-# distance 2 keeps the pair set a meaningful near-dup candidate list
-_SIMHASH_MAX_HAMMING = 2
-
-
-@register("simhash_pairs", oracle=_simhash_sql(_SIMHASH_MAX_HAMMING))
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit token-vote fingerprints, pairs within
-    Hamming distance ≤ 2. Registered plan = the pigeonhole-blocked
-    equi-join (recall 1.0 — a pair within distance d shares ≥1 of d+1
-    exact segments), so the driver-facing catalog carries no all-pairs
-    crossJoin; the brute-force formulation remains in tests
-    (test_dedup_scale.py) as the semantic reference, and the SQL oracle
-    here is still the brute-force pair scan."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_pairs_blocked(docs, max_hamming=_SIMHASH_MAX_HAMMING)
-    return pairs.select(
-        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
-    ).orderBy("doc_a", "doc_b")
-
-
-@register("simhash_pairs_blocked", oracle=_simhash_sql(_SIMHASH_MAX_HAMMING))
-def q_simhash_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup via pigeonhole segment blocking — the 100 TB path,
-    same output (and same oracle) as the brute-force ``simhash_pairs``:
-    d+1 fingerprint segments, equi-join on (segment, value), Hamming verify
-    on collisions only. No cross join anywhere in the plan (asserted in
-    tests/test_plan_quality.py)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_pairs_blocked(docs, max_hamming=_SIMHASH_MAX_HAMMING)
-    return pairs.select(
-        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
-    ).orderBy("doc_a", "doc_b")
-
-
-# ---------------------------------------------------------------------------
-# Span-grain dedup & decontamination (operators/spans.py)
-# ---------------------------------------------------------------------------
-
-_WIN_K = SP.WINDOW_K
-
-_WINS = f"""
-  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{_WIN_K - 1}], ' ')) AS wh
-  FROM ({_TOKS}) tt,
-       LATERAL unnest(generate_series(1, len(t) - {_WIN_K} + 1)) AS g(i)
-  WHERE len(t) >= {_WIN_K}
-"""
-
-
-@register(
-    "duplicate_spans",
-    oracle=f"""
-    WITH wins AS ({_WINS}),
-    perdoc AS (SELECT DISTINCT doc_id, wh FROM wins),
-    crossdoc AS (SELECT wh FROM perdoc GROUP BY wh HAVING COUNT(*) >= 2),
-    dupc AS (
-      SELECT w.doc_id, COUNT(*) AS n_dup FROM wins w
-      JOIN crossdoc c ON w.wh = c.wh GROUP BY 1
-    ),
-    tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY 1)
-    SELECT d.doc_id,
-           COALESCE(tot.n_windows, 0) AS n_windows,
-           COALESCE(dupc.n_dup, 0) AS n_dup_windows,
-           CASE WHEN COALESCE(tot.n_windows, 0) = 0 THEN 0.0
-                ELSE CAST(COALESCE(dupc.n_dup, 0) AS DOUBLE) / tot.n_windows
-           END AS dup_window_ratio
-    FROM documents d
-    LEFT JOIN tot ON d.doc_id = tot.doc_id
-    LEFT JOIN dupc ON d.doc_id = dupc.doc_id
-    ORDER BY d.doc_id
-    """,
-)
-def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window-granularity exact-substring dedup signal (Lee et al. ACL'22):
-    per document, how many of its 8-token windows also occur in another
-    document. Windows → md5 → one shuffle on the window hash; positions
-    ride along so coverage is measurable."""
-    docs = load_table(spark, sf_dir, "documents")
-    return SP.duplicate_window_stats(docs, k=_WIN_K).orderBy("doc_id")
-
-
-_BENCH_BP = 500  # 5% of the id-hash space forms the held-out benchmark
-_BENCH_HEX = _sql_hex_int("md5(CAST(doc_id AS VARCHAR) || 'bench')", 12)
-
-
-@register(
-    "contamination_check",
-    oracle=f"""
-    WITH tagged AS (
-      SELECT *, ({_BENCH_HEX}) % 10000 < {_BENCH_BP} AS is_bench FROM documents
-    ),
-    twins AS (
-      SELECT DISTINCT doc_id AS train_doc, wh FROM ({_WINS.replace("documents", "(SELECT * FROM tagged WHERE NOT is_bench)")})
-    ),
-    bwins AS (
-      SELECT DISTINCT doc_id AS bench_doc, wh FROM ({_WINS.replace("documents", "(SELECT * FROM tagged WHERE is_bench)")})
-    )
-    SELECT train_doc,
-           COUNT(DISTINCT t.wh) AS n_shared_windows,
-           COUNT(DISTINCT bench_doc) AS n_bench_docs
-    FROM twins t JOIN bwins b ON t.wh = b.wh
-    GROUP BY train_doc ORDER BY train_doc
-    """,
-)
-def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram benchmark decontamination (GPT-3/PaLM appendix style): a
-    deterministic 5% id-hash slice plays the held-out benchmark; training
-    docs sharing any 8-token window with it are flagged with shared-window
-    and benchmark-doc counts. One equi-join on the window hash — the
-    benchmark side broadcasts at real scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    is_bench = SA.hash_bucket(F.col("doc_id"), "bench") < _BENCH_BP
-    return SP.contamination_overlap(
-        docs.filter(~is_bench), docs.filter(is_bench), k=_WIN_K
-    ).orderBy("train_doc")
-
-
-@register(
-    "decontamination_spans",
-    oracle=f"""
-    WITH tagged AS (
-      SELECT *, ({_BENCH_HEX}) % 10000 < {_BENCH_BP} AS is_bench FROM documents
-    ),
-    twins AS (
-      SELECT doc_id AS train_doc, pos, wh
-      FROM ({_WINS.replace("documents", "(SELECT * FROM tagged WHERE NOT is_bench)")})
-    ),
-    bw AS (
-      SELECT DISTINCT wh
-      FROM ({_WINS.replace("documents", "(SELECT * FROM tagged WHERE is_bench)")})
-    ),
-    hits AS (
-      SELECT train_doc, pos AS s, pos + {_WIN_K} AS e
-      FROM twins JOIN bw USING (wh)
-    ),
-    marked AS (
-      SELECT *,
-             MAX(e) OVER (PARTITION BY train_doc ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-      FROM hits
-    ),
-    islands AS (
-      SELECT *,
-             SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
-               OVER (PARTITION BY train_doc ORDER BY s
-                 ROWS UNBOUNDED PRECEDING) AS island
-      FROM marked
-    )
-    SELECT train_doc, CAST(MIN(s) AS BIGINT) AS span_start,
-           CAST(MAX(e) AS BIGINT) AS span_end,
-           CAST(MAX(e) - MIN(s) AS BIGINT) AS span_tokens
-    FROM islands GROUP BY train_doc, island
-    ORDER BY train_doc, span_start
-    """,
-)
-def q_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-grain benchmark decontamination (r9) — the EXCISION list one
-    step past contamination_check's doc-grain flags: the maximal merged
-    token intervals of each training doc covered by any 8-token window
-    shared with the (5% id-hash slice) benchmark — what a pipeline cuts
-    instead of discarding whole documents (operators/spans.py
-    decontamination_spans; gaps-and-islands merge, all-integer interval
-    arithmetic, per-doc window partitions bounded by doc length)."""
-    docs = load_table(spark, sf_dir, "documents")
-    is_bench = SA.hash_bucket(F.col("doc_id"), "bench") < _BENCH_BP
-    out = SP.decontamination_spans(
-        docs.filter(~is_bench), docs.filter(is_bench), k=_WIN_K
-    )
-    return out.select(
-        "train_doc",
-        F.col("span_start").cast("bigint").alias("span_start"),
-        F.col("span_end").cast("bigint").alias("span_end"),
-        F.col("span_tokens").cast("bigint").alias("span_tokens"),
-    ).orderBy("train_doc", "span_start")
-
-
-@register(
-    "repetition_stats",
-    oracle=f"""
-    WITH t AS ({_TOKS}),
-    head AS (
-      SELECT doc_id, len(t) AS n_tokens,
-             CASE WHEN len(t) = 0 THEN 0.0
-                  ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
-             END AS distinct_token_ratio
-      FROM t
-    ),
-    bi AS (
-      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
-      FROM t, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
-      WHERE len(t) >= 2
-    ),
-    c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
-    top AS (
-      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_share
-      FROM c GROUP BY 1
-    )
-    SELECT h.doc_id, h.n_tokens, h.distinct_token_ratio,
-           COALESCE(top.top_bigram_share, 0.0) AS top_bigram_share
-    FROM head h LEFT JOIN top ON h.doc_id = top.doc_id
-    ORDER BY h.doc_id
-    """,
-)
-def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition filters: distinct-token ratio (map-only
-    array expression) + top-bigram share (explode → two map-side-combinable
-    aggregates — linear in doc length, unlike an array-only argmax)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.repetition_stats(docs).orderBy("doc_id")
-
-
-@register(
-    "pii_scan",
-    oracle=f"""
-    SELECT source,
-           COUNT(*) AS n_docs,
-           CAST(SUM(len(regexp_extract_all(lower(text),
-             '{T.PII_PATTERNS["email"]}'))) AS BIGINT) AS n_email,
-           CAST(SUM(len(regexp_extract_all(lower(text),
-             '{T.PII_PATTERNS["phone"]}'))) AS BIGINT) AS n_phone,
-           CAST(SUM(len(regexp_extract_all(lower(text),
-             '{T.PII_PATTERNS["ipv4"]}'))) AS BIGINT) AS n_ipv4
-    FROM documents GROUP BY source ORDER BY source
-    """,
-)
-def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII audit per source: match counts for the scrub patterns
-    (operators/text.py redact_pii — email/phone/IPv4). Map + one groupBy on
-    source; the redaction itself is unit-tested on synthetic rows (this
-    corpus is PII-free, and the oracle agrees it is — both engines run the
-    same conservative dialect-portable regexes)."""
-    docs = load_table(spark, sf_dir, "documents")
-    red = T.redact_pii(docs, out_col="__red__")
-    return (
-        red.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("pii_email_count").alias("n_email"),
-            F.sum("pii_phone_count").alias("n_phone"),
-            F.sum("pii_ipv4_count").alias("n_ipv4"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Text analysis
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "token_stats",
-    oracle=f"""
-    SELECT doc_id,
-      len(text) AS n_chars_measured,
-      len(t) AS n_tokens,
-      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
-      CASE WHEN len(t) = 0 THEN 0.0
-           ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)
-      END AS avg_token_len
-    FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-          FROM documents)
-    ORDER BY doc_id
-    """,
-)
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace-word + BPE-ish regex) — all JVM-side
-    regexp, zero Python; integer counts → deterministic ratios."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.token_stats(docs).orderBy("doc_id")
-
-
-_QUALITY_CORE = f"""
-    SELECT doc_id, n_chars, len(t) AS n_tokens,
-      CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(stop_n AS DOUBLE) / len(t) END
-        AS stopword_ratio,
-      CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END
-        AS punct_ratio,
-      GREATEST(0.0, LEAST(1.0,
-        0.5 * LEAST(1.0, CAST(len(t) AS DOUBLE) / 50.0)
-        + 0.5 * LEAST(1.0, 4.0 * (CASE WHEN len(t) = 0 THEN 0.0
-                                       ELSE CAST(stop_n AS DOUBLE) / len(t) END))
-        - 2.0 * (CASE WHEN n_chars = 0 THEN 0.0
-                      ELSE CAST(n_punct AS DOUBLE) / n_chars END)))
-        AS quality_score
-    FROM (
-      SELECT doc_id, t,
-        len(text) AS n_chars,
-        len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
-        len(list_filter(t, x -> x IN {T.LANG_MARKERS['en']!r})) AS stop_n
-      FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-            FROM documents)
-    )
-"""
-
-
-@register(
-    "quality_scores",
-    oracle=f"{_QUALITY_CORE} ORDER BY doc_id",
-)
-def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-training quality filter features: length/stopword/punctuation
-    ratios folded into a clamped [0,1] score."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.quality_score(docs).orderBy("doc_id")
-
-
-_PSI_BINS, _PSI_QUANT = 10, 1_000_000
-_PSI_SPLIT = 250  # doc_id window split, same convention as the drift pair
-
-
-@register(
-    "quality_psi_drift",
-    oracle=f"""
-    WITH quality AS ({_QUALITY_CORE}),
-    binned AS (
-      SELECT doc_id,
-             LEAST({_PSI_BINS - 1},
-                   CAST(FLOOR(quality_score * {_PSI_BINS}) AS INT)) AS bin
-      FROM quality
-    ),
-    counts AS (
-      SELECT bin,
-             CAST(SUM(CASE WHEN doc_id < {_PSI_SPLIT} THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_ref,
-             CAST(SUM(CASE WHEN doc_id >= {_PSI_SPLIT} THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_cur
-      FROM binned GROUP BY bin
-    ),
-    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts),
-    rates AS (
-      SELECT c.bin, c.n_ref, c.n_cur,
-             CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + {_PSI_BINS}) AS p,
-             CAST(c.n_cur + 1 AS DOUBLE) / (t.t_cur + {_PSI_BINS}) AS q
-      FROM counts c CROSS JOIN tot t
-    )
-    SELECT bin, n_ref, n_cur, p AS rate_ref, q AS rate_cur,
-           CAST(FLOOR((p - q) * ln(p / q) * {_PSI_QUANT}) AS BIGINT)
-             AS psi_contrib_micro
-    FROM rates ORDER BY bin
-    """,
-)
-def q_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index over the quality-score distribution
-    between the reference window (doc_id < 250) and the current window —
-    THE standard production drift gauge (PSI < 0.1 stable, > 0.25 act),
-    completing the drift family (`embedding_drift` = representation
-    space, `vocab_drift_top_movers` = token space, this = quality-filter
-    space). Ten fixed-width bins; Laplace-smoothed rates from exact
-    integer counts so p/q are deterministic doubles; the per-bin
-    contribution is floor-quantized to integer micro-units exactly like
-    the surprisal operator's mnats (ln at this quantization is
-    cross-engine stable — driver-green precedent). One quality map, one
-    bin aggregate, one 2-scalar broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
-    q = T.quality_score(docs).select("doc_id", "quality_score")
-    binned = q.select(
-        "doc_id",
-        F.least(
-            F.lit(_PSI_BINS - 1),
-            F.floor(F.col("quality_score") * _PSI_BINS).cast("int"),
-        ).alias("bin"),
-    )
-    counts = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("doc_id") < _PSI_SPLIT, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_ref"),
-        F.sum(F.when(F.col("doc_id") >= _PSI_SPLIT, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_cur"),
-    )
-    tot = counts.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
-    )
-    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + _PSI_BINS)
-    qq = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + _PSI_BINS)
-    return (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "n_ref",
-            "n_cur",
-            p.alias("rate_ref"),
-            qq.alias("rate_cur"),
-            F.floor(
-                (p - qq) * F.log(p / qq) * _PSI_QUANT
-            ).cast("bigint").alias("psi_contrib_micro"),
-        )
-        .orderBy("bin")
-    )
-
-
-def _canon_url_sql() -> str:
-    """DuckDB twin of operators/text.py canonical_url — the identical
-    RE2 chain over identically-synthesized URL variants."""
-    host = (
-        "regexp_replace(lower(regexp_extract(u,"
-        " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(80|443)$', '')"
-    )
-    path = (
-        "CASE WHEN regexp_extract(u,"
-        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/'"
-        " ELSE regexp_replace(regexp_extract(u,"
-        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '(.)/$', '\\1')"
-        " END"
-    )
-    kept = (
-        "list_sort(list_filter(str_split(regexp_extract(u, '\\?([^#]*)', 1),"
-        " '&'), p -> p != '' AND NOT regexp_matches(p,"
-        f" '{T.URL_TRACKING_RE}')))"
-    )
-    return f"""
-    WITH v AS (
-      SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS var FROM documents
-    ),
-    urls AS (
-      SELECT doc_id,
-        CASE var
-          WHEN 0 THEN 'https://Example.COM/docs/' || base || '/'
-          WHEN 1 THEN 'https://example.com/docs/' || base || '?a=1&b=2'
-          WHEN 2 THEN 'https://example.com/docs/' || base
-                      || '/?b=2&a=1&utm_source=feed'
-          ELSE 'HTTPS://example.com:443/docs/' || base || '#frag'
-        END AS u
-      FROM v
-    ),
-    canon AS (
-      SELECT doc_id,
-        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
-        || {host} || {path}
-        || CASE WHEN len({kept}) > 0
-                THEN '?' || array_to_string({kept}, '&') ELSE '' END
-          AS canonical
-      FROM (SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM urls)
-    )
-    SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_urls,
-           MIN(doc_id) AS keeper
-    FROM canon GROUP BY canonical ORDER BY canonical
-    """
-
-
-@register("url_canonical_dedup", oracle=_canon_url_sql())
-def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization → exact dedup, the crawl-frontier step before
-    any content fetch: four deterministic variants per page (host case +
-    trailing slash, sorted params, unsorted params + utm tracking +
-    slash, scheme case + default port + fragment) must collapse to two
-    canonical forms per base page — one without query, one with the
-    sorted ?a=1&b=2. The chain (operators/text.py canonical_url) is
-    JVM-only, RE2-compatible, and hash-checked on the FULL canonical
-    string. Map-only + one groupBy on the canonical key."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = F.expr("doc_id div 4").cast("string")
-    var = F.col("doc_id") % 4
-    url = (
-        F.when(var == 0, F.concat(F.lit("https://Example.COM/docs/"), base, F.lit("/")))
-        .when(var == 1, F.concat(F.lit("https://example.com/docs/"), base, F.lit("?a=1&b=2")))
-        .when(
-            var == 2,
-            F.concat(
-                F.lit("https://example.com/docs/"),
-                base,
-                F.lit("/?b=2&a=1&utm_source=feed"),
-            ),
-        )
-        .otherwise(
-            F.concat(F.lit("HTTPS://example.com:443/docs/"), base, F.lit("#frag"))
-        )
-    )
-    urls = docs.select("doc_id", url.alias("u"))
-    canon = urls.select("doc_id", T.canonical_url(F.col("u")).alias("canonical"))
-    return (
-        canon.groupBy("canonical")
-        .agg(
-            F.count("*").alias("n_urls"),
-            F.min("doc_id").alias("keeper"),
-        )
-        .orderBy("canonical")
-    )
-
-
-def _bpe_sql() -> str:
-    """DuckDB twin of operators/text.py bpe_token_stats: the identical
-    merge chain (leftmost-first replace over the '|'-marker symbol
-    representation — a marker pins each symbol start, the trailing
-    space its end, so a merge never crosses a symbol boundary) inside a
-    list_transform over the word tokens."""
-    seg = "regexp_replace(w, '(.)', '|\\1 ', 'g')"
-    for a, b in T.BPE_MERGES:
-        seg = f"replace({seg}, '|{a} |{b} ', '|{a}{b} ')"
-    seg = f"trim({seg})"
-    return f"""
-    WITH t AS (
-      SELECT doc_id, length(text) AS n_chars,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(n_chars AS BIGINT) AS n_chars,
-           CAST(len(toks) AS BIGINT) AS n_words,
-           CAST(COALESCE(list_sum(list_transform(toks,
-                w -> len(str_split({seg}, ' ')))), 0) AS BIGINT)
-             AS n_bpe_tokens,
-           CASE WHEN COALESCE(list_sum(list_transform(toks,
-                     w -> len(str_split({seg}, ' ')))), 0) = 0 THEN 0.0
-                ELSE CAST(n_chars AS DOUBLE)
-                     / list_sum(list_transform(toks,
-                         w -> len(str_split({seg}, ' '))))
-           END AS chars_per_token
-    FROM t ORDER BY doc_id
-    """
-
-
-@register("bpe_token_stats", oracle=_bpe_sql())
-def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL byte-pair-encoding merge application (the GPT-2 mechanism,
-    fixed public merge table instead of a trained one): every word
-    explodes to '|'-marked characters and the merge list applies
-    left-to-right on the marker form — boundary-safe leftmost-first
-    greedy merge, same encoding as bpe_train_merges — all
-    inside one JVM projection (no Python, no explode; the chain runs in
-    a transform lambda over the token array). Output: per-doc BPE token
-    count and chars/token, the number a pipeline budgets context length
-    with. The oracle runs the identical chain, so the tokenizer itself
-    is hash-checked, not just its row count."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.bpe_token_stats(docs).orderBy("doc_id")
-
-
-# Synthetic page wrapper for the HTML-extraction query: title/nav/footer
-# boilerplate, a style block, a script whose body contains raw < and >
-# (stripping tags before scripts would corrupt it — order is part of the
-# contract), comments, and entities. The document text rides in the <p>.
-_HTML_PRE1 = (
-    '<html><head><title>Doc '
-)
-_HTML_PRE2 = (
-    '</title><style>p { color: #333; }</style>'
-    '<script type="text/javascript">var t = "x < y && y > z";</script>'
-    '</head><body><!-- layout --><nav><a href="/">Home</a> &gt; '
-    '<a href="/docs">Docs</a></nav><h1>Doc '
-)
-_HTML_PRE3 = "</h1><p>"
-_HTML_POST = (
-    "</p><footer>&copy; 2026 Example &amp; Co.&nbsp;"
-    "All rights reserved.</footer></body></html>"
-)
-
-
-def _html_extract_sql() -> str:
-    """DuckDB twin of operators/text.py html_to_text: the IDENTICAL
-    pattern/entity chain, applied to the identically-constructed page."""
-    x = "html"
-    for pat in T.HTML_STRIP_PATTERNS:
-        x = "regexp_replace(" + x + ", '" + pat + "', ' ', 'gs')"
-    for src, dst in T.HTML_ENTITIES:
-        x = "replace(" + x + ", '" + src + "', '" + dst.replace("'", "''") + "')"
-    # explicit class, NOT \s: Java \s includes \x0B, RE2 \s does not
-    x = "trim(regexp_replace(" + x + ", '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))"
-    return (
-        "WITH h AS (SELECT doc_id, "
-        "'" + _HTML_PRE1 + "' || CAST(doc_id AS VARCHAR) || "
-        "'" + _HTML_PRE2 + "' || CAST(doc_id AS VARCHAR) || "
-        "'" + _HTML_PRE3 + "' || text || '" + _HTML_POST + "' AS html "
-        "FROM documents) "
-        "SELECT doc_id, " + x + " AS text, "
-        "CAST(len(" + x + ") AS BIGINT) AS n_chars "
-        "FROM h ORDER BY doc_id"
-    )
-
-
-@register("html_extract", oracle=_html_extract_sql())
-def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML → text extraction, hash-checked on the FULL extracted string:
-    each document is wrapped in a realistic page (script body containing
-    raw ``<``/``>``, style block, comments, nav/footer boilerplate,
-    entities), then stripped by the JVM-side regexp chain
-    (operators/text.py html_to_text — RE2-compatible patterns, so DuckDB
-    runs the identical chain). The extraction stage a 100 TB crawl corpus
-    needs before any other text operator; map-only, whole-stage codegen,
-    zero Python."""
-    docs = load_table(spark, sf_dir, "documents")
-    page = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit(_HTML_PRE1),
-            F.col("doc_id").cast("string"),
-            F.lit(_HTML_PRE2),
-            F.col("doc_id").cast("string"),
-            F.lit(_HTML_PRE3),
-            F.col("text"),
-            F.lit(_HTML_POST),
-        ).alias("html"),
-    )
-    out = T.html_to_text(page)
-    return out.select(
-        "doc_id", "text", F.length("text").cast("bigint").alias("n_chars")
-    ).orderBy("doc_id")
-
-
-def _warc_extract_sql() -> str:
-    """DuckDB twin of the whole WARC pipeline: the builder is
-    deterministic (same page wrapper, status 200, chunked for odd
-    doc_id), so after the reader undoes the WARC/HTTP/chunked framing the
-    surviving content is exactly the html_extract page — the oracle
-    re-states the framing as VALUES and replays the identical strip
-    chain. Any defect in record framing, member-wise gunzip, HTTP parse,
-    or chunked decoding changes a row and breaks the hash."""
-    x = "html"
-    for pat in T.HTML_STRIP_PATTERNS:
-        x = "regexp_replace(" + x + ", '" + pat + "', ' ', 'gs')"
-    for src, dst in T.HTML_ENTITIES:
-        x = "replace(" + x + ", '" + src + "', '" + dst.replace("'", "''") + "')"
-    x = "trim(regexp_replace(" + x + ", '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))"
-    return (
-        "WITH h AS (SELECT doc_id, "
-        "'" + _HTML_PRE1 + "' || CAST(doc_id AS VARCHAR) || "
-        "'" + _HTML_PRE2 + "' || CAST(doc_id AS VARCHAR) || "
-        "'" + _HTML_PRE3 + "' || text || '" + _HTML_POST + "' AS html "
-        "FROM documents) "
-        "SELECT doc_id, 200 AS http_status, 'text/html' AS mime, "
-        "doc_id % 2 = 1 AS chunked, "
-        + x + " AS text, CAST(len(" + x + ") AS BIGINT) AS n_chars "
-        "FROM h ORDER BY doc_id"
-    )
-
-
-@register("warc_extract_stats", oracle=_warc_extract_sql())
-def q_warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC → HTTP → HTML → text, end to end — the ingest stage a 100 TB
-    crawl corpus actually starts from (Common Crawl .warc.gz: one gzip
-    member per record). Each Arrow batch of documents becomes a REAL
-    multi-member .warc.gz in-plan (sources/warc.py: warcinfo record +
-    one HTTP response record per doc, chunked transfer coding for odd
-    doc_ids — the builder-side fixture trick of the codec tier), then
-    the actual reader explodes it back to records (member-aware gunzip,
-    WARC framing, HTTP status/header parse, dechunk) and the JVM-side
-    html_to_text chain extracts the text. Map-only end to end until the
-    final sort: at scale this is binaryFile-per-task parallelism with
-    zero shuffle. Hash-checked on the FULL extracted string plus the
-    status/mime/chunked columns the reader recovered."""
-    import pandas as pd
-
-    from network_iq_spark.operators import ensure_parallelism
-    from network_iq_spark.sources import warc as W
-
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-
-    def build(it):
-        for pdf in it:
-            recs = [
-                W.build_warc_record(
-                    "warcinfo",
-                    b"software: network-iq-spark\r\n",
-                    record_seq=0,
-                    content_type="application/warc-fields",
-                )
-            ]
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                did = int(did)
-                page = (
-                    f"{_HTML_PRE1}{did}{_HTML_PRE2}{did}{_HTML_PRE3}"
-                    f"{text}{_HTML_POST}"
-                ).encode("utf-8")
-                http = W.build_http_response(
-                    page, status=200, chunked=bool(did % 2)
-                )
-                recs.append(
-                    W.build_warc_record(
-                        "response",
-                        http,
-                        target_uri=f"https://example.org/doc/{did}",
-                        record_seq=did + 1,
-                    )
-                )
-            yield pd.DataFrame({"content": [W.encode_warc_gz(recs)]})
-
-    blobs = docs.mapInPandas(build, schema="content binary")
-    recs = W.warc_records(blobs).filter(F.col("rec_type") == "response")
-    page = recs.select(
-        F.regexp_extract("target_uri", r"doc/(\d+)$", 1)
-        .cast("bigint")
-        .alias("doc_id"),
-        "http_status",
-        "mime",
-        "chunked",
-        F.col("body").cast("string").alias("html"),
-    )
-    out = T.html_to_text(page)
-    return out.select(
-        "doc_id",
-        F.col("http_status").cast("int").alias("http_status"),
-        "mime",
-        "chunked",
-        "text",
-        F.length("text").cast("bigint").alias("n_chars"),
-    ).orderBy("doc_id")
-
-
-def _lang_sql() -> str:
-    langs = list(T.LANG_MARKERS)
-    score_cols = ",\n      ".join(
-        f"CASE WHEN len(t) = 0 THEN 0.0 ELSE "
-        f"CAST(len(list_filter(t, x -> x IN {T.LANG_MARKERS[lang]!r})) AS DOUBLE)"
-        f" / len(t) END AS score_{lang}"
-        for lang in langs
-    )
-    ladder = []
-    for i, lang in enumerate(langs):
-        conds = [f"score_{lang} > 0"] + [
-            f"score_{lang} >= score_{later}" for later in langs[i + 1 :]
-        ]
-        ladder.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    ladder_sql = "\n        ".join(ladder)
-    return f"""
-    WITH scored AS (
-      SELECT doc_id,
-      {score_cols}
-      FROM ({_TOKS})
-    )
-    SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
-      CASE
-        {ladder_sql}
-        ELSE 'unknown' END AS pred_lang
-    FROM scored ORDER BY doc_id
-    """
-
-
-@register("lang_id", oracle=_lang_sql())
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-stopword language-ID heuristic with a deterministic argmax
-    ladder (ties go to the earlier language)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.lang_id(docs).orderBy("doc_id")
-
-
-# ---------------------------------------------------------------------------
-# Similarity search
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "cosine_topk",
-    oracle="""
-    WITH n AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-      FROM embeddings
-    ),
-    scored AS (
-      SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-             list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
-      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
-    )
-    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank, cos FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
-                                   ORDER BY cos DESC, n_vec_id ASC) AS rank
-      FROM scored
-    ) WHERE rank <= 10 ORDER BY q_vec_id, rank
-    """,
-)
-def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors for query vectors (vec_id < 10):
-    the ANN correctness baseline. Dot products accumulate as double in
-    element order — bit-identical across engines (verified empirically)."""
-    from network_iq_spark.operators import ensure_parallelism
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = S.with_norm(
-        ensure_parallelism(emb.select("vec_id", S.as_double_vec("embedding").alias("v")))
-    )
-    queries = vecs.filter(F.col("vec_id") < 10)
-    return S.cosine_topk_bruteforce(queries, vecs, k=10).orderBy("q_vec_id", "rank")
-
-
-_ND_TABLES, _ND_PLANES, _ND_THRESHOLD = 4, 8, 0.30
-
-
-def _int_sig_ctes(n_tables: int, n_planes: int) -> str:
-    """Shared CTE chain reproducing int_lsh_signatures in SQL: splitmix
-    integer-weight derivation (128-bit arithmetic with a 32-bit split for
-    the 64x64 multiply), floor(x*2^20+0.5) quantization, integer-dot bucket
-    bits. Ends with ``sigs(vec_id, t, bucket)``."""
-    return f"""params AS (
-      SELECT t.range::HUGEINT AS t, p.range::HUGEINT AS p, i.range::HUGEINT AS i
-      FROM range({n_tables}) t, range({n_planes}) p, range(64) i
-    ),
-    h0 AS (
-      SELECT t, p, i,
-        ((42 + t*7919) * 11400714819323198485::HUGEINT
-          + p * 13787848793156543929::HUGEINT
-          + i * 10723151780598845931::HUGEINT)
-          % 18446744073709551616::HUGEINT AS x0
-      FROM params
-    ),
-    h1 AS ( SELECT t, p, i, xor(x0, x0 >> 31) AS x1 FROM h0 ),
-    h2 AS (
-      SELECT t, p, i,
-        ((x1 % 4294967296::HUGEINT) * 15485907386658061715::HUGEINT
-         + (((x1 // 4294967296::HUGEINT) * 15485907386658061715::HUGEINT)
-            % 4294967296::HUGEINT) * 4294967296::HUGEINT
-        ) % 18446744073709551616::HUGEINT AS x2
-      FROM h1
-    ),
-    weights AS (
-      SELECT CAST(t AS INT) AS t, CAST(p AS INT) AS p, CAST(i AS INT) AS i,
-             CAST((xor(x2, x2 >> 27) % 16) - 8 AS BIGINT) AS w
-      FROM h2
-    ),
-    qvecs AS (
-      SELECT vec_id,
-             [CAST(FLOOR(x*1048576.0+0.5) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS qv
-      FROM embeddings
-    ),
-    comps AS (
-      SELECT q.vec_id, w.t, w.p, SUM(q.qv[w.i+1] * w.w) AS dot
-      FROM qvecs q, weights w GROUP BY q.vec_id, w.t, w.p
-    ),
-    sigs AS (
-      SELECT vec_id, t,
-             CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
-                  AS BIGINT) AS bucket
-      FROM comps GROUP BY vec_id, t
-    )"""
-
-
-def _near_dup_sql(n_tables: int, n_planes: int, threshold: float) -> str:
-    """DuckDB twin of operators/similarity.py near_dup_pairs: the shared
-    signature CTEs plus the (table,bucket) candidate join and the
-    element-order double cosine — the whole approximation, not just the
-    verify stage, so the hash compare is exact by construction."""
-    return f"""
-    WITH {_int_sig_ctes(n_tables, n_planes)},
-    cand AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM sigs a JOIN sigs b
-        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ),
-    n AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-      FROM embeddings
-    )
-    SELECT * FROM (
-      SELECT id_a, id_b, list_dot_product(a.v, b.v)/(a.norm*b.norm) AS cos
-      FROM cand JOIN n a ON a.vec_id = cand.id_a JOIN n b ON b.vec_id = cand.id_b
-    ) WHERE cos >= {threshold} ORDER BY id_a, id_b
-    """
-
-
-@register(
-    "embedding_near_dup",
-    oracle=_near_dup_sql(_ND_TABLES, _ND_PLANES, _ND_THRESHOLD),
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs — the dedup family's embedding
-    modality (alongside exact/MinHash/SimHash/Jaccard): integerized
-    hyperplane LSH candidates, exact cosine verify at threshold
-    (operators/similarity.py near_dup_pairs). The oracle replays the exact
-    bucketing, so this is full-pipeline parity, not verify-stage-only."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.near_dup_pairs(
-        emb,
-        dim=64,
-        threshold=_ND_THRESHOLD,
-        n_planes=_ND_PLANES,
-        n_tables=_ND_TABLES,
-    ).orderBy("id_a", "id_b")
-
-
-_IVF_CELLS, _IVF_NPROBE, _IVF_K = 16, 4, 10
-
-
-def _ivf_sql(n_cells: int, nprobe: int, k: int) -> str:
-    """DuckDB twin of operators/similarity.py cosine_topk_ivf: seeded
-    centroid pick (smallest md5-hash ids), nearest-centroid assignment with
-    (cos DESC, c_id ASC) tie order, nprobe probe list, exact in-cell cosine.
-    Every stage is deterministic, so the compare is exact by construction."""
-    cent_h = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
-    return f"""
-    WITH n AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-      FROM embeddings
-    ),
-    cent AS (
-      SELECT vec_id AS c_id, v AS cv, norm AS cn
-      FROM n ORDER BY {cent_h}, vec_id LIMIT {n_cells}
-    ),
-    assign AS (
-      SELECT vec_id AS n_vec_id, c_id AS cell FROM (
-        SELECT n.vec_id, c.c_id,
-               ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cn) DESC,
-                          c.c_id ASC) AS rn
-        FROM n, cent c
-      ) WHERE rn = 1
-    ),
-    probes AS (
-      SELECT vec_id AS q_vec_id, c_id AS cell FROM (
-        SELECT n.vec_id, c.c_id,
-               ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cn) DESC,
-                          c.c_id ASC) AS rn
-        FROM n, cent c WHERE n.vec_id < 10
-      ) WHERE rn <= {nprobe}
-    ),
-    scored AS (
-      SELECT p.q_vec_id, a.n_vec_id,
-             list_dot_product(q.v, m.v) / (q.norm * m.norm) AS cos
-      FROM probes p
-      JOIN assign a ON a.cell = p.cell AND a.n_vec_id != p.q_vec_id
-      JOIN n q ON q.vec_id = p.q_vec_id
-      JOIN n m ON m.vec_id = a.n_vec_id
-    )
-    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank, cos FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
-                                   ORDER BY cos DESC, n_vec_id ASC) AS rank
-      FROM scored
-    ) WHERE rank <= {k} ORDER BY q_vec_id, rank
-    """
-
-
-@register("ivf_cosine_topk", oracle=_ivf_sql(_IVF_CELLS, _IVF_NPROBE, _IVF_K))
-def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 for query vectors (vec_id < 10): the centroid-bucketed
-    sibling of the hyperplane-LSH path. Deterministic seeded centroids make
-    the whole approximation oracle-checkable (not just rows-only): centroid
-    pick, cell assignment, probe list, and in-cell scores all replay in SQL.
-    Scale shape: centroids broadcast, corpus shuffles once on cell id,
-    queries broadcast, exact cosine touches ~nprobe/n_cells of the corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
-    queries = emb.select("vec_id").filter(F.col("vec_id") < 10)
-    return S.cosine_topk_ivf(
-        corpus,
-        queries,
-        n_cells=_IVF_CELLS,
-        nprobe=_IVF_NPROBE,
-        k=_IVF_K,
-        vec_col="v",
-    ).orderBy("q_vec_id", "rank")
-
-
-_IVFD_CELLS, _IVFD_GROUPS, _IVFD_NPROBE, _IVFD_K = 16, 4, 4, 10
-_IVFD_SCALE = "1000000.0"
-
-
-def _ivf_dist_sql(n_cells: int, g: int, nprobe: int, k: int) -> str:
-    """DuckDB twin of the DISTRIBUTED two-level IVF path
-    (operators/similarity.py ivf_assign_dist + cosine_topk_ivf): vectors
-    quantized to integer-valued doubles (floor(x*1e6+0.5)) so every dot
-    product is exact in float64 regardless of summation order — which is
-    what makes the matmul-assigned cells bit-replayable in SQL. Stages:
-    seeded centroid pick → seeded √k rep pick → centroid-group resolution
-    (rep pinned to own group) → vector-group resolution → in-group argmax
-    (the inverted file) → flat probe list for queries → exact in-cell
-    cosine top-k."""
-    cent_h = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
-    rep_h = _sql_hex_int("md5(CAST(c_id AS VARCHAR))", 12)
-    return f"""
-    WITH nn AS (
-      SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-                            x -> floor(x * {_IVFD_SCALE} + 0.5)) AS v
-      FROM embeddings
-    ),
-    n AS (
-      -- gn mirrors the Spark assigner's zero-norm guard (norm==0 -> 1.0,
-      -- operators/similarity.py ivf_assign_dist): guarded norms drive the
-      -- group-resolution/assignment stages only; probes + final scoring
-      -- divide by the RAW norm exactly like the Spark plan
-      SELECT vec_id, v, norm,
-             CASE WHEN norm = 0 THEN 1.0 ELSE norm END AS gn
-      FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM nn)
-    ),
-    cent AS (
-      SELECT vec_id AS c_id, v AS cv, norm AS cn, gn AS gcn
-      FROM n ORDER BY {cent_h}, vec_id LIMIT {n_cells}
-    ),
-    reps AS (
-      SELECT c_id AS rep_id, cv AS rv, gcn AS grn
-      FROM cent ORDER BY {rep_h}, c_id LIMIT {g}
-    ),
-    cgrp AS (
-      SELECT c_id, cv, gcn,
-             CASE WHEN c_id IN (SELECT rep_id FROM reps)
-                  THEN c_id ELSE best_rep END AS grp
-      FROM (
-        SELECT c.c_id, c.cv, c.gcn, r.rep_id AS best_rep,
-               ROW_NUMBER() OVER (PARTITION BY c.c_id
-                 ORDER BY list_dot_product(c.cv, r.rv) / (c.gcn * r.grn) DESC,
-                          r.rep_id ASC) AS rk
-        FROM cent c, reps r
-      ) WHERE rk = 1
-    ),
-    vgrp AS (
-      SELECT vec_id, grp FROM (
-        SELECT n.vec_id, r.rep_id AS grp,
-               ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                 ORDER BY list_dot_product(n.v, r.rv) / (n.gn * r.grn) DESC,
-                          r.rep_id ASC) AS rk
-        FROM n, reps r
-      ) WHERE rk = 1
-    ),
-    assign AS (
-      SELECT vec_id AS n_vec_id, c_id AS cell FROM (
-        SELECT n.vec_id, c.c_id,
-               ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                 ORDER BY list_dot_product(n.v, c.cv) / (n.gn * c.gcn) DESC,
-                          c.c_id ASC) AS rk
-        FROM n
-        JOIN vgrp ON vgrp.vec_id = n.vec_id
-        JOIN cgrp c ON c.grp = vgrp.grp
-      ) WHERE rk = 1
-    ),
-    probes AS (
-      SELECT vec_id AS q_vec_id, c_id AS cell FROM (
-        SELECT n.vec_id, c.c_id,
-               ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cn) DESC,
-                          c.c_id ASC) AS rk
-        FROM n, cent c WHERE n.vec_id < 10
-      ) WHERE rk <= {nprobe}
-    ),
-    scored AS (
-      SELECT p.q_vec_id, a.n_vec_id,
-             list_dot_product(q.v, m.v) / (q.norm * m.norm) AS cos
-      FROM probes p
-      JOIN assign a ON a.cell = p.cell AND a.n_vec_id != p.q_vec_id
-      JOIN n q ON q.vec_id = p.q_vec_id
-      JOIN n m ON m.vec_id = a.n_vec_id
-    )
-    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank, cos FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
-                                   ORDER BY cos DESC, n_vec_id ASC) AS rank
-      FROM scored
-    ) WHERE rank <= {k} ORDER BY q_vec_id, rank
-    """
-
-
-@register(
-    "ivf_centroid_join_topk",
-    oracle=_ivf_dist_sql(_IVFD_CELLS, _IVFD_GROUPS, _IVFD_NPROBE, _IVFD_K),
-)
-def q_ivf_centroid_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 whose inverted file is built by the DISTRIBUTED
-    two-level assigner (ivf_assign_dist): only the √k super-reps ride the
-    task closure; centroids stay a DataFrame and vectors meet their winning
-    group's centroid shard in a cogrouped equi-join — the 100 TB execution
-    of cell assignment (no driver-side centroid materialization, verified
-    by test_plan_quality). Embeddings are quantized to integer-valued
-    doubles (floor(x*1e6+0.5), Spark expression) so every dot product —
-    including the numpy matmuls inside the cogroup UDF — is exact in
-    float64, making the whole approximate structure hash-replayable by the
-    DuckDB oracle rather than rows-only."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    import functools
-
-    quant = F.expr(
-        f"transform(embedding, x -> floor(cast(x as double) * {_IVFD_SCALE} + 0.5))"
-    )
-    corpus = emb.select("vec_id", quant.alias("v"))
-    queries = emb.select("vec_id").filter(F.col("vec_id") < 10)
-    return S.cosine_topk_ivf(
-        corpus,
-        queries,
-        n_cells=_IVFD_CELLS,
-        nprobe=_IVFD_NPROBE,
-        k=_IVFD_K,
-        vec_col="v",
-        assigner=functools.partial(
-            S.ivf_assign_dist, n_groups=_IVFD_GROUPS, n_centroids=_IVFD_CELLS
-        ),
-    ).orderBy("q_vec_id", "rank")
-
-
-_PQ_M, _PQ_K, _PQ_DIM, _PQ_TOPK, _PQ_NQ = 8, 64, 64, 10, 10
-
-
-def _pq_core_sql() -> str:
-    """Shared WITH-block of the PQ oracles: quantize → seeded codebook →
-    per-subspace argmin codes → per-query lookup tables → ADC sums."""
-    hexi = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
-    sub = _PQ_DIM // _PQ_M
-    d2 = (
-        "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b}))"
-    )
-    ss = ", ".join(str(i) for i in range(_PQ_M))
-    return f"""
-    WITH nn AS (
-      SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-                            x -> floor(x * {_IVFD_SCALE} + 0.5)) AS v
-      FROM embeddings
-    ),
-    seeds AS (
-      SELECT vec_id, v,
-             ROW_NUMBER() OVER (ORDER BY {hexi}, vec_id) - 1 AS j
-      FROM nn ORDER BY {hexi}, vec_id LIMIT {_PQ_K}
-    ),
-    ss AS (SELECT unnest([{ss}]) AS s),
-    cb AS (
-      SELECT ss.s, seeds.j,
-             list_slice(v, ss.s * {sub} + 1, ss.s * {sub} + {sub}) AS cv
-      FROM seeds, ss
-    ),
-    subs AS (
-      SELECT vec_id, ss.s,
-             list_slice(v, ss.s * {sub} + 1, ss.s * {sub} + {sub}) AS sv
-      FROM nn, ss
-    ),
-    codes AS (
-      SELECT vec_id, s, j AS code FROM (
-        SELECT sub.vec_id, sub.s, cb.j,
-               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
-                 ORDER BY {d2.format(a="sub.sv", b="cb.cv")} ASC, cb.j ASC
-               ) AS rk
-        FROM subs sub JOIN cb ON cb.s = sub.s
-      ) WHERE rk = 1
-    ),
-    lut AS (
-      SELECT sub.vec_id AS q_vec_id, cb.s, cb.j,
-             {d2.format(a="sub.sv", b="cb.cv")} AS pd
-      FROM subs sub JOIN cb ON cb.s = sub.s
-      WHERE sub.vec_id < {_PQ_NQ}
-    ),
-    scored AS (
-      SELECT l.q_vec_id, c.vec_id AS n_vec_id, SUM(l.pd) AS adist
-      FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
-      WHERE c.vec_id != l.q_vec_id
-      GROUP BY 1, 2
-    )
-    """
-
-
-def _pq_adc_sql() -> str:
-    """DuckDB twin of the raw ADC path (operators/similarity.py
-    pq_codebook/pq_encode/pq_adc_topk): integer-quantized vectors make
-    every squared-L2 exact, so the codebook seeding, per-subspace argmin
-    encoding, and ADC lookup-sum all hash-replay."""
-    return f"""{_pq_core_sql()}
-    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank,
-           CAST(adist AS BIGINT) AS adist
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
-                                   ORDER BY adist ASC, n_vec_id ASC) AS rank
-      FROM scored
-    ) WHERE rank <= {_PQ_TOPK} ORDER BY q_vec_id, rank
-    """
-
-
-# measured on sf0.01 (tests/test_similarity.py pins the floor):
-# k_codes=16/rerank=50 -> recall 0.45; 16/200 -> 0.82; 64/200 -> 0.94
-_PQ_RERANK = 200
-
-
-def _pq_rerank_sql() -> str:
-    """DuckDB twin of pq_rerank_topk: ADC top-{rerank} candidates, exact
-    squared-L2 rescoring on just those rows, exact top-k."""
-    d2 = (
-        "(list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, n.v)"
-        " + list_dot_product(n.v, n.v))"
-    )
-    return f"""{_pq_core_sql()},
-    cand AS (
-      SELECT q_vec_id, n_vec_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
-                                     ORDER BY adist ASC, n_vec_id ASC) AS rk
-        FROM scored
-      ) WHERE rk <= {_PQ_RERANK}
-    ),
-    rescored AS (
-      SELECT c.q_vec_id, c.n_vec_id, {d2} AS d2
-      FROM cand c
-      JOIN nn q ON q.vec_id = c.q_vec_id
-      JOIN nn n ON n.vec_id = c.n_vec_id
-    )
-    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank,
-           CAST(d2 AS BIGINT) AS d2
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
-                                   ORDER BY d2 ASC, n_vec_id ASC) AS rank
-      FROM rescored
-    ) WHERE rank <= {_PQ_TOPK} ORDER BY q_vec_id, rank
-    """
-
-
-_RECENTER_CELLS = 8
-_RECENTER_D2 = (
-    "list_sum(list_transform(generate_series(1, 64), "
-    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-)
-# same 0..255 quantization as _IMG_QUANT_SQL (defined later in the file —
-# the media fixtures section); duplicated here because oracles are built
-# at module-definition time
-_RECENTER_QUANT_SQL = (
-    "list_transform(embedding::DOUBLE[], x -> CAST(floor("
-    "((least(greatest(x, -1.0), 1.0)) + 1.0) / 2.0 * 255.0 + 0.5) AS BIGINT))"
-)
-
-
-@register(
-    "ivf_int_recenter_stats",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id, {_RECENTER_QUANT_SQL} AS qv FROM embeddings
-    ),
-    seeds AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, qv AS c
-      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {_RECENTER_CELLS})
-    ),
-    a0 AS (
-      SELECT vec_id, cell_id AS old_cell FROM (
-        SELECT v.vec_id, s.cell_id,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_RECENTER_D2.format(a="v.qv", b="s.c")} ASC,
-                          s.cell_id ASC) AS rk
-        FROM q v, seeds s
-      ) WHERE rk = 1
-    ),
-    sums AS (
-      SELECT a.old_cell, g.i AS dim,
-             CAST(SUM(v.qv[g.i]) AS BIGINT) AS s, COUNT(*) AS n
-      FROM a0 a JOIN q v ON v.vec_id = a.vec_id,
-           LATERAL unnest(generate_series(1, 64)) AS g(i)
-      GROUP BY 1, 2
-    ),
-    newc AS (
-      SELECT old_cell AS cell_id, CAST(MAX(n) AS BIGINT) AS n_members,
-             list(s // n ORDER BY dim) AS c
-      FROM sums GROUP BY 1
-    ),
-    moved AS (
-      SELECT n.cell_id, n.n_members,
-             CAST({_RECENTER_D2.format(a="n.c", b="s.c")} AS BIGINT)
-               AS moved_l2_units
-      FROM newc n JOIN seeds s ON s.cell_id = n.cell_id
-    ),
-    a1 AS (
-      SELECT vec_id, cell_id AS new_cell FROM (
-        SELECT v.vec_id, n.cell_id,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_RECENTER_D2.format(a="v.qv", b="n.c")} ASC,
-                          n.cell_id ASC) AS rk
-        FROM q v, newc n
-      ) WHERE rk = 1
-    ),
-    churn AS (
-      SELECT a0.old_cell AS cell_id,
-             CAST(SUM(CASE WHEN a1.new_cell != a0.old_cell
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_reassigned
-      FROM a0 JOIN a1 ON a1.vec_id = a0.vec_id GROUP BY 1
-    )
-    SELECT m.cell_id, m.n_members, m.moved_l2_units, c.n_reassigned
-    FROM moved m JOIN churn c ON c.cell_id = m.cell_id ORDER BY m.cell_id
-    """,
-)
-def q_ivf_int_recenter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index maintenance, oracle-checked (r9): one integer-exact
-    Lloyd re-centering step over the int-quantized corpus
-    (operators/similarity.py ivf_int_recenter). seed_centroids'
-    docstring rules float centroid updates out of scope because float
-    summation order breaks cross-engine parity — integer quantization
-    lifts that restriction: assignment is integer squared-L2, the new
-    centroid is the per-dim floor-mean, and the whole maintenance pass
-    (drift magnitude per cell + the churn the next assignment would
-    perform) hashes identically in both engines. This is the nightly
-    index-health job a 100 TB vector deployment runs against the
-    incremental tier's ever-appending inverted lists."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as bigint))"
-    )
-    qvecs = emb.select("vec_id", quant.alias("q"))
-    return S.ivf_int_recenter(qvecs, n_cells=_RECENTER_CELLS).orderBy("cell_id")
-
-
-@register("ann_pq_adc_topk", oracle=_pq_adc_sql())
-def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric-distance scoring — the
-    COMPRESSED-vector tier of IVF-PQ, the structure that actually fits a
-    100 TB corpus's index in cluster RAM (m·log2(k) bits per vector vs
-    full floats): seeded per-subspace codebooks (`pq_codebook`), map-side
-    argmin encoding (`pq_encode`), then ADC top-k where the corpus side
-    touches only its (id, subspace, code) rows and each query's m·k
-    lookup table broadcasts (`pq_adc_topk`). Integer quantization makes
-    every squared-L2 exact in float64, so the entire approximate
-    structure hash-replays in the DuckDB oracle. Recall vs the exact
-    scorer is pinned in tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        f"transform(embedding, x -> floor(cast(x as double) * {_IVFD_SCALE} + 0.5))"
-    )
-    corpus = emb.select("vec_id", quant.alias("v"))
-    queries = emb.select("vec_id").filter(F.col("vec_id") < _PQ_NQ)
-    return S.pq_adc_topk(
-        corpus, queries, m=_PQ_M, k_codes=_PQ_K, dim=_PQ_DIM, k=_PQ_TOPK
-    ).orderBy("q_vec_id", "rank")
-
-
-# measured recall@10 vs exact squared-L2 on sf0.01 (floor pinned in
-# tests/test_similarity.py): 16 seeded cells / nprobe 4 -> 0.47; 64 seeded
-# cells / nprobe 16 -> 0.65; 64 cells + ONE integer-Lloyd round / nprobe 16
-# -> 0.80 while touching only ~8% of the corpus (refinement converged —
-# a second round measured identical)
-_IVFPQ_CELLS, _IVFPQ_NPROBE, _IVFPQ_RERANK, _IVFPQ_LLOYD = 64, 16, 100, 1
-
-
-def _ivfpq_sql() -> str:
-    """DuckDB twin of operators/similarity.py ivfpq_topk: flat seeded IVF
-    (cosine cell assignment + nprobe probes) pruning the corpus, PQ/ADC
-    scoring restricted to probed-cell members, exact rerank on the
-    shortlist. Every stage integer-exact."""
-    hexi = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
-    d2 = (
-        "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b}))"
-    )
-    sub = _PQ_DIM // _PQ_M
-    ss = ", ".join(str(i) for i in range(_PQ_M))
-    ex_d2 = (
-        "(list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, n.v)"
-        " + list_dot_product(n.v, n.v))"
-    )
-    return f"""
-    WITH nn AS (
-      SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-                            x -> floor(x * {_IVFD_SCALE} + 0.5)) AS v
-      FROM embeddings
-    ),
-    cent0 AS (
-      SELECT vec_id AS c_id, v AS cv
-      FROM nn ORDER BY {hexi}, vec_id LIMIT {_IVFPQ_CELLS}
-    ),
-    inv0 AS (
-      SELECT vec_id, c_id AS cell FROM (
-        SELECT nn.vec_id, c.c_id,
-               ROW_NUMBER() OVER (PARTITION BY nn.vec_id
-                 ORDER BY {d2.format(a="nn.v", b="c.cv")} ASC,
-                          c.c_id ASC) AS rk
-        FROM nn, cent0 c
-      ) WHERE rk = 1
-    ),
-    -- one integer-Lloyd round: centroid := floor(per-dim member mean)
-    mem AS (
-      SELECT i0.cell, unnest(nn.v) AS val,
-             unnest(range(1, len(nn.v) + 1)) AS di
-      FROM inv0 i0 JOIN nn ON nn.vec_id = i0.vec_id
-    ),
-    cstat AS (
-      SELECT cell, di, floor(SUM(val) / COUNT(*)) AS cval
-      FROM mem GROUP BY cell, di
-    ),
-    cent AS (
-      SELECT cell AS c_id, list(cval ORDER BY di) AS cv
-      FROM cstat GROUP BY cell
-    ),
-    inv AS (
-      SELECT vec_id AS n_vec_id, c_id AS cell FROM (
-        SELECT nn.vec_id, c.c_id,
-               ROW_NUMBER() OVER (PARTITION BY nn.vec_id
-                 ORDER BY {d2.format(a="nn.v", b="c.cv")} ASC,
-                          c.c_id ASC) AS rk
-        FROM nn, cent c
-      ) WHERE rk = 1
-    ),
-    probes AS (
-      SELECT vec_id AS q_vec_id, c_id AS cell FROM (
-        SELECT nn.vec_id, c.c_id,
-               ROW_NUMBER() OVER (PARTITION BY nn.vec_id
-                 ORDER BY {d2.format(a="nn.v", b="c.cv")} ASC,
-                          c.c_id ASC) AS rk
-        FROM nn, cent c WHERE nn.vec_id < {_PQ_NQ}
-      ) WHERE rk <= {_IVFPQ_NPROBE}
-    ),
-    cand AS (
-      SELECT p.q_vec_id, i.n_vec_id
-      FROM probes p JOIN inv i ON i.cell = p.cell
-      WHERE i.n_vec_id != p.q_vec_id
-    ),
-    seeds AS (
-      SELECT vec_id, v,
-             ROW_NUMBER() OVER (ORDER BY {hexi}, vec_id) - 1 AS j
-      FROM nn ORDER BY {hexi}, vec_id LIMIT {_PQ_K}
-    ),
-    ss AS (SELECT unnest([{ss}]) AS s),
-    cb AS (
-      SELECT ss.s, seeds.j,
-             list_slice(v, ss.s * {sub} + 1, ss.s * {sub} + {sub}) AS cv
-      FROM seeds, ss
-    ),
-    subs AS (
-      SELECT vec_id, ss.s,
-             list_slice(v, ss.s * {sub} + 1, ss.s * {sub} + {sub}) AS sv
-      FROM nn, ss
-    ),
-    codes AS (
-      SELECT vec_id, s, j AS code FROM (
-        SELECT sub.vec_id, sub.s, cb.j,
-               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
-                 ORDER BY {d2.format(a="sub.sv", b="cb.cv")} ASC, cb.j ASC
-               ) AS rk
-        FROM subs sub JOIN cb ON cb.s = sub.s
-      ) WHERE rk = 1
-    ),
-    lut AS (
-      SELECT sub.vec_id AS q_vec_id, cb.s, cb.j,
-             {d2.format(a="sub.sv", b="cb.cv")} AS pd
-      FROM subs sub JOIN cb ON cb.s = sub.s
-      WHERE sub.vec_id < {_PQ_NQ}
-    ),
-    adc AS (
-      SELECT cand.q_vec_id, cand.n_vec_id, SUM(l.pd) AS adist
-      FROM cand
-      JOIN codes c ON c.vec_id = cand.n_vec_id
-      JOIN lut l ON l.q_vec_id = cand.q_vec_id
-                AND l.s = c.s AND l.j = c.code
-      GROUP BY 1, 2
-    ),
-    shortlist AS (
-      SELECT q_vec_id, n_vec_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
-                                     ORDER BY adist ASC, n_vec_id ASC) AS rk
-        FROM adc
-      ) WHERE rk <= {_IVFPQ_RERANK}
-    ),
-    rescored AS (
-      SELECT s.q_vec_id, s.n_vec_id, {ex_d2} AS d2
-      FROM shortlist s
-      JOIN nn q ON q.vec_id = s.q_vec_id
-      JOIN nn n ON n.vec_id = s.n_vec_id
-    )
-    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank,
-           CAST(d2 AS BIGINT) AS d2
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
-                                   ORDER BY d2 ASC, n_vec_id ASC) AS rank
-      FROM rescored
-    ) WHERE rank <= {_PQ_TOPK} ORDER BY q_vec_id, rank
-    """
-
-
-@register("ann_ivfpq_topk", oracle=_ivfpq_sql())
-def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-k — the full deployment layout for vector search over a
-    100 TB corpus: a 64-cell coarse quantizer refined by ONE integer-
-    exact Lloyd round (floor-mean centroids — +0.15 recall over seeded
-    cells at identical nprobe, still SQL-replayable) prunes each query to
-    16 probed cells (~8% of the corpus), PQ codes (64 codewords × 8
-    subspaces) score only those members in the compressed domain, and
-    exact squared-L2 re-ranks the 100-candidate shortlist. Composition
-    of independently oracle-proven stages; integer-exact throughout, so
-    the ENTIRE index structure — refined centroids, cells, codes, lookup
-    tables, shortlists — hash-replays in the DuckDB oracle. Measured
-    recall@10 = 0.80, floor pinned in tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        f"transform(embedding, x -> floor(cast(x as double) * {_IVFD_SCALE} + 0.5))"
-    )
-    corpus = emb.select("vec_id", quant.alias("v"))
-    queries = emb.select("vec_id").filter(F.col("vec_id") < _PQ_NQ)
-    return S.ivfpq_topk(
-        corpus,
-        queries,
-        n_cells=_IVFPQ_CELLS,
-        nprobe=_IVFPQ_NPROBE,
-        m=_PQ_M,
-        k_codes=_PQ_K,
-        dim=_PQ_DIM,
-        k=_PQ_TOPK,
-        rerank=_IVFPQ_RERANK,
-        lloyd_rounds=_IVFPQ_LLOYD,
-    ).orderBy("q_vec_id", "rank")
-
-
-@register("ann_pq_rerank_topk", oracle=_pq_rerank_sql())
-def q_ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage PQ search, the shape production vector stores run: the
-    compressed-domain ADC pass preselects a candidate set per query
-    (touching only (id, subspace, code) rows), then exact squared-L2
-    re-scores just those Q·rerank rows from raw vectors. Recall losses
-    of the coarse seeded quantizer mostly vanish — the true neighbors
-    only have to survive into the candidate set, not the final top-k
-    (measured 0.94 recall@10 at k_codes=64/rerank=200 vs 0.20 for raw
-    ADC; floor pinned in tests/test_similarity.py). Fully
-    hash-replayable: both stages are exact integer arithmetic."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        f"transform(embedding, x -> floor(cast(x as double) * {_IVFD_SCALE} + 0.5))"
-    )
-    corpus = emb.select("vec_id", quant.alias("v"))
-    queries = emb.select("vec_id").filter(F.col("vec_id") < _PQ_NQ)
-    return S.pq_rerank_topk(
-        corpus,
-        queries,
-        m=_PQ_M,
-        k_codes=_PQ_K,
-        dim=_PQ_DIM,
-        k=_PQ_TOPK,
-        rerank=_PQ_RERANK,
-    ).orderBy("q_vec_id", "rank")
-
-
-@register(
-    "embedding_label_stats",
-    oracle="""
-    SELECT label,
-      COUNT(*) AS n,
-      (CAST(SUM(CAST(FLOOR(
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-         * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)))
-        AS avg_norm,
-      MIN(len(embedding)) AS min_dim,
-      MAX(len(embedding)) AS max_dim
-    FROM embeddings GROUP BY label ORDER BY label
-    """,
-)
-def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding stats (norm distribution, dimensionality check) —
-    the sanity pass a vector pipeline runs before indexing."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = S.with_norm(emb.select("label", S.as_double_vec("embedding").alias("v")))
-    return (
-        vecs.groupBy("label")
-        .agg(
-            F.count("*").alias("n"),
-            (
-                F.sum(
-                    F.floor(F.col("norm") * 1000000.0 + F.lit(0.5)).cast("bigint")
-                ).cast("double")
-                / (F.lit(1000000.0) * F.count("*"))
-            ).alias("avg_norm"),
-            F.min(F.size("v")).alias("min_dim"),
-            F.max(F.size("v")).alias("max_dim"),
-        )
-        .orderBy("label")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Multimodal binary plumbing
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "multimodal_features",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           sha256(text) AS payload_sha256,
-           CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'ok' END
-             AS decode_status
-    FROM documents ORDER BY media_id
-    """,
-)
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column pipeline: opaque payload → Arrow-batched ``mapInPandas``
-    feature extraction (byte length, content hash, stubbed decode). The
-    Python stage is real — schema, batching, UDF signature — only the codec
-    call is stubbed (no media libs in this container)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return M.extract_features(M.documents_as_media(docs)).orderBy("media_id")
-
-
-_IMG_SIDE, _IMG_OUT = 8, 4  # 64-dim embedding -> 8x8 gray -> 4x4 resize
-# center-aligned nearest-neighbor survivors: floor((i+0.5)*8/4) = 2i+1
-# -> rows/cols {1,3,5,7}; DuckDB list indexing is 1-based
-_IMG_KEEP_1BASED = [
-    _IMG_SIDE * r + c + 1
-    for r in (1, 3, 5, 7)
-    for c in (1, 3, 5, 7)
-]
-_IMG_QUANT_SQL = (
-    "list_transform(embedding::DOUBLE[], x -> CAST(floor("
-    "((least(greatest(x, -1.0), 1.0)) + 1.0) / 2.0 * 255.0 + 0.5) AS BIGINT))"
-)
-
-
-@register(
-    "decoded_image_stats",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
-    )
-    SELECT media_id,
-           {_IMG_OUT} AS out_w, {_IMG_OUT} AS out_h,
-           ({' + '.join(f'px[{i}]' for i in _IMG_KEEP_1BASED)}) AS px_sum,
-           CAST(({' + '.join(f'px[{i}]' for i in _IMG_KEEP_1BASED)}) AS DOUBLE)
-             / {_IMG_OUT * _IMG_OUT}.0 AS px_mean
-    FROM q ORDER BY media_id
-    """,
-)
-def q_decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode, end to end and hash-checked: each embedding is
-    quantized to 8-bit pixels (Spark expressions — both engines evaluate
-    the identical doubles), encoded as an actual PGM image in an Arrow
-    batch, pushed through resize_media's decode → center-aligned
-    nearest-neighbor resample → PNM re-encode (operators/multimodal.py,
-    pure numpy), and the OUTPUT BYTES are decoded again for the stats.
-    The oracle never sees an image: it computes the same stats from the
-    16 surviving pixel positions directly, so any defect in the codec,
-    the resample index math, or the re-encode shows up as a hash
-    mismatch. All stages MAP-ONLY (zero shuffles before the final sort)."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.multimodal import decode_image, encode_pnm
-
-    side = _IMG_SIDE
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-
-    def build(it):
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        encode_pnm(
-                            np.asarray(list(p), dtype=np.uint8).reshape(side, side)
-                        )
-                        for p in pdf["px"]
-                    ],
-                    "media_type": "image",
-                    "width": np.int32(side),
-                    "height": np.int32(side),
-                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
-                }
-            )
-
-    media = src.mapInPandas(
-        build,
-        schema="media_id bigint, payload binary, media_type string, "
-        "width int, height int, duration_ms int",
-    )
-    resized = M.resize_media(media, _IMG_OUT, _IMG_OUT)
-
-    def stats(it):
-        for pdf in it:
-            out_w, out_h, sums = [], [], []
-            for p in pdf["payload"]:
-                img = decode_image(bytes(p))
-                out_h.append(img.shape[0])
-                out_w.append(img.shape[1])
-                sums.append(int(img.sum()))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "out_w": pd.array(out_w, dtype="int32"),
-                    "out_h": pd.array(out_h, dtype="int32"),
-                    "px_sum": pd.array(sums, dtype="int64"),
-                    "px_mean": [s / (_IMG_OUT * _IMG_OUT) for s in sums],
-                }
-            )
-
-    return resized.mapInPandas(
-        stats,
-        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
-        "px_mean double",
-    ).orderBy("media_id")
-
-
-_PNG_OUT = 2
-# center-aligned nearest-neighbor survivors for 8 -> 2: floor((i+0.5)*8/2)
-# -> rows/cols {2, 6}; DuckDB list indexing is 1-based
-_PNG_KEEP_1BASED = [_IMG_SIDE * r + c + 1 for r in (2, 6) for c in (2, 6)]
-
-_JPEG_BLOCKS = 2  # 2x2 grid of constant 8x8 blocks -> 16x16 image
-_JPEG_OUT = 2
-# survivors for 16 -> 2: floor((i+0.5)*16/2) -> rows/cols {4, 12}; pixel
-# (4,4) lands in block (0,0), (4,12) in (0,1), ... — i.e. the resample
-# picks exactly the 4 block constants, which are embedding dims 1..4
-_JPEG_KEEP_1BASED = [1, 2, 3, 4]
-
-
-@register(
-    "decoded_png_stats",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
-    )
-    SELECT media_id,
-           {_PNG_OUT} AS out_w, {_PNG_OUT} AS out_h,
-           ({' + '.join(f'px[{i}]' for i in _PNG_KEEP_1BASED)}) AS px_sum,
-           CAST(({' + '.join(f'px[{i}]' for i in _PNG_KEEP_1BASED)}) AS DOUBLE)
-             / {_PNG_OUT * _PNG_OUT}.0 AS px_mean
-    FROM q ORDER BY media_id
-    """,
-)
-def q_decoded_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PNG sibling of `decoded_image_stats` — same decode → resample →
-    re-encode pipeline, but the input payloads are REAL PNG files
-    (zlib-compressed, CRC-chunked, per-row filters cycling through all
-    five spec types so every unfilter path — None/Sub/Up/Average/Paeth —
-    runs inside the distributed Arrow batches, not just in a unit test).
-    The oracle never inflates a PNG: it computes the same stats from the
-    4 surviving pixel positions of the 8×8 → 2×2 center-aligned resample,
-    so a defect anywhere in the codec (CRC layout, filter math, alpha
-    handling) or the resample surfaces as a hash mismatch. MAP-ONLY
-    before the final sort."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.multimodal import decode_image, encode_png
-
-    side = _IMG_SIDE
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-
-    def build(it):
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        encode_png(
-                            np.asarray(list(p), dtype=np.uint8).reshape(side, side)
-                        )
-                        for p in pdf["px"]
-                    ],
-                    "media_type": "image",
-                    "width": np.int32(side),
-                    "height": np.int32(side),
-                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
-                }
-            )
-
-    media = src.mapInPandas(
-        build,
-        schema="media_id bigint, payload binary, media_type string, "
-        "width int, height int, duration_ms int",
-    )
-    resized = M.resize_media(media, _PNG_OUT, _PNG_OUT)
-
-    def stats(it):
-        for pdf in it:
-            out_w, out_h, sums = [], [], []
-            for p in pdf["payload"]:
-                img = decode_image(bytes(p))
-                out_h.append(img.shape[0])
-                out_w.append(img.shape[1])
-                sums.append(int(img.sum()))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "out_w": pd.array(out_w, dtype="int32"),
-                    "out_h": pd.array(out_h, dtype="int32"),
-                    "px_sum": pd.array(sums, dtype="int64"),
-                    "px_mean": [s / (_PNG_OUT * _PNG_OUT) for s in sums],
-                }
-            )
-
-    return resized.mapInPandas(
-        stats,
-        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
-        "px_mean double",
-    ).orderBy("media_id")
-
-
-# Image near-dup fixture: every {_DHASH_TWIN_EVERY}th image gets a planted
-# perturbed twin (+3 on the four col-0 pixels of rows 0/2/4/6, clamped) —
-# a bump that can flip at most the 4 adjacent gradient comparisons, so a
-# twin's dHash Hamming distance is ≤ 4 by construction and every planted
-# pair lands under the threshold. The corpus itself has no near-identical
-# embeddings (max pairwise cosine ≈ 0.51), so without planting the query
-# would be a 0-row test.
-_DHASH_MAX_HAMMING = 6
-_DHASH_TWIN_EVERY = 10
-_DHASH_TWIN_OFFSET = 1_000_000
-
-
-# shared CTE chain (quantize -> plant twins -> dHash -> bands -> candidate
-# pairs) reused verbatim by the pairs oracle and the clusters oracle
-_IMG_ND_CHAIN = f"""q0 AS (
-      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
-    ),
-    q AS (
-      SELECT media_id, px FROM q0
-      UNION ALL
-      SELECT media_id + {_DHASH_TWIN_OFFSET},
-             list_transform(generate_series(1, {_IMG_SIDE * _IMG_SIDE}),
-               i -> CASE WHEN (i - 1) % 16 = 0
-                         THEN least(px[i] + 3, 255) ELSE px[i] END)
-      FROM q0 WHERE media_id % {_DHASH_TWIN_EVERY} = 0
-    ),
-    bits AS (
-      SELECT media_id,
-             CAST(SUM(CASE WHEN px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
-                                   + (k % {_IMG_SIDE - 1}) + 2]
-                           > px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
-                                + (k % {_IMG_SIDE - 1}) + 1]
-                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dhash
-      FROM q, LATERAL unnest(generate_series(0, {_IMG_SIDE * (_IMG_SIDE - 1) - 1}))
-                AS s(k)
-      GROUP BY media_id
-    ),
-    bands AS (
-      SELECT media_id, dhash, b, (dhash >> (8 * b)) & 255 AS v
-      FROM bits, LATERAL unnest(generate_series(0, {_DHASH_MAX_HAMMING})) AS g(b)
-    ),
-    cand AS (
-      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-             a.dhash AS da, b.dhash AS db
-      FROM bands a JOIN bands b
-        ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
-    )"""
-
-_IMG_ND_ORACLE = f"""
-    WITH {_IMG_ND_CHAIN}
-    SELECT id_a, id_b, hamming FROM (
-      SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INT) AS hamming
-      FROM cand
-    ) WHERE hamming <= {_DHASH_MAX_HAMMING} ORDER BY id_a, id_b
-    """
-
-
-def _image_nd_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The image near-dup fixture frame: quantized-embedding rasters plus
-    planted perturbed twins, pushed through the REAL PNG encode → decode
-    round trip inside Arrow batches. Shared by the pairs query and the
-    clusters query (same corpus, same decode path)."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.multimodal import decode_image, encode_png
-
-    side = _IMG_SIDE
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    twin = src.filter(F.col("media_id") % _DHASH_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _DHASH_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            "transform(px, (x, i) -> IF(i % 16 = 0, least(x + 3, 255), x))"
-        ).alias("px"),
-    )
-    imgs = src.unionByName(twin)
-
-    def roundtrip(it):
-        for pdf in it:
-            out = []
-            for p in pdf["px"]:
-                img = np.asarray(list(p), dtype=np.uint8).reshape(side, side)
-                dec = decode_image(encode_png(img))
-                out.append([int(v) for v in dec.reshape(-1)])
-            yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
-
-    return imgs.mapInPandas(roundtrip, schema="media_id bigint, px array<int>")
-
-
-@register("image_near_dup_pairs", oracle=_IMG_ND_ORACLE)
-def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image near-dup — the codec tier wired into the
-    dedup tier (r9): images synthesized from quantized embeddings (plus
-    the planted perturbed twins) make a REAL PNG encode → decode round
-    trip inside Arrow batches, dHash (56-bit row-gradient hash) folds
-    over the decoded luma, and pairs come from pigeonhole Hamming
-    blocking — never an all-pairs scan (operators/dedup.py image_dhash /
-    image_near_dup_pairs; blocking precedent simhash_pairs_blocked).
-    The oracle replays dHash/bands/verify from the quantized values
-    directly — decoders are bit-exact, so a defect anywhere in the codec
-    or the hash surfaces as a mismatch."""
-    return D.image_near_dup_pairs(
-        _image_nd_decoded(spark, sf_dir), max_hamming=_DHASH_MAX_HAMMING
-    ).orderBy("id_a", "id_b")
-
-
-@register(
-    "image_dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_IMG_ND_CHAIN},
-    prs AS (
-      SELECT id_a, id_b FROM (
-        SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INT) AS hamming
-        FROM cand
-      ) WHERE hamming <= {_DHASH_MAX_HAMMING}
-    ),
-    sym AS (
-      SELECT id_a AS a, id_b AS b FROM prs
-      UNION ALL
-      SELECT id_b AS a, id_a AS b FROM prs
-    ),
-    walk(v, label) AS (
-      SELECT media_id, media_id FROM q
-      UNION
-      SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.v
-    ),
-    clusters AS (
-      SELECT v AS media_id, MIN(label) AS cluster_id FROM walk GROUP BY v
-    ),
-    scores AS (
-      SELECT media_id,
-             {_IMG_SIDE * _IMG_SIDE} * CAST(list_sum(list_transform(px,
-               x -> CAST(x AS BIGINT) * x)) AS BIGINT)
-             - CAST(list_sum(list_transform(px,
-               x -> CAST(x AS BIGINT))) AS BIGINT)
-             * CAST(list_sum(list_transform(px,
-               x -> CAST(x AS BIGINT))) AS BIGINT) AS px_var_units
-      FROM q
-    ),
-    ranked AS (
-      SELECT c.cluster_id, c.media_id, s.px_var_units,
-             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
-               ORDER BY s.px_var_units DESC, c.media_id ASC) AS rk,
-             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
-      FROM clusters c JOIN scores s ON s.media_id = c.media_id
-    )
-    SELECT cluster_id, media_id AS keeper, px_var_units AS keeper_score,
-           CAST(cluster_size AS BIGINT) AS cluster_size
-    FROM ranked WHERE rk = 1 ORDER BY cluster_id
-    """,
-)
-def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full media-dedup decision, end to end (r9): detect (dHash +
-    blocked Hamming pairs over REAL PNG round-trip decodes) → cluster
-    (min-label connected components, operators/graph.py) → policy (keep
-    each cluster's highest-INFORMATION member: integer pixel-variance
-    units n·Σx² − (Σx)², a blur/flat-image tiebreak production keeps —
-    the media analogue of cluster_keep_best's quality score; exact, so
-    cross-engine keeper choice can't drift). The oracle reaches the same
-    fixpoint by recursive CTE and replays the variance policy."""
-    from network_iq_spark.operators import graph as G
-
-    decoded = _image_nd_decoded(spark, sf_dir).localCheckpoint(eager=False)
-    pairs = D.image_near_dup_pairs(decoded, max_hamming=_DHASH_MAX_HAMMING)
-    clusters = G.connected_components(
-        decoded.select("media_id"), pairs, id_col="media_id",
-        src="id_a", dst="id_b",
-    )
-    ss = "aggregate(px, cast(0 as bigint), (a, x) -> a + cast(x as bigint) * x)"
-    s1 = "aggregate(px, cast(0 as bigint), (a, x) -> a + cast(x as bigint))"
-    scores = decoded.select(
-        "media_id",
-        F.expr(
-            f"{_IMG_SIDE * _IMG_SIDE} * ({ss}) - ({s1}) * ({s1})"
-        ).alias("px_var_units"),
-    )
-    return D.keep_best_per_cluster(
-        clusters, scores, id_col="media_id",
-        cluster_col="cluster_id", score_col="px_var_units",
-    ).orderBy("cluster_id")
-
-
-@register(
-    "incremental_image_dedup",
-    oracle=f"""
-    WITH hist AS (
-      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
-    ),
-    batch AS (
-      SELECT media_id + {_DHASH_TWIN_OFFSET} AS media_id,
-             list_transform(generate_series(1, {_IMG_SIDE * _IMG_SIDE}),
-               i -> CASE WHEN (i - 1) % 16 = 0
-                         THEN least(px[i] + 3, 255) ELSE px[i] END) AS px
-      FROM hist WHERE media_id % {_DHASH_TWIN_EVERY} = 0
-    ),
-    hbits AS (
-      SELECT media_id,
-             CAST(SUM(CASE WHEN px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
-                                   + (k % {_IMG_SIDE - 1}) + 2]
-                           > px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
-                                + (k % {_IMG_SIDE - 1}) + 1]
-                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dhash
-      FROM hist, LATERAL unnest(generate_series(0, {_IMG_SIDE * (_IMG_SIDE - 1) - 1}))
-                AS s(k)
-      GROUP BY media_id
-    ),
-    bbits AS (
-      SELECT media_id,
-             CAST(SUM(CASE WHEN px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
-                                   + (k % {_IMG_SIDE - 1}) + 2]
-                           > px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
-                                + (k % {_IMG_SIDE - 1}) + 1]
-                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dhash
-      FROM batch, LATERAL unnest(generate_series(0, {_IMG_SIDE * (_IMG_SIDE - 1) - 1}))
-                AS s(k)
-      GROUP BY media_id
-    ),
-    hband AS (
-      SELECT media_id, dhash, b, (dhash >> (8 * b)) & 255 AS v
-      FROM hbits, LATERAL unnest(generate_series(0, {_DHASH_MAX_HAMMING})) AS g(b)
-    ),
-    bband AS (
-      SELECT media_id, dhash, b, (dhash >> (8 * b)) & 255 AS v
-      FROM bbits, LATERAL unnest(generate_series(0, {_DHASH_MAX_HAMMING})) AS g(b)
-    ),
-    cand AS (
-      SELECT DISTINCT n.media_id AS new_id, o.media_id AS old_id,
-             n.dhash AS dn, o.dhash AS do_
-      FROM bband n JOIN hband o ON n.b = o.b AND n.v = o.v
-    )
-    SELECT new_id, old_id, hamming FROM (
-      SELECT new_id, old_id, CAST(bit_count(xor(dn, do_)) AS INT) AS hamming
-      FROM cand
-    ) WHERE hamming <= {_DHASH_MAX_HAMMING} ORDER BY new_id, old_id
-    """,
-)
-def q_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental media dedup (r9) — the media twin of
-    incremental_near_dup: the at-rest corpus is indexed once by dHash
-    segment (operators/dedup.py hamming_index — persisted partitioned by
-    (seg, seg_val) in a deployment), and an incoming batch (perturbed
-    copies of every 10th image, pushed through the REAL PNG
-    encode → decode round trip like any new crawl item) probes it via
-    segment collisions + Hamming verify (incremental_hamming_dedup).
-    Cost is O(batch × collision rate), never O(history); recall 1.0 by
-    the pigeonhole argument. The oracle replays index, probe, and verify
-    from the quantized values directly."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.multimodal import decode_image, encode_png
-
-    side = _IMG_SIDE
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    hist = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    # history index built in-plan here; a deployment reads it at rest
-    n_bits = side * (side - 1)
-    hist_hashed = hist.select(
-        "media_id", D.image_dhash("px", side).alias("dhash")
-    )
-    index = D.hamming_index(
-        hist_hashed, "dhash", _DHASH_MAX_HAMMING, n_bits=n_bits
-    )
-    batch_px = hist.filter(F.col("media_id") % _DHASH_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _DHASH_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            "transform(px, (x, i) -> IF(i % 16 = 0, least(x + 3, 255), x))"
-        ).alias("px"),
-    )
-
-    def roundtrip(it):
-        for pdf in it:
-            out = []
-            for p in pdf["px"]:
-                img = np.asarray(list(p), dtype=np.uint8).reshape(side, side)
-                dec = decode_image(encode_png(img))
-                out.append([int(v) for v in dec.reshape(-1)])
-            yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
-
-    batch = batch_px.mapInPandas(
-        roundtrip, schema="media_id bigint, px array<int>"
-    ).select("media_id", D.image_dhash("px", side).alias("dhash"))
-    return D.incremental_hamming_dedup(
-        batch, index, "dhash", _DHASH_MAX_HAMMING, n_bits=n_bits
-    ).orderBy("new_id", "old_id")
-
-
-@register(
-    "decoded_jpeg_stats",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
-    )
-    SELECT media_id,
-           {_JPEG_OUT} AS out_w, {_JPEG_OUT} AS out_h,
-           ({' + '.join(f'px[{i}]' for i in _JPEG_KEEP_1BASED)}) AS px_sum,
-           CAST(({' + '.join(f'px[{i}]' for i in _JPEG_KEEP_1BASED)}) AS DOUBLE)
-             / {_JPEG_OUT * _JPEG_OUT}.0 AS px_mean
-    FROM q ORDER BY media_id
-    """,
-)
-def q_decoded_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Baseline-JPEG sibling of `decoded_image_stats`: embedding dims 1–4
-    become the constants of a 2×2 grid of 8×8 blocks (16×16 gray image),
-    encoded as a REAL baseline JPEG (operators/jpeg.py — Annex-K Huffman
-    tables, byte stuffing, restart markers every 2 MCUs) and decoded by
-    the full entropy-decode → dequantize → IDCT path inside the
-    distributed resize stage. Constant blocks are the one signal a LOSSY
-    codec transports bit-exactly (DC coefficient only, quantization step
-    1), so the DuckDB oracle can hash-replay the whole machinery without
-    ever inflating a JPEG: the 16×16 → 2×2 center-aligned resample picks
-    pixel (4,4) of each block — the block constant — and the oracle reads
-    the same values straight from the embedding dims. Any defect in the
-    Huffman tables, bitstream, DC prediction, restart handling, or IDCT
-    shifts a constant and breaks the hash. MAP-ONLY before the sort."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.jpeg import encode_jpeg_gray
-    from network_iq_spark.operators.multimodal import decode_image
-
-    side = _JPEG_BLOCKS * 8
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-
-    def build(it):
-        ones = np.ones((8, 8), dtype=np.uint8)
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        encode_jpeg_gray(
-                            np.kron(
-                                np.asarray(list(p), dtype=np.uint8).reshape(
-                                    _JPEG_BLOCKS, _JPEG_BLOCKS
-                                ),
-                                ones,
-                            ),
-                            restart_interval=2,
-                        )
-                        for p in pdf["px"]
-                    ],
-                    "media_type": "image",
-                    "width": np.int32(side),
-                    "height": np.int32(side),
-                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
-                }
-            )
-
-    media = src.mapInPandas(
-        build,
-        schema="media_id bigint, payload binary, media_type string, "
-        "width int, height int, duration_ms int",
-    )
-    resized = M.resize_media(media, _JPEG_OUT, _JPEG_OUT)
-
-    def stats(it):
-        for pdf in it:
-            out_w, out_h, sums = [], [], []
-            for p in pdf["payload"]:
-                img = decode_image(bytes(p))
-                out_h.append(img.shape[0])
-                out_w.append(img.shape[1])
-                sums.append(int(img.sum()))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "out_w": pd.array(out_w, dtype="int32"),
-                    "out_h": pd.array(out_h, dtype="int32"),
-                    "px_sum": pd.array(sums, dtype="int64"),
-                    "px_mean": [s / (_JPEG_OUT * _JPEG_OUT) for s in sums],
-                }
-            )
-
-    return resized.mapInPandas(
-        stats,
-        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
-        "px_mean double",
-    ).orderBy("media_id")
-
-
-_J420_MCUS = 2  # 2x2 grid of constant 16x16 MCUs -> 32x32 color image
-_J420_OUT = 2
-# survivors for 32 -> 2: floor((i+0.5)*32/2) -> rows/cols {8, 24}; pixel
-# (8,8) lands in MCU (0,0), (8,24) in (0,1), ... — the resample picks the
-# 4 MCU luma constants, and with neutral chroma R=G=B=Y so each counts 3×
-
-
-@register(
-    "decoded_jpeg420_stats",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
-    )
-    SELECT media_id,
-           {_J420_OUT} AS out_w, {_J420_OUT} AS out_h,
-           3 * (px[1] + px[2] + px[3] + px[4]) AS px_sum,
-           CAST(3 * (px[1] + px[2] + px[3] + px[4]) AS DOUBLE)
-             / {_J420_OUT * _J420_OUT * 3}.0 AS px_mean
-    FROM q ORDER BY media_id
-    """,
-)
-def q_decoded_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4:2:0 chroma-subsampled JPEG — the dominant format of real crawled
-    corpora (VERDICT r7 top-next; previously these files fell to the
-    metadata-only path). Embedding dims 1–4 become the luma constants of
-    a 2×2 grid of 16×16 MCUs (32×32), chroma held at neutral 128, encoded
-    as a REAL interleaved 3-component 4:2:0 baseline JPEG
-    (operators/jpeg.py encode_jpeg_ycbcr: per-component sampling factors,
-    restart markers every 2 MCUs) and decoded by the full §A.2.3
-    interleaved-MCU walk — 4 luma + 1 Cb + 1 Cr blocks per MCU, chroma
-    reconstructed at quarter resolution, replication-upsampled, BT.601
-    inverse — inside the distributed resize stage. Constant-per-MCU luma
-    keeps every block DC-only (step-1 quantization → bit-exact through
-    the lossy path) and neutral chroma makes the color transform exact
-    (R=G=B=Y, zero float error), so the DuckDB oracle hash-replays a
-    LOSSY SUBSAMPLED round trip without inflating a JPEG: the 32×32→2×2
-    center-aligned resample picks pixel (8,8) of each MCU — the MCU
-    constant — tripled across the RGB channels. Any defect in the
-    sampling-factor parse, MCU block order, chroma upsample, restart
-    handling, or color transform shifts a value and breaks the hash.
-    MAP-ONLY before the sort."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.jpeg import encode_jpeg_ycbcr
-    from network_iq_spark.operators.multimodal import decode_image
-
-    side = _J420_MCUS * 16
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-
-    def build(it):
-        ones = np.ones((16, 16), dtype=np.uint8)
-        for pdf in it:
-            payloads = []
-            for p in pdf["px"]:
-                y = np.kron(
-                    np.asarray(list(p), dtype=np.uint8).reshape(
-                        _J420_MCUS, _J420_MCUS
-                    ),
-                    ones,
-                )
-                ycc = np.stack(
-                    [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
-                )
-                payloads.append(encode_jpeg_ycbcr(ycc, restart_interval=2))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": payloads,
-                    "media_type": "image",
-                    "width": np.int32(side),
-                    "height": np.int32(side),
-                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
-                }
-            )
-
-    media = src.mapInPandas(
-        build,
-        schema="media_id bigint, payload binary, media_type string, "
-        "width int, height int, duration_ms int",
-    )
-    resized = M.resize_media(media, _J420_OUT, _J420_OUT)
-
-    def stats(it):
-        for pdf in it:
-            out_w, out_h, sums = [], [], []
-            for p in pdf["payload"]:
-                img = decode_image(bytes(p))
-                out_h.append(img.shape[0])
-                out_w.append(img.shape[1])
-                sums.append(int(img.sum()))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "out_w": pd.array(out_w, dtype="int32"),
-                    "out_h": pd.array(out_h, dtype="int32"),
-                    "px_sum": pd.array(sums, dtype="int64"),
-                    "px_mean": [s / (_J420_OUT * _J420_OUT * 3) for s in sums],
-                }
-            )
-
-    return resized.mapInPandas(
-        stats,
-        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
-        "px_mean double",
-    ).orderBy("media_id")
-
-
-@register(
-    "decoded_jpeg_prog_stats",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
-    )
-    SELECT media_id,
-           {_J420_OUT} AS out_w, {_J420_OUT} AS out_h,
-           3 * (px[1] + px[2] + px[3] + px[4]) AS px_sum,
-           CAST(3 * (px[1] + px[2] + px[3] + px[4]) AS DOUBLE)
-             / {_J420_OUT * _J420_OUT * 3}.0 AS px_mean
-    FROM q ORDER BY media_id
-    """,
-)
-def q_decoded_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PROGRESSIVE (SOF2) 4:2:0 JPEG decode at scale — the multi-scan
-    half of the real-corpus format pair (VERDICT r7 item 1's remaining
-    gap: baseline 4:2:0 shipped r8-early, progressive previously fell to
-    the metadata-only path). Same 2×2-grid-of-constant-MCUs construction
-    as decoded_jpeg420_stats, but encoded as a REAL progressive stream
-    (operators/jpeg.py encode_jpeg_progressive): interleaved DC first
-    scan at Al=1 + DC refinement, then per-component spectral-band AC
-    scans (1-5, 6-63) at Al=1 with refinements, restart markers every 2
-    MCUs — decoded by the Annex-G coefficient-accumulation core (EOB
-    runs, successive approximation, per-scan restart resets). Constant
-    DC-only blocks keep the multi-scan round trip bit-exact, so the SAME
-    DuckDB oracle as the baseline-420 twin hash-replays it: any defect
-    in scan sequencing, refinement bit order, or EOB-run accounting
-    shifts a pixel and breaks the hash. MAP-ONLY before the sort."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.jpeg import encode_jpeg_progressive
-    from network_iq_spark.operators.multimodal import decode_image
-
-    side = _J420_MCUS * 16
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-
-    def build(it):
-        ones = np.ones((16, 16), dtype=np.uint8)
-        for pdf in it:
-            payloads = []
-            for p in pdf["px"]:
-                y = np.kron(
-                    np.asarray(list(p), dtype=np.uint8).reshape(
-                        _J420_MCUS, _J420_MCUS
-                    ),
-                    ones,
-                )
-                ycc = np.stack(
-                    [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
-                )
-                payloads.append(encode_jpeg_progressive(ycc, restart_interval=2))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": payloads,
-                    "media_type": "image",
-                    "width": np.int32(side),
-                    "height": np.int32(side),
-                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
-                }
-            )
-
-    media = src.mapInPandas(
-        build,
-        schema="media_id bigint, payload binary, media_type string, "
-        "width int, height int, duration_ms int",
-    )
-    resized = M.resize_media(media, _J420_OUT, _J420_OUT)
-
-    def stats(it):
-        for pdf in it:
-            out_w, out_h, sums = [], [], []
-            for p in pdf["payload"]:
-                img = decode_image(bytes(p))
-                out_h.append(img.shape[0])
-                out_w.append(img.shape[1])
-                sums.append(int(img.sum()))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "out_w": pd.array(out_w, dtype="int32"),
-                    "out_h": pd.array(out_h, dtype="int32"),
-                    "px_sum": pd.array(sums, dtype="int64"),
-                    "px_mean": [s / (_J420_OUT * _J420_OUT * 3) for s in sums],
-                }
-            )
-
-    return resized.mapInPandas(
-        stats,
-        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
-        "px_mean double",
-    ).orderBy("media_id")
-
-
-@register(
-    "decoded_gif_stats",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
-    )
-    SELECT media_id,
-           {_J420_OUT} AS out_w, {_J420_OUT} AS out_h,
-           3 * (px[1] + px[2] + px[3] + px[4]) AS px_sum,
-           CAST(3 * (px[1] + px[2] + px[3] + px[4]) AS DOUBLE)
-             / {_J420_OUT * _J420_OUT * 3}.0 AS px_mean
-    FROM q ORDER BY media_id
-    """,
-)
-def q_decoded_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GIF (LZW) decode at scale — the third real crawl format after
-    PNG and JPEG. Embedding dims 1–4 become a 2×2 grid of constant 16×16
-    tiles, palette-encoded as a REAL GIF89a (operators/gif.py: global
-    color table, variable-width LZW with the CLEAR/width-bump schedule;
-    INTERLACED for odd media_ids so the four-pass row reorder runs at
-    corpus scale, not just in unit tests), then decoded and
-    center-resampled inside Arrow batches. GIF is LOSSLESS, so the
-    round trip is bit-exact by construction and the DuckDB oracle replays
-    pixels directly — a defect in LZW table growth, sub-block framing,
-    palette indexing, or interlace reordering shifts a value and breaks
-    the hash. MAP-ONLY before the sort."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.gif import encode_gif
-    from network_iq_spark.operators.multimodal import decode_image
-
-    side = _J420_MCUS * 16
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-
-    def build(it):
-        ones = np.ones((16, 16), dtype=np.uint8)
-        for pdf in it:
-            payloads = []
-            for vid, p in zip(pdf["media_id"], pdf["px"]):
-                g = np.kron(
-                    np.asarray(list(p), dtype=np.uint8).reshape(
-                        _J420_MCUS, _J420_MCUS
-                    ),
-                    ones,
-                )
-                payloads.append(encode_gif(g, interlace=bool(int(vid) % 2)))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": payloads,
-                    "media_type": "image",
-                    "width": np.int32(side),
-                    "height": np.int32(side),
-                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
-                }
-            )
-
-    media = src.mapInPandas(
-        build,
-        schema="media_id bigint, payload binary, media_type string, "
-        "width int, height int, duration_ms int",
-    )
-    resized = M.resize_media(media, _J420_OUT, _J420_OUT)
-
-    def stats(it):
-        for pdf in it:
-            out_w, out_h, sums = [], [], []
-            for p in pdf["payload"]:
-                img = decode_image(bytes(p))
-                out_h.append(img.shape[0])
-                out_w.append(img.shape[1])
-                sums.append(int(img.sum()))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "out_w": pd.array(out_w, dtype="int32"),
-                    "out_h": pd.array(out_h, dtype="int32"),
-                    "px_sum": pd.array(sums, dtype="int64"),
-                    "px_mean": [s / (_J420_OUT * _J420_OUT * 3) for s in sums],
-                }
-            )
-
-    return resized.mapInPandas(
-        stats,
-        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
-        "px_mean double",
-    ).orderBy("media_id")
-
-
-@register(
-    "media_contract",
-    oracle="""
-    WITH c AS (SELECT vec_id % 7 AS fi, COUNT(*) AS n FROM embeddings GROUP BY 1),
-    g AS (
-      SELECT CASE WHEN fi IN (0, 5) THEN 'png'
-                  WHEN fi IN (1, 2, 3) THEN 'jpeg'
-                  WHEN fi = 6 THEN 'gif'
-                  ELSE 'pnm' END AS format,
-             SUM(n) AS n_rows,
-             SUM(CASE WHEN fi <> 5 THEN n ELSE 0 END) AS n_decoded,
-             SUM(CASE WHEN fi = 5 THEN n ELSE 0 END) AS n_fallback,
-             SUM(CASE WHEN fi = 5 THEN n ELSE 0 END) AS n_misdeclared
-      FROM c GROUP BY 1
-    )
-    SELECT format,
-           CAST(n_rows AS BIGINT) AS n_rows,
-           CAST(n_decoded AS BIGINT) AS n_decoded,
-           CAST(n_fallback AS BIGINT) AS n_fallback,
-           CAST(n_misdeclared AS BIGINT) AS n_misdeclared,
-           CAST(n_decoded AS DOUBLE) / n_rows AS decode_rate
-    FROM g ORDER BY format
-    """,
-)
-def q_media_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media decode contract — the quarantine census for binary columns
-    (VERDICT r7 item 2): which declared formats REALLY decode vs silently
-    fall back to the metadata-only path, as a shipped per-format number
-    (the media twin of contract_quarantine_summary; same governance move
-    as lsh_quality_report). The corpus is a deterministic six-way format
-    mix built from embeddings (vec_id % 7): a real PNG, a baseline 4:4:4
-    JPEG, a 4:2:0 chroma-subsampled JPEG, a real PROGRESSIVE 4:2:0 JPEG
-    (SOF2 multi-scan — the census row that flipped from fallback to
-    decoded when the Annex-G decoder landed, which is exactly the
-    coverage movement this query exists to publish), a PNM, a row
-    DECLARED png whose payload is raw text (misdeclared + fallback —
-    proving the quarantine path still catches what genuinely cannot
-    decode), and an LZW GIF (interlaced for odd ids). Every payload is
-    probed with the
-    actual decode_image inside Arrow batches
-    (operators/multimodal.py media_decode_contract: map-only probe + one
-    O(#formats) aggregate), so a codec regression shifts a count and
-    breaks the hash — the oracle states the EXPECTED coverage and the
-    engine has to earn it."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.gif import encode_gif
-    from network_iq_spark.operators.jpeg import (
-        encode_jpeg_gray,
-        encode_jpeg_progressive,
-        encode_jpeg_ycbcr,
-    )
-    from network_iq_spark.operators.multimodal import (
-        encode_png,
-        encode_pnm,
-        media_decode_contract,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-
-    def build(it):
-        ones8 = np.ones((8, 8), dtype=np.uint8)
-        ones16 = np.ones((16, 16), dtype=np.uint8)
-        for pdf in it:
-            payloads, declared = [], []
-            for vid, p in zip(pdf["media_id"], pdf["px"]):
-                g = np.asarray(list(p), dtype=np.uint8).reshape(2, 2)
-                fi = int(vid) % 7
-                if fi == 0:
-                    payloads.append(encode_png(np.kron(g, ones8)))
-                    declared.append("png")
-                elif fi == 1:
-                    payloads.append(encode_jpeg_gray(np.kron(g, ones8)))
-                    declared.append("jpeg")
-                elif fi == 2:
-                    y = np.kron(g, ones16)
-                    ycc = np.stack(
-                        [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
-                    )
-                    payloads.append(encode_jpeg_ycbcr(ycc))
-                    declared.append("jpeg")
-                elif fi == 3:
-                    y = np.kron(g, ones16)
-                    ycc = np.stack(
-                        [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
-                    )
-                    payloads.append(encode_jpeg_progressive(ycc))
-                    declared.append("jpeg")
-                elif fi == 4:
-                    payloads.append(encode_pnm(np.kron(g, ones8)))
-                    declared.append("pnm")
-                elif fi == 5:
-                    payloads.append(f"not an image {vid}".encode())
-                    declared.append("png")  # misdeclared on purpose
-                else:
-                    payloads.append(
-                        encode_gif(np.kron(g, ones8), interlace=bool(vid % 2))
-                    )
-                    declared.append("gif")
-            yield pd.DataFrame(
-                {"payload": payloads, "declared_format": declared}
-            )
-
-    media = src.mapInPandas(
-        build, schema="payload binary, declared_format string"
-    )
-    return media_decode_contract(media).orderBy("format")
-
-
-_WAV_RATE, _WAV_DECIM = 8000, 2
-_WAV_QUANT_SQL = (
-    "list_transform(embedding::DOUBLE[], x -> CAST(floor("
-    "(least(greatest(x, -1.0), 1.0)) * 32767.0 + 0.5) AS INT))"
-)
-
-
-@register(
-    "decoded_audio_stats",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS media_id, {_WAV_QUANT_SQL} AS s FROM embeddings
-    ),
-    t AS (
-      SELECT media_id, unnest(s) AS v,
-             unnest(range(1, len(s) + 1)) AS i
-      FROM q
-    ),
-    d AS (  -- decimation by {_WAV_DECIM}: 1-based odd positions survive
-      SELECT media_id, i, v,
-             CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
-      FROM t WHERE (i - 1) % {_WAV_DECIM} = 0
-    ),
-    lagged AS (
-      SELECT media_id, v, sgn,
-             LAG(sgn) OVER (PARTITION BY media_id ORDER BY i) AS prev_sgn
-      FROM d
-    )
-    SELECT media_id,
-           {_WAV_RATE} AS sample_rate,
-           CAST(COUNT(*) AS INT) AS n_samples,
-           CAST(COUNT(*) * 1000 / {_WAV_RATE} AS INT) AS duration_ms,
-           CAST(MAX(abs(v)) AS INT) AS peak,
-           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sumsq,
-           CAST(SUM(CASE WHEN prev_sgn IS NOT NULL AND sgn != prev_sgn
-                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-    FROM lagged GROUP BY media_id ORDER BY media_id
-    """,
-)
-def q_decoded_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode, end to end and hash-checked — the WAV sibling of
-    `decoded_image_stats`: each embedding becomes 64 int16 PCM samples
-    encoded as an actual RIFF/WAVE file (operators/audio.py), decoded,
-    decimated ×2 (deterministic integer downsample), RE-encoded, decoded
-    AGAIN, and reduced to integer-exact features (peak, Σs², sign-change
-    count). The oracle never parses a WAV: it computes the same integers
-    from the surviving embedding positions, so any defect in the RIFF
-    chunk walk, PCM layout, chunk padding, or decimation arithmetic
-    breaks the hash. All stages MAP-ONLY before the final sort."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.audio import (
-        audio_stats,
-        decimate,
-        decode_wav,
-        encode_wav,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) * 32767.0D + 0.5D) as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
-
-    def build(it):
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        encode_wav(
-                            np.asarray(list(s), dtype=np.int16), _WAV_RATE
-                        )
-                        for s in pdf["s"]
-                    ],
-                }
-            )
-
-    def process(it):
-        for pdf in it:
-            rows = []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                rate, samples = decode_wav(bytes(p))
-                down = decimate(samples, _WAV_DECIM)
-                rate2, again = decode_wav(encode_wav(down, rate))
-                st = audio_stats(again)
-                rows.append(
-                    (
-                        mid,
-                        rate2,
-                        st["n_samples"],
-                        st["n_samples"] * 1000 // rate2,
-                        st["peak"],
-                        st["sumsq"],
-                        st["zero_crossings"],
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "sample_rate", "n_samples", "duration_ms",
-                    "peak", "sumsq", "zero_crossings",
-                ],
-            )
-
-    wav = src.mapInPandas(build, schema="media_id bigint, payload binary")
-    return wav.mapInPandas(
-        process,
-        schema="media_id bigint, sample_rate int, n_samples int, "
-        "duration_ms int, peak int, sumsq bigint, zero_crossings bigint",
-    ).orderBy("media_id")
-
-
-# Audio near-dup fixture, mirroring the image one: every 10th clip gets a
-# planted twin with +300 on 1-based sample positions 1/17/33 (clamped to
-# int16 max). Position 1 touches one gradient comparison, 17 and 33 touch
-# two each, so a twin's waveform-dHash Hamming distance is ≤ 5 by
-# construction — under the threshold, and the pigeonhole blocking
-# guarantees recall. 63 bits split into 7 exact 9-bit segments.
-_WHASH_MAX_HAMMING = 6
-_WHASH_TWIN_EVERY = 10
-_WHASH_TWIN_OFFSET = 1_000_000
-
-
-_AUD_ND_ORACLE = f"""
-    WITH q0 AS (
-      SELECT vec_id AS media_id, {_WAV_QUANT_SQL} AS s FROM embeddings
-    ),
-    q AS (
-      SELECT media_id, s FROM q0
-      UNION ALL
-      SELECT media_id + {_WHASH_TWIN_OFFSET},
-             list_transform(generate_series(1, 64),
-               i -> CASE WHEN i = 1 OR i = 17 OR i = 33
-                         THEN least(s[i] + 300, 32767) ELSE s[i] END)
-      FROM q0 WHERE media_id % {_WHASH_TWIN_EVERY} = 0
-    ),
-    bits AS (
-      SELECT media_id,
-             CAST(SUM(CASE WHEN s[k + 2] > s[k + 1]
-                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS whash
-      FROM q, LATERAL unnest(generate_series(0, 62)) AS g(k)
-      GROUP BY media_id
-    ),
-    bands AS (
-      SELECT media_id, whash, b, (whash >> (9 * b)) & 511 AS v
-      FROM bits, LATERAL unnest(generate_series(0, {_WHASH_MAX_HAMMING})) AS g(b)
-    ),
-    cand AS (
-      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-             a.whash AS wa, b.whash AS wb
-      FROM bands a JOIN bands b
-        ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
-    )
-    SELECT id_a, id_b, hamming FROM (
-      SELECT id_a, id_b, CAST(bit_count(xor(wa, wb)) AS INT) AS hamming
-      FROM cand
-    ) WHERE hamming <= {_WHASH_MAX_HAMMING} ORDER BY id_a, id_b
-    """
-
-
-@register("audio_near_dup_pairs", oracle=_AUD_ND_ORACLE)
-def q_audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Waveform-fingerprint audio near-dup (r9) — the audio twin of
-    image_near_dup_pairs, closing near-dup coverage across all three
-    modalities (text MinHash/SimHash, image dHash, audio gradient hash):
-    clips synthesized from int16-quantized embeddings (plus planted
-    perturbed twins) make a REAL RIFF/WAVE encode → decode round trip
-    inside Arrow batches, a 63-bit 1-D gradient fingerprint folds over
-    the DECODED PCM (operators/dedup.py waveform_dhash — gain/DC-offset
-    invariant, integer-exact, no float FFT), and pairs come from the
-    shared pigeonhole Hamming blocking (hamming_blocked_pairs). The
-    oracle replays fingerprint/bands/verify from the quantized values
-    directly — the decoder is bit-exact, so a defect anywhere in the
-    RIFF walk or the hash surfaces as a mismatch."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.audio import decode_wav, encode_wav
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) * 32767.0D + 0.5D) as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
-    twin = src.filter(F.col("media_id") % _WHASH_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _WHASH_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            "transform(s, (x, i) -> IF(i = 0 OR i = 16 OR i = 32, "
-            "least(x + 300, 32767), x))"
-        ).alias("s"),
-    )
-    clips = src.unionByName(twin)
-
-    def roundtrip(it):
-        for pdf in it:
-            out = []
-            for s in pdf["s"]:
-                _, dec = decode_wav(
-                    encode_wav(np.asarray(list(s), dtype=np.int16), _WAV_RATE)
-                )
-                out.append([int(v) for v in dec])
-            yield pd.DataFrame({"media_id": pdf["media_id"], "s": out})
-
-    decoded = clips.mapInPandas(roundtrip, schema="media_id bigint, s array<int>")
-    return D.audio_near_dup_pairs(
-        decoded, max_hamming=_WHASH_MAX_HAMMING
-    ).orderBy("id_a", "id_b")
-
-
-_VID_FRAMES, _VID_SIDE, _VID_FPS = 4, 4, 2  # 4 frames of 4x4 luma at 2 fps
-# sample_frames(every_ms=1000) on a 2000 ms clip emits ts {0, 1000};
-# frame_at_ms((2,1), 4, ts) -> source frames {0, 2}. Frame f covers
-# embedding dims [16f+1, 16f+16] (1-based).
-_VID_SAMPLED = [(0, 0, 0), (1, 1000, 2)]  # (frame_idx, ts_ms, src_frame)
-
-
-def _vid_frame_sum_sql(src_frame: int) -> str:
-    lo = 16 * src_frame + 1
-    return "(" + " + ".join(f"px[{i}]" for i in range(lo, lo + 16)) + ")"
-
-
-@register(
-    "decoded_video_stats",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
-    )
-    SELECT media_id, frame_idx, ts_ms, px_sum,
-           CAST(px_sum AS DOUBLE) / {_VID_SIDE * _VID_SIDE}.0 AS px_mean
-    FROM (
-      {" UNION ALL ".join(
-        f"SELECT media_id, {fi} AS frame_idx, {ts} AS ts_ms, "
-        f"{_vid_frame_sum_sql(sf)} AS px_sum FROM q"
-        for fi, ts, sf in _VID_SAMPLED
-      )}
-    ) ORDER BY media_id, frame_idx
-    """,
-)
-def q_decoded_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video decode, end to end and hash-checked — the Y4M sibling of
-    `decoded_image_stats`: each embedding becomes a 4-frame 4×4 mono
-    YUV4MPEG2 clip at 2 fps (operators/video.py), pushed through the
-    METADATA-bounded frame-sampling explode (`sample_frames` — fanout
-    capped in the plan from duration_ms, one row per sampled timestamp),
-    which REALLY extracts the frame at each timestamp (integer
-    frame-index math) and re-encodes it as PGM; the stats stage decodes
-    those frame images back to pixels. The oracle never parses a clip: it
-    reads the same pixels straight from the embedding dims of the frames
-    the timestamp math selects, so any defect in the Y4M header/FRAME
-    walk, the ts→frame mapping, or the luma extraction breaks the hash.
-    Bounded explode + maps only before the final sort."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.multimodal import decode_image
-    from network_iq_spark.operators.video import encode_y4m
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    dur = _VID_FRAMES * 1000 // _VID_FPS
-
-    def build(it):
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        encode_y4m(
-                            list(
-                                np.asarray(list(p), dtype=np.uint8).reshape(
-                                    _VID_FRAMES, _VID_SIDE, _VID_SIDE
-                                )
-                            ),
-                            fps=(_VID_FPS, 1),
-                        )
-                        for p in pdf["px"]
-                    ],
-                    "media_type": "video",
-                    "width": np.int32(_VID_SIDE),
-                    "height": np.int32(_VID_SIDE),
-                    "duration_ms": np.int32(dur),
-                }
-            )
-
-    media = src.mapInPandas(
-        build,
-        schema="media_id bigint, payload binary, media_type string, "
-        "width int, height int, duration_ms int",
-    )
-    sampled = M.sample_frames(media, every_ms=1000, max_frames=32)
-
-    def stats(it):
-        for pdf in it:
-            sums = []
-            for fb in pdf["frame"]:
-                img = decode_image(bytes(fb))
-                sums.append(int(img.sum()))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "frame_idx": pdf["frame_idx"],
-                    "ts_ms": pdf["ts_ms"],
-                    "px_sum": pd.array(sums, dtype="int64"),
-                    "px_mean": [s / (_VID_SIDE * _VID_SIDE) for s in sums],
-                }
-            )
-
-    return sampled.mapInPandas(
-        stats,
-        schema="media_id bigint, frame_idx int, ts_ms int, px_sum bigint, "
-        "px_mean double",
-    ).orderBy("media_id", "frame_idx")
-
-
-# Video near-dup fixture: every 10th clip gets a planted twin with +3 on
-# the (row 0, col 0) pixel of each of the 4 frames (1-based flat positions
-# 1/17/33/49, clamped). A col-0 pixel feeds exactly ONE gradient
-# comparison, so the twin's 48-bit clip fingerprint is ≤ 4 Hamming away —
-# under the threshold, and blocking guarantees recall. max_hamming=5
-# gives six exact 8-bit segments.
-_VHASH_MAX_HAMMING = 5
-_VHASH_TWIN_EVERY = 10
-_VHASH_TWIN_OFFSET = 1_000_000
-
-
-_VID_ND_ORACLE = f"""
-    WITH q0 AS (
-      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
-    ),
-    q AS (
-      SELECT media_id, px FROM q0
-      UNION ALL
-      SELECT media_id + {_VHASH_TWIN_OFFSET},
-             list_transform(generate_series(1, 64),
-               i -> CASE WHEN (i - 1) % 16 = 0
-                         THEN least(px[i] + 3, 255) ELSE px[i] END)
-      FROM q0 WHERE media_id % {_VHASH_TWIN_EVERY} = 0
-    ),
-    bits AS (
-      SELECT media_id,
-             CAST(SUM(CASE WHEN px[(k // 12) * 16
-                                   + ((k % 12) // 3) * 4 + (k % 12) % 3 + 2]
-                           > px[(k // 12) * 16
-                                + ((k % 12) // 3) * 4 + (k % 12) % 3 + 1]
-                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS vhash
-      FROM q, LATERAL unnest(generate_series(0, 47)) AS s(k)
-      GROUP BY media_id
-    ),
-    bands AS (
-      SELECT media_id, vhash, b, (vhash >> (8 * b)) & 255 AS v
-      FROM bits, LATERAL unnest(generate_series(0, {_VHASH_MAX_HAMMING})) AS g(b)
-    ),
-    cand AS (
-      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-             a.vhash AS va, b.vhash AS vb
-      FROM bands a JOIN bands b
-        ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
-    )
-    SELECT id_a, id_b, hamming FROM (
-      SELECT id_a, id_b, CAST(bit_count(xor(va, vb)) AS INT) AS hamming
-      FROM cand
-    ) WHERE hamming <= {_VHASH_MAX_HAMMING} ORDER BY id_a, id_b
-    """
-
-
-@register("video_near_dup_pairs", oracle=_VID_ND_ORACLE)
-def q_video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clip-fingerprint video near-dup (r9) — completes near-dup across
-    all four modalities (text MinHash/SimHash, image dHash, audio
-    waveform hash, video per-frame hash) on ONE shared blocked-Hamming
-    core: clips synthesized from quantized embeddings (plus planted
-    twins) make a REAL YUV4MPEG2 encode → decode round trip inside Arrow
-    batches, the 48-bit per-frame gradient fingerprint folds over the
-    DECODED 4-frame luma (operators/dedup.py video_dhash — temporal
-    order is part of the fingerprint), and pairs come from
-    hamming_blocked_pairs. The oracle replays everything from the
-    quantized values — the Y4M decoder is bit-exact, so a defect in the
-    header/FRAME walk or the hash surfaces as a mismatch."""
-    import numpy as np
-    import pandas as pd
-
-    from network_iq_spark.operators.video import decode_y4m, encode_y4m
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    twin = src.filter(F.col("media_id") % _VHASH_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _VHASH_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            "transform(px, (x, i) -> IF(i % 16 = 0, least(x + 3, 255), x))"
-        ).alias("px"),
-    )
-    clips = src.unionByName(twin)
-
-    def roundtrip(it):
-        for pdf in it:
-            out = []
-            for p in pdf["px"]:
-                frames = list(
-                    np.asarray(list(p), dtype=np.uint8).reshape(
-                        _VID_FRAMES, _VID_SIDE, _VID_SIDE
-                    )
-                )
-                _w, _h, _fps, dec = decode_y4m(
-                    encode_y4m(frames, fps=(_VID_FPS, 1))
-                )
-                out.append(
-                    [int(v) for f in dec for v in np.asarray(f).reshape(-1)]
-                )
-            yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
-
-    decoded = clips.mapInPandas(roundtrip, schema="media_id bigint, px array<int>")
-    return D.video_near_dup_pairs(
-        decoded,
-        max_hamming=_VHASH_MAX_HAMMING,
-        frames=_VID_FRAMES,
-        side=_VID_SIDE,
-    ).orderBy("id_a", "id_b")
-
-
-def _nd_census_arm(modality: str, oracle: str, offset: int) -> str:
-    return f"""
-      SELECT '{modality}' AS modality,
-             CAST(COUNT(*) AS BIGINT) AS n_pairs,
-             CAST(SUM(CASE WHEN id_b = id_a + {offset} THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_twin_links,
-             CAST(MAX(hamming) AS INT) AS max_hamming
-      FROM ({oracle})"""
-
-
-@register(
-    "media_near_dup_census",
-    oracle=f"""
-    SELECT modality, n_pairs, n_twin_links, max_hamming FROM (
-      {_nd_census_arm("audio", _AUD_ND_ORACLE, _WHASH_TWIN_OFFSET)}
-      UNION ALL
-      {_nd_census_arm("image", _IMG_ND_ORACLE, _DHASH_TWIN_OFFSET)}
-      UNION ALL
-      {_nd_census_arm("video", _VID_ND_ORACLE, _VHASH_TWIN_OFFSET)}
-    ) ORDER BY modality
-    """,
-)
-def q_media_near_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-modality near-dup census (r9) — the dedup-rate dashboard a
-    multimodal corpus run reports: all three media near-dup pipelines
-    (REAL codec round trips + gradient fingerprints + blocked Hamming
-    pairs) rolled up to one row per modality — pair count, planted-twin
-    links recovered (the recall floor: every planted twin MUST appear),
-    max Hamming seen. The oracle re-runs all three full pipelines in SQL
-    and rolls up identically — the heaviest single oracle in the sheet,
-    by design: one hash covers the whole media-dedup surface."""
-
-    def arm(df: DataFrame, modality: str, offset: int) -> DataFrame:
-        return df.agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.sum(
-                F.when(F.col("id_b") == F.col("id_a") + offset, 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_twin_links"),
-            F.max("hamming").cast("int").alias("max_hamming"),
-        ).select(
-            F.lit(modality).alias("modality"),
-            "n_pairs",
-            "n_twin_links",
-            "max_hamming",
-        )
-
-    return (
-        arm(q_audio_near_dup_pairs(spark, sf_dir), "audio", _WHASH_TWIN_OFFSET)
-        .unionByName(
-            arm(q_image_near_dup_pairs(spark, sf_dir), "image", _DHASH_TWIN_OFFSET)
-        )
-        .unionByName(
-            arm(q_video_near_dup_pairs(spark, sf_dir), "video", _VHASH_TWIN_OFFSET)
-        )
-        .orderBy("modality")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Deterministic sampling / splits & rolling fingerprint
-# ---------------------------------------------------------------------------
-
-_ROLL_FP_HEX = _sql_hex_int("substr(md5(x), 1, 12)", 12)
-
-
-@register(
-    "rolling_fingerprints",
-    oracle=f"""
-    SELECT doc_id,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               [CAST({_ROLL_FP_HEX} AS BIGINT) FOR x IN t]),
-             (acc, x) -> (acc * {T.ROLL_B} + x) % {T.ROLL_P}) AS rolling_fp
-    FROM ({_TOKS}) ORDER BY doc_id
-    """,
-)
-def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Karp–Rabin rolling fingerprint per document (order-sensitive, the
-    streaming-friendly sibling of the md5 content hash in doc_fingerprints).
-    Integer-exact fold — the oracle replays it with list_reduce."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.rolling_fingerprint(docs).orderBy("doc_id")
-
-
-_SPLIT_SALT = "v1"
-_SPLIT_HEX = _sql_hex_int(f"md5(CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}')", 12)
-
-
-@register(
-    "doc_splits",
-    oracle=f"""
-    WITH b AS (
-      SELECT doc_id, length(text) AS n_chars,
-             CAST({_SPLIT_HEX} AS BIGINT) % 10000 AS bucket
-      FROM documents
-    )
-    SELECT CASE WHEN bucket < 8000 THEN 'train'
-                WHEN bucket < 9000 THEN 'val'
-                ELSE 'test' END AS split,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
-    FROM b GROUP BY 1 ORDER BY split
-    """,
-)
-def q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-keyed train/val/test assignment (operators/sampling.py): a doc's
-    split never changes as the corpus grows — the reproducibility property
-    randomSplit lacks. Map-only at any scale; the oracle replays the md5
-    bucket arithmetic exactly."""
-    docs = load_table(spark, sf_dir, "documents")
-    split = SA.hash_split(
-        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=_SPLIT_SALT
-    )
-    return (
-        split.groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            (
-                F.sum(F.length("text")).cast("double") / F.count("*")
-            ).alias("avg_chars"),
-        )
-        .orderBy("split")
-    )
-
-
-_GSPLIT_HEX = _sql_hex_int(f"md5(source || '{_SPLIT_SALT}')", 12)
-
-
-@register(
-    "group_safe_splits",
-    oracle=f"""
-    WITH b AS (
-      SELECT doc_id, source,
-             CAST({_GSPLIT_HEX} AS BIGINT) % 10000 AS bucket
-      FROM documents
-    ),
-    assigned AS (
-      SELECT doc_id, source,
-             CASE WHEN bucket < 8000 THEN 'train'
-                  WHEN bucket < 9000 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM b
-    ),
-    leak AS (
-      SELECT CAST(MAX(n) AS BIGINT) AS max_splits_per_source FROM (
-        SELECT source, COUNT(DISTINCT split) AS n FROM assigned GROUP BY source
-      )
-    )
-    SELECT split, COUNT(*) AS n_docs,
-           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-           MAX(l.max_splits_per_source) AS max_splits_per_source
-    FROM assigned CROSS JOIN leak l
-    GROUP BY split ORDER BY split
-    """,
-)
-def q_group_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP-aware train/val/test assignment: the split hash keys on the
-    SOURCE (site/domain), not the document — near-duplicates from the
-    same origin land in the same split, so eval never scores lightly-
-    edited copies of training documents (the leakage mode per-doc
-    hashing, `doc_splits`, cannot prevent). The result carries its own
-    audit column: max_splits_per_source == 1 IS the no-leakage proof,
-    computed in-plan rather than asserted offline. Map-only assignment +
-    two small aggregates."""
-    docs = load_table(spark, sf_dir, "documents")
-    split = SA.hash_split(
-        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=_SPLIT_SALT
-    )
-    leak = (
-        split.select("source", "split")
-        .distinct()
-        .groupBy("source")
-        .agg(F.count("*").alias("n"))
-        .agg(F.max("n").cast("bigint").alias("max_splits_per_source"))
-    )
-    return (
-        split.groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("source").cast("bigint").alias("n_sources"),
-        )
-        .crossJoin(F.broadcast(leak))
-        .select("split", "n_docs", "n_sources", "max_splits_per_source")
-        .orderBy("split")
-    )
-
-
-_STRAT_RATES = {0: 0.5, 1: 0.25, 2: 0.1}
-_STRAT_HEX = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
-
-
-@register(
-    "stratified_sample_counts",
-    oracle=f"""
-    WITH b AS (
-      SELECT vec_id, label,
-             CAST({_STRAT_HEX} AS BIGINT) % 10000 AS bucket
-      FROM embeddings
-    )
-    SELECT label, COUNT(*) AS n
-    FROM b
-    WHERE bucket < CASE label WHEN 0 THEN 5000 WHEN 1 THEN 2500
-                              WHEN 2 THEN 1000 ELSE 0 END
-    GROUP BY label ORDER BY label
-    """,
-)
-def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-stratum sampling (the reproducible sampleBy):
-    label 0 keeps 50%, label 1 keeps 25%, label 2 keeps 10%, the rest drop.
-    Stateless map at any scale; same rows on every rerun by construction."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    kept = SA.stratified_sample(emb, "vec_id", "label", _STRAT_RATES)
-    return kept.groupBy("label").agg(F.count("*").alias("n")).orderBy("label")
-
-
-_MIX_TARGETS = {"en": 4000, "es": 2500, "de": 2000, "fr": 1000, "zh": 500}
-_MIX_HEX = _sql_hex_int("md5(CAST(doc_id AS VARCHAR) || 'mix')", 12)
-
-
-def _mixture_sql() -> str:
-    case = " ".join(
-        f"WHEN '{g}' THEN {bp}" for g, bp in _MIX_TARGETS.items()
-    )
-    return f"""
-    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
-    t AS (SELECT lang, n, CASE lang {case} END AS share FROM c),
-    f AS (SELECT MIN(n * 10000 // share) AS T FROM t
-          WHERE share IS NOT NULL AND share > 0),
-    r AS (SELECT lang, n,
-                 GREATEST((share * (SELECT T FROM f) // 10000) * 10000 // n,
-                          1) AS rate
-          FROM t WHERE share IS NOT NULL AND share > 0),
-    b AS (SELECT lang, CAST({_MIX_HEX} AS BIGINT) % 10000 AS bucket
-          FROM documents),
-    k AS (SELECT b.lang, COUNT(*) AS n_kept FROM b JOIN r ON b.lang = r.lang
-          WHERE b.bucket < r.rate GROUP BY b.lang)
-    SELECT c.lang, CAST(c.n AS BIGINT) AS n_total,
-           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
-    FROM c LEFT JOIN k ON c.lang = k.lang ORDER BY c.lang
-    """
-
-
-@register("mixture_sample_counts", oracle=_mixture_sql())
-def q_mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic downsampling to a TARGET language mixture
-    (operators/sampling.py target_mixture — the general form of
-    equalize_groups: Pile/DoReMi-style domain reweighting with explicit
-    shares, all-integer feasibility/rate math, md5-bucket membership).
-    Per-language corpus count and kept count under targets
-    en 40% / es 25% / de 20% / fr 10% / zh 5% of the feasible output.
-    One tiny per-group aggregate + broadcast rate table + map-only pass;
-    the oracle replays the feasibility computation AND the drawn set
-    exactly, so both the math and the membership hash are checked."""
-    docs = load_table(spark, sf_dir, "documents")
-    kept = SA.target_mixture(docs, "doc_id", "lang", _MIX_TARGETS)
-    totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
-    kcount = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
-    return (
-        totals.join(kcount, "lang", "left")
-        .select(
-            "lang",
-            F.col("n_total").cast("bigint").alias("n_total"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-        )
-        .orderBy("lang")
-    )
-
-
-@register(
-    "temperature_mix_weights",
-    oracle="""
-    WITH t AS (
-      SELECT lang,
-             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
-      FROM documents
-    ),
-    g AS (
-      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(nt) AS BIGINT) AS n_tokens
-      FROM t GROUP BY 1
-    ),
-    g2 AS (
-      SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
-                     AS BIGINT) AS sqrt_units
-      FROM g
-    ),
-    tot AS (
-      SELECT CAST(SUM(sqrt_units) AS BIGINT) AS tot_units,
-             CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
-      FROM g2
-    )
-    SELECT lang, n_docs, n_tokens,
-           (sqrt_units * 1000000) // tot_units AS weight_ppm,
-           (n_tokens * 1000000) // tot_tokens AS natural_ppm
-    FROM g2, tot ORDER BY lang
-    """,
-)
-def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled language-sampling weights (r9) — the
-    exponent-smoothed sampling multilingual pipelines use (XLM-R-style
-    p_i ∝ n_i^α with α = 0.5) next to the explicit-share
-    ``target_mixture``: per-language token counts, the α-scaled share,
-    and the natural share, both in integer ppm. Determinism: IEEE sqrt
-    is correctly rounded so both engines agree bit-for-bit; each
-    language's α-weight quantizes to integer micro-units BEFORE the
-    cross-language sum (the dsum pattern), and the shares are integer
-    floor-division — no float aggregation order anywhere. One tiny
-    per-lang aggregate + a broadcast 1-row totals join."""
-    docs = load_table(spark, sf_dir, "documents")
-    g = (
-        docs.select("lang", F.size(T.tokens("text")).alias("nt"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("nt").cast("bigint").alias("n_tokens"),
-        )
-        .withColumn(
-            "sqrt_units",
-            F.expr(
-                "cast(floor(sqrt(cast(n_tokens as double)) * 1000000.0D) as bigint)"
-            ),
-        )
-    )
-    tot = g.agg(
-        F.sum("sqrt_units").alias("tot_units"),
-        F.sum("n_tokens").alias("tot_tokens"),
-    )
-    return (
-        g.crossJoin(F.broadcast(tot))
-        .select(
-            "lang",
-            "n_docs",
-            "n_tokens",
-            F.expr("(sqrt_units * 1000000) div tot_units").alias("weight_ppm"),
-            F.expr("(n_tokens * 1000000) div tot_tokens").alias("natural_ppm"),
-        )
-        .orderBy("lang")
-    )
-
 
 # ---------------------------------------------------------------------------
 # End-to-end training-data pipeline (flagship composition)
@@ -3732,67 +40,6 @@ def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIPE_QTHR = 0.45
 _PIPE_BANDS, _PIPE_ROWS, _PIPE_JTHR = 4, 4, 0.7
-
-
-def _minhash_pairs_cte(n_bands: int, rows_per_band: int, threshold: float, src: str) -> str:
-    """CTE fragment computing ``mh_pairs(doc_a, doc_b, jaccard)`` over any
-    relation ``src`` exposing (doc_id, text) — the parameterized twin of
-    ``_minhash_sql`` so pipeline oracles can run LSH dedup mid-cascade."""
-    n_hashes = n_bands * rows_per_band
-    mins = ",\n        ".join(
-        f"MIN(({2 * i + 1} * h + {7 * i + 3}) % {_MINHASH_P}) AS m{i}"
-        for i in range(n_hashes)
-    )
-    band_selects = []
-    for b in range(n_bands):
-        cols = " || '|' || ".join(
-            f"CAST(m{b * rows_per_band + j} AS VARCHAR)" for j in range(rows_per_band)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM mh_sig"
-        )
-    bands_sql = "\n        UNION ALL\n        ".join(band_selects)
-    return f"""
-    mh_tok AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
-    ),
-    mh_sh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               generate_series(1, len(t) - 2),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      FROM mh_tok WHERE len(t) >= 3
-    ),
-    mh_hashed AS (
-      SELECT doc_id, {_sql_hex_int("substr(md5(shingle), 1, 12)", 12)} AS h
-      FROM mh_sh
-    ),
-    mh_sig AS (
-      SELECT doc_id,
-        {mins}
-      FROM mh_hashed GROUP BY doc_id
-    ),
-    mh_sets AS (
-      SELECT doc_id, list(DISTINCT h) AS hs, COUNT(DISTINCT h) AS sz
-      FROM mh_hashed GROUP BY doc_id
-    ),
-    mh_bb AS (
-        {bands_sql}
-    ),
-    mh_cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM mh_bb a JOIN mh_bb b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
-    mh_pairs AS (
-      SELECT doc_a, doc_b, jaccard FROM (
-        SELECT c.doc_a, c.doc_b,
-               CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-                 / (sa.sz + sb.sz - len(list_intersect(sa.hs, sb.hs))) AS jaccard
-        FROM mh_cand c
-        JOIN mh_sets sa ON sa.doc_id = c.doc_a
-        JOIN mh_sets sb ON sb.doc_id = c.doc_b
-      ) WHERE jaccard >= {threshold}
-    )"""
 
 
 def _pipeline_final_ctes() -> str:
@@ -4186,11 +433,11 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK_ND_THRESHOLD = 0.5
 _CHUNK_ID_BASE = 10_000
+_CHUNK_ND_MAX_BUCKET = 3
 
 
-@register(
-    "chunk_near_dup_pairs",
-    oracle=f"""
+def _chunk_nd_oracle(max_bucket_size: int | None = None) -> str:
+    return f"""
     WITH cbase AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
       FROM documents
@@ -4204,7 +451,7 @@ _CHUNK_ID_BASE = 10_000
              array_to_string(t[(i-1)*{D.CHUNK_TOKENS}+1 : i*{D.CHUNK_TOKENS}], ' ') AS text
       FROM csized, unnest(generate_series(1, n_chunks)) AS u(i)
     ),
-    {_minhash_pairs_cte(_MH_BANDS, _MH_ROWS, _CHUNK_ND_THRESHOLD, "cchunks")}
+    {_minhash_pairs_cte(_MH_BANDS, _MH_ROWS, _CHUNK_ND_THRESHOLD, "cchunks", max_bucket_size=max_bucket_size)}
     SELECT doc_a AS chunk_a, doc_b AS chunk_b,
            doc_a // {_CHUNK_ID_BASE} AS doc_a,
            doc_b // {_CHUNK_ID_BASE} AS doc_b,
@@ -4212,22 +459,12 @@ _CHUNK_ID_BASE = 10_000
     FROM mh_pairs
     WHERE doc_a // {_CHUNK_ID_BASE} != doc_b // {_CHUNK_ID_BASE}
     ORDER BY chunk_a, chunk_b
-    """,
-)
-def q_chunk_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-grain NEAR-dup across documents (r9) — the fuzzy sibling of
-    chunk_dedup's exact first-occurrence pass: 20-token chunks become
-    LSH documents (chunk_id = doc_id·10000 + idx; injective only while
-    idx < _CHUNK_ID_BASE, i.e. docs under ~200k tokens — the encoding
-    raises past the bound rather than mislabel attribution), the same
-    MinHash→band→verify pipeline runs at chunk grain, and only
-    CROSS-document pairs survive — templated boilerplate that repeats
-    across pages with small edits (dates, ids), which exact chunk dedup
-    misses and doc-grain MinHash dilutes below threshold. One operator,
-    two grains: minhash_lsh_pairs is reused verbatim with the chunk
-    frame as its corpus (within-doc repetition is repetition_stats'
-    job). Scale: chunk fanout is ceil(m/20) map-side; everything after
-    is the measured LSH path, bucket-cappable via the same guard."""
+    """
+
+
+def _chunk_nd_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = D.CHUNK_TOKENS
     base = docs.select("doc_id", T.tokens("text").alias("_toks")).filter(
@@ -4267,6 +504,7 @@ def q_chunk_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_CHUNK_ND_THRESHOLD,
         n_bands=_MH_BANDS,
         rows_per_band=_MH_ROWS,
+        max_bucket_size=max_bucket_size,
     )
     return (
         pairs.filter(
@@ -4281,6 +519,46 @@ def q_chunk_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_a", "chunk_b")
     )
+
+
+@register("chunk_near_dup_pairs", oracle=_chunk_nd_oracle())
+def q_chunk_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain NEAR-dup across documents (r9) — the fuzzy sibling of
+    chunk_dedup's exact first-occurrence pass: 20-token chunks become
+    LSH documents (chunk_id = doc_id·10000 + idx; injective only while
+    idx < _CHUNK_ID_BASE, i.e. docs under ~200k tokens — the encoding
+    raises past the bound rather than mislabel attribution), the same
+    MinHash→band→verify pipeline runs at chunk grain, and only
+    CROSS-document pairs survive — templated boilerplate that repeats
+    across pages with small edits (dates, ids), which exact chunk dedup
+    misses and doc-grain MinHash dilutes below threshold. One operator,
+    two grains: minhash_lsh_pairs is reused verbatim with the chunk
+    frame as its corpus (within-doc repetition is repetition_stats'
+    job). Scale: chunk fanout is ceil(m/20) map-side; everything after
+    is the measured LSH path — chunk grain IS the hot-bucket regime
+    (soak exponent 0.81 uncapped), so the production run sets the cap:
+    that configuration is the oracle-paired ``chunk_near_dup_pairs_capped``
+    twin below."""
+    return _chunk_nd_pairs(spark, sf_dir)
+
+
+@register(
+    "chunk_near_dup_pairs_capped",
+    oracle=_chunk_nd_oracle(max_bucket_size=_CHUNK_ND_MAX_BUCKET),
+)
+def q_chunk_near_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain LSH with the hot-bucket guard ON (r10, VERDICT item 4):
+    identical plan to ``chunk_near_dup_pairs`` but band buckets larger
+    than ``_CHUNK_ND_MAX_BUCKET`` chunks are dropped from candidate
+    generation BEFORE the self-join — at chunk grain short templated
+    chunks collapse into few distinct shingle sets, exactly the
+    degenerate-bucket regime the r9 soak measured at exponent 0.81, and
+    the cap is what bounds a viral boilerplate bucket to O(cap²) pairs
+    instead of O(|B|²). Same attribution rule as
+    ``minhash_lsh_pairs_capped``: a pair survives iff its globally-first
+    matching band is an under-cap bucket — replayed exactly by the SQL
+    twin."""
+    return _chunk_nd_pairs(spark, sf_dir, max_bucket_size=_CHUNK_ND_MAX_BUCKET)
 
 
 @register(
@@ -4457,1319 +735,3 @@ def q_containment_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("containment").desc(), F.col("doc_src").asc(), F.col("doc_dst").asc()
     ).limit(100)
-
-
-# ---------------------------------------------------------------------------
-# TF-IDF / inverted-index statistics
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "tfidf_top_terms",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, unnest(t) AS term FROM ({_TOKS})),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents)
-    SELECT doc_id, CAST(rk AS INT) AS rank, term, tf, df, score FROM (
-      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-             CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df AS score,
-             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-               ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df DESC,
-                        tf.term ASC) AS rk
-      FROM tf JOIN dfq USING (term) CROSS JOIN n
-    ) WHERE rk <= 5 ORDER BY doc_id, rank
-    """,
-)
-def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-5 TF-IDF terms with rational (log-free) idf so the
-    ranking replays bit-exactly in SQL (operators/text.py tfidf_top_terms):
-    tf·N/df preserves log-idf's ordering for fixed tf and avoids the
-    libm-divergence a transcendental would introduce. df is broadcast
-    (vocabulary-sized), N a broadcast scalar, top-k windows the per-doc
-    term grain — never the raw token explosion."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.tfidf_top_terms(docs, k=5).orderBy("doc_id", "rank")
-
-
-@register(
-    "term_postings",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, unnest(t) AS term FROM ({_TOKS}))
-    SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total,
-           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-    FROM tok GROUP BY term ORDER BY term
-    """,
-)
-def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index statistics (per-term df / total tf / posting extent)
-    — the planning pass of an index build and the input of IDF-family
-    scoring. One shuffle on term with map-side combine."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.term_postings(docs).orderBy("term")
-
-
-# ---------------------------------------------------------------------------
-# Incremental (continual-ingest) dedup: batch vs at-rest history
-# ---------------------------------------------------------------------------
-
-_INC_SPLIT = 250  # doc_id < split = at-rest history; >= split = incoming batch
-_INC_THRESHOLD = 0.2
-
-
-@register(
-    "incremental_exact_dedup",
-    oracle=rf"""
-    WITH fp AS (
-      SELECT doc_id,
-             md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fingerprint
-      FROM documents
-    ),
-    fresh AS (
-      SELECT i.* FROM fp i
-      WHERE i.doc_id >= {_INC_SPLIT}
-        AND NOT EXISTS (SELECT 1 FROM fp h
-                        WHERE h.doc_id < {_INC_SPLIT}
-                          AND h.fingerprint = i.fingerprint)
-    )
-    SELECT fingerprint, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
-    FROM fresh GROUP BY 1 ORDER BY fingerprint
-    """,
-)
-def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continual-ingest exact dedup (operators/dedup.py
-    incremental_exact_dedup): the incoming batch (doc_id ≥ 250) survives
-    only where its fingerprint is absent from the at-rest history
-    (doc_id < 250) and it is the min-id of its within-batch group — one
-    anti-join against the history fingerprint table + one batch-local
-    groupBy, O(batch) not O(history) per ingest cycle."""
-    docs = load_table(spark, sf_dir, "documents")
-    fps = T.fingerprint(docs)
-    history = fps.filter(F.col("doc_id") < _INC_SPLIT)
-    incoming = fps.filter(F.col("doc_id") >= _INC_SPLIT)
-    return D.incremental_exact_dedup(incoming, history).orderBy("fingerprint")
-
-
-def _incremental_minhash_sql(
-    n_bands: int, rows_per_band: int, threshold: float, split: int
-) -> str:
-    n_hashes = n_bands * rows_per_band
-    mins = ",\n      ".join(
-        f"MIN(({2 * i + 1} * h + {7 * i + 3}) % {_MINHASH_P}) AS m{i}"
-        for i in range(n_hashes)
-    )
-    band_selects = []
-    for b in range(n_bands):
-        cols = " || '|' || ".join(
-            f"CAST(m{b * rows_per_band + j} AS VARCHAR)"
-            for j in range(rows_per_band)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
-        )
-    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
-    return f"""
-    WITH sh AS ({_SHINGLES}),
-    hashed AS (
-      SELECT doc_id, {_sql_hex_int("substr(md5(shingle), 1, 12)", 12)} AS h
-      FROM sh
-    ),
-    sig AS (
-      SELECT doc_id,
-      {mins}
-      FROM hashed GROUP BY doc_id
-    ),
-    sets AS (
-      SELECT doc_id, list(DISTINCT h) AS hs, COUNT(DISTINCT h) AS sz
-      FROM hashed GROUP BY doc_id
-    ),
-    bb AS (
-      {bands_sql}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
-      FROM bb a JOIN bb b
-        ON a.band = b.band AND a.bucket = b.bucket
-       AND a.doc_id >= {split} AND b.doc_id < {split}
-    )
-    SELECT new_doc, old_doc, jaccard FROM (
-      SELECT c.new_doc, c.old_doc,
-             CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-               / (sa.sz + sb.sz - len(list_intersect(sa.hs, sb.hs))) AS jaccard
-      FROM cand c
-      JOIN sets sa ON sa.doc_id = c.new_doc
-      JOIN sets sb ON sb.doc_id = c.old_doc
-    )
-    WHERE jaccard >= {threshold}
-    ORDER BY new_doc, old_doc
-    """
-
-
-@register(
-    "incremental_near_dup",
-    oracle=_incremental_minhash_sql(_MH_BANDS, _MH_ROWS, _INC_THRESHOLD, _INC_SPLIT),
-)
-def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection of the incoming batch (doc_id ≥ 250) AGAINST the
-    at-rest LSH index of the history (doc_id < 250) — operators/dedup.py
-    lsh_index + incremental_near_dup. Band-bucket collisions between batch
-    and index generate candidates (cost O(batch × collision rate), never
-    O(history)); exact Jaccard over the persisted hash sets verifies. In a
-    deployment the index's two artifacts are bucketed tables on
-    (band, bucket) and doc_id, making the candidate join exchange-free on
-    the index side."""
-    docs = load_table(spark, sf_dir, "documents")
-    history = docs.filter(F.col("doc_id") < _INC_SPLIT)
-    incoming = docs.filter(F.col("doc_id") >= _INC_SPLIT)
-    idx_bands, idx_sets = D.lsh_index(
-        history, n_bands=_MH_BANDS, rows_per_band=_MH_ROWS
-    )
-    return D.incremental_near_dup(
-        incoming,
-        idx_bands,
-        idx_sets,
-        threshold=_INC_THRESHOLD,
-        n_bands=_MH_BANDS,
-        rows_per_band=_MH_ROWS,
-    ).orderBy("new_doc", "old_doc")
-
-
-_DRIFT_SPLIT, _DRIFT_SCALE = 250, "1000.0"
-
-
-@register(
-    "embedding_drift",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id, label,
-             list_transform(embedding::DOUBLE[],
-                            x -> CAST(floor(x * {_DRIFT_SCALE} + 0.5) AS BIGINT)) AS v
-      FROM embeddings
-    ),
-    dims AS (
-      SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val,
-             vec_id < {_DRIFT_SPLIT} AS is_ref, vec_id
-      FROM q
-    ),
-    per_dim AS (
-      SELECT label, dim,
-             SUM(CASE WHEN is_ref THEN val ELSE 0 END) AS s_ref,
-             SUM(CASE WHEN is_ref THEN 0 ELSE val END) AS s_cur
-      FROM dims GROUP BY label, dim
-    ),
-    counts AS (
-      SELECT label,
-             CAST(SUM(CASE WHEN vec_id < {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-             CAST(SUM(CASE WHEN vec_id >= {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-      FROM q GROUP BY label
-    )
-    SELECT p.label AS label, c.n_ref, c.n_cur,
-           CAST(SUM(s_ref * s_cur) AS DOUBLE)
-             / (sqrt(CAST(SUM(s_ref * s_ref) AS DOUBLE))
-                * sqrt(CAST(SUM(s_cur * s_cur) AS DOUBLE))) AS centroid_cos
-    FROM per_dim p JOIN counts c ON c.label = p.label
-    GROUP BY p.label, c.n_ref, c.n_cur
-    ORDER BY p.label
-    """,
-)
-def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-distribution drift between a reference window (vec_id <
-    250) and the current window: per label, the cosine between the two
-    windows' mean embedding directions plus both counts — the cheap
-    always-on monitor that catches encoder swaps, upstream preprocessing
-    changes, and topic shift before they poison a training run (centroid
-    cosine ≈ 1 means stable; a drop flags the label for a deeper look).
-
-    Determinism: embeddings quantize to integer-valued units (floor
-    x·1e3+0.5); per-dimension sums are exact integers and the cosine uses
-    unscaled sums directly (mean = sum/n cancels in cosine), so both
-    engines compute identical doubles. Shape: one posexplode → one
-    (label, dim) partial-agg shuffle (64 dims × labels rows) → one
-    label-grain rollup; counts ride a separate label-grain aggregate of
-    the unexploded frame."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        f"transform(embedding, x -> cast(floor(cast(x as double) * {_DRIFT_SCALE}"
-        " + 0.5) as bigint))"
-    )
-    q = emb.select("vec_id", "label", quant.alias("v"))
-    dims = q.select(
-        "label",
-        (F.col("vec_id") < _DRIFT_SPLIT).alias("is_ref"),
-        F.posexplode("v").alias("dim0", "val"),
-    )
-    per_dim = dims.groupBy("label", "dim0").agg(
-        F.sum(F.when(F.col("is_ref"), F.col("val")).otherwise(F.lit(0))).alias("s_ref"),
-        F.sum(F.when(F.col("is_ref"), F.lit(0)).otherwise(F.col("val"))).alias("s_cur"),
-    )
-    counts = q.groupBy("label").agg(
-        F.sum(F.when(F.col("vec_id") < _DRIFT_SPLIT, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_ref"),
-        F.sum(F.when(F.col("vec_id") >= _DRIFT_SPLIT, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_cur"),
-    )
-    return (
-        per_dim.groupBy("label")
-        .agg(
-            F.sum(F.col("s_ref") * F.col("s_cur")).alias("dot"),
-            F.sum(F.col("s_ref") * F.col("s_ref")).alias("r2"),
-            F.sum(F.col("s_cur") * F.col("s_cur")).alias("c2"),
-        )
-        .join(F.broadcast(counts), "label")
-        .select(
-            "label",
-            "n_ref",
-            "n_cur",
-            (
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("r2").cast("double")) * F.sqrt(F.col("c2").cast("double")))
-            ).alias("centroid_cos"),
-        )
-        .orderBy("label")
-    )
-
-
-@register(
-    "vocab_drift_top_movers",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(t) AS term FROM ({_TOKS})
-    ),
-    counts AS (
-      SELECT term,
-             CAST(SUM(CASE WHEN doc_id < {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS tf_ref,
-             CAST(SUM(CASE WHEN doc_id >= {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS tf_cur
-      FROM tok GROUP BY term
-    ),
-    totals AS (
-      SELECT SUM(tf_ref) AS n_ref, SUM(tf_cur) AS n_cur FROM counts
-    )
-    SELECT term, tf_ref, tf_cur, delta_rate FROM (
-      SELECT c.term, c.tf_ref, c.tf_cur,
-             abs(c.tf_ref * t.n_cur - c.tf_cur * t.n_ref) AS num,
-             CAST(abs(c.tf_ref * t.n_cur - c.tf_cur * t.n_ref) AS DOUBLE)
-               / (t.n_ref * t.n_cur) AS delta_rate,
-             ROW_NUMBER() OVER (
-               ORDER BY abs(c.tf_ref * t.n_cur - c.tf_cur * t.n_ref) DESC,
-                        c.term ASC) AS rk
-      FROM counts c CROSS JOIN totals t
-    ) WHERE rk <= 20 ORDER BY delta_rate DESC, term
-    """,
-)
-def q_vocab_drift_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary drift between the reference window (doc_id < 250) and
-    the current window: the 20 terms whose unigram RATE moved most —
-    |tf_ref/N_ref − tf_cur/N_cur| ranked by the exact integer
-    cross-multiplication |tf_ref·N_cur − tf_cur·N_ref| (no float compare
-    anywhere in the ORDER, so the ranking is bit-deterministic; the
-    reported delta divides once at the end). The text-side sibling of
-    `embedding_drift` — together they catch topic shift whether or not an
-    encoder is in the loop. Shape: one token shuffle with map-side
-    combine, a 2-scalar broadcast, vocabulary-sized top-k."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    tok = docs.select("doc_id", F.explode(toks).alias("term"))
-    counts = tok.groupBy("term").agg(
-        F.sum(F.when(F.col("doc_id") < _DRIFT_SPLIT, 1).otherwise(0)).alias("tf_ref"),
-        F.sum(F.when(F.col("doc_id") >= _DRIFT_SPLIT, 1).otherwise(0)).alias("tf_cur"),
-    )
-    totals = counts.agg(
-        F.sum("tf_ref").alias("n_ref"), F.sum("tf_cur").alias("n_cur")
-    )
-    num = F.abs(F.col("tf_ref") * F.col("n_cur") - F.col("tf_cur") * F.col("n_ref"))
-    # global top-20 via orderBy+limit — plans TakeOrderedAndProject (the
-    # policy shape for bounded top-k; an unpartitioned row_number window
-    # would single-task the sort and is banned by the plan tests)
-    return (
-        counts.crossJoin(F.broadcast(totals))
-        .withColumn("num", num)
-        .withColumn(
-            "delta_rate",
-            F.col("num").cast("double") / (F.col("n_ref") * F.col("n_cur")),
-        )
-        .orderBy(F.col("num").desc(), F.col("term").asc())
-        .limit(20)
-        .select("term", "tf_ref", "tf_cur", "delta_rate")
-        .orderBy(F.col("delta_rate").desc(), "term")
-    )
-
-
-@register(
-    "span_corruption_manifest",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, len(t) AS n_tok FROM ({_TOKS}) WHERE len(t) >= 3
-    ),
-    spans AS (
-      SELECT doc_id, n_tok,
-             greatest(1, CAST(floor(n_tok * 15 / 100 / 3) AS INT)) AS k
-      FROM base
-    ),
-    draws AS (
-      SELECT doc_id,
-             list_sort(list_distinct([
-               CAST({_sql_hex_int("md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR))", 12)} AS BIGINT)
-                 % (n_tok - 2)
-               FOR i IN range(1, k + 1)])) AS starts
-      FROM spans
-    )
-    SELECT doc_id,
-           CAST(generate_subscripts(starts, 1) - 1 AS INT) AS span_id,
-           unnest(starts) AS start_tok,
-           3 AS span_len
-    FROM draws ORDER BY doc_id, span_id
-    """,
-)
-def q_span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic T5/UL2 span-corruption manifest
-    (operators/packing.py span_corruption_manifest): ~15% token budget in
-    3-token spans whose starts derive from md5(doc_id, i) — reproducible
-    across runs/engines/partitionings, map-only, fanout bounded by the
-    mask budget. Overlapping draws collapse (documented budget
-    approximation); the oracle replays the identical hash arithmetic."""
-    from network_iq_spark.operators.packing import span_corruption_manifest
-
-    docs = load_table(spark, sf_dir, "documents")
-    return span_corruption_manifest(docs).orderBy("doc_id", "span_id")
-
-
-_IANN_SPLIT, _IANN_QN = 250, 260  # history < 250; incoming batch [250, 260)
-
-
-def _incremental_ann_sql(n_cells: int, g: int, nprobe: int, k: int) -> str:
-    """DuckDB twin of the incremental ANN search: the history side's
-    two-level distributed inverted file (same structure as _ivf_dist_sql,
-    restricted to vec_id < split) probed by EXTERNAL query vectors (the
-    incoming batch) — integer-quantized throughout so every stage
-    hash-replays."""
-    cent_h = _sql_hex_int("md5(CAST(vec_id AS VARCHAR))", 12)
-    rep_h = _sql_hex_int("md5(CAST(c_id AS VARCHAR))", 12)
-    return f"""
-    WITH nn AS (
-      SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-                            x -> floor(x * {_IVFD_SCALE} + 0.5)) AS v
-      FROM embeddings
-    ),
-    n AS (
-      -- gn mirrors the Spark assigner's zero-norm guard (see _ivf_dist_sql)
-      SELECT vec_id, v, norm,
-             CASE WHEN norm = 0 THEN 1.0 ELSE norm END AS gn
-      FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM nn)
-    ),
-    hist AS (SELECT * FROM n WHERE vec_id < {_IANN_SPLIT}),
-    q AS (SELECT * FROM n
-          WHERE vec_id >= {_IANN_SPLIT} AND vec_id < {_IANN_QN}),
-    cent AS (
-      SELECT vec_id AS c_id, v AS cv, norm AS cn, gn AS gcn
-      FROM hist ORDER BY {cent_h}, vec_id LIMIT {n_cells}
-    ),
-    reps AS (
-      SELECT c_id AS rep_id, cv AS rv, gcn AS grn
-      FROM cent ORDER BY {rep_h}, c_id LIMIT {g}
-    ),
-    cgrp AS (
-      SELECT c_id, cv, gcn,
-             CASE WHEN c_id IN (SELECT rep_id FROM reps)
-                  THEN c_id ELSE best_rep END AS grp
-      FROM (
-        SELECT c.c_id, c.cv, c.gcn, r.rep_id AS best_rep,
-               ROW_NUMBER() OVER (PARTITION BY c.c_id
-                 ORDER BY list_dot_product(c.cv, r.rv) / (c.gcn * r.grn) DESC,
-                          r.rep_id ASC) AS rk
-        FROM cent c, reps r
-      ) WHERE rk = 1
-    ),
-    vgrp AS (
-      SELECT vec_id, grp FROM (
-        SELECT h.vec_id, r.rep_id AS grp,
-               ROW_NUMBER() OVER (PARTITION BY h.vec_id
-                 ORDER BY list_dot_product(h.v, r.rv) / (h.gn * r.grn) DESC,
-                          r.rep_id ASC) AS rk
-        FROM hist h, reps r
-      ) WHERE rk = 1
-    ),
-    assign AS (
-      SELECT vec_id AS n_vec_id, c_id AS cell FROM (
-        SELECT h.vec_id, c.c_id,
-               ROW_NUMBER() OVER (PARTITION BY h.vec_id
-                 ORDER BY list_dot_product(h.v, c.cv) / (h.gn * c.gcn) DESC,
-                          c.c_id ASC) AS rk
-        FROM hist h
-        JOIN vgrp ON vgrp.vec_id = h.vec_id
-        JOIN cgrp c ON c.grp = vgrp.grp
-      ) WHERE rk = 1
-    ),
-    probes AS (
-      SELECT vec_id AS q_vec_id, c_id AS cell FROM (
-        SELECT q.vec_id, c.c_id,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_dot_product(q.v, c.cv) / (q.norm * c.cn) DESC,
-                          c.c_id ASC) AS rk
-        FROM q, cent c
-      ) WHERE rk <= {nprobe}
-    ),
-    scored AS (
-      SELECT p.q_vec_id, a.n_vec_id,
-             list_dot_product(qq.v, m.v) / (qq.norm * m.norm) AS cos
-      FROM probes p
-      JOIN assign a ON a.cell = p.cell
-      JOIN q qq ON qq.vec_id = p.q_vec_id
-      JOIN n m ON m.vec_id = a.n_vec_id
-    )
-    SELECT q_vec_id, n_vec_id, CAST(rank AS INT) AS rank, cos FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
-                                   ORDER BY cos DESC, n_vec_id ASC) AS rank
-      FROM scored
-    ) WHERE rank <= {k} ORDER BY q_vec_id, rank
-    """
-
-
-@register(
-    "incremental_ann_topk",
-    oracle=_incremental_ann_sql(_IVFD_CELLS, _IVFD_GROUPS, _IVFD_NPROBE, _IVFD_K),
-)
-def q_incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continual-ingest ANN: the incoming embedding batch (vec_id in
-    [250, 260)) searched against the AT-REST history index (vec_id < 250)
-    — the embedding sibling of `incremental_near_dup`, completing the
-    incremental story across both modalities. The history side builds the
-    distributed two-level inverted file (ivf_assign_dist — in deployment
-    a persisted table the batch only READS); incoming vectors probe the
-    nprobe nearest cells and score exactly in-cell:
-    O(batch × probed fraction), never O(history). Integer quantization
-    keeps every stage bit-replayable by the oracle."""
-    import functools
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        f"transform(embedding, x -> floor(cast(x as double) * {_IVFD_SCALE} + 0.5))"
-    )
-    base = S.with_norm(emb.select("vec_id", quant.alias("v")))
-    hist = base.filter(F.col("vec_id") < _IANN_SPLIT)
-    incoming = base.filter(
-        (F.col("vec_id") >= _IANN_SPLIT) & (F.col("vec_id") < _IANN_QN)
-    )
-    return S.ivf_search(
-        hist,
-        incoming,
-        n_cells=_IVFD_CELLS,
-        nprobe=_IVFD_NPROBE,
-        k=_IVFD_K,
-        assigner=functools.partial(
-            S.ivf_assign_dist, n_groups=_IVFD_GROUPS, n_centroids=_IVFD_CELLS
-        ),
-    ).orderBy("q_vec_id", "rank")
-
-
-_LSHQ_T = 0.7
-
-
-@register(
-    "lsh_quality_report",
-    oracle=f"""
-    WITH {_JACCARD_CAPPED},
-    {_minhash_pairs_cte(_MH_PROD_BANDS, _MH_PROD_ROWS, _LSHQ_T, "documents")},
-    ex AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {_LSHQ_T}),
-    mh AS (SELECT doc_a, doc_b FROM mh_pairs),
-    u AS (
-      SELECT COALESCE(e.doc_a, m.doc_a) AS doc_a,
-             CASE WHEN e.doc_a IS NOT NULL AND m.doc_a IS NOT NULL THEN 'both'
-                  WHEN e.doc_a IS NOT NULL THEN 'exact_only'
-                  ELSE 'lsh_only' END AS cls
-      FROM ex e FULL OUTER JOIN mh m
-        ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
-    )
-    SELECT
-      CAST(SUM(CASE WHEN cls = 'both' THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
-      CAST(SUM(CASE WHEN cls = 'lsh_only' THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_lsh_only,
-      CAST(SUM(CASE WHEN cls = 'exact_only' THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_exact_only,
-      CASE WHEN SUM(CASE WHEN cls != 'lsh_only' THEN 1 ELSE 0 END) = 0
-           THEN 1.0
-           ELSE CAST(SUM(CASE WHEN cls = 'both' THEN 1 ELSE 0 END) AS DOUBLE)
-                / SUM(CASE WHEN cls != 'lsh_only' THEN 1 ELSE 0 END)
-      END AS lsh_recall
-    FROM u
-    """,
-)
-def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximation audit as a first-class QUERY: the MinHash-LSH pair
-    set cross-tabulated against the capped-exact Jaccard pair set at the
-    same threshold — every near-dup pipeline should ship this number
-    next to its dedup stats instead of asserting recall only in tests.
-    `n_lsh_only` / `n_exact_only` localize which candidate generator
-    missed (band collisions vs the df-capped shingle join); `lsh_recall`
-    is the headline. Two independent candidate pipelines sharing one
-    corpus scan grain, a full-outer join on the pair key, one global
-    aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs)
-    ex = D.jaccard_pairs_capped(sh, threshold=_LSHQ_T, max_df=_JACCARD_MAX_DF)
-    mh = D.minhash_lsh_pairs(
-        docs,
-        threshold=_LSHQ_T,
-        n_bands=_MH_PROD_BANDS,
-        rows_per_band=_MH_PROD_ROWS,
-    )
-    e = ex.select("doc_a", "doc_b", F.lit(1).alias("in_ex"))
-    m = mh.select("doc_a", "doc_b", F.lit(1).alias("in_mh"))
-    u = e.join(m, ["doc_a", "doc_b"], "full_outer").select(
-        F.when(F.col("in_ex").isNotNull() & F.col("in_mh").isNotNull(), "both")
-        .when(F.col("in_ex").isNotNull(), "exact_only")
-        .otherwise("lsh_only")
-        .alias("cls")
-    )
-    n = lambda c: F.sum(F.when(F.col("cls") == c, 1).otherwise(0)).cast("bigint")  # noqa: E731
-    exact_total = F.col("n_both") + F.col("n_exact_only")
-    return (
-        u.agg(
-            n("both").alias("n_both"),
-            n("lsh_only").alias("n_lsh_only"),
-            n("exact_only").alias("n_exact_only"),
-        )
-        .select(
-            "n_both",
-            "n_lsh_only",
-            "n_exact_only",
-            F.when(exact_total == 0, F.lit(1.0))
-            .otherwise(F.col("n_both").cast("double") / exact_total)
-            .alias("lsh_recall"),
-        )
-    )
-
-
-@register(
-    "dataset_card",
-    oracle=f"""
-    WITH {_minhash_pairs_cte(_MH_PROD_BANDS, _MH_PROD_ROWS, _MH_PROD_THRESHOLD, "documents")},
-    base AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
-                  AS BIGINT) AS total_words,
-             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
-      FROM documents
-    ),
-    top_l AS (
-      SELECT lang AS top_lang FROM (
-        SELECT lang, COUNT(*) AS n,
-               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lang ASC) AS rk
-        FROM documents GROUP BY lang
-      ) WHERE rk = 1
-    ),
-    fps AS (
-      SELECT CAST(COUNT(*) - COUNT(DISTINCT
-               md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')))
-             AS BIGINT) AS n_exact_dups
-      FROM documents
-    ),
-    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS near_dup_pairs FROM mh_pairs),
-    quality AS ({_QUALITY_CORE}),
-    mq AS (
-      SELECT {_sql_davg("quality_score", 6)} AS mean_quality FROM quality
-    ),
-    sp AS (
-      SELECT
-        CAST(SUM(CASE WHEN bucket < 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
-        CAST(SUM(CASE WHEN bucket >= 8000 AND bucket < 9000 THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_val,
-        CAST(SUM(CASE WHEN bucket >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
-      FROM (SELECT CAST({_SPLIT_HEX} AS BIGINT) % 10000 AS bucket FROM documents)
-    )
-    SELECT b.n_docs, b.total_words, b.n_langs, t.top_lang, f.n_exact_dups,
-           n.near_dup_pairs, m.mean_quality, s.n_train, s.n_val, s.n_test
-    FROM base b, top_l t, fps f, nd n, mq m, sp s
-    """,
-)
-def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DATASET CARD — the one-row corpus summary an LLM data team
-    publishes with every release, composed from the tier's own stages:
-    volume (docs, word tokens), language spread, exact-dup count
-    (fingerprint collisions), near-dup pairs (production MinHash-LSH),
-    mean quality (order-independent quantized mean — the dsum pattern),
-    and the split sizes of the hash-keyed train/val/test assignment.
-    Each stat is hash-replayed by the oracle, so the published card is
-    VERIFIED, not vibes.
-
-    100 TB shape (r8, VERDICT r7 item 6 — previously six independent
-    corpus scans): ONE pass computes the per-doc stat grain — fused
-    quality score (with_quality_score, zero-shuffle), fingerprint
-    column, split assignment — and ``localCheckpoint`` materializes it;
-    all six stat families, including the MinHash near-dup pipeline, roll
-    up from that materialized grain instead of re-reading the corpus
-    (Spark does not reuse exchange subtrees across a diamond, so without
-    the checkpoint each branch would re-scan — the measured rule from
-    SCALE.md). In production the grain IS the pipeline's per-doc stats
-    table, written once per release and rolled up incrementally."""
-    from network_iq_spark.functions import davg
-
-    docs = load_table(spark, sf_dir, "documents")
-    grain = SA.hash_split(
-        T.with_quality_score(docs),
-        "doc_id",
-        {"train": 0.8, "val": 0.1, "test": 0.1},
-        salt=_SPLIT_SALT,
-    )
-    grain = grain.select(
-        "doc_id",
-        "lang",
-        "text",
-        "n_tokens",
-        "quality_score",
-        "split",
-        T.fingerprint_col("text").alias("fingerprint"),
-    ).localCheckpoint(eager=False)
-    base = grain.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("total_words"),
-        F.countDistinct("lang").cast("bigint").alias("n_langs"),
-    )
-    wl = Window.orderBy(F.col("n").desc(), F.col("lang").asc())
-    top_l = (
-        grain.groupBy("lang")
-        .agg(F.count("*").alias("n"))
-        .withColumn("rk", F.row_number().over(wl))
-        .filter(F.col("rk") == 1)
-        .select(F.col("lang").alias("top_lang"))
-    )
-    fps = grain.agg(
-        (F.count("*") - F.countDistinct("fingerprint"))
-        .cast("bigint")
-        .alias("n_exact_dups")
-    )
-    nd = (
-        D.minhash_lsh_pairs(
-            grain,
-            threshold=_MH_PROD_THRESHOLD,
-            n_bands=_MH_PROD_BANDS,
-            rows_per_band=_MH_PROD_ROWS,
-        )
-        .agg(F.count("*").cast("bigint").alias("near_dup_pairs"))
-    )
-    mq = grain.agg(davg("quality_score", 6).alias("mean_quality"))
-    sp = (
-        grain
-        .agg(
-            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_train"),
-            F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_val"),
-            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_test"),
-        )
-    )
-    out = base
-    for side in (top_l, fps, nd, mq, sp):
-        out = out.crossJoin(F.broadcast(side))
-    return out
-
-
-_BPE_TRAIN_K = 8
-
-
-def _bpe_train_sql(k: int) -> str:
-    """DuckDB twin of operators/text.py bpe_train_merges: the identical
-    k-round trainer as nested CTEs — word counts once, then per round a
-    weighted adjacent-pair count, a (count DESC, pair ASC) top-1 pick,
-    and a marker-safe greedy replace. Both engines' replace() is
-    leftmost-first non-overlapping, so the learned table hash-replays."""
-    parts = [
-        """words AS MATERIALIZED (
-      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-            FROM documents)
-      GROUP BY w
-    )""",
-        """v0 AS MATERIALIZED (
-      SELECT regexp_replace(word, '(.)', '|\\1 ', 'g') AS seq, cnt FROM words
-    )""",
-    ]
-    for i in range(1, k + 1):
-        parts.append(
-            f"""p{i} AS MATERIALIZED (
-      SELECT unnest(list_transform(range(1, len(s)),
-                    j -> s[j] || ' ' || s[j + 1])) AS pair, cnt
-      FROM (SELECT string_split(trim(seq), ' ') AS s, cnt FROM v{i - 1})
-    )"""
-        )
-        parts.append(
-            f"""t{i} AS MATERIALIZED (
-      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
-      FROM p{i} GROUP BY pair
-      ORDER BY pair_count DESC, pair ASC LIMIT 1
-    )"""
-        )
-        parts.append(
-            f"""v{i} AS MATERIALIZED (
-      SELECT replace(seq, (SELECT pair FROM t{i}) || ' ',
-                     (SELECT replace(pair, ' |', '') FROM t{i}) || ' ') AS seq,
-             cnt
-      FROM v{i - 1}
-    )"""
-        )
-    sel = "\n      UNION ALL\n      ".join(
-        f"SELECT CAST({i} AS INT) AS rank, "
-        f"substring(split_part(pair, ' ', 1), 2) AS left_sym, "
-        f"substring(split_part(pair, ' ', 2), 2) AS right_sym, "
-        f"pair_count FROM t{i}"
-        for i in range(1, k + 1)
-    )
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + "\n    SELECT * FROM (\n      "
-        + sel
-        + "\n    ) ORDER BY rank"
-    )
-
-
-@register("bpe_train_merges", oracle=_bpe_train_sql(_BPE_TRAIN_K))
-def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE VOCABULARY INDUCTION over the corpus — learn the top-k merge
-    table (rank, left, right, weighted pair count) with the classic
-    trainer; completes the tokenizer story whose application half is
-    ``bpe_token_stats``. One corpus-scale word-count pass, then k rounds
-    over the compact distinct-word vocabulary; top-pair pick is an
-    in-plan 1-row broadcast (no driver collect). Deterministic by
-    construction (count-then-lexicographic tie-break), so the whole
-    training loop hash-replays in the DuckDB oracle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.bpe_train_merges(docs, n_merges=_BPE_TRAIN_K)
-
-
-# ---------------------------------------------------------------------------
-# Named quality-rule sets: C4 line filter + Gopher document flags
-# ---------------------------------------------------------------------------
-
-# Deterministic multi-line article fixture (the html_extract pattern): the
-# synthetic corpus is single-line and punctuation-free, so the line-grain
-# C4 rules need structure — each doc's tokens are folded into 8-word lines
-# decorated by (doc_id + line_idx) residue: bullet lines (no terminal
-# punct), "javascript" lines, bare lines, and clean sentences. Both engines
-# build the IDENTICAL text, then replay the IDENTICAL filter.
-_C4_LINES_SPARK = (
-    "if(size(_toks) = 0, array(), "
-    "transform(sequence(0, cast(ceil(size(_toks) / 8.0) as int) - 1), i -> "
-    "CASE WHEN (doc_id + i) % 5 = 0 "
-    "  THEN concat('• ', array_join(slice(_toks, i*8+1, 8), ' ')) "
-    "WHEN (doc_id + i) % 7 = 0 "
-    "  THEN concat(array_join(slice(_toks, i*8+1, 8), ' '), ' javascript') "
-    "WHEN (doc_id + i) % 3 = 0 THEN array_join(slice(_toks, i*8+1, 8), ' ') "
-    "ELSE concat(array_join(slice(_toks, i*8+1, 8), ' '), '.') END))"
-)
-
-_C4_LINES_DUCK = (
-    "list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INT)), i -> "
-    "CASE WHEN (doc_id + i) % 5 = 0 "
-    "  THEN chr(8226) || ' ' || array_to_string(list_slice(t, i*8+1, i*8+8), ' ') "
-    "WHEN (doc_id + i) % 7 = 0 "
-    "  THEN array_to_string(list_slice(t, i*8+1, i*8+8), ' ') || ' javascript' "
-    "WHEN (doc_id + i) % 3 = 0 "
-    "  THEN array_to_string(list_slice(t, i*8+1, i*8+8), ' ') "
-    "ELSE array_to_string(list_slice(t, i*8+1, i*8+8), ' ') || '.' END)"
-)
-
-
-@register(
-    "c4_line_filter",
-    oracle=f"""
-    WITH t AS ({_TOKS}),
-    built AS (
-      SELECT doc_id,
-             array_to_string({_C4_LINES_DUCK}, chr(10)) AS text
-      FROM t
-    ),
-    split_again AS (
-      SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM built
-    ),
-    filtered AS (
-      SELECT doc_id, text, len(ls) AS n_lines,
-             list_filter(ls, l ->
-               regexp_matches(l, '[.!?"]$')
-               AND len(regexp_extract_all(lower(l), '[a-z0-9]+')) >= 5
-               AND NOT contains(lower(l), 'javascript')) AS kl
-      FROM split_again
-    )
-    SELECT doc_id,
-           CAST(n_lines AS BIGINT) AS n_lines,
-           CAST(len(kl) AS BIGINT) AS kept_lines,
-           (len(kl) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
-            AND NOT contains(text, '{{')) AS keep_doc,
-           -- empty list: DuckDB array_to_string → NULL, Spark array_join → ''
-           COALESCE(array_to_string(kl, chr(10)), '') AS kept_text
-    FROM filtered ORDER BY doc_id
-    """,
-)
-def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The NAMED C4 cleaning rules (Raffel et al. 2020 §2.2) end to end:
-    keep lines ending in terminal punctuation with ≥5 words and no
-    "javascript"; keep documents with ≥3 surviving lines and no
-    "lorem ipsum"/"{{". Runs on a deterministic multi-line article built
-    in-plan from each doc's tokens (bullet/bare/javascript/sentence lines
-    by residue — the html_extract fixture pattern), hash-checked on the
-    FULL cleaned text. Map-only, array lambdas in codegen, zero Python
-    (operators/text.py c4_line_filter)."""
-    docs = load_table(spark, sf_dir, "documents")
-    fixture = docs.select(
-        "doc_id", T.tokens("text").alias("_toks")
-    ).select(
-        "doc_id",
-        F.array_join(F.expr(_C4_LINES_SPARK), "\n").alias("text"),
-    )
-    return T.c4_line_filter(fixture).orderBy("doc_id")
-
-
-_GOPHER_STOP_SQL = " + ".join(
-    f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
-    for w in T.GOPHER_STOPS
-)
-
-
-@register(
-    "gopher_quality_flags",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, text,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
-             string_split(text, chr(10)) AS ls
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id,
-             CAST(len(toks) AS BIGINT) AS n_words,
-             CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(list_sum(list_transform(toks, w -> length(w)))
-                            AS DOUBLE) / CAST(len(toks) AS DOUBLE) END
-               AS mean_word_len,
-             CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(CAST(
-                         (length(text) - length(replace(text, '#', '')))
-                         + (length(text) - length(replace(text, '...', ''))) / 3
-                         + (length(text) - length(replace(text, chr(8230), '')))
-                       AS BIGINT) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END
-               AS symbol_ratio,
-             CASE WHEN len(ls) = 0 THEN 0.0
-                  ELSE CAST(len(list_filter(ls, l ->
-                         ltrim(l) LIKE chr(8226) || '%' OR ltrim(l) LIKE '- %'))
-                       AS DOUBLE) / CAST(len(ls) AS DOUBLE) END
-               AS bullet_line_ratio,
-             CASE WHEN len(ls) = 0 THEN 0.0
-                  ELSE CAST(len(list_filter(ls, l ->
-                         regexp_matches(rtrim(l), '(\\.\\.\\.|' || chr(8230) || ')$')))
-                       AS DOUBLE) / CAST(len(ls) AS DOUBLE) END
-               AS ellipsis_line_ratio,
-             CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
-                       AS DOUBLE) / CAST(len(toks) AS DOUBLE) END
-               AS frac_alpha_words,
-             CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stop_hits
-      FROM t
-    )
-    SELECT *,
-           (n_words BETWEEN 50 AND 100000
-            AND mean_word_len BETWEEN 3.0 AND 10.0
-            AND symbol_ratio <= 0.1
-            AND bullet_line_ratio <= 0.9
-            AND ellipsis_line_ratio <= 0.3
-            AND frac_alpha_words >= 0.8
-            AND n_stop_hits >= 2) AS keep
-    FROM m ORDER BY doc_id
-    """,
-)
-def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The NAMED Gopher quality rules (Rae et al. 2021 Appendix A) as
-    measured per-document columns + combined keep flag — the exact filter
-    a corpus card can cite, next to the generic quality_score. Word-count
-    and stop-word rules discriminate on this corpus; the symbol/bullet/
-    ellipsis rules are structurally zero on the synthetic single-line
-    docs but computed honestly (and exercised with real structure in the
-    operator's unit tests). Map-only, deterministic integer ratios
-    (operators/text.py gopher_quality_flags)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.gopher_quality_flags(docs).orderBy("doc_id")
-
-
-# ---------------------------------------------------------------------------
-# BM25 sparse retrieval
-# ---------------------------------------------------------------------------
-
-_BM25_QUERY_DOCS = 5
-_BM25_UNITS_SQL = (
-    "CAST(FLOOR(ln((cast(n_docs as double) - cast(df as double) + 0.5) "
-    "/ (cast(df as double) + 0.5) + 1.0) "
-    "* ((cast(tf as double) * (1.2 + 1.0)) "
-    "/ (cast(tf as double) + 1.2 * (1.0 - 0.75 + 0.75 "
-    "* cast(dl as double) / avgdl))) * 1000000.0) AS BIGINT)"
-)
-
-
-# Stopword df-ceiling the registered BM25 queries run with: terms in more
-# than half the corpus are dropped from the postings join (the inverted-
-# index stopword-pruning shape; operators/text.py bm25_topk max_df_ratio).
-_BM25_MAX_DF_RATIO = 0.5
-# Wider query window for the capped twin: the ceiling leaves only the
-# rare-term slice of this corpus's vocabulary rankable (~5% of docs carry
-# a surviving term), so the first-5-docs window would be empty — 100 query
-# docs yields a real multi-query ranking under the cap.
-_BM25_CAPPED_QUERY_DOCS = 100
-
-
-def _bm25_ctes(max_df_ratio: float | None, query_docs: int = _BM25_QUERY_DOCS) -> str:
-    """The full BM25 CTE chain, shared by bm25_topk and both RRF fusion
-    oracles. With a ceiling, ``dfreq`` keeps only terms whose df/N is at
-    or under it — the SAME double comparison the Spark plan evaluates
-    (df ≤ ratio·N, both cast to double), so the kept-term sets match
-    exactly on both engines."""
-    keep = (
-        ""
-        if max_df_ratio is None
-        else (
-            f" CROSS JOIN s WHERE CAST(df AS DOUBLE)"
-            f" <= {max_df_ratio!r} * CAST(n_docs AS DOUBLE)"
-        )
-    )
-    return f"""t AS ({_TOKS}),
-    dl AS (SELECT doc_id, len(t) AS dl FROM t),
-    toks AS (SELECT doc_id, unnest(t) AS term FROM t),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-    s AS (SELECT COUNT(*) AS n_docs,
-                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-          FROM dl),
-    dfreq AS (SELECT term, df FROM
-                (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1) AS d0{keep}),
-    q AS (SELECT DISTINCT doc_id AS q_doc_id, term FROM tf
-          WHERE doc_id < {query_docs}),
-    pairs AS (
-      SELECT q.q_doc_id, tf.doc_id,
-             COUNT(*) AS n_terms_matched,
-             CAST(SUM({_BM25_UNITS_SQL}) AS BIGINT) AS score_units
-      FROM q JOIN tf USING (term) JOIN dfreq USING (term)
-           JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s
-      WHERE tf.doc_id != q.q_doc_id
-      GROUP BY 1, 2
-    ),
-    ranked AS (
-      SELECT *, CAST(ROW_NUMBER() OVER (
-               PARTITION BY q_doc_id ORDER BY score_units DESC, doc_id
-             ) AS INT) AS rank
-      FROM pairs
-    )"""
-
-
-_BM25_CTES = _bm25_ctes(None)  # the uncapped chain (flagship + RRF oracles)
-
-
-@register(
-    "bm25_topk",
-    oracle=f"""
-    WITH {_BM25_CTES}
-    SELECT q_doc_id, rank, doc_id, n_terms_matched, score_units,
-           CAST(score_units AS DOUBLE) / 1000000.0 AS score
-    FROM ranked WHERE rank <= 5 ORDER BY q_doc_id, rank
-    """,
-)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 related-document retrieval: the first {n} docs each retrieve
-    their top-5 corpus neighbours by summed per-term BM25 (Robertson idf,
-    k1=1.2, b=0.75) — the classic sparse scorer next to the dense-ANN
-    tier, the tool for decontamination-beyond-exact-overlap and related-
-    doc mining. Per-term scores are quantized to integer micro-units
-    before the pair sum (dsum pattern) so engines cannot drift on
-    aggregation order, and ranking ties break on the integer score + doc
-    id (operators/text.py bm25_topk)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.bm25_topk(docs, F.col("doc_id") < _BM25_QUERY_DOCS, k=5)
-
-
-@register(
-    "bm25_topk_capped",
-    oracle=f"""
-    WITH {_bm25_ctes(_BM25_MAX_DF_RATIO, _BM25_CAPPED_QUERY_DOCS)}
-    SELECT q_doc_id, rank, doc_id, n_terms_matched, score_units,
-           CAST(score_units AS DOUBLE) / 1000000.0 AS score
-    FROM ranked WHERE rank <= 5 ORDER BY q_doc_id, rank
-    """,
-)
-def q_bm25_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 with the inverted-index stopword ceiling ON — terms with
-    df/N > {_BM25_MAX_DF_RATIO} are dropped from the postings BEFORE the
-    query-side join, bounding every term's fanout at (ratio·N)·q_df (the
-    production guard an unpruned postings join lacks at crawl scale; the
-    jaccard df-cap precedent, operators/dedup.py jaccard_pairs_capped).
-
-    Registered as a TWIN rather than replacing bm25_topk: the synthetic
-    corpus has a 31-term vocabulary with 30 terms at df/N ≈ 0.75-0.80 and
-    one at 0.05, so ANY meaningful ceiling reduces this corpus's ranking
-    to the rare-term slice — the uncapped flagship keeps full-scorer
-    oracle coverage while this twin proves the capped path end-to-end
-    (kept-term sets match the oracle exactly: same double comparison on
-    both engines) (operators/text.py bm25_topk max_df_ratio)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.bm25_topk(
-        docs,
-        F.col("doc_id") < _BM25_CAPPED_QUERY_DOCS,
-        k=5,
-        max_df_ratio=_BM25_MAX_DF_RATIO,
-    )
-
-
-@register(
-    "related_docs_rrf",
-    oracle=f"""
-    WITH {_BM25_CTES},
-    dtok AS (SELECT DISTINCT doc_id, term FROM toks),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_dist FROM dtok GROUP BY 1),
-    jq AS (SELECT doc_id AS q_doc_id, term FROM dtok
-           WHERE doc_id < {_BM25_QUERY_DOCS}),
-    inter AS (
-      SELECT jq.q_doc_id, dtok.doc_id, COUNT(*) AS n_inter
-      FROM jq JOIN dtok USING (term)
-      WHERE dtok.doc_id != jq.q_doc_id
-      GROUP BY 1, 2
-    ),
-    jscored AS (
-      SELECT i.q_doc_id, i.doc_id,
-             (1000000 * n_inter) // (sa.n_dist + sb.n_dist - n_inter)
-               AS jaccard_units
-      FROM inter i JOIN sizes sa ON sa.doc_id = i.q_doc_id
-                   JOIN sizes sb ON sb.doc_id = i.doc_id
-    ),
-    jranked AS (
-      SELECT *, ROW_NUMBER() OVER (
-               PARTITION BY q_doc_id ORDER BY jaccard_units DESC, doc_id
-             ) AS jrank
-      FROM jscored
-    ),
-    contrib AS (
-      SELECT q_doc_id, doc_id, 1000000 // (60 + rank) AS u
-      FROM ranked WHERE rank <= 10
-      UNION ALL
-      SELECT q_doc_id, doc_id, 1000000 // (60 + jrank) AS u
-      FROM jranked WHERE jrank <= 10
-    ),
-    fused AS (
-      SELECT q_doc_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
-             CAST(SUM(u) AS BIGINT) AS rrf_units
-      FROM contrib GROUP BY 1, 2
-    )
-    SELECT q_doc_id, rank, doc_id, n_lists, rrf_units FROM (
-      SELECT *, CAST(ROW_NUMBER() OVER (
-               PARTITION BY q_doc_id ORDER BY rrf_units DESC, doc_id
-             ) AS INT) AS rank
-      FROM fused
-    ) WHERE rank <= 5 ORDER BY q_doc_id, rank
-    """,
-)
-def q_related_docs_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
-    BM25 (frequency-weighted lexical) and exact token-set Jaccard
-    (overlap-weighted lexical) each rank top-10 related docs per query
-    doc; RRF fuses the two lists with pure INTEGER arithmetic
-    (10^6 div (60 + rank)) — no score calibration, no floats in the fused
-    ordering, the whole two-system pipeline hash-replayable. The shape a
-    production decontamination/related-doc service runs (swap the second
-    list for the dense-ANN tier's ranks via the same rrf_fuse seam)
-    (operators/text.py bm25_topk / jaccard_topk / rrf_fuse)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pred = F.col("doc_id") < _BM25_QUERY_DOCS
-    bm = T.bm25_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
-    jc = T.jaccard_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
-    return T.rrf_fuse([bm, jc], k=5)
-
-
-# Dense arm: the SAME integerized-hyperplane constants the hash-checked
-# ann_int_cosine_topk tier runs with (queries/pipeline.py _AI_PLANES/_AI_TABLES)
-_RRF_PLANES, _RRF_TABLES = 6, 4
-
-
-@register(
-    "related_docs_rrf_dense",
-    oracle=f"""
-    WITH {_BM25_CTES},
-    dtok AS (SELECT DISTINCT doc_id, term FROM toks),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_dist FROM dtok GROUP BY 1),
-    jq AS (SELECT doc_id AS q_doc_id, term FROM dtok
-           WHERE doc_id < {_BM25_QUERY_DOCS}),
-    inter AS (
-      SELECT jq.q_doc_id, dtok.doc_id, COUNT(*) AS n_inter
-      FROM jq JOIN dtok USING (term)
-      WHERE dtok.doc_id != jq.q_doc_id
-      GROUP BY 1, 2
-    ),
-    jscored AS (
-      SELECT i.q_doc_id, i.doc_id,
-             (1000000 * n_inter) // (sa.n_dist + sb.n_dist - n_inter)
-               AS jaccard_units
-      FROM inter i JOIN sizes sa ON sa.doc_id = i.q_doc_id
-                   JOIN sizes sb ON sb.doc_id = i.doc_id
-    ),
-    jranked AS (
-      SELECT *, ROW_NUMBER() OVER (
-               PARTITION BY q_doc_id ORDER BY jaccard_units DESC, doc_id
-             ) AS jrank
-      FROM jscored
-    ),
-    {_int_sig_ctes(_RRF_TABLES, _RRF_PLANES)},
-    acand AS (
-      SELECT DISTINCT a.vec_id AS q_doc_id, b.vec_id AS doc_id
-      FROM sigs a JOIN sigs b
-        ON a.t = b.t AND a.bucket = b.bucket AND b.vec_id != a.vec_id
-      WHERE a.vec_id < {_BM25_QUERY_DOCS}
-    ),
-    anorm AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-               AS norm
-      FROM embeddings
-    ),
-    ascored AS (
-      SELECT c.q_doc_id, c.doc_id,
-             list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
-      FROM acand c
-      JOIN anorm a ON a.vec_id = c.q_doc_id
-      JOIN anorm b ON b.vec_id = c.doc_id
-    ),
-    aranked AS (
-      SELECT q_doc_id, doc_id, ROW_NUMBER() OVER (
-               PARTITION BY q_doc_id ORDER BY cos DESC, doc_id ASC
-             ) AS arank
-      FROM ascored
-    ),
-    contrib AS (
-      SELECT q_doc_id, doc_id, 1000000 // (60 + rank) AS u
-      FROM ranked WHERE rank <= 10
-      UNION ALL
-      SELECT q_doc_id, doc_id, 1000000 // (60 + jrank) AS u
-      FROM jranked WHERE jrank <= 10
-      UNION ALL
-      SELECT q_doc_id, doc_id, 1000000 // (60 + arank) AS u
-      FROM aranked WHERE arank <= 10
-    ),
-    fused AS (
-      SELECT q_doc_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
-             CAST(SUM(u) AS BIGINT) AS rrf_units
-      FROM contrib GROUP BY 1, 2
-    )
-    SELECT q_doc_id, rank, doc_id, n_lists, rrf_units FROM (
-      SELECT *, CAST(ROW_NUMBER() OVER (
-               PARTITION BY q_doc_id ORDER BY rrf_units DESC, doc_id
-             ) AS INT) AS rank
-      FROM fused
-    ) WHERE rank <= 5 ORDER BY q_doc_id, rank
-    """,
-)
-def q_related_docs_rrf_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL production hybrid-retrieval stack (r9): BM25 (frequency-
-    weighted lexical) + exact token-set Jaccard (overlap-weighted lexical)
-    + the dense arm — integer-quantized hyperplane-LSH ANN ranks over the
-    embeddings table (doc_id ≡ vec_id on the embedded subset; docs without
-    an embedding simply receive no dense votes, RRF's union semantics) —
-    fused with pure INTEGER reciprocal-rank arithmetic, 10^6 div (60 +
-    rank). Every arm is individually hash-replayable (the ANN arm's bucket
-    derivation is the same splitmix/quantize/integer-dot chain the
-    hash-checked ann_int_cosine_topk runs), so the three-system pipeline
-    stays engine-exact end to end (operators/text.py bm25_topk /
-    jaccard_topk / rrf_fuse; operators/similarity.py cosine_topk_int_lsh)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pred = F.col("doc_id") < _BM25_QUERY_DOCS
-    bm = T.bm25_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
-    jc = T.jaccard_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.select("vec_id").filter(F.col("vec_id") < _BM25_QUERY_DOCS)
-    dn = S.cosine_topk_int_lsh(
-        emb, qv, k=10, n_planes=_RRF_PLANES, n_tables=_RRF_TABLES
-    ).select(
-        F.col("q_vec_id").alias("q_doc_id"),
-        "rank",
-        F.col("n_vec_id").alias("doc_id"),
-    )
-    return T.rrf_fuse([bm, jc, dn], k=5)
-
-
-# ---------------------------------------------------------------------------
-# Count-min frequency sketch (third mergeable-state family member)
-# ---------------------------------------------------------------------------
-
-_CM_D, _CM_W = 4, 256
-_CM_BUCKET = (
-    "(" + _sql_hex_int("md5(CAST(row AS VARCHAR) || ':' || tok)", 12)
-    + f") % {_CM_W}"
-)
-
-
-@register(
-    "cm_heavy_hitters",
-    oracle=f"""
-    WITH toks AS (
-      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-      FROM documents
-    ),
-    hrows AS (
-      SELECT tok, i AS row
-      FROM toks, LATERAL unnest(generate_series(0, {_CM_D - 1})) AS g(i)
-    ),
-    state AS (
-      SELECT row, {_CM_BUCKET} AS bucket, COUNT(*) AS cnt
-      FROM hrows GROUP BY 1, 2
-    ),
-    exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY 1),
-    probes AS (
-      SELECT tok, i AS row, {_CM_BUCKET.replace("row", "i")} AS bucket
-      FROM (SELECT DISTINCT tok FROM toks),
-           LATERAL unnest(generate_series(0, {_CM_D - 1})) AS g(i)
-    ),
-    est AS (
-      SELECT tok, CAST(MIN(cnt) AS BIGINT) AS cm_est
-      FROM probes JOIN state USING (row, bucket) GROUP BY 1
-    )
-    SELECT tok, exact_cnt, cm_est, cm_est - exact_cnt AS overestimate
-    FROM exact JOIN est USING (tok)
-    ORDER BY exact_cnt DESC, tok LIMIT 20
-    """,
-)
-def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min heavy hitters over the corpus token stream, built the IVM
-    way: three per-batch sketches (doc_id mod 3) FOLDED with the sum
-    monoid, then point-estimated for every candidate token and compared
-    to the exact counts in one output (overestimate ≥ 0 always — the CM
-    guarantee as a shipped column). md5-derived row hashes make the whole
-    sketch exactly SQL-replayable, so the oracle's single-pass sketch
-    hash-matching the engine's split-and-merge IS the monoid proof —
-    the frequency sibling of incremental_rollup_refresh
-    (operators/sketches.py)."""
-    from network_iq_spark.operators.sketches import (
-        cm_estimate,
-        cm_sketch_state,
-        merge_cm_states,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(T.tokens("text")).alias("tok")
-    )
-    states = [
-        cm_sketch_state(
-            toks.filter(F.col("doc_id") % 3 == i), "tok", _CM_D, _CM_W
-        )
-        for i in range(3)
-    ]
-    state = merge_cm_states(states)
-    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
-    est = cm_estimate(state, exact.select("tok"), "tok", _CM_D, _CM_W)
-    return (
-        exact.join(est, "tok")
-        .select(
-            "tok",
-            "exact_cnt",
-            "cm_est",
-            (F.col("cm_est") - F.col("exact_cnt")).alias("overestimate"),
-        )
-        .orderBy(F.desc("exact_cnt"), "tok")
-        .limit(20)
-    )

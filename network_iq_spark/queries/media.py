@@ -1,0 +1,1722 @@
+"""Multimodal (image/audio/video) queries: codec round-trip stats,
+perceptual-hash near-dup across all media modalities, incremental media
+dedup (in-plan and at-rest-index probe shapes), media contracts and the
+cross-modality census. Split out of llmdata.py in r10.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from network_iq_spark.operators import dedup as D
+from network_iq_spark.operators import multimodal as M
+from network_iq_spark.registry import register
+from network_iq_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS payload_sha256,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'ok' END
+             AS decode_status
+    FROM documents ORDER BY media_id
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: opaque payload → Arrow-batched ``mapInPandas``
+    feature extraction (byte length, content hash, stubbed decode). The
+    Python stage is real — schema, batching, UDF signature — only the codec
+    call is stubbed (no media libs in this container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.documents_as_media(docs)).orderBy("media_id")
+
+
+_IMG_SIDE, _IMG_OUT = 8, 4  # 64-dim embedding -> 8x8 gray -> 4x4 resize
+# center-aligned nearest-neighbor survivors: floor((i+0.5)*8/4) = 2i+1
+# -> rows/cols {1,3,5,7}; DuckDB list indexing is 1-based
+_IMG_KEEP_1BASED = [
+    _IMG_SIDE * r + c + 1
+    for r in (1, 3, 5, 7)
+    for c in (1, 3, 5, 7)
+]
+_IMG_QUANT_SQL = (
+    "list_transform(embedding::DOUBLE[], x -> CAST(floor("
+    "((least(greatest(x, -1.0), 1.0)) + 1.0) / 2.0 * 255.0 + 0.5) AS BIGINT))"
+)
+
+
+@register(
+    "decoded_image_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_IMG_OUT} AS out_w, {_IMG_OUT} AS out_h,
+           ({' + '.join(f'px[{i}]' for i in _IMG_KEEP_1BASED)}) AS px_sum,
+           CAST(({' + '.join(f'px[{i}]' for i in _IMG_KEEP_1BASED)}) AS DOUBLE)
+             / {_IMG_OUT * _IMG_OUT}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end and hash-checked: each embedding is
+    quantized to 8-bit pixels (Spark expressions — both engines evaluate
+    the identical doubles), encoded as an actual PGM image in an Arrow
+    batch, pushed through resize_media's decode → center-aligned
+    nearest-neighbor resample → PNM re-encode (operators/multimodal.py,
+    pure numpy), and the OUTPUT BYTES are decoded again for the stats.
+    The oracle never sees an image: it computes the same stats from the
+    16 surviving pixel positions directly, so any defect in the codec,
+    the resample index math, or the re-encode shows up as a hash
+    mismatch. All stages MAP-ONLY (zero shuffles before the final sort)."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.multimodal import decode_image, encode_pnm
+
+    side = _IMG_SIDE
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_pnm(
+                            np.asarray(list(p), dtype=np.uint8).reshape(side, side)
+                        )
+                        for p in pdf["px"]
+                    ],
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _IMG_OUT, _IMG_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_IMG_OUT * _IMG_OUT) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
+_PNG_OUT = 2
+# center-aligned nearest-neighbor survivors for 8 -> 2: floor((i+0.5)*8/2)
+# -> rows/cols {2, 6}; DuckDB list indexing is 1-based
+_PNG_KEEP_1BASED = [_IMG_SIDE * r + c + 1 for r in (2, 6) for c in (2, 6)]
+
+_JPEG_BLOCKS = 2  # 2x2 grid of constant 8x8 blocks -> 16x16 image
+_JPEG_OUT = 2
+# survivors for 16 -> 2: floor((i+0.5)*16/2) -> rows/cols {4, 12}; pixel
+# (4,4) lands in block (0,0), (4,12) in (0,1), ... — i.e. the resample
+# picks exactly the 4 block constants, which are embedding dims 1..4
+_JPEG_KEEP_1BASED = [1, 2, 3, 4]
+
+
+@register(
+    "decoded_png_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_PNG_OUT} AS out_w, {_PNG_OUT} AS out_h,
+           ({' + '.join(f'px[{i}]' for i in _PNG_KEEP_1BASED)}) AS px_sum,
+           CAST(({' + '.join(f'px[{i}]' for i in _PNG_KEEP_1BASED)}) AS DOUBLE)
+             / {_PNG_OUT * _PNG_OUT}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG sibling of `decoded_image_stats` — same decode → resample →
+    re-encode pipeline, but the input payloads are REAL PNG files
+    (zlib-compressed, CRC-chunked, per-row filters cycling through all
+    five spec types so every unfilter path — None/Sub/Up/Average/Paeth —
+    runs inside the distributed Arrow batches, not just in a unit test).
+    The oracle never inflates a PNG: it computes the same stats from the
+    4 surviving pixel positions of the 8×8 → 2×2 center-aligned resample,
+    so a defect anywhere in the codec (CRC layout, filter math, alpha
+    handling) or the resample surfaces as a hash mismatch. MAP-ONLY
+    before the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.multimodal import decode_image, encode_png
+
+    side = _IMG_SIDE
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_png(
+                            np.asarray(list(p), dtype=np.uint8).reshape(side, side)
+                        )
+                        for p in pdf["px"]
+                    ],
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _PNG_OUT, _PNG_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_PNG_OUT * _PNG_OUT) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
+# Image near-dup fixture: every {_DHASH_TWIN_EVERY}th image gets a planted
+# perturbed twin (+3 on the four col-0 pixels of rows 0/2/4/6, clamped) —
+# a bump that can flip at most the 4 adjacent gradient comparisons, so a
+# twin's dHash Hamming distance is ≤ 4 by construction and every planted
+# pair lands under the threshold. The corpus itself has no near-identical
+# embeddings (max pairwise cosine ≈ 0.51), so without planting the query
+# would be a 0-row test.
+_DHASH_MAX_HAMMING = 6
+_DHASH_TWIN_EVERY = 10
+_DHASH_TWIN_OFFSET = 1_000_000
+
+
+# shared CTE chain (quantize -> plant twins -> dHash -> bands -> candidate
+# pairs) reused verbatim by the pairs oracle and the clusters oracle
+_IMG_ND_CHAIN = f"""q0 AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    q AS (
+      SELECT media_id, px FROM q0
+      UNION ALL
+      SELECT media_id + {_DHASH_TWIN_OFFSET},
+             list_transform(generate_series(1, {_IMG_SIDE * _IMG_SIDE}),
+               i -> CASE WHEN (i - 1) % 16 = 0
+                         THEN least(px[i] + 3, 255) ELSE px[i] END)
+      FROM q0 WHERE media_id % {_DHASH_TWIN_EVERY} = 0
+    ),
+    bits AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                   + (k % {_IMG_SIDE - 1}) + 2]
+                           > px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                + (k % {_IMG_SIDE - 1}) + 1]
+                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dhash
+      FROM q, LATERAL unnest(generate_series(0, {_IMG_SIDE * (_IMG_SIDE - 1) - 1}))
+                AS s(k)
+      GROUP BY media_id
+    ),
+    bands AS (
+      SELECT media_id, dhash, b, (dhash >> (8 * b)) & 255 AS v
+      FROM bits, LATERAL unnest(generate_series(0, {_DHASH_MAX_HAMMING})) AS g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.dhash AS da, b.dhash AS db
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
+    )"""
+
+_IMG_ND_ORACLE = f"""
+    WITH {_IMG_ND_CHAIN}
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= {_DHASH_MAX_HAMMING} ORDER BY id_a, id_b
+    """
+
+
+def _image_nd_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image near-dup fixture frame: quantized-embedding rasters plus
+    planted perturbed twins, pushed through the REAL PNG encode → decode
+    round trip inside Arrow batches. Shared by the pairs query and the
+    clusters query (same corpus, same decode path)."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.multimodal import decode_image, encode_png
+
+    side = _IMG_SIDE
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    twin = src.filter(F.col("media_id") % _DHASH_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _DHASH_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(px, (x, i) -> IF(i % 16 = 0, least(x + 3, 255), x))"
+        ).alias("px"),
+    )
+    imgs = src.unionByName(twin)
+
+    def roundtrip(it):
+        for pdf in it:
+            out = []
+            for p in pdf["px"]:
+                img = np.asarray(list(p), dtype=np.uint8).reshape(side, side)
+                dec = decode_image(encode_png(img))
+                out.append([int(v) for v in dec.reshape(-1)])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
+
+    return imgs.mapInPandas(roundtrip, schema="media_id bigint, px array<int>")
+
+
+@register("image_near_dup_pairs", oracle=_IMG_ND_ORACLE)
+def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup — the codec tier wired into the
+    dedup tier (r9): images synthesized from quantized embeddings (plus
+    the planted perturbed twins) make a REAL PNG encode → decode round
+    trip inside Arrow batches, dHash (56-bit row-gradient hash) folds
+    over the decoded luma, and pairs come from pigeonhole Hamming
+    blocking — never an all-pairs scan (operators/dedup.py image_dhash /
+    image_near_dup_pairs; blocking precedent simhash_pairs_blocked).
+    The oracle replays dHash/bands/verify from the quantized values
+    directly — decoders are bit-exact, so a defect anywhere in the codec
+    or the hash surfaces as a mismatch."""
+    return D.image_near_dup_pairs(
+        _image_nd_decoded(spark, sf_dir), max_hamming=_DHASH_MAX_HAMMING
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "image_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_IMG_ND_CHAIN},
+    prs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INT) AS hamming
+        FROM cand
+      ) WHERE hamming <= {_DHASH_MAX_HAMMING}
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    walk(v, label) AS (
+      SELECT media_id, media_id FROM q
+      UNION
+      SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.v
+    ),
+    clusters AS (
+      SELECT v AS media_id, MIN(label) AS cluster_id FROM walk GROUP BY v
+    ),
+    scores AS (
+      SELECT media_id,
+             {_IMG_SIDE * _IMG_SIDE} * CAST(list_sum(list_transform(px,
+               x -> CAST(x AS BIGINT) * x)) AS BIGINT)
+             - CAST(list_sum(list_transform(px,
+               x -> CAST(x AS BIGINT))) AS BIGINT)
+             * CAST(list_sum(list_transform(px,
+               x -> CAST(x AS BIGINT))) AS BIGINT) AS px_var_units
+      FROM q
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.media_id, s.px_var_units,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+               ORDER BY s.px_var_units DESC, c.media_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM clusters c JOIN scores s ON s.media_id = c.media_id
+    )
+    SELECT cluster_id, media_id AS keeper, px_var_units AS keeper_score,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rk = 1 ORDER BY cluster_id
+    """,
+)
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full media-dedup decision, end to end (r9): detect (dHash +
+    blocked Hamming pairs over REAL PNG round-trip decodes) → cluster
+    (min-label connected components, operators/graph.py) → policy (keep
+    each cluster's highest-INFORMATION member: integer pixel-variance
+    units n·Σx² − (Σx)², a blur/flat-image tiebreak production keeps —
+    the media analogue of cluster_keep_best's quality score; exact, so
+    cross-engine keeper choice can't drift). The oracle reaches the same
+    fixpoint by recursive CTE and replays the variance policy."""
+    from network_iq_spark.operators import graph as G
+
+    decoded = _image_nd_decoded(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = D.image_near_dup_pairs(decoded, max_hamming=_DHASH_MAX_HAMMING)
+    clusters = G.connected_components(
+        decoded.select("media_id"), pairs, id_col="media_id",
+        src="id_a", dst="id_b",
+    )
+    ss = "aggregate(px, cast(0 as bigint), (a, x) -> a + cast(x as bigint) * x)"
+    s1 = "aggregate(px, cast(0 as bigint), (a, x) -> a + cast(x as bigint))"
+    scores = decoded.select(
+        "media_id",
+        F.expr(
+            f"{_IMG_SIDE * _IMG_SIDE} * ({ss}) - ({s1}) * ({s1})"
+        ).alias("px_var_units"),
+    )
+    return D.keep_best_per_cluster(
+        clusters, scores, id_col="media_id",
+        cluster_col="cluster_id", score_col="px_var_units",
+    ).orderBy("cluster_id")
+
+
+_IMG_INCR_DEDUP_ORACLE = f"""
+    WITH hist AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    batch AS (
+      SELECT media_id + {_DHASH_TWIN_OFFSET} AS media_id,
+             list_transform(generate_series(1, {_IMG_SIDE * _IMG_SIDE}),
+               i -> CASE WHEN (i - 1) % 16 = 0
+                         THEN least(px[i] + 3, 255) ELSE px[i] END) AS px
+      FROM hist WHERE media_id % {_DHASH_TWIN_EVERY} = 0
+    ),
+    hbits AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                   + (k % {_IMG_SIDE - 1}) + 2]
+                           > px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                + (k % {_IMG_SIDE - 1}) + 1]
+                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dhash
+      FROM hist, LATERAL unnest(generate_series(0, {_IMG_SIDE * (_IMG_SIDE - 1) - 1}))
+                AS s(k)
+      GROUP BY media_id
+    ),
+    bbits AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                   + (k % {_IMG_SIDE - 1}) + 2]
+                           > px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                + (k % {_IMG_SIDE - 1}) + 1]
+                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dhash
+      FROM batch, LATERAL unnest(generate_series(0, {_IMG_SIDE * (_IMG_SIDE - 1) - 1}))
+                AS s(k)
+      GROUP BY media_id
+    ),
+    hband AS (
+      SELECT media_id, dhash, b, (dhash >> (8 * b)) & 255 AS v
+      FROM hbits, LATERAL unnest(generate_series(0, {_DHASH_MAX_HAMMING})) AS g(b)
+    ),
+    bband AS (
+      SELECT media_id, dhash, b, (dhash >> (8 * b)) & 255 AS v
+      FROM bbits, LATERAL unnest(generate_series(0, {_DHASH_MAX_HAMMING})) AS g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT n.media_id AS new_id, o.media_id AS old_id,
+             n.dhash AS dn, o.dhash AS do_
+      FROM bband n JOIN hband o ON n.b = o.b AND n.v = o.v
+    )
+    SELECT new_id, old_id, hamming FROM (
+      SELECT new_id, old_id, CAST(bit_count(xor(dn, do_)) AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= {_DHASH_MAX_HAMMING} ORDER BY new_id, old_id
+    """
+
+
+def _img_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest image corpus: embeddings quantized to 8×8 gray pixel
+    arrays (media_id, px) — shared by the whole image-dedup family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    return emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+
+def _img_probe_batch(hist: DataFrame) -> DataFrame:
+    """The incoming batch: perturbed copies of every
+    ``_DHASH_TWIN_EVERY``-th image pushed through the REAL PNG
+    encode → decode round trip (like any new crawl item), fingerprinted
+    with dHash. O(batch) codec work — the only per-item cost the probe
+    path pays."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.multimodal import decode_image, encode_png
+
+    side = _IMG_SIDE
+    batch_px = hist.filter(F.col("media_id") % _DHASH_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _DHASH_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(px, (x, i) -> IF(i % 16 = 0, least(x + 3, 255), x))"
+        ).alias("px"),
+    )
+
+    def roundtrip(it):
+        for pdf in it:
+            out = []
+            for p in pdf["px"]:
+                img = np.asarray(list(p), dtype=np.uint8).reshape(side, side)
+                dec = decode_image(encode_png(img))
+                out.append([int(v) for v in dec.reshape(-1)])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
+
+    return batch_px.mapInPandas(
+        roundtrip, schema="media_id bigint, px array<int>"
+    ).select("media_id", D.image_dhash("px", side).alias("dhash"))
+
+
+def _img_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dHash segment index over the at-rest corpus (hamming_index
+    rows) — what a deployment persists partitioned by (seg, seg_val)."""
+    hist_hashed = _img_hist(spark, sf_dir).select(
+        "media_id", D.image_dhash("px", _IMG_SIDE).alias("dhash")
+    )
+    return D.hamming_index(
+        hist_hashed, "dhash", _DHASH_MAX_HAMMING,
+        n_bits=_IMG_SIDE * (_IMG_SIDE - 1),
+    )
+
+
+@register("incremental_image_dedup", oracle=_IMG_INCR_DEDUP_ORACLE)
+def q_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental media dedup (r9) — the media twin of
+    incremental_near_dup: the at-rest corpus is indexed once by dHash
+    segment (operators/dedup.py hamming_index — persisted partitioned by
+    (seg, seg_val) in a deployment), and an incoming batch (perturbed
+    copies of every 10th image, pushed through the REAL PNG
+    encode → decode round trip like any new crawl item) probes it via
+    segment collisions + Hamming verify (incremental_hamming_dedup).
+    Cost is O(batch × collision rate), never O(history); recall 1.0 by
+    the pigeonhole argument. The oracle replays index, probe, and verify
+    from the quantized values directly.
+
+    NOTE (r10): this registered shape rebuilds the history index IN-PLAN
+    — O(corpus) codec-free map work — so one self-contained query is
+    fully SQL-replayable. The shape a deployment actually runs at 100 TB
+    (probe against the AT-REST index, O(batch) only) is the
+    ``incremental_image_dedup_probe`` twin below, now also
+    oracle-paired; the index build itself is hashed separately as
+    ``media_dhash_index``."""
+    index = _img_index_df(spark, sf_dir)
+    batch = _img_probe_batch(_img_hist(spark, sf_dir))
+    return D.incremental_hamming_dedup(
+        batch, index, "dhash", _DHASH_MAX_HAMMING,
+        n_bits=_IMG_SIDE * (_IMG_SIDE - 1),
+    ).orderBy("new_id", "old_id")
+
+
+@register(
+    "media_dhash_index",
+    oracle=f"""
+    WITH hist AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    hbits AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                   + (k % {_IMG_SIDE - 1}) + 2]
+                           > px[(k // {_IMG_SIDE - 1}) * {_IMG_SIDE}
+                                + (k % {_IMG_SIDE - 1}) + 1]
+                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dhash
+      FROM hist, LATERAL unnest(generate_series(0, {_IMG_SIDE * (_IMG_SIDE - 1) - 1}))
+                AS s(k)
+      GROUP BY media_id
+    )
+    SELECT media_id, dhash,
+           CAST(b AS INT) AS seg,
+           (dhash >> (8 * b)) & 255 AS seg_val
+    FROM hbits, LATERAL unnest(generate_series(0, {_DHASH_MAX_HAMMING})) AS g(b)
+    ORDER BY media_id, seg
+    """,
+)
+def q_media_dhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest dHash segment index AS ITS OWN oracle-paired query
+    (r10, VERDICT item 5): (media_id, dhash, seg, seg_val) — one row per
+    8-bit fingerprint segment, the artifact ``hamming_index`` persists
+    partitioned by (seg, seg_val) in a deployment. Hashing the index
+    build separately from the probe means the external gate covers BOTH
+    halves of the incremental contract: this query proves the index
+    contents, ``incremental_image_dedup_probe`` proves the O(batch)
+    probe against it. Pure map work (quantize → dHash fold → segment
+    explode, fanout = max_hamming+1); no shuffle at all."""
+    return _img_index_df(spark, sf_dir).orderBy("media_id", "seg")
+
+
+_MEDIA_INDEX_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "aux_data", "media_index",
+)
+
+
+@register("incremental_image_dedup_probe", oracle=_IMG_INCR_DEDUP_ORACLE)
+def q_incremental_image_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT shape of incremental media dedup (r10, VERDICT
+    item 5): probe an incoming batch against the AT-REST dHash segment
+    index read from parquet — O(batch) codec + probe work, O(1) history
+    work beyond the index scan. This is the path the r9 soak measured
+    FLAT (exponent −0.02 in history size, docs/SCALE.md) but which until
+    now had no oracle-paired sheet entry because the index lived only
+    in-plan.
+
+    The index artifact is the materialized output of
+    ``media_dhash_index`` (built once by scripts/build_media_index.py
+    and committed under aux_data/media_index/<sf>; self-healing — a
+    missing artifact is rebuilt in-plan and persisted, so a fresh clone
+    still runs). Parity with the SAME oracle as the in-plan twin
+    additionally proves the artifact is fresh: a stale index would
+    hash-mismatch the oracle's recomputation."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_MEDIA_INDEX_DIR, sf_name)
+    if not os.path.exists(path):
+        _img_index_df(spark, sf_dir).write.mode("overwrite").parquet(path)
+    index = spark.read.parquet(path)
+    batch = _img_probe_batch(_img_hist(spark, sf_dir))
+    return D.incremental_hamming_dedup(
+        batch, index, "dhash", _DHASH_MAX_HAMMING,
+        n_bits=_IMG_SIDE * (_IMG_SIDE - 1),
+    ).orderBy("new_id", "old_id")
+
+
+@register(
+    "decoded_jpeg_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_JPEG_OUT} AS out_w, {_JPEG_OUT} AS out_h,
+           ({' + '.join(f'px[{i}]' for i in _JPEG_KEEP_1BASED)}) AS px_sum,
+           CAST(({' + '.join(f'px[{i}]' for i in _JPEG_KEEP_1BASED)}) AS DOUBLE)
+             / {_JPEG_OUT * _JPEG_OUT}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG sibling of `decoded_image_stats`: embedding dims 1–4
+    become the constants of a 2×2 grid of 8×8 blocks (16×16 gray image),
+    encoded as a REAL baseline JPEG (operators/jpeg.py — Annex-K Huffman
+    tables, byte stuffing, restart markers every 2 MCUs) and decoded by
+    the full entropy-decode → dequantize → IDCT path inside the
+    distributed resize stage. Constant blocks are the one signal a LOSSY
+    codec transports bit-exactly (DC coefficient only, quantization step
+    1), so the DuckDB oracle can hash-replay the whole machinery without
+    ever inflating a JPEG: the 16×16 → 2×2 center-aligned resample picks
+    pixel (4,4) of each block — the block constant — and the oracle reads
+    the same values straight from the embedding dims. Any defect in the
+    Huffman tables, bitstream, DC prediction, restart handling, or IDCT
+    shifts a constant and breaks the hash. MAP-ONLY before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.jpeg import encode_jpeg_gray
+    from network_iq_spark.operators.multimodal import decode_image
+
+    side = _JPEG_BLOCKS * 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_jpeg_gray(
+                            np.kron(
+                                np.asarray(list(p), dtype=np.uint8).reshape(
+                                    _JPEG_BLOCKS, _JPEG_BLOCKS
+                                ),
+                                ones,
+                            ),
+                            restart_interval=2,
+                        )
+                        for p in pdf["px"]
+                    ],
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _JPEG_OUT, _JPEG_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_JPEG_OUT * _JPEG_OUT) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
+_J420_MCUS = 2  # 2x2 grid of constant 16x16 MCUs -> 32x32 color image
+_J420_OUT = 2
+# survivors for 32 -> 2: floor((i+0.5)*32/2) -> rows/cols {8, 24}; pixel
+# (8,8) lands in MCU (0,0), (8,24) in (0,1), ... — the resample picks the
+# 4 MCU luma constants, and with neutral chroma R=G=B=Y so each counts 3×
+
+
+@register(
+    "decoded_jpeg420_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_J420_OUT} AS out_w, {_J420_OUT} AS out_h,
+           3 * (px[1] + px[2] + px[3] + px[4]) AS px_sum,
+           CAST(3 * (px[1] + px[2] + px[3] + px[4]) AS DOUBLE)
+             / {_J420_OUT * _J420_OUT * 3}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled JPEG — the dominant format of real crawled
+    corpora (VERDICT r7 top-next; previously these files fell to the
+    metadata-only path). Embedding dims 1–4 become the luma constants of
+    a 2×2 grid of 16×16 MCUs (32×32), chroma held at neutral 128, encoded
+    as a REAL interleaved 3-component 4:2:0 baseline JPEG
+    (operators/jpeg.py encode_jpeg_ycbcr: per-component sampling factors,
+    restart markers every 2 MCUs) and decoded by the full §A.2.3
+    interleaved-MCU walk — 4 luma + 1 Cb + 1 Cr blocks per MCU, chroma
+    reconstructed at quarter resolution, replication-upsampled, BT.601
+    inverse — inside the distributed resize stage. Constant-per-MCU luma
+    keeps every block DC-only (step-1 quantization → bit-exact through
+    the lossy path) and neutral chroma makes the color transform exact
+    (R=G=B=Y, zero float error), so the DuckDB oracle hash-replays a
+    LOSSY SUBSAMPLED round trip without inflating a JPEG: the 32×32→2×2
+    center-aligned resample picks pixel (8,8) of each MCU — the MCU
+    constant — tripled across the RGB channels. Any defect in the
+    sampling-factor parse, MCU block order, chroma upsample, restart
+    handling, or color transform shifts a value and breaks the hash.
+    MAP-ONLY before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.jpeg import encode_jpeg_ycbcr
+    from network_iq_spark.operators.multimodal import decode_image
+
+    side = _J420_MCUS * 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        ones = np.ones((16, 16), dtype=np.uint8)
+        for pdf in it:
+            payloads = []
+            for p in pdf["px"]:
+                y = np.kron(
+                    np.asarray(list(p), dtype=np.uint8).reshape(
+                        _J420_MCUS, _J420_MCUS
+                    ),
+                    ones,
+                )
+                ycc = np.stack(
+                    [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
+                )
+                payloads.append(encode_jpeg_ycbcr(ycc, restart_interval=2))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _J420_OUT, _J420_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_J420_OUT * _J420_OUT * 3) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
+@register(
+    "decoded_jpeg_prog_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_J420_OUT} AS out_w, {_J420_OUT} AS out_h,
+           3 * (px[1] + px[2] + px[3] + px[4]) AS px_sum,
+           CAST(3 * (px[1] + px[2] + px[3] + px[4]) AS DOUBLE)
+             / {_J420_OUT * _J420_OUT * 3}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) 4:2:0 JPEG decode at scale — the multi-scan
+    half of the real-corpus format pair (VERDICT r7 item 1's remaining
+    gap: baseline 4:2:0 shipped r8-early, progressive previously fell to
+    the metadata-only path). Same 2×2-grid-of-constant-MCUs construction
+    as decoded_jpeg420_stats, but encoded as a REAL progressive stream
+    (operators/jpeg.py encode_jpeg_progressive): interleaved DC first
+    scan at Al=1 + DC refinement, then per-component spectral-band AC
+    scans (1-5, 6-63) at Al=1 with refinements, restart markers every 2
+    MCUs — decoded by the Annex-G coefficient-accumulation core (EOB
+    runs, successive approximation, per-scan restart resets). Constant
+    DC-only blocks keep the multi-scan round trip bit-exact, so the SAME
+    DuckDB oracle as the baseline-420 twin hash-replays it: any defect
+    in scan sequencing, refinement bit order, or EOB-run accounting
+    shifts a pixel and breaks the hash. MAP-ONLY before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.jpeg import encode_jpeg_progressive
+    from network_iq_spark.operators.multimodal import decode_image
+
+    side = _J420_MCUS * 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        ones = np.ones((16, 16), dtype=np.uint8)
+        for pdf in it:
+            payloads = []
+            for p in pdf["px"]:
+                y = np.kron(
+                    np.asarray(list(p), dtype=np.uint8).reshape(
+                        _J420_MCUS, _J420_MCUS
+                    ),
+                    ones,
+                )
+                ycc = np.stack(
+                    [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
+                )
+                payloads.append(encode_jpeg_progressive(ycc, restart_interval=2))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _J420_OUT, _J420_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_J420_OUT * _J420_OUT * 3) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
+@register(
+    "decoded_gif_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id,
+           {_J420_OUT} AS out_w, {_J420_OUT} AS out_h,
+           3 * (px[1] + px[2] + px[3] + px[4]) AS px_sum,
+           CAST(3 * (px[1] + px[2] + px[3] + px[4]) AS DOUBLE)
+             / {_J420_OUT * _J420_OUT * 3}.0 AS px_mean
+    FROM q ORDER BY media_id
+    """,
+)
+def q_decoded_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF (LZW) decode at scale — the third real crawl format after
+    PNG and JPEG. Embedding dims 1–4 become a 2×2 grid of constant 16×16
+    tiles, palette-encoded as a REAL GIF89a (operators/gif.py: global
+    color table, variable-width LZW with the CLEAR/width-bump schedule;
+    INTERLACED for odd media_ids so the four-pass row reorder runs at
+    corpus scale, not just in unit tests), then decoded and
+    center-resampled inside Arrow batches. GIF is LOSSLESS, so the
+    round trip is bit-exact by construction and the DuckDB oracle replays
+    pixels directly — a defect in LZW table growth, sub-block framing,
+    palette indexing, or interlace reordering shifts a value and breaks
+    the hash. MAP-ONLY before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.gif import encode_gif
+    from network_iq_spark.operators.multimodal import decode_image
+
+    side = _J420_MCUS * 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        ones = np.ones((16, 16), dtype=np.uint8)
+        for pdf in it:
+            payloads = []
+            for vid, p in zip(pdf["media_id"], pdf["px"]):
+                g = np.kron(
+                    np.asarray(list(p), dtype=np.uint8).reshape(
+                        _J420_MCUS, _J420_MCUS
+                    ),
+                    ones,
+                )
+                payloads.append(encode_gif(g, interlace=bool(int(vid) % 2)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    resized = M.resize_media(media, _J420_OUT, _J420_OUT)
+
+    def stats(it):
+        for pdf in it:
+            out_w, out_h, sums = [], [], []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pd.array(out_w, dtype="int32"),
+                    "out_h": pd.array(out_h, dtype="int32"),
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_J420_OUT * _J420_OUT * 3) for s in sums],
+                }
+            )
+
+    return resized.mapInPandas(
+        stats,
+        schema="media_id bigint, out_w int, out_h int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id")
+
+
+@register(
+    "media_contract",
+    oracle="""
+    WITH c AS (SELECT vec_id % 7 AS fi, COUNT(*) AS n FROM embeddings GROUP BY 1),
+    g AS (
+      SELECT CASE WHEN fi IN (0, 5) THEN 'png'
+                  WHEN fi IN (1, 2, 3) THEN 'jpeg'
+                  WHEN fi = 6 THEN 'gif'
+                  ELSE 'pnm' END AS format,
+             SUM(n) AS n_rows,
+             SUM(CASE WHEN fi <> 5 THEN n ELSE 0 END) AS n_decoded,
+             SUM(CASE WHEN fi = 5 THEN n ELSE 0 END) AS n_fallback,
+             SUM(CASE WHEN fi = 5 THEN n ELSE 0 END) AS n_misdeclared
+      FROM c GROUP BY 1
+    )
+    SELECT format,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_decoded AS BIGINT) AS n_decoded,
+           CAST(n_fallback AS BIGINT) AS n_fallback,
+           CAST(n_misdeclared AS BIGINT) AS n_misdeclared,
+           CAST(n_decoded AS DOUBLE) / n_rows AS decode_rate
+    FROM g ORDER BY format
+    """,
+)
+def q_media_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode contract — the quarantine census for binary columns
+    (VERDICT r7 item 2): which declared formats REALLY decode vs silently
+    fall back to the metadata-only path, as a shipped per-format number
+    (the media twin of contract_quarantine_summary; same governance move
+    as lsh_quality_report). The corpus is a deterministic six-way format
+    mix built from embeddings (vec_id % 7): a real PNG, a baseline 4:4:4
+    JPEG, a 4:2:0 chroma-subsampled JPEG, a real PROGRESSIVE 4:2:0 JPEG
+    (SOF2 multi-scan — the census row that flipped from fallback to
+    decoded when the Annex-G decoder landed, which is exactly the
+    coverage movement this query exists to publish), a PNM, a row
+    DECLARED png whose payload is raw text (misdeclared + fallback —
+    proving the quarantine path still catches what genuinely cannot
+    decode), and an LZW GIF (interlaced for odd ids). Every payload is
+    probed with the
+    actual decode_image inside Arrow batches
+    (operators/multimodal.py media_decode_contract: map-only probe + one
+    O(#formats) aggregate), so a codec regression shifts a count and
+    breaks the hash — the oracle states the EXPECTED coverage and the
+    engine has to earn it."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.gif import encode_gif
+    from network_iq_spark.operators.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
+    from network_iq_spark.operators.multimodal import (
+        encode_png,
+        encode_pnm,
+        media_decode_contract,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(slice(embedding, 1, 4), x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+
+    def build(it):
+        ones8 = np.ones((8, 8), dtype=np.uint8)
+        ones16 = np.ones((16, 16), dtype=np.uint8)
+        for pdf in it:
+            payloads, declared = [], []
+            for vid, p in zip(pdf["media_id"], pdf["px"]):
+                g = np.asarray(list(p), dtype=np.uint8).reshape(2, 2)
+                fi = int(vid) % 7
+                if fi == 0:
+                    payloads.append(encode_png(np.kron(g, ones8)))
+                    declared.append("png")
+                elif fi == 1:
+                    payloads.append(encode_jpeg_gray(np.kron(g, ones8)))
+                    declared.append("jpeg")
+                elif fi == 2:
+                    y = np.kron(g, ones16)
+                    ycc = np.stack(
+                        [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
+                    )
+                    payloads.append(encode_jpeg_ycbcr(ycc))
+                    declared.append("jpeg")
+                elif fi == 3:
+                    y = np.kron(g, ones16)
+                    ycc = np.stack(
+                        [y, np.full_like(y, 128), np.full_like(y, 128)], axis=-1
+                    )
+                    payloads.append(encode_jpeg_progressive(ycc))
+                    declared.append("jpeg")
+                elif fi == 4:
+                    payloads.append(encode_pnm(np.kron(g, ones8)))
+                    declared.append("pnm")
+                elif fi == 5:
+                    payloads.append(f"not an image {vid}".encode())
+                    declared.append("png")  # misdeclared on purpose
+                else:
+                    payloads.append(
+                        encode_gif(np.kron(g, ones8), interlace=bool(vid % 2))
+                    )
+                    declared.append("gif")
+            yield pd.DataFrame(
+                {"payload": payloads, "declared_format": declared}
+            )
+
+    media = src.mapInPandas(
+        build, schema="payload binary, declared_format string"
+    )
+    return media_decode_contract(media).orderBy("format")
+
+
+_WAV_RATE, _WAV_DECIM = 8000, 2
+_WAV_QUANT_SQL = (
+    "list_transform(embedding::DOUBLE[], x -> CAST(floor("
+    "(least(greatest(x, -1.0), 1.0)) * 32767.0 + 0.5) AS INT))"
+)
+
+
+@register(
+    "decoded_audio_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_WAV_QUANT_SQL} AS s FROM embeddings
+    ),
+    t AS (
+      SELECT media_id, unnest(s) AS v,
+             unnest(range(1, len(s) + 1)) AS i
+      FROM q
+    ),
+    d AS (  -- decimation by {_WAV_DECIM}: 1-based odd positions survive
+      SELECT media_id, i, v,
+             CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
+      FROM t WHERE (i - 1) % {_WAV_DECIM} = 0
+    ),
+    lagged AS (
+      SELECT media_id, v, sgn,
+             LAG(sgn) OVER (PARTITION BY media_id ORDER BY i) AS prev_sgn
+      FROM d
+    )
+    SELECT media_id,
+           {_WAV_RATE} AS sample_rate,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(COUNT(*) * 1000 / {_WAV_RATE} AS INT) AS duration_ms,
+           CAST(MAX(abs(v)) AS INT) AS peak,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sumsq,
+           CAST(SUM(CASE WHEN prev_sgn IS NOT NULL AND sgn != prev_sgn
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged GROUP BY media_id ORDER BY media_id
+    """,
+)
+def q_decoded_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end to end and hash-checked — the WAV sibling of
+    `decoded_image_stats`: each embedding becomes 64 int16 PCM samples
+    encoded as an actual RIFF/WAVE file (operators/audio.py), decoded,
+    decimated ×2 (deterministic integer downsample), RE-encoded, decoded
+    AGAIN, and reduced to integer-exact features (peak, Σs², sign-change
+    count). The oracle never parses a WAV: it computes the same integers
+    from the surviving embedding positions, so any defect in the RIFF
+    chunk walk, PCM layout, chunk padding, or decimation arithmetic
+    breaks the hash. All stages MAP-ONLY before the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.audio import (
+        audio_stats,
+        decimate,
+        decode_wav,
+        encode_wav,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) * 32767.0D + 0.5D) as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
+
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_wav(
+                            np.asarray(list(s), dtype=np.int16), _WAV_RATE
+                        )
+                        for s in pdf["s"]
+                    ],
+                }
+            )
+
+    def process(it):
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(p))
+                down = decimate(samples, _WAV_DECIM)
+                rate2, again = decode_wav(encode_wav(down, rate))
+                st = audio_stats(again)
+                rows.append(
+                    (
+                        mid,
+                        rate2,
+                        st["n_samples"],
+                        st["n_samples"] * 1000 // rate2,
+                        st["peak"],
+                        st["sumsq"],
+                        st["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "peak", "sumsq", "zero_crossings",
+                ],
+            )
+
+    wav = src.mapInPandas(build, schema="media_id bigint, payload binary")
+    return wav.mapInPandas(
+        process,
+        schema="media_id bigint, sample_rate int, n_samples int, "
+        "duration_ms int, peak int, sumsq bigint, zero_crossings bigint",
+    ).orderBy("media_id")
+
+
+# Audio near-dup fixture, mirroring the image one: every 10th clip gets a
+# planted twin with +300 on 1-based sample positions 1/17/33 (clamped to
+# int16 max). Position 1 touches one gradient comparison, 17 and 33 touch
+# two each, so a twin's waveform-dHash Hamming distance is ≤ 5 by
+# construction — under the threshold, and the pigeonhole blocking
+# guarantees recall. 63 bits split into 7 exact 9-bit segments.
+_WHASH_MAX_HAMMING = 6
+_WHASH_TWIN_EVERY = 10
+_WHASH_TWIN_OFFSET = 1_000_000
+
+
+_AUD_ND_ORACLE = f"""
+    WITH q0 AS (
+      SELECT vec_id AS media_id, {_WAV_QUANT_SQL} AS s FROM embeddings
+    ),
+    q AS (
+      SELECT media_id, s FROM q0
+      UNION ALL
+      SELECT media_id + {_WHASH_TWIN_OFFSET},
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN i = 1 OR i = 17 OR i = 33
+                         THEN least(s[i] + 300, 32767) ELSE s[i] END)
+      FROM q0 WHERE media_id % {_WHASH_TWIN_EVERY} = 0
+    ),
+    bits AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN s[k + 2] > s[k + 1]
+                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS whash
+      FROM q, LATERAL unnest(generate_series(0, 62)) AS g(k)
+      GROUP BY media_id
+    ),
+    bands AS (
+      SELECT media_id, whash, b, (whash >> (9 * b)) & 511 AS v
+      FROM bits, LATERAL unnest(generate_series(0, {_WHASH_MAX_HAMMING})) AS g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.whash AS wa, b.whash AS wb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST(bit_count(xor(wa, wb)) AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= {_WHASH_MAX_HAMMING} ORDER BY id_a, id_b
+    """
+
+
+@register("audio_near_dup_pairs", oracle=_AUD_ND_ORACLE)
+def q_audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform-fingerprint audio near-dup (r9) — the audio twin of
+    image_near_dup_pairs, closing near-dup coverage across all three
+    modalities (text MinHash/SimHash, image dHash, audio gradient hash):
+    clips synthesized from int16-quantized embeddings (plus planted
+    perturbed twins) make a REAL RIFF/WAVE encode → decode round trip
+    inside Arrow batches, a 63-bit 1-D gradient fingerprint folds over
+    the DECODED PCM (operators/dedup.py waveform_dhash — gain/DC-offset
+    invariant, integer-exact, no float FFT), and pairs come from the
+    shared pigeonhole Hamming blocking (hamming_blocked_pairs). The
+    oracle replays fingerprint/bands/verify from the quantized values
+    directly — the decoder is bit-exact, so a defect anywhere in the
+    RIFF walk or the hash surfaces as a mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.audio import decode_wav, encode_wav
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) * 32767.0D + 0.5D) as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
+    twin = src.filter(F.col("media_id") % _WHASH_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _WHASH_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(s, (x, i) -> IF(i = 0 OR i = 16 OR i = 32, "
+            "least(x + 300, 32767), x))"
+        ).alias("s"),
+    )
+    clips = src.unionByName(twin)
+
+    def roundtrip(it):
+        for pdf in it:
+            out = []
+            for s in pdf["s"]:
+                _, dec = decode_wav(
+                    encode_wav(np.asarray(list(s), dtype=np.int16), _WAV_RATE)
+                )
+                out.append([int(v) for v in dec])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "s": out})
+
+    decoded = clips.mapInPandas(roundtrip, schema="media_id bigint, s array<int>")
+    return D.audio_near_dup_pairs(
+        decoded, max_hamming=_WHASH_MAX_HAMMING
+    ).orderBy("id_a", "id_b")
+
+
+@register("audio_shifted_near_dup_pairs", bench_only=True)
+def q_audio_shifted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-TOLERANT audio near-dup (r10, VERDICT item 7) — the
+    BENCH_ONLY twin covering exactly what ``audio_near_dup_pairs``'s
+    fingerprint provably cannot: every 10th clip gets a planted
+    1-SAMPLE-SHIFTED copy (a re-encode with a time offset — the classic
+    miss of sample-aligned gradient hashes), clips make the same real
+    WAV encode → decode round trip, then candidates come from the
+    energy-envelope hash blocking and are verified by the exact integer
+    lag-scan (operators/dedup.py audio_shifted_pairs: ssd = 0 at the
+    true lag for a pure shift). Clips are random WALKS built from the
+    embeddings (locally correlated like real audio — white noise has no
+    stable envelope, documented in the operator). BENCH_ONLY because
+    blocking recall for shifted copies is empirical (~95 %), not
+    pigeonhole-guaranteed — the numpy-exactness and shift-demo tests in
+    tests/test_dedup_scale.py carry the correctness burden."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.audio import decode_wav, encode_wav
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    steps = (
+        "transform(embedding, x -> cast(floor(least(greatest("
+        "cast(x as double), -1.0D), 1.0D) * 2000.0D + 0.5D) as int))"
+    )
+    walk = (
+        f"transform(sequence(1, 64), n -> greatest(-32000, least(32000, "
+        f"aggregate(slice({steps}, 1, n), 0, (a, x) -> a + x))))"
+    )
+    src = emb.select(
+        F.col("vec_id").alias("media_id"), F.expr(walk).alias("s")
+    )
+    twin = src.filter(F.col("media_id") % _WHASH_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _WHASH_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(sequence(0, 63), i -> IF(i < 63, s[i + 1], s[63]))"
+        ).alias("s"),
+    )
+    clips = src.unionByName(twin)
+
+    def roundtrip(it):
+        for pdf in it:
+            out = []
+            for s in pdf["s"]:
+                _, dec = decode_wav(
+                    encode_wav(np.asarray(list(s), dtype=np.int16), _WAV_RATE)
+                )
+                out.append([int(v) for v in dec])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "s": out})
+
+    decoded = clips.mapInPandas(roundtrip, schema="media_id bigint, s array<int>")
+    return D.audio_shifted_pairs(
+        decoded, max_hamming=8, max_lag=2, ssd_tol=0
+    ).orderBy("id_a", "id_b")
+
+
+_VID_FRAMES, _VID_SIDE, _VID_FPS = 4, 4, 2  # 4 frames of 4x4 luma at 2 fps
+# sample_frames(every_ms=1000) on a 2000 ms clip emits ts {0, 1000};
+# frame_at_ms((2,1), 4, ts) -> source frames {0, 2}. Frame f covers
+# embedding dims [16f+1, 16f+16] (1-based).
+_VID_SAMPLED = [(0, 0, 0), (1, 1000, 2)]  # (frame_idx, ts_ms, src_frame)
+
+
+def _vid_frame_sum_sql(src_frame: int) -> str:
+    lo = 16 * src_frame + 1
+    return "(" + " + ".join(f"px[{i}]" for i in range(lo, lo + 16)) + ")"
+
+
+@register(
+    "decoded_video_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    )
+    SELECT media_id, frame_idx, ts_ms, px_sum,
+           CAST(px_sum AS DOUBLE) / {_VID_SIDE * _VID_SIDE}.0 AS px_mean
+    FROM (
+      {" UNION ALL ".join(
+        f"SELECT media_id, {fi} AS frame_idx, {ts} AS ts_ms, "
+        f"{_vid_frame_sum_sql(sf)} AS px_sum FROM q"
+        for fi, ts, sf in _VID_SAMPLED
+      )}
+    ) ORDER BY media_id, frame_idx
+    """,
+)
+def q_decoded_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, end to end and hash-checked — the Y4M sibling of
+    `decoded_image_stats`: each embedding becomes a 4-frame 4×4 mono
+    YUV4MPEG2 clip at 2 fps (operators/video.py), pushed through the
+    METADATA-bounded frame-sampling explode (`sample_frames` — fanout
+    capped in the plan from duration_ms, one row per sampled timestamp),
+    which REALLY extracts the frame at each timestamp (integer
+    frame-index math) and re-encodes it as PGM; the stats stage decodes
+    those frame images back to pixels. The oracle never parses a clip: it
+    reads the same pixels straight from the embedding dims of the frames
+    the timestamp math selects, so any defect in the Y4M header/FRAME
+    walk, the ts→frame mapping, or the luma extraction breaks the hash.
+    Bounded explode + maps only before the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.multimodal import decode_image
+    from network_iq_spark.operators.video import encode_y4m
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    dur = _VID_FRAMES * 1000 // _VID_FPS
+
+    def build(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_y4m(
+                            list(
+                                np.asarray(list(p), dtype=np.uint8).reshape(
+                                    _VID_FRAMES, _VID_SIDE, _VID_SIDE
+                                )
+                            ),
+                            fps=(_VID_FPS, 1),
+                        )
+                        for p in pdf["px"]
+                    ],
+                    "media_type": "video",
+                    "width": np.int32(_VID_SIDE),
+                    "height": np.int32(_VID_SIDE),
+                    "duration_ms": np.int32(dur),
+                }
+            )
+
+    media = src.mapInPandas(
+        build,
+        schema="media_id bigint, payload binary, media_type string, "
+        "width int, height int, duration_ms int",
+    )
+    sampled = M.sample_frames(media, every_ms=1000, max_frames=32)
+
+    def stats(it):
+        for pdf in it:
+            sums = []
+            for fb in pdf["frame"]:
+                img = decode_image(bytes(fb))
+                sums.append(int(img.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "ts_ms": pdf["ts_ms"],
+                    "px_sum": pd.array(sums, dtype="int64"),
+                    "px_mean": [s / (_VID_SIDE * _VID_SIDE) for s in sums],
+                }
+            )
+
+    return sampled.mapInPandas(
+        stats,
+        schema="media_id bigint, frame_idx int, ts_ms int, px_sum bigint, "
+        "px_mean double",
+    ).orderBy("media_id", "frame_idx")
+
+
+# Video near-dup fixture: every 10th clip gets a planted twin with +3 on
+# the (row 0, col 0) pixel of each of the 4 frames (1-based flat positions
+# 1/17/33/49, clamped). A col-0 pixel feeds exactly ONE gradient
+# comparison, so the twin's 48-bit clip fingerprint is ≤ 4 Hamming away —
+# under the threshold, and blocking guarantees recall. max_hamming=5
+# gives six exact 8-bit segments.
+_VHASH_MAX_HAMMING = 5
+_VHASH_TWIN_EVERY = 10
+_VHASH_TWIN_OFFSET = 1_000_000
+
+
+_VID_ND_ORACLE = f"""
+    WITH q0 AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    q AS (
+      SELECT media_id, px FROM q0
+      UNION ALL
+      SELECT media_id + {_VHASH_TWIN_OFFSET},
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN (i - 1) % 16 = 0
+                         THEN least(px[i] + 3, 255) ELSE px[i] END)
+      FROM q0 WHERE media_id % {_VHASH_TWIN_EVERY} = 0
+    ),
+    bits AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN px[(k // 12) * 16
+                                   + ((k % 12) // 3) * 4 + (k % 12) % 3 + 2]
+                           > px[(k // 12) * 16
+                                + ((k % 12) // 3) * 4 + (k % 12) % 3 + 1]
+                      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS vhash
+      FROM q, LATERAL unnest(generate_series(0, 47)) AS s(k)
+      GROUP BY media_id
+    ),
+    bands AS (
+      SELECT media_id, vhash, b, (vhash >> (8 * b)) & 255 AS v
+      FROM bits, LATERAL unnest(generate_series(0, {_VHASH_MAX_HAMMING})) AS g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.vhash AS va, b.vhash AS vb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST(bit_count(xor(va, vb)) AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= {_VHASH_MAX_HAMMING} ORDER BY id_a, id_b
+    """
+
+
+@register("video_near_dup_pairs", oracle=_VID_ND_ORACLE)
+def q_video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-fingerprint video near-dup (r9) — completes near-dup across
+    all four modalities (text MinHash/SimHash, image dHash, audio
+    waveform hash, video per-frame hash) on ONE shared blocked-Hamming
+    core: clips synthesized from quantized embeddings (plus planted
+    twins) make a REAL YUV4MPEG2 encode → decode round trip inside Arrow
+    batches, the 48-bit per-frame gradient fingerprint folds over the
+    DECODED 4-frame luma (operators/dedup.py video_dhash — temporal
+    order is part of the fingerprint), and pairs come from
+    hamming_blocked_pairs. The oracle replays everything from the
+    quantized values — the Y4M decoder is bit-exact, so a defect in the
+    header/FRAME walk or the hash surfaces as a mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.video import decode_y4m, encode_y4m
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    twin = src.filter(F.col("media_id") % _VHASH_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _VHASH_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(px, (x, i) -> IF(i % 16 = 0, least(x + 3, 255), x))"
+        ).alias("px"),
+    )
+    clips = src.unionByName(twin)
+
+    def roundtrip(it):
+        for pdf in it:
+            out = []
+            for p in pdf["px"]:
+                frames = list(
+                    np.asarray(list(p), dtype=np.uint8).reshape(
+                        _VID_FRAMES, _VID_SIDE, _VID_SIDE
+                    )
+                )
+                _w, _h, _fps, dec = decode_y4m(
+                    encode_y4m(frames, fps=(_VID_FPS, 1))
+                )
+                out.append(
+                    [int(v) for f in dec for v in np.asarray(f).reshape(-1)]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
+
+    decoded = clips.mapInPandas(roundtrip, schema="media_id bigint, px array<int>")
+    return D.video_near_dup_pairs(
+        decoded,
+        max_hamming=_VHASH_MAX_HAMMING,
+        frames=_VID_FRAMES,
+        side=_VID_SIDE,
+    ).orderBy("id_a", "id_b")
+
+
+def _nd_census_arm(modality: str, oracle: str, offset: int) -> str:
+    return f"""
+      SELECT '{modality}' AS modality,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN id_b = id_a + {offset} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_twin_links,
+             CAST(MAX(hamming) AS INT) AS max_hamming
+      FROM ({oracle})"""
+
+
+@register(
+    "media_near_dup_census",
+    oracle=f"""
+    SELECT modality, n_pairs, n_twin_links, max_hamming FROM (
+      {_nd_census_arm("audio", _AUD_ND_ORACLE, _WHASH_TWIN_OFFSET)}
+      UNION ALL
+      {_nd_census_arm("image", _IMG_ND_ORACLE, _DHASH_TWIN_OFFSET)}
+      UNION ALL
+      {_nd_census_arm("video", _VID_ND_ORACLE, _VHASH_TWIN_OFFSET)}
+    ) ORDER BY modality
+    """,
+)
+def q_media_near_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality near-dup census (r9) — the dedup-rate dashboard a
+    multimodal corpus run reports: all three media near-dup pipelines
+    (REAL codec round trips + gradient fingerprints + blocked Hamming
+    pairs) rolled up to one row per modality — pair count, planted-twin
+    links recovered (the recall floor: every planted twin MUST appear),
+    max Hamming seen. The oracle re-runs all three full pipelines in SQL
+    and rolls up identically — the heaviest single oracle in the sheet,
+    by design: one hash covers the whole media-dedup surface."""
+
+    def arm(df: DataFrame, modality: str, offset: int) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("id_b") == F.col("id_a") + offset, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_twin_links"),
+            F.max("hamming").cast("int").alias("max_hamming"),
+        ).select(
+            F.lit(modality).alias("modality"),
+            "n_pairs",
+            "n_twin_links",
+            "max_hamming",
+        )
+
+    return (
+        arm(q_audio_near_dup_pairs(spark, sf_dir), "audio", _WHASH_TWIN_OFFSET)
+        .unionByName(
+            arm(q_image_near_dup_pairs(spark, sf_dir), "image", _DHASH_TWIN_OFFSET)
+        )
+        .unionByName(
+            arm(q_video_near_dup_pairs(spark, sf_dir), "video", _VHASH_TWIN_OFFSET)
+        )
+        .orderBy("modality")
+    )

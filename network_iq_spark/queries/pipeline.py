@@ -20,7 +20,7 @@ from network_iq_spark.operators import similarity as S
 from network_iq_spark.operators import text as T
 from network_iq_spark.registry import register
 from network_iq_spark.sources import load_table
-from network_iq_spark.queries.llmdata import _TOKS, _sql_hex_int
+from network_iq_spark.queries._fragments import _TOKS, _sql_hex_int
 
 # ---------------------------------------------------------------------------
 # Sequence packing
@@ -592,7 +592,7 @@ _AI_PLANES, _AI_TABLES, _AI_K = 6, 4, 10
 
 
 def _ann_int_sql(n_tables: int, n_planes: int, k: int) -> str:
-    from network_iq_spark.queries.llmdata import _int_sig_ctes
+    from network_iq_spark.queries._fragments import _int_sig_ctes
 
     return f"""
     WITH {_int_sig_ctes(n_tables, n_planes)},
@@ -767,7 +767,7 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_int_multiprobe_sql(n_tables: int, n_planes: int, k: int) -> str:
-    from network_iq_spark.queries.llmdata import _int_sig_ctes
+    from network_iq_spark.queries._fragments import _int_sig_ctes
 
     probe_variants = "\n      UNION ALL\n      ".join(
         ["SELECT vec_id, t, bucket FROM sigs WHERE vec_id < 10"]

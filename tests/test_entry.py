@@ -50,34 +50,28 @@ def test_verify_first_names_all_resolve():
     assert not missing, missing
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
-    # the r9 window drains the rotation debt: the five never-sampled
-    # queries lead, the full r5-stamped cohort and dataset_card follow,
-    # the four queries whose shared code changed this round re-prove
-    # their hashes, and the rest is oldest-r6 fill
+    # the r10 window FINISHES the rotation: the 31 r6-stamped overflow
+    # queries lead (exactly as the r9 verdict ordered them), then the
+    # r10 additions + code-touched queries, then oldest-r7 fills —
+    # after it samples green no sheet stamp predates r7
     window = list(qs)[:50]
-    for must in ("mixture_sample_counts", "hard_negatives_topk",
-                 "image_near_dup_pairs", "bm25_topk_capped",
-                 "related_docs_rrf_dense", "minhash_lsh_pairs_capped",
-                 "audio_near_dup_pairs", "video_near_dup_pairs",
-                 "incremental_image_dedup", "media_near_dup_census",
-                 "temperature_mix_weights", "image_dedup_clusters",
-                 "ivf_int_recenter_stats", "decontamination_spans",
-                 "chunk_near_dup_pairs", "packing_ffd",
-                 # the 14-query r5 cohort
-                 "repetition_stats", "rolling_fingerprints",
-                 "rollup_order_counts", "scope_filtered_profile",
-                 "simhash_pairs", "simhash_pairs_blocked",
-                 "supplier_pagerank", "time_weighted_avg", "token_stats",
-                 "union_label_dims", "value_autocorr_lag1",
-                 "value_equidepth_histogram", "value_histogram",
-                 "winsorized_profile",
-                 "dataset_card",
-                 # shared code changed this round
-                 "minhash_lsh_pairs", "minhash_lsh_pairs_prod",
-                 "bm25_topk", "related_docs_rrf"):
+    assert window[:5] == ["ann_int_multiprobe_topk", "bucketed_order_lineitem",
+                          "calendar_features", "cast_coercion",
+                          "chunk_manifest"]
+    for must in (
+        # tail of the 31-query r6 overflow
+        "span_corruption_manifest", "time_sliced_rolling",
+        "training_data_pipeline_overlap", "variant_props_stats",
+        "weighted_discount",
+        # r10 additions
+        "chunk_near_dup_pairs_capped", "media_dhash_index",
+        "incremental_image_dedup_probe",
+        # expressions / shared-core changed in r10
+        "chunk_near_dup_pairs", "incremental_image_dedup",
+        "image_near_dup_pairs", "audio_near_dup_pairs",
+        "video_near_dup_pairs", "media_near_dup_census",
+        "image_dedup_clusters",
+    ):
         assert must in window, must
-    # after this window samples green, no sheet query's latest external
-    # stamp predates r6: everything NOT in the window is r6-or-newer
-    assert window[:5] == ["mixture_sample_counts", "hard_negatives_topk",
-                          "image_near_dup_pairs", "bm25_topk_capped",
-                          "related_docs_rrf_dense"]
+    # all 31 r6-stamped names occupy the first 31 slots
+    assert window.index("weighted_discount") == 30

@@ -413,7 +413,7 @@ def test_pq_tier_collects_only_model_artifacts(spark):
 
     from pyspark.sql.classic.dataframe import DataFrame
 
-    from network_iq_spark.queries.llmdata import _PQ_K, _PQ_M
+    from network_iq_spark.queries.similarity_q import _PQ_K, _PQ_M
     from network_iq_spark.sources import load_table
 
     sf_dir = "/root/testdata/sf0.1"
