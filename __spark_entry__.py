@@ -80,8 +80,9 @@ _VERIFY_FIRST = [
     "chunk_near_dup_pairs",
     "incremental_image_dedup",
     # hamming_blocked_pairs consumers (max_bucket_size seam added r10;
-    # default path unchanged)
+    # default path unchanged) + the new capped image twin
     "image_near_dup_pairs",
+    "image_near_dup_pairs_capped",
     "audio_near_dup_pairs",
     "video_near_dup_pairs",
     "media_near_dup_census",
@@ -95,9 +96,9 @@ _VERIFY_FIRST = [
     "decoded_video_stats",
     "cluster_keep_best",
     "html_extract",
-    "ann_pq_adc_topk",
     # --- 50-slot window boundary ---
     # overflow, in r11-priority order: the remaining r7-stamped queries
+    "ann_pq_adc_topk",
     "ann_pq_rerank_topk",
     "ann_ivfpq_topk",
     "order_snapshot_diff",

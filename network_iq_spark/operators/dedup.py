@@ -801,6 +801,7 @@ def image_near_dup_pairs(
     id_col: str = "media_id",
     px_col: str = "px",
     side: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs by dHash Hamming ≤ max_hamming — the
     image twin of MinHash near-dup that a multimodal corpus run needs,
@@ -808,11 +809,14 @@ def image_near_dup_pairs(
     what the bit-exact decoders produced, not the compressed bytes).
 
     Blocking/dedup semantics live in :func:`hamming_blocked_pairs`
-    (recall 1.0 vs brute force, never an all-pairs scan).
+    (recall 1.0 vs brute force, never an all-pairs scan);
+    ``max_bucket_size`` passes through to its hot-bucket guard (the
+    identical-crop-cluster skew axis, soaked in docs/SCALE.md r10).
     """
     hashed = df.select(F.col(id_col), image_dhash(px_col, side).alias("dhash"))
     return hamming_blocked_pairs(
-        hashed, "dhash", max_hamming, n_bits=side * (side - 1), id_col=id_col
+        hashed, "dhash", max_hamming, n_bits=side * (side - 1), id_col=id_col,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -954,6 +958,14 @@ def audio_energy_hash_bits(n_samples: int = 64) -> int:
     return sum((n_samples - win) // stride for win, stride in AUDIO_EB_SCALES)
 
 
+# Energy double-grid width for the shift tier: a 1-sample shift changes a
+# clip's total energy by at most one sample's square (< 32767² ≈ 1.07e9),
+# so with W = 2·32767² any two clips within that perturbation share a
+# bucket on at least one of the two half-offset grids (the classic
+# double-grid cover) — deterministic recall for shifts, no tuning.
+AUDIO_ENERGY_GRID_W = 2 * 32767 * 32767
+
+
 def audio_shifted_pairs(
     df: DataFrame,
     max_hamming: int = 8,
@@ -964,31 +976,105 @@ def audio_shifted_pairs(
     n_samples: int = 64,
 ) -> DataFrame:
     """Shift-TOLERANT audio near-dup (BENCH_ONLY tier): candidates from
-    pigeonhole blocking over the energy-envelope hash, verified by an
-    exact integer lag-scan — for each candidate pair the minimum
-    sum-of-squared-differences over alignments lag ∈ [−max_lag, max_lag]
-    (overlap-only, so a pure ℓ-sample shift scores ssd = 0 at lag ℓ).
-    Output (id_a, id_b, hamming, lag, ssd) for pairs with ssd ≤ ssd_tol.
+    the COMPOSITE blocking key (envelope-hash segment, energy
+    double-grid bucket), verified by an exact integer lag-scan — for
+    each candidate pair the minimum sum-of-squared-differences over
+    alignments lag ∈ [−max_lag, max_lag] (overlap-only, so a pure
+    ℓ-sample shift scores ssd = 0 at lag ℓ). Output (id_a, id_b,
+    hamming, lag, ssd) for pairs with ssd ≤ ssd_tol.
+
+    Why a composite key: the 44-bit envelope hash alone has ~5-bit
+    segments (32 values), so segment buckets grow linearly with the
+    corpus and the candidate join goes QUADRATIC — measured x1 3.9 s →
+    x3 21.9 s on the soak before the fix. ANDing each segment with the
+    clip's total-energy bucket splits those buckets by absolute level:
+    a 1-sample shift moves total energy by < one sample's square, which
+    is under half the grid width (:data:`AUDIO_ENERGY_GRID_W`), so the
+    two half-offset grids cover every shifted pair DETERMINISTICALLY —
+    the energy half of the key costs zero shift-recall. The two halves
+    also fail independently: loudness-normalized corpora collapse the
+    energy grid but keep envelope contours apart (gradient signs are
+    gain-invariant), while same-contour corpora collapse the hash but
+    spread across energy levels.
 
     Semantics: catches time-shifted re-encodes of the same clip that
     :func:`waveform_dhash` provably misses (its docstring boundary).
-    Recall is empirical, not pigeonhole-guaranteed: a 1-sample shift
-    flips ≤ max_hamming envelope bits for ~95 % of random-walk clips
-    (p95 = 9 measured), the remainder land outside the blocking radius —
-    acceptable for an approximate recall tier whose exact-twin floor
-    (hamming 0) is still guaranteed. Precision is exact: the lag-scan is
-    integer arithmetic, no envelope collision survives it. Gain changes
-    break the SSD (use the gain-invariant gradient tier for those);
-    shift+gain together need the spectral-landmark family, out of scope.
-    Scale shape: blocking shuffle on (seg, seg_val) as everywhere else;
-    the verify is O(candidates × max_lag · n_samples) map work."""
+    Recall is empirical on the hash half only: a 1-sample shift flips
+    ≤ max_hamming envelope bits for ~95 % of random-walk clips (p95 = 9
+    measured). Precision is exact: the lag-scan is integer arithmetic,
+    no blocking collision survives it. Gain changes break the SSD (use
+    the gain-invariant gradient tier for those); shift+gain together
+    need the spectral-landmark family, out of scope. Scale shape:
+    blocking shuffle on (seg, seg_val, grid, ebkt); verify is
+    O(candidates × max_lag · n_samples) map work; soak exponent and
+    recall in docs/SCALE.md."""
     n_bits = audio_energy_hash_bits(n_samples)
+    n_seg = max_hamming + 1
+    w = AUDIO_ENERGY_GRID_W
+    energy = (
+        f"aggregate({s_col}, cast(0 as bigint), "
+        f"(a, x) -> a + cast(x as bigint) * cast(x as bigint))"
+    )
     hashed = df.select(
-        F.col(id_col), F.col(s_col), audio_energy_hash(s_col, n_samples).alias("ehash")
+        F.col(id_col),
+        F.col(s_col),
+        audio_energy_hash(s_col, n_samples).alias("ehash"),
+        F.expr(energy).alias("__e__"),
     ).localCheckpoint(eager=False)
-    cand = hamming_blocked_pairs(
-        hashed.select(id_col, "ehash"), "ehash", max_hamming,
-        n_bits=n_bits, id_col=id_col,
+    segs = _simhash_segments(F.col("ehash"), n_seg, n_bits=n_bits)
+    seg_structs = [
+        F.struct(
+            F.lit(i).alias("seg"), segs[i].alias("seg_val"), F.lit(g).alias("grid")
+        )
+        for i in range(n_seg)
+        for g in (0, 1)
+    ]
+    blocked = hashed.select(
+        F.col(id_col), F.col("ehash"), F.col("__e__"),
+        F.explode(F.array(*seg_structs)).alias("b"),
+    ).select(
+        id_col, "ehash", "__e__",
+        F.col("b.seg").alias("seg"), F.col("b.seg_val").alias("seg_val"),
+        F.col("b.grid").alias("grid"),
+        F.when(F.col("b.grid") == 0, F.expr(f"__e__ div {w}"))
+        .otherwise(F.expr(f"(__e__ + {w // 2}) div {w}"))
+        .alias("ebkt"),
+    )
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("ehash").alias("h_a"),
+        F.col("__e__").alias("e_a"), "seg", "seg_val", "grid", "ebkt",
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("ehash").alias("h_b"),
+        F.col("__e__").alias("e_b"), "seg", "seg_val", "grid", "ebkt",
+    )
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    base, rem = divmod(n_bits, n_seg)
+    first_match, start = None, 0
+    for i in range(n_seg):
+        width = base + (1 if i < rem else 0)
+        mask = ((1 << width) - 1) << start
+        is_match = xor.bitwiseAND(F.lit(mask)) == 0
+        first_match = (
+            F.when(is_match, F.lit(i))
+            if first_match is None
+            else first_match.when(is_match, F.lit(i))
+        )
+        start += width
+    cand = (
+        a.join(b, ["seg", "seg_val", "grid", "ebkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_match == F.col("seg"))
+        # a pair can match on BOTH grids; keep grid 0's copy when it
+        # exists, grid 1's only when grid 0 did not match — a column
+        # filter on data already in the join output, no distinct()
+        .filter(
+            (F.col("grid") == 0)
+            | (F.expr(f"e_a div {w}") != F.expr(f"e_b div {w}"))
+        )
+        .withColumn("hamming", F.bit_count(xor).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
     sa = hashed.select(F.col(id_col).alias("id_a"), F.col(s_col).alias("__sa__"))
     sb = hashed.select(F.col(id_col).alias("id_b"), F.col(s_col).alias("__sb__"))

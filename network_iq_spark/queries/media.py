@@ -358,6 +358,60 @@ def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_IMG_ND_MAX_BUCKET = 8
+
+
+@register(
+    "image_near_dup_pairs_capped",
+    oracle=f"""
+    WITH {_IMG_ND_CHAIN},
+    bsizes AS (
+      SELECT b, v, COUNT(*) AS n FROM bands GROUP BY 1, 2
+    ),
+    allm AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             a.dhash AS da, b.dhash AS db, a.b AS b, a.v AS v
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
+    ),
+    fseg AS (
+      SELECT id_a, id_b, MIN(b) AS fb FROM allm GROUP BY 1, 2
+    ),
+    capcand AS (
+      SELECT DISTINCT m.id_a, m.id_b, m.da, m.db
+      FROM fseg f
+      JOIN allm m ON m.id_a = f.id_a AND m.id_b = f.id_b AND m.b = f.fb
+      JOIN bsizes s ON s.b = m.b AND s.v = m.v
+      WHERE s.n <= {_IMG_ND_MAX_BUCKET}
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INT) AS hamming
+      FROM capcand
+    ) WHERE hamming <= {_DHASH_MAX_HAMMING} ORDER BY id_a, id_b
+    """,
+)
+def q_image_near_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup with the media hot-bucket guard ON (r10) —
+    identical plan to ``image_near_dup_pairs`` but (seg, seg_val)
+    buckets larger than ``_IMG_ND_MAX_BUCKET`` images are dropped from
+    candidate generation BEFORE the self-join, the configuration a
+    crawled corpus runs (identical-crop clusters put |B| copies in ONE
+    bucket per segment — |B|² verify pairs; the r10 soak measured 79.8k
+    such pairs from one planted 400-image crop, all removed by the cap).
+    At this SF the cap prunes the largest organic buckets (up to 17
+    members), so the result observably differs from the uncapped
+    flagship. Same deterministic attribution as every capped tier: a
+    pair survives iff its globally-FIRST matching segment's bucket is at
+    or under the cap — the oracle replays exactly that rule (fseg =
+    MIN(b) over colliding segments, computed from the hashes, unaffected
+    by which buckets were dropped)."""
+    return D.image_near_dup_pairs(
+        _image_nd_decoded(spark, sf_dir),
+        max_hamming=_DHASH_MAX_HAMMING,
+        max_bucket_size=_IMG_ND_MAX_BUCKET,
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "image_dedup_clusters",
     oracle=f"""
