@@ -75,6 +75,9 @@ _VERIFY_FIRST = [
     "chunk_near_dup_pairs_capped",
     "media_dhash_index",
     "incremental_image_dedup_probe",
+    "chunk_bm25_topk",
+    "incremental_chunk_near_dup",
+    "packing_efficiency",
     # expressions changed this round (values identical by construction;
     # the external hash re-proves it): chunk-id guard, helper extraction
     "chunk_near_dup_pairs",
@@ -93,11 +96,11 @@ _VERIFY_FIRST = [
     "decoded_png_stats",
     "decoded_jpeg_stats",
     "decoded_audio_stats",
+    # --- 50-slot window boundary ---
+    # overflow, in r11-priority order: the remaining r7-stamped queries
     "decoded_video_stats",
     "cluster_keep_best",
     "html_extract",
-    # --- 50-slot window boundary ---
-    # overflow, in r11-priority order: the remaining r7-stamped queries
     "ann_pq_adc_topk",
     "ann_pq_rerank_topk",
     "ann_ivfpq_topk",

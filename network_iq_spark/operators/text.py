@@ -1185,6 +1185,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df_ratio: float | None = None,
+    exclude=None,  # Column over (q_doc_id, doc_id); default: identity
 ) -> DataFrame:
     """BM25 retrieval (Robertson/Lucene idf variant): every query document
     retrieves its top-k corpus neighbours by summed per-term BM25 — the
@@ -1261,9 +1262,14 @@ def bm25_topk(
     )
     # df rides the postings BEFORE the query-side join: with the ceiling
     # on, a dropped stopword term never reaches the q_df·df fanout at all
+    # default exclusion: a doc never retrieves itself; chunk-grain callers
+    # pass a parent-doc predicate instead (a passage must not retrieve its
+    # own document's passages)
+    if exclude is None:
+        exclude = F.col("doc_id") != F.col("q_doc_id")
     pairs = (
         qterms.join(tf.join(dfreq, "term"), "term")
-        .filter(F.col("doc_id") != F.col("q_doc_id"))
+        .filter(exclude)
         # dl is DOC-grain (corpus-sized) — never broadcast it; AQE picks
         # the strategy at actual size (broadcast at test SF, SMJ at 100 TB)
         .join(dl, "doc_id")

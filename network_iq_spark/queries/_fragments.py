@@ -309,3 +309,61 @@ def _minhash_pairs_cte(
         JOIN mh_sets sb ON sb.doc_id = c.doc_b
       ) WHERE jaccard >= {threshold}
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Chunk corpus (20-token passages) — shared by the chunk-grain dedup,
+# retrieval, and incremental families
+# ---------------------------------------------------------------------------
+
+_CHUNK_ID_BASE = 10_000  # chunk_id = doc_id · BASE + idx; injective while idx < BASE
+
+_CHUNK_TOKS_SQL = f"""SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM (
+      SELECT doc_id * {_CHUNK_ID_BASE} + (i - 1) AS doc_id,
+             array_to_string(t[(i-1)*{D.CHUNK_TOKENS}+1 : i*{D.CHUNK_TOKENS}], ' ') AS text
+      FROM (SELECT doc_id, t, CAST(CEIL(len(t) / {D.CHUNK_TOKENS}.0) AS INT) AS n_chunks
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)
+            WHERE len(t) > 0),
+           unnest(generate_series(1, n_chunks)) AS u(i))"""
+
+
+def chunk_frame(spark, sf_dir):
+    """The chunk corpus as a DataFrame (doc_id = chunk id, text): every
+    document's 20-token chunks with chunk_id = doc_id·BASE + idx. The
+    encoding raises past idx ≥ BASE (a ≥200k-token doc would collide
+    into the next doc's id space and corrupt every cross-document
+    filter downstream) — the guard lives in the expression that DEFINES
+    the column, where pruning can't drop it. Twin of
+    :data:`_CHUNK_TOKS_SQL`'s inner relation; shared by chunk near-dup,
+    chunk BM25, and incremental chunk dedup."""
+    from pyspark.sql import functions as F
+
+    from network_iq_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = D.CHUNK_TOKENS
+    base = docs.select("doc_id", T.tokens("text").alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    chunk_arr = (
+        f"transform(sequence(0, cast(ceil(size(_toks) / {c}.0) as int) - 1), "
+        f"i -> array_join(slice(_toks, i * {c} + 1, {c}), ' '))"
+    )
+    return base.select(
+        "doc_id", F.posexplode(F.expr(chunk_arr)).alias("chunk_idx", "text")
+    ).select(
+        F.when(
+            F.col("chunk_idx") < _CHUNK_ID_BASE,
+            F.col("doc_id") * _CHUNK_ID_BASE + F.col("chunk_idx"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"chunk_frame: chunk_idx >= {_CHUNK_ID_BASE} (doc too "
+                    "long for the chunk-id encoding; raise _CHUNK_ID_BASE)"
+                )
+            )
+        )
+        .alias("doc_id"),
+        "text",
+    )

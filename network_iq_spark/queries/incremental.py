@@ -18,6 +18,9 @@ from network_iq_spark.registry import register
 from network_iq_spark.sources import load_table
 
 from network_iq_spark.queries._fragments import (  # noqa: F401
+    _CHUNK_ID_BASE,
+    _CHUNK_TOKS_SQL,
+    chunk_frame,
     _IVFD_CELLS,
     _IVFD_GROUPS,
     _IVFD_K,
@@ -82,8 +85,14 @@ def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_minhash_sql(
-    n_bands: int, rows_per_band: int, threshold: float, split: int
+    n_bands: int,
+    rows_per_band: int,
+    threshold: float,
+    split: int,
+    shingles_sql: str | None = None,
 ) -> str:
+    if shingles_sql is None:
+        shingles_sql = _SHINGLES
     n_hashes = n_bands * rows_per_band
     mins = ",\n      ".join(
         f"MIN(({2 * i + 1} * h + {7 * i + 3}) % {_MINHASH_P}) AS m{i}"
@@ -100,7 +109,7 @@ def _incremental_minhash_sql(
         )
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
     return f"""
-    WITH sh AS ({_SHINGLES}),
+    WITH sh AS ({shingles_sql}),
     hashed AS (
       SELECT doc_id, {_sql_hex_int("substr(md5(shingle), 1, 12)", 12)} AS h
       FROM sh
@@ -163,6 +172,67 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_MH_BANDS,
         rows_per_band=_MH_ROWS,
     ).orderBy("new_doc", "old_doc")
+
+
+_INC_CHUNK_THRESHOLD = 0.5
+_CHUNK_SHINGLES_SQL = f"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM ({_CHUNK_TOKS_SQL}) WHERE len(t) >= 3
+"""
+
+
+@register(
+    "incremental_chunk_near_dup",
+    oracle=f"""
+    SELECT new_doc AS new_chunk, old_doc AS old_chunk,
+           new_doc // {_CHUNK_ID_BASE} AS new_doc,
+           old_doc // {_CHUNK_ID_BASE} AS old_doc,
+           jaccard
+    FROM ({_incremental_minhash_sql(
+        _MH_BANDS, _MH_ROWS, _INC_CHUNK_THRESHOLD,
+        _INC_SPLIT * _CHUNK_ID_BASE, shingles_sql=_CHUNK_SHINGLES_SQL,
+    )})
+    ORDER BY new_chunk, old_chunk
+    """,
+)
+def q_incremental_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup at CHUNK grain (r10) — the continual-ingest
+    form of chunk_near_dup_pairs, completing the incremental symmetry
+    across grains: the at-rest LSH index is built over the HISTORY's
+    20-token chunks (parent doc_id < {split}; chunk_id = doc_id·BASE +
+    idx makes the parent split a plain chunk-id range), and the incoming
+    batch's chunks probe it via band-bucket collisions + exact-Jaccard
+    verify — O(batch chunks × collision rate), never O(history). This is
+    the templated-boilerplate detector a crawl pipeline runs PER BATCH:
+    a new page sharing a near-identical paragraph with any at-rest page
+    surfaces here even when doc-grain MinHash dilutes the overlap below
+    threshold. Output carries both the chunk pair and the parent-doc
+    attribution. Same artifacts as the doc-grain tier (lsh_index bands/
+    sets, bucketed on (band, bucket) in a deployment)."""
+    chunks = chunk_frame(spark, sf_dir)
+    split = _INC_SPLIT * _CHUNK_ID_BASE
+    history = chunks.filter(F.col("doc_id") < split)
+    incoming = chunks.filter(F.col("doc_id") >= split)
+    idx_bands, idx_sets = D.lsh_index(
+        history, n_bands=_MH_BANDS, rows_per_band=_MH_ROWS
+    )
+    pairs = D.incremental_near_dup(
+        incoming,
+        idx_bands,
+        idx_sets,
+        threshold=_INC_CHUNK_THRESHOLD,
+        n_bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+    )
+    return pairs.select(
+        F.col("new_doc").alias("new_chunk"),
+        F.col("old_doc").alias("old_chunk"),
+        F.expr(f"new_doc div {_CHUNK_ID_BASE}").alias("new_doc"),
+        F.expr(f"old_doc div {_CHUNK_ID_BASE}").alias("old_doc"),
+        "jaccard",
+    ).orderBy("new_chunk", "old_chunk")
 
 
 _DRIFT_SPLIT, _DRIFT_SCALE = 250, "1000.0"

@@ -19,6 +19,8 @@ from network_iq_spark.registry import register
 from network_iq_spark.sources import load_table
 
 from network_iq_spark.queries._fragments import (  # noqa: F401
+    _CHUNK_ID_BASE,
+    chunk_frame,
     _JACCARD_CAPPED,
     _JACCARD_MAX_DF,
     _MH_BANDS,
@@ -465,40 +467,7 @@ def _chunk_nd_oracle(max_bucket_size: int | None = None) -> str:
 def _chunk_nd_pairs(
     spark: SparkSession, sf_dir: str, max_bucket_size: int | None = None
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    c = D.CHUNK_TOKENS
-    base = docs.select("doc_id", T.tokens("text").alias("_toks")).filter(
-        F.size("_toks") > 0
-    )
-    chunk_arr = (
-        f"transform(sequence(0, cast(ceil(size(_toks) / {c}.0) as int) - 1), "
-        f"i -> array_join(slice(_toks, i * {c} + 1, {c}), ' '))"
-    )
-    # chunk_id = doc_id·BASE + idx is only injective while idx < BASE
-    # (a >=200k-token doc would collide into the next doc's id space and
-    # silently corrupt the cross-document filter below), so the encoding
-    # itself raises past the bound instead of wrapping — the guard lives
-    # in the expression that DEFINES the column, where pruning can't
-    # drop it.
-    chunks = base.select(
-        "doc_id", F.posexplode(F.expr(chunk_arr)).alias("chunk_idx", "text")
-    ).select(
-        F.when(
-            F.col("chunk_idx") < _CHUNK_ID_BASE,
-            F.col("doc_id") * _CHUNK_ID_BASE + F.col("chunk_idx"),
-        )
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    f"chunk_near_dup_pairs: chunk_idx >= {_CHUNK_ID_BASE} "
-                    "(doc too long for the chunk-id encoding; raise "
-                    "_CHUNK_ID_BASE)"
-                )
-            )
-        )
-        .alias("doc_id"),
-        "text",
-    )
+    chunks = chunk_frame(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(
         chunks,
         threshold=_CHUNK_ND_THRESHOLD,

@@ -65,10 +65,11 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FFD_CAPACITY = 128
 
 
-@register(
-    "packing_ffd",
-    oracle=f"""
-    WITH RECURSIVE base AS (
+def _ffd_cte() -> str:
+    """The recursive-CTE FFD simulation through ``final`` (per-shard open-
+    pack load/count lists) — shared by packing_ffd and the strategy-
+    comparison query so both replay the SAME simulation."""
+    return f"""base AS (
       SELECT source AS shard, doc_id,
              len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
       FROM documents
@@ -107,7 +108,13 @@ _FFD_CAPACITY = 128
     final AS (
       SELECT s.shard, s.loads, s.counts_l
       FROM sim s JOIN counts c ON c.shard = s.shard AND s.step = c.n_steps
-    )
+    )"""
+
+
+@register(
+    "packing_ffd",
+    oracle=f"""
+    WITH RECURSIVE {_ffd_cte()}
     SELECT shard, CAST(i AS BIGINT) AS pack_id,
            counts_l[i] AS n_docs, loads[i] AS pack_tokens,
            {_FFD_CAPACITY} - loads[i] AS padding
@@ -130,6 +137,88 @@ def q_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.ffd_packing(docs, capacity=_FFD_CAPACITY).orderBy(
         "shard", "pack_id"
     )
+
+
+@register(
+    "packing_efficiency",
+    oracle=f"""
+    WITH RECURSIVE {_ffd_cte()},
+    ffd_arm AS (
+      SELECT shard, 'ffd' AS strategy,
+             CAST(len(loads) AS BIGINT) AS n_packs,
+             CAST(list_sum(loads) AS BIGINT) AS total_tokens
+      FROM final
+    ),
+    cc_tot AS (
+      SELECT shard, CAST(SUM(nt) AS BIGINT) AS total_tokens
+      FROM base WHERE nt > 0 GROUP BY shard
+    ),
+    cc_arm AS (
+      SELECT shard, 'concat' AS strategy,
+             (total_tokens + {_FFD_CAPACITY - 1}) // {_FFD_CAPACITY} AS n_packs,
+             total_tokens
+      FROM cc_tot
+    ),
+    arms AS (SELECT * FROM ffd_arm UNION ALL SELECT * FROM cc_arm)
+    SELECT shard, strategy, n_packs, total_tokens,
+           n_packs * {_FFD_CAPACITY} - total_tokens AS padding,
+           (1000000 * total_tokens) // (n_packs * {_FFD_CAPACITY})
+             AS utilization_ppm
+    FROM arms ORDER BY shard, strategy
+    """,
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-strategy comparison report (r10) — the number a training-
+    data engineer actually decides with: per shard and strategy, pack
+    count, token total, padding, and integer-ppm utilization at the SAME
+    capacity ({cap} tokens). The concat-and-chunk arm needs no
+    simulation at all (a contiguous stream cut at capacity fills every
+    pack except the shard's last, so n_packs = ceil(total/cap) — pure
+    integer arithmetic over one per-shard agg); the FFD arm aggregates
+    the per-shard simulation (operators/packing.py ffd_packing), whose
+    recursive-CTE oracle is shared verbatim with packing_ffd. Corpus =
+    docs with ≥1 token (the FFD contract) in both arms, so the arms are
+    comparable. The report quantifies the actual tradeoff: concat wastes
+    ~nothing but splits documents; FFD never splits and pays measured
+    padding — at 100 TB the padding percentage IS the wasted compute of
+    every downstream training epoch."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = _FFD_CAPACITY
+    ffd = (
+        PK.ffd_packing(docs, capacity=cap)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_packs"),
+            F.sum("pack_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn("strategy", F.lit("ffd"))
+    )
+    base = docs.select(
+        F.col("source").alias("shard"), T.tokens("text").alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    concat = (
+        base.groupBy("shard")
+        .agg(F.sum(F.size("_toks")).cast("bigint").alias("total_tokens"))
+        .select(
+            "shard",
+            F.expr(f"(total_tokens + {cap - 1}) div {cap}").alias("n_packs"),
+            "total_tokens",
+        )
+        .withColumn("strategy", F.lit("concat"))
+    )
+    arms = ffd.select("shard", "strategy", "n_packs", "total_tokens").unionByName(
+        concat.select("shard", "strategy", "n_packs", "total_tokens")
+    )
+    return arms.select(
+        "shard",
+        "strategy",
+        "n_packs",
+        "total_tokens",
+        F.expr(f"n_packs * {cap} - total_tokens").alias("padding"),
+        F.expr(f"(1000000 * total_tokens) div (n_packs * {cap})").alias(
+            "utilization_ppm"
+        ),
+    ).orderBy("shard", "strategy")
 
 
 # ---------------------------------------------------------------------------

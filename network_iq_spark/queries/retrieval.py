@@ -13,6 +13,9 @@ from network_iq_spark.registry import register
 from network_iq_spark.sources import load_table
 
 from network_iq_spark.queries._fragments import (  # noqa: F401
+    _CHUNK_ID_BASE,
+    _CHUNK_TOKS_SQL,
+    chunk_frame,
     _TOKS,
     _int_sig_ctes,
 )
@@ -92,12 +95,22 @@ _BM25_MAX_DF_RATIO = 0.5
 _BM25_CAPPED_QUERY_DOCS = 100
 
 
-def _bm25_ctes(max_df_ratio: float | None, query_docs: int = _BM25_QUERY_DOCS) -> str:
-    """The full BM25 CTE chain, shared by bm25_topk and both RRF fusion
-    oracles. With a ceiling, ``dfreq`` keeps only terms whose df/N is at
-    or under it — the SAME double comparison the Spark plan evaluates
-    (df ≤ ratio·N, both cast to double), so the kept-term sets match
-    exactly on both engines."""
+def _bm25_ctes(
+    max_df_ratio: float | None,
+    query_docs: int = _BM25_QUERY_DOCS,
+    toks_sql: str | None = None,
+    exclude_sql: str = "tf.doc_id != q.q_doc_id",
+) -> str:
+    """The full BM25 CTE chain, shared by bm25_topk, both RRF fusion
+    oracles, and the chunk-grain passage variant (``toks_sql`` swaps the
+    corpus the ``t`` CTE tokenizes; ``exclude_sql`` swaps the
+    self-retrieval guard — chunk callers exclude the whole PARENT doc).
+    With a ceiling, ``dfreq`` keeps only terms whose df/N is at or under
+    it — the SAME double comparison the Spark plan evaluates (df ≤
+    ratio·N, both cast to double), so the kept-term sets match exactly
+    on both engines."""
+    if toks_sql is None:
+        toks_sql = _TOKS
     keep = (
         ""
         if max_df_ratio is None
@@ -106,7 +119,7 @@ def _bm25_ctes(max_df_ratio: float | None, query_docs: int = _BM25_QUERY_DOCS) -
             f" <= {max_df_ratio!r} * CAST(n_docs AS DOUBLE)"
         )
     )
-    return f"""t AS ({_TOKS}),
+    return f"""t AS ({toks_sql}),
     dl AS (SELECT doc_id, len(t) AS dl FROM t),
     toks AS (SELECT doc_id, unnest(t) AS term FROM t),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -123,7 +136,7 @@ def _bm25_ctes(max_df_ratio: float | None, query_docs: int = _BM25_QUERY_DOCS) -
              CAST(SUM({_BM25_UNITS_SQL}) AS BIGINT) AS score_units
       FROM q JOIN tf USING (term) JOIN dfreq USING (term)
            JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s
-      WHERE tf.doc_id != q.q_doc_id
+      WHERE {exclude_sql}
       GROUP BY 1, 2
     ),
     ranked AS (
@@ -189,6 +202,59 @@ def q_bm25_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         max_df_ratio=_BM25_MAX_DF_RATIO,
     )
+
+
+_CHUNK_BM25_QUERY_PARENTS = 3  # chunks of parent docs < 3 act as query passages
+
+
+@register(
+    "chunk_bm25_topk",
+    oracle=f"""
+    WITH {_bm25_ctes(
+        None,
+        query_docs=_CHUNK_BM25_QUERY_PARENTS * _CHUNK_ID_BASE,
+        toks_sql=_CHUNK_TOKS_SQL,
+        exclude_sql=f"tf.doc_id // {_CHUNK_ID_BASE} != q.q_doc_id // {_CHUNK_ID_BASE}",
+    )}
+    SELECT q_doc_id AS q_chunk, rank, doc_id AS chunk,
+           q_doc_id // {_CHUNK_ID_BASE} AS q_doc,
+           doc_id // {_CHUNK_ID_BASE} AS doc,
+           n_terms_matched, score_units,
+           CAST(score_units AS DOUBLE) / 1000000.0 AS score
+    FROM ranked WHERE rank <= 3 ORDER BY q_chunk, rank
+    """,
+)
+def q_chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-grain BM25 retrieval (r10) — the RAG shape: the corpus is
+    the 20-token chunk frame (chunk_id = doc_id·BASE + idx, the shared
+    ``chunk_frame``), every chunk of the first {n} parent documents
+    retrieves its top-3 related passages, and the self-retrieval guard
+    excludes the whole PARENT document (a passage trivially matches its
+    own doc's sibling passages — the exclusion a retrieval eval actually
+    needs), not just the identical chunk id. Same scorer, same integer
+    micro-unit determinism, same df/dl statistics machinery — computed
+    at chunk grain, where dl ≈ chunk size makes length normalization
+    near-uniform and idf carries the ranking. Scale shape identical to
+    doc-grain BM25 with N multiplied by chunks-per-doc; the df-ceiling
+    seam applies unchanged if the passage corpus needs it."""
+    chunks = chunk_frame(spark, sf_dir)
+    base = _CHUNK_ID_BASE
+    out = T.bm25_topk(
+        chunks,
+        F.col("doc_id") < _CHUNK_BM25_QUERY_PARENTS * base,
+        k=3,
+        exclude=F.expr(f"doc_id div {base} != q_doc_id div {base}"),
+    )
+    return out.select(
+        F.col("q_doc_id").alias("q_chunk"),
+        "rank",
+        F.col("doc_id").alias("chunk"),
+        F.expr(f"q_doc_id div {base}").alias("q_doc"),
+        F.expr(f"doc_id div {base}").alias("doc"),
+        "n_terms_matched",
+        "score_units",
+        "score",
+    ).orderBy("q_chunk", "rank")
 
 
 @register(

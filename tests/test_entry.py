@@ -65,7 +65,9 @@ def test_verify_first_names_all_resolve():
         "weighted_discount",
         # r10 additions
         "chunk_near_dup_pairs_capped", "media_dhash_index",
-        "incremental_image_dedup_probe",
+        "incremental_image_dedup_probe", "chunk_bm25_topk",
+        "incremental_chunk_near_dup", "packing_efficiency",
+        "image_near_dup_pairs_capped",
         # expressions / shared-core changed in r10
         "chunk_near_dup_pairs", "incremental_image_dedup",
         "image_near_dup_pairs", "audio_near_dup_pairs",
