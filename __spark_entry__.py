@@ -29,15 +29,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # the queries with the least external verification first. Round 10
 # FINISHES the rotation: the 31 r6-stamped overflow queries (ordered
 # exactly as the r9 window left them) drain the last pre-r7 stamps; then
-# the queries whose code r10 touched — three new oracle-paired additions
-# (capped chunk LSH, the media index build, the at-rest-index probe
-# shape), the two whose expressions changed (chunk-id overflow guard;
-# incremental_image_dedup's helper extraction), and the five riding
-# hamming_blocked_pairs (which gained the max_bucket_size seam; default
-# path byte-identical, the external hash re-proves it); then oldest-r7
-# fills. After this window samples green, NO sheet stamp predates r7 and
-# steady-state rotation (50/round over ~180) keeps every stamp <= 4
-# rounds old.
+# the queries whose code r10 touched — seven new oracle-paired additions
+# (capped chunk LSH, the media index build + at-rest-index probe shape,
+# chunk BM25, incremental chunk near-dup, chunk-overlap admission,
+# packing-strategy report), the two whose expressions changed (chunk-id
+# overflow guard; incremental_image_dedup's helper extraction), and the
+# six riding hamming_blocked_pairs (which gained the max_bucket_size
+# seam; default path byte-identical, the external hash re-proves it —
+# incl. the new capped image twin); then oldest-r7 fills. After this
+# window samples green, NO sheet stamp predates r7 and steady-state
+# rotation (50/round over ~180) keeps every stamp <= 4 rounds old.
 _VERIFY_FIRST = [
     # the 31 r6-stamped overflow queries — the last pre-r7 stamps
     "ann_int_multiprobe_topk",
@@ -77,6 +78,7 @@ _VERIFY_FIRST = [
     "incremental_image_dedup_probe",
     "chunk_bm25_topk",
     "incremental_chunk_near_dup",
+    "chunk_overlap_admission",
     "packing_efficiency",
     # expressions changed this round (values identical by construction;
     # the external hash re-proves it): chunk-id guard, helper extraction
@@ -95,9 +97,9 @@ _VERIFY_FIRST = [
     "sessionize",
     "decoded_png_stats",
     "decoded_jpeg_stats",
-    "decoded_audio_stats",
     # --- 50-slot window boundary ---
     # overflow, in r11-priority order: the remaining r7-stamped queries
+    "decoded_audio_stats",
     "decoded_video_stats",
     "cluster_keep_best",
     "html_extract",

@@ -235,6 +235,98 @@ def q_incremental_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_chunk", "old_chunk")
 
 
+_ADMIT_MAX_DUP_PPM = 200_000  # admit a doc while ≤ 20% of its chunks are near-dups
+
+
+@register(
+    "chunk_overlap_admission",
+    oracle=f"""
+    WITH inc AS (
+      SELECT doc_id // {_CHUNK_ID_BASE} AS doc_id, COUNT(*) AS n_chunks
+      FROM ({_CHUNK_TOKS_SQL})
+      WHERE doc_id >= {_INC_SPLIT * _CHUNK_ID_BASE}
+      GROUP BY 1
+    ),
+    dup AS (
+      SELECT new_doc // {_CHUNK_ID_BASE} AS doc_id,
+             COUNT(DISTINCT new_doc) AS n_dup_chunks
+      FROM ({_incremental_minhash_sql(
+        _MH_BANDS, _MH_ROWS, _INC_CHUNK_THRESHOLD,
+        _INC_SPLIT * _CHUNK_ID_BASE, shingles_sql=_CHUNK_SHINGLES_SQL,
+    )})
+      GROUP BY 1
+    )
+    SELECT inc.doc_id,
+           CAST(inc.n_chunks AS BIGINT) AS n_chunks,
+           CAST(COALESCE(dup.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+           (1000000 * CAST(COALESCE(dup.n_dup_chunks, 0) AS BIGINT))
+             // inc.n_chunks AS dup_ppm,
+           (1000000 * CAST(COALESCE(dup.n_dup_chunks, 0) AS BIGINT))
+             <= {_ADMIT_MAX_DUP_PPM} * inc.n_chunks AS admitted
+    FROM inc LEFT JOIN dup USING (doc_id)
+    ORDER BY inc.doc_id
+    """,
+)
+def q_chunk_overlap_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ADMISSION by chunk-overlap rate (r10) — the decision
+    layer a continual-ingest pipeline runs on top of the chunk tier (the
+    RefinedWeb/line-dedup admission shape): an incoming document is
+    admitted while at most 20 % of its 20-token chunks near-match the
+    at-rest corpus; above that it is mostly recycled boilerplate even
+    when no single doc-grain near-dup exists. Counts distinct MATCHED
+    chunks (a chunk colliding with many history chunks is still one
+    duplicated chunk of this doc), the ratio is integer ppm so the
+    admission bit is engine-exact (1e6·dups ≤ thr·n_chunks — no float
+    division on the decision path), and every incoming doc with ≥ 1
+    token appears (left join; zero-dup docs admit trivially). Cost is
+    the incremental chunk probe + two doc-grain aggregates."""
+    chunks = chunk_frame(spark, sf_dir)
+    split = _INC_SPLIT * _CHUNK_ID_BASE
+    history = chunks.filter(F.col("doc_id") < split)
+    incoming = chunks.filter(F.col("doc_id") >= split)
+    idx_bands, idx_sets = D.lsh_index(
+        history, n_bands=_MH_BANDS, rows_per_band=_MH_ROWS
+    )
+    pairs = D.incremental_near_dup(
+        incoming,
+        idx_bands,
+        idx_sets,
+        threshold=_INC_CHUNK_THRESHOLD,
+        n_bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+    )
+    inc = incoming.select(
+        F.expr(f"doc_id div {_CHUNK_ID_BASE}").alias("doc_id")
+    ).groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_chunks"))
+    dup = (
+        pairs.select(
+            F.expr(f"new_doc div {_CHUNK_ID_BASE}").alias("doc_id"), "new_doc"
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("new_doc").cast("bigint").alias("n_dup_chunks"))
+    )
+    return (
+        inc.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_dup_chunks"), F.lit(0)).cast("bigint").alias(
+                "n_dup_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr("(1000000 * n_dup_chunks) div n_chunks").alias("dup_ppm"),
+            F.expr(
+                f"1000000 * n_dup_chunks <= {_ADMIT_MAX_DUP_PPM} * n_chunks"
+            ).alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _DRIFT_SPLIT, _DRIFT_SCALE = 250, "1000.0"
 
 

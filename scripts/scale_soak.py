@@ -98,6 +98,17 @@ QUERIES_UNDER_TEST = [
     "decontamination_spans",
     "chunk_near_dup_pairs",
     "packing_ffd",
+    # round-10 additions: capped chunk LSH + capped image twin, the
+    # at-rest media index build + probe shapes, passage-grain BM25,
+    # incremental chunk near-dup + the admission decision layer, the
+    # packing-strategy report
+    "chunk_near_dup_pairs_capped",
+    "image_near_dup_pairs_capped",
+    "media_dhash_index",
+    "chunk_bm25_topk",
+    "incremental_chunk_near_dup",
+    "chunk_overlap_admission",
+    "packing_efficiency",
 ]
 
 # fixed batch sizes for the incremental tier: the history grows with the

@@ -66,7 +66,8 @@ def test_verify_first_names_all_resolve():
         # r10 additions
         "chunk_near_dup_pairs_capped", "media_dhash_index",
         "incremental_image_dedup_probe", "chunk_bm25_topk",
-        "incremental_chunk_near_dup", "packing_efficiency",
+        "incremental_chunk_near_dup", "chunk_overlap_admission",
+        "packing_efficiency",
         "image_near_dup_pairs_capped",
         # expressions / shared-core changed in r10
         "chunk_near_dup_pairs", "incremental_image_dedup",
