@@ -328,19 +328,25 @@ _CHUNK_TOKS_SQL = f"""SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+'
 
 
 def chunk_frame(spark, sf_dir):
-    """The chunk corpus as a DataFrame (doc_id = chunk id, text): every
-    document's 20-token chunks with chunk_id = doc_id·BASE + idx. The
-    encoding raises past idx ≥ BASE (a ≥200k-token doc would collide
-    into the next doc's id space and corrupt every cross-document
-    filter downstream) — the guard lives in the expression that DEFINES
-    the column, where pruning can't drop it. Twin of
-    :data:`_CHUNK_TOKS_SQL`'s inner relation; shared by chunk near-dup,
-    chunk BM25, and incremental chunk dedup."""
-    from pyspark.sql import functions as F
-
+    """The chunk corpus as a DataFrame (doc_id = chunk id, text) over the
+    documents table — see :func:`chunk_docs`."""
     from network_iq_spark.sources import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    return chunk_docs(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_docs(docs):
+    """Explode a (doc_id, text) frame into its 20-token chunks with
+    chunk_id = doc_id·BASE + idx. The encoding raises past idx ≥ BASE
+    (a ≥200k-token doc would collide into the next doc's id space and
+    corrupt every cross-document filter downstream) — the guard lives in
+    the expression that DEFINES the id column, so any plan consuming
+    chunk ids evaluates it (a projection that drops the id has nothing
+    to corrupt). Twin of :data:`_CHUNK_TOKS_SQL`'s inner relation; shared
+    by chunk near-dup, chunk BM25, incremental chunk dedup, and the
+    streaming admission sink (stream-safe: pure map + explode)."""
+    from pyspark.sql import functions as F
+
     c = D.CHUNK_TOKENS
     base = docs.select("doc_id", T.tokens("text").alias("_toks")).filter(
         F.size("_toks") > 0

@@ -221,3 +221,86 @@ def incremental_media_dedup_sink(
         write_batch_partition(new_index, index_path, batch_id)
 
     return sink
+
+
+def chunk_admission_sink(
+    corpus_path: str,
+    bands_path: str,
+    sets_path: str,
+    max_dup_ppm: int = 200_000,
+    threshold: float = 0.5,
+    n_bands: int = 16,
+    rows_per_band: int = 1,
+    carry_cols: Sequence[str] = (),
+):
+    """``foreachBatch`` sink running the CHUNK-OVERLAP ADMISSION rule as
+    a stream (the streaming form of the ``chunk_overlap_admission``
+    sheet query): each micro-batch of documents is exploded into
+    20-token chunks (``_fragments.chunk_docs`` — pure map, stream-safe),
+    the chunks probe the AT-REST chunk LSH index, and a document is
+    admitted while at most ``max_dup_ppm``/1e6 of its chunks near-match
+    history — the RefinedWeb admission decision at ingest time, catching
+    mostly-boilerplate pages that doc-grain near-dup dilutes below
+    threshold. Admitted documents append to the corpus and their CHUNK
+    index rows append to the index, so the next batch sees them.
+
+    Same disciplines as the sibling sinks: the probe reads STRICTLY
+    earlier batches (a replay otherwise self-matches its own at-rest
+    chunks and rejects everything), every output lands via a direct
+    partition-path write so a corrected replay genuinely rewrites — and
+    the admission bit is integer arithmetic (1e6·dups ≤ ppm·n_chunks),
+    so a replayed batch decides identically.
+    """
+    from network_iq_spark.operators.dedup import incremental_near_dup, lsh_index
+    from network_iq_spark.queries._fragments import _CHUNK_ID_BASE, chunk_docs
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text", *carry_cols)
+        chunks = chunk_docs(batch.select("doc_id", "text")).localCheckpoint()
+        n_chunks = (
+            chunks.select(
+                F.expr(f"doc_id div {_CHUNK_ID_BASE}").alias("doc_id")
+            )
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("__n__"))
+        )
+        bands = read_if_exists(spark, bands_path)
+        sets = read_if_exists(spark, sets_path)
+        if bands is not None and sets is not None:
+            matches = incremental_near_dup(
+                chunks,
+                bands.filter(F.col("batch") < batch_id).drop("batch"),
+                sets.filter(F.col("batch") < batch_id).drop("batch"),
+                threshold,
+                n_bands=n_bands,
+                rows_per_band=rows_per_band,
+            )
+            dup = (
+                matches.select(
+                    F.expr(f"new_doc div {_CHUNK_ID_BASE}").alias("doc_id"),
+                    "new_doc",
+                )
+                .groupBy("doc_id")
+                .agg(F.countDistinct("new_doc").alias("__d__"))
+            )
+            verdicts = n_chunks.join(dup, "doc_id", "left").select(
+                "doc_id",
+                (
+                    1_000_000 * F.coalesce(F.col("__d__"), F.lit(0))
+                    <= max_dup_ppm * F.col("__n__")
+                ).alias("__admit__"),
+            )
+            admitted_ids = verdicts.filter(F.col("__admit__")).select("doc_id")
+        else:  # first batch: empty history, everything admits
+            admitted_ids = n_chunks.select("doc_id")
+        survivors = batch.join(admitted_ids, "doc_id", "left_semi").localCheckpoint()
+        surv_chunks = chunk_docs(survivors.select("doc_id", "text"))
+        new_bands, new_sets = lsh_index(
+            surv_chunks, n_bands=n_bands, rows_per_band=rows_per_band
+        )
+        write_batch_partition(survivors, corpus_path, batch_id)
+        write_batch_partition(new_bands, bands_path, batch_id)
+        write_batch_partition(new_sets, sets_path, batch_id)
+
+    return sink

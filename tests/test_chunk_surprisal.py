@@ -173,3 +173,53 @@ def test_canonical_url_variants_collapse(spark):
     assert got[4] == "https://example.com/docs/8"
     assert got[5] == "https://example.com/docs/7?a=1&b=3"
     assert got[6] == "http://example.com/"
+
+
+def test_chunk_frame_raises_past_id_encoding_bound(spark, tmp_path):
+    """The chunk-id encoding (doc_id·BASE + idx) is injective only while
+    idx < BASE; a >=200k-token document must RAISE inside the defining
+    expression rather than silently collide into the next doc's id space
+    (which would corrupt every cross-document filter downstream)."""
+    import pytest as _pytest
+
+    from network_iq_spark.queries._fragments import _CHUNK_ID_BASE, chunk_frame
+
+    # _CHUNK_ID_BASE chunks of 20 tokens + 1 overflow chunk
+    long_text = " ".join(["tok"] * (20 * _CHUNK_ID_BASE + 1))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, long_text, "src0", "en", len(long_text))],
+        "doc_id bigint, text string, source string, lang string, n_chars bigint",
+    ).write.parquet(str(sf / "documents.parquet"))
+    from pyspark.sql import functions as F
+
+    # consume the id column (as every real caller does): a bare count()
+    # prunes the projection and with it the guard — the guard protects
+    # the ENCODING, which only exists where the id is consumed
+    with _pytest.raises(Exception, match="chunk_idx"):
+        chunk_frame(spark, str(sf)).agg(F.sum("doc_id")).collect()
+
+
+def test_media_index_probe_self_heals_missing_artifact(spark, tmp_path, monkeypatch):
+    """incremental_image_dedup_probe reads the committed at-rest index;
+    on a fresh clone (artifact absent) it must rebuild + persist it and
+    return results identical to the in-plan twin — proven here against a
+    tmp index dir so the committed artifact is never touched."""
+    import os
+
+    from network_iq_spark.queries import media as MQ
+    from network_iq_spark.registry import QUERIES
+
+    monkeypatch.setattr(MQ, "_MEDIA_INDEX_DIR", str(tmp_path / "aux"))
+    sf = "/root/testdata/sf0.001"
+    probe = QUERIES["incremental_image_dedup_probe"](spark, sf)
+    got = sorted(map(tuple, probe.collect()))
+    assert os.path.exists(str(tmp_path / "aux" / "sf0.001"))  # persisted
+    want = sorted(map(tuple, QUERIES["incremental_image_dedup"](spark, sf).collect()))
+    assert got == want
+    # second call now reads the artifact (no rebuild): same results
+    again = sorted(
+        map(tuple, QUERIES["incremental_image_dedup_probe"](spark, sf).collect())
+    )
+    assert again == want

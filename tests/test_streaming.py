@@ -1188,3 +1188,50 @@ def test_incremental_media_dedup_sink_streams_against_at_rest_index(spark, tmp_p
     sink(media([(20, perturb(novel))]), 2)  # near-dup of mid-stream survivor
     assert corpus_ids() == [1, 2, 11]
     assert sorted(set(r.media_id for r in spark.read.parquet(index).collect())) == [1, 2, 11]
+
+
+def test_chunk_admission_sink_rejects_boilerplate_heavy_docs(spark, tmp_path):
+    """Streaming chunk-overlap admission: batch 0 bootstraps the chunk
+    index; in batch 1 a doc that is 3/4 recycled template chunks is
+    REJECTED while a doc reusing the same template for only 1/4 of its
+    chunks is admitted (the doc-grain near-dup tier would treat both the
+    same); replay converges; a corrected replay genuinely rewrites; a
+    batch-2 doc recycling the BATCH-1 survivor's chunks is rejected (the
+    index grew mid-stream)."""
+    from network_iq_spark.streaming.dedup import chunk_admission_sink
+
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    sets = str(tmp_path / "sets")
+    sink = chunk_admission_sink(corpus, bands, sets, max_dup_ppm=500_000)
+
+    def words(prefix, n=20):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    T = words("tmpl")          # the boilerplate paragraph (one whole chunk)
+    U1, V1, V2, V3 = words("ua"), words("va"), words("vb"), words("vc")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def corpus_ids():
+        return sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+
+    sink(docs([(1, f"{T} {U1}"), (2, words("other"))]), 0)
+    assert corpus_ids() == [1, 2]
+    # doc 10: 3 of 4 chunks are the template (75% > 50% cap) -> rejected;
+    # doc 11: 1 of 4 chunks recycled (25%) -> admitted
+    sink(docs([(10, f"{T} {T} {T} {words('un')}"),
+               (11, f"{T} {V1} {V2} {V3}")]), 1)
+    assert corpus_ids() == [1, 2, 11]
+    sink(docs([(10, f"{T} {T} {T} {words('un')}"),
+               (11, f"{T} {V1} {V2} {V3}")]), 1)  # replay converges
+    assert corpus_ids() == [1, 2, 11]
+    # corrected replay: both docs withdrawn, a fresh one delivered
+    sink(docs([(12, words("fresh"))]), 1)
+    assert corpus_ids() == [1, 2, 12]
+    # restore batch 1 (so the index holds 11's chunks), then batch 2:
+    # a doc recycling 3/4 of the BATCH-1 survivor's chunks is rejected
+    sink(docs([(11, f"{T} {V1} {V2} {V3}")]), 1)
+    sink(docs([(20, f"{V1} {V2} {V3} {words('tail')}")]), 2)
+    assert corpus_ids() == [1, 2, 11]
