@@ -96,6 +96,18 @@ def main() -> None:
         # 4.3-5.0 s baseline band)
         "decoded_jpeg_prog_stats",
         "embedding_near_dup",
+        # r10: same first-run pathology, re-measured solo this round —
+        # the positional-window family's first run in a hot JVM costs
+        # 6-9 s vs a ~1.5 s steady state (duplicate_spans mid-suite
+        # min-of-2 read 5.38 s = 3.45x its floor, solo steady
+        # [9.26, 2.19, 1.59, 1.46, 1.53, 1.57]); incremental_ann_topk
+        # and the Arrow-heavy shifted-audio query show the same shape
+        "duplicate_spans",
+        "winnow_overlap_pairs",
+        "contamination_check",
+        "incremental_ann_topk",
+        "audio_shifted_near_dup_pairs",
+        "incremental_image_dedup_probe",
     }
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -958,126 +958,87 @@ def audio_energy_hash_bits(n_samples: int = 64) -> int:
     return sum((n_samples - win) // stride for win, stride in AUDIO_EB_SCALES)
 
 
-# Energy double-grid width for the shift tier: a 1-sample shift changes a
-# clip's total energy by at most one sample's square (< 32767² ≈ 1.07e9),
-# so with W = 2·32767² any two clips within that perturbation share a
-# bucket on at least one of the two half-offset grids (the classic
-# double-grid cover) — deterministic recall for shifts, no tuning.
-AUDIO_ENERGY_GRID_W = 2 * 32767 * 32767
-
-
 def audio_shifted_pairs(
     df: DataFrame,
-    max_hamming: int = 8,
     max_lag: int = 2,
     ssd_tol: int = 0,
     id_col: str = "media_id",
     s_col: str = "s",
     n_samples: int = 64,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    candidate_jaccard: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Shift-TOLERANT audio near-dup (BENCH_ONLY tier): candidates from
-    the COMPOSITE blocking key (envelope-hash segment, energy
-    double-grid bucket), verified by an exact integer lag-scan — for
-    each candidate pair the minimum sum-of-squared-differences over
-    alignments lag ∈ [−max_lag, max_lag] (overlap-only, so a pure
-    ℓ-sample shift scores ssd = 0 at lag ℓ). Output (id_a, id_b,
-    hamming, lag, ssd) for pairs with ssd ≤ ssd_tol.
+    MinHash-LSH over the clip's SAMPLE-VALUE SHINGLES, verified by an
+    exact integer lag-scan — for each candidate pair the minimum
+    sum-of-squared-differences over alignments lag ∈ [−max_lag, max_lag]
+    (overlap-only, so a pure ℓ-sample shift scores ssd = 0 at lag ℓ).
+    Output (id_a, id_b, jaccard, env_hamming, lag, ssd) for pairs with
+    ssd ≤ ssd_tol; ``env_hamming`` is the
+    :func:`audio_energy_hash` distance reported as a similarity feature
+    on the verified pairs.
 
-    Why a composite key: the 44-bit envelope hash alone has ~5-bit
-    segments (32 values), so segment buckets grow linearly with the
-    corpus and the candidate join goes QUADRATIC — measured x1 3.9 s →
-    x3 21.9 s on the soak before the fix. ANDing each segment with the
-    clip's total-energy bucket splits those buckets by absolute level:
-    a 1-sample shift moves total energy by < one sample's square, which
-    is under half the grid width (:data:`AUDIO_ENERGY_GRID_W`), so the
-    two half-offset grids cover every shifted pair DETERMINISTICALLY —
-    the energy half of the key costs zero shift-recall. The two halves
-    also fail independently: loudness-normalized corpora collapse the
-    energy grid but keep envelope contours apart (gradient signs are
-    gain-invariant), while same-contour corpora collapse the hash but
-    spread across energy levels.
+    Why MinHash blocking: position-free n-grams are shift-invariant BY
+    CONSTRUCTION — an ℓ-sample shift drops ≤ ℓ+2 boundary shingles and
+    adds as many, so a shifted twin's shingle-set Jaccard is ≥
+    (m−ℓ−2)/(m+ℓ+2) ≈ 0.88 at ℓ = 2 on 64-sample clips, which the
+    production r=4/b=4 S-curve catches with ~0.97+ probability while a
+    random clip pair (J ≈ 0.03 even on same-distribution corpora)
+    collides with ~1e-6 per band. Two rejected designs are documented
+    here because both were measured, not guessed: (1) pigeonhole
+    blocking over the 44-bit envelope hash alone — 5-bit segment values
+    saturate, so buckets grow ∝ corpus and the join went quadratic
+    (x1 3.9 s → x3 21.9 s on the soak); (2) ANDing scalar double-grid
+    keys (total energy / total sum, lag-scaled widths) — deterministic
+    shift recall, but BOTH scalars concentrate into 1–2 buckets on
+    homogeneous same-loudness corpora (measured: all 2,200 bench clips
+    in one energy bucket), which is exactly the corpus a dedup pass
+    sees after loudness normalization. Shingle MinHash keys on CONTENT,
+    so its selectivity survives both normalizations; this is the same
+    one-core-many-modalities reuse as the chunk/text tiers —
+    :func:`minhash_lsh_pairs` verbatim with samples as tokens.
 
     Semantics: catches time-shifted re-encodes of the same clip that
     :func:`waveform_dhash` provably misses (its docstring boundary).
-    Recall is empirical on the hash half only: a 1-sample shift flips
-    ≤ max_hamming envelope bits for ~95 % of random-walk clips (p95 = 9
-    measured). Precision is exact: the lag-scan is integer arithmetic,
-    no blocking collision survives it. Gain changes break the SSD (use
-    the gain-invariant gradient tier for those); shift+gain together
-    need the spectral-landmark family, out of scope. Scale shape:
-    blocking shuffle on (seg, seg_val, grid, ebkt); verify is
-    O(candidates × max_lag · n_samples) map work; soak exponent and
-    recall in docs/SCALE.md."""
-    n_bits = audio_energy_hash_bits(n_samples)
-    n_seg = max_hamming + 1
-    w = AUDIO_ENERGY_GRID_W
-    energy = (
-        f"aggregate({s_col}, cast(0 as bigint), "
-        f"(a, x) -> a + cast(x as bigint) * cast(x as bigint))"
-    )
-    hashed = df.select(
-        F.col(id_col),
-        F.col(s_col),
-        audio_energy_hash(s_col, n_samples).alias("ehash"),
-        F.expr(energy).alias("__e__"),
+    Recall is the LSH S-curve (empirical ~0.97 for 1–2-sample shifts),
+    not pigeonhole-guaranteed. Precision is exact: the lag-scan is
+    integer arithmetic, no candidate survives it wrongly. Gain changes
+    break both the value shingles and the SSD (use the gain-invariant
+    gradient tier for those); shift+gain together need the
+    spectral-landmark family, out of scope. Scale shape: the measured
+    LSH path (band-bucket shuffle, hot buckets cappable via
+    ``max_bucket_size``); the verify is O(candidates × max_lag ·
+    n_samples) map work."""
+    # +32768 keeps every sample token unsigned — the shingle tokenizer
+    # keeps [a-z0-9]+ runs, so a raw '-123' would lose its sign
+    textified = f"array_join(transform({s_col}, x -> cast(x + 32768 as string)), ' ')"
+    clips = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(textified).alias("text"),
+        F.col(s_col).alias("__s__"),
+        audio_energy_hash(s_col, n_samples).alias("__eh__"),
     ).localCheckpoint(eager=False)
-    segs = _simhash_segments(F.col("ehash"), n_seg, n_bits=n_bits)
-    seg_structs = [
-        F.struct(
-            F.lit(i).alias("seg"), segs[i].alias("seg_val"), F.lit(g).alias("grid")
-        )
-        for i in range(n_seg)
-        for g in (0, 1)
-    ]
-    blocked = hashed.select(
-        F.col(id_col), F.col("ehash"), F.col("__e__"),
-        F.explode(F.array(*seg_structs)).alias("b"),
+    cand = minhash_lsh_pairs(
+        clips.select("doc_id", "text"),
+        threshold=candidate_jaccard,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
     ).select(
-        id_col, "ehash", "__e__",
-        F.col("b.seg").alias("seg"), F.col("b.seg_val").alias("seg_val"),
-        F.col("b.grid").alias("grid"),
-        F.when(F.col("b.grid") == 0, F.expr(f"__e__ div {w}"))
-        .otherwise(F.expr(f"(__e__ + {w // 2}) div {w}"))
-        .alias("ebkt"),
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "jaccard"
     )
-    a = blocked.select(
-        F.col(id_col).alias("id_a"), F.col("ehash").alias("h_a"),
-        F.col("__e__").alias("e_a"), "seg", "seg_val", "grid", "ebkt",
+    sa = clips.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__s__").alias("__sa__"),
+        F.col("__eh__").alias("__eha__"),
     )
-    b = blocked.select(
-        F.col(id_col).alias("id_b"), F.col("ehash").alias("h_b"),
-        F.col("__e__").alias("e_b"), "seg", "seg_val", "grid", "ebkt",
+    sb = clips.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__s__").alias("__sb__"),
+        F.col("__eh__").alias("__ehb__"),
     )
-    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
-    base, rem = divmod(n_bits, n_seg)
-    first_match, start = None, 0
-    for i in range(n_seg):
-        width = base + (1 if i < rem else 0)
-        mask = ((1 << width) - 1) << start
-        is_match = xor.bitwiseAND(F.lit(mask)) == 0
-        first_match = (
-            F.when(is_match, F.lit(i))
-            if first_match is None
-            else first_match.when(is_match, F.lit(i))
-        )
-        start += width
-    cand = (
-        a.join(b, ["seg", "seg_val", "grid", "ebkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(first_match == F.col("seg"))
-        # a pair can match on BOTH grids; keep grid 0's copy when it
-        # exists, grid 1's only when grid 0 did not match — a column
-        # filter on data already in the join output, no distinct()
-        .filter(
-            (F.col("grid") == 0)
-            | (F.expr(f"e_a div {w}") != F.expr(f"e_b div {w}"))
-        )
-        .withColumn("hamming", F.bit_count(xor).cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
-    sa = hashed.select(F.col(id_col).alias("id_a"), F.col(s_col).alias("__sa__"))
-    sb = hashed.select(F.col(id_col).alias("id_b"), F.col(s_col).alias("__sb__"))
 
     def ssd(lag: int) -> str:
         # positive lag: a leads (a[i+lag] vs b[i]); negative: b leads
@@ -1102,7 +1063,12 @@ def audio_shifted_pairs(
         .withColumn("__best__", F.expr(best))
         .filter(F.col("__best__.ssd") <= ssd_tol)
         .select(
-            "id_a", "id_b", "hamming",
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.bit_count(F.col("__eha__").bitwiseXOR(F.col("__ehb__")))
+            .cast("int")
+            .alias("env_hamming"),
             F.col("__best__.lag").alias("lag"),
             F.col("__best__.ssd").alias("ssd"),
         )

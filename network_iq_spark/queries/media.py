@@ -1446,13 +1446,15 @@ def q_audio_shifted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     fingerprint provably cannot: every 10th clip gets a planted
     1-SAMPLE-SHIFTED copy (a re-encode with a time offset — the classic
     miss of sample-aligned gradient hashes), clips make the same real
-    WAV encode → decode round trip, then candidates come from the
-    energy-envelope hash blocking and are verified by the exact integer
+    WAV encode → decode round trip, then candidates come from
+    MinHash-LSH over the clips' sample-value shingles (position-free
+    n-grams are shift-invariant by construction — the text LSH core
+    reused verbatim on PCM) and are verified by the exact integer
     lag-scan (operators/dedup.py audio_shifted_pairs: ssd = 0 at the
-    true lag for a pure shift). Clips are random WALKS built from the
-    embeddings (locally correlated like real audio — white noise has no
-    stable envelope, documented in the operator). BENCH_ONLY because
-    blocking recall for shifted copies is empirical (~95 %), not
+    true lag for a pure shift; the gain-invariant envelope hash rides
+    along as a reported feature). Clips are random WALKS built from the
+    embeddings (locally correlated like real audio). BENCH_ONLY because
+    blocking recall for shifted copies is the LSH S-curve (~0.97), not
     pigeonhole-guaranteed — the numpy-exactness and shift-demo tests in
     tests/test_dedup_scale.py carry the correctness burden."""
     import numpy as np
@@ -1492,7 +1494,7 @@ def q_audio_shifted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 
     decoded = clips.mapInPandas(roundtrip, schema="media_id bigint, s array<int>")
     return D.audio_shifted_pairs(
-        decoded, max_hamming=8, max_lag=2, ssd_tol=0
+        decoded, max_lag=2, ssd_tol=0
     ).orderBy("id_a", "id_b")
 
 

@@ -53,13 +53,13 @@ def main() -> None:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            D.audio_shifted_pairs(df, max_hamming=8, max_lag=2).write.format(
+            D.audio_shifted_pairs(df, max_lag=2).write.format(
                 "noop"
             ).mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         got = {
             (r.id_a, r.id_b)
-            for r in D.audio_shifted_pairs(df, max_hamming=8, max_lag=2).collect()
+            for r in D.audio_shifted_pairs(df, max_lag=2).collect()
         }
         assert got <= twins, "lag-scan verify admitted a non-twin pair"
         ts.append(best)

@@ -363,14 +363,15 @@ def test_audio_shifted_pairs_catch_what_dhash_misses(spark):
     df = spark.createDataFrame(base + twins, "media_id int, s array<int>")
     got = {
         (r.id_a, r.id_b): (r.lag, r.ssd)
-        for r in D.audio_shifted_pairs(df, max_hamming=8, max_lag=2).collect()
+        for r in D.audio_shifted_pairs(df, max_lag=2).collect()
     }
     true_twins = {(i, i + 1000) for i, _ in base if i % 3 == 0}
     # (c) exact verify: every reported pair IS a planted twin
     assert set(got) <= true_twins
-    # (a) empirical recall of the envelope blocking (not pigeonhole-
-    # guaranteed; the operator documents ~95 %): at least 8 of 10 here,
-    # each verified at the true alignment with zero residual
+    # (a) empirical recall of the LSH blocking (the r=4/b=4 S-curve at
+    # shifted-twin Jaccard >= 0.88; the operator documents ~0.97): at
+    # least 8 of 10 here, each verified at the true alignment with zero
+    # residual
     assert len(got) >= 8
     assert all(ssd == 0 and abs(lag) == 1 for lag, ssd in got.values())
     # (b) the gradient-hash tier misses every shifted twin
