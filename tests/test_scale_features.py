@@ -66,3 +66,59 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     # one cell's curated rows (ingest cleansing drops dirty fixture rows)
     expected = fact.filter(F.col("cell_id") == "CELL-001").count()
     assert joined.count() == expected > 100
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """The third big join-cost lever next to bucketing and DPP: for a
+    shuffle join against a SELECTIVELY FILTERED dim, Spark injects a
+    runtime bloom filter built from the dim's join keys into the fact
+    side (`might_contain(...)` in the fact scan's filter), pruning fact
+    shuffle input before the exchange. At the production defaults this
+    fires exactly in the 100 TB regime (application side > 10 GB scan,
+    creation side under 10 MB — our sf0.1 fact is below the application
+    threshold, so the test lowers it to prove the machinery; the session
+    leaves `spark.sql.optimizer.runtime.bloomFilter.enabled` at its
+    default ON so production-scale plans get it for free)."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    lid = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        dim = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = lid.join(dim, lid["l_orderkey"] == orders["o_orderkey"]).groupBy(
+            "l_returnflag"
+        ).agg(F.count("*").alias("n"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+        # the filter wraps the FACT side's join key, not the dim's
+        assert "l_orderkey" in next(
+            ln for ln in plan.split("\n") if "might_contain" in ln.lower()
+        )
+        # and the pruned plan still computes the right answer
+        want = sorted(
+            map(
+                tuple,
+                lid.join(
+                    dim.select(F.col("o_orderkey").alias("l_orderkey")),
+                    "l_orderkey",
+                )
+                .groupBy("l_returnflag")
+                .agg(F.count("*").alias("n"))
+                .collect(),
+            )
+        )
+        assert sorted(map(tuple, j.collect())) == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
