@@ -108,6 +108,7 @@ def main() -> None:
         "incremental_ann_topk",
         "audio_shifted_near_dup_pairs",
         "incremental_image_dedup_probe",
+        "semantic_dedup_scaled",
     }
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
