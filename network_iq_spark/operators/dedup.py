@@ -958,70 +958,71 @@ def audio_energy_hash_bits(n_samples: int = 64) -> int:
     return sum((n_samples - win) // stride for win, stride in AUDIO_EB_SCALES)
 
 
-def audio_shifted_pairs(
+def shifted_sequence_pairs(
     df: DataFrame,
+    stride: int = 1,
     max_lag: int = 2,
     ssd_tol: int = 0,
     id_col: str = "media_id",
     s_col: str = "s",
-    n_samples: int = 64,
+    n_elems: int = 64,
     n_bands: int = 4,
     rows_per_band: int = 4,
     candidate_jaccard: float = 0.8,
+    value_offset: int = 32768,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Shift-TOLERANT audio near-dup (BENCH_ONLY tier): candidates from
-    MinHash-LSH over the clip's SAMPLE-VALUE SHINGLES, verified by an
-    exact integer lag-scan — for each candidate pair the minimum
-    sum-of-squared-differences over alignments lag ∈ [−max_lag, max_lag]
-    (overlap-only, so a pure ℓ-sample shift scores ssd = 0 at lag ℓ).
-    Output (id_a, id_b, jaccard, env_hamming, lag, ssd) for pairs with
-    ssd ≤ ssd_tol; ``env_hamming`` is the
-    :func:`audio_energy_hash` distance reported as a similarity feature
-    on the verified pairs.
+    """Generic shift-TOLERANT near-dup over integer SEQUENCES (BENCH_ONLY
+    tier) — one core for every time-structured modality: candidates from
+    MinHash-LSH over the sequence's VALUE SHINGLES, verified by an exact
+    integer lag-scan. ``stride`` is the number of array elements per shift
+    unit (1 for audio samples; frame_size for video frames), ``max_lag``
+    the shift budget in units; the verify takes the minimum overlap-only
+    sum-of-squared-differences over lag ∈ [−max_lag, max_lag]·stride, so
+    a pure ℓ-unit shift scores ssd = 0 at lag ℓ. Output (id_a, id_b,
+    jaccard, lag, ssd) for pairs with ssd ≤ ssd_tol; ``lag`` is in shift
+    UNITS.
 
     Why MinHash blocking: position-free n-grams are shift-invariant BY
-    CONSTRUCTION — an ℓ-sample shift drops ≤ ℓ+2 boundary shingles and
-    adds as many, so a shifted twin's shingle-set Jaccard is ≥
-    (m−ℓ−2)/(m+ℓ+2) ≈ 0.88 at ℓ = 2 on 64-sample clips, which the
-    production r=4/b=4 S-curve catches with ~0.97+ probability while a
-    random clip pair (J ≈ 0.03 even on same-distribution corpora)
-    collides with ~1e-6 per band. Two rejected designs are documented
-    here because both were measured, not guessed: (1) pigeonhole
-    blocking over the 44-bit envelope hash alone — 5-bit segment values
-    saturate, so buckets grow ∝ corpus and the join went quadratic
-    (x1 3.9 s → x3 21.9 s on the soak); (2) ANDing scalar double-grid
-    keys (total energy / total sum, lag-scaled widths) — deterministic
-    shift recall, but BOTH scalars concentrate into 1–2 buckets on
-    homogeneous same-loudness corpora (measured: all 2,200 bench clips
-    in one energy bucket), which is exactly the corpus a dedup pass
-    sees after loudness normalization. Shingle MinHash keys on CONTENT,
-    so its selectivity survives both normalizations; this is the same
+    CONSTRUCTION — an ℓ-unit shift drops ≤ ℓ·stride+2 boundary shingles
+    and adds as many, so a shifted twin's shingle-set Jaccard stays high
+    (≈ 0.88 for 2-sample audio shifts at stride 1; ≈ 0.55 for a 1-frame
+    shift of a 4×16 clip), and the (rows_per_band, n_bands) S-curve is
+    chosen per modality to catch it while random pairs (J ≈ 0.03)
+    essentially never collide. Two rejected designs are documented here
+    because both were measured, not guessed: (1) pigeonhole blocking
+    over the 44-bit envelope hash alone — 5-bit segment values saturate,
+    so buckets grow ∝ corpus and the join went quadratic (x1 3.9 s →
+    x3 21.9 s on the soak); (2) ANDing scalar double-grid keys (total
+    energy / total sum, lag-scaled widths) — deterministic shift recall,
+    but BOTH scalars concentrate into 1–2 buckets on homogeneous
+    same-loudness corpora (measured: all 2,200 bench clips in one energy
+    bucket), which is exactly the corpus a dedup pass sees after
+    loudness normalization. Shingle MinHash keys on CONTENT, so its
+    selectivity survives both normalizations; this is the same
     one-core-many-modalities reuse as the chunk/text tiers —
-    :func:`minhash_lsh_pairs` verbatim with samples as tokens.
+    :func:`minhash_lsh_pairs` verbatim with sequence values as tokens.
 
-    Semantics: catches time-shifted re-encodes of the same clip that
-    :func:`waveform_dhash` provably misses (its docstring boundary).
-    Recall is the LSH S-curve (empirical ~0.97 for 1–2-sample shifts),
-    not pigeonhole-guaranteed. Precision is exact: the lag-scan is
-    integer arithmetic, no candidate survives it wrongly. Gain changes
-    break both the value shingles and the SSD (use the gain-invariant
-    gradient tier for those); shift+gain together need the
-    spectral-landmark family, out of scope. Scale shape: the measured
-    LSH path (band-bucket shuffle, hot buckets cappable via
-    ``max_bucket_size``); the verify is O(candidates × max_lag ·
-    n_samples) map work."""
-    # +32768 keeps every sample token unsigned — the shingle tokenizer
+    Recall is the LSH S-curve, not pigeonhole-guaranteed; precision is
+    exact (the lag-scan is integer arithmetic — no candidate survives it
+    wrongly). Gain/brightness changes break both the value shingles and
+    the SSD (the gain-invariant gradient tier covers those); shift+gain
+    together need the landmark family, out of scope. Scale shape: the
+    measured LSH path (band-bucket shuffle, hot buckets cappable via
+    ``max_bucket_size``); the verify is O(candidates × max_lag · n_elems)
+    map work."""
+    # value_offset keeps every token unsigned — the shingle tokenizer
     # keeps [a-z0-9]+ runs, so a raw '-123' would lose its sign
-    textified = f"array_join(transform({s_col}, x -> cast(x + 32768 as string)), ' ')"
-    clips = df.select(
+    textified = (
+        f"array_join(transform({s_col}, x -> cast(x + {value_offset} as string)), ' ')"
+    )
+    seqs = df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(textified).alias("text"),
         F.col(s_col).alias("__s__"),
-        audio_energy_hash(s_col, n_samples).alias("__eh__"),
     ).localCheckpoint(eager=False)
     cand = minhash_lsh_pairs(
-        clips.select("doc_id", "text"),
+        seqs.select("doc_id", "text"),
         threshold=candidate_jaccard,
         n_bands=n_bands,
         rows_per_band=rows_per_band,
@@ -1029,29 +1030,22 @@ def audio_shifted_pairs(
     ).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "jaccard"
     )
-    sa = clips.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("__s__").alias("__sa__"),
-        F.col("__eh__").alias("__eha__"),
-    )
-    sb = clips.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("__s__").alias("__sb__"),
-        F.col("__eh__").alias("__ehb__"),
-    )
+    sa = seqs.select(F.col("doc_id").alias("id_a"), F.col("__s__").alias("__sa__"))
+    sb = seqs.select(F.col("doc_id").alias("id_b"), F.col("__s__").alias("__sb__"))
 
-    def ssd(lag: int) -> str:
-        # positive lag: a leads (a[i+lag] vs b[i]); negative: b leads
-        if lag >= 0:
-            hi, a_i, b_i = n_samples - 1 - lag, f"i + {lag}", "i"
+    def ssd(lag_units: int) -> str:
+        off = lag_units * stride
+        # positive lag: a leads (a[i+off] vs b[i]); negative: b leads
+        if off >= 0:
+            hi, a_i, b_i = n_elems - 1 - off, f"i + {off}", "i"
         else:
-            hi, a_i, b_i = n_samples - 1 + lag, "i", f"i + {-lag}"
+            hi, a_i, b_i = n_elems - 1 + off, "i", f"i + {-off}"
         return (
             f"named_struct('ssd', aggregate(sequence(0, {hi}), "
             f"cast(0 as bigint), (a, i) -> a + "
             f"(cast(__sa__[{a_i}] as bigint) - cast(__sb__[{b_i}] as bigint)) * "
             f"(cast(__sa__[{a_i}] as bigint) - cast(__sb__[{b_i}] as bigint))), "
-            f"'lag', {lag})"
+            f"'lag', {lag_units})"
         )
 
     best = "array_min(array(" + ", ".join(
@@ -1066,12 +1060,101 @@ def audio_shifted_pairs(
             "id_a",
             "id_b",
             "jaccard",
-            F.bit_count(F.col("__eha__").bitwiseXOR(F.col("__ehb__")))
-            .cast("int")
-            .alias("env_hamming"),
             F.col("__best__.lag").alias("lag"),
             F.col("__best__.ssd").alias("ssd"),
         )
+    )
+
+
+def audio_shifted_pairs(
+    df: DataFrame,
+    max_lag: int = 2,
+    ssd_tol: int = 0,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    n_samples: int = 64,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    candidate_jaccard: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Shift-TOLERANT audio near-dup: :func:`shifted_sequence_pairs` at
+    stride 1 (the shift unit IS the sample), catching the time-shifted
+    re-encodes :func:`waveform_dhash` provably misses (its docstring
+    boundary). Adds ``env_hamming`` — the gain-invariant
+    :func:`audio_energy_hash` distance — as a reported similarity
+    feature on the verified pairs. Design history and the measured
+    S-curve/soak numbers live on the generic core's docstring and
+    docs/SCALE.md."""
+    pairs = shifted_sequence_pairs(
+        df,
+        stride=1,
+        max_lag=max_lag,
+        ssd_tol=ssd_tol,
+        id_col=id_col,
+        s_col=s_col,
+        n_elems=n_samples,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        candidate_jaccard=candidate_jaccard,
+        value_offset=32768,
+        max_bucket_size=max_bucket_size,
+    )
+    eh = df.select(
+        F.col(id_col), audio_energy_hash(s_col, n_samples).alias("__eh__")
+    )
+    ea = eh.select(F.col(id_col).alias("id_a"), F.col("__eh__").alias("__eha__"))
+    eb = eh.select(F.col(id_col).alias("id_b"), F.col("__eh__").alias("__ehb__"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.bit_count(F.col("__eha__").bitwiseXOR(F.col("__ehb__")))
+            .cast("int")
+            .alias("env_hamming"),
+            "lag",
+            "ssd",
+        )
+    )
+
+
+def video_frame_shifted_pairs(
+    df: DataFrame,
+    frames: int = 4,
+    side: int = 4,
+    max_lag: int = 1,
+    ssd_tol: int = 0,
+    id_col: str = "media_id",
+    px_col: str = "px",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Frame-shift-TOLERANT video near-dup: :func:`shifted_sequence_pairs`
+    with stride = one frame's pixels — catching re-encodes that start a
+    frame early/late, which :func:`video_dhash` provably misses (frame
+    order is part of its fingerprint, so every per-frame sub-hash moves
+    to a different bit range). A 1-frame shift of a 4-frame clip keeps
+    only ~55 % shingle Jaccard (16 of 64 values replaced), so the
+    S-curve is widened to r=2/b=8 (band prob J² ≈ 0.30 → ~0.94 recall;
+    random pairs at J ≈ 0.03 collide at ~1e-3/band — more candidates
+    than the audio setting, all killed exactly by the frame-aligned
+    lag-scan)."""
+    per_frame = side * side
+    return shifted_sequence_pairs(
+        df,
+        stride=per_frame,
+        max_lag=max_lag,
+        ssd_tol=ssd_tol,
+        id_col=id_col,
+        s_col=px_col,
+        n_elems=frames * per_frame,
+        n_bands=8,
+        rows_per_band=2,
+        candidate_jaccard=0.45,
+        value_offset=0,
+        max_bucket_size=max_bucket_size,
     )
 
 

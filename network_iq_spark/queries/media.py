@@ -1718,6 +1718,68 @@ def q_video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register("video_frame_shifted_pairs", bench_only=True)
+def q_video_frame_shifted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-shift-tolerant video near-dup (r10) — the video sibling of
+    ``audio_shifted_near_dup_pairs`` on the same generic core
+    (operators/dedup.py shifted_sequence_pairs, stride = one frame's
+    pixels): every 10th clip gets a planted 1-FRAME-shifted copy (a
+    re-encode that starts a frame late — invisible to video_dhash,
+    whose per-frame sub-hashes all move to different bit ranges), clips
+    make the real Y4M encode → decode round trip, candidates come from
+    MinHash-LSH over pixel-value shingles at the widened r=2/b=8
+    S-curve (a 1-frame shift keeps only ~55 % shingle Jaccard), and the
+    frame-aligned integer lag-scan verifies exactly (ssd = 0 at the true
+    frame lag). BENCH_ONLY: recall is the S-curve (~0.94), precision
+    exact — shift tolerance now covers both time-structured
+    modalities."""
+    import numpy as np
+    import pandas as pd
+
+    from network_iq_spark.operators.video import decode_y4m, encode_y4m
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    fsz = _VID_SIDE * _VID_SIDE
+    n = _VID_FRAMES * fsz
+    # 1-frame shift: drop the first frame, repeat the last
+    twin = src.filter(F.col("media_id") % _VHASH_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _VHASH_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"transform(sequence(0, {n - 1}), i -> "
+            f"IF(i < {n - fsz}, px[i + {fsz}], px[i]))"
+        ).alias("px"),
+    )
+    clips = src.unionByName(twin)
+
+    def roundtrip(it):
+        for pdf in it:
+            out = []
+            for p in pdf["px"]:
+                frames = list(
+                    np.asarray(list(p), dtype=np.uint8).reshape(
+                        _VID_FRAMES, _VID_SIDE, _VID_SIDE
+                    )
+                )
+                _w, _h, _fps, dec = decode_y4m(
+                    encode_y4m(frames, fps=(_VID_FPS, 1))
+                )
+                out.append(
+                    [int(v) for f in dec for v in np.asarray(f).reshape(-1)]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "px": out})
+
+    decoded = clips.mapInPandas(roundtrip, schema="media_id bigint, px array<int>")
+    return D.video_frame_shifted_pairs(
+        decoded, frames=_VID_FRAMES, side=_VID_SIDE, max_lag=1, ssd_tol=0
+    ).orderBy("id_a", "id_b")
+
+
 def _nd_census_arm(modality: str, oracle: str, offset: int) -> str:
     return f"""
       SELECT '{modality}' AS modality,

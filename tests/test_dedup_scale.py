@@ -480,3 +480,39 @@ def test_incremental_hamming_equals_full_cross_pairs(spark):
     )
     assert inc == cross
     assert all((i + 1000, i) in {(a, b) for a, b, _ in inc} for i, _ in hist if i % 4 == 0)
+
+
+def test_video_frame_shifted_pairs_catch_what_video_dhash_misses(spark):
+    """Frame-shift contract, mirroring the audio tier on the shared
+    shifted_sequence_pairs core: 1-frame-shifted twins are (a) found
+    with ssd = 0 at lag 1, (b) invisible to the frame-order-sensitive
+    video_dhash tier, (c) never joined by false positives (exact
+    frame-aligned lag-scan)."""
+    import hashlib
+
+    def clip(seed):
+        return [
+            int(hashlib.md5(f"v{seed}:{j}".encode()).hexdigest()[:2], 16)
+            for j in range(64)
+        ]
+
+    base = [(i, clip(i)) for i in range(30)]
+    twins = [
+        (i + 1000, s[16:] + s[48:])  # drop frame 0, repeat the last frame
+        for i, s in base
+        if i % 3 == 0
+    ]
+    df = spark.createDataFrame(base + twins, "media_id int, px array<int>")
+    got = {
+        (r.id_a, r.id_b): (r.lag, r.ssd)
+        for r in D.video_frame_shifted_pairs(df, max_lag=1).collect()
+    }
+    true_twins = {(i, i + 1000) for i, _ in base if i % 3 == 0}
+    assert set(got) <= true_twins
+    assert len(got) >= 8  # S-curve recall, not pigeonhole (operator docs)
+    assert all(ssd == 0 and lag == 1 for lag, ssd in got.values())
+    aligned = {
+        (r.id_a, r.id_b)
+        for r in D.video_near_dup_pairs(df, max_hamming=5, id_col="media_id").collect()
+    }
+    assert not (aligned & true_twins)
