@@ -109,6 +109,8 @@ def main() -> None:
         "audio_shifted_near_dup_pairs",
         "incremental_image_dedup_probe",
         "semantic_dedup_scaled",
+        "warc_extract_stats",
+        "unigram_surprisal",
     }
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
