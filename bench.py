@@ -31,9 +31,38 @@ HEADLINE = [
 ]
 
 
+def _host_snapshot() -> dict:
+    """One /proc-level reading of host pressure (loadavg + cpu count).
+    Taken before AND after the measured loop so a round-close artifact
+    carries the evidence needed to separate host drift from plan
+    regression — three consecutive rounds of creeper forensics ended in
+    "loaded host" without a recorded load (r10 VERDICT item 2)."""
+    snap: dict = {"cpus": os.cpu_count()}
+    try:
+        snap["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        snap["loadavg"] = None
+    return snap
+
+
 def main() -> None:
     from network_iq_spark.registry import QUERIES
     from network_iq_spark.session import get_spark
+
+    host_before = _host_snapshot()
+    # Warn-tag (don't refuse — the round driver's bench must still produce
+    # an artifact): external load above ~25% of the cores at start means
+    # the timings will read high through no fault of the plans. The tag
+    # rides in the artifact so later forensics can discount the round.
+    load1 = (host_before.get("loadavg") or [0.0])[0]
+    cpus = host_before.get("cpus") or 1
+    host_loaded = load1 > 0.25 * cpus
+    if host_loaded:
+        print(
+            f"BENCH HOST LOADED: loadavg1={load1} on {cpus} cpus before "
+            "start — timings are suspect; artifact is warn-tagged",
+            file=sys.stderr,
+        )
 
     spark = get_spark(app_name="network-iq-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
@@ -176,7 +205,16 @@ def main() -> None:
     # that. New queries are appended to the floor file at their first
     # recorded value (only on canonical full runs), existing floors are
     # never rewritten — the file stays "earliest record" by construction.
-    vs_floor = _drift_vs_floor(timings, update=full_path != os.devnull)
+    # Both the update AND the comparison are gated on canonical full sf0.1
+    # runs: a BENCH_QUICK or sf0.001 invocation would otherwise print CREEP
+    # warnings against incomparable floors (r10 ADVICE).
+    # (update additionally requires an unloaded host: self-seeding a floor
+    # from a loaded-host run would pin it high and mask later creep)
+    vs_floor = (
+        _drift_vs_floor(timings, update=not host_loaded)
+        if full_path != os.devnull
+        else None
+    )
     if vs_floor:
         for key in ("moves_gt_1_5x_vs_floor", "moves_gt_1_8x_vs_floor"):
             if vs_floor.get(key):
@@ -201,6 +239,11 @@ def main() -> None:
                 "errors": errors,
                 "vs_committed": drift,
                 "vs_floor": vs_floor,
+                "host": {
+                    "before": host_before,
+                    "after": _host_snapshot(),
+                    "loaded_at_start": host_loaded,
+                },
             },
             fh,
             indent=1,

@@ -680,17 +680,22 @@ def q_incremental_image_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFra
     in-plan.
 
     The index artifact is the materialized output of
-    ``media_dhash_index`` (built once by scripts/build_media_index.py
-    and committed under aux_data/media_index/<sf>; self-healing — a
-    missing artifact is rebuilt in-plan and persisted, so a fresh clone
-    still runs). Parity with the SAME oracle as the in-plan twin
-    additionally proves the artifact is fresh: a stale index would
-    hash-mismatch the oracle's recomputation."""
+    ``media_dhash_index`` (built by scripts/build_media_index.py and
+    committed under aux_data/media_index/<sf>). A missing artifact falls
+    back to the in-plan index DataFrame WITHOUT persisting — a read
+    query must not write into the checkout (fails on read-only clones,
+    races across concurrent sessions; r10 ADVICE); artifact
+    materialization belongs to the build script alone. Parity with the
+    SAME oracle as the in-plan twin additionally proves the artifact is
+    fresh: a stale index would hash-mismatch the oracle's
+    recomputation."""
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(_MEDIA_INDEX_DIR, sf_name)
-    if not os.path.exists(path):
-        _img_index_df(spark, sf_dir).write.mode("overwrite").parquet(path)
-    index = spark.read.parquet(path)
+    index = (
+        spark.read.parquet(path)
+        if os.path.exists(path)
+        else _img_index_df(spark, sf_dir)
+    )
     batch = _img_probe_batch(_img_hist(spark, sf_dir))
     return D.incremental_hamming_dedup(
         batch, index, "dhash", _DHASH_MAX_HAMMING,

@@ -284,16 +284,29 @@ def chunk_admission_sink(
                 .groupBy("doc_id")
                 .agg(F.countDistinct("new_doc").alias("__d__"))
             )
-            verdicts = n_chunks.join(dup, "doc_id", "left").select(
-                "doc_id",
-                (
-                    1_000_000 * F.coalesce(F.col("__d__"), F.lit(0))
-                    <= max_dup_ppm * F.col("__n__")
-                ).alias("__admit__"),
+            # Anchor the verdict on the BATCH's doc ids, not on n_chunks:
+            # a doc whose text yields no [a-z0-9]+ tokens produces zero
+            # chunks and would otherwise vanish from n_chunks and be
+            # silently dropped by the left_semi (r10 ADVICE). With
+            # __n__=0 and __d__=0 the integer rule reads 0 ≤ 0 —
+            # trivially admitted, consistent with "0 of its chunks are
+            # duplicates".
+            verdicts = (
+                batch.select("doc_id")
+                .distinct()
+                .join(n_chunks, "doc_id", "left")
+                .join(dup, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    (
+                        1_000_000 * F.coalesce(F.col("__d__"), F.lit(0))
+                        <= max_dup_ppm * F.coalesce(F.col("__n__"), F.lit(0))
+                    ).alias("__admit__"),
+                )
             )
             admitted_ids = verdicts.filter(F.col("__admit__")).select("doc_id")
         else:  # first batch: empty history, everything admits
-            admitted_ids = n_chunks.select("doc_id")
+            admitted_ids = batch.select("doc_id").distinct()
         survivors = batch.join(admitted_ids, "doc_id", "left_semi").localCheckpoint()
         surv_chunks = chunk_docs(survivors.select("doc_id", "text"))
         new_bands, new_sets = lsh_index(

@@ -20,6 +20,23 @@ def _load_docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet")
 
 
+def _simhash_pairs_bruteforce(df, max_hamming, text_col="text", id_col="doc_id"):
+    """All-pairs SimHash reference — TEST-ONLY (moved out of
+    operators/dedup.py in r11 so no production entry point can reach a
+    crossJoin; r10 VERDICT item 8). Correct at fixture scale; exists
+    solely as the oracle for the pigeonhole-recall proof below."""
+    s = D.simhash32(df, text_col, id_col).localCheckpoint()
+    a = s.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = s.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def test_simhash_blocked_equals_bruteforce(spark):
     """Pigeonhole recall proof, empirically: the segment-blocked pair set is
     identical to the all-pairs scan (it must be — a pair within Hamming d
@@ -27,7 +44,7 @@ def test_simhash_blocked_equals_bruteforce(spark):
     docs = _load_docs(spark)
     brute = sorted(
         (r.doc_a, r.doc_b, r.hamming)
-        for r in D.simhash_pairs(docs, max_hamming=2).collect()
+        for r in _simhash_pairs_bruteforce(docs, max_hamming=2).collect()
     )
     blocked = sorted(
         (r.doc_a, r.doc_b, r.hamming)
@@ -42,10 +59,10 @@ def test_simhash_blocked_plan_has_no_cross_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    # brute-force operator (tests-only since r3 — the registered
-    # simhash_pairs now runs the blocked plan too) DOES plan a
-    # cartesian/BNL product — the contrast proof
-    brute = D.simhash_pairs(_load_docs(spark), max_hamming=2)
+    # brute-force reference (defined in THIS module since r11 — the
+    # production package no longer contains any crossJoin-able simhash
+    # path) DOES plan a cartesian/BNL product — the contrast proof
+    brute = _simhash_pairs_bruteforce(_load_docs(spark), max_hamming=2)
     bplan = brute._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" in bplan or "BroadcastNestedLoopJoin" in bplan
 
@@ -380,6 +397,21 @@ def test_audio_shifted_pairs_catch_what_dhash_misses(spark):
         for r in D.audio_near_dup_pairs(df, max_hamming=6, id_col="media_id").collect()
     }
     assert not (aligned & true_twins)
+
+
+def test_shifted_pairs_tiebreak_prefers_smallest_lag(spark):
+    """When several lags tie at the minimal ssd (constant or periodic
+    sequences), the reported lag is the smallest-MAGNITUDE one — a pair
+    of identical constant clips reports lag=0, not -max_lag (r10
+    ADVICE: struct ordering on (ssd, lag) alone picked the most
+    negative tied lag)."""
+    rows = [(1, [500] * 64), (2, [500] * 64),  # constant: every lag ties
+            (3, list(range(64))), (4, list(range(1, 64)) + [63])]  # true lag ±1
+    df = spark.createDataFrame(rows, "media_id int, s array<int>")
+    got = {(r.id_a, r.id_b): r.lag
+           for r in D.shifted_sequence_pairs(df, max_lag=2).collect()}
+    assert got.get((1, 2)) == 0
+    assert abs(got.get((3, 4), 99)) == 1
 
 
 def test_audio_shifted_query_runs_and_has_no_cross_join(spark):

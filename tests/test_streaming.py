@@ -1235,3 +1235,28 @@ def test_chunk_admission_sink_rejects_boilerplate_heavy_docs(spark, tmp_path):
     sink(docs([(11, f"{T} {V1} {V2} {V3}")]), 1)
     sink(docs([(20, f"{V1} {V2} {V3} {words('tail')}")]), 2)
     assert corpus_ids() == [1, 2, 11]
+
+
+def test_chunk_admission_sink_admits_zero_token_docs(spark, tmp_path):
+    """A document whose text yields no [a-z0-9]+ tokens (punctuation-only
+    or non-Latin) produces zero chunks; the 0-dup rule admits it
+    trivially (0 ≤ ppm·0) rather than silently dropping it at ingest —
+    on BOTH the bootstrap batch and a probing batch (r10 ADVICE)."""
+    from network_iq_spark.streaming.dedup import chunk_admission_sink
+
+    corpus = str(tmp_path / "corpus")
+    sink = chunk_admission_sink(
+        corpus, str(tmp_path / "bands"), str(tmp_path / "sets"),
+        max_dup_ppm=500_000,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    tmpl = " ".join(f"tmpl{i}" for i in range(20))
+    sink(docs([(1, tmpl), (2, "!!! ... ???")]), 0)
+    sink(docs([(10, "¡¿ — …"), (11, f"{tmpl} {tmpl}")]), 1)
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 10]  # 11 rejected (100% recycled); 10 admitted
+    sink(docs([(10, "¡¿ — …"), (11, f"{tmpl} {tmpl}")]), 1)  # replay converges
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 10]
