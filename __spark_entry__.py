@@ -26,123 +26,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
-# the queries with the least external verification first. Round 10
-# FINISHES the rotation: the 31 r6-stamped overflow queries (ordered
-# exactly as the r9 window left them) drain the last pre-r7 stamps; then
-# the queries whose code r10 touched — seven new oracle-paired additions
-# (capped chunk LSH, the media index build + at-rest-index probe shape,
-# chunk BM25, incremental chunk near-dup, chunk-overlap admission,
-# packing-strategy report), the two whose expressions changed (chunk-id
-# overflow guard; incremental_image_dedup's helper extraction), and the
-# six riding hamming_blocked_pairs (which gained the max_bucket_size
-# seam; default path byte-identical, the external hash re-proves it —
-# incl. the new capped image twin); then oldest-r7 fills. After this
-# window samples green, NO sheet stamp predates r7 and steady-state
-# rotation (50/round over ~180) keeps every stamp <= 4 rounds old.
+# the queries with the least external verification first. The r10 rotation
+# drain left every stamp at r7+ (44 r7 / 46 r8 / 43 r9 / 50 r10); the r11
+# window = the two queries that have NEVER been driver-sampled (the new
+# crop tier and the newly oracle-paired shifted-audio tier), the three
+# whose code r11 touched (the GIF codec vectorization feeds
+# decoded_gif_stats and media_contract; incremental_image_dedup_probe
+# gained the no-side-effect fallback), then the ENTIRE 44-query r7 cohort
+# (oldest stamps), then simhash_pairs (its operator module was
+# reorganized; the registered blocked plan is unchanged and the external
+# hash re-proves it). 2 + 3 + 44 + 1 = 50 exactly — after this window
+# samples green, no stamp predates r8 and steady-state rotation
+# (50/round over ~185) keeps every stamp <= 4 rounds old.
 _VERIFY_FIRST = [
-    # the 31 r6-stamped overflow queries — the last pre-r7 stamps
-    "ann_int_multiprobe_topk",
-    "bucketed_order_lineitem",
-    "calendar_features",
-    "cast_coercion",
-    "chunk_manifest",
-    "contract_quarantine_summary",
-    "data_contract_events",
-    "decoded_image_stats",
-    "distinct_users_head",
-    "domain_mix_sample",
-    "embedding_drift",
-    "event_type_transitions",
-    "grouped_quantile",
-    "grouping_sets_revenue",
-    "incremental_ann_topk",
-    "ivf_centroid_join_topk",
-    "lang_sample_k",
-    "lateral_top_orders",
-    "nation_trade_volume",
-    "ordered_preview",
-    "parts_bought_together",
-    "pii_redact",
-    "quantized_cosine_topk",
-    "salted_event_stats",
-    "session_window_stats",
-    "shipping_priority",
-    "span_corruption_manifest",
-    "time_sliced_rolling",
-    "training_data_pipeline_overlap",
-    "variant_props_stats",
-    "weighted_discount",
-    # r10 additions (never driver-sampled)
-    "chunk_near_dup_pairs_capped",
-    "media_dhash_index",
+    # never driver-sampled (new in r11)
+    "image_cropped_near_dup_pairs",
+    "audio_shifted_near_dup_pairs",
+    # code touched in r11
+    "decoded_gif_stats",
+    "media_contract",
     "incremental_image_dedup_probe",
-    "chunk_bm25_topk",
-    "incremental_chunk_near_dup",
+    # the full r7-stamped cohort (oldest external stamps in the sheet)
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "bpe_train_merges",
+    "brand_top_parts",
+    "centered_mavg_volume",
+    "cluster_keep_best",
+    "cohort_retention",
+    "customers_without_orders",
+    "decoded_audio_stats",
+    "decoded_video_stats",
+    "dedup_clusters",
+    "dedup_keep_last",
+    "event_type_domains",
+    "funnel_steps",
+    "group_safe_splits",
+    "hourly_baseline",
+    "hourly_compare_unpivot",
+    "hourly_profile",
+    "hourly_type_pivot",
+    "html_extract",
+    "json_props_stats",
+    "kpi_cards",
+    "latest_snapshot",
+    "lsh_quality_report",
+    "minmax_norm",
+    "nation_supplier_balance",
+    "order_line_rollup",
+    "order_priority_stats",
+    "order_snapshot_diff",
+    "pricing_summary",
+    "quality_psi_drift",
+    "recursive_copurchase_reach",
+    "regional_revenue",
+    "risky_hours",
+    "rolling_features",
+    "segment_acctbal_stats",
+    "sequence_packing",
+    "simhash60_pairs",
+    "stratified_sample_counts",
+    "top_revenue_customers",
+    "training_data_pipeline",
+    "url_canonical_dedup",
+    "zscore_top_anomalies",
+    # operator-module churn (registered plan unchanged)
+    "simhash_pairs",
+    # --- 50-slot window boundary ---
+    # overflow, r12-priority order: oldest-r8 stamps first
+    "simhash_pairs_blocked",
+    "media_dhash_index",
     "chunk_overlap_admission",
-    "packing_efficiency",
-    # expressions changed this round (values identical by construction;
-    # the external hash re-proves it): chunk-id guard, helper extraction
-    "chunk_near_dup_pairs",
-    "incremental_image_dedup",
-    # hamming_blocked_pairs consumers (max_bucket_size seam added r10;
-    # default path unchanged) + the new capped image twin
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_prod",
+    "jaccard_top_pairs",
+    "doc_fingerprints",
     "image_near_dup_pairs",
-    "image_near_dup_pairs_capped",
     "audio_near_dup_pairs",
     "video_near_dup_pairs",
     "media_near_dup_census",
     "image_dedup_clusters",
-    # oldest-r7 fills
-    "vocab_drift_top_movers",
-    "sessionize",
-    "decoded_png_stats",
-    "decoded_jpeg_stats",
-    # --- 50-slot window boundary ---
-    # overflow, in r11-priority order: the remaining r7-stamped queries
-    "decoded_audio_stats",
-    "decoded_video_stats",
-    "cluster_keep_best",
-    "html_extract",
-    "ann_pq_adc_topk",
-    "ann_pq_rerank_topk",
-    "ann_ivfpq_topk",
-    "order_snapshot_diff",
-    "url_canonical_dedup",
-    "quality_psi_drift",
-    "lsh_quality_report",
-    "group_safe_splits",
-    "bpe_train_merges",
-    "centered_mavg_volume",
-    "customers_without_orders",
-    "dedup_keep_last",
-    "event_type_domains",
-    "hourly_baseline",
-    "hourly_compare_unpivot",
-    "hourly_profile",
-    "json_props_stats",
-    "kpi_cards",
-    "latest_snapshot",
-    "minmax_norm",
-    "nation_supplier_balance",
-    "order_line_rollup",
-    "risky_hours",
-    "rolling_features",
-    "zscore_top_anomalies",
-    "brand_top_parts",
-    "order_priority_stats",
-    "regional_revenue",
-    "segment_acctbal_stats",
-    "cohort_retention",
-    "funnel_steps",
-    "hourly_type_pivot",
-    "pricing_summary",
-    "top_revenue_customers",
-    "dedup_clusters",
-    "sequence_packing",
-    "simhash60_pairs",
-    "stratified_sample_counts",
-    "training_data_pipeline",
-    "recursive_copurchase_reach",
+    "contamination_check",
+    "decontamination_spans",
 ]
 
 

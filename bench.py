@@ -139,6 +139,10 @@ def main() -> None:
         "incremental_image_dedup_probe",
         "semantic_dedup_scaled",
         "warc_extract_stats",
+        # r11: the vectorized GIF codec steady state is ~2.0s but the
+        # first run pays ~13s of Arrow/JIT warm-up — same shape as the
+        # prog-JPEG entry above
+        "decoded_gif_stats",
         "unigram_surprisal",
     }
     timings: dict[str, float] = {}

@@ -769,7 +769,15 @@ def image_dhash(px_col: str = "px", side: int = 8) -> Column:
     little-endian into one bigint. Integer-exact over the repo's bit-exact
     decoders, so unlike float perceptual hashes it is SQL-replayable. One
     ``aggregate`` over a bit-index sequence (the minhash_sig codegen
-    lesson: one compact expression, not 56 projected conditions)."""
+    lesson: one compact expression, not 56 projected conditions).
+
+    BOUNDARY: gradient bits tolerate re-encode / uniform brightness (a
+    monotone transform preserves every comparison) but NOT cropping or
+    aspect change — removing one row/column re-indexes every remaining
+    (r, c) pair, so a 10–20 % crop scrambles most bits and the twin is
+    invisible to this tier (demonstrated in tests/test_dedup_scale.py).
+    Crop-tolerant detection is :func:`cropped_grid_pairs` (sub-block
+    pigeonhole blocking + exact 2-D lag-scan verify)."""
     n_c = side - 1
     n_bits = side * n_c
     return F.expr(
@@ -802,6 +810,141 @@ def image_near_dup_pairs(
     return hamming_blocked_pairs(
         hashed, "dhash", max_hamming, n_bits=side * (side - 1), id_col=id_col,
         max_bucket_size=max_bucket_size,
+    )
+
+
+def cropped_grid_pairs(
+    df: DataFrame,
+    max_crop: int = 2,
+    block: int | None = None,
+    side: int = 8,
+    ssd_tol: int = 0,
+    id_col: str = "media_id",
+    px_col: str = "px",
+    w_col: str = "w",
+    h_col: str = "h",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Crop-TOLERANT image near-dup over variable-size integer luma grids
+    (r11, VERDICT item 4) — the cell the modality×transform matrix was
+    missing: :func:`image_dhash` provably cannot see a cropped twin (the
+    crop re-indexes every gradient pair), and cropping is the commonest
+    image near-dup class in crawled corpora.
+
+    Input rows are (id, w, h, px) with ``px`` the H×W grid flattened
+    row-major. A pair is reported when one grid equals a window of the
+    other shifted by (dr, dc), |dr|,|dc| ≤ ``max_crop``, up to
+    ``ssd_tol`` integer residual over the overlap.
+
+    Blocking is PIGEONHOLE-DETERMINISTIC, not probabilistic: every B×B
+    sub-block (B = ``block`` or side − max_crop) of every image becomes
+    an md5 token; a crop that removes ≤ max_crop rows/cols from any edge
+    preserves at least one intact B×B block of the original verbatim, so
+    the token equi-join finds every qualifying pair (recall 1.0, same
+    argument as the SimHash/Hamming segment blocking — and unlike the
+    shifted-sequence tier's LSH S-curve, which is why this tier is
+    oracle-pairable). Per-image fanout is bounded:
+    (h−B+1)·(w−B+1) tokens (9 for 8×8/B=6). Degenerate constant images
+    pivot into hot token buckets — ``max_bucket_size`` drops oversized
+    buckets (recall stays 1.0 for any pair sharing at least one
+    under-cap token, the hamming_blocked_pairs contract).
+
+    Verify is an exact integer 2-D lag scan over the (2·max_crop+1)²
+    offsets: overlap-only SSD in a-coords vs b-coords, requiring overlap
+    ≥ B² so tiny accidental alignments cannot qualify. Ties break toward
+    the smallest |dr|+|dc| (then dr, dc) — the struct-ordering lesson
+    from the shifted-sequence tier. Pure JVM expressions throughout; the
+    shuffles are the token exchange and the two grid re-attachments.
+    Scale shape: candidates ∝ real crop density + capped token
+    collisions, never all-pairs."""
+    B = block if block is not None else side - max_crop
+    token_expr = (
+        f"flatten(transform(sequence(0, __h__ - {B}), r0 -> "
+        f"transform(sequence(0, __w__ - {B}), c0 -> "
+        f"md5(array_join(flatten(transform(sequence(0, {B - 1}), i -> "
+        f"transform(sequence(0, {B - 1}), j -> "
+        f"cast(__px__[(r0 + i) * __w__ + c0 + j] as string)))), ' ')))))"
+    )
+    grids = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id__"),
+            F.col(w_col).cast("int").alias("__w__"),
+            F.col(h_col).cast("int").alias("__h__"),
+            F.col(px_col).alias("__px__"),
+        )
+        # grids smaller than one block can never anchor a token (and a
+        # sequence(0, negative) would run descending): excluded by contract
+        .filter((F.col("__h__") >= B) & (F.col("__w__") >= B))
+        .localCheckpoint(eager=False)
+    )
+    toks = grids.select(
+        "__id__", F.explode(F.expr(token_expr)).alias("tok")
+    ).distinct()
+    if max_bucket_size is not None:
+        sizes = toks.groupBy("tok").agg(F.count("*").alias("__n__"))
+        toks = toks.join(
+            sizes.filter(F.col("__n__") <= max_bucket_size).select("tok"), "tok"
+        )
+    cand = (
+        toks.alias("a")
+        .join(toks.alias("b"), "tok")
+        .filter(F.col("a.__id__") < F.col("b.__id__"))
+        .select(
+            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
+        )
+        .distinct()
+    )
+    ga = grids.select(
+        F.col("__id__").alias("id_a"),
+        F.col("__w__").alias("wa"),
+        F.col("__h__").alias("ha"),
+        F.col("__px__").alias("pxa"),
+    )
+    gb = grids.select(
+        F.col("__id__").alias("id_b"),
+        F.col("__w__").alias("wb"),
+        F.col("__h__").alias("hb"),
+        F.col("__px__").alias("pxb"),
+    )
+
+    def lag_struct(dr: int, dc: int) -> str:
+        # b[i, j] vs a[i + dr, j + dc]: i ∈ [max(0, −dr), min(hb, ha−dr)),
+        # j ∈ [max(0, −dc), min(wb, wa−dc)) — dr/dc are literals, so the
+        # lower bounds fold to constants
+        rlo, clo = max(0, -dr), max(0, -dc)
+        rhi = f"least(hb, ha - {dr}) - 1"
+        chi = f"least(wb, wa - {dc}) - 1"
+        ovl = f"(({rhi}) - {rlo} + 1) * (({chi}) - {clo} + 1)"
+        ssd = (
+            f"aggregate(sequence({rlo}, {rhi}), cast(0 as bigint), (acc, i) -> "
+            f"acc + aggregate(sequence({clo}, {chi}), cast(0 as bigint), (a2, j) -> "
+            f"a2 + (cast(pxb[i * wb + j] as bigint) - cast(pxa[(i + {dr}) * wa + j + {dc}] as bigint)) * "
+            f"(cast(pxb[i * wb + j] as bigint) - cast(pxa[(i + {dr}) * wa + j + {dc}] as bigint))))"
+        )
+        guard = f"({rhi}) < {rlo} OR ({chi}) < {clo} OR ({ovl}) < {B * B}"
+        return (
+            f"named_struct('ssd', IF({guard}, cast({1 << 62} as bigint), {ssd}), "
+            f"'pen', {abs(dr) + abs(dc)}, 'dr', {dr}, 'dc', {dc})"
+        )
+
+    best = "array_min(array(" + ", ".join(
+        lag_struct(dr, dc)
+        for dr in range(-max_crop, max_crop + 1)
+        for dc in range(-max_crop, max_crop + 1)
+    ) + "))"
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("__best__", F.expr(best))
+        .filter(F.col("__best__.ssd") <= ssd_tol)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__best__.dr").alias("dr"),
+            F.col("__best__.dc").alias("dc"),
+            F.col("__best__.ssd").alias("ssd"),
+        )
     )
 
 

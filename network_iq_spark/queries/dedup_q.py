@@ -94,7 +94,12 @@ def _minhash_sql(
     rows_per_band: int,
     threshold: float,
     max_bucket_size: int | None = None,
+    shingles_sql: str | None = None,
 ) -> str:
+    """DuckDB replay of the full MinHash-LSH pipeline. ``shingles_sql``
+    overrides the corpus (default: word 3-grams over documents) — the
+    same seam _incremental_minhash_sql has, used by the chunk grain and
+    (r11) the shifted-audio tier's value-shingle corpus."""
     n_hashes = n_bands * rows_per_band
     mins = ",\n      ".join(
         f"MIN(({2 * i + 1} * h + {7 * i + 3}) % {_MINHASH_P}) AS m{i}"
@@ -142,7 +147,7 @@ def _minhash_sql(
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )"""
     return f"""
-    WITH sh AS ({_SHINGLES}),
+    WITH sh AS ({shingles_sql if shingles_sql is not None else _SHINGLES}),
     hashed AS (
       SELECT doc_id, {_sql_hex_int("substr(md5(shingle), 1, 12)", 12)} AS h
       FROM sh

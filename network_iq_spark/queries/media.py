@@ -412,6 +412,147 @@ def q_image_near_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("id_a", "id_b")
 
 
+_CROP_TWIN_EVERY, _CROP_TWIN_OFFSET, _CROP_MAX = 10, 1_000_000, 2
+_CROP_BLOCK = _IMG_SIDE - _CROP_MAX  # 6x6 pigeonhole anchor blocks
+
+
+def _crop_tok_sql(b: int) -> str:
+    """DuckDB twin of the operator's B×B sub-block md5 tokens."""
+    return (
+        f"flatten(list_transform(range(0, h - {b - 1}), r0 -> "
+        f"list_transform(range(0, w - {b - 1}), c0 -> "
+        f"md5(array_to_string(flatten(list_transform(range(0, {b}), i -> "
+        f"list_transform(range(0, {b}), j -> "
+        f"CAST(px[(r0 + i) * w + c0 + j + 1] AS VARCHAR)))), ' ')))))"
+    )
+
+
+@register(
+    "image_cropped_near_dup_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id AS media_id, 8 AS w, 8 AS h, {_IMG_QUANT_SQL} AS px
+      FROM embeddings
+    ),
+    crops AS (
+      SELECT media_id + {_CROP_TWIN_OFFSET} AS media_id,
+             8 - dc AS w, 8 - dr AS h,
+             flatten(list_transform(range(0, 8 - dr), i ->
+               list_transform(range(0, 8 - dc), j ->
+                 px[(i + dr) * 8 + j + dc + 1]))) AS px
+      FROM (
+        SELECT media_id, px,
+               1 + (media_id // {_CROP_TWIN_EVERY}) % 2 AS dr,
+               (media_id // {2 * _CROP_TWIN_EVERY}) % 3 AS dc
+        FROM base WHERE media_id % {_CROP_TWIN_EVERY} = 0
+      )
+    ),
+    imgs AS (SELECT * FROM base UNION ALL SELECT * FROM crops),
+    toks AS (
+      SELECT DISTINCT media_id, unnest({_crop_tok_sql(_CROP_BLOCK)}) AS tok
+      FROM imgs
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.media_id < b.media_id
+    ),
+    lags AS (
+      SELECT r.dr, c.dc
+      FROM (SELECT unnest(range(-{_CROP_MAX}, {_CROP_MAX + 1})) AS dr) r,
+           (SELECT unnest(range(-{_CROP_MAX}, {_CROP_MAX + 1})) AS dc) c
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b, l.dr, l.dc,
+             greatest(0, -l.dr) AS rlo, least(gb.h, ga.h - l.dr) - 1 AS rhi,
+             greatest(0, -l.dc) AS clo, least(gb.w, ga.w - l.dc) - 1 AS chi,
+             ga.px AS pxa, gb.px AS pxb, ga.w AS wa, gb.w AS wb
+      FROM cand c
+      JOIN imgs ga ON ga.media_id = c.id_a
+      JOIN imgs gb ON gb.media_id = c.id_b
+      CROSS JOIN lags l
+    ),
+    evaled AS (
+      SELECT id_a, id_b, dr, dc,
+             CASE WHEN rhi < rlo OR chi < clo
+                    OR (rhi - rlo + 1) * (chi - clo + 1)
+                       < {_CROP_BLOCK * _CROP_BLOCK}
+                  THEN NULL
+                  ELSE list_sum(flatten(list_transform(range(rlo, rhi + 1),
+                    i -> list_transform(range(clo, chi + 1), j ->
+                      (pxb[i * wb + j + 1] - pxa[(i + dr) * wa + j + dc + 1])
+                    * (pxb[i * wb + j + 1] - pxa[(i + dr) * wa + j + dc + 1])
+                  ))))
+             END AS ssd
+      FROM scored
+    ),
+    picked AS (
+      SELECT id_a, id_b,
+             CAST(dr AS INT) AS dr, CAST(dc AS INT) AS dc,
+             CAST(ssd AS BIGINT) AS ssd,
+             ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b
+               ORDER BY ssd, abs(dr) + abs(dc), dr, dc
+             ) AS rn
+      FROM evaled WHERE ssd IS NOT NULL
+    )
+    SELECT id_a, id_b, dr, dc, ssd
+    FROM picked WHERE rn = 1 AND ssd <= 0
+    ORDER BY id_a, id_b
+    """,
+)
+def q_image_cropped_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop-TOLERANT image near-dup (r11, VERDICT item 4) — the cell the
+    modality×transform matrix was missing, and unlike the shifted
+    audio/video tiers it is fully ORACLE-PAIRED: blocking is pigeonhole
+    (any ≤2-row/col crop of an 8×8 grid preserves an intact 6×6 block —
+    deterministic recall 1.0, no LSH S-curve) and the verify is an exact
+    integer 2-D lag scan, so DuckDB replays the whole pipeline. Every
+    10th image gets a planted top-left crop (1–2 rows, 0–2 columns,
+    varying by id — the 10–25 % crop class that provably scrambles
+    image_dhash); the operator (operators/dedup.py cropped_grid_pairs)
+    reports each pair once with the recovered (dr, dc) offset and zero
+    residual. Variable-size grids ride a (w, h, px) schema — the shape
+    a thumbnail-normalized crawl corpus actually has."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    base = emb.select(
+        F.col("vec_id").alias("media_id"),
+        F.lit(8).alias("w"),
+        F.lit(8).alias("h"),
+        quant.alias("px"),
+    )
+    crops = (
+        base.filter(F.col("media_id") % _CROP_TWIN_EVERY == 0)
+        .select(
+            "media_id",
+            "px",
+            F.expr(
+                f"cast(1 + (media_id div {_CROP_TWIN_EVERY}) % 2 as int)"
+            ).alias("dr"),
+            F.expr(
+                f"cast((media_id div {2 * _CROP_TWIN_EVERY}) % 3 as int)"
+            ).alias("dc"),
+        )
+        .select(
+            (F.col("media_id") + _CROP_TWIN_OFFSET).alias("media_id"),
+            (F.lit(8) - F.col("dc")).alias("w"),
+            (F.lit(8) - F.col("dr")).alias("h"),
+            F.expr(
+                "flatten(transform(sequence(0, 7 - dr), i -> "
+                "transform(sequence(0, 7 - dc), j -> px[(i + dr) * 8 + j + dc])))"
+            ).alias("px"),
+        )
+    )
+    imgs = base.unionByName(crops)
+    return D.cropped_grid_pairs(
+        imgs, max_crop=_CROP_MAX, side=_IMG_SIDE, ssd_tol=0
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "image_dedup_clusters",
     oracle=f"""
@@ -1444,24 +1585,91 @@ def q_audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("audio_shifted_near_dup_pairs", bench_only=True)
+def _aud_shift_oracle() -> str:
+    """DuckDB replay of the FULL shifted-audio pipeline (r11, VERDICT
+    item 5 — the round-10 boundary 'float S-curve thresholds' does not
+    actually hold): the walk synthesis, the shift-twin plant, the
+    value-shingle MinHash banding (via _minhash_sql's shingles seam),
+    the exact-Jaccard threshold, and the integer lag-scan verify with
+    the abs(lag) tie-break are all integer-or-IEEE-exact, so the tier
+    earns a real oracle. The WAV round trip is a PCM identity (bit-exact
+    codec over int16-range values), so the oracle reads the walk values
+    directly — the same convention audio_near_dup_pairs' oracle uses."""
+    from network_iq_spark.queries.dedup_q import _minhash_sql
+
+    shingles = """
+      SELECT media_id AS doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM (SELECT media_id,
+                   list_transform(s, x -> CAST(x + 32768 AS VARCHAR)) AS t
+            FROM clips)
+    """
+    pairs = _minhash_sql(4, 4, 0.8, shingles_sql=shingles)
+    lag_ssd = (
+        "list_sum(list_transform(range(0, 64 - abs(l.lag)), i -> "
+        "(sa.s[i + greatest(l.lag, 0) + 1] - sb.s[i + greatest(-l.lag, 0) + 1])"
+        " * (sa.s[i + greatest(l.lag, 0) + 1] - sb.s[i + greatest(-l.lag, 0) + 1])))"
+    )
+    return f"""
+    WITH walks AS (
+      SELECT vec_id AS media_id,
+             list_transform(range(1, 65), n ->
+               greatest(-32000, least(32000, list_sum(steps[1:n])))) AS s
+      FROM (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x ->
+                     CAST(floor(least(greatest(x, -1.0), 1.0) * 2000.0 + 0.5)
+                          AS BIGINT)) AS steps
+            FROM embeddings)
+    ),
+    twins AS (
+      SELECT media_id + {_WHASH_TWIN_OFFSET} AS media_id,
+             list_transform(range(0, 64), i ->
+               CASE WHEN i < 63 THEN s[i + 2] ELSE s[64] END) AS s
+      FROM walks WHERE media_id % {_WHASH_TWIN_EVERY} = 0
+    ),
+    clips AS (SELECT * FROM walks UNION ALL SELECT * FROM twins),
+    pr AS (SELECT * FROM ({pairs})),
+    ev AS (
+      SELECT p.doc_a AS id_a, p.doc_b AS id_b, p.jaccard,
+             l.lag, {lag_ssd} AS ssd
+      FROM pr p
+      JOIN clips sa ON sa.media_id = p.doc_a
+      JOIN clips sb ON sb.media_id = p.doc_b
+      CROSS JOIN (SELECT unnest(range(-2, 3)) AS lag) l
+    ),
+    picked AS (
+      SELECT id_a, id_b, jaccard,
+             CAST(lag AS INT) AS lag, CAST(ssd AS BIGINT) AS ssd,
+             ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                                ORDER BY ssd, abs(lag), lag) AS rn
+      FROM ev
+    )
+    SELECT id_a, id_b, jaccard, lag, ssd
+    FROM picked WHERE rn = 1 AND ssd <= 0
+    ORDER BY id_a, id_b
+    """
+
+
+@register("audio_shifted_near_dup_pairs", oracle=_aud_shift_oracle())
 def q_audio_shifted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shift-TOLERANT audio near-dup (r10, VERDICT item 7) — the
-    BENCH_ONLY twin covering exactly what ``audio_near_dup_pairs``'s
-    fingerprint provably cannot: every 10th clip gets a planted
-    1-SAMPLE-SHIFTED copy (a re-encode with a time offset — the classic
-    miss of sample-aligned gradient hashes), clips make the same real
-    WAV encode → decode round trip, then candidates come from
-    MinHash-LSH over the clips' sample-value shingles (position-free
-    n-grams are shift-invariant by construction — the text LSH core
-    reused verbatim on PCM) and are verified by the exact integer
-    lag-scan (operators/dedup.py audio_shifted_pairs: ssd = 0 at the
-    true lag for a pure shift; the gain-invariant envelope hash rides
-    along as a reported feature). Clips are random WALKS built from the
-    embeddings (locally correlated like real audio). BENCH_ONLY because
-    blocking recall for shifted copies is the LSH S-curve (~0.97), not
-    pigeonhole-guaranteed — the numpy-exactness and shift-demo tests in
-    tests/test_dedup_scale.py carry the correctness burden."""
+    """Shift-TOLERANT audio near-dup (r10 VERDICT item 7; ORACLE-PAIRED
+    since r11, closing item 5) — covers exactly what
+    ``audio_near_dup_pairs``'s fingerprint provably cannot: every 10th
+    clip gets a planted 1-SAMPLE-SHIFTED copy (a re-encode with a time
+    offset — the classic miss of sample-aligned gradient hashes), clips
+    make the same real WAV encode → decode round trip, then candidates
+    come from MinHash-LSH over the clips' sample-value shingles
+    (position-free n-grams are shift-invariant by construction — the
+    text LSH core reused verbatim on PCM) and are verified by the exact
+    integer lag-scan (operators/dedup.py audio_shifted_pairs: ssd = 0 at
+    the true lag for a pure shift, ties broken toward |lag|). Clips are
+    random WALKS built from the embeddings (locally correlated like real
+    audio). Blocking recall for shifted copies is the LSH S-curve
+    (~0.97) rather than pigeonhole — but the S-curve is DETERMINISTIC
+    given the data (fixed hash family), so DuckDB replays the identical
+    candidate set and the external gate now covers banding, Jaccard
+    threshold, and verify end to end."""
     import numpy as np
     import pandas as pd
 
@@ -1498,9 +1706,11 @@ def q_audio_shifted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             yield pd.DataFrame({"media_id": pdf["media_id"], "s": out})
 
     decoded = clips.mapInPandas(roundtrip, schema="media_id bigint, s array<int>")
+    # env_hamming (the gain-invariant envelope feature) stays an operator
+    # extra: the sheet projection carries the oracle-replayable columns
     return D.audio_shifted_pairs(
         decoded, max_lag=2, ssd_tol=0
-    ).orderBy("id_a", "id_b")
+    ).select("id_a", "id_b", "jaccard", "lag", "ssd").orderBy("id_a", "id_b")
 
 
 _VID_FRAMES, _VID_SIDE, _VID_FPS = 4, 4, 2  # 4 frames of 4x4 luma at 2 fps

@@ -484,6 +484,74 @@ def test_video_near_dup_plan_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def _crop_grid(seed):
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"g{seed}:{j}".encode()).hexdigest()[:2], 16)
+        for j in range(64)
+    ]
+
+
+def test_cropped_pairs_catch_what_dhash_misses(spark):
+    """Crop-robustness contract (r11, mirrors the audio/video shifted
+    tiers): cropped twins (1-2 rows and/or 0-2 cols off the top-left)
+    are (a) found by cropped_grid_pairs with ssd = 0 at the exact
+    planted (dr, dc) — deterministic recall 10/10, pigeonhole not
+    S-curve, (b) invisible to the crop-blind image_dhash tier, (c)
+    never polluted by false positives (exact 2-D lag-scan verify)."""
+    base = [(i, _crop_grid(i)) for i in range(30)]
+    planted = {}
+    rows = [(i, 8, 8, px) for i, px in base]
+    for i, px in base:
+        if i % 3 == 0:
+            dr, dc = 1 + (i // 3) % 2, (i // 6) % 3
+            crop = [px[(r + dr) * 8 + c + dc] for r in range(8 - dr) for c in range(8 - dc)]
+            rows.append((i + 1000, 8 - dc, 8 - dr, crop))
+            planted[(i, i + 1000)] = (dr, dc)
+    df = spark.createDataFrame(rows, "media_id int, w int, h int, px array<int>")
+    got = {
+        (r.id_a, r.id_b): (r.dr, r.dc, r.ssd)
+        for r in D.cropped_grid_pairs(df, max_crop=2).collect()
+    }
+    # (c) zero false positives, (a) deterministic recall at exact offsets
+    assert set(got) == set(planted)
+    assert all(got[k] == (dr, dc, 0) for k, (dr, dc) in planted.items())
+    # (b) the gradient-hash tier misses every cropped twin (pad crops
+    # back to 8x8 with zeros so dHash can even run on them)
+    padded = [(i, px) for i, px in base] + [
+        (k[1], [px[(r + dr) * 8 + c + dc] if r < 8 - dr and c < 8 - dc else 0
+                for r in range(8) for c in range(8)])
+        for k, (dr, dc) in planted.items()
+        for i, px in base if i == k[0]
+    ]
+    pdf = spark.createDataFrame(padded, "media_id int, px array<int>")
+    aligned = {
+        (r.id_a, r.id_b)
+        for r in D.image_near_dup_pairs(pdf, max_hamming=6).collect()
+    }
+    assert not (aligned & set(planted))
+
+
+def test_cropped_pairs_bucket_cap_and_plan(spark):
+    """Hot-bucket cap drops degenerate constant-image buckets; the
+    registered query plans no cartesian product."""
+    rows = [(i, 8, 8, [7] * 64) for i in range(20)]  # 20 identical grids
+    rows += [(100 + i, 8, 8, _crop_grid(i + 500)) for i in range(5)]
+    df = spark.createDataFrame(rows, "media_id int, w int, h int, px array<int>")
+    uncapped = D.cropped_grid_pairs(df, max_crop=2).collect()
+    assert len(uncapped) == 20 * 19 // 2  # the |B|^2 blowup, all real dups
+    capped = D.cropped_grid_pairs(df, max_crop=2, max_bucket_size=8).collect()
+    assert capped == []  # every token bucket of the clique exceeds the cap
+    q = QUERIES["image_cropped_near_dup_pairs"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    out = q.collect()
+    assert len(out) > 0
+    assert all(r.ssd == 0 for r in out)
+
+
 def test_incremental_hamming_equals_full_cross_pairs(spark):
     """The batch-vs-index probe must find exactly the cross (batch,
     history) pairs the full blocked scan finds over the union — the

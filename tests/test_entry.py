@@ -50,31 +50,33 @@ def test_verify_first_names_all_resolve():
     assert not missing, missing
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
-    # the r10 window FINISHES the rotation: the 31 r6-stamped overflow
-    # queries lead (exactly as the r9 verdict ordered them), then the
-    # r10 additions + code-touched queries, then oldest-r7 fills —
-    # after it samples green no sheet stamp predates r7
+    # the r11 window: the two never-sampled queries lead (new crop tier,
+    # newly oracle-paired shifted audio), then the three r11-code-touched
+    # queries, then the ENTIRE 44-query r7 cohort, then simhash_pairs —
+    # after it samples green no sheet stamp predates r8
     window = list(qs)[:50]
-    assert window[:5] == ["ann_int_multiprobe_topk", "bucketed_order_lineitem",
-                          "calendar_features", "cast_coercion",
-                          "chunk_manifest"]
-    for must in (
-        # tail of the 31-query r6 overflow
-        "span_corruption_manifest", "time_sliced_rolling",
-        "training_data_pipeline_overlap", "variant_props_stats",
-        "weighted_discount",
-        # r10 additions
-        "chunk_near_dup_pairs_capped", "media_dhash_index",
-        "incremental_image_dedup_probe", "chunk_bm25_topk",
-        "incremental_chunk_near_dup", "chunk_overlap_admission",
-        "packing_efficiency",
-        "image_near_dup_pairs_capped",
-        # expressions / shared-core changed in r10
-        "chunk_near_dup_pairs", "incremental_image_dedup",
-        "image_near_dup_pairs", "audio_near_dup_pairs",
-        "video_near_dup_pairs", "media_near_dup_census",
-        "image_dedup_clusters",
-    ):
-        assert must in window, must
-    # all 31 r6-stamped names occupy the first 31 slots
-    assert window.index("weighted_discount") == 30
+    assert window[:5] == [
+        "image_cropped_near_dup_pairs", "audio_shifted_near_dup_pairs",
+        "decoded_gif_stats", "media_contract",
+        "incremental_image_dedup_probe",
+    ]
+    r7_cohort = [
+        "ann_ivfpq_topk", "ann_pq_adc_topk", "ann_pq_rerank_topk",
+        "bpe_train_merges", "brand_top_parts", "centered_mavg_volume",
+        "cluster_keep_best", "cohort_retention", "customers_without_orders",
+        "decoded_audio_stats", "decoded_video_stats", "dedup_clusters",
+        "dedup_keep_last", "event_type_domains", "funnel_steps",
+        "group_safe_splits", "hourly_baseline", "hourly_compare_unpivot",
+        "hourly_profile", "hourly_type_pivot", "html_extract",
+        "json_props_stats", "kpi_cards", "latest_snapshot",
+        "lsh_quality_report", "minmax_norm", "nation_supplier_balance",
+        "order_line_rollup", "order_priority_stats", "order_snapshot_diff",
+        "pricing_summary", "quality_psi_drift", "recursive_copurchase_reach",
+        "regional_revenue", "risky_hours", "rolling_features",
+        "segment_acctbal_stats", "sequence_packing", "simhash60_pairs",
+        "stratified_sample_counts", "top_revenue_customers",
+        "training_data_pipeline", "url_canonical_dedup",
+        "zscore_top_anomalies",
+    ]
+    assert window[5:49] == r7_cohort
+    assert window[49] == "simhash_pairs"
