@@ -28,24 +28,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
 # the queries with the least external verification first. The r10 rotation
 # drain left every stamp at r7+ (44 r7 / 46 r8 / 43 r9 / 50 r10); the r11
-# window = the two queries that have NEVER been driver-sampled (the new
-# crop tier and the newly oracle-paired shifted-audio tier), the three
-# whose code r11 touched (the GIF codec vectorization feeds
-# decoded_gif_stats and media_contract; incremental_image_dedup_probe
-# gained the no-side-effect fallback), then the ENTIRE 44-query r7 cohort
-# (oldest stamps), then simhash_pairs (its operator module was
-# reorganized; the registered blocked plan is unchanged and the external
-# hash re-proves it). 2 + 3 + 44 + 1 = 50 exactly — after this window
+# window = the four queries that have NEVER been driver-sampled (the new
+# crop tier + its incremental probe and the two newly oracle-paired
+# shifted tiers), the two riding the r11 GIF codec vectorization
+# (decoded_gif_stats, media_contract), then the ENTIRE 44-query r7
+# cohort (oldest stamps). 4 + 2 + 44 = 50 exactly — after this window
 # samples green, no stamp predates r8 and steady-state rotation
-# (50/round over ~185) keeps every stamp <= 4 rounds old.
+# (50/round over ~187) keeps every stamp <= 4 rounds old.
+# (incremental_image_dedup_probe also changed in r11, but only its
+# missing-artifact FALLBACK branch — the committed aux_data index exists
+# at driver time, so the executed plan is identical to its green r10
+# stamp; the fallback is covered by the local test. It leads the
+# overflow instead of displacing an r7 re-stamp.)
 _VERIFY_FIRST = [
     # never driver-sampled (new in r11)
     "image_cropped_near_dup_pairs",
+    "incremental_image_crop_probe",
     "audio_shifted_near_dup_pairs",
+    "video_frame_shifted_pairs",
     # code touched in r11
     "decoded_gif_stats",
     "media_contract",
-    "incremental_image_dedup_probe",
     # the full r7-stamped cohort (oldest external stamps in the sheet)
     "ann_ivfpq_topk",
     "ann_pq_adc_topk",
@@ -91,10 +94,11 @@ _VERIFY_FIRST = [
     "training_data_pipeline",
     "url_canonical_dedup",
     "zscore_top_anomalies",
-    # operator-module churn (registered plan unchanged)
-    "simhash_pairs",
     # --- 50-slot window boundary ---
-    # overflow, r12-priority order: oldest-r8 stamps first
+    # overflow, r12-priority order: the r11 fallback-branch change and
+    # operator-module churn first, then oldest-r8 stamps
+    "incremental_image_dedup_probe",
+    "simhash_pairs",
     "simhash_pairs_blocked",
     "media_dhash_index",
     "chunk_overlap_admission",

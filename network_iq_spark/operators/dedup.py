@@ -858,34 +858,8 @@ def cropped_grid_pairs(
     Scale shape: candidates ∝ real crop density + capped token
     collisions, never all-pairs."""
     B = block if block is not None else side - max_crop
-    token_expr = (
-        f"flatten(transform(sequence(0, __h__ - {B}), r0 -> "
-        f"transform(sequence(0, __w__ - {B}), c0 -> "
-        f"md5(array_join(flatten(transform(sequence(0, {B - 1}), i -> "
-        f"transform(sequence(0, {B - 1}), j -> "
-        f"cast(__px__[(r0 + i) * __w__ + c0 + j] as string)))), ' ')))))"
-    )
-    grids = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("__id__"),
-            F.col(w_col).cast("int").alias("__w__"),
-            F.col(h_col).cast("int").alias("__h__"),
-            F.col(px_col).alias("__px__"),
-        )
-        # grids smaller than one block can never anchor a token (and a
-        # sequence(0, negative) would run descending): excluded by contract
-        .filter((F.col("__h__") >= B) & (F.col("__w__") >= B))
-        .localCheckpoint(eager=False)
-    )
-    toks = grids.select(
-        "__id__", F.explode(F.expr(token_expr)).alias("tok")
-    ).distinct()
-    if max_bucket_size is not None:
-        sizes = toks.groupBy("tok").agg(F.count("*").alias("__n__"))
-        toks = toks.join(
-            sizes.filter(F.col("__n__") <= max_bucket_size).select("tok"), "tok"
-        )
+    grids = _crop_grids_norm(df, B, id_col, px_col, w_col, h_col)
+    toks = _crop_tokens(grids, B, max_bucket_size=max_bucket_size)
     cand = (
         toks.alias("a")
         .join(toks.alias("b"), "tok")
@@ -895,14 +869,72 @@ def cropped_grid_pairs(
         )
         .distinct()
     )
-    ga = grids.select(
-        F.col("__id__").alias("id_a"),
+    return _crop_verify(cand, grids, grids, max_crop, B, ssd_tol, "id_a", "id_b")
+
+
+def _crop_grids_norm(
+    df: DataFrame, B: int, id_col: str, px_col: str, w_col: str, h_col: str
+) -> DataFrame:
+    """Normalize a grid frame to (__id__, __w__, __h__, __px__). Grids
+    smaller than one B×B block can never anchor a token (and a
+    sequence(0, negative) would run descending): excluded by contract."""
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id__"),
+            F.col(w_col).cast("int").alias("__w__"),
+            F.col(h_col).cast("int").alias("__h__"),
+            F.col(px_col).alias("__px__"),
+        )
+        .filter((F.col("__h__") >= B) & (F.col("__w__") >= B))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _crop_tokens(
+    grids: DataFrame, B: int, max_bucket_size: int | None = None
+) -> DataFrame:
+    """(__id__, tok) — one md5 token per B×B sub-block; the blocking key
+    of the crop tier and the at-rest artifact of :func:`crop_index`."""
+    token_expr = (
+        f"flatten(transform(sequence(0, __h__ - {B}), r0 -> "
+        f"transform(sequence(0, __w__ - {B}), c0 -> "
+        f"md5(array_join(flatten(transform(sequence(0, {B - 1}), i -> "
+        f"transform(sequence(0, {B - 1}), j -> "
+        f"cast(__px__[(r0 + i) * __w__ + c0 + j] as string)))), ' ')))))"
+    )
+    toks = grids.select(
+        "__id__", F.explode(F.expr(token_expr)).alias("tok")
+    ).distinct()
+    if max_bucket_size is not None:
+        sizes = toks.groupBy("tok").agg(F.count("*").alias("__n__"))
+        toks = toks.join(
+            sizes.filter(F.col("__n__") <= max_bucket_size).select("tok"), "tok"
+        )
+    return toks
+
+
+def _crop_verify(
+    cand: DataFrame,
+    grids_a: DataFrame,
+    grids_b: DataFrame,
+    max_crop: int,
+    B: int,
+    ssd_tol: int,
+    a_name: str,
+    b_name: str,
+) -> DataFrame:
+    """Exact integer 2-D lag scan over candidate pairs: attach both
+    grids, take the min (ssd, |dr|+|dc|, dr, dc) struct over the
+    (2·max_crop+1)² offsets, keep pairs with ssd ≤ ssd_tol."""
+    ga = grids_a.select(
+        F.col("__id__").alias(a_name),
         F.col("__w__").alias("wa"),
         F.col("__h__").alias("ha"),
         F.col("__px__").alias("pxa"),
     )
-    gb = grids.select(
-        F.col("__id__").alias("id_b"),
+    gb = grids_b.select(
+        F.col("__id__").alias(b_name),
         F.col("__w__").alias("wb"),
         F.col("__h__").alias("hb"),
         F.col("__px__").alias("pxb"),
@@ -934,18 +966,86 @@ def cropped_grid_pairs(
         for dc in range(-max_crop, max_crop + 1)
     ) + "))"
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        cand.join(ga, a_name)
+        .join(gb, b_name)
         .withColumn("__best__", F.expr(best))
         .filter(F.col("__best__.ssd") <= ssd_tol)
         .select(
-            "id_a",
-            "id_b",
+            a_name,
+            b_name,
             F.col("__best__.dr").alias("dr"),
             F.col("__best__.dc").alias("dc"),
             F.col("__best__.ssd").alias("ssd"),
         )
     )
+
+
+def crop_index(
+    df: DataFrame,
+    max_crop: int = 2,
+    block: int | None = None,
+    side: int = 8,
+    id_col: str = "media_id",
+    px_col: str = "px",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> tuple[DataFrame, DataFrame]:
+    """At-rest artifacts for incremental crop-tolerant dedup — the crop
+    tier's twin of the text tier's :func:`lsh_index` (bands, sets) and
+    the media tier's :func:`hamming_index`: a (id, tok) sub-block token
+    table (a deployment persists it partitioned/bucketed by ``tok`` so
+    the batch probe co-locates without a history-side shuffle) and the
+    (id, w, h, px) grid table the verify reads."""
+    B = block if block is not None else side - max_crop
+    grids = _crop_grids_norm(df, B, id_col, px_col, w_col, h_col)
+    toks = _crop_tokens(grids, B).select(
+        F.col("__id__").alias(id_col), "tok"
+    )
+    return toks, grids.select(
+        F.col("__id__").alias(id_col),
+        F.col("__w__").alias(w_col),
+        F.col("__h__").alias(h_col),
+        F.col("__px__").alias(px_col),
+    )
+
+
+def incremental_cropped_dedup(
+    batch: DataFrame,
+    idx_toks: DataFrame,
+    idx_grids: DataFrame,
+    max_crop: int = 2,
+    block: int | None = None,
+    side: int = 8,
+    ssd_tol: int = 0,
+    id_col: str = "media_id",
+    px_col: str = "px",
+    w_col: str = "w",
+    h_col: str = "h",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Crop-tolerant dedup of an incoming batch AGAINST an at-rest token
+    index (:func:`crop_index`) — completing the incremental symmetry
+    across every dedup grain (exact / near / chunk / hamming / crop):
+    token collisions between batch and index generate candidates
+    (pigeonhole recall 1.0 for crops ≤ max_crop), the exact 2-D lag scan
+    verifies. Output (new_id, old_id, dr, dc, ssd ≤ ssd_tol). Cost is
+    O(batch × collision rate), never O(history); ``max_bucket_size``
+    caps hot HISTORY tokens (degenerate constant-image cliques) on the
+    index side before the join."""
+    B = block if block is not None else side - max_crop
+    bg = _crop_grids_norm(batch, B, id_col, px_col, w_col, h_col)
+    probe = _crop_tokens(bg, B).select(
+        F.col("__id__").alias("new_id"), "tok"
+    )
+    base_toks = idx_toks.select(F.col(id_col).alias("old_id"), "tok")
+    if max_bucket_size is not None:
+        sizes = base_toks.groupBy("tok").agg(F.count("*").alias("__n__"))
+        base_toks = base_toks.join(
+            sizes.filter(F.col("__n__") <= max_bucket_size).select("tok"), "tok"
+        )
+    cand = probe.join(base_toks, "tok").select("new_id", "old_id").distinct()
+    ig = _crop_grids_norm(idx_grids, B, id_col, px_col, w_col, h_col)
+    return _crop_verify(cand, bg, ig, max_crop, B, ssd_tol, "new_id", "old_id")
 
 
 def waveform_dhash(s_col: str = "s", n_samples: int = 64) -> Column:
@@ -963,10 +1063,10 @@ def waveform_dhash(s_col: str = "s", n_samples: int = 64) -> Column:
     flipped on random-walk clips), so time-misaligned duplicates are
     invisible to it. That is what it claims: the oracle-paired sheet
     query detects perturbed-in-place twins. Shift-tolerant detection is
-    :func:`audio_shifted_pairs` (energy-envelope blocking + integer
-    lag-scan verify, BENCH_ONLY tier); a production audio pipeline would
-    use spectral-landmark fingerprints, which need a float FFT and are
-    deliberately out of the oracle-able tier."""
+    :func:`audio_shifted_pairs` (shingle-MinHash blocking + integer
+    lag-scan verify — oracle-paired at sheet level since r11); a
+    production audio pipeline would add spectral-landmark fingerprints,
+    which need a float FFT and stay out of the oracle-able tier."""
     n_bits = n_samples - 1
     return F.expr(
         f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), (acc, k) -> "

@@ -554,6 +554,135 @@ def q_image_cropped_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "incremental_image_crop_probe",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id AS media_id, 8 AS w, 8 AS h, {_IMG_QUANT_SQL} AS px
+      FROM embeddings
+    ),
+    crops AS (
+      SELECT media_id + {_CROP_TWIN_OFFSET} AS media_id,
+             8 - dc AS w, 8 - dr AS h,
+             flatten(list_transform(range(0, 8 - dr), i ->
+               list_transform(range(0, 8 - dc), j ->
+                 px[(i + dr) * 8 + j + dc + 1]))) AS px
+      FROM (
+        SELECT media_id, px,
+               1 + (media_id // {_CROP_TWIN_EVERY}) % 2 AS dr,
+               (media_id // {2 * _CROP_TWIN_EVERY}) % 3 AS dc
+        FROM base WHERE media_id % {_CROP_TWIN_EVERY} = 0
+      )
+    ),
+    imgs AS (SELECT * FROM base UNION ALL SELECT * FROM crops),
+    toks AS (
+      SELECT DISTINCT media_id, unnest({_crop_tok_sql(_CROP_BLOCK)}) AS tok
+      FROM imgs
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS new_id, b.media_id AS old_id
+      FROM toks a JOIN toks b ON a.tok = b.tok
+      WHERE a.media_id >= {_CROP_TWIN_OFFSET}
+        AND b.media_id < {_CROP_TWIN_OFFSET}
+    ),
+    lags AS (
+      SELECT r.dr, c.dc
+      FROM (SELECT unnest(range(-{_CROP_MAX}, {_CROP_MAX + 1})) AS dr) r,
+           (SELECT unnest(range(-{_CROP_MAX}, {_CROP_MAX + 1})) AS dc) c
+    ),
+    scored AS (
+      SELECT c.new_id, c.old_id, l.dr, l.dc,
+             greatest(0, -l.dr) AS rlo, least(gb.h, ga.h - l.dr) - 1 AS rhi,
+             greatest(0, -l.dc) AS clo, least(gb.w, ga.w - l.dc) - 1 AS chi,
+             ga.px AS pxa, gb.px AS pxb, ga.w AS wa, gb.w AS wb
+      FROM cand c
+      JOIN imgs ga ON ga.media_id = c.new_id
+      JOIN imgs gb ON gb.media_id = c.old_id
+      CROSS JOIN lags l
+    ),
+    evaled AS (
+      SELECT new_id, old_id, dr, dc,
+             CASE WHEN rhi < rlo OR chi < clo
+                    OR (rhi - rlo + 1) * (chi - clo + 1)
+                       < {_CROP_BLOCK * _CROP_BLOCK}
+                  THEN NULL
+                  ELSE list_sum(flatten(list_transform(range(rlo, rhi + 1),
+                    i -> list_transform(range(clo, chi + 1), j ->
+                      (pxb[i * wb + j + 1] - pxa[(i + dr) * wa + j + dc + 1])
+                    * (pxb[i * wb + j + 1] - pxa[(i + dr) * wa + j + dc + 1])
+                  ))))
+             END AS ssd
+      FROM scored
+    ),
+    picked AS (
+      SELECT new_id, old_id,
+             CAST(dr AS INT) AS dr, CAST(dc AS INT) AS dc,
+             CAST(ssd AS BIGINT) AS ssd,
+             ROW_NUMBER() OVER (
+               PARTITION BY new_id, old_id
+               ORDER BY ssd, abs(dr) + abs(dc), dr, dc
+             ) AS rn
+      FROM evaled WHERE ssd IS NOT NULL
+    )
+    SELECT new_id, old_id, dr, dc, ssd
+    FROM picked WHERE rn = 1 AND ssd <= 0
+    ORDER BY new_id, old_id
+    """,
+)
+def q_incremental_image_crop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crop-tolerant dedup (r11) — the DEPLOYMENT shape of
+    the crop tier, completing the incremental symmetry across every
+    dedup grain (exact / near-dup / chunk / dHash / crop): the at-rest
+    index is the (id, tok) sub-block token table + grid table
+    (operators/dedup.py crop_index — persisted bucketed by tok in a
+    deployment), and the incoming batch of cropped derivatives probes it
+    by token collision + exact 2-D lag-scan verify — O(batch ×
+    collision), never O(history). Pigeonhole recall 1.0 for crops ≤
+    max_crop, precision exact, fully oracle-replayable. The batch here
+    is the planted crop set (every 10th image's top-left crop); output
+    (new_id, old_id, dr, dc, ssd=0) with (dr, dc) the NEGATED plant
+    offset (the verify reports the shift that maps the batch grid onto
+    the history grid)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    base = emb.select(
+        F.col("vec_id").alias("media_id"),
+        F.lit(8).alias("w"),
+        F.lit(8).alias("h"),
+        quant.alias("px"),
+    )
+    crops = (
+        base.filter(F.col("media_id") % _CROP_TWIN_EVERY == 0)
+        .select(
+            "media_id",
+            "px",
+            F.expr(
+                f"cast(1 + (media_id div {_CROP_TWIN_EVERY}) % 2 as int)"
+            ).alias("dr"),
+            F.expr(
+                f"cast((media_id div {2 * _CROP_TWIN_EVERY}) % 3 as int)"
+            ).alias("dc"),
+        )
+        .select(
+            (F.col("media_id") + _CROP_TWIN_OFFSET).alias("media_id"),
+            (F.lit(8) - F.col("dc")).alias("w"),
+            (F.lit(8) - F.col("dr")).alias("h"),
+            F.expr(
+                "flatten(transform(sequence(0, 7 - dr), i -> "
+                "transform(sequence(0, 7 - dc), j -> px[(i + dr) * 8 + j + dc])))"
+            ).alias("px"),
+        )
+    )
+    toks, grids = D.crop_index(base, max_crop=_CROP_MAX, side=_IMG_SIDE)
+    return D.incremental_cropped_dedup(
+        crops, toks, grids, max_crop=_CROP_MAX, side=_IMG_SIDE, ssd_tol=0
+    ).orderBy("new_id", "old_id")
+
+
+@register(
     "image_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_IMG_ND_CHAIN},
@@ -1933,21 +2062,84 @@ def q_video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("video_frame_shifted_pairs", bench_only=True)
+def _vid_shift_oracle() -> str:
+    """DuckDB replay of the FULL frame-shifted video pipeline (r11, same
+    argument as the audio promotion: the LSH S-curve is deterministic
+    given the data, and every stage — pixel quantization, the
+    frame-shift twin plant, value-shingle MinHash banding at r=2/b=8,
+    the 0.45 exact-Jaccard threshold, and the frame-aligned integer
+    lag-scan with abs(lag) tie-break — is integer-or-IEEE-exact). The
+    Y4M round trip is a luma identity (bit-exact codec), so the oracle
+    reads the quantized values directly."""
+    from network_iq_spark.queries.dedup_q import _minhash_sql
+
+    fsz = _VID_SIDE * _VID_SIDE
+    n = _VID_FRAMES * fsz
+    shingles = """
+      SELECT media_id AS doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM (SELECT media_id,
+                   list_transform(px, x -> CAST(x AS VARCHAR)) AS t
+            FROM clips)
+    """
+    pairs = _minhash_sql(8, 2, 0.45, shingles_sql=shingles)
+    off = f"(l.lag * {fsz})"
+    lag_ssd = (
+        f"list_sum(list_transform(range(0, {n} - abs({off})), i -> "
+        f"(sa.px[i + greatest({off}, 0) + 1] - sb.px[i + greatest(-{off}, 0) + 1])"
+        f" * (sa.px[i + greatest({off}, 0) + 1] - sb.px[i + greatest(-{off}, 0) + 1])))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    twins AS (
+      SELECT media_id + {_VHASH_TWIN_OFFSET} AS media_id,
+             list_transform(range(0, {n}), i ->
+               CASE WHEN i < {n - fsz} THEN px[i + {fsz} + 1]
+                    ELSE px[i + 1] END) AS px
+      FROM base WHERE media_id % {_VHASH_TWIN_EVERY} = 0
+    ),
+    clips AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    pr AS (SELECT * FROM ({pairs})),
+    ev AS (
+      SELECT p.doc_a AS id_a, p.doc_b AS id_b, p.jaccard,
+             l.lag, {lag_ssd} AS ssd
+      FROM pr p
+      JOIN clips sa ON sa.media_id = p.doc_a
+      JOIN clips sb ON sb.media_id = p.doc_b
+      CROSS JOIN (SELECT unnest(range(-1, 2)) AS lag) l
+    ),
+    picked AS (
+      SELECT id_a, id_b, jaccard,
+             CAST(lag AS INT) AS lag, CAST(ssd AS BIGINT) AS ssd,
+             ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                                ORDER BY ssd, abs(lag), lag) AS rn
+      FROM ev
+    )
+    SELECT id_a, id_b, jaccard, lag, ssd
+    FROM picked WHERE rn = 1 AND ssd <= 0
+    ORDER BY id_a, id_b
+    """
+
+
+@register("video_frame_shifted_pairs", oracle=_vid_shift_oracle())
 def q_video_frame_shifted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FRAME-shift-tolerant video near-dup (r10) — the video sibling of
-    ``audio_shifted_near_dup_pairs`` on the same generic core
-    (operators/dedup.py shifted_sequence_pairs, stride = one frame's
-    pixels): every 10th clip gets a planted 1-FRAME-shifted copy (a
-    re-encode that starts a frame late — invisible to video_dhash,
-    whose per-frame sub-hashes all move to different bit ranges), clips
-    make the real Y4M encode → decode round trip, candidates come from
-    MinHash-LSH over pixel-value shingles at the widened r=2/b=8
-    S-curve (a 1-frame shift keeps only ~55 % shingle Jaccard), and the
-    frame-aligned integer lag-scan verifies exactly (ssd = 0 at the true
-    frame lag). BENCH_ONLY: recall is the S-curve (~0.94), precision
-    exact — shift tolerance now covers both time-structured
-    modalities."""
+    """FRAME-shift-tolerant video near-dup (r10; ORACLE-PAIRED since r11)
+    — the video sibling of ``audio_shifted_near_dup_pairs`` on the same
+    generic core (operators/dedup.py shifted_sequence_pairs, stride =
+    one frame's pixels): every 10th clip gets a planted 1-FRAME-shifted
+    copy (a re-encode that starts a frame late — invisible to
+    video_dhash, whose per-frame sub-hashes all move to different bit
+    ranges), clips make the real Y4M encode → decode round trip,
+    candidates come from MinHash-LSH over pixel-value shingles at the
+    widened r=2/b=8 S-curve (a 1-frame shift keeps only ~55 % shingle
+    Jaccard), and the frame-aligned integer lag-scan verifies exactly
+    (ssd = 0 at the true frame lag, ties toward |lag|). Recall is the
+    S-curve (~0.94) but DETERMINISTIC given the data, so DuckDB replays
+    the identical candidate set — the external gate covers the whole
+    pipeline."""
     import numpy as np
     import pandas as pd
 

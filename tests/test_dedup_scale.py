@@ -552,6 +552,41 @@ def test_cropped_pairs_bucket_cap_and_plan(spark):
     assert all(r.ssd == 0 for r in out)
 
 
+def test_incremental_crop_probe_equals_full_cross_pairs(spark):
+    """The crop-tier batch-vs-index probe finds exactly the cross
+    (batch, history) pairs the full pair scan finds over the union —
+    the O(batch) path loses nothing (pigeonhole recall both ways), and
+    every planted crop twin surfaces with zero residual."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    hist = [(i, 8, 8, [int(x) for x in rng.integers(0, 256, 64)]) for i in range(40)]
+    batch = []
+    for i, w, h, px in hist:
+        if i % 4 == 0:
+            g = np.array(px).reshape(8, 8)
+            dr, dc = 1 + (i // 4) % 2, (i // 8) % 3
+            c = g[dr:, dc:]
+            batch.append((i + 1000, 8 - dc, 8 - dr, [int(x) for x in c.reshape(-1)]))
+    batch.append((5000, 8, 8, [int(x) for x in rng.integers(0, 256, 64)]))  # novel
+    hdf = spark.createDataFrame(hist, "media_id int, w int, h int, px array<int>")
+    bdf = spark.createDataFrame(batch, "media_id int, w int, h int, px array<int>")
+    toks, grids = D.crop_index(hdf)
+    inc = {
+        (r.new_id, r.old_id): r.ssd
+        for r in D.incremental_cropped_dedup(bdf, toks, grids).collect()
+    }
+    want = {(i + 1000, i) for i, _, _, _ in hist if i % 4 == 0}
+    assert set(inc) == want and all(v == 0 for v in inc.values())
+    full = D.cropped_grid_pairs(hdf.unionByName(bdf), max_crop=2)
+    cross = {
+        (r.id_b, r.id_a)
+        for r in full.collect()
+        if r.id_b >= 1000 and r.id_a < 1000
+    }
+    assert set(inc) == cross
+
+
 def test_incremental_hamming_equals_full_cross_pairs(spark):
     """The batch-vs-index probe must find exactly the cross (batch,
     history) pairs the full blocked scan finds over the union — the

@@ -50,15 +50,15 @@ def test_verify_first_names_all_resolve():
     assert not missing, missing
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
-    # the r11 window: the two never-sampled queries lead (new crop tier,
-    # newly oracle-paired shifted audio), then the three r11-code-touched
-    # queries, then the ENTIRE 44-query r7 cohort, then simhash_pairs —
-    # after it samples green no sheet stamp predates r8
+    # the r11 window: the four never-sampled queries lead (crop tier +
+    # its incremental probe, the two newly oracle-paired shifted tiers),
+    # then the two GIF-codec-touched queries, then the ENTIRE 44-query
+    # r7 cohort — after it samples green no sheet stamp predates r8
     window = list(qs)[:50]
-    assert window[:5] == [
-        "image_cropped_near_dup_pairs", "audio_shifted_near_dup_pairs",
+    assert window[:6] == [
+        "image_cropped_near_dup_pairs", "incremental_image_crop_probe",
+        "audio_shifted_near_dup_pairs", "video_frame_shifted_pairs",
         "decoded_gif_stats", "media_contract",
-        "incremental_image_dedup_probe",
     ]
     r7_cohort = [
         "ann_ivfpq_topk", "ann_pq_adc_topk", "ann_pq_rerank_topk",
@@ -78,5 +78,4 @@ def test_verify_first_names_all_resolve():
         "training_data_pipeline", "url_canonical_dedup",
         "zscore_top_anomalies",
     ]
-    assert window[5:49] == r7_cohort
-    assert window[49] == "simhash_pairs"
+    assert window[6:50] == r7_cohort
