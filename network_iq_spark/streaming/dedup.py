@@ -223,6 +223,80 @@ def incremental_media_dedup_sink(
     return sink
 
 
+def incremental_crop_dedup_sink(
+    corpus_path: str,
+    toks_path: str,
+    grids_path: str,
+    max_crop: int = 2,
+    block: int | None = None,
+    side: int = 8,
+    ssd_tol: int = 0,
+    id_col: str = "media_id",
+    px_col: str = "px",
+    w_col: str = "w",
+    h_col: str = "h",
+    carry_cols: Sequence[str] = (),
+):
+    """``foreachBatch`` sink closing the continual-ingest CROP-tolerant
+    dedup loop (r11) — the crop tier's sibling of
+    :func:`incremental_media_dedup_sink`: each micro-batch of (id, w, h,
+    px) grids probes the AT-REST sub-block token index
+    (operators/dedup.py ``incremental_cropped_dedup`` — pigeonhole
+    recall 1.0 for ≤max_crop crops, O(batch × collision), never
+    O(history)); a batch grid that is a crop of ANY at-rest grid (or
+    vice versa — the 2-D lag scan is symmetric in sign) is dropped,
+    survivors append to the corpus and their token + grid rows append to
+    the index, so the next batch sees them. Same exactly-once
+    discipline: every output lands under its ``batch=<id>`` partition
+    via dynamic partition overwrite, and the probe reads STRICTLY
+    earlier batches so a replayed micro-batch converges instead of
+    self-matching at ssd 0 and emitting an empty survivor set."""
+    from network_iq_spark.operators.dedup import (
+        crop_index,
+        incremental_cropped_dedup,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, w_col, h_col, px_col, *carry_cols)
+        toks = read_if_exists(spark, toks_path)
+        grids = read_if_exists(spark, grids_path)
+        if toks is not None and grids is not None:
+            matches = incremental_cropped_dedup(
+                batch.select(id_col, w_col, h_col, px_col),
+                toks.filter(F.col("batch") < batch_id).drop("batch"),
+                grids.filter(F.col("batch") < batch_id).drop("batch"),
+                max_crop=max_crop,
+                block=block,
+                side=side,
+                ssd_tol=ssd_tol,
+                id_col=id_col,
+                px_col=px_col,
+                w_col=w_col,
+                h_col=h_col,
+            )
+            dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+            survivors = batch.join(dup_ids, id_col, "left_anti")
+        else:
+            survivors = batch
+        survivors = survivors.localCheckpoint()  # one evaluation, 3 writes
+        new_toks, new_grids = crop_index(
+            survivors.select(id_col, w_col, h_col, px_col),
+            max_crop=max_crop,
+            block=block,
+            side=side,
+            id_col=id_col,
+            px_col=px_col,
+            w_col=w_col,
+            h_col=h_col,
+        )
+        write_batch_partition(survivors, corpus_path, batch_id)
+        write_batch_partition(new_toks, toks_path, batch_id)
+        write_batch_partition(new_grids, grids_path, batch_id)
+
+    return sink
+
+
 def chunk_admission_sink(
     corpus_path: str,
     bands_path: str,

@@ -1190,6 +1190,54 @@ def test_incremental_media_dedup_sink_streams_against_at_rest_index(spark, tmp_p
     assert sorted(set(r.media_id for r in spark.read.parquet(index).collect())) == [1, 2, 11]
 
 
+def test_incremental_crop_dedup_sink_converges_and_drops_crops(spark, tmp_path):
+    """Streaming crop-tolerant dedup (r11): batch 0 bootstraps the
+    sub-block token index; a batch-1 CROP of an at-rest image is dropped
+    (invisible to the dHash sink — the crop tier's whole point) while a
+    novel image survives; replay converges; a batch-2 crop of the
+    MID-STREAM survivor is dropped (the index grew)."""
+    import hashlib
+
+    from network_iq_spark.streaming.dedup import incremental_crop_dedup_sink
+
+    corpus = str(tmp_path / "ccorpus")
+    toks = str(tmp_path / "ctoks")
+    grids = str(tmp_path / "cgrids")
+    sink = incremental_crop_dedup_sink(corpus, toks, grids, max_crop=2)
+
+    def img(seed):
+        return [
+            int(hashlib.md5(f"c{seed}:{j}".encode()).hexdigest()[:2], 16)
+            for j in range(64)
+        ]
+
+    def crop(px, dr, dc):
+        g = [px[r * 8 + c] for r in range(dr, 8) for c in range(dc, 8)]
+        return (8 - dc, 8 - dr, g)
+
+    def media(rows):
+        return spark.createDataFrame(
+            rows, "media_id bigint, w int, h int, px array<int>"
+        )
+
+    a, b, novel = img(1), img(2), img(40)
+    sink(media([(1, 8, 8, a), (2, 8, 8, b)]), 0)
+    ca_w, ca_h, ca = crop(a, 1, 1)
+    sink(media([(10, ca_w, ca_h, ca), (11, 8, 8, novel)]), 1)
+
+    def corpus_ids():
+        return sorted(r.media_id for r in spark.read.parquet(corpus).collect())
+
+    assert corpus_ids() == [1, 2, 11]  # 10 dropped: crop of 1
+    sink(media([(10, ca_w, ca_h, ca), (11, 8, 8, novel)]), 1)  # replay converges
+    assert corpus_ids() == [1, 2, 11]
+    cn_w, cn_h, cn = crop(novel, 2, 0)
+    sink(media([(20, cn_w, cn_h, cn)]), 2)  # crop of mid-stream survivor
+    assert corpus_ids() == [1, 2, 11]
+    assert sorted(set(r.media_id for r in spark.read.parquet(toks).collect())) == [1, 2, 11]
+    assert sorted(r.media_id for r in spark.read.parquet(grids).collect()) == [1, 2, 11]
+
+
 def test_chunk_admission_sink_rejects_boilerplate_heavy_docs(spark, tmp_path):
     """Streaming chunk-overlap admission: batch 0 bootstraps the chunk
     index; in batch 1 a doc that is 3/4 recycled template chunks is
