@@ -95,8 +95,12 @@ _VERIFY_FIRST = [
     "url_canonical_dedup",
     "zscore_top_anomalies",
     # --- 50-slot window boundary ---
-    # overflow, r12-priority order: the r11 fallback-branch change and
-    # operator-module churn first, then oldest-r8 stamps
+    # overflow, r12-priority order: the one r11 addition that did not
+    # fit the window (the r7 cohort outranked it per the r10 verdict's
+    # item 6; locally oracle-replayed green, r12 stamps it), then the
+    # r11 fallback-branch change and operator-module churn, then
+    # oldest-r8 stamps
+    "image_thumbnail_pairs",
     "incremental_image_dedup_probe",
     "simhash_pairs",
     "simhash_pairs_blocked",

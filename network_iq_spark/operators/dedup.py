@@ -1048,6 +1048,97 @@ def incremental_cropped_dedup(
     return _crop_verify(cand, bg, ig, max_crop, B, ssd_tol, "new_id", "old_id")
 
 
+def downscale_derivative_pairs(
+    df: DataFrame,
+    factor: int = 2,
+    id_col: str = "media_id",
+    px_col: str = "px",
+    w_col: str = "w",
+    h_col: str = "h",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SCALE-derivative image pairs (r11) — the third transform axis
+    after shift (audio/video) and crop: detect (parent, thumbnail)
+    pairs where the thumbnail is the parent's ``factor``× BOX-AVERAGE
+    downscale, the decimation every thumbnailing pipeline runs. The
+    floor box average is INTEGER-EXACT (thumb[i,j] = tile_sum div f²),
+    so unlike interpolating resamplers the whole tier is deterministic
+    and SQL-replayable: each image's derived half-res grid is computed
+    in-plan, keyed by the md5 of its serialized values, and joined
+    against every image's OWN grid key — an exact-match join, recall
+    1.0 for same-pipeline derivatives by construction.
+
+    Output (full_id, thumb_id, thumb_w, thumb_h): thumb is the
+    downscale of full. Verification is implied by the full-grid key
+    equality (md5 over the exact serialized values — the same
+    digest-as-equality convention as exact_dedup's fingerprint).
+
+    BOUNDARY: detects floor-box-average derivatives exactly; a
+    thumbnail produced by a DIFFERENT resampler (bilinear, rounding
+    half-up, sRGB-aware averaging) lands ±1-2 per pixel away and needs
+    a banded verify over candidate pairs — that variant is not
+    oracle-able at tol > 0 without quantization and is out of this
+    tier's claim. Combined crop+scale needs the crop tier run at thumb
+    grain on the derived pyramid (compose, don't multiply operators).
+
+    Scale shape: one map to derive + hash, one exact equi-join on the
+    digest; ``max_bucket_size`` caps degenerate constant-image keys
+    (a constant image's thumb key collides with every same-constant
+    thumb)."""
+    f2 = factor * factor
+    # derived half-res grid: tile (i, j) sums the f×f block, floor-divides
+    derived = (
+        f"flatten(transform(sequence(0, __h__ div {factor} - 1), i -> "
+        f"transform(sequence(0, __w__ div {factor} - 1), j -> "
+        f"aggregate(sequence(0, {f2 - 1}), cast(0 as bigint), (a, k) -> "
+        f"a + __px__[(i * {factor} + k div {factor}) * __w__ "
+        f"+ j * {factor} + k % {factor}]) div {f2})))"
+    )
+    key = "md5(concat(cast(__kw__ as string), 'x', cast(__kh__ as string), ':', array_join(transform(__g__, x -> cast(x as string)), ' ')))"
+    grids = _crop_grids_norm(df, 1, id_col, px_col, w_col, h_col)
+    parents = (
+        grids.filter(
+            (F.col("__h__") >= factor) & (F.col("__w__") >= factor)
+        )
+        .select(
+            F.col("__id__").alias("full_id"),
+            F.expr(derived).alias("__g__"),
+            (F.col("__w__") / factor).cast("int").alias("__kw__"),
+            (F.col("__h__") / factor).cast("int").alias("__kh__"),
+        )
+        .select(
+            "full_id",
+            F.expr(key).alias("gkey"),
+            F.col("__kw__").alias("thumb_w"),
+            F.col("__kh__").alias("thumb_h"),
+        )
+    )
+    thumbs = grids.select(
+        F.col("__id__").alias("thumb_id"),
+        F.expr(
+            key.replace("__g__", "__px__")
+            .replace("__kw__", "__w__")
+            .replace("__kh__", "__h__")
+        ).alias("gkey"),
+    )
+    if max_bucket_size is not None:
+        # the degenerate pivot is parents × thumbs per key (N identical
+        # constant images all derive the same key), so BOTH sides cap —
+        # product bounded by cap²
+        for side_df, name in ((parents, "parents"), (thumbs, "thumbs")):
+            sizes = side_df.groupBy("gkey").agg(F.count("*").alias("__n__"))
+            keep = sizes.filter(F.col("__n__") <= max_bucket_size).select("gkey")
+            if name == "parents":
+                parents = parents.join(keep, "gkey")
+            else:
+                thumbs = thumbs.join(keep, "gkey")
+    return (
+        parents.join(thumbs, "gkey")
+        .filter(F.col("full_id") != F.col("thumb_id"))
+        .select("full_id", "thumb_id", "thumb_w", "thumb_h")
+    )
+
+
 def waveform_dhash(s_col: str = "s", n_samples: int = 64) -> Column:
     """1-D gradient fingerprint over decoded PCM samples — the audio twin
     of :func:`image_dhash`: bit k is set iff s[k+1] > s[k], n_samples−1

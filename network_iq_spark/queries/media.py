@@ -682,6 +682,93 @@ def q_incremental_image_crop_probe(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("new_id", "old_id")
 
 
+_THUMB_TWIN_EVERY, _THUMB_TWIN_OFFSET = 10, 2_000_000
+# DuckDB twin of the floor box-average 2x decimation (1-based lists)
+_THUMB_DOWN_SQL = (
+    "flatten(list_transform(range(0, h // 2), i -> "
+    "list_transform(range(0, w // 2), j -> "
+    "(px[(2*i) * w + 2*j + 1] + px[(2*i) * w + 2*j + 2] "
+    "+ px[(2*i+1) * w + 2*j + 1] + px[(2*i+1) * w + 2*j + 2]) // 4)))"
+)
+_THUMB_KEY_SQL = (
+    "md5(CAST({w} AS VARCHAR) || 'x' || CAST({h} AS VARCHAR) || ':' || "
+    "array_to_string(list_transform({g}, x -> CAST(x AS VARCHAR)), ' '))"
+)
+
+
+@register(
+    "image_thumbnail_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id AS media_id, 8 AS w, 8 AS h, {_IMG_QUANT_SQL} AS px
+      FROM embeddings
+    ),
+    thumbs AS (
+      SELECT media_id + {_THUMB_TWIN_OFFSET} AS media_id,
+             4 AS w, 4 AS h, {_THUMB_DOWN_SQL} AS px
+      FROM base WHERE media_id % {_THUMB_TWIN_EVERY} = 0
+    ),
+    imgs AS (SELECT * FROM base UNION ALL SELECT * FROM thumbs),
+    parents AS (
+      SELECT media_id AS full_id,
+             {_THUMB_KEY_SQL.format(w="w // 2", h="h // 2", g=_THUMB_DOWN_SQL)}
+               AS gkey,
+             CAST(w // 2 AS INT) AS thumb_w, CAST(h // 2 AS INT) AS thumb_h
+      FROM imgs WHERE w >= 2 AND h >= 2
+    ),
+    tt AS (
+      SELECT media_id AS thumb_id,
+             {_THUMB_KEY_SQL.format(w="w", h="h", g="px")} AS gkey
+      FROM imgs
+    )
+    SELECT full_id, thumb_id, thumb_w, thumb_h
+    FROM parents JOIN tt USING (gkey)
+    WHERE full_id != thumb_id
+    ORDER BY full_id, thumb_id
+    """,
+)
+def q_image_thumbnail_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-derivative image pairs (r11) — the third transform axis of
+    the near-dup matrix (shift: audio/video tiers; crop: crop tier;
+    scale: this): every 10th image gets a planted 2× floor-box-average
+    THUMBNAIL (the decimation thumbnailing pipelines run — integer-exact,
+    so the tier is fully oracle-replayable), and
+    operators/dedup.py downscale_derivative_pairs recovers each
+    (parent, thumb) pair via an exact equi-join on the md5 of the
+    derived half-res grid — recall 1.0 by construction for
+    same-pipeline derivatives, no similarity threshold anywhere. The
+    operator docstring states the boundary: interpolating or
+    round-half-up resamplers land ±1–2 per pixel away and are outside
+    this tier's exact claim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    base = emb.select(
+        F.col("vec_id").alias("media_id"),
+        F.lit(8).alias("w"),
+        F.lit(8).alias("h"),
+        quant.alias("px"),
+    )
+    thumbs = base.filter(F.col("media_id") % _THUMB_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _THUMB_TWIN_OFFSET).alias("media_id"),
+        F.lit(4).alias("w"),
+        F.lit(4).alias("h"),
+        F.expr(
+            "flatten(transform(sequence(0, 3), i -> "
+            "transform(sequence(0, 3), j -> "
+            "(px[(2*i) * 8 + 2*j] + px[(2*i) * 8 + 2*j + 1] "
+            "+ px[(2*i+1) * 8 + 2*j] + px[(2*i+1) * 8 + 2*j + 1]) div 4)))"
+        ).alias("px"),
+    )
+    imgs = base.unionByName(thumbs)
+    return D.downscale_derivative_pairs(imgs, factor=2).orderBy(
+        "full_id", "thumb_id"
+    )
+
+
 @register(
     "image_dedup_clusters",
     oracle=f"""

@@ -587,6 +587,42 @@ def test_incremental_crop_probe_equals_full_cross_pairs(spark):
     assert set(inc) == cross
 
 
+def test_thumbnail_pairs_exact_and_capped(spark):
+    """Scale-derivative contract (r11): planted 2x floor-box-average
+    thumbnails are all recovered (exact-key join, recall 1.0 by
+    construction), a NON-derivative 4x4 image never matches, an
+    off-by-one resampler (round-half-up) is correctly OUTSIDE the exact
+    claim, and constant-image key cliques die under the cap."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows, want = [], set()
+    for i in range(30):
+        g = rng.integers(0, 256, (8, 8))
+        rows.append((i, 8, 8, [int(x) for x in g.reshape(-1)]))
+        t = g.reshape(4, 2, 4, 2).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+        if i % 3 == 0:  # floor-average thumbnail -> must match
+            rows.append((i + 1000, 4, 4, [int(x) for x in (t.sum(-1) // 4).reshape(-1)]))
+            want.add((i, i + 1000))
+        if i % 3 == 1:  # round-half-up resampler -> outside the claim
+            rows.append((i + 2000, 4, 4, [int(x) for x in ((t.sum(-1) + 2) // 4).reshape(-1)]))
+    rows.append((9000, 4, 4, [int(x) for x in rng.integers(0, 256, 16)]))
+    df = spark.createDataFrame(rows, "media_id long, w int, h int, px array<int>")
+    got = {(r.full_id, r.thumb_id) for r in D.downscale_derivative_pairs(df).collect()}
+    assert got == want
+    # constant clique: 10 identical 8x8 constants + their shared thumb key
+    const = [(100 + i, 8, 8, [5] * 64) for i in range(10)]
+    const += [(200, 4, 4, [5] * 16)]
+    cdf = spark.createDataFrame(const, "media_id long, w int, h int, px array<int>")
+    assert len(D.downscale_derivative_pairs(cdf).collect()) == 10
+    assert D.downscale_derivative_pairs(cdf, max_bucket_size=5).collect() == []
+    q = QUERIES["image_thumbnail_pairs"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(q.collect()) > 0
+
+
 def test_incremental_hamming_equals_full_cross_pairs(spark):
     """The batch-vs-index probe must find exactly the cross (batch,
     history) pairs the full blocked scan finds over the union — the
