@@ -40,6 +40,23 @@ def synth_grids(mult: int):
     return rows, planted
 
 
+def synth_thumbs(mult: int):
+    """Same corpus shape, 2 % planted floor-box-average 2× thumbnails."""
+    n = BASE_IMGS * mult
+    rng = np.random.default_rng(5000 + mult)
+    px = rng.integers(0, 256, size=(n, 64))
+    twin_idx = rng.choice(n, size=int(n * TWIN_FRACTION), replace=False)
+    rows = [(int(i), 8, 8, px[i].tolist()) for i in range(n)]
+    planted = set()
+    for i in twin_idx:
+        t = px[i].reshape(4, 2, 4, 2).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+        rows.append(
+            (int(i) + 10_000_000, 4, 4, (t.sum(-1) // 4).reshape(-1).tolist())
+        )
+        planted.add((int(i), int(i) + 10_000_000))
+    return rows, planted
+
+
 def main() -> None:
     from network_iq_spark.operators import dedup as D
     from network_iq_spark.session import get_spark
@@ -48,6 +65,42 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     mults = [int(m) for m in os.environ.get("SOAK_MULTS", "1,3,10").split(",")]
     runs = int(os.environ.get("SOAK_RUNS", "2"))
+
+    # --- thumbnail tier (exact-key join; expected near-flat slope) -----
+    tts = []
+    for m in mults:
+        rows, planted = synth_thumbs(m)
+        df = spark.createDataFrame(
+            rows, "media_id long, w int, h int, px array<int>"
+        ).localCheckpoint()
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            D.downscale_derivative_pairs(df).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        got = {
+            (r.full_id, r.thumb_id)
+            for r in D.downscale_derivative_pairs(df).collect()
+        }
+        assert got == planted, "thumbnail tier missed a twin or false-matched"
+        tts.append(best)
+        print(
+            f"x{m:<3d} downscale_derivative_pairs {best:7.2f}s "
+            f"recall={len(got)}/{len(planted)}",
+            file=sys.stderr,
+        )
+    xs, ys = [math.log(m) for m in mults], [math.log(t) for t in tts]
+    xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
+    te = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+        (x - xbar) ** 2 for x in xs
+    )
+    print(
+        f"| `downscale_derivative_pairs` (2% planted thumbs) "
+        f"| {' | '.join(f'{t:.2f} s' for t in tts)} | **{te:.2f}** "
+        f"| recall 1.00 at every scale |"
+    )
 
     ts, recalls = [], []
     for m in mults:
