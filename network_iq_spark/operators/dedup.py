@@ -44,6 +44,22 @@ def shingle_array_expr(k: int = SHINGLE_K) -> str:
     )
 
 
+def _cap_hot_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop rows whose blocking-key bucket exceeds ``cap`` members — the
+    ONE implementation of the hot-bucket guard shared by every blocked
+    tier (LSH bands, Hamming segments, crop tokens, thumbnail keys).
+    Partial aggregation absorbs the hot key map-side; the semi-join back
+    shuffles on the same keys the candidate join uses, so surviving rows
+    arrive already co-partitioned."""
+    small = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__bn__"))
+        .filter(F.col("__bn__") <= int(cap))
+        .select(*keys)
+    )
+    return df.join(small, keys, "left_semi")
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct k-token shingles per document (docs with < k tokens drop —
     too short to near-dup on shingle evidence)."""
@@ -401,16 +417,7 @@ def minhash_lsh_pairs(
         id_col, "mins", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
     if max_bucket_size is not None:
-        # partial aggregation absorbs the hot key map-side; the join back
-        # shuffles on the same (band, bucket) key the candidate self-join
-        # uses, so the surviving rows arrive already co-partitioned
-        small = (
-            bb.groupBy("band", "bucket")
-            .agg(F.count("*").alias("__bn__"))
-            .filter(F.col("__bn__") <= int(max_bucket_size))
-            .select("band", "bucket")
-        )
-        bb = bb.join(small, ["band", "bucket"])
+        bb = _cap_hot_buckets(bb, ["band", "bucket"], max_bucket_size)
     a = bb.select(
         F.col(id_col).alias("doc_a"), F.col("mins").alias("mins_a"), "band", "bucket"
     )
@@ -651,13 +658,7 @@ def hamming_blocked_pairs(
         F.col(id_col), F.col("__h__"), F.explode(F.array(*seg_structs)).alias("b")
     ).select(id_col, "__h__", F.col("b.seg").alias("seg"), F.col("b.seg_val").alias("seg_val"))
     if max_bucket_size is not None:
-        sizes = (
-            blocked.groupBy("seg", "seg_val")
-            .agg(F.count("*").alias("__bn__"))
-            .filter(F.col("__bn__") <= max_bucket_size)
-            .select("seg", "seg_val")
-        )
-        blocked = blocked.join(sizes, ["seg", "seg_val"], "left_semi")
+        blocked = _cap_hot_buckets(blocked, ["seg", "seg_val"], max_bucket_size)
     a = blocked.select(
         F.col(id_col).alias("id_a"), F.col("__h__").alias("h_a"), "seg", "seg_val"
     )
@@ -840,10 +841,14 @@ def cropped_grid_pairs(
     sub-block (B = ``block`` or side − max_crop) of every image becomes
     an md5 token; a crop that removes ≤ max_crop rows/cols from any edge
     preserves at least one intact B×B block of the original verbatim, so
-    the token equi-join finds every qualifying pair (recall 1.0, same
-    argument as the SimHash/Hamming segment blocking — and unlike the
-    shifted-sequence tier's LSH S-curve, which is why this tier is
-    oracle-pairable). Per-image fanout is bounded:
+    the token equi-join finds every PURE-crop pair (recall 1.0 at
+    ssd_tol = 0, same argument as the SimHash/Hamming segment blocking —
+    and unlike the shifted-sequence tier's LSH S-curve, which is why
+    this tier is oracle-pairable). At ssd_tol > 0 the verbatim-token
+    argument weakens: a residual pixel landing inside EVERY sub-block of
+    the smaller grid defeats the blocking, so recall for
+    perturbed-and-cropped twins is best-effort (a tolerant tier would
+    block on quantized tokens). Per-image fanout is bounded:
     (h−B+1)·(w−B+1) tokens (9 for 8×8/B=6). Degenerate constant images
     pivot into hot token buckets — ``max_bucket_size`` drops oversized
     buckets (recall stays 1.0 for any pair sharing at least one
@@ -907,10 +912,7 @@ def _crop_tokens(
         "__id__", F.explode(F.expr(token_expr)).alias("tok")
     ).distinct()
     if max_bucket_size is not None:
-        sizes = toks.groupBy("tok").agg(F.count("*").alias("__n__"))
-        toks = toks.join(
-            sizes.filter(F.col("__n__") <= max_bucket_size).select("tok"), "tok"
-        )
+        toks = _cap_hot_buckets(toks, ["tok"], max_bucket_size)
     return toks
 
 
@@ -1039,10 +1041,7 @@ def incremental_cropped_dedup(
     )
     base_toks = idx_toks.select(F.col(id_col).alias("old_id"), "tok")
     if max_bucket_size is not None:
-        sizes = base_toks.groupBy("tok").agg(F.count("*").alias("__n__"))
-        base_toks = base_toks.join(
-            sizes.filter(F.col("__n__") <= max_bucket_size).select("tok"), "tok"
-        )
+        base_toks = _cap_hot_buckets(base_toks, ["tok"], max_bucket_size)
     cand = probe.join(base_toks, "tok").select("new_id", "old_id").distinct()
     ig = _crop_grids_norm(idx_grids, B, id_col, px_col, w_col, h_col)
     return _crop_verify(cand, bg, ig, max_crop, B, ssd_tol, "new_id", "old_id")
@@ -1125,13 +1124,8 @@ def downscale_derivative_pairs(
         # the degenerate pivot is parents × thumbs per key (N identical
         # constant images all derive the same key), so BOTH sides cap —
         # product bounded by cap²
-        for side_df, name in ((parents, "parents"), (thumbs, "thumbs")):
-            sizes = side_df.groupBy("gkey").agg(F.count("*").alias("__n__"))
-            keep = sizes.filter(F.col("__n__") <= max_bucket_size).select("gkey")
-            if name == "parents":
-                parents = parents.join(keep, "gkey")
-            else:
-                thumbs = thumbs.join(keep, "gkey")
+        parents = _cap_hot_buckets(parents, ["gkey"], max_bucket_size)
+        thumbs = _cap_hot_buckets(thumbs, ["gkey"], max_bucket_size)
     return (
         parents.join(thumbs, "gkey")
         .filter(F.col("full_id") != F.col("thumb_id"))

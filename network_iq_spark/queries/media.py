@@ -427,10 +427,11 @@ def _crop_tok_sql(b: int) -> str:
     )
 
 
-@register(
-    "image_cropped_near_dup_pairs",
-    oracle=f"""
-    WITH base AS (
+# Shared corpus CTEs: the planted-crop corpus (base 8×8 grids + every
+# 10th image's top-left crop) — ONE definition for both crop queries so
+# the plant can never desync between the pair scan and the incremental
+# probe (same rule as _crop_tok_sql / _IMG_QUANT_SQL).
+_CROP_CORPUS_SQL = f"""base AS (
       SELECT vec_id AS media_id, 8 AS w, 8 AS h, {_IMG_QUANT_SQL} AS px
       FROM embeddings
     ),
@@ -451,28 +452,30 @@ def _crop_tok_sql(b: int) -> str:
     toks AS (
       SELECT DISTINCT media_id, unnest({_crop_tok_sql(_CROP_BLOCK)}) AS tok
       FROM imgs
-    ),
-    cand AS (
-      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.media_id < b.media_id
-    ),
-    lags AS (
+    )"""
+
+
+def _crop_verify_sql(a: str, b: str) -> str:
+    """Shared 2-D lag-scan verify over a ``cand`` CTE with pair columns
+    (a, b): 25 offsets, overlap ≥ B², min by (ssd, |dr|+|dc|, dr, dc),
+    keep ssd ≤ 0 — the DuckDB twin of operators/dedup.py _crop_verify."""
+    return f"""lags AS (
       SELECT r.dr, c.dc
       FROM (SELECT unnest(range(-{_CROP_MAX}, {_CROP_MAX + 1})) AS dr) r,
            (SELECT unnest(range(-{_CROP_MAX}, {_CROP_MAX + 1})) AS dc) c
     ),
     scored AS (
-      SELECT c.id_a, c.id_b, l.dr, l.dc,
+      SELECT c.{a}, c.{b}, l.dr, l.dc,
              greatest(0, -l.dr) AS rlo, least(gb.h, ga.h - l.dr) - 1 AS rhi,
              greatest(0, -l.dc) AS clo, least(gb.w, ga.w - l.dc) - 1 AS chi,
              ga.px AS pxa, gb.px AS pxb, ga.w AS wa, gb.w AS wb
       FROM cand c
-      JOIN imgs ga ON ga.media_id = c.id_a
-      JOIN imgs gb ON gb.media_id = c.id_b
+      JOIN imgs ga ON ga.media_id = c.{a}
+      JOIN imgs gb ON gb.media_id = c.{b}
       CROSS JOIN lags l
     ),
     evaled AS (
-      SELECT id_a, id_b, dr, dc,
+      SELECT {a}, {b}, dr, dc,
              CASE WHEN rhi < rlo OR chi < clo
                     OR (rhi - rlo + 1) * (chi - clo + 1)
                        < {_CROP_BLOCK * _CROP_BLOCK}
@@ -486,33 +489,22 @@ def _crop_tok_sql(b: int) -> str:
       FROM scored
     ),
     picked AS (
-      SELECT id_a, id_b,
+      SELECT {a}, {b},
              CAST(dr AS INT) AS dr, CAST(dc AS INT) AS dc,
              CAST(ssd AS BIGINT) AS ssd,
              ROW_NUMBER() OVER (
-               PARTITION BY id_a, id_b
+               PARTITION BY {a}, {b}
                ORDER BY ssd, abs(dr) + abs(dc), dr, dc
              ) AS rn
       FROM evaled WHERE ssd IS NOT NULL
     )
-    SELECT id_a, id_b, dr, dc, ssd
+    SELECT {a}, {b}, dr, dc, ssd
     FROM picked WHERE rn = 1 AND ssd <= 0
-    ORDER BY id_a, id_b
-    """,
-)
-def q_image_cropped_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crop-TOLERANT image near-dup (r11, VERDICT item 4) — the cell the
-    modality×transform matrix was missing, and unlike the shifted
-    audio/video tiers it is fully ORACLE-PAIRED: blocking is pigeonhole
-    (any ≤2-row/col crop of an 8×8 grid preserves an intact 6×6 block —
-    deterministic recall 1.0, no LSH S-curve) and the verify is an exact
-    integer 2-D lag scan, so DuckDB replays the whole pipeline. Every
-    10th image gets a planted top-left crop (1–2 rows, 0–2 columns,
-    varying by id — the 10–25 % crop class that provably scrambles
-    image_dhash); the operator (operators/dedup.py cropped_grid_pairs)
-    reports each pair once with the recovered (dr, dc) offset and zero
-    residual. Variable-size grids ride a (w, h, px) schema — the shape
-    a thumbnail-normalized crawl corpus actually has."""
+    ORDER BY {a}, {b}"""
+
+
+def _crop_corpus(spark: SparkSession, sf_dir: str):
+    """Spark twin of _CROP_CORPUS_SQL: (base, crops) grid frames."""
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(
         "transform(embedding, x -> cast(floor(((least(greatest("
@@ -547,85 +539,50 @@ def q_image_cropped_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("px"),
         )
     )
-    imgs = base.unionByName(crops)
+    return base, crops
+
+
+@register(
+    "image_cropped_near_dup_pairs",
+    oracle=f"""
+    WITH {_CROP_CORPUS_SQL},
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.media_id < b.media_id
+    ),
+    {_crop_verify_sql("id_a", "id_b")}
+    """,
+)
+def q_image_cropped_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop-TOLERANT image near-dup (r11, VERDICT item 4) — the cell the
+    modality×transform matrix was missing, and unlike the shifted
+    audio/video tiers it is fully ORACLE-PAIRED: blocking is pigeonhole
+    (any ≤2-row/col crop of an 8×8 grid preserves an intact 6×6 block —
+    deterministic recall 1.0, no LSH S-curve) and the verify is an exact
+    integer 2-D lag scan, so DuckDB replays the whole pipeline. Every
+    10th image gets a planted top-left crop (1–2 rows, 0–2 columns,
+    varying by id — the 10–25 % crop class that provably scrambles
+    image_dhash); the operator (operators/dedup.py cropped_grid_pairs)
+    reports each pair once with the recovered (dr, dc) offset and zero
+    residual. Variable-size grids ride a (w, h, px) schema — the shape
+    a thumbnail-normalized crawl corpus actually has."""
+    base, crops = _crop_corpus(spark, sf_dir)
     return D.cropped_grid_pairs(
-        imgs, max_crop=_CROP_MAX, side=_IMG_SIDE, ssd_tol=0
+        base.unionByName(crops), max_crop=_CROP_MAX, side=_IMG_SIDE, ssd_tol=0
     ).orderBy("id_a", "id_b")
 
 
 @register(
     "incremental_image_crop_probe",
     oracle=f"""
-    WITH base AS (
-      SELECT vec_id AS media_id, 8 AS w, 8 AS h, {_IMG_QUANT_SQL} AS px
-      FROM embeddings
-    ),
-    crops AS (
-      SELECT media_id + {_CROP_TWIN_OFFSET} AS media_id,
-             8 - dc AS w, 8 - dr AS h,
-             flatten(list_transform(range(0, 8 - dr), i ->
-               list_transform(range(0, 8 - dc), j ->
-                 px[(i + dr) * 8 + j + dc + 1]))) AS px
-      FROM (
-        SELECT media_id, px,
-               1 + (media_id // {_CROP_TWIN_EVERY}) % 2 AS dr,
-               (media_id // {2 * _CROP_TWIN_EVERY}) % 3 AS dc
-        FROM base WHERE media_id % {_CROP_TWIN_EVERY} = 0
-      )
-    ),
-    imgs AS (SELECT * FROM base UNION ALL SELECT * FROM crops),
-    toks AS (
-      SELECT DISTINCT media_id, unnest({_crop_tok_sql(_CROP_BLOCK)}) AS tok
-      FROM imgs
-    ),
+    WITH {_CROP_CORPUS_SQL},
     cand AS (
       SELECT DISTINCT a.media_id AS new_id, b.media_id AS old_id
       FROM toks a JOIN toks b ON a.tok = b.tok
       WHERE a.media_id >= {_CROP_TWIN_OFFSET}
         AND b.media_id < {_CROP_TWIN_OFFSET}
     ),
-    lags AS (
-      SELECT r.dr, c.dc
-      FROM (SELECT unnest(range(-{_CROP_MAX}, {_CROP_MAX + 1})) AS dr) r,
-           (SELECT unnest(range(-{_CROP_MAX}, {_CROP_MAX + 1})) AS dc) c
-    ),
-    scored AS (
-      SELECT c.new_id, c.old_id, l.dr, l.dc,
-             greatest(0, -l.dr) AS rlo, least(gb.h, ga.h - l.dr) - 1 AS rhi,
-             greatest(0, -l.dc) AS clo, least(gb.w, ga.w - l.dc) - 1 AS chi,
-             ga.px AS pxa, gb.px AS pxb, ga.w AS wa, gb.w AS wb
-      FROM cand c
-      JOIN imgs ga ON ga.media_id = c.new_id
-      JOIN imgs gb ON gb.media_id = c.old_id
-      CROSS JOIN lags l
-    ),
-    evaled AS (
-      SELECT new_id, old_id, dr, dc,
-             CASE WHEN rhi < rlo OR chi < clo
-                    OR (rhi - rlo + 1) * (chi - clo + 1)
-                       < {_CROP_BLOCK * _CROP_BLOCK}
-                  THEN NULL
-                  ELSE list_sum(flatten(list_transform(range(rlo, rhi + 1),
-                    i -> list_transform(range(clo, chi + 1), j ->
-                      (pxb[i * wb + j + 1] - pxa[(i + dr) * wa + j + dc + 1])
-                    * (pxb[i * wb + j + 1] - pxa[(i + dr) * wa + j + dc + 1])
-                  ))))
-             END AS ssd
-      FROM scored
-    ),
-    picked AS (
-      SELECT new_id, old_id,
-             CAST(dr AS INT) AS dr, CAST(dc AS INT) AS dc,
-             CAST(ssd AS BIGINT) AS ssd,
-             ROW_NUMBER() OVER (
-               PARTITION BY new_id, old_id
-               ORDER BY ssd, abs(dr) + abs(dc), dr, dc
-             ) AS rn
-      FROM evaled WHERE ssd IS NOT NULL
-    )
-    SELECT new_id, old_id, dr, dc, ssd
-    FROM picked WHERE rn = 1 AND ssd <= 0
-    ORDER BY new_id, old_id
+    {_crop_verify_sql("new_id", "old_id")}
     """,
 )
 def q_incremental_image_crop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,40 +599,7 @@ def q_incremental_image_crop_probe(spark: SparkSession, sf_dir: str) -> DataFram
     (new_id, old_id, dr, dc, ssd=0) with (dr, dc) the NEGATED plant
     offset (the verify reports the shift that maps the batch grid onto
     the history grid)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
-    base = emb.select(
-        F.col("vec_id").alias("media_id"),
-        F.lit(8).alias("w"),
-        F.lit(8).alias("h"),
-        quant.alias("px"),
-    )
-    crops = (
-        base.filter(F.col("media_id") % _CROP_TWIN_EVERY == 0)
-        .select(
-            "media_id",
-            "px",
-            F.expr(
-                f"cast(1 + (media_id div {_CROP_TWIN_EVERY}) % 2 as int)"
-            ).alias("dr"),
-            F.expr(
-                f"cast((media_id div {2 * _CROP_TWIN_EVERY}) % 3 as int)"
-            ).alias("dc"),
-        )
-        .select(
-            (F.col("media_id") + _CROP_TWIN_OFFSET).alias("media_id"),
-            (F.lit(8) - F.col("dc")).alias("w"),
-            (F.lit(8) - F.col("dr")).alias("h"),
-            F.expr(
-                "flatten(transform(sequence(0, 7 - dr), i -> "
-                "transform(sequence(0, 7 - dc), j -> px[(i + dr) * 8 + j + dc])))"
-            ).alias("px"),
-        )
-    )
+    base, crops = _crop_corpus(spark, sf_dir)
     toks, grids = D.crop_index(base, max_crop=_CROP_MAX, side=_IMG_SIDE)
     return D.incremental_cropped_dedup(
         crops, toks, grids, max_crop=_CROP_MAX, side=_IMG_SIDE, ssd_tol=0

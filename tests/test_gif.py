@@ -165,11 +165,73 @@ def test_lzw_vectorized_matches_scalar_reference():
                 chunks += payload[p + 1 : p + 1 + ln]
                 p += 1 + ln
             cases.append((bytes(chunks), lzw_min, size))
-    # low-entropy stream: long runs exercise deep KwKwK/copy chains
-    px = np.repeat(np.arange(4, dtype=np.uint8), 1500)
-    img = np.stack([px, px, px], -1).reshape(-1, 1, 3)
-    payload = encode_gif(img)
-    cases.append((cases[-1][0], 2, 6000))
+    # COMPRESSIVE streams (entry + KwKwK codes): the shipped encoder is
+    # literal-only, so the vectorized decoder's riskiest path — the
+    # entry/KwKwK pointer-doubling expansion in _decode_run — needs a
+    # real table-building LZW compressor to be exercised at all. This
+    # one mirrors the decoder's width/CLEAR schedule exactly.
+    def lzw_compress(idxs, mc):
+        clear, eoi = 1 << mc, (1 << mc) + 1
+        w0 = mc + 1
+        out, acc, nb = bytearray(), 0, 0
+        j = 0  # code position within the current run — the decoder's
+        # width depends ONLY on this (one table append per code after
+        # the first), so emitting at the positional width guarantees sync
+
+        def width():
+            if j == 0:
+                return w0
+            return min(12, max(w0, (clear + 1 + j).bit_length()))
+
+        def emit(code):
+            nonlocal acc, nb, j
+            w = width()
+            acc |= code << nb
+            nb += w
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+            j += 1
+
+        emit(clear)
+        j = 0  # the run's codes start counting after the CLEAR
+        table = {bytes([i]): i for i in range(clear)}
+        nxt = clear + 2
+        cur = b""
+        for v in idxs:
+            cand = cur + bytes([int(v)])
+            if cand in table:
+                cur = cand
+                continue
+            emit(table[cur])
+            table[cand] = nxt
+            nxt += 1
+            if nxt >= (1 << 12):  # cannot emit 12+-bit entries: CLEAR
+                emit(clear)
+                j = 0
+                table = {bytes([i]): i for i in range(clear)}
+                nxt = clear + 2
+            cur = bytes([int(v)])
+        if cur:
+            emit(table[cur])
+        emit(eoi)
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # low-entropy index streams: long runs force deep KwKwK/copy chains
+    for mc, n in ((2, 6000), (4, 3000), (8, 20000)):
+        ncol = 1 << mc
+        runs = np.repeat(rng.integers(0, ncol, 400), rng.integers(1, 40, 400))
+        idxs = runs[:n].astype(np.uint8)
+        data = lzw_compress(idxs, mc)
+        # the compressed stream must round-trip through BOTH decoders
+        a = _lzw_decode(data, mc, len(idxs))
+        b = _lzw_decode_ref(data, mc, len(idxs))
+        assert a is not None and bytes(a) == idxs.tobytes()
+        assert b is not None and bytes(b) == bytes(a)
+        cases.append((data, mc, len(idxs)))
     for data, mc, n in cases:
         a = _lzw_decode(data, mc, n)
         b = _lzw_decode_ref(data, mc, n)
