@@ -101,6 +101,7 @@ _VERIFY_FIRST = [
     # r11 fallback-branch change and operator-module churn, then
     # oldest-r8 stamps
     "image_thumbnail_pairs",
+    "k_anonymity_customers",
     "incremental_image_dedup_probe",
     "simhash_pairs",
     "simhash_pairs_blocked",

@@ -83,3 +83,63 @@ def validate_and_quarantine(
     valid = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
     rejects = tagged.filter(F.size("failed_rules") > 0)
     return valid, rejects
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Privacy tier (r11): k-anonymity audit over a quasi-identifier
+    combination — the pre-release check a training-data pipeline runs
+    before shipping user-derived tables: a row whose quasi-identifier
+    combo is shared by fewer than ``k`` rows is re-identifiable by
+    linkage. Output one row per combo: (quasi..., n, at_risk) with
+    ``at_risk = n < k``; NULL quasi values group as their own combo
+    (NULL is linkable too — suppressing a value and then ignoring it in
+    the audit would hide exactly the rows suppression created).
+
+    Scale shape: ONE hash aggregate on the quasi columns (map-side
+    partials absorb the hot combos); output ∝ distinct combos, never
+    rows. The decision is integer (count < k) — engine-exact."""
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("at_risk", F.col("n") < k)
+    )
+
+
+def k_suppress(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Row-level k-anonymity enforcement by SUPPRESSION: rows whose
+    quasi-identifier combo has fewer than ``k`` members get every quasi
+    column nulled (the minimal-distortion baseline; generalization
+    hierarchies are a policy layer above). Non-quasi columns pass
+    through untouched, so the frame stays joinable on its true keys.
+
+    Plan: the under-k combo list is a small aggregate (≤ distinct-combo
+    rows) broadcast back onto the fact — one shuffle for the combo
+    counts, a broadcast hash join for the tagging, no row explosion.
+    After suppression every surviving combo trivially satisfies k (the
+    suppressed rows merge into the all-NULL combo, which is reported,
+    not hidden, by :func:`k_anonymity_report`)."""
+    risky = (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count("*").alias("__n__"))
+        .filter(F.col("__n__") < k)
+        .select(*[F.col(c).alias(f"__r_{c}__") for c in quasi_cols])
+        .withColumn("__suppress__", F.lit(True))
+    )
+    # null-safe equality: a combo like (1, NULL) under k must still
+    # suppress — a plain equi-join's NULL != NULL would skip exactly the
+    # combos partial suppression creates
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__r_{c}__"))
+        cond = eq if cond is None else cond & eq
+    joined = df.join(F.broadcast(risky), on=cond, how="left")
+    out = joined
+    for c in quasi_cols:
+        out = out.withColumn(
+            c, F.when(F.col("__suppress__").isNull(), F.col(c))
+        )
+    return out.select(*df.columns)

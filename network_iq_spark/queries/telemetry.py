@@ -724,3 +724,39 @@ def q_contract_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit("__valid_rows__").alias("failed_rule"), F.col("n")
     )
     return per_rule_full.unionByName(valid_row).orderBy("failed_rule")
+
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_customers",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) < {_KANON_K} AS at_risk
+    FROM customer
+    GROUP BY 1, 2, 3
+    ORDER BY c_nationkey, c_mktsegment, bal_band
+    """,
+)
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (r11): k-anonymity over the quasi-identifier combo
+    (nation, market segment, account-balance band) — the pre-release
+    check a user-derived training table needs: any combo with fewer than
+    {k} members is linkage-re-identifiable. One hash aggregate on the
+    quasi columns, output ∝ distinct combos; the at-risk bit is an
+    integer comparison, engine-exact (operators/quality.py
+    k_anonymity_report; the row-level suppression counterpart
+    k_suppress is test-covered — its output is the input frame with
+    under-k quasi values nulled, trivially k-anonymous afterwards)."""
+    from network_iq_spark.operators.quality import k_anonymity_report
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.expr("cast(floor(c_acctbal / 2000.0D) as bigint)"),
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], _KANON_K
+    ).orderBy("c_nationkey", "c_mktsegment", "bal_band")

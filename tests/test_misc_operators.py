@@ -223,3 +223,38 @@ def test_sentence_udtf_lateral_join(spark):
         (1, 0, "One."), (1, 1, "Two!"), (1, 2, "Three?"),
         (2, 0, "No terminator here"),
     ]
+
+
+def test_k_anonymity_report_and_suppress(spark):
+    """Privacy tier (r11): the report flags under-k combos (NULL quasi
+    values group as their own combo), and k_suppress nulls quasi columns
+    for exactly those rows — including NULL-bearing combos, which a
+    plain equi-join would skip — leaving every surviving combo with
+    >= k members or fully suppressed."""
+    from network_iq_spark.operators.quality import k_anonymity_report, k_suppress
+
+    rows = (
+        [(i, "US", "A") for i in range(5)]        # safe combo (n=5)
+        + [(10, "US", "B"), (11, "US", "B")]      # under-k (n=2)
+        + [(20, "CA", None), (21, "CA", None)]    # under-k WITH NULL quasi
+        + [(30 + i, None, "A") for i in range(5)] # safe combo with NULL
+    )
+    df = spark.createDataFrame(rows, "id bigint, country string, seg string")
+    rep = {
+        (r.country, r.seg): (r.n, r.at_risk)
+        for r in k_anonymity_report(df, ["country", "seg"], k=3).collect()
+    }
+    assert rep[("US", "A")] == (5, False)
+    assert rep[("US", "B")] == (2, True)
+    assert rep[("CA", None)] == (2, True)
+    assert rep[(None, "A")] == (5, False)
+    out = {r.id: (r.country, r.seg) for r in k_suppress(df, ["country", "seg"], k=3).collect()}
+    assert out[0] == ("US", "A") and out[34] == (None, "A")  # safe: untouched
+    assert out[10] == (None, None) and out[11] == (None, None)
+    assert out[20] == (None, None) and out[21] == (None, None)  # NULL combo suppressed
+    assert len(out) == len(rows)  # no row loss, no duplication
+    # post-suppression audit: every combo now >= k or is the all-NULL pool
+    post = k_anonymity_report(
+        k_suppress(df, ["country", "seg"], k=3), ["country", "seg"], k=3
+    ).collect()
+    assert all(not r.at_risk or (r.country is None and r.seg is None) for r in post)
