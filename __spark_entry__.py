@@ -102,6 +102,7 @@ _VERIFY_FIRST = [
     # oldest-r8 stamps
     "image_thumbnail_pairs",
     "k_anonymity_customers",
+    "image_rotated_dedup",
     "incremental_image_dedup_probe",
     "simhash_pairs",
     "simhash_pairs_blocked",

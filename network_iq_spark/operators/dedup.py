@@ -1133,6 +1133,80 @@ def downscale_derivative_pairs(
     )
 
 
+def _dihedral_index_maps(side: int) -> list[list[int]]:
+    """Row-major index remaps for the 8 symmetries of a square grid
+    (identity, 3 rotations, 4 reflections): maps[t][k] = source index of
+    output position k under transform t."""
+    n = side
+    maps = []
+    for t in range(8):
+        m = []
+        for i in range(n):
+            for j in range(n):
+                if t == 0:
+                    r, c = i, j  # identity
+                elif t == 1:
+                    r, c = n - 1 - j, i  # rot90
+                elif t == 2:
+                    r, c = n - 1 - i, n - 1 - j  # rot180
+                elif t == 3:
+                    r, c = j, n - 1 - i  # rot270
+                elif t == 4:
+                    r, c = i, n - 1 - j  # horizontal mirror
+                elif t == 5:
+                    r, c = n - 1 - i, j  # vertical mirror
+                elif t == 6:
+                    r, c = j, i  # transpose
+                else:
+                    r, c = n - 1 - j, n - 1 - i  # anti-transpose
+                m.append(r * n + c)
+        maps.append(m)
+    return maps
+
+
+def dihedral_canonical_key(px_col: str = "px", side: int = 8) -> Column:
+    """ROTATION/MIRROR-invariant fingerprint of a square integer grid
+    (r11) — the fourth transform axis (shift / crop / scale / rotation):
+    serialize the grid under all 8 dihedral symmetries and md5 the
+    LEXICOGRAPHICALLY SMALLEST serialization. Two grids related by any
+    rotation/reflection share the canonical form EXACTLY (the dihedral
+    group is closed, so both orbits enumerate the same 8 strings), and
+    unrelated random grids collide only by md5 accident — dedup becomes
+    the same hash-groupBy as exact_dedup. Integer-exact, pure map work,
+    SQL-replayable (string LEAST over the 8 serializations is
+    engine-identical on ASCII digit strings)."""
+    sers = [
+        "array_join(array("
+        + ", ".join(f"cast({px_col}[{k}] as string)" for k in m)
+        + "), ' ')"
+        for m in _dihedral_index_maps(side)
+    ]
+    return F.expr("md5(least(" + ", ".join(sers) + "))")
+
+
+def rotated_dedup_pairs(
+    df: DataFrame,
+    side: int = 8,
+    id_col: str = "media_id",
+    px_col: str = "px",
+) -> DataFrame:
+    """(keep_id, dup_id) pairs under rotation/mirror equivalence: group
+    by :func:`dihedral_canonical_key`, keep the min id per orbit, emit
+    one row per other member. One shuffle on the canonical hash; output
+    ∝ duplicate count. The exact-match discipline of exact_dedup with a
+    transform-closed fingerprint."""
+    keyed = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id__"),
+        dihedral_canonical_key(px_col, side).alias("ckey"),
+    )
+    keep = keyed.groupBy("ckey").agg(F.min("__id__").alias("keep_id"))
+    return (
+        keyed.join(keep, "ckey")
+        .filter(F.col("__id__") != F.col("keep_id"))
+        .select("keep_id", F.col("__id__").alias("dup_id"))
+    )
+
+
 def waveform_dhash(s_col: str = "s", n_samples: int = 64) -> Column:
     """1-D gradient fingerprint over decoded PCM samples — the audio twin
     of :func:`image_dhash`: bit k is set iff s[k+1] > s[k], n_samples−1

@@ -2256,3 +2256,88 @@ def q_media_near_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+_ROT_TWIN_EVERY, _ROT_TWIN_OFFSET = 10, 3_000_000
+
+
+def _rot_oracle() -> str:
+    """DuckDB replay of rotation/mirror-invariant dedup: the canonical
+    key is md5(LEAST over the 8 dihedral serializations) — string LEAST
+    on ASCII digit strings is engine-identical — and the plant applies
+    one of the 7 non-identity transforms chosen by id."""
+    from network_iq_spark.operators.dedup import _dihedral_index_maps
+
+    maps = _dihedral_index_maps(_IMG_SIDE)
+
+    def ser(m):
+        return (
+            "array_to_string(["
+            + ", ".join(f"CAST(px[{k + 1}] AS VARCHAR)" for k in m)
+            + "], ' ')"
+        )
+
+    canon = "md5(LEAST(" + ", ".join(ser(m) for m in maps) + "))"
+    plant_arms = " ".join(
+        f"WHEN {t - 1} THEN [" + ", ".join(f"px[{k + 1}]" for k in maps[t]) + "]"
+        for t in range(1, 8)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    twins AS (
+      SELECT media_id + {_ROT_TWIN_OFFSET} AS media_id,
+             CASE (media_id // {_ROT_TWIN_EVERY}) % 7 {plant_arms} END AS px
+      FROM base WHERE media_id % {_ROT_TWIN_EVERY} = 0
+    ),
+    imgs AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    keyed AS (SELECT media_id, {canon} AS ckey FROM imgs),
+    keep AS (SELECT ckey, MIN(media_id) AS keep_id FROM keyed GROUP BY 1)
+    SELECT k.keep_id, i.media_id AS dup_id
+    FROM keyed i JOIN keep k USING (ckey)
+    WHERE i.media_id != k.keep_id
+    ORDER BY keep_id, dup_id
+    """
+
+
+@register("image_rotated_dedup", oracle=_rot_oracle())
+def q_image_rotated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROTATION/MIRROR-invariant image dedup (r11) — the fourth
+    transform axis (shift / crop / scale / rotation): mirrored and
+    rotated reposts are a real duplicate class in crawled image corpora
+    and are invisible to every positional fingerprint. The canonical
+    dihedral form (operators/dedup.py dihedral_canonical_key: md5 of the
+    lexicographically smallest of the 8 symmetry serializations) is
+    transform-CLOSED, so detection is the same one-shuffle hash-groupBy
+    as exact_dedup — no pair explosion, no similarity threshold, output
+    ∝ duplicates. Every 10th image gets a planted twin cycling through
+    all 7 non-identity transforms (3 rotations + 4 reflections);
+    integer-exact end to end, oracle-replayable."""
+    from network_iq_spark.operators.dedup import (
+        _dihedral_index_maps,
+        rotated_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor(((least(greatest("
+        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+        ") as int))"
+    )
+    base = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    maps = _dihedral_index_maps(_IMG_SIDE)
+    arms = " ".join(
+        f"WHEN {t - 1} THEN array(" + ", ".join(f"px[{k}]" for k in maps[t]) + ")"
+        for t in range(1, 8)
+    )
+    twins = base.filter(F.col("media_id") % _ROT_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _ROT_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"CASE cast((media_id div {_ROT_TWIN_EVERY}) % 7 as int) {arms} END"
+        ).alias("px"),
+    )
+    imgs = base.unionByName(twins)
+    return rotated_dedup_pairs(imgs, side=_IMG_SIDE).orderBy(
+        "keep_id", "dup_id"
+    )

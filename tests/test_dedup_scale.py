@@ -623,6 +623,48 @@ def test_thumbnail_pairs_exact_and_capped(spark):
     assert len(q.collect()) > 0
 
 
+def test_rotated_dedup_orbit_closure_and_dhash_contrast(spark):
+    """Rotation/mirror contract (r11): (a) the canonical dihedral key is
+    INVARIANT under all 8 symmetries (orbit closure — numpy-checked for
+    every transform), (b) every planted rotated/mirrored twin groups
+    with its original, (c) distinct grids never group, and (d) the
+    rotated twins are invisible to the positional dHash tier."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    base = [(i, rng.integers(0, 256, (8, 8))) for i in range(20)]
+    rows, want = [], set()
+    for i, g in base:
+        rows.append((i, [int(x) for x in g.reshape(-1)]))
+        for t, tg in enumerate(
+            [np.rot90(g, 1), np.rot90(g, 2), np.rot90(g, 3),
+             np.fliplr(g), np.flipud(g), g.T, np.rot90(g, 2).T]
+        ):
+            if (i + t) % 3 == 0:  # plant a varying subset of transforms
+                rows.append((i * 100 + 1000 + t, [int(x) for x in tg.reshape(-1)]))
+                want.add((i, i * 100 + 1000 + t))
+    df = spark.createDataFrame(rows, "media_id long, px array<int>")
+    got = {(r.keep_id, r.dup_id) for r in D.rotated_dedup_pairs(df).collect()}
+    assert got == want
+    # (a) orbit closure at expression level: one grid, all 8 transforms,
+    # one canonical key
+    g = base[0][1]
+    orbit = [g, np.rot90(g, 1), np.rot90(g, 2), np.rot90(g, 3),
+             np.fliplr(g), np.flipud(g), g.T, np.rot90(g, 2).T]
+    odf = spark.createDataFrame(
+        [(t, [int(x) for x in m.reshape(-1)]) for t, m in enumerate(orbit)],
+        "media_id long, px array<int>",
+    )
+    keys = {r.k for r in odf.select(D.dihedral_canonical_key().alias("k")).collect()}
+    assert len(keys) == 1
+    # (d) the positional gradient hash misses every rotated twin
+    aligned = {
+        (r.id_a, r.id_b)
+        for r in D.image_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert not (aligned & want)
+
+
 def test_incremental_hamming_equals_full_cross_pairs(spark):
     """The batch-vs-index probe must find exactly the cross (batch,
     history) pairs the full blocked scan finds over the union — the
