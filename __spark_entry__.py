@@ -103,6 +103,7 @@ _VERIFY_FIRST = [
     "image_thumbnail_pairs",
     "k_anonymity_customers",
     "image_rotated_dedup",
+    "transform_dedup_census",
     "incremental_image_dedup_probe",
     "simhash_pairs",
     "simhash_pairs_blocked",

@@ -2341,3 +2341,67 @@ def q_image_rotated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rotated_dedup_pairs(imgs, side=_IMG_SIDE).orderBy(
         "keep_id", "dup_id"
     )
+
+
+def _transform_census_oracle() -> str:
+    """Composed from the three transform tiers' registered oracles (the
+    registry is the single source of truth, so the census can never
+    desync from the tiers it summarizes)."""
+    from network_iq_spark.registry import ORACLES
+
+    def arm(axis: str, name: str, a: str, b: str, offset: int) -> str:
+        return f"""
+      SELECT '{axis}' AS axis,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN {b} = {a} + {offset} OR {a} = {b} + {offset}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_links
+      FROM ({ORACLES[name]})"""
+
+    return f"""
+    SELECT axis, n_pairs, n_planted_links FROM (
+      {arm("crop", "image_cropped_near_dup_pairs", "id_a", "id_b", _CROP_TWIN_OFFSET)}
+      UNION ALL
+      {arm("rotation", "image_rotated_dedup", "keep_id", "dup_id", _ROT_TWIN_OFFSET)}
+      UNION ALL
+      {arm("scale", "image_thumbnail_pairs", "full_id", "thumb_id", _THUMB_TWIN_OFFSET)}
+    ) ORDER BY axis
+    """
+
+
+@register("transform_dedup_census", oracle=_transform_census_oracle())
+def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform-axis dedup census (r11) — the one-row-per-axis summary a
+    corpus run reports for the GEOMETRIC duplicate classes (crop / scale
+    / rotation; the shift axes live in the media census's modalities):
+    pair count and planted-link recovery per axis, rolled up from the
+    three full pipelines. The oracle composes the three registered
+    oracles verbatim from the registry — one hash covers the whole
+    transform-dedup surface (the media_near_dup_census precedent)."""
+
+    def arm(df: DataFrame, axis: str, a: str, b: str, offset: int) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    (F.col(b) == F.col(a) + offset)
+                    | (F.col(a) == F.col(b) + offset),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_planted_links"),
+        ).select(F.lit(axis).alias("axis"), "n_pairs", "n_planted_links")
+
+    crop = arm(
+        q_image_cropped_near_dup_pairs(spark, sf_dir),
+        "crop", "id_a", "id_b", _CROP_TWIN_OFFSET,
+    )
+    rot = arm(
+        q_image_rotated_dedup(spark, sf_dir),
+        "rotation", "keep_id", "dup_id", _ROT_TWIN_OFFSET,
+    )
+    scale = arm(
+        q_image_thumbnail_pairs(spark, sf_dir),
+        "scale", "full_id", "thumb_id", _THUMB_TWIN_OFFSET,
+    )
+    return crop.unionByName(rot).unionByName(scale).orderBy("axis")
