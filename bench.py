@@ -143,6 +143,9 @@ def main() -> None:
         # first run pays ~13s of Arrow/JIT warm-up — same shape as the
         # prog-JPEG entry above
         "decoded_gif_stats",
+        # r11: same first-run shape (solo [9.22, 2.52, 2.27, 2.25, 2.22]
+        # vs a 3.40 mid-suite min-of-2 = 1.58x its same-day floor)
+        "incremental_image_crop_probe",
         "unigram_surprisal",
     }
     timings: dict[str, float] = {}
