@@ -116,30 +116,20 @@ def k_suppress(
     hierarchies are a policy layer above). Non-quasi columns pass
     through untouched, so the frame stays joinable on its true keys.
 
-    Plan: the under-k combo list is a small aggregate (≤ distinct-combo
-    rows) broadcast back onto the fact — one shuffle for the combo
-    counts, a broadcast hash join for the tagging, no row explosion.
-    After suppression every surviving combo trivially satisfies k (the
-    suppressed rows merge into the all-NULL combo, which is reported,
-    not hidden, by :func:`k_anonymity_report`)."""
-    risky = (
-        df.groupBy(*[F.col(c) for c in quasi_cols])
-        .agg(F.count("*").alias("__n__"))
-        .filter(F.col("__n__") < k)
-        .select(*[F.col(c).alias(f"__r_{c}__") for c in quasi_cols])
-        .withColumn("__suppress__", F.lit(True))
-    )
-    # null-safe equality: a combo like (1, NULL) under k must still
-    # suppress — a plain equi-join's NULL != NULL would skip exactly the
-    # combos partial suppression creates
-    cond = None
+    Plan: ONE window count over the quasi partition — no broadcast, no
+    join. The under-k combo list is NOT small in the realistic privacy
+    case (high-cardinality quasi combos put most of the table under k,
+    so a broadcast of that list is O(rows) to the driver — the r11
+    review caught exactly that hazard in the first formulation), and
+    window partitioning groups NULL quasi values natively, which an
+    equi-join needs null-safe gymnastics for. After suppression every
+    surviving combo trivially satisfies k (the suppressed rows merge
+    into the all-NULL combo, which is reported, not hidden, by
+    :func:`k_anonymity_report`)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    out = df.withColumn("__n__", F.count("*").over(w))
     for c in quasi_cols:
-        eq = F.col(c).eqNullSafe(F.col(f"__r_{c}__"))
-        cond = eq if cond is None else cond & eq
-    joined = df.join(F.broadcast(risky), on=cond, how="left")
-    out = joined
-    for c in quasi_cols:
-        out = out.withColumn(
-            c, F.when(F.col("__suppress__").isNull(), F.col(c))
-        )
+        out = out.withColumn(c, F.when(F.col("__n__") >= k, F.col(c)))
     return out.select(*df.columns)

@@ -53,6 +53,15 @@ _IMG_QUANT_SQL = (
     "list_transform(embedding::DOUBLE[], x -> CAST(floor("
     "((least(greatest(x, -1.0), 1.0)) + 1.0) / 2.0 * 255.0 + 0.5) AS BIGINT))"
 )
+# Spark twin of _IMG_QUANT_SQL — the ONE definition of the 8-bit pixel
+# quantization every image tier shares (r11 review: the expr literal had
+# drifted into ten call sites; a rounding-rule change must hit both
+# engines in exactly one place each)
+_IMG_QUANT_EXPR_SQL = (
+    "transform(embedding, x -> cast(floor(((least(greatest("
+    "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
+    ") as int))"
+)
 
 
 @register(
@@ -87,11 +96,7 @@ def q_decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     side = _IMG_SIDE
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
     src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
 
     def build(it):
@@ -189,11 +194,7 @@ def q_decoded_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     side = _IMG_SIDE
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
     src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
 
     def build(it):
@@ -315,11 +316,7 @@ def _image_nd_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     side = _IMG_SIDE
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
     src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
     twin = src.filter(F.col("media_id") % _DHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _DHASH_TWIN_OFFSET).alias("media_id"),
@@ -506,11 +503,7 @@ def _crop_verify_sql(a: str, b: str) -> str:
 def _crop_corpus(spark: SparkSession, sf_dir: str):
     """Spark twin of _CROP_CORPUS_SQL: (base, crops) grid frames."""
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
     base = emb.select(
         F.col("vec_id").alias("media_id"),
         F.lit(8).alias("w"),
@@ -665,11 +658,7 @@ def q_image_thumbnail_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-half-up resamplers land ±1–2 per pixel away and are outside
     this tier's exact claim."""
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
     base = emb.select(
         F.col("vec_id").alias("media_id"),
         F.lit(8).alias("w"),
@@ -826,11 +815,7 @@ def _img_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-rest image corpus: embeddings quantized to 8×8 gray pixel
     arrays (media_id, px) — shared by the whole image-dedup family."""
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
     return emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
 
 
@@ -1902,11 +1887,7 @@ def q_decoded_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from network_iq_spark.operators.video import encode_y4m
 
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
     src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
     dur = _VID_FRAMES * 1000 // _VID_FPS
 
@@ -2033,11 +2014,7 @@ def q_video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from network_iq_spark.operators.video import decode_y4m, encode_y4m
 
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
     src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
     twin = src.filter(F.col("media_id") % _VHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _VHASH_TWIN_OFFSET).alias("media_id"),
@@ -2157,11 +2134,7 @@ def q_video_frame_shifted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from network_iq_spark.operators.video import decode_y4m, encode_y4m
 
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
     src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
     fsz = _VID_SIDE * _VID_SIDE
     n = _VID_FRAMES * fsz
@@ -2320,11 +2293,7 @@ def q_image_rotated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(
-        "transform(embedding, x -> cast(floor(((least(greatest("
-        "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
-        ") as int))"
-    )
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
     base = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
     maps = _dihedral_index_maps(_IMG_SIDE)
     arms = " ".join(

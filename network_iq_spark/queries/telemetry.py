@@ -745,7 +745,7 @@ def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy audit (r11): k-anonymity over the quasi-identifier combo
     (nation, market segment, account-balance band) — the pre-release
     check a user-derived training table needs: any combo with fewer than
-    {k} members is linkage-re-identifiable. One hash aggregate on the
+    5 members (``_KANON_K``) is linkage-re-identifiable. One hash aggregate on the
     quasi columns, output ∝ distinct combos; the at-risk bit is an
     integer comparison, engine-exact (operators/quality.py
     k_anonymity_report; the row-level suppression counterpart
