@@ -1194,7 +1194,12 @@ def rotated_dedup_pairs(
     by :func:`dihedral_canonical_key`, keep the min id per orbit, emit
     one row per other member. One shuffle on the canonical hash; output
     ∝ duplicate count. The exact-match discipline of exact_dedup with a
-    transform-closed fingerprint."""
+    transform-closed fingerprint — which is also why this tier (and the
+    thumbnail tier) needs no bespoke incremental/streaming operators:
+    the canonical key is a plain exact fingerprint, so
+    :func:`incremental_exact_dedup` and the exact streaming sink ARE its
+    deployment shapes (composition pinned in tests/test_dedup_scale.py
+    test_canonical_keys_compose_with_incremental_exact_machinery)."""
     keyed = ensure_parallelism(df).select(
         F.col(id_col).alias("__id__"),
         dihedral_canonical_key(px_col, side).alias("ckey"),

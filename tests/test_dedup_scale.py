@@ -665,6 +665,41 @@ def test_rotated_dedup_orbit_closure_and_dhash_contrast(spark):
     assert not (aligned & want)
 
 
+def test_canonical_keys_compose_with_incremental_exact_machinery(spark):
+    """The rotation and thumbnail tiers need NO bespoke incremental
+    operators: their fingerprints (dihedral canonical key; derived
+    half-res grid key) are plain exact keys, so the existing
+    incremental_exact_dedup anti-join IS their deployment shape — a
+    batch rotation-twin of an at-rest image is dropped, a novel image
+    survives, O(batch) against the at-rest fingerprint table. This test
+    pins the composition so the symmetry claim stays executable."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    hist = [(i, rng.integers(0, 256, (8, 8))) for i in range(20)]
+    hdf = spark.createDataFrame(
+        [(i, [int(x) for x in g.reshape(-1)]) for i, g in hist],
+        "doc_id long, px array<int>",
+    )
+    hist_fps = hdf.select(
+        "doc_id", D.dihedral_canonical_key().alias("fingerprint")
+    )
+    batch_rows = []
+    for i, g in hist:
+        if i % 4 == 0:  # rotated/mirrored twin of an at-rest image
+            t = np.fliplr(np.rot90(g, 1 + i % 3)) if i % 8 == 0 else np.rot90(g, 1 + i % 3)
+            batch_rows.append((i + 1000, [int(x) for x in t.reshape(-1)]))
+    batch_rows.append((5000, [int(x) for x in rng.integers(0, 256, 64)]))
+    bdf = spark.createDataFrame(batch_rows, "doc_id long, px array<int>")
+    batch_fps = bdf.select(
+        "doc_id", D.dihedral_canonical_key().alias("fingerprint")
+    )
+    survivors = {
+        r.keeper for r in D.incremental_exact_dedup(batch_fps, hist_fps).collect()
+    }
+    assert survivors == {5000}  # every rotated twin dropped, novel kept
+
+
 def test_incremental_hamming_equals_full_cross_pairs(spark):
     """The batch-vs-index probe must find exactly the cross (batch,
     history) pairs the full blocked scan finds over the union — the
