@@ -51,12 +51,18 @@ def main() -> None:
 
     host_before = _host_snapshot()
     # Warn-tag (don't refuse — the round driver's bench must still produce
-    # an artifact): external load above ~25% of the cores at start means
-    # the timings will read high through no fault of the plans. The tag
-    # rides in the artifact so later forensics can discount the round.
+    # an artifact): external load at start means the timings will read high
+    # through no fault of the plans. The tag rides in the artifact so later
+    # forensics can discount the round. Threshold 0.1x cpus (r12, VERDICT
+    # item 2): the original 0.25x gate passed the r11 driver run at
+    # loadavg 5.37/32 — a run whose Arrow-heavy decodes then inflated up
+    # to 5.8x vs floor — i.e. the gate failed on exactly the case it was
+    # built for. Measured inflation starts well below a quarter of the
+    # cores because the suite itself saturates the machine, so any
+    # resident external load steals directly from the measured loop.
     load1 = (host_before.get("loadavg") or [0.0])[0]
     cpus = host_before.get("cpus") or 1
-    host_loaded = load1 > 0.25 * cpus
+    host_loaded = load1 > 0.1 * cpus
     if host_loaded:
         print(
             f"BENCH HOST LOADED: loadavg1={load1} on {cpus} cpus before "
@@ -232,6 +238,54 @@ def main() -> None:
                     ),
                     file=sys.stderr,
                 )
+    # Auto re-time of alarm-band flags (r12, VERDICT item 2): a >1.8x
+    # vs-floor reading taken mid-suite is ambiguous — plan regression vs
+    # transient host/warm-up contention — and r10/r11 each burned a round
+    # of forensics resolving exactly this. Re-time every alarm query at
+    # tail-of-suite with extra repeats and ship BOTH readings in the
+    # artifact, so the flag arrives with its own grounding: a retimed
+    # ratio back near the floor attributes the suite reading to
+    # contention; a retimed ratio still >1.8x is a real regression.
+    if (
+        vs_floor
+        and vs_floor.get("moves_gt_1_8x_vs_floor")
+        and full_path != os.devnull
+        and not os.environ.get("BENCH_NO_RETIME")
+    ):
+        solo_runs = int(os.environ.get("BENCH_SOLO_RERUNS", "4"))
+        try:
+            floors = (
+                json.load(open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_floor.json",
+                ))).get("floors") or {}
+            )
+        except (OSError, ValueError):
+            floors = {}
+        retimed: dict[str, dict] = {}
+        for n in sorted(vs_floor["moves_gt_1_8x_vs_floor"]):
+            best = float("inf")
+            try:
+                for _ in range(solo_runs):
+                    t0 = time.perf_counter()
+                    QUERIES[n](spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — keep grounding the rest
+                retimed[n] = {"err": f"{type(exc).__name__}: {exc}"[:200]}
+                continue
+            f = (floors.get(n) or {}).get("sec")
+            entry = {"suite_sec": timings[n], "retimed_sec": round(best, 4)}
+            if f:
+                entry["retimed_vs_floor"] = round(best / f, 2)
+            retimed[n] = entry
+            print(
+                f"BENCH RETIME {n}: suite={timings[n]}s retimed={best:.3f}s"
+                + (f" ({entry['retimed_vs_floor']}x vs floor)" if f else ""),
+                file=sys.stderr,
+            )
+        vs_floor["retimed_gt_1_8x"] = retimed
     with open(full_path, "w") as fh:
         json.dump(
             {
