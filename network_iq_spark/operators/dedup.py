@@ -925,10 +925,15 @@ def _crop_verify(
     ssd_tol: int,
     a_name: str,
     b_name: str,
+    frames: int = 1,
 ) -> DataFrame:
     """Exact integer 2-D lag scan over candidate pairs: attach both
     grids, take the min (ssd, |dr|+|dc|, dr, dc) struct over the
-    (2·max_crop+1)² offsets, keep pairs with ssd ≤ ssd_tol."""
+    (2·max_crop+1)² offsets, keep pairs with ssd ≤ ssd_tol. With
+    ``frames`` > 1 the grids are frame-major concatenations of
+    ``frames`` equal-size planes and the SSD sums over every plane at
+    the SAME (dr, dc) — the video generalization; frames=1 is the image
+    tier unchanged."""
     ga = grids_a.select(
         F.col("__id__").alias(a_name),
         F.col("__w__").alias("wa"),
@@ -950,12 +955,19 @@ def _crop_verify(
         rhi = f"least(hb, ha - {dr}) - 1"
         chi = f"least(wb, wa - {dc}) - 1"
         ovl = f"(({rhi}) - {rlo} + 1) * (({chi}) - {clo} + 1)"
-        ssd = (
-            f"aggregate(sequence({rlo}, {rhi}), cast(0 as bigint), (acc, i) -> "
-            f"acc + aggregate(sequence({clo}, {chi}), cast(0 as bigint), (a2, j) -> "
-            f"a2 + (cast(pxb[i * wb + j] as bigint) - cast(pxa[(i + {dr}) * wa + j + {dc}] as bigint)) * "
-            f"(cast(pxb[i * wb + j] as bigint) - cast(pxa[(i + {dr}) * wa + j + {dc}] as bigint))))"
-        )
+
+        def frame_ssd(f: int) -> str:
+            # frame-major planes: frame f of grid x starts at f·hx·wx
+            oa = f"{f} * ha * wa + " if f else ""
+            ob = f"{f} * hb * wb + " if f else ""
+            return (
+                f"aggregate(sequence({rlo}, {rhi}), cast(0 as bigint), (acc, i) -> "
+                f"acc + aggregate(sequence({clo}, {chi}), cast(0 as bigint), (a2, j) -> "
+                f"a2 + (cast(pxb[{ob}i * wb + j] as bigint) - cast(pxa[{oa}(i + {dr}) * wa + j + {dc}] as bigint)) * "
+                f"(cast(pxb[{ob}i * wb + j] as bigint) - cast(pxa[{oa}(i + {dr}) * wa + j + {dc}] as bigint))))"
+            )
+
+        ssd = " + ".join(frame_ssd(f) for f in range(frames))
         guard = f"({rhi}) < {rlo} OR ({chi}) < {clo} OR ({ovl}) < {B * B}"
         return (
             f"named_struct('ssd', IF({guard}, cast({1 << 62} as bigint), {ssd}), "
@@ -1047,6 +1059,65 @@ def incremental_cropped_dedup(
     return _crop_verify(cand, bg, ig, max_crop, B, ssd_tol, "new_id", "old_id")
 
 
+def video_cropped_pairs(
+    df: DataFrame,
+    frames: int = 4,
+    max_crop: int = 1,
+    side: int = 4,
+    block: int | None = None,
+    ssd_tol: int = 0,
+    id_col: str = "media_id",
+    px_col: str = "px",
+    w_col: str = "w",
+    h_col: str = "h",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Per-frame crop-TOLERANT video near-dup (r12, VERDICT item 6) —
+    the video cell of the transform matrix's crop axis: a cropped
+    re-encode of a video (letterbox removal, aspect recrop) crops EVERY
+    frame by the same (dr, dc) window, which
+    :func:`video_frame_shifted_pairs` (temporal axis) and
+    ``video_dhash`` (positional bits) both provably miss. Input rows are
+    (id, w, h, px) with ``px`` the frame-major concatenation of
+    ``frames`` equal H×W luma planes.
+
+    Blocking reuses the image crop tier's PIGEONHOLE argument at frame-0
+    grain: every B×B sub-block of each clip's FIRST frame becomes an md5
+    token (:func:`_crop_tokens` verbatim on the frame-0 slice), and a
+    per-frame crop ≤ max_crop preserves at least one intact B×B block of
+    frame 0 — so the token equi-join finds every pure-crop pair with
+    recall 1.0 at ssd_tol = 0, deterministic, oracle-pairable (the
+    :func:`cropped_grid_pairs` contract; blocking on frame 0 alone keeps
+    the per-clip token fanout identical to the image tier instead of
+    ×frames). Verify is the exact integer 2-D lag scan GENERALIZED over
+    frames (:func:`_crop_verify` frames > 1): one (dr, dc) per pair,
+    SSD summed across every plane — a pair whose frame 0 aligns but
+    later frames diverge is rejected exactly. Output
+    (id_a, id_b, dr, dc, ssd ≤ ssd_tol).
+
+    Scale shape: token fanout (h−B+1)·(w−B+1) per clip regardless of
+    frame count; candidates ∝ crop density + capped token collisions
+    (``max_bucket_size`` drops degenerate constant-frame buckets);
+    verify is O(candidates × (2·max_crop+1)² · frames·B²) map work."""
+    B = block if block is not None else side - max_crop
+    grids = _crop_grids_norm(df, B, id_col, px_col, w_col, h_col)
+    f0 = grids.withColumn("__px__", F.expr("slice(__px__, 1, __h__ * __w__)"))
+    toks = _crop_tokens(f0, B, max_bucket_size=max_bucket_size)
+    cand = (
+        toks.alias("a")
+        .join(toks.alias("b"), "tok")
+        .filter(F.col("a.__id__") < F.col("b.__id__"))
+        .select(
+            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
+        )
+        .distinct()
+    )
+    return _crop_verify(
+        cand, grids, grids, max_crop, B, ssd_tol, "id_a", "id_b",
+        frames=frames,
+    )
+
+
 def downscale_derivative_pairs(
     df: DataFrame,
     factor: int = 2,
@@ -1130,6 +1201,67 @@ def downscale_derivative_pairs(
         parents.join(thumbs, "gkey")
         .filter(F.col("full_id") != F.col("thumb_id"))
         .select("full_id", "thumb_id", "thumb_w", "thumb_h")
+    )
+
+
+def resampled_derivative_pairs(
+    df: DataFrame,
+    factor: int = 2,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """RESAMPLE-derivative pairs over integer SEQUENCES (r12, VERDICT
+    item 5) — the audio cell of the transform matrix's scale axis, the
+    1-D sibling of :func:`downscale_derivative_pairs`: detect
+    (full, resampled) pairs where the resampled clip is the full clip's
+    ``factor``× box-average DECIMATION — the sample-rate halving every
+    transcode pipeline runs (48 kHz → 24 kHz and friends). The decimated
+    sample is the truncating integer average of each ``factor``-sample
+    window (d[i] = Σ s[f·i + k] div f — Spark ``div`` and DuckDB ``//``
+    both truncate toward zero, so the tier is engine-exact on SIGNED PCM
+    with no offset trick), so each clip's derived half-rate signal is
+    computed in-plan, keyed by md5 over (length, values), and joined
+    against every clip's OWN key — an exact-match equi-join, recall 1.0
+    for same-pipeline derivatives by construction, no similarity
+    threshold anywhere. Output (full_id, resampled_id, resampled_n).
+
+    BOUNDARY (the :func:`downscale_derivative_pairs` claim, 1-D): exact
+    for truncating-box decimators; a polyphase/windowed-sinc resampler
+    lands ±1–2 per sample away and needs a banded verify — outside this
+    tier. Resample+shift composes with the shifted tier at half rate
+    (compose, don't multiply operators). Scale shape: one map to derive
+    + hash, one exact equi-join on the digest; ``max_bucket_size`` caps
+    degenerate constant-clip keys on BOTH sides (product ≤ cap²), the
+    downscale tier's contract verbatim."""
+    ser = "array_join(transform({v}, x -> cast(x as string)), ' ')"
+    key = (
+        "md5(concat(cast(size({v}) as string), ':', " + ser + "))"
+    )
+    derived = (
+        f"transform(sequence(0, size(__s__) div {factor} - 1), i -> "
+        f"aggregate(sequence(0, {factor - 1}), cast(0 as bigint), "
+        f"(a, k) -> a + __s__[i * {factor} + k]) div {factor})"
+    )
+    src = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__")
+    ).localCheckpoint(eager=False)
+    parents = src.filter(F.expr(f"size(__s__) >= {factor}")).select(
+        F.col("__id__").alias("full_id"),
+        F.expr(key.format(v=derived)).alias("gkey"),
+        F.expr(f"size(__s__) div {factor}").cast("int").alias("resampled_n"),
+    )
+    kids = src.select(
+        F.col("__id__").alias("resampled_id"),
+        F.expr(key.format(v="__s__")).alias("gkey"),
+    )
+    if max_bucket_size is not None:
+        parents = _cap_hot_buckets(parents, ["gkey"], max_bucket_size)
+        kids = _cap_hot_buckets(kids, ["gkey"], max_bucket_size)
+    return (
+        parents.join(kids, "gkey")
+        .filter(F.col("full_id") != F.col("resampled_id"))
+        .select("full_id", "resampled_id", "resampled_n")
     )
 
 

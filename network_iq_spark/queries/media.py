@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from network_iq_spark.operators import dedup as D
+from network_iq_spark.operators import ensure_parallelism
 from network_iq_spark.operators import multimodal as M
 from network_iq_spark.registry import register
 from network_iq_spark.sources import load_table
@@ -97,7 +98,9 @@ def q_decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = _IMG_SIDE
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
 
     def build(it):
         for pdf in it:
@@ -195,7 +198,9 @@ def q_decoded_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = _IMG_SIDE
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
 
     def build(it):
         for pdf in it:
@@ -317,7 +322,9 @@ def _image_nd_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = _IMG_SIDE
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
     twin = src.filter(F.col("media_id") % _DHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _DHASH_TWIN_OFFSET).alias("media_id"),
         F.expr(
@@ -1010,7 +1017,9 @@ def q_decoded_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
         ") as int))"
     )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
 
     def build(it):
         ones = np.ones((8, 8), dtype=np.uint8)
@@ -1123,7 +1132,9 @@ def q_decoded_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
         ") as int))"
     )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
 
     def build(it):
         ones = np.ones((16, 16), dtype=np.uint8)
@@ -1225,7 +1236,9 @@ def q_decoded_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
         ") as int))"
     )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
 
     def build(it):
         ones = np.ones((16, 16), dtype=np.uint8)
@@ -1324,7 +1337,9 @@ def q_decoded_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
         ") as int))"
     )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
 
     def build(it):
         ones = np.ones((16, 16), dtype=np.uint8)
@@ -1561,7 +1576,9 @@ def q_decoded_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(embedding, x -> cast(floor((least(greatest("
         "cast(x as double), -1.0D), 1.0D)) * 32767.0D + 0.5D) as int))"
     )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
 
     def build(it):
         for pdf in it:
@@ -1684,7 +1701,9 @@ def q_audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(embedding, x -> cast(floor((least(greatest("
         "cast(x as double), -1.0D), 1.0D)) * 32767.0D + 0.5D) as int))"
     )
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
     twin = src.filter(F.col("media_id") % _WHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _WHASH_TWIN_OFFSET).alias("media_id"),
         F.expr(
@@ -1809,9 +1828,9 @@ def q_audio_shifted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         f"transform(sequence(1, 64), n -> greatest(-32000, least(32000, "
         f"aggregate(slice({steps}, 1, n), 0, (a, x) -> a + x))))"
     )
-    src = emb.select(
-        F.col("vec_id").alias("media_id"), F.expr(walk).alias("s")
-    )
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), F.expr(walk).alias("s"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
     twin = src.filter(F.col("media_id") % _WHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _WHASH_TWIN_OFFSET).alias("media_id"),
         F.expr(
@@ -1888,7 +1907,9 @@ def q_decoded_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
     dur = _VID_FRAMES * 1000 // _VID_FPS
 
     def build(it):
@@ -2015,7 +2036,9 @@ def q_video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
     twin = src.filter(F.col("media_id") % _VHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _VHASH_TWIN_OFFSET).alias("media_id"),
         F.expr(
@@ -2135,7 +2158,9 @@ def q_video_frame_shifted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    src = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    )  # spread the codec map stage: identity at real scale (op docstring)
     fsz = _VID_SIDE * _VID_SIDE
     n = _VID_FRAMES * fsz
     # 1-frame shift: drop the first frame, repeat the last
@@ -2312,6 +2337,242 @@ def q_image_rotated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RSMP_TWIN_EVERY, _RSMP_TWIN_OFFSET = 10, 4_000_000
+# DuckDB twin of the operator's truncating 2:1 box decimation and its
+# md5-over-(length, values) grid key (1-based lists; BIGINT division in
+# DuckDB (//) and Spark (div) both truncate toward zero — verified on
+# signed PCM, so no offset trick is needed)
+_RSMP_DOWN_SQL = (
+    "list_transform(range(0, len(s) // 2), i -> "
+    "(s[2*i + 1] + s[2*i + 2]) // 2)"
+)
+_RSMP_KEY_SQL = (
+    "md5(CAST(len({v}) AS VARCHAR) || ':' || "
+    "array_to_string(list_transform({v}, x -> CAST(x AS VARCHAR)), ' '))"
+)
+
+
+@register(
+    "audio_resampled_near_dup_pairs",
+    oracle=f"""
+    WITH walks AS (
+      SELECT vec_id AS media_id,
+             list_transform(range(1, 65), n ->
+               greatest(-32000, least(32000, list_sum(steps[1:n])))) AS s
+      FROM (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x ->
+                     CAST(floor(least(greatest(x, -1.0), 1.0) * 2000.0 + 0.5)
+                          AS BIGINT)) AS steps
+            FROM embeddings)
+    ),
+    twins AS (
+      SELECT media_id + {_RSMP_TWIN_OFFSET} AS media_id,
+             {_RSMP_DOWN_SQL} AS s
+      FROM walks WHERE media_id % {_RSMP_TWIN_EVERY} = 0
+    ),
+    clips AS (SELECT * FROM walks UNION ALL SELECT * FROM twins),
+    parents AS (
+      SELECT media_id AS full_id,
+             {_RSMP_KEY_SQL.format(v=_RSMP_DOWN_SQL)} AS gkey,
+             CAST(len(s) // 2 AS INT) AS resampled_n
+      FROM clips WHERE len(s) >= 2
+    ),
+    kids AS (
+      SELECT media_id AS resampled_id, {_RSMP_KEY_SQL.format(v="s")} AS gkey
+      FROM clips
+    )
+    SELECT full_id, resampled_id, resampled_n
+    FROM parents JOIN kids USING (gkey)
+    WHERE full_id != resampled_id
+    ORDER BY full_id, resampled_id
+    """,
+)
+def q_audio_resampled_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESAMPLE-derivative audio near-dup (r12, VERDICT item 5) — the
+    audio cell of the transform matrix's scale axis, completing the
+    audio column (shift: ``audio_shifted_near_dup_pairs``; scale: this):
+    every 10th clip gets a planted 2:1 truncating-box-average DECIMATION
+    (the sample-rate halving every transcode pipeline runs — a
+    resampled re-encode is invisible to both the sample-aligned gradient
+    hash AND the shift tier's fixed-length shingles), and
+    operators/dedup.py resampled_derivative_pairs recovers each
+    (full, resampled) pair via an exact equi-join on the md5 of the
+    derived half-rate signal — recall 1.0 by construction for
+    same-pipeline derivatives, no similarity threshold anywhere,
+    integer-exact end to end (Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero on signed PCM), hence fully oracle-replayable.
+    Clips are the same embedding-derived random walks as the shift tier;
+    the operator docstring states the boundary: interpolating/polyphase
+    resamplers land ±1–2 per sample away and are outside the exact
+    claim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    steps = (
+        "transform(embedding, x -> cast(floor(least(greatest("
+        "cast(x as double), -1.0D), 1.0D) * 2000.0D + 0.5D) as int))"
+    )
+    walk = (
+        f"transform(sequence(1, 64), n -> greatest(-32000, least(32000, "
+        f"aggregate(slice({steps}, 1, n), 0, (a, x) -> a + x))))"
+    )
+    src = emb.select(
+        F.col("vec_id").alias("media_id"), F.expr(walk).alias("s")
+    )
+    twin = src.filter(F.col("media_id") % _RSMP_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _RSMP_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(sequence(0, 31), i -> (s[2*i] + s[2*i + 1]) div 2)"
+        ).alias("s"),
+    )
+    clips = src.unionByName(twin)
+    return D.resampled_derivative_pairs(clips, factor=2).orderBy(
+        "full_id", "resampled_id"
+    )
+
+
+_VCROP_TWIN_EVERY, _VCROP_TWIN_OFFSET, _VCROP_MAX = 10, 5_000_000, 1
+_VCROP_BLOCK = _VID_SIDE - _VCROP_MAX  # 3x3 frame-0 pigeonhole anchors
+
+
+@register(
+    "video_cropped_near_dup_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id AS media_id, {_VID_SIDE} AS w, {_VID_SIDE} AS h,
+             {_IMG_QUANT_SQL} AS px
+      FROM embeddings
+    ),
+    twins AS (
+      SELECT media_id + {_VCROP_TWIN_OFFSET} AS media_id,
+             {_VID_SIDE - 1} AS w, {_VID_SIDE - 1} AS h,
+             flatten(list_transform(range(0, {_VID_FRAMES}), f ->
+               flatten(list_transform(range(0, {_VID_SIDE - 1}), i ->
+                 list_transform(range(0, {_VID_SIDE - 1}), j ->
+                   px[f * {_VID_SIDE * _VID_SIDE}
+                      + (i + dr) * {_VID_SIDE} + j + dc + 1]))))) AS px
+      FROM (
+        SELECT media_id, px,
+               CASE WHEN (media_id // {_VCROP_TWIN_EVERY}) % 3 = 1
+                    THEN 0 ELSE 1 END AS dr,
+               CASE WHEN (media_id // {_VCROP_TWIN_EVERY}) % 3 = 0
+                    THEN 0 ELSE 1 END AS dc
+        FROM base WHERE media_id % {_VCROP_TWIN_EVERY} = 0
+      )
+    ),
+    clips AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    toks AS (
+      SELECT DISTINCT media_id, unnest({_crop_tok_sql(_VCROP_BLOCK)}) AS tok
+      FROM clips
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.media_id < b.media_id
+    ),
+    lags AS (
+      SELECT r.dr, c.dc
+      FROM (SELECT unnest(range(-{_VCROP_MAX}, {_VCROP_MAX + 1})) AS dr) r,
+           (SELECT unnest(range(-{_VCROP_MAX}, {_VCROP_MAX + 1})) AS dc) c
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b, l.dr, l.dc,
+             greatest(0, -l.dr) AS rlo, least(gb.h, ga.h - l.dr) - 1 AS rhi,
+             greatest(0, -l.dc) AS clo, least(gb.w, ga.w - l.dc) - 1 AS chi,
+             ga.px AS pxa, gb.px AS pxb,
+             ga.w AS wa, gb.w AS wb, ga.h AS ha, gb.h AS hb
+      FROM cand c
+      JOIN clips ga ON ga.media_id = c.id_a
+      JOIN clips gb ON gb.media_id = c.id_b
+      CROSS JOIN lags l
+    ),
+    evaled AS (
+      SELECT id_a, id_b, dr, dc,
+             CASE WHEN rhi < rlo OR chi < clo
+                    OR (rhi - rlo + 1) * (chi - clo + 1)
+                       < {_VCROP_BLOCK * _VCROP_BLOCK}
+                  THEN NULL
+                  ELSE list_sum(flatten(list_transform(range(0, {_VID_FRAMES}),
+                    f -> flatten(list_transform(range(rlo, rhi + 1),
+                      i -> list_transform(range(clo, chi + 1), j ->
+                        (pxb[f * hb * wb + i * wb + j + 1]
+                         - pxa[f * ha * wa + (i + dr) * wa + j + dc + 1])
+                      * (pxb[f * hb * wb + i * wb + j + 1]
+                         - pxa[f * ha * wa + (i + dr) * wa + j + dc + 1])
+                  ))))))
+             END AS ssd
+      FROM scored
+    ),
+    picked AS (
+      SELECT id_a, id_b,
+             CAST(dr AS INT) AS dr, CAST(dc AS INT) AS dc,
+             CAST(ssd AS BIGINT) AS ssd,
+             ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b
+               ORDER BY ssd, abs(dr) + abs(dc), dr, dc
+             ) AS rn
+      FROM evaled WHERE ssd IS NOT NULL
+    )
+    SELECT id_a, id_b, dr, dc, ssd
+    FROM picked WHERE rn = 1 AND ssd <= 0
+    ORDER BY id_a, id_b
+    """,
+)
+def q_video_cropped_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame crop-TOLERANT video near-dup (r12, VERDICT item 6) —
+    the video cell of the transform matrix's crop axis, the spatial
+    sibling of ``video_frame_shifted_pairs`` (temporal axis): every 10th
+    clip gets a planted per-frame crop (the same (dr, dc) in {(1,0),
+    (0,1), (1,1)} window cut from every 4×4 frame, cycling by id — the
+    letterbox-removal re-encode class that scrambles video_dhash and
+    slips the shift tier's full-frame shingles), and
+    operators/dedup.py video_cropped_pairs recovers each pair via the
+    image crop tier's machinery at frame grain: pigeonhole 3×3 sub-block
+    tokens on FRAME 0 (deterministic recall 1.0 for crops ≤ 1 — no LSH
+    S-curve, which is why the tier is oracle-pairable; frame-0-only
+    blocking keeps token fanout at image-tier cost) and the exact
+    integer 2-D lag scan generalized across all 4 luma planes at one
+    shared (dr, dc) — a pair whose first frame aligns but later frames
+    diverge is rejected exactly. Output (id_a, id_b, dr, dc, ssd = 0);
+    DuckDB replays tokens, candidates, and the multi-frame verify end
+    to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
+    base = emb.select(
+        F.col("vec_id").alias("media_id"),
+        F.lit(_VID_SIDE).alias("w"),
+        F.lit(_VID_SIDE).alias("h"),
+        quant.alias("px"),
+    )
+    s, fsz = _VID_SIDE, _VID_SIDE * _VID_SIDE
+    twins = (
+        base.filter(F.col("media_id") % _VCROP_TWIN_EVERY == 0)
+        .select(
+            "media_id",
+            "px",
+            F.expr(
+                f"cast(IF((media_id div {_VCROP_TWIN_EVERY}) % 3 = 1, 0, 1) as int)"
+            ).alias("dr"),
+            F.expr(
+                f"cast(IF((media_id div {_VCROP_TWIN_EVERY}) % 3 = 0, 0, 1) as int)"
+            ).alias("dc"),
+        )
+        .select(
+            (F.col("media_id") + _VCROP_TWIN_OFFSET).alias("media_id"),
+            F.lit(s - 1).alias("w"),
+            F.lit(s - 1).alias("h"),
+            F.expr(
+                f"flatten(transform(sequence(0, {_VID_FRAMES - 1}), f -> "
+                f"flatten(transform(sequence(0, {s - 2}), i -> "
+                f"transform(sequence(0, {s - 2}), j -> "
+                f"px[f * {fsz} + (i + dr) * {s} + j + dc])))))"
+            ).alias("px"),
+        )
+    )
+    clips = base.unionByName(twins)
+    return D.video_cropped_pairs(
+        clips, frames=_VID_FRAMES, max_crop=_VCROP_MAX, side=_VID_SIDE,
+        ssd_tol=0,
+    ).orderBy("id_a", "id_b")
+
+
 def _transform_census_oracle() -> str:
     """Composed from the three transform tiers' registered oracles (the
     registry is the single source of truth, so the census can never
@@ -2328,24 +2589,30 @@ def _transform_census_oracle() -> str:
 
     return f"""
     SELECT axis, n_pairs, n_planted_links FROM (
+      {arm("audio_resample", "audio_resampled_near_dup_pairs", "full_id", "resampled_id", _RSMP_TWIN_OFFSET)}
+      UNION ALL
       {arm("crop", "image_cropped_near_dup_pairs", "id_a", "id_b", _CROP_TWIN_OFFSET)}
       UNION ALL
       {arm("rotation", "image_rotated_dedup", "keep_id", "dup_id", _ROT_TWIN_OFFSET)}
       UNION ALL
       {arm("scale", "image_thumbnail_pairs", "full_id", "thumb_id", _THUMB_TWIN_OFFSET)}
+      UNION ALL
+      {arm("video_crop", "video_cropped_near_dup_pairs", "id_a", "id_b", _VCROP_TWIN_OFFSET)}
     ) ORDER BY axis
     """
 
 
 @register("transform_dedup_census", oracle=_transform_census_oracle())
 def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transform-axis dedup census (r11) — the one-row-per-axis summary a
-    corpus run reports for the GEOMETRIC duplicate classes (crop / scale
-    / rotation; the shift axes live in the media census's modalities):
-    pair count and planted-link recovery per axis, rolled up from the
-    three full pipelines. The oracle composes the three registered
-    oracles verbatim from the registry — one hash covers the whole
-    transform-dedup surface (the media_near_dup_census precedent)."""
+    """Transform-axis dedup census (r11; audio_resample + video_crop
+    arms added r12) — the one-row-per-axis summary a corpus run reports
+    for the DERIVATIVE duplicate classes (image crop / scale / rotation,
+    audio resample, video per-frame crop; the shift axes live in the
+    media census's modalities): pair count and planted-link recovery per
+    axis, rolled up from the five full pipelines. The oracle composes
+    the five registered oracles verbatim from the registry — one hash
+    covers the whole transform-dedup surface (the media_near_dup_census
+    precedent)."""
 
     def arm(df: DataFrame, axis: str, a: str, b: str, offset: int) -> DataFrame:
         return df.agg(
@@ -2361,6 +2628,10 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_planted_links"),
         ).select(F.lit(axis).alias("axis"), "n_pairs", "n_planted_links")
 
+    resample = arm(
+        q_audio_resampled_near_dup_pairs(spark, sf_dir),
+        "audio_resample", "full_id", "resampled_id", _RSMP_TWIN_OFFSET,
+    )
     crop = arm(
         q_image_cropped_near_dup_pairs(spark, sf_dir),
         "crop", "id_a", "id_b", _CROP_TWIN_OFFSET,
@@ -2373,4 +2644,14 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_image_thumbnail_pairs(spark, sf_dir),
         "scale", "full_id", "thumb_id", _THUMB_TWIN_OFFSET,
     )
-    return crop.unionByName(rot).unionByName(scale).orderBy("axis")
+    vcrop = arm(
+        q_video_cropped_near_dup_pairs(spark, sf_dir),
+        "video_crop", "id_a", "id_b", _VCROP_TWIN_OFFSET,
+    )
+    return (
+        resample.unionByName(crop)
+        .unionByName(rot)
+        .unionByName(scale)
+        .unionByName(vcrop)
+        .orderBy("axis")
+    )

@@ -764,3 +764,102 @@ def test_video_frame_shifted_pairs_catch_what_video_dhash_misses(spark):
         for r in D.video_near_dup_pairs(df, max_hamming=5, id_col="media_id").collect()
     }
     assert not (aligned & true_twins)
+
+
+def test_resampled_pairs_exact_and_capped(spark):
+    """Resample-derivative contract (r12, the 1-D downscale tier):
+    planted 2:1 truncating-box decimations are all recovered (exact-key
+    join, recall 1.0 by construction) INCLUDING on signed PCM where the
+    truncate-toward-zero semantics of Spark ``div`` must match the
+    DuckDB oracle's ``//``, an unrelated half-length clip never matches,
+    a round-half-up resampler is correctly OUTSIDE the exact claim, and
+    constant-clip key cliques die under the cap."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    rows, want = [], set()
+    for i in range(30):
+        s = rng.integers(-32000, 32000, 64)
+        rows.append((i, [int(x) for x in s]))
+        pairs = s.reshape(32, 2).astype(np.int64)
+        trunc = (pairs.sum(1) / 2).astype(np.int64)  # trunc toward zero
+        if i % 3 == 0:  # truncating decimator -> must match
+            rows.append((i + 1000, [int(x) for x in trunc]))
+            want.add((i, i + 1000))
+        if i % 3 == 1:  # round-half-up -> outside the claim
+            rhu = np.floor(pairs.sum(1) / 2 + 0.5).astype(np.int64)
+            rows.append((i + 2000, [int(x) for x in rhu]))
+    rows.append((9000, [int(x) for x in rng.integers(-32000, 32000, 32)]))
+    df = spark.createDataFrame(rows, "media_id long, s array<int>")
+    out = D.resampled_derivative_pairs(df, factor=2).collect()
+    assert {(r.full_id, r.resampled_id) for r in out} == want
+    assert all(r.resampled_n == 32 for r in out)
+    # constant clique: identical constant clips share derived/own keys
+    const = [(100 + i, [7] * 64) for i in range(10)] + [(200, [7] * 32)]
+    cdf = spark.createDataFrame(const, "media_id long, s array<int>")
+    # each of the 10 full clips pairs with the one 32-sample constant AND
+    # with each other's decimations? no: parents join kids on the DERIVED
+    # key, so every full clip matches the short clip (10 pairs) plus
+    # nothing else (full clips' own keys are 64-long, never derived)
+    assert len(D.resampled_derivative_pairs(cdf).collect()) == 10
+    assert D.resampled_derivative_pairs(cdf, max_bucket_size=5).collect() == []
+    q = QUERIES["audio_resampled_near_dup_pairs"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(q.collect()) > 0
+
+
+def test_video_cropped_pairs_catch_what_shift_and_dhash_miss(spark):
+    """Per-frame video crop contract (r12): a consistent (dr, dc) crop
+    of every frame is (a) recovered with ssd = 0 and the true offset
+    (pigeonhole recall 1.0 via frame-0 tokens), (b) invisible to both
+    the frame-order video_dhash AND the full-frame shingle shift tier,
+    (c) a clip matching on frame 0 only is rejected by the multi-frame
+    verify, and (d) hot constant-frame buckets die under the cap."""
+    import numpy as np
+
+    rng = np.random.default_rng(14)
+
+    def crop(px, dr, dc, frames=4, side=4, nh=3, nw=3):
+        g = np.asarray(px).reshape(frames, side, side)
+        return [int(x) for x in g[:, dr:dr + nh, dc:dc + nw].reshape(-1)]
+
+    base = [(i, [int(x) for x in rng.integers(0, 256, 64)]) for i in range(30)]
+    rows, want = [], {}
+    for i, px in base:
+        rows.append((i, 4, 4, px))
+        if i % 3 == 0:
+            dr, dc = [(1, 0), (0, 1), (1, 1)][(i // 3) % 3]
+            rows.append((i + 1000, 3, 3, crop(px, dr, dc)))
+            want[(i, i + 1000)] = (dr, dc)
+    # frame-0-only impostor of clip 0: same first frame, random rest
+    rows.append((9000, 4, 4, base[0][1][:16]
+                 + [int(x) for x in rng.integers(0, 256, 48)]))
+    df = spark.createDataFrame(rows, "media_id long, w int, h int, px array<int>")
+    out = D.video_cropped_pairs(df, frames=4, max_crop=1, side=4).collect()
+    got = {(r.id_a, r.id_b): (r.dr, r.dc, r.ssd) for r in out}
+    assert set(got) == set(want)
+    assert all(got[k] == (dr, dc, 0) for k, (dr, dc) in want.items())
+    # (b) invisible to the temporal-shift tier and the positional dhash
+    flat = spark.createDataFrame(
+        [(m, px) for m, w, h, px in rows if w == 4],
+        "media_id long, px array<int>",
+    )
+    shifted = {
+        (r.id_a, r.id_b)
+        for r in D.video_frame_shifted_pairs(flat, max_lag=1).collect()
+    }
+    assert not (shifted & set(want))
+    # (d) constant clips: every frame identical constant -> one hot token
+    const = [(100 + i, 4, 4, [9] * 64) for i in range(12)]
+    cdf = spark.createDataFrame(const, "media_id long, w int, h int, px array<int>")
+    assert len(D.video_cropped_pairs(cdf, frames=4, max_crop=1, side=4).collect()) == 66
+    assert D.video_cropped_pairs(
+        cdf, frames=4, max_crop=1, side=4, max_bucket_size=5
+    ).collect() == []
+    q = QUERIES["video_cropped_near_dup_pairs"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(q.collect()) > 0
