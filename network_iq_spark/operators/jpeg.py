@@ -101,9 +101,68 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], 
     return out
 
 
+class _HuffTable(dict):
+    """Canonical-Huffman decode table: the (length, code) → symbol dict
+    plus a lazily-built 16-bit full-lookahead LUT (r12, VERDICT item 4 —
+    the entropy-decode fast path): ``lut[peek16] = (symbol << 5) | code
+    length``, 0 for prefixes that match no code. Prefix-freeness makes
+    the LUT exact — one lookup replaces the up-to-16-iteration
+    bit-by-bit walk (the libjpeg lookahead idea, taken to full code
+    depth so there is no slow path at all)."""
+
+    __slots__ = ("_lut",)
+
+    def __init__(self, codes: dict[tuple[int, int], int]) -> None:
+        super().__init__(codes)
+        self._lut: list[int] | None = None
+
+    @property
+    def lut(self) -> list[int]:
+        if self._lut is None:
+            lut = np.zeros(1 << 16, dtype=np.uint32)
+            for (length, code), sym in self.items():
+                lo = code << (16 - length)
+                lut[lo : lo + (1 << (16 - length))] = (sym << 5) | length
+            self._lut = lut.tolist()
+        return self._lut
+
+
+# DHT spec bytes → table. Decoders run per image inside Arrow batches and
+# real corpora reuse a handful of table specs (every Annex-K encoder
+# ships the same four), so rebuilding dict + LUT per image dominated the
+# tiny-image profile (16% dict build alone). Keyed by the raw spec bytes;
+# bounded because headers are attacker-controlled — a corpus of
+# all-distinct DHTs must not grow driver-side memory without limit.
+_DHT_CACHE: dict[bytes, _HuffTable] = {}
+_DHT_CACHE_MAX = 64
+
+
+def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    key = bytes(bits) + b"\xFF" + bytes(vals)
+    tbl = _DHT_CACHE.get(key)
+    if tbl is None:
+        if len(_DHT_CACHE) >= _DHT_CACHE_MAX:
+            _DHT_CACHE.clear()
+        tbl = _HuffTable(_canonical_codes(bits, vals))
+        _DHT_CACHE[key] = tbl
+    return tbl
+
+
+_ENC_CACHE: dict[bytes, dict[int, tuple[int, int]]] = {}
+
+
 def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol → (code, length) map (encoder direction)."""
-    return {v: (c, l) for (l, c), v in _canonical_codes(bits, vals).items()}
+    """symbol → (code, length) map (encoder direction); memoized like
+    the decode tables — encoders run per image inside Arrow batches and
+    always reuse the module's Annex-K specs."""
+    key = bytes(bits) + b"\xFF" + bytes(vals)
+    out = _ENC_CACHE.get(key)
+    if out is None:
+        if len(_ENC_CACHE) >= _DHT_CACHE_MAX:
+            _ENC_CACHE.clear()
+        out = {v: (c, l) for (l, c), v in _canonical_codes(bits, vals).items()}
+        _ENC_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -145,11 +204,12 @@ class _BitReader:
         self.marker: int | None = None
 
     def _fill(self) -> bool:
-        if self.pos >= len(self.data):
+        data, pos = self.data, self.pos
+        if pos >= len(data):
             return False
-        b = self.data[self.pos]
+        b = data[pos]
         if b == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            nxt = data[pos + 1] if pos + 1 < len(data) else None
             if nxt == 0x00:
                 self.pos += 2
             elif nxt is not None and 0xD0 <= nxt <= 0xD7:
@@ -157,10 +217,18 @@ class _BitReader:
             else:
                 self.marker = nxt
                 return False
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+            return True
+        # bulk path (r12): consume up to 8 plain bytes at once, stopping
+        # before the next 0xFF (stuffing/marker candidate) — the
+        # one-byte-at-a-time fill was ~30% of tiny-image decode
+        chunk = data[pos : pos + 8]
+        ff = chunk.find(0xFF)
+        k = len(chunk) if ff < 0 else ff
+        self.acc = (self.acc << (8 * k)) | int.from_bytes(chunk[:k], "big")
+        self.n += 8 * k
+        self.pos = pos + k
         return True
 
     def bits(self, k: int) -> int | None:
@@ -172,16 +240,28 @@ class _BitReader:
         self.acc &= (1 << self.n) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int | None:
-        code = 0
-        for length in range(1, 17):
-            b = self.bits(1)
-            if b is None:
-                return None
-            code = (code << 1) | b
-            if (length, code) in table:
-                return table[(length, code)]
-        return None
+    def huff(self, table: _HuffTable) -> int | None:
+        """One-lookup Huffman decode against the table's 16-bit LUT
+        (r12): peek up to 16 bits (zero-padded past end-of-segment — a
+        match longer than the real remaining bits is rejected below,
+        which is exactly where the bit-by-bit walk ran dry), consume the
+        matched length. Byte-identical to :func:`_huff_bitwise` by
+        prefix-freeness — differential-fuzzed in tests/test_jpeg.py."""
+        while self.n < 16:
+            if not self._fill():
+                break
+        n = self.n
+        peek = (self.acc >> (n - 16)) if n >= 16 else (self.acc << (16 - n))
+        lut = table._lut
+        if lut is None:
+            lut = table.lut
+        t = lut[peek & 0xFFFF]
+        length = t & 31
+        if length == 0 or length > n:
+            return None
+        self.n = n - length
+        self.acc &= (1 << self.n) - 1
+        return t >> 5
 
     def align_and_consume_rst(self) -> bool:
         """Drop partial byte, consume an RSTn marker; False if absent."""
@@ -192,6 +272,21 @@ class _BitReader:
             self.pos += 2
             return True
         return False
+
+
+def _huff_bitwise(r: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
+    """Pre-r12 bit-by-bit canonical-Huffman walk, kept as the
+    differential-fuzz reference for :meth:`_BitReader.huff` (the GIF LZW
+    precedent: the scalar original stays testable forever)."""
+    code = 0
+    for length in range(1, 17):
+        b = r.bits(1)
+        if b is None:
+            return None
+        code = (code << 1) | b
+        if (length, code) in table:
+            return table[(length, code)]
+    return None
 
 
 def _receive_extend(r: _BitReader, size: int) -> int | None:
@@ -361,15 +456,18 @@ def _decode_block_ac_refine(reader, blk, ac_tbl, ss, se, al, eobrun):
                 blk[k] = val
             k += 1
     if eobrun > 0:
-        while k <= se:  # EOB case: correction bits through the band tail
-            c = int(blk[k])
-            if c != 0:
+        # EOB case: correction bits through the band tail — only
+        # nonzero-HISTORY coefficients consume a bit, so visit exactly
+        # those (r12: the per-position walk over all-zero constant-block
+        # tails dominated progressive decode)
+        if k <= se:
+            for k2 in (k + np.flatnonzero(blk[k : se + 1])).tolist():
+                c = int(blk[k2])
                 bit = reader.bits(1)
                 if bit is None:
                     return None
                 if bit and (abs(c) & p1) == 0:
-                    blk[k] = c + (p1 if c > 0 else -p1)
-            k += 1
+                    blk[k2] = c + (p1 if c > 0 else -p1)
         eobrun -= 1
     return eobrun
 
@@ -552,7 +650,7 @@ def decode_jpeg(payload: bytes):
                 vals = list(seg[i + 17 : i + 17 + n])
                 if len(vals) < n:
                     return None
-                tbl = _canonical_codes(bits, vals)
+                tbl = _huff_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
@@ -664,14 +762,13 @@ def decode_jpeg(payload: bytes):
             return None
         q = qt[tq]
         bh, bw = arr.shape[:2]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        for by in range(bh):
-            for bx in range(bw):
-                block = np.zeros(64, dtype=np.float64)
-                block[ZIGZAG] = arr[by, bx] * q
-                b8 = block.reshape(8, 8)
-                pix = _DCT.T @ b8 @ _DCT  # inverse DCT (orthonormal)
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+        # dequantize + de-zigzag + inverse DCT over ALL blocks in one
+        # broadcast matmul (r12) — identical per-slice 8×8 GEMM, so
+        # float results match the old per-block loop bit for bit
+        dez = np.zeros((bh, bw, 64), dtype=np.float64)
+        dez[:, :, ZIGZAG] = arr * q
+        pix = _DCT.T @ dez.reshape(bh, bw, 8, 8) @ _DCT
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         # sample-replication upsample (deterministic — a SQL twin can
         # mirror it), then crop the MCU padding and level-shift
         if vi != v_max:
@@ -711,22 +808,22 @@ def _encode_block(
     coeff = _DCT @ blk @ _DCT.T
     zz = np.round(coeff.reshape(64)[ZIGZAG] / q).astype(np.int64)
     diff = int(zz[0]) - pred
-    size = int(diff).bit_length() if diff != 0 else 0
+    size = abs(diff).bit_length()
     code, length = dc_codes[size]
-    writer.write(code, length)
     if size:
+        # code and appended value bits in ONE writer call (MSB-first
+        # packing makes concatenation associative) — r12: write() call
+        # count was the top encoder cost after the block scan
         v = diff if diff > 0 else diff + (1 << size) - 1
-        writer.write(v, size)
-    run = 0
-    last_nz = max([k for k in range(1, 64) if zz[k] != 0], default=0)
-    for k in range(1, 64):
-        if k > last_nz:
-            c, ln = ac_codes[0x00]  # EOB
-            writer.write(c, ln)
-            break
-        if zz[k] == 0:
-            run += 1
-            continue
+        writer.write((code << size) | v, length + size)
+    else:
+        writer.write(code, length)
+    # visit only the nonzero AC positions (r12): the constant-block
+    # corpora the oracle tier runs are ~all-zero, and the 63-position
+    # Python scan dominated the encode profile
+    prev = 0
+    for k in (np.flatnonzero(zz[1:]) + 1).tolist():
+        run = k - prev - 1
         while run > 15:
             c, ln = ac_codes[0xF0]  # ZRL
             writer.write(c, ln)
@@ -734,10 +831,12 @@ def _encode_block(
         v = int(zz[k])
         size = abs(v).bit_length()
         c, ln = ac_codes[(run << 4) | size]
-        writer.write(c, ln)
         bitsv = v if v > 0 else v + (1 << size) - 1
-        writer.write(bitsv, size)
-        run = 0
+        writer.write((c << size) | bitsv, ln + size)
+        prev = k
+    if prev < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        writer.write(c, ln)
     return int(zz[0])
 
 
@@ -987,29 +1086,31 @@ def _enc_ac_first(st, zz, ss: int, se: int, al: int) -> None:
     """AC first scan for one block: run/size coding of the
     truncate-toward-zero point-transformed band, EOB runs for all-zero
     tails and blocks."""
-    tvals = []
-    for k in range(ss, se + 1):
-        v = int(zz[k])
-        tvals.append(v >> al if v >= 0 else -((-v) >> al))
-    nz = [i for i, t in enumerate(tvals) if t != 0]
-    if not nz:
+    band = np.asarray(zz[ss : se + 1], dtype=np.int64)
+    if not band.any():  # all-zero band: EOB regardless of Al
+        st.bump_eob([])
+        return
+    # truncate-toward-zero point transform, then visit only nonzeros
+    # (r12: the per-position Python walk dominated progressive encode on
+    # the ~all-zero constant-block corpora)
+    tband = np.where(band >= 0, band >> al, -((-band) >> al))
+    nz = np.flatnonzero(tband)
+    if not len(nz):
         st.bump_eob([])
         return
     st.flush_eob()
-    r = 0
-    for i in range(nz[-1] + 1):
-        t = tvals[i]
-        if t == 0:
-            r += 1
-            continue
+    prev = -1
+    for i in nz.tolist():
+        r = i - prev - 1
         while r > 15:
             st.sym(st.ac, 0xF0)
             r -= 16
+        t = int(tband[i])
         size = abs(t).bit_length()
         st.sym(st.ac, (r << 4) | size)
         st.w.write(t if t > 0 else t + (1 << size) - 1, size)
-        r = 0
-    if nz[-1] < len(tvals) - 1:
+        prev = i
+    if prev < len(tband) - 1:
         st.bump_eob([])
 
 
@@ -1018,11 +1119,16 @@ def _enc_ac_refine(st, zz, ss: int, se: int, al: int) -> None:
     zero-HISTORY positions; already-significant coefficients contribute
     a correction bit (bit ``al`` of the magnitude) at the moment the
     decoder's advance walk passes them."""
-    band = [int(zz[k]) for k in range(ss, se + 1)]
-    tv = [abs(v) >> al for v in band]
-    newly = [i for i, t in enumerate(tv) if t == 1]
+    barr = np.asarray(zz[ss : se + 1], dtype=np.int64)
+    if not barr.any():  # all-zero history: no newly-significant, no
+        st.bump_eob([])  # correction bits — plain EOB bump
+        return
+    tvarr = np.abs(barr) >> al
+    band = barr.tolist()
+    tv = tvarr.tolist()
+    newly = np.flatnonzero(tvarr == 1).tolist()
     if not newly:
-        st.bump_eob([tv[j] & 1 for j in range(len(tv)) if tv[j] > 1])
+        st.bump_eob([int(t) & 1 for t in tvarr[tvarr > 1].tolist()])
         return
     st.flush_eob()
     i = 0  # decoder walk pointer over the band
@@ -1056,13 +1162,14 @@ def _fdct_quant_blocks(plane, q):
     import numpy as _np
 
     bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-    out = _np.zeros((bh, bw, 64), dtype=_np.int64)
-    for by in range(bh):
-        for bx in range(bw):
-            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coeff = _DCT @ blk @ _DCT.T
-            out[by, bx] = _np.round(coeff.reshape(64)[ZIGZAG] / q).astype(_np.int64)
-    return out
+    # one broadcast matmul over all blocks (r12) — np.matmul runs the
+    # identical 8×8 GEMM per stacked slice, so the per-block float
+    # summation order (and hence every rounded coefficient) is unchanged
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    coeff = _DCT @ blocks @ _DCT.T
+    return _np.round(
+        coeff.reshape(bh, bw, 64)[:, :, ZIGZAG] / q
+    ).astype(_np.int64)
 
 
 def encode_jpeg_progressive(
