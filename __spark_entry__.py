@@ -26,101 +26,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
-# the queries with the least external verification first. The r10 rotation
-# drain left every stamp at r7+ (44 r7 / 46 r8 / 43 r9 / 50 r10); the r11
-# window = the four queries that have NEVER been driver-sampled (the new
-# crop tier + its incremental probe and the two newly oracle-paired
-# shifted tiers), the two riding the r11 GIF codec vectorization
-# (decoded_gif_stats, media_contract), then the ENTIRE 44-query r7
-# cohort (oldest stamps). 4 + 2 + 44 = 50 exactly — after this window
-# samples green, no stamp predates r8 and steady-state rotation
-# (50/round over ~187) keeps every stamp <= 4 rounds old.
-# (incremental_image_dedup_probe also changed in r11, but only its
-# missing-artifact FALLBACK branch — the committed aux_data index exists
-# at driver time, so the executed plan is identical to its green r10
-# stamp; the fallback is covered by the local test. It leads the
-# overflow instead of displacing an r7 re-stamp.)
+# the queries with the least external verification first. After the r11
+# window, stamps stand at 50 r11 / 50 r10 / 43 r9 / 44 r8 with exactly
+# four sheet queries never driver-sampled. The r12 window = those four
+# (r11-late additions; transform_dedup_census additionally grew two arms
+# this round, so its stamp covers the r12 shape), the two NEW r12 tiers
+# (audio resample + video per-frame crop), incremental_image_dedup_probe
+# (r11 fallback-branch change, per the r11 verdict's ordering), the
+# three decoded_jpeg* queries riding the r12 entropy-decode
+# vectorization, then the r8 cohort (oldest stamps). 4 + 2 + 1 + 3 = 10
+# head slots + 42 of the 44 r8 queries = 50 exactly (jpeg420/prog are
+# r8-stamped AND r12-touched, so they sit in the head, not the cohort
+# count); the two alphabetically-last r8 queries (warc_extract_stats,
+# weighted_sample_per_source) overflow and lead r13. The r12
+# _crop_verify frames-generalization leaves the frames=1 expression
+# byte-identical, so the r11-stamped crop queries keep their stamps.
 _VERIFY_FIRST = [
-    # never driver-sampled (new in r11)
-    "image_cropped_near_dup_pairs",
-    "incremental_image_crop_probe",
-    "audio_shifted_near_dup_pairs",
-    "video_frame_shifted_pairs",
-    # code touched in r11
-    "decoded_gif_stats",
-    "media_contract",
-    # the full r7-stamped cohort (oldest external stamps in the sheet)
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "ann_pq_rerank_topk",
-    "bpe_train_merges",
-    "brand_top_parts",
-    "centered_mavg_volume",
-    "cluster_keep_best",
-    "cohort_retention",
-    "customers_without_orders",
-    "decoded_audio_stats",
-    "decoded_video_stats",
-    "dedup_clusters",
-    "dedup_keep_last",
-    "event_type_domains",
-    "funnel_steps",
-    "group_safe_splits",
-    "hourly_baseline",
-    "hourly_compare_unpivot",
-    "hourly_profile",
-    "hourly_type_pivot",
-    "html_extract",
-    "json_props_stats",
-    "kpi_cards",
-    "latest_snapshot",
-    "lsh_quality_report",
-    "minmax_norm",
-    "nation_supplier_balance",
-    "order_line_rollup",
-    "order_priority_stats",
-    "order_snapshot_diff",
-    "pricing_summary",
-    "quality_psi_drift",
-    "recursive_copurchase_reach",
-    "regional_revenue",
-    "risky_hours",
-    "rolling_features",
-    "segment_acctbal_stats",
-    "sequence_packing",
-    "simhash60_pairs",
-    "stratified_sample_counts",
-    "top_revenue_customers",
-    "training_data_pipeline",
-    "url_canonical_dedup",
-    "zscore_top_anomalies",
-    # --- 50-slot window boundary ---
-    # overflow, r12-priority order: the one r11 addition that did not
-    # fit the window (the r7 cohort outranked it per the r10 verdict's
-    # item 6; locally oracle-replayed green, r12 stamps it), then the
-    # r11 fallback-branch change and operator-module churn, then
-    # oldest-r8 stamps
+    # never driver-sampled (r11-late additions)
     "image_thumbnail_pairs",
     "k_anonymity_customers",
     "image_rotated_dedup",
     "transform_dedup_census",
+    # new in r12 (transform-matrix audio/video cells)
+    "audio_resampled_near_dup_pairs",
+    "video_cropped_near_dup_pairs",
+    # code touched in r11/r12
     "incremental_image_dedup_probe",
-    "simhash_pairs",
-    "simhash_pairs_blocked",
-    "media_dhash_index",
-    "chunk_overlap_admission",
-    "exact_dedup",
-    "minhash_lsh_pairs",
-    "minhash_lsh_pairs_prod",
-    "jaccard_top_pairs",
-    "doc_fingerprints",
-    "image_near_dup_pairs",
-    "audio_near_dup_pairs",
-    "video_near_dup_pairs",
-    "media_near_dup_census",
-    "image_dedup_clusters",
+    "decoded_jpeg_stats",
+    "decoded_jpeg420_stats",
+    "decoded_jpeg_prog_stats",
+    # the r8-stamped cohort (oldest external stamps in the sheet),
+    # minus the two jpeg entries above and the two overflow entries
+    "acctbal_quartiles",
+    "acctbal_quartiles_scalable",
+    "asof_last_purchase",
+    "bpe_token_stats",
+    "c4_line_filter",
+    "cm_heavy_hitters",
     "contamination_check",
-    "decontamination_spans",
+    "copurchase_triangles",
+    "cosine_topk",
+    "cube_order_stats",
+    "customer_order_seq",
+    "customers_with_orders",
+    "delta_abs_p95",
+    "doc_fingerprints",
+    "doc_splits",
+    "duplicate_spans",
+    "embedding_label_stats",
+    "embedding_near_dup",
+    "events_in_windows",
+    "ewma_hourly",
+    "exact_dedup",
+    "fertility_by_lang",
+    "gopher_quality_flags",
+    "hourly_gapfill",
+    "incremental_quantile_refresh",
+    "incremental_rollup_refresh",
+    "ivf_cosine_topk",
+    "jaccard_top_pairs",
+    "kn_trigram_surprisal",
+    "lang_id",
+    "mad_outliers",
+    "multimodal_features",
+    "nation_activity_full_join",
+    "orders_above_customer_avg",
+    "part_type_setops",
+    "pii_scan",
+    "qty_price_correlation",
+    "quality_scores",
+    "range_window_stats",
+    "scd2_user_type_history",
+    # --- 50-slot window boundary ---
+    # overflow, r13-priority order: the two r8 stamps that did not fit,
+    # then the oldest-r9 cohort
+    "warc_extract_stats",
+    "weighted_sample_per_source",
 ]
 
 

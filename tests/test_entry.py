@@ -50,32 +50,35 @@ def test_verify_first_names_all_resolve():
     assert not missing, missing
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
-    # the r11 window: the four never-sampled queries lead (crop tier +
-    # its incremental probe, the two newly oracle-paired shifted tiers),
-    # then the two GIF-codec-touched queries, then the ENTIRE 44-query
-    # r7 cohort — after it samples green no sheet stamp predates r8
+    # the r12 window: the four r11-late never-sampled queries lead
+    # (transform_dedup_census in its r12 five-arm shape), then the two
+    # NEW r12 transform cells, the r11-fallback-touched incremental
+    # probe, the three decoded_jpeg* queries riding the r12
+    # entropy-decode vectorization, then 42 of the 44-query r8 cohort
+    # (the two alphabetically-last overflow to r13)
     window = list(qs)[:50]
-    assert window[:6] == [
-        "image_cropped_near_dup_pairs", "incremental_image_crop_probe",
-        "audio_shifted_near_dup_pairs", "video_frame_shifted_pairs",
-        "decoded_gif_stats", "media_contract",
+    assert window[:10] == [
+        "image_thumbnail_pairs", "k_anonymity_customers",
+        "image_rotated_dedup", "transform_dedup_census",
+        "audio_resampled_near_dup_pairs", "video_cropped_near_dup_pairs",
+        "incremental_image_dedup_probe", "decoded_jpeg_stats",
+        "decoded_jpeg420_stats", "decoded_jpeg_prog_stats",
     ]
-    r7_cohort = [
-        "ann_ivfpq_topk", "ann_pq_adc_topk", "ann_pq_rerank_topk",
-        "bpe_train_merges", "brand_top_parts", "centered_mavg_volume",
-        "cluster_keep_best", "cohort_retention", "customers_without_orders",
-        "decoded_audio_stats", "decoded_video_stats", "dedup_clusters",
-        "dedup_keep_last", "event_type_domains", "funnel_steps",
-        "group_safe_splits", "hourly_baseline", "hourly_compare_unpivot",
-        "hourly_profile", "hourly_type_pivot", "html_extract",
-        "json_props_stats", "kpi_cards", "latest_snapshot",
-        "lsh_quality_report", "minmax_norm", "nation_supplier_balance",
-        "order_line_rollup", "order_priority_stats", "order_snapshot_diff",
-        "pricing_summary", "quality_psi_drift", "recursive_copurchase_reach",
-        "regional_revenue", "risky_hours", "rolling_features",
-        "segment_acctbal_stats", "sequence_packing", "simhash60_pairs",
-        "stratified_sample_counts", "top_revenue_customers",
-        "training_data_pipeline", "url_canonical_dedup",
-        "zscore_top_anomalies",
+    r8_cohort = [
+        "acctbal_quartiles", "acctbal_quartiles_scalable",
+        "asof_last_purchase", "bpe_token_stats", "c4_line_filter",
+        "cm_heavy_hitters", "contamination_check", "copurchase_triangles",
+        "cosine_topk", "cube_order_stats", "customer_order_seq",
+        "customers_with_orders", "delta_abs_p95", "doc_fingerprints",
+        "doc_splits", "duplicate_spans", "embedding_label_stats",
+        "embedding_near_dup", "events_in_windows", "ewma_hourly",
+        "exact_dedup", "fertility_by_lang", "gopher_quality_flags",
+        "hourly_gapfill", "incremental_quantile_refresh",
+        "incremental_rollup_refresh", "ivf_cosine_topk",
+        "jaccard_top_pairs", "kn_trigram_surprisal", "lang_id",
+        "mad_outliers", "multimodal_features", "nation_activity_full_join",
+        "orders_above_customer_avg", "part_type_setops", "pii_scan",
+        "qty_price_correlation", "quality_scores", "range_window_stats",
+        "scd2_user_type_history",
     ]
-    assert window[6:50] == r7_cohort
+    assert window[10:50] == r8_cohort
