@@ -387,3 +387,56 @@ def test_progressive_rejects_bad_band_spec():
         encode_jpeg_progressive(img, ac_bands=((1, 5), (7, 63)))  # gap at 6
     with pytest.raises(ValueError):
         encode_jpeg_progressive(img, ac_bands=((2, 63),))  # misses 1
+
+
+def test_huff_lut_matches_bitwise_reference():
+    """Differential fuzz of the r12 16-bit-LUT Huffman fast path against
+    the scalar bit-by-bit walk (the GIF LZW precedent): random Annex-K-
+    and random-table streams, random stuffing/truncation — every
+    (symbol, consumed-bits) sequence must be identical, including the
+    None (corrupt/exhausted) terminations."""
+    import random
+
+    from network_iq_spark.operators.jpeg import (
+        _AC_LUM_BITS,
+        _AC_LUM_VALS,
+        _DC_LUM_BITS,
+        _DC_LUM_VALS,
+        _BitReader,
+        _huff_bitwise,
+        _huff_table,
+    )
+
+    rng = random.Random(1234)
+    tables = [
+        _huff_table(_DC_LUM_BITS, _DC_LUM_VALS),
+        _huff_table(_AC_LUM_BITS, _AC_LUM_VALS),
+    ]
+    # a sparse random table: 1 code of length 2, 2 of 5, 3 of 11 — leaves
+    # most 16-bit prefixes INVALID, exercising the lut-miss path
+    bits = [0, 1, 0, 0, 2, 0, 0, 0, 0, 0, 3, 0, 0, 0, 0, 0]
+    tables.append(_huff_table(bits, list(range(sum(bits)))))
+    for trial in range(300):
+        tbl = tables[trial % len(tables)]
+        raw = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+        # inject stuffing so the fill paths (bulk + 0xFF) both run
+        stuffed = bytearray()
+        for b in raw:
+            stuffed.append(b)
+            if b == 0xFF:
+                stuffed.append(0x00)
+        data = bytes(stuffed)
+        ra, rb = _BitReader(data, 0), _BitReader(data, 0)
+        for step in range(20):
+            sa = ra.huff(tbl)
+            sb = _huff_bitwise(rb, tbl)
+            assert sa == sb, (trial, step, sa, sb)
+            if sa is None:
+                break
+            # behavioral alignment check: interleave a raw-bit read —
+            # any consumed-position divergence shows up as a value
+            # mismatch here or as a symbol mismatch next round
+            # (internal (pos, n) are NOT comparable: the bulk fill
+            # buffers ahead across stuffing pairs)
+            k = 1 + (trial + step) % 7
+            assert ra.bits(k) == rb.bits(k), (trial, step, k)
