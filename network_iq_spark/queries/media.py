@@ -98,9 +98,7 @@ def q_decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = _IMG_SIDE
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
 
     def build(it):
         for pdf in it:
@@ -198,9 +196,7 @@ def q_decoded_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = _IMG_SIDE
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
 
     def build(it):
         for pdf in it:
@@ -322,9 +318,7 @@ def _image_nd_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = _IMG_SIDE
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
     twin = src.filter(F.col("media_id") % _DHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _DHASH_TWIN_OFFSET).alias("media_id"),
         F.expr(
@@ -1017,9 +1011,7 @@ def q_decoded_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(x as double), -1.0D), 1.0D)) + 1.0D) / 2.0D * 255.0D + 0.5D"
         ") as int))"
     )
-    src = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
 
     def build(it):
         ones = np.ones((8, 8), dtype=np.uint8)
@@ -1134,7 +1126,9 @@ def q_decoded_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = ensure_parallelism(
         emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    )  # heavy codec stage (>=1 ms/row): spreading beats the exchange
+    # (A/B-measured r12; light decoders keep the scan partitioning).
+    # Identity at real scale (ensure_parallelism docstring).
 
     def build(it):
         ones = np.ones((16, 16), dtype=np.uint8)
@@ -1238,7 +1232,9 @@ def q_decoded_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = ensure_parallelism(
         emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    )  # heavy codec stage (>=1 ms/row): spreading beats the exchange
+    # (A/B-measured r12; light decoders keep the scan partitioning).
+    # Identity at real scale (ensure_parallelism docstring).
 
     def build(it):
         ones = np.ones((16, 16), dtype=np.uint8)
@@ -1339,7 +1335,9 @@ def q_decoded_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = ensure_parallelism(
         emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    )  # heavy codec stage (>=1 ms/row): spreading beats the exchange
+    # (A/B-measured r12; light decoders keep the scan partitioning).
+    # Identity at real scale (ensure_parallelism docstring).
 
     def build(it):
         ones = np.ones((16, 16), dtype=np.uint8)
@@ -1576,9 +1574,7 @@ def q_decoded_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(embedding, x -> cast(floor((least(greatest("
         "cast(x as double), -1.0D), 1.0D)) * 32767.0D + 0.5D) as int))"
     )
-    src = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
 
     def build(it):
         for pdf in it:
@@ -1701,9 +1697,7 @@ def q_audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(embedding, x -> cast(floor((least(greatest("
         "cast(x as double), -1.0D), 1.0D)) * 32767.0D + 0.5D) as int))"
     )
-    src = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("s"))
     twin = src.filter(F.col("media_id") % _WHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _WHASH_TWIN_OFFSET).alias("media_id"),
         F.expr(
@@ -1828,9 +1822,7 @@ def q_audio_shifted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         f"transform(sequence(1, 64), n -> greatest(-32000, least(32000, "
         f"aggregate(slice({steps}, 1, n), 0, (a, x) -> a + x))))"
     )
-    src = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("media_id"), F.expr(walk).alias("s"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    src = emb.select(F.col("vec_id").alias("media_id"), F.expr(walk).alias("s"))
     twin = src.filter(F.col("media_id") % _WHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _WHASH_TWIN_OFFSET).alias("media_id"),
         F.expr(
@@ -1907,9 +1899,7 @@ def q_decoded_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
     dur = _VID_FRAMES * 1000 // _VID_FPS
 
     def build(it):
@@ -2036,9 +2026,7 @@ def q_video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
     twin = src.filter(F.col("media_id") % _VHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _VHASH_TWIN_OFFSET).alias("media_id"),
         F.expr(
@@ -2158,9 +2146,7 @@ def q_video_frame_shifted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    src = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    )  # spread the codec map stage: identity at real scale (op docstring)
+    src = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
     fsz = _VID_SIDE * _VID_SIDE
     n = _VID_FRAMES * fsz
     # 1-frame shift: drop the first frame, repeat the last
