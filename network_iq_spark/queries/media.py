@@ -1822,7 +1822,9 @@ def q_audio_shifted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         f"transform(sequence(1, 64), n -> greatest(-32000, least(32000, "
         f"aggregate(slice({steps}, 1, n), 0, (a, x) -> a + x))))"
     )
-    src = emb.select(F.col("vec_id").alias("media_id"), F.expr(walk).alias("s"))
+    src = emb.select(
+        F.col("vec_id").alias("media_id"), F.expr(walk).alias("s")
+    )
     twin = src.filter(F.col("media_id") % _WHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _WHASH_TWIN_OFFSET).alias("media_id"),
         F.expr(
