@@ -1246,10 +1246,17 @@ def resampled_derivative_pairs(
     src = ensure_parallelism(df).select(
         F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__")
     ).localCheckpoint(eager=False)
-    parents = src.filter(F.expr(f"size(__s__) >= {factor}")).select(
-        F.col("__id__").alias("full_id"),
-        F.expr(key.format(v=derived)).alias("gkey"),
-        F.expr(f"size(__s__) div {factor}").cast("int").alias("resampled_n"),
+    parents = (
+        src.filter(F.expr(f"size(__s__) >= {factor}"))
+        .select(
+            F.col("__id__").alias("full_id"),
+            F.expr(derived).alias("__d__"),  # derive once, key below
+        )
+        .select(
+            "full_id",
+            F.expr(key.format(v="__d__")).alias("gkey"),
+            F.expr("size(__d__)").cast("int").alias("resampled_n"),
+        )
     )
     kids = src.select(
         F.col("__id__").alias("resampled_id"),
