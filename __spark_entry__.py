@@ -34,10 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # (audio resample + video per-frame crop), incremental_image_dedup_probe
 # (r11 fallback-branch change, per the r11 verdict's ordering), the
 # three decoded_jpeg* queries riding the r12 entropy-decode
-# vectorization, then the r8 cohort (oldest stamps). 4 + 2 + 1 + 3 = 10
-# head slots + 42 of the 44 r8 queries = 50 exactly (jpeg420/prog are
+# vectorization plus decoded_gif_stats (gained the codec-stage
+# repartition in r12) and media_contract (probes the vectorized
+# codecs), then the r8 cohort (oldest stamps). 4 + 2 + 1 + 3 + 2 = 12
+# head slots + 38 of the 44 r8 queries = 50 exactly (jpeg420/prog are
 # r8-stamped AND r12-touched, so they sit in the head, not the cohort
-# count); the two alphabetically-last r8 queries (warc_extract_stats,
+# count); the four alphabetically-last r8 queries (range_window_stats,
+# scd2_user_type_history, warc_extract_stats,
 # weighted_sample_per_source) overflow and lead r13. The r12
 # _crop_verify frames-generalization leaves the frames=1 expression
 # byte-identical, so the r11-stamped crop queries keep their stamps.
@@ -55,8 +58,10 @@ _VERIFY_FIRST = [
     "decoded_jpeg_stats",
     "decoded_jpeg420_stats",
     "decoded_jpeg_prog_stats",
+    "decoded_gif_stats",
+    "media_contract",
     # the r8-stamped cohort (oldest external stamps in the sheet),
-    # minus the two jpeg entries above and the two overflow entries
+    # minus the two jpeg entries above and the four overflow entries
     "acctbal_quartiles",
     "acctbal_quartiles_scalable",
     "asof_last_purchase",
@@ -95,11 +100,11 @@ _VERIFY_FIRST = [
     "pii_scan",
     "qty_price_correlation",
     "quality_scores",
+    # --- 50-slot window boundary ---
+    # overflow, r13-priority order: the four r8 stamps that did not fit,
+    # then the oldest-r9 cohort
     "range_window_stats",
     "scd2_user_type_history",
-    # --- 50-slot window boundary ---
-    # overflow, r13-priority order: the two r8 stamps that did not fit,
-    # then the oldest-r9 cohort
     "warc_extract_stats",
     "weighted_sample_per_source",
 ]

@@ -252,7 +252,9 @@ def main() -> None:
         and full_path != os.devnull
         and not os.environ.get("BENCH_NO_RETIME")
     ):
-        solo_runs = int(os.environ.get("BENCH_SOLO_RERUNS", "4"))
+        # clamp to >= 1: zero runs would json.dump float('inf') readings
+        # into the artifact (bare Infinity — invalid JSON downstream)
+        solo_runs = max(1, int(os.environ.get("BENCH_SOLO_RERUNS", "4")))
         try:
             floors = (
                 json.load(open(os.path.join(

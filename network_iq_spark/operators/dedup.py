@@ -865,15 +865,7 @@ def cropped_grid_pairs(
     B = block if block is not None else side - max_crop
     grids = _crop_grids_norm(df, B, id_col, px_col, w_col, h_col)
     toks = _crop_tokens(grids, B, max_bucket_size=max_bucket_size)
-    cand = (
-        toks.alias("a")
-        .join(toks.alias("b"), "tok")
-        .filter(F.col("a.__id__") < F.col("b.__id__"))
-        .select(
-            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = _crop_candidates(toks)
     return _crop_verify(cand, grids, grids, max_crop, B, ssd_tol, "id_a", "id_b")
 
 
@@ -893,6 +885,21 @@ def _crop_grids_norm(
         )
         .filter((F.col("__h__") >= B) & (F.col("__w__") >= B))
         .localCheckpoint(eager=False)
+    )
+
+
+def _crop_candidates(toks: DataFrame) -> DataFrame:
+    """(id_a < id_b) pairs sharing at least one sub-block token — the
+    crop tier's candidate join, shared by the image and video cells so a
+    blocking change (skew hint, dedup rule) can never diverge them."""
+    return (
+        toks.alias("a")
+        .join(toks.alias("b"), "tok")
+        .filter(F.col("a.__id__") < F.col("b.__id__"))
+        .select(
+            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
+        )
+        .distinct()
     )
 
 
@@ -1101,17 +1108,10 @@ def video_cropped_pairs(
     verify is O(candidates × (2·max_crop+1)² · frames·B²) map work."""
     B = block if block is not None else side - max_crop
     grids = _crop_grids_norm(df, B, id_col, px_col, w_col, h_col)
-    f0 = grids.withColumn("__px__", F.expr("slice(__px__, 1, __h__ * __w__)"))
-    toks = _crop_tokens(f0, B, max_bucket_size=max_bucket_size)
-    cand = (
-        toks.alias("a")
-        .join(toks.alias("b"), "tok")
-        .filter(F.col("a.__id__") < F.col("b.__id__"))
-        .select(
-            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
-        )
-        .distinct()
-    )
+    # frame-0 tokens without slicing: _crop_tokens' max index is
+    # __h__*__w__ - 1, which IS the first plane of the frame-major array
+    toks = _crop_tokens(grids, B, max_bucket_size=max_bucket_size)
+    cand = _crop_candidates(toks)
     return _crop_verify(
         cand, grids, grids, max_crop, B, ssd_tol, "id_a", "id_b",
         frames=frames,

@@ -27,6 +27,7 @@ oracle possible for a lossy codec — see queries/media.py
 
 from __future__ import annotations
 
+import array as _array
 import struct
 
 import numpy as np
@@ -114,16 +115,19 @@ class _HuffTable(dict):
 
     def __init__(self, codes: dict[tuple[int, int], int]) -> None:
         super().__init__(codes)
-        self._lut: list[int] | None = None
+        self._lut: "_array.array[int] | None" = None
 
     @property
-    def lut(self) -> list[int]:
+    def lut(self) -> "_array.array[int]":
         if self._lut is None:
             lut = np.zeros(1 << 16, dtype=np.uint32)
             for (length, code), sym in self.items():
                 lo = code << (16 - length)
                 lut[lo : lo + (1 << (16 - length))] = (sym << 5) | length
-            self._lut = lut.tolist()
+            # array('I'), not tolist(): 256 KB vs ~2.3 MB of boxed ints
+            # per cached table (the DHT cache bound is 64 tables per
+            # Python worker), builds 30x faster, and indexes no slower
+            self._lut = _array.array("I", lut.tobytes())
         return self._lut
 
 

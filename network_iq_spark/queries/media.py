@@ -1723,6 +1723,31 @@ def q_audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# ONE definition of the embedding-derived random-walk audio corpus shared
+# by the shift (r10/r11) and resample (r12) tiers — the _IMG_QUANT_SQL
+# single-source rule: a step-quantization or clamp change must hit both
+# engines in exactly one place each. Per-step quantization at scale 2000,
+# cumulative sum clamped to +-32000, 64 samples.
+_AUD_WALK_SQL = """walks AS (
+      SELECT vec_id AS media_id,
+             list_transform(range(1, 65), n ->
+               greatest(-32000, least(32000, list_sum(steps[1:n])))) AS s
+      FROM (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x ->
+                     CAST(floor(least(greatest(x, -1.0), 1.0) * 2000.0 + 0.5)
+                          AS BIGINT)) AS steps
+            FROM embeddings)
+    )"""
+_AUD_WALK_STEPS_EXPR = (
+    "transform(embedding, x -> cast(floor(least(greatest("
+    "cast(x as double), -1.0D), 1.0D) * 2000.0D + 0.5D) as int))"
+)
+_AUD_WALK_EXPR = (
+    f"transform(sequence(1, 64), n -> greatest(-32000, least(32000, "
+    f"aggregate(slice({_AUD_WALK_STEPS_EXPR}, 1, n), 0, (a, x) -> a + x))))"
+)
+
+
 def _aud_shift_oracle() -> str:
     """DuckDB replay of the FULL shifted-audio pipeline (r11, VERDICT
     item 5 — the round-10 boundary 'float S-curve thresholds' does not
@@ -1750,16 +1775,7 @@ def _aud_shift_oracle() -> str:
         " * (sa.s[i + greatest(l.lag, 0) + 1] - sb.s[i + greatest(-l.lag, 0) + 1])))"
     )
     return f"""
-    WITH walks AS (
-      SELECT vec_id AS media_id,
-             list_transform(range(1, 65), n ->
-               greatest(-32000, least(32000, list_sum(steps[1:n])))) AS s
-      FROM (SELECT vec_id,
-                   list_transform(embedding::DOUBLE[], x ->
-                     CAST(floor(least(greatest(x, -1.0), 1.0) * 2000.0 + 0.5)
-                          AS BIGINT)) AS steps
-            FROM embeddings)
-    ),
+    WITH {_AUD_WALK_SQL},
     twins AS (
       SELECT media_id + {_WHASH_TWIN_OFFSET} AS media_id,
              list_transform(range(0, 64), i ->
@@ -1814,16 +1830,8 @@ def q_audio_shifted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     from network_iq_spark.operators.audio import decode_wav, encode_wav
 
     emb = load_table(spark, sf_dir, "embeddings")
-    steps = (
-        "transform(embedding, x -> cast(floor(least(greatest("
-        "cast(x as double), -1.0D), 1.0D) * 2000.0D + 0.5D) as int))"
-    )
-    walk = (
-        f"transform(sequence(1, 64), n -> greatest(-32000, least(32000, "
-        f"aggregate(slice({steps}, 1, n), 0, (a, x) -> a + x))))"
-    )
     src = emb.select(
-        F.col("vec_id").alias("media_id"), F.expr(walk).alias("s")
+        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
     )
     twin = src.filter(F.col("media_id") % _WHASH_TWIN_EVERY == 0).select(
         (F.col("media_id") + _WHASH_TWIN_OFFSET).alias("media_id"),
@@ -2343,16 +2351,7 @@ _RSMP_KEY_SQL = (
 @register(
     "audio_resampled_near_dup_pairs",
     oracle=f"""
-    WITH walks AS (
-      SELECT vec_id AS media_id,
-             list_transform(range(1, 65), n ->
-               greatest(-32000, least(32000, list_sum(steps[1:n])))) AS s
-      FROM (SELECT vec_id,
-                   list_transform(embedding::DOUBLE[], x ->
-                     CAST(floor(least(greatest(x, -1.0), 1.0) * 2000.0 + 0.5)
-                          AS BIGINT)) AS steps
-            FROM embeddings)
-    ),
+    WITH {_AUD_WALK_SQL},
     twins AS (
       SELECT media_id + {_RSMP_TWIN_OFFSET} AS media_id,
              {_RSMP_DOWN_SQL} AS s
@@ -2394,16 +2393,8 @@ def q_audio_resampled_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     resamplers land ±1–2 per sample away and are outside the exact
     claim."""
     emb = load_table(spark, sf_dir, "embeddings")
-    steps = (
-        "transform(embedding, x -> cast(floor(least(greatest("
-        "cast(x as double), -1.0D), 1.0D) * 2000.0D + 0.5D) as int))"
-    )
-    walk = (
-        f"transform(sequence(1, 64), n -> greatest(-32000, least(32000, "
-        f"aggregate(slice({steps}, 1, n), 0, (a, x) -> a + x))))"
-    )
     src = emb.select(
-        F.col("vec_id").alias("media_id"), F.expr(walk).alias("s")
+        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
     )
     twin = src.filter(F.col("media_id") % _RSMP_TWIN_EVERY == 0).select(
         (F.col("media_id") + _RSMP_TWIN_OFFSET).alias("media_id"),

@@ -53,16 +53,18 @@ def test_verify_first_names_all_resolve():
     # the r12 window: the four r11-late never-sampled queries lead
     # (transform_dedup_census in its r12 five-arm shape), then the two
     # NEW r12 transform cells, the r11-fallback-touched incremental
-    # probe, the three decoded_jpeg* queries riding the r12
-    # entropy-decode vectorization, then 42 of the 44-query r8 cohort
-    # (the two alphabetically-last overflow to r13)
+    # probe, the five codec queries riding the r12 entropy-decode
+    # vectorization / codec-stage repartition (decoded_jpeg* x3,
+    # decoded_gif_stats, media_contract), then 38 of the 44-query r8
+    # cohort (the four alphabetically-last overflow to r13)
     window = list(qs)[:50]
-    assert window[:10] == [
+    assert window[:12] == [
         "image_thumbnail_pairs", "k_anonymity_customers",
         "image_rotated_dedup", "transform_dedup_census",
         "audio_resampled_near_dup_pairs", "video_cropped_near_dup_pairs",
         "incremental_image_dedup_probe", "decoded_jpeg_stats",
         "decoded_jpeg420_stats", "decoded_jpeg_prog_stats",
+        "decoded_gif_stats", "media_contract",
     ]
     r8_cohort = [
         "acctbal_quartiles", "acctbal_quartiles_scalable",
@@ -78,7 +80,6 @@ def test_verify_first_names_all_resolve():
         "jaccard_top_pairs", "kn_trigram_surprisal", "lang_id",
         "mad_outliers", "multimodal_features", "nation_activity_full_join",
         "orders_above_customer_avg", "part_type_setops", "pii_scan",
-        "qty_price_correlation", "quality_scores", "range_window_stats",
-        "scd2_user_type_history",
+        "qty_price_correlation", "quality_scores",
     ]
-    assert window[10:50] == r8_cohort
+    assert window[12:50] == r8_cohort
