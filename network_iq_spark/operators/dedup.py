@@ -1043,6 +1043,7 @@ def incremental_cropped_dedup(
     w_col: str = "w",
     h_col: str = "h",
     max_bucket_size: int | None = None,
+    frames: int = 1,
 ) -> DataFrame:
     """Crop-tolerant dedup of an incoming batch AGAINST an at-rest token
     index (:func:`crop_index`) — completing the incremental symmetry
@@ -1052,7 +1053,11 @@ def incremental_cropped_dedup(
     verifies. Output (new_id, old_id, dr, dc, ssd ≤ ssd_tol). Cost is
     O(batch × collision rate), never O(history); ``max_bucket_size``
     caps hot HISTORY tokens (degenerate constant-image cliques) on the
-    index side before the join."""
+    index side before the join. With ``frames`` > 1 this is the VIDEO
+    crop cell's deployment shape (r12): :func:`crop_index` already
+    tokens only the first plane (its max index is h·w − 1), and the
+    verify sums SSD across every plane at the shared offset — no
+    video-specific index format needed."""
     B = block if block is not None else side - max_crop
     bg = _crop_grids_norm(batch, B, id_col, px_col, w_col, h_col)
     probe = _crop_tokens(bg, B).select(
@@ -1063,7 +1068,10 @@ def incremental_cropped_dedup(
         base_toks = _cap_hot_buckets(base_toks, ["tok"], max_bucket_size)
     cand = probe.join(base_toks, "tok").select("new_id", "old_id").distinct()
     ig = _crop_grids_norm(idx_grids, B, id_col, px_col, w_col, h_col)
-    return _crop_verify(cand, bg, ig, max_crop, B, ssd_tol, "new_id", "old_id")
+    return _crop_verify(
+        cand, bg, ig, max_crop, B, ssd_tol, "new_id", "old_id",
+        frames=frames,
+    )
 
 
 def video_cropped_pairs(

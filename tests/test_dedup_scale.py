@@ -863,3 +863,104 @@ def test_video_cropped_pairs_catch_what_shift_and_dhash_miss(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert len(q.collect()) > 0
+
+
+def test_resample_keys_compose_with_incremental_exact_machinery(spark):
+    """The resample tier needs NO bespoke incremental operator (the
+    rotation/thumbnail precedent): history clips' DERIVED half-rate keys
+    are plain exact fingerprints, so incremental_exact_dedup's anti-join
+    IS the deployment shape — an incoming clip that is a 2:1 decimation
+    of ANY at-rest clip is dropped, a novel clip survives, O(batch)
+    against the at-rest derived-key table."""
+    import numpy as np
+
+    rng = np.random.default_rng(18)
+    hist = [(i, rng.integers(-32000, 32000, 64)) for i in range(20)]
+    hdf = spark.createDataFrame(
+        [(i, [int(x) for x in s]) for i, s in hist],
+        "media_id long, s array<int>",
+    )
+    # at-rest index: each history clip's DERIVED half-rate key (the
+    # parents side of resampled_derivative_pairs, reused as fingerprints)
+    hist_fps = (
+        hdf.select(
+            F.col("media_id").alias("doc_id"),
+            F.expr(
+                "transform(sequence(0, 31), i -> "
+                "(s[2*i] + s[2*i + 1]) div 2)"
+            ).alias("__d__"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "md5(concat(cast(size(__d__) as string), ':', "
+                "array_join(transform(__d__, x -> cast(x as string)), ' ')))"
+            ).alias("fingerprint"),
+        )
+    )
+    batch_rows = []
+    for i, s in hist:
+        if i % 4 == 0:  # 2:1 truncating decimation of an at-rest clip
+            pairs = s.reshape(32, 2).astype(np.int64)
+            batch_rows.append(
+                (i + 1000, [int(x) for x in (pairs.sum(1) / 2).astype(np.int64)])
+            )
+    batch_rows.append((5000, [int(x) for x in rng.integers(-32000, 32000, 32)]))
+    bdf = spark.createDataFrame(batch_rows, "doc_id long, s array<int>")
+    batch_fps = bdf.select(
+        "doc_id",
+        F.expr(
+            "md5(concat(cast(size(s) as string), ':', "
+            "array_join(transform(s, x -> cast(x as string)), ' ')))"
+        ).alias("fingerprint"),
+    )
+    survivors = {
+        r.keeper for r in D.incremental_exact_dedup(batch_fps, hist_fps).collect()
+    }
+    assert survivors == {5000}  # every decimation dropped, novel kept
+
+
+def test_video_crop_incremental_equals_full_cross_pairs(spark):
+    """The video crop cell's deployment shape (crop_index +
+    incremental_cropped_dedup at frames=4) must find exactly the cross
+    (batch, history) pairs the full scan finds over the union — the
+    O(batch) path loses nothing (pigeonhole recall, frame-0 tokens,
+    multi-plane verify)."""
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+
+    def crop(px, dr, dc, frames=4, side=4, nh=3, nw=3):
+        g = np.asarray(px).reshape(frames, side, side)
+        return [int(x) for x in g[:, dr:dr + nh, dc:dc + nw].reshape(-1)]
+
+    hist = [(i, [int(x) for x in rng.integers(0, 256, 64)]) for i in range(24)]
+    hdf = spark.createDataFrame(
+        [(i, 4, 4, px) for i, px in hist],
+        "media_id long, w int, h int, px array<int>",
+    )
+    batch_rows = [
+        (i + 1000, 3, 3, crop(px, *[(1, 0), (0, 1), (1, 1)][i % 3]))
+        for i, px in hist
+        if i % 4 == 0
+    ] + [(9000, 4, 4, [int(x) for x in rng.integers(0, 256, 64)])]
+    bdf = spark.createDataFrame(
+        batch_rows, "media_id long, w int, h int, px array<int>"
+    )
+    toks, grids = D.crop_index(hdf, max_crop=1, side=4)
+    got = {
+        (r.new_id, r.old_id, r.dr, r.dc, r.ssd)
+        for r in D.incremental_cropped_dedup(
+            bdf, toks, grids, max_crop=1, side=4, frames=4
+        ).collect()
+    }
+    full = {
+        (r.id_b, r.id_a, -r.dr, -r.dc, r.ssd)
+        for r in D.video_cropped_pairs(
+            hdf.unionByName(bdf), frames=4, max_crop=1, side=4
+        ).collect()
+        if r.id_b >= 1000 and r.id_a < 1000  # cross pairs only
+    }
+    # the probe reports the batch->history offset; the full scan reports
+    # history->batch (id_a < id_b ordering), hence the sign flip
+    assert got == full and len(got) == 6
