@@ -236,6 +236,7 @@ def incremental_crop_dedup_sink(
     w_col: str = "w",
     h_col: str = "h",
     carry_cols: Sequence[str] = (),
+    frames: int = 1,
 ):
     """``foreachBatch`` sink closing the continual-ingest CROP-tolerant
     dedup loop (r11) — the crop tier's sibling of
@@ -250,7 +251,11 @@ def incremental_crop_dedup_sink(
     discipline: every output lands under its ``batch=<id>`` partition
     via dynamic partition overwrite, and the probe reads STRICTLY
     earlier batches so a replayed micro-batch converges instead of
-    self-matching at ssd 0 and emitting an empty survivor set."""
+    self-matching at ssd 0 and emitting an empty survivor set.
+    ``frames`` > 1 makes this the VIDEO crop cell's sink (r12):
+    crop_index tokens are frame-0-bounded by construction, so the
+    at-rest artifacts are format-identical — only the verify widens
+    to sum SSD across every plane."""
     from network_iq_spark.operators.dedup import (
         crop_index,
         incremental_cropped_dedup,
@@ -274,6 +279,7 @@ def incremental_crop_dedup_sink(
                 px_col=px_col,
                 w_col=w_col,
                 h_col=h_col,
+                frames=frames,
             )
             dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
             survivors = batch.join(dup_ids, id_col, "left_anti")
