@@ -42,8 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # count); the four alphabetically-last r8 queries (range_window_stats,
 # scd2_user_type_history, warc_extract_stats,
 # weighted_sample_per_source) overflow and lead r13. The r12
-# _crop_verify frames-generalization leaves the frames=1 expression
-# byte-identical, so the r11-stamped crop queries keep their stamps.
+# _crop_verify frames-generalization and the _crop_candidates refactor
+# leave the frames=1 plan byte-identical, so the r11-stamped crop
+# queries keep their stamps.
 _VERIFY_FIRST = [
     # never driver-sampled (r11-late additions)
     "image_thumbnail_pairs",
