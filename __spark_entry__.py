@@ -30,17 +30,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # window, stamps stand at 50 r11 / 50 r10 / 43 r9 / 44 r8 with exactly
 # four sheet queries never driver-sampled. The r12 window = those four
 # (r11-late additions; transform_dedup_census additionally grew two arms
-# this round, so its stamp covers the r12 shape), the two NEW r12 tiers
-# (audio resample + video per-frame crop), incremental_image_dedup_probe
+# this round, so its stamp covers the r12 shape), the three NEW r12
+# tiers (audio resample + video per-frame crop + video temporal
+# resample), incremental_image_dedup_probe
 # (r11 fallback-branch change, per the r11 verdict's ordering), the
 # three decoded_jpeg* queries riding the r12 entropy-decode
 # vectorization plus decoded_gif_stats (gained the codec-stage
 # repartition in r12) and media_contract (probes the vectorized
-# codecs), then the r8 cohort (oldest stamps). 4 + 2 + 1 + 3 + 2 = 12
-# head slots + 38 of the 44 r8 queries = 50 exactly (jpeg420/prog are
+# codecs), then the r8 cohort (oldest stamps). 4 + 3 + 1 + 3 + 2 = 13
+# head slots + 37 of the 44 r8 queries = 50 exactly (jpeg420/prog are
 # r8-stamped AND r12-touched, so they sit in the head, not the cohort
-# count); the four alphabetically-last r8 queries (range_window_stats,
-# scd2_user_type_history, warc_extract_stats,
+# count); the five alphabetically-last r8 queries (quality_scores,
+# range_window_stats, scd2_user_type_history, warc_extract_stats,
 # weighted_sample_per_source) overflow and lead r13. The r12
 # _crop_verify frames-generalization and the _crop_candidates refactor
 # leave the frames=1 plan byte-identical, so the r11-stamped crop
@@ -54,6 +55,7 @@ _VERIFY_FIRST = [
     # new in r12 (transform-matrix audio/video cells)
     "audio_resampled_near_dup_pairs",
     "video_cropped_near_dup_pairs",
+    "video_resampled_near_dup_pairs",
     # code touched in r11/r12
     "incremental_image_dedup_probe",
     "decoded_jpeg_stats",
@@ -62,7 +64,7 @@ _VERIFY_FIRST = [
     "decoded_gif_stats",
     "media_contract",
     # the r8-stamped cohort (oldest external stamps in the sheet),
-    # minus the two jpeg entries above and the four overflow entries
+    # minus the two jpeg entries above and the five overflow entries
     "acctbal_quartiles",
     "acctbal_quartiles_scalable",
     "asof_last_purchase",
@@ -100,10 +102,10 @@ _VERIFY_FIRST = [
     "part_type_setops",
     "pii_scan",
     "qty_price_correlation",
-    "quality_scores",
     # --- 50-slot window boundary ---
-    # overflow, r13-priority order: the four r8 stamps that did not fit,
+    # overflow, r13-priority order: the five r8 stamps that did not fit,
     # then the oldest-r9 cohort
+    "quality_scores",
     "range_window_stats",
     "scd2_user_type_history",
     "warc_extract_stats",

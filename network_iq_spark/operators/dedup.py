@@ -1218,6 +1218,7 @@ def resampled_derivative_pairs(
     id_col: str = "media_id",
     s_col: str = "s",
     max_bucket_size: int | None = None,
+    stride: int = 1,
 ) -> DataFrame:
     """RESAMPLE-derivative pairs over integer SEQUENCES (r12, VERDICT
     item 5) — the audio cell of the transform matrix's scale axis, the
@@ -1241,21 +1242,38 @@ def resampled_derivative_pairs(
     (compose, don't multiply operators). Scale shape: one map to derive
     + hash, one exact equi-join on the digest; ``max_bucket_size`` caps
     degenerate constant-clip keys on BOTH sides (product ≤ cap²), the
-    downscale tier's contract verbatim."""
+    downscale tier's contract verbatim.
+
+    ``stride`` > 1 is the VIDEO cell of the same axis (r12): with stride
+    = one frame's pixels, the decimation window groups ``factor``
+    CONSECUTIVE FRAMES and averages them per pixel position — the
+    frame-rate halving of a 60→30 fps transcode. d[g·stride + p] =
+    Σ_k s[(g·factor + k)·stride + p] div factor; stride = 1 reduces to
+    the audio formula exactly (and generates the identical expression
+    text, so the audio tier's plan is untouched)."""
     ser = "array_join(transform({v}, x -> cast(x as string)), ' ')"
     key = (
         "md5(concat(cast(size({v}) as string), ':', " + ser + "))"
     )
-    derived = (
-        f"transform(sequence(0, size(__s__) div {factor} - 1), i -> "
-        f"aggregate(sequence(0, {factor - 1}), cast(0 as bigint), "
-        f"(a, k) -> a + __s__[i * {factor} + k]) div {factor})"
-    )
+    if stride == 1:
+        derived = (
+            f"transform(sequence(0, size(__s__) div {factor} - 1), i -> "
+            f"aggregate(sequence(0, {factor - 1}), cast(0 as bigint), "
+            f"(a, k) -> a + __s__[i * {factor} + k]) div {factor})"
+        )
+    else:
+        fs = factor * stride
+        derived = (
+            f"transform(sequence(0, (size(__s__) div {fs}) * {stride} - 1), j -> "
+            f"aggregate(sequence(0, {factor - 1}), cast(0 as bigint), "
+            f"(a, k) -> a + __s__[((j div {stride}) * {factor} + k) * {stride} "
+            f"+ j % {stride}]) div {factor})"
+        )
     src = ensure_parallelism(df).select(
         F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__")
     ).localCheckpoint(eager=False)
     parents = (
-        src.filter(F.expr(f"size(__s__) >= {factor}"))
+        src.filter(F.expr(f"size(__s__) >= {factor * stride}"))
         .select(
             F.col("__id__").alias("full_id"),
             F.expr(derived).alias("__d__"),  # derive once, key below

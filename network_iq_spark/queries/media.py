@@ -2552,6 +2552,78 @@ def q_video_cropped_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("id_a", "id_b")
 
 
+_VRSMP_TWIN_EVERY, _VRSMP_TWIN_OFFSET = 10, 6_000_000
+# DuckDB twin of the frame-pair temporal decimation (factor 2, stride =
+# one 4x4 frame = 16 px; 1-based lists): d[g*16 + p] = (frame[2g][p] +
+# frame[2g+1][p]) // 2 — pixel values are non-negative so // and div
+# agree trivially
+_VRSMP_DOWN_SQL = (
+    "list_transform(range(0, (len(px) // 32) * 16), j -> "
+    "(px[((j // 16) * 2) * 16 + (j % 16) + 1] "
+    "+ px[((j // 16) * 2 + 1) * 16 + (j % 16) + 1]) // 2)"
+)
+
+
+@register(
+    "video_resampled_near_dup_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    twins AS (
+      SELECT media_id + {_VRSMP_TWIN_OFFSET} AS media_id,
+             {_VRSMP_DOWN_SQL} AS px
+      FROM base WHERE media_id % {_VRSMP_TWIN_EVERY} = 0
+    ),
+    clips AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    parents AS (
+      SELECT media_id AS full_id,
+             {_RSMP_KEY_SQL.format(v=_VRSMP_DOWN_SQL)} AS gkey,
+             CAST((len(px) // 32) * 16 AS INT) AS resampled_n
+      FROM clips WHERE len(px) >= 32
+    ),
+    kids AS (
+      SELECT media_id AS resampled_id, {_RSMP_KEY_SQL.format(v="px")} AS gkey
+      FROM clips
+    )
+    SELECT full_id, resampled_id, resampled_n
+    FROM parents JOIN kids USING (gkey)
+    WHERE full_id != resampled_id
+    ORDER BY full_id, resampled_id
+    """,
+)
+def q_video_resampled_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL-resample video near-dup (r12) — the video cell of the
+    transform matrix's scale axis, completing the video column (shift:
+    ``video_frame_shifted_pairs``; spatial crop:
+    ``video_cropped_near_dup_pairs``; temporal scale: this): every 10th
+    clip gets a planted 2:1 FRAME-RATE decimation (consecutive frame
+    pairs averaged per pixel — the 60→30 fps transcode, invisible to
+    video_dhash, the frame-shift shingles, and the spatial crop tokens
+    alike), and operators/dedup.py resampled_derivative_pairs at
+    stride = one frame's pixels recovers each (full, resampled) pair
+    via the same exact derived-key equi-join as the audio cell —
+    recall 1.0 by construction, integer-exact (non-negative pixels, so
+    the truncating division is engine-trivial), fully
+    oracle-replayable. One generic core covers both scale-axis media
+    cells; stride = 1 IS the audio tier, byte-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
+    base = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    twins = base.filter(F.col("media_id") % _VRSMP_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _VRSMP_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(sequence(0, 31), j -> "
+            "(px[(j div 16) * 32 + j % 16] "
+            "+ px[(j div 16) * 32 + 16 + j % 16]) div 2)"
+        ).alias("px"),
+    )
+    clips = base.unionByName(twins)
+    return D.resampled_derivative_pairs(
+        clips, factor=2, stride=16, s_col="px"
+    ).orderBy("full_id", "resampled_id")
+
+
 def _transform_census_oracle() -> str:
     """Composed from the three transform tiers' registered oracles (the
     registry is the single source of truth, so the census can never
@@ -2577,20 +2649,23 @@ def _transform_census_oracle() -> str:
       {arm("scale", "image_thumbnail_pairs", "full_id", "thumb_id", _THUMB_TWIN_OFFSET)}
       UNION ALL
       {arm("video_crop", "video_cropped_near_dup_pairs", "id_a", "id_b", _VCROP_TWIN_OFFSET)}
+      UNION ALL
+      {arm("video_resample", "video_resampled_near_dup_pairs", "full_id", "resampled_id", _VRSMP_TWIN_OFFSET)}
     ) ORDER BY axis
     """
 
 
 @register("transform_dedup_census", oracle=_transform_census_oracle())
 def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transform-axis dedup census (r11; audio_resample + video_crop
-    arms added r12) — the one-row-per-axis summary a corpus run reports
-    for the DERIVATIVE duplicate classes (image crop / scale / rotation,
-    audio resample, video per-frame crop; the shift axes live in the
-    media census's modalities): pair count and planted-link recovery per
-    axis, rolled up from the five full pipelines. The oracle composes
-    the five registered oracles verbatim from the registry — one hash
-    covers the whole transform-dedup surface (the media_near_dup_census
+    """Transform-axis dedup census (r11; audio_resample, video_crop and
+    video_resample arms added r12) — the one-row-per-axis summary a
+    corpus run reports for the DERIVATIVE duplicate classes (image crop
+    / scale / rotation, audio resample, video per-frame crop, video
+    frame-rate resample; the shift axes live in the media census's
+    modalities): pair count and planted-link recovery per axis, rolled
+    up from the six full pipelines. The oracle composes the six
+    registered oracles verbatim from the registry — one hash covers the
+    whole transform-dedup surface (the media_near_dup_census
     precedent)."""
 
     def arm(df: DataFrame, axis: str, a: str, b: str, offset: int) -> DataFrame:
@@ -2627,10 +2702,15 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_video_cropped_near_dup_pairs(spark, sf_dir),
         "video_crop", "id_a", "id_b", _VCROP_TWIN_OFFSET,
     )
+    vresample = arm(
+        q_video_resampled_near_dup_pairs(spark, sf_dir),
+        "video_resample", "full_id", "resampled_id", _VRSMP_TWIN_OFFSET,
+    )
     return (
         resample.unionByName(crop)
         .unionByName(rot)
         .unionByName(scale)
         .unionByName(vcrop)
+        .unionByName(vresample)
         .orderBy("axis")
     )

@@ -52,6 +52,22 @@ def audio_rows(mult: int):
     return rows, want
 
 
+def video_resample_rows(mult: int):
+    rows, want = [], set()
+    for i in range(BASE * mult):
+        px = _vals(i, 64, 0, 256)
+        rows.append((i, px))
+        if i % TWIN_EVERY == 0:
+            tw = [
+                (px[g * 32 + p] + px[g * 32 + 16 + p]) // 2
+                for g in range(2)
+                for p in range(16)
+            ]
+            rows.append((i + TWIN_OFF, tw))
+            want.add((i, i + TWIN_OFF))
+    return rows, want
+
+
 def video_rows(mult: int):
     rows, want = [], set()
     for i in range(BASE * mult):
@@ -101,14 +117,20 @@ def main() -> None:
             lambda df: D.video_cropped_pairs(df, frames=4, max_crop=1, side=4),
             ("id_a", "id_b"),
         ),
+        (
+            "video_resampled_pairs",
+            video_resample_rows,
+            lambda df: D.resampled_derivative_pairs(df, factor=2, stride=16),
+            ("full_id", "resampled_id"),
+        ),
     ]:
         ts = []
         for m in mults:
             rows, want = mk(m)
             schema = (
-                "media_id bigint, s array<int>"
-                if name.startswith("resampled")
-                else "media_id bigint, w int, h int, px array<int>"
+                "media_id bigint, w int, h int, px array<int>"
+                if name == "video_cropped_pairs"
+                else "media_id bigint, s array<int>"
             )
             df = spark.createDataFrame(rows, schema).localCheckpoint()
             best, got = float("inf"), None

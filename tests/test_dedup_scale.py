@@ -964,3 +964,38 @@ def test_video_crop_incremental_equals_full_cross_pairs(spark):
     # the probe reports the batch->history offset; the full scan reports
     # history->batch (id_a < id_b ordering), hence the sign flip
     assert got == full and len(got) == 6
+
+
+def test_video_resampled_pairs_strided_exact(spark):
+    """Temporal-resample contract (r12): frame-pair-averaged 2:1
+    decimations are recovered exactly at stride = frame size, a
+    SAMPLE-wise (stride-1) decimation of the same clip never matches the
+    frame tier (and vice versa — the two cells are disjoint), and the
+    stride=1 path is the audio tier unchanged."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    rows, want = [], set()
+    for i in range(24):
+        px = rng.integers(0, 256, 64)
+        rows.append((i, [int(x) for x in px]))
+        if i % 3 == 0:  # frame-pair average -> must match at stride=16
+            fr = px.reshape(4, 16).astype(np.int64)
+            tw = ((fr[0::2] + fr[1::2]) / 2).astype(np.int64)
+            rows.append((i + 1000, [int(x) for x in tw.reshape(-1)]))
+            want.add((i, i + 1000))
+        if i % 3 == 1:  # sample-wise decimation -> must NOT match at stride=16
+            p = px.reshape(32, 2).astype(np.int64)
+            rows.append((i + 2000, [int(x) for x in (p.sum(1) // 2)]))
+    df = spark.createDataFrame(rows, "media_id long, s array<int>")
+    out = D.resampled_derivative_pairs(df, factor=2, stride=16).collect()
+    assert {(r.full_id, r.resampled_id) for r in out} == want
+    assert all(r.resampled_n == 32 for r in out)
+    # the sample-wise twins ARE found by the stride-1 (audio) tier
+    out1 = {(r.full_id, r.resampled_id)
+            for r in D.resampled_derivative_pairs(df, factor=2, stride=1).collect()}
+    assert out1 == {(i, i + 2000) for i in range(24) if i % 3 == 1}
+    q = QUERIES["video_resampled_near_dup_pairs"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert len(q.collect()) > 0

@@ -55,13 +55,14 @@ def test_verify_first_names_all_resolve():
     # NEW r12 transform cells, the r11-fallback-touched incremental
     # probe, the five codec queries riding the r12 entropy-decode
     # vectorization / codec-stage repartition (decoded_jpeg* x3,
-    # decoded_gif_stats, media_contract), then 38 of the 44-query r8
-    # cohort (the four alphabetically-last overflow to r13)
+    # decoded_gif_stats, media_contract), then 37 of the 44-query r8
+    # cohort (the five alphabetically-last overflow to r13)
     window = list(qs)[:50]
-    assert window[:12] == [
+    assert window[:13] == [
         "image_thumbnail_pairs", "k_anonymity_customers",
         "image_rotated_dedup", "transform_dedup_census",
         "audio_resampled_near_dup_pairs", "video_cropped_near_dup_pairs",
+        "video_resampled_near_dup_pairs",
         "incremental_image_dedup_probe", "decoded_jpeg_stats",
         "decoded_jpeg420_stats", "decoded_jpeg_prog_stats",
         "decoded_gif_stats", "media_contract",
@@ -80,6 +81,6 @@ def test_verify_first_names_all_resolve():
         "jaccard_top_pairs", "kn_trigram_surprisal", "lang_id",
         "mad_outliers", "multimodal_features", "nation_activity_full_join",
         "orders_above_customer_avg", "part_type_setops", "pii_scan",
-        "qty_price_correlation", "quality_scores",
+        "qty_price_correlation",
     ]
-    assert window[12:50] == r8_cohort
+    assert window[13:50] == r8_cohort
