@@ -26,90 +26,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
-# the queries with the least external verification first. After the r11
-# window, stamps stand at 50 r11 / 50 r10 / 43 r9 / 44 r8 with exactly
-# four sheet queries never driver-sampled. The r12 window = those four
-# (r11-late additions; transform_dedup_census additionally grew two arms
-# this round, so its stamp covers the r12 shape), the three NEW r12
-# tiers (audio resample + video per-frame crop + video temporal
-# resample), incremental_image_dedup_probe
-# (r11 fallback-branch change, per the r11 verdict's ordering), the
-# three decoded_jpeg* queries riding the r12 entropy-decode
-# vectorization plus decoded_gif_stats (gained the codec-stage
-# repartition in r12) and media_contract (probes the vectorized
-# codecs), then the r8 cohort (oldest stamps). 4 + 3 + 1 + 3 + 2 = 13
-# head slots + 37 of the 44 r8 queries = 50 exactly (jpeg420/prog are
-# r8-stamped AND r12-touched, so they sit in the head, not the cohort
-# count); the five alphabetically-last r8 queries (quality_scores,
-# range_window_stats, scd2_user_type_history, warc_extract_stats,
-# weighted_sample_per_source) overflow and lead r13. The r12
-# _crop_verify frames-generalization and the _crop_candidates refactor
-# leave the frames=1 plan byte-identical, so the r11-stamped crop
-# queries keep their stamps.
+# the queries with the least external verification first. After the r12
+# window, stamps stand at 50 r12 / 48 r11 / 48 r10 / 43 r9 / 5 r8 with
+# every oracle-paired query externally stamped at least once. The r13
+# window (per the r12 verdict's committed overflow order): the five
+# r8-stamped stragglers lead, then transform_dedup_census (its r12 stamp
+# covers the 5-arm shape; HEAD ships 6 arms — the stamp must catch up to
+# the shipped composition), then the full oldest-r9 cohort (43 queries),
+# then the alphabetically-first r10 entry fills slot 50. New r13 tiers
+# slot in after the census as they land, displacing the tail into the
+# overflow below. The r13 jpeg edits (malformed-DHT rejection + cache
+# eviction) are guarded-input-only — differential fuzz pins byte-identical
+# output on every valid stream — so the r12 decoded_jpeg* stamps remain
+# representative and those queries stay out of this window.
 _VERIFY_FIRST = [
-    # never driver-sampled (r11-late additions)
-    "image_thumbnail_pairs",
-    "k_anonymity_customers",
-    "image_rotated_dedup",
-    "transform_dedup_census",
-    # new in r12 (transform-matrix audio/video cells)
-    "audio_resampled_near_dup_pairs",
-    "video_cropped_near_dup_pairs",
-    "video_resampled_near_dup_pairs",
-    # code touched in r11/r12
-    "incremental_image_dedup_probe",
-    "decoded_jpeg_stats",
-    "decoded_jpeg420_stats",
-    "decoded_jpeg_prog_stats",
-    "decoded_gif_stats",
-    "media_contract",
-    # the r8-stamped cohort (oldest external stamps in the sheet),
-    # minus the two jpeg entries above and the five overflow entries
-    "acctbal_quartiles",
-    "acctbal_quartiles_scalable",
-    "asof_last_purchase",
-    "bpe_token_stats",
-    "c4_line_filter",
-    "cm_heavy_hitters",
-    "contamination_check",
-    "copurchase_triangles",
-    "cosine_topk",
-    "cube_order_stats",
-    "customer_order_seq",
-    "customers_with_orders",
-    "delta_abs_p95",
-    "doc_fingerprints",
-    "doc_splits",
-    "duplicate_spans",
-    "embedding_label_stats",
-    "embedding_near_dup",
-    "events_in_windows",
-    "ewma_hourly",
-    "exact_dedup",
-    "fertility_by_lang",
-    "gopher_quality_flags",
-    "hourly_gapfill",
-    "incremental_quantile_refresh",
-    "incremental_rollup_refresh",
-    "ivf_cosine_topk",
-    "jaccard_top_pairs",
-    "kn_trigram_surprisal",
-    "lang_id",
-    "mad_outliers",
-    "multimodal_features",
-    "nation_activity_full_join",
-    "orders_above_customer_avg",
-    "part_type_setops",
-    "pii_scan",
-    "qty_price_correlation",
-    # --- 50-slot window boundary ---
-    # overflow, r13-priority order: the five r8 stamps that did not fit,
-    # then the oldest-r9 cohort
+    # the five r8-stamped stragglers (committed r13 overflow order)
     "quality_scores",
     "range_window_stats",
     "scd2_user_type_history",
     "warc_extract_stats",
     "weighted_sample_per_source",
+    # stamp predates the shipped 6-arm composition (r12 verdict)
+    "transform_dedup_census",
+    # the oldest-r9 cohort (43 queries)
+    "ab_test_conversion",
+    "ann_int_cosine_topk",
+    "bigram_rarity",
+    "bm25_topk",
+    "bm25_topk_capped",
+    "chunk_dedup",
+    "containment_top_pairs",
+    "dataset_card",
+    "decontamination_spans",
+    "doc_keywords",
+    "hard_negatives_topk",
+    "incremental_exact_dedup",
+    "incremental_near_dup",
+    "ivf_int_recenter_stats",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_capped",
+    "minhash_lsh_pairs_prod",
+    "mixture_sample_counts",
+    "packing_ffd",
+    "related_docs_rrf",
+    "related_docs_rrf_dense",
+    "repetition_stats",
+    "rolling_fingerprints",
+    "rollup_order_counts",
+    "scope_filtered_profile",
+    "semantic_dedup",
+    "simhash_pairs",
+    "simhash_pairs_blocked",
+    "supplier_pagerank",
+    "temperature_mix_weights",
+    "term_postings",
+    "tfidf_top_terms",
+    "time_weighted_avg",
+    "token_stats",
+    "unigram_surprisal",
+    "union_label_dims",
+    "value_autocorr_lag1",
+    "value_equidepth_histogram",
+    "value_histogram",
+    "vocab_coverage",
+    "winnow_overlap_pairs",
+    "winnowing_fingerprints",
+    "winsorized_profile",
+    # slot 50: alphabetically-first r10 entry
+    "ann_int_multiprobe_topk",
+    # --- 50-slot window boundary ---
+    # overflow, r14-priority order: the r10 cohort, alphabetical
+    "audio_near_dup_pairs",
+    "bucketed_order_lineitem",
+    "calendar_features",
+    "cast_coercion",
 ]
 
 

@@ -50,37 +50,34 @@ def test_verify_first_names_all_resolve():
     assert not missing, missing
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
-    # the r12 window: the four r11-late never-sampled queries lead
-    # (transform_dedup_census in its r12 five-arm shape), then the two
-    # NEW r12 transform cells, the r11-fallback-touched incremental
-    # probe, the five codec queries riding the r12 entropy-decode
-    # vectorization / codec-stage repartition (decoded_jpeg* x3,
-    # decoded_gif_stats, media_contract), then 37 of the 44-query r8
-    # cohort (the five alphabetically-last overflow to r13)
+    # the r13 window (r12 verdict item 1): the five r8-stamped stragglers
+    # lead, then transform_dedup_census (r12 stamp covers the 5-arm shape,
+    # HEAD ships more arms), then the full oldest-r9 cohort; new r13 tiers
+    # slot in after the census as they land, displacing the tail
     window = list(qs)[:50]
-    assert window[:13] == [
-        "image_thumbnail_pairs", "k_anonymity_customers",
-        "image_rotated_dedup", "transform_dedup_census",
-        "audio_resampled_near_dup_pairs", "video_cropped_near_dup_pairs",
-        "video_resampled_near_dup_pairs",
-        "incremental_image_dedup_probe", "decoded_jpeg_stats",
-        "decoded_jpeg420_stats", "decoded_jpeg_prog_stats",
-        "decoded_gif_stats", "media_contract",
+    assert window[:6] == [
+        "quality_scores", "range_window_stats", "scd2_user_type_history",
+        "warc_extract_stats", "weighted_sample_per_source",
+        "transform_dedup_census",
     ]
-    r8_cohort = [
-        "acctbal_quartiles", "acctbal_quartiles_scalable",
-        "asof_last_purchase", "bpe_token_stats", "c4_line_filter",
-        "cm_heavy_hitters", "contamination_check", "copurchase_triangles",
-        "cosine_topk", "cube_order_stats", "customer_order_seq",
-        "customers_with_orders", "delta_abs_p95", "doc_fingerprints",
-        "doc_splits", "duplicate_spans", "embedding_label_stats",
-        "embedding_near_dup", "events_in_windows", "ewma_hourly",
-        "exact_dedup", "fertility_by_lang", "gopher_quality_flags",
-        "hourly_gapfill", "incremental_quantile_refresh",
-        "incremental_rollup_refresh", "ivf_cosine_topk",
-        "jaccard_top_pairs", "kn_trigram_surprisal", "lang_id",
-        "mad_outliers", "multimodal_features", "nation_activity_full_join",
-        "orders_above_customer_avg", "part_type_setops", "pii_scan",
-        "qty_price_correlation",
+    r9_cohort = [
+        "ab_test_conversion", "ann_int_cosine_topk", "bigram_rarity",
+        "bm25_topk", "bm25_topk_capped", "chunk_dedup",
+        "containment_top_pairs", "dataset_card", "decontamination_spans",
+        "doc_keywords", "hard_negatives_topk", "incremental_exact_dedup",
+        "incremental_near_dup", "ivf_int_recenter_stats",
+        "minhash_lsh_pairs", "minhash_lsh_pairs_capped",
+        "minhash_lsh_pairs_prod", "mixture_sample_counts", "packing_ffd",
+        "related_docs_rrf", "related_docs_rrf_dense", "repetition_stats",
+        "rolling_fingerprints", "rollup_order_counts",
+        "scope_filtered_profile", "semantic_dedup", "simhash_pairs",
+        "simhash_pairs_blocked", "supplier_pagerank",
+        "temperature_mix_weights", "term_postings", "tfidf_top_terms",
+        "time_weighted_avg", "token_stats", "unigram_surprisal",
+        "union_label_dims", "value_autocorr_lag1",
+        "value_equidepth_histogram", "value_histogram", "vocab_coverage",
+        "winnow_overlap_pairs", "winnowing_fingerprints",
+        "winsorized_profile",
     ]
-    assert window[13:50] == r8_cohort
+    assert window[6:49] == r9_cohort
+    assert window[49] == "ann_int_multiprobe_topk"
