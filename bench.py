@@ -246,12 +246,20 @@ def main() -> None:
     # artifact, so the flag arrives with its own grounding: a retimed
     # ratio back near the floor attributes the suite reading to
     # contention; a retimed ratio still >1.8x is a real regression.
-    if (
-        vs_floor
-        and vs_floor.get("moves_gt_1_8x_vs_floor")
-        and full_path != os.devnull
-        and not os.environ.get("BENCH_NO_RETIME")
-    ):
+    # r13 (VERDICT item 2): on a warn-tagged (loaded-at-start) run, the
+    # 1.5-1.8x warn band is almost certainly the same contention as the
+    # alarm band but previously shipped with no self-grounding — the r12
+    # driver run had six such entries needing cross-round forensics.
+    # Extend the auto-retime to the warn band, but ONLY when the host
+    # gate tripped: an idle run's warn band is the cross-round creep
+    # watchlist, where a tail-of-suite retime adds nothing the next
+    # idle run wouldn't show.
+    retime_bands = (
+        _retime_targets(vs_floor, host_loaded)
+        if vs_floor and full_path != os.devnull and not os.environ.get("BENCH_NO_RETIME")
+        else {}
+    )
+    if retime_bands:
         # clamp to >= 1: zero runs would json.dump float('inf') readings
         # into the artifact (bare Infinity — invalid JSON downstream)
         solo_runs = max(1, int(os.environ.get("BENCH_SOLO_RERUNS", "4")))
@@ -264,8 +272,16 @@ def main() -> None:
             )
         except (OSError, ValueError):
             floors = {}
-        retimed: dict[str, dict] = {}
-        for n in sorted(vs_floor["moves_gt_1_8x_vs_floor"]):
+        retimed_by_band: dict[str, dict[str, dict]] = {"alarm": {}, "warn": {}}
+        for n in sorted(retime_bands):
+            retimed = retimed_by_band[retime_bands[n]]
+            # r12 ADVICE: the retime itself runs on a possibly-still-
+            # contended host; record the loadavg alongside each reading so
+            # a "still high" retimed number carries its own load evidence
+            try:
+                load_now = [round(x, 2) for x in os.getloadavg()]
+            except OSError:
+                load_now = None
             best = float("inf")
             try:
                 for _ in range(solo_runs):
@@ -278,7 +294,11 @@ def main() -> None:
                 retimed[n] = {"err": f"{type(exc).__name__}: {exc}"[:200]}
                 continue
             f = (floors.get(n) or {}).get("sec")
-            entry = {"suite_sec": timings[n], "retimed_sec": round(best, 4)}
+            entry = {
+                "suite_sec": timings[n],
+                "retimed_sec": round(best, 4),
+                "loadavg_at_retime": load_now,
+            }
             if f:
                 entry["retimed_vs_floor"] = round(best / f, 2)
             retimed[n] = entry
@@ -287,13 +307,20 @@ def main() -> None:
                 + (f" ({entry['retimed_vs_floor']}x vs floor)" if f else ""),
                 file=sys.stderr,
             )
-        vs_floor["retimed_gt_1_8x"] = retimed
+        if retimed_by_band["alarm"]:
+            vs_floor["retimed_gt_1_8x"] = retimed_by_band["alarm"]
+        if retimed_by_band["warn"]:
+            vs_floor["retimed_warn_band_1_5x"] = retimed_by_band["warn"]
     with open(full_path, "w") as fh:
         json.dump(
             {
                 "metric": "operator_suite_sec",
                 "value": total,
                 "unit": "sec",
+                # bump when the watchdog/retime schema gains fields, so
+                # tests can scope schema assertions to artifacts the
+                # current code actually wrote
+                "gate_rev": 13,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": runs,
                 "noise_floor_sec": noise_floor,
@@ -396,6 +423,22 @@ def _drift_vs_committed(timings: dict[str, float], full_run: bool = True) -> dic
     }
 
 
+def _retime_targets(vs_floor: dict, host_loaded: bool) -> dict[str, str]:
+    """Which vs-floor movers get a tail-of-suite re-time, and under which
+    artifact key. Alarm-band (>1.8x) entries ALWAYS retime — that is the
+    r12 contract. Warn-band (1.5-1.8x) entries retime only on a
+    warn-tagged (loaded-at-start) run: there they are almost certainly
+    the same contention as the alarm band and must ship self-grounded
+    (r12 driver run: six warn entries, zero grounding); on an idle run
+    the warn band is the cross-round creep watchlist and a same-session
+    retime adds no information the next idle run wouldn't."""
+    bands = {n: "alarm" for n in vs_floor.get("moves_gt_1_8x_vs_floor") or {}}
+    if host_loaded:
+        for n in vs_floor.get("moves_gt_1_5x_vs_floor") or {}:
+            bands.setdefault(n, "warn")
+    return bands
+
+
 def _drift_vs_floor(timings: dict[str, float], update: bool) -> dict | None:
     """Cumulative-creep block vs bench_floor.json (each query's earliest
     committed sf0.1 record; seeded by scripts/bench_floor_seed.py).
@@ -403,8 +446,18 @@ def _drift_vs_floor(timings: dict[str, float], update: bool) -> dict | None:
     per-round watchdog can see), >1.8x is the alarm band approaching the
     2x rule. Same 1.2 s noise-floor exemption as vs_committed. With
     ``update`` (canonical full sf0.1 runs only), queries not yet in the
-    floor file are appended at this run's value — existing floors are
-    never modified."""
+    floor file are appended at this run's value — this code never
+    modifies an existing floor.
+
+    Manual re-pin policy (the one sanctioned exception to "earliest
+    record"; r12 ADVICE): when a query's registered COMPOSITION changes
+    (e.g. transform_dedup_census gaining arms), its old floor measures a
+    different plan and comparing against it manufactures fake creep. A
+    human (never this code) may then re-pin that floor from an idle-host
+    min-of-N run of the NEW shape, and the entry's ``src`` field must
+    carry the provenance: what changed, the superseded floor value, and
+    the exact shape (e.g. arm count) the new number was measured on — so
+    the file stays auditable as "earliest record of the current shape"."""
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, "bench_floor.json")
     try:

@@ -90,6 +90,58 @@ def test_host_gate_threshold_is_one_tenth_of_cpus():
     assert "0.25 * cpus" not in src
 
 
+def test_retime_targets_bands(bench):
+    """r13 (r12 VERDICT item 2): alarm entries always retime; warn-band
+    entries retime only when the host gate tripped at suite start."""
+    mod, _ = bench
+    vf = {
+        "moves_gt_1_8x_vs_floor": {"alarm_q": 2.1},
+        "moves_gt_1_5x_vs_floor": {"warn_q": 1.6},
+    }
+    assert mod._retime_targets(vf, host_loaded=False) == {"alarm_q": "alarm"}
+    assert mod._retime_targets(vf, host_loaded=True) == {
+        "alarm_q": "alarm",
+        "warn_q": "warn",
+    }
+    # a query can't land in both dicts upstream, but if it did, alarm wins
+    both = {
+        "moves_gt_1_8x_vs_floor": {"q": 2.0},
+        "moves_gt_1_5x_vs_floor": {"q": 1.7},
+    }
+    assert mod._retime_targets(both, host_loaded=True) == {"q": "alarm"}
+    assert mod._retime_targets({}, host_loaded=True) == {}
+
+
+def test_retime_entries_carry_load_evidence():
+    """r12 ADVICE: every retimed reading must ship its own loadavg
+    snapshot so a 'still high' retime is attributable. Pinned textually
+    (the loop lives in the script body) + on the committed artifact."""
+    src = open(os.path.join(_HERE, "bench.py")).read()
+    assert "loadavg_at_retime" in src
+    art = json.load(open(os.path.join(_HERE, "bench_full.json")))
+    if (art.get("gate_rev") or 0) < 13:
+        return  # pre-r13 artifact (e.g. the driver's r12 run) — field absent
+    vf = art.get("vs_floor") or {}
+    for key in ("retimed_gt_1_8x", "retimed_warn_band_1_5x"):
+        for name, entry in (vf.get(key) or {}).items():
+            if "err" in entry:
+                continue
+            assert "loadavg_at_retime" in entry, (key, name)
+
+
+def test_floor_repin_policy_documented_and_consistent():
+    """r12 ADVICE: the manual re-pin policy must live next to the
+    never-rewrite docstring, and every manually re-pinned floor entry
+    must carry shape provenance in its src field."""
+    src = open(os.path.join(_HERE, "bench.py")).read()
+    assert "Manual re-pin policy" in src
+    floors = json.load(open(os.path.join(_HERE, "bench_floor.json")))["floors"]
+    for name, entry in floors.items():
+        if "re-pin" in (entry.get("src") or ""):
+            # provenance = mentions the superseded value and an arm/shape count
+            assert any(ch.isdigit() for ch in entry["src"]), name
+
+
 def test_retime_block_present_in_artifact_schema():
     """The committed round-close artifact must carry the in-artifact
     forensics the r12 gate promises: every >1.8x flag has a retimed
