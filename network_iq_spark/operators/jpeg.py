@@ -88,12 +88,24 @@ def _dct_matrix() -> np.ndarray:
 _DCT = _dct_matrix()
 
 
-def _canonical_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol map from a DHT (bits, values) spec."""
+def _canonical_codes(
+    bits: list[int], vals: list[int]
+) -> dict[tuple[int, int], int] | None:
+    """(length, code) → symbol map from a DHT (bits, values) spec, or
+    None for an oversubscribed spec (Kraft sum > 1). Headers are
+    attacker-controlled: an oversubscribed DHT would assign overlapping
+    code ranges, and the 16-bit full-lookahead LUT fills those ranges
+    last-writer-wins while the bitwise dict walk matches first-defined —
+    the two decode paths would silently diverge on exactly such a
+    stream (r12 ADVICE). Rejecting the spec keeps LUT and bitwise
+    semantics identical on ALL inputs; prefix-freeness of every
+    accepted table is then guaranteed by construction."""
     out: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
     for length in range(1, 17):
+        if code + bits[length - 1] > (1 << length):
+            return None  # more codes than the level has slots
         for _ in range(bits[length - 1]):
             out[(length, code)] = vals[k]
             code += 1
@@ -141,13 +153,25 @@ _DHT_CACHE: dict[bytes, _HuffTable] = {}
 _DHT_CACHE_MAX = 64
 
 
-def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
+def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable | None:
+    """Build (or fetch) the decode table; None for an invalid spec —
+    the caller must then reject the image. Invalid specs are NOT
+    cached: a hostile corpus of distinct bad headers must not evict
+    the warm Annex-K tables, and re-running the 16-entry capacity
+    check per sighting is trivially cheap."""
     key = bytes(bits) + b"\xFF" + bytes(vals)
     tbl = _DHT_CACHE.get(key)
     if tbl is None:
+        codes = _canonical_codes(bits, vals)
+        if codes is None:
+            return None
         if len(_DHT_CACHE) >= _DHT_CACHE_MAX:
-            _DHT_CACHE.clear()
-        tbl = _HuffTable(_canonical_codes(bits, vals))
+            # evict ONE entry (insertion-order FIFO), not the whole dict:
+            # a corpus cycling through >64 specs would otherwise thrash —
+            # every insert past the 64th discarding all warm Annex-K
+            # tables and degrading to per-image rebuilds (r12 ADVICE)
+            _DHT_CACHE.pop(next(iter(_DHT_CACHE)))
+        tbl = _HuffTable(codes)
         _DHT_CACHE[key] = tbl
     return tbl
 
@@ -163,8 +187,11 @@ def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]
     out = _ENC_CACHE.get(key)
     if out is None:
         if len(_ENC_CACHE) >= _DHT_CACHE_MAX:
-            _ENC_CACHE.clear()
-        out = {v: (c, l) for (l, c), v in _canonical_codes(bits, vals).items()}
+            _ENC_CACHE.pop(next(iter(_ENC_CACHE)))  # single-entry FIFO
+        codes = _canonical_codes(bits, vals)
+        # encoder specs are module constants (Annex K), never wire input
+        assert codes is not None, "internal encoder DHT spec oversubscribed"
+        out = {v: (c, l) for (l, c), v in codes.items()}
         _ENC_CACHE[key] = out
     return out
 
@@ -655,6 +682,8 @@ def decode_jpeg(payload: bytes):
                 if len(vals) < n:
                     return None
                 tbl = _huff_table(bits, vals)
+                if tbl is None:
+                    return None  # oversubscribed DHT — reject the image
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive

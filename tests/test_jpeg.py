@@ -440,3 +440,64 @@ def test_huff_lut_matches_bitwise_reference():
             # buffers ahead across stuffing pairs)
             k = 1 + (trial + step) % 7
             assert ra.bits(k) == rb.bits(k), (trial, step, k)
+
+
+def test_rejects_oversubscribed_dht():
+    """r12 ADVICE: an oversubscribed DHT (Kraft sum > 1) would give the
+    16-bit LUT overlapping fill ranges (last-writer-wins) while the
+    bitwise walk matches first-defined — the spec must be rejected at
+    table build so both decode paths stay identical on ALL inputs."""
+    from network_iq_spark.operators.jpeg import _canonical_codes, _huff_table
+
+    # 3 codes of length 1: only 2 slots exist
+    bad1 = [3] + [0] * 15
+    # length 1 full (2 codes), then any length-2 code: no slots remain
+    bad2 = [2, 1] + [0] * 14
+    for bits in (bad1, bad2):
+        vals = list(range(sum(bits)))
+        assert _canonical_codes(bits, vals) is None
+        assert _huff_table(bits, vals) is None
+    # a COMPLETE table (Kraft sum exactly 1) stays accepted
+    full = [0, 4] + [0] * 14  # 4 codes of length 2 = the whole level
+    assert _huff_table(full, [1, 2, 3, 4]) is not None
+
+    # image-level: splice an oversubscribed DHT into an otherwise valid
+    # stream -> decode_jpeg(None), never a divergent symbol stream
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    good = encode_jpeg_gray(img)
+    assert decode_jpeg(good) is not None
+    i = good.find(b"\xFF\xC4")
+    (seglen,) = struct.unpack_from(">H", good, i + 2)
+    bad_body = bytes([0x00]) + bytes(bad1) + bytes(range(3))
+    bad_seg = struct.pack(">BBH", 0xFF, 0xC4, len(bad_body) + 2) + bad_body
+    patched = good[:i] + bad_seg + good[i + 2 + seglen :]
+    assert decode_jpeg(patched) is None
+
+
+def test_dht_cache_single_entry_eviction():
+    """r12 ADVICE: when the DHT cache fills, evict ONE entry (FIFO) —
+    clearing the whole dict made a >64-distinct-spec corpus thrash every
+    warm Annex-K table. Invalid specs must not be cached at all."""
+    from network_iq_spark.operators import jpeg as J
+
+    saved_dht, saved_enc = dict(J._DHT_CACHE), dict(J._ENC_CACHE)
+    J._DHT_CACHE.clear()
+    try:
+        bits = [0, 2] + [0] * 14
+        keys = []
+        for i in range(J._DHT_CACHE_MAX + 5):
+            vals = [i & 0xFF, (i >> 8) & 0xFF]
+            assert J._huff_table(bits, vals) is not None
+            keys.append(bytes(bits) + b"\xFF" + bytes(vals))
+        assert len(J._DHT_CACHE) == J._DHT_CACHE_MAX
+        # FIFO: exactly the 5 oldest evicted; everything else stays warm
+        assert [k for k in keys if k in J._DHT_CACHE] == keys[5:]
+        # oversubscribed spec: rejected AND not inserted
+        before = dict(J._DHT_CACHE)
+        assert J._huff_table([3] + [0] * 15, [0, 1, 2]) is None
+        assert J._DHT_CACHE == before
+    finally:
+        J._DHT_CACHE.clear()
+        J._DHT_CACHE.update(saved_dht)
+        J._ENC_CACHE.clear()
+        J._ENC_CACHE.update(saved_enc)
