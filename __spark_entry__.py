@@ -46,8 +46,11 @@ _VERIFY_FIRST = [
     "scd2_user_type_history",
     "warc_extract_stats",
     "weighted_sample_per_source",
-    # stamp predates the shipped 6-arm composition (r12 verdict)
+    # stamp predates the shipped composition (r12 verdict: 5 arms at
+    # stamp); the r13 window stamps the 7-arm shape incl. audio_trim
     "transform_dedup_census",
+    # NEW r13: the transform matrix's last cell (audio trim)
+    "audio_trimmed_near_dup_pairs",
     # the oldest-r9 cohort (43 queries)
     "ab_test_conversion",
     "ann_int_cosine_topk",
@@ -92,10 +95,9 @@ _VERIFY_FIRST = [
     "winnow_overlap_pairs",
     "winnowing_fingerprints",
     "winsorized_profile",
-    # slot 50: alphabetically-first r10 entry
-    "ann_int_multiprobe_topk",
     # --- 50-slot window boundary ---
     # overflow, r14-priority order: the r10 cohort, alphabetical
+    "ann_int_multiprobe_topk",
     "audio_near_dup_pairs",
     "bucketed_order_lineitem",
     "calendar_features",

@@ -1298,6 +1298,137 @@ def resampled_derivative_pairs(
     )
 
 
+def trimmed_sequence_pairs(
+    df: DataFrame,
+    max_trim: int = 2,
+    anchor: int = 16,
+    ssd_tol: int = 0,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """TRIM-derivative pairs over integer SEQUENCES (r13, VERDICT item
+    4) — the audio cell of the transform matrix's CROP axis and the last
+    empty cell of the shift/crop/scale × image/audio/video matrix: detect
+    (full, trimmed) pairs where the trimmed clip equals the full clip
+    with ≤ ``max_trim`` samples removed from the HEAD and ≤ ``max_trim``
+    from the TAIL — the trimmed re-upload (silence/intro strip) every
+    podcast/crawled-audio corpus contains. This is
+    :func:`cropped_grid_pairs` in 1-D, and it inherits that tier's
+    deterministic-pigeonhole argument rather than the landmark/LSH
+    S-curve, which is what makes it oracle-pairable.
+
+    Blocking: the trimmed clip starts at some offset h ≤ max_trim inside
+    the full clip, so its FIRST ``anchor`` samples appear verbatim in the
+    full clip at offset h. The full side emits one md5 token per head
+    window at offsets 0..max_trim (``max_trim``+1 tokens, independent of
+    clip length — tighter than the crop tier's per-block fanout); the
+    trimmed side emits ONE prefix token. The equi-join therefore finds
+    every pure-trim pair within budget: recall 1.0 at ssd_tol = 0 by
+    pigeonhole. At ssd_tol > 0 a perturbed sample inside the prefix
+    anchor defeats the blocking — best-effort, the crop tier's exact
+    weakening. Clips shorter than ``anchor`` are excluded by contract
+    (cannot anchor a token; same as grids smaller than one block).
+
+    Verify is an exact integer head-offset scan: for h ∈ [0, max_trim],
+    overlap SSD of the whole trimmed clip against full[h : h+m],
+    requiring a PROPER trim (n > m), head h ≤ max_trim and tail
+    n−h−m ∈ [0, max_trim]. Ties break toward the smallest head (the
+    struct-ordering lesson from the shifted tier). Output
+    (full_id, trimmed_id, head, tail, ssd).
+
+    Boundary: exact for lossless trims (same-pipeline edit). A trim
+    composed with re-encode noise needs ssd_tol > 0 and loses the
+    pigeonhole guarantee; trim+gain needs the landmark family —
+    compose, don't multiply operators (the shifted tier's contract).
+    Scale shape: bounded token fanout (max_trim+1 : 1), one md5
+    equi-join, verify O(candidates × (max_trim+1) × m) map work;
+    ``max_bucket_size`` caps degenerate constant-clip buckets on both
+    sides (product ≤ cap², the derived-key tiers' contract)."""
+    B, H = anchor, max_trim
+
+    def win_md5(var: str, off: str) -> str:
+        return (
+            f"md5(array_join(transform(sequence(0, {B - 1}), i -> "
+            f"cast({var}[{off} + i] as string)), ' '))"
+        )
+
+    src = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__"))
+        .filter(F.expr(f"size(__s__) >= {B}"))
+        .localCheckpoint(eager=False)
+    )
+    parents = src.select(
+        F.col("__id__").alias("full_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, least({H}, size(__s__) - {B})), o -> "
+                + win_md5("__s__", "o")
+                + ")"
+            )
+        ).alias("tok"),
+    ).distinct()
+    kids = src.select(
+        F.col("__id__").alias("trimmed_id"),
+        F.expr(win_md5("__s__", "0")).alias("tok"),
+    )
+    if max_bucket_size is not None:
+        parents = _cap_hot_buckets(parents, ["tok"], max_bucket_size)
+        kids = _cap_hot_buckets(kids, ["tok"], max_bucket_size)
+    cand = (
+        parents.join(kids, "tok")
+        .filter(F.col("full_id") != F.col("trimmed_id"))
+        .select("full_id", "trimmed_id")
+        .distinct()
+    )
+    sa = src.select(F.col("__id__").alias("full_id"), F.col("__s__").alias("__sa__"))
+    sb = src.select(
+        F.col("__id__").alias("trimmed_id"), F.col("__s__").alias("__sb__")
+    )
+
+    def head_struct(h: int) -> str:
+        # invalid alignments (not a proper trim / over budget / negative
+        # tail) score +inf so array_min never picks them
+        guard = (
+            f"size(__sa__) <= size(__sb__) OR "
+            f"{h} + size(__sb__) > size(__sa__) OR "
+            f"size(__sa__) - {h} - size(__sb__) > {H}"
+        )
+        ssd = (
+            f"aggregate(sequence(0, size(__sb__) - 1), cast(0 as bigint), "
+            f"(a, i) -> a + (cast(__sb__[i] as bigint) - cast(__sa__[i + {h}] as bigint)) * "
+            f"(cast(__sb__[i] as bigint) - cast(__sa__[i + {h}] as bigint)))"
+        )
+        return (
+            f"named_struct('ssd', IF({guard}, cast({1 << 62} as bigint), {ssd}), "
+            f"'head', {h})"
+        )
+
+    best = "array_min(array(" + ", ".join(
+        head_struct(h) for h in range(H + 1)
+    ) + "))"
+    return (
+        cand.join(sa, "full_id")
+        .join(sb, "trimmed_id")
+        .withColumn("__best__", F.expr(best))
+        .filter(F.col("__best__.ssd") <= ssd_tol)
+        .select(
+            "full_id",
+            "trimmed_id",
+            F.col("__best__.head").cast("int").alias("head"),
+            (
+                F.expr("size(__sa__)")
+                - F.col("__best__.head")
+                - F.expr("size(__sb__)")
+            )
+            .cast("int")
+            .alias("tail"),
+            F.col("__best__.ssd").alias("ssd"),
+        )
+    )
+
+
 def _dihedral_index_maps(side: int) -> list[list[int]]:
     """Row-major index remaps for the 8 symmetries of a square grid
     (identity, 3 rotations, 4 reflections): maps[t][k] = source index of

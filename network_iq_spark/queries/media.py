@@ -2624,6 +2624,129 @@ def q_video_resampled_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("full_id", "resampled_id")
 
 
+_TRIM_TWIN_EVERY, _TRIM_TWIN_OFFSET = 10, 7_000_000
+_TRIM_MAX, _TRIM_ANCHOR = 2, 16
+# (head, tail) per planted arm, cycled by (media_id // 10) % 4 — covers
+# head-only, tail-only and both asymmetric mixes, every budget ≤ _TRIM_MAX
+_TRIM_ARMS = ((1, 0), (0, 1), (2, 1), (1, 2))
+_TRIM_TOK_SQL = (
+    "md5(array_to_string(list_transform(range(0, {B}), i -> "
+    "CAST(s[{off} + i + 1] AS VARCHAR)), ' '))"
+)
+
+
+def _trim_twin_case(col: str, pick: str) -> str:
+    """CASE selecting head (pick='h') or tail (pick='t') for a twin —
+    shared text so Spark and DuckDB plant literally the same trims."""
+    whens = " ".join(
+        f"WHEN {k} THEN {(h if pick == 'h' else t)}"
+        for k, (h, t) in enumerate(_TRIM_ARMS[:-1])
+    )
+    last = _TRIM_ARMS[-1][0 if pick == "h" else 1]
+    return f"CASE CAST(({col}) % {len(_TRIM_ARMS)} AS INT) {whens} ELSE {last} END"
+
+
+@register(
+    "audio_trimmed_near_dup_pairs",
+    oracle=f"""
+    WITH {_AUD_WALK_SQL},
+    twins AS (
+      SELECT media_id + {_TRIM_TWIN_OFFSET} AS media_id,
+             list_slice(s, head + 1, 64 - tail) AS s
+      FROM (
+        SELECT media_id, s,
+               {_trim_twin_case(f"media_id // {_TRIM_TWIN_EVERY}", "h")} AS head,
+               {_trim_twin_case(f"media_id // {_TRIM_TWIN_EVERY}", "t")} AS tail
+        FROM walks WHERE media_id % {_TRIM_TWIN_EVERY} = 0
+      )
+    ),
+    clips AS (SELECT * FROM walks UNION ALL SELECT * FROM twins),
+    ptoks AS (
+      SELECT DISTINCT media_id AS full_id,
+             unnest(list_transform(
+               range(0, least({_TRIM_MAX}, len(s) - {_TRIM_ANCHOR}) + 1),
+               o -> {_TRIM_TOK_SQL.format(B=_TRIM_ANCHOR, off="o")})) AS tok
+      FROM clips WHERE len(s) >= {_TRIM_ANCHOR}
+    ),
+    ktoks AS (
+      SELECT media_id AS trimmed_id,
+             {_TRIM_TOK_SQL.format(B=_TRIM_ANCHOR, off="0")} AS tok
+      FROM clips WHERE len(s) >= {_TRIM_ANCHOR}
+    ),
+    cand AS (
+      SELECT DISTINCT p.full_id, k.trimmed_id
+      FROM ptoks p JOIN ktoks k USING (tok)
+      WHERE p.full_id != k.trimmed_id
+    ),
+    offs AS (SELECT unnest(range(0, {_TRIM_MAX} + 1)) AS h),
+    scored AS (
+      SELECT c.full_id, c.trimmed_id, o.h,
+             len(ga.s) AS n, len(gb.s) AS m, ga.s AS sa, gb.s AS sb
+      FROM cand c
+      JOIN clips ga ON ga.media_id = c.full_id
+      JOIN clips gb ON gb.media_id = c.trimmed_id
+      CROSS JOIN offs o
+    ),
+    evaled AS (
+      SELECT full_id, trimmed_id, h, n, m,
+             CASE WHEN n <= m OR h + m > n OR n - h - m > {_TRIM_MAX}
+                  THEN NULL
+                  ELSE list_sum(list_transform(range(0, m), i ->
+                    (sb[i + 1] - sa[h + i + 1])
+                    * (sb[i + 1] - sa[h + i + 1])))
+             END AS ssd
+      FROM scored
+    ),
+    picked AS (
+      SELECT full_id, trimmed_id,
+             CAST(h AS INT) AS head, CAST(n - h - m AS INT) AS tail,
+             CAST(ssd AS BIGINT) AS ssd,
+             ROW_NUMBER() OVER (
+               PARTITION BY full_id, trimmed_id ORDER BY ssd, h
+             ) AS rn
+      FROM evaled WHERE ssd IS NOT NULL
+    )
+    SELECT full_id, trimmed_id, head, tail, ssd
+    FROM picked WHERE rn = 1 AND ssd <= 0
+    ORDER BY full_id, trimmed_id
+    """,
+)
+def q_audio_trimmed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIM-tolerant audio near-dup (r13, VERDICT item 4) — the last
+    empty cell of the shift/crop/scale × image/audio/video transform
+    matrix (audio-crop): every 10th clip gets a planted head/tail trim
+    (four arms: head-only, tail-only, both asymmetric mixes, each side
+    ≤ {_TRIM_MAX} samples — the silence-strip re-upload), and
+    operators/dedup.py trimmed_sequence_pairs recovers each
+    (full, trimmed) pair via prefix-anchor pigeonhole blocking + an
+    exact integer head-offset scan — recall 1.0 at ssd_tol = 0 by the
+    crop tier's 1-D pigeonhole argument (NOT an LSH S-curve, which is
+    why this tier is oracle-pairable where the shifted tier is not),
+    precision exact, integer arithmetic end to end. The shift tier
+    covers small trims only as lag-aligned fixed-length windows; this
+    tier reports the (head, tail) edit itself on variable-length
+    clips. Boundary (operator docstring): lossless trims only — trim
+    composed with re-encode noise needs ssd_tol > 0 and downgrades the
+    recall claim to best-effort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
+    )
+    arm_col = f"media_id div {_TRIM_TWIN_EVERY}"
+    head_sql = _trim_twin_case(arm_col, "h")
+    tail_sql = _trim_twin_case(arm_col, "t")
+    twin = src.filter(F.col("media_id") % _TRIM_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _TRIM_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"slice(s, ({head_sql}) + 1, 64 - ({head_sql}) - ({tail_sql}))"
+        ).alias("s"),
+    )
+    clips = src.unionByName(twin)
+    return D.trimmed_sequence_pairs(
+        clips, max_trim=_TRIM_MAX, anchor=_TRIM_ANCHOR
+    ).orderBy("full_id", "trimmed_id")
+
+
 def _transform_census_oracle() -> str:
     """Composed from the three transform tiers' registered oracles (the
     registry is the single source of truth, so the census can never
@@ -2642,6 +2765,8 @@ def _transform_census_oracle() -> str:
     SELECT axis, n_pairs, n_planted_links FROM (
       {arm("audio_resample", "audio_resampled_near_dup_pairs", "full_id", "resampled_id", _RSMP_TWIN_OFFSET)}
       UNION ALL
+      {arm("audio_trim", "audio_trimmed_near_dup_pairs", "full_id", "trimmed_id", _TRIM_TWIN_OFFSET)}
+      UNION ALL
       {arm("crop", "image_cropped_near_dup_pairs", "id_a", "id_b", _CROP_TWIN_OFFSET)}
       UNION ALL
       {arm("rotation", "image_rotated_dedup", "keep_id", "dup_id", _ROT_TWIN_OFFSET)}
@@ -2657,16 +2782,28 @@ def _transform_census_oracle() -> str:
 
 @register("transform_dedup_census", oracle=_transform_census_oracle())
 def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transform-axis dedup census (r11; audio_resample, video_crop and
-    video_resample arms added r12) — the one-row-per-axis summary a
-    corpus run reports for the DERIVATIVE duplicate classes (image crop
-    / scale / rotation, audio resample, video per-frame crop, video
-    frame-rate resample; the shift axes live in the media census's
-    modalities): pair count and planted-link recovery per axis, rolled
-    up from the six full pipelines. The oracle composes the six
-    registered oracles verbatim from the registry — one hash covers the
-    whole transform-dedup surface (the media_near_dup_census
-    precedent)."""
+    """Transform-axis dedup census (r11; audio_resample/video_crop/
+    video_resample arms added r12, audio_trim r13 — the matrix's last
+    cell) — the one-row-per-axis summary a corpus run reports for the
+    DERIVATIVE duplicate classes (image crop / scale / rotation, audio
+    resample, audio trim, video per-frame crop, video frame-rate
+    resample; the shift axes live in the media census's modalities):
+    pair count and planted-link recovery per axis, rolled up from the
+    seven full pipelines. The oracle composes the seven registered
+    oracles verbatim from the registry — one hash covers the whole
+    transform-dedup surface (the media_near_dup_census precedent).
+
+    Scan shape (r12 VERDICT item 6, measured r13): the arms are
+    SCAN-INDEPENDENT by design — each re-derives its clips from the
+    embeddings scan, and the composed census runs at 0.83x the sum of
+    the arms' solo times (10.61 s vs 12.78 s at sf0.1, docs/ROUND13.md),
+    i.e. scheduler overlap, no interference and no new shuffle shape;
+    the scan itself is a single-digit % of every arm (arm cost is token
+    derivation + joins). A 100 TB deployment materializes the decoded/
+    quantized media table ONCE and feeds all arms from it — the
+    registered census intentionally trades the cheap re-scan for
+    composing the seven registered oracles verbatim, which is what
+    keeps one hash over the whole surface trustworthy."""
 
     def arm(df: DataFrame, axis: str, a: str, b: str, offset: int) -> DataFrame:
         return df.agg(
@@ -2685,6 +2822,10 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample = arm(
         q_audio_resampled_near_dup_pairs(spark, sf_dir),
         "audio_resample", "full_id", "resampled_id", _RSMP_TWIN_OFFSET,
+    )
+    trim = arm(
+        q_audio_trimmed_near_dup_pairs(spark, sf_dir),
+        "audio_trim", "full_id", "trimmed_id", _TRIM_TWIN_OFFSET,
     )
     crop = arm(
         q_image_cropped_near_dup_pairs(spark, sf_dir),
@@ -2707,7 +2848,8 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video_resample", "full_id", "resampled_id", _VRSMP_TWIN_OFFSET,
     )
     return (
-        resample.unionByName(crop)
+        resample.unionByName(trim)
+        .unionByName(crop)
         .unionByName(rot)
         .unionByName(scale)
         .unionByName(vcrop)

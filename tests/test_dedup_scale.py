@@ -999,3 +999,80 @@ def test_video_resampled_pairs_strided_exact(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert len(q.collect()) > 0
+
+
+def test_trimmed_pairs_pigeonhole_exact_and_capped(spark):
+    """Trim-derivative contract (r13, the crop tier's argument in 1-D):
+    planted head/tail trims within budget are all recovered with the
+    TRUE (head, tail) at ssd = 0 (prefix-anchor pigeonhole, recall 1.0
+    by construction); a head trim past the budget is missed BY CONTRACT
+    (no anchor token); an over-budget TAIL is caught by blocking but
+    rejected by the verify; equal-length exact dups are NOT reported
+    (proper trims only — that grain belongs to exact_dedup); a
+    corrupted sample inside the anchored prefix defeats blocking at
+    ssd_tol = 0 (the documented weakening); constant-clip cliques die
+    under the cap."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows, want = [], {}
+    base = [(i, [int(x) for x in rng.integers(-32000, 32000, 64)]) for i in range(24)]
+    for i, s in base:
+        rows.append((i, s))
+        if i % 4 == 0:  # head-only trim
+            rows.append((i + 1000, s[1:]))
+            want[(i, i + 1000)] = (1, 0)
+        elif i % 4 == 1:  # tail-only trim
+            rows.append((i + 2000, s[:-2]))
+            want[(i, i + 2000)] = (0, 2)
+        elif i % 4 == 2:  # head over budget: blocking miss by contract
+            rows.append((i + 3000, s[3:]))
+        else:  # both sides at budget
+            rows.append((i + 4000, s[2:-2]))
+            want[(i, i + 4000)] = (2, 2)
+    # over-budget TAIL: prefix anchor collides (head 0), verify rejects
+    i0, s0 = base[0]
+    rows.append((9000, s0[:-3]))
+    # exact duplicate: same length, never a proper trim
+    rows.append((9001, list(s0)))
+    # corruption inside the 16-sample anchored prefix: blocked out at tol 0
+    s_bad = list(s0[1:])
+    s_bad[5] += 1
+    rows.append((9002, s_bad))
+    df = spark.createDataFrame(rows, "media_id long, s array<int>")
+    got = {
+        (r.full_id, r.trimmed_id): (r.head, r.tail, r.ssd)
+        for r in D.trimmed_sequence_pairs(df, max_trim=2, anchor=16).collect()
+    }
+    # 9001 (exact dup of clip 0) emits parent tokens too, so (9001, twin)
+    # pairs ride along for clip 0's planted derivatives — same content,
+    # genuinely valid trims of it. Restrict the planted-recall check to
+    # base-side fulls, then assert every extra pair is the 9001 shadow.
+    planted = {k: v for k, v in got.items() if k[0] < 1000}
+    assert planted == {k: (h, t, 0) for k, (h, t) in want.items()}
+    for (fid, tid), (h, t, ssd) in got.items():
+        if fid >= 1000:
+            assert fid == 9001 and tid in (1000, 9002, 9000), (fid, tid)
+            assert ssd == 0
+    assert (9001, 9002) not in got  # corrupted prefix: ssd > 0 never passes
+    assert (0, 9002) not in got
+    assert (0, 9000) not in got and (9001, 9000) not in got  # tail 3 > budget
+    assert (0, 9001) not in got and (9001, 0) not in got  # no equal-length
+    assert (8, 8 + 3000) not in got  # head 3: outside the pigeonhole budget
+
+    # constant clique: 10 fulls + one 62-sample constant; every full
+    # pairs the short clip at (head 0, tail 2) by tie-break; cap kills it
+    const = [(100 + i, [7] * 64) for i in range(10)] + [(200, [7] * 62)]
+    cdf = spark.createDataFrame(const, "media_id long, s array<int>")
+    cout = D.trimmed_sequence_pairs(cdf).collect()
+    assert {(r.full_id, r.trimmed_id) for r in cout} == {
+        (100 + i, 200) for i in range(10)
+    }
+    assert all(r.head == 0 and r.tail == 2 and r.ssd == 0 for r in cout)
+    assert D.trimmed_sequence_pairs(cdf, max_bucket_size=5).collect() == []
+
+    q = QUERIES["audio_trimmed_near_dup_pairs"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(q.collect()) > 0

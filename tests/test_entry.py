@@ -55,10 +55,10 @@ def test_verify_first_names_all_resolve():
     # HEAD ships more arms), then the full oldest-r9 cohort; new r13 tiers
     # slot in after the census as they land, displacing the tail
     window = list(qs)[:50]
-    assert window[:6] == [
+    assert window[:7] == [
         "quality_scores", "range_window_stats", "scd2_user_type_history",
         "warc_extract_stats", "weighted_sample_per_source",
-        "transform_dedup_census",
+        "transform_dedup_census", "audio_trimmed_near_dup_pairs",
     ]
     r9_cohort = [
         "ab_test_conversion", "ann_int_cosine_topk", "bigram_rarity",
@@ -79,5 +79,4 @@ def test_verify_first_names_all_resolve():
         "winnow_overlap_pairs", "winnowing_fingerprints",
         "winsorized_profile",
     ]
-    assert window[6:49] == r9_cohort
-    assert window[49] == "ann_int_multiprobe_topk"
+    assert window[7:50] == r9_cohort
