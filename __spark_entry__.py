@@ -49,8 +49,10 @@ _VERIFY_FIRST = [
     # stamp predates the shipped composition (r12 verdict: 5 arms at
     # stamp); the r13 window stamps the 7-arm shape incl. audio_trim
     "transform_dedup_census",
-    # NEW r13: the transform matrix's last cell (audio trim)
+    # NEW r13: the transform matrix's last cell (audio trim) and the
+    # scale-axis deployment probe
     "audio_trimmed_near_dup_pairs",
+    "incremental_resample_probe",
     # the oldest-r9 cohort (43 queries)
     "ab_test_conversion",
     "ann_int_cosine_topk",
@@ -94,9 +96,10 @@ _VERIFY_FIRST = [
     "vocab_coverage",
     "winnow_overlap_pairs",
     "winnowing_fingerprints",
-    "winsorized_profile",
     # --- 50-slot window boundary ---
-    # overflow, r14-priority order: the r10 cohort, alphabetical
+    # overflow, r14-priority order: the one displaced r9 entry, then
+    # the r10 cohort, alphabetical
+    "winsorized_profile",
     "ann_int_multiprobe_topk",
     "audio_near_dup_pairs",
     "bucketed_order_lineitem",

@@ -1212,6 +1212,36 @@ def downscale_derivative_pairs(
     )
 
 
+# md5-over-(length, values) sequence key — the derived-key tiers' ONE
+# grid key, kept as a {v} format string so the pairs tier's emitted
+# expression text stays byte-identical to its r12 (stamped) form
+_SEQ_MD5_KEY_FMT = (
+    "md5(concat(cast(size({v}) as string), ':', "
+    "array_join(transform({v}, x -> cast(x as string)), ' ')))"
+)
+
+
+def _box_decimated_expr(factor: int, stride: int, v: str = "__s__") -> str:
+    """SQL text of the truncating ``factor``× box decimation of ``v``
+    (stride-grouped for video) — shared by the pairs tier and the
+    at-rest index so the two can never disagree on the derived signal.
+    stride = 1 emits the audio formula verbatim (the r12 byte-identity
+    contract)."""
+    if stride == 1:
+        return (
+            f"transform(sequence(0, size({v}) div {factor} - 1), i -> "
+            f"aggregate(sequence(0, {factor - 1}), cast(0 as bigint), "
+            f"(a, k) -> a + {v}[i * {factor} + k]) div {factor})"
+        )
+    fs = factor * stride
+    return (
+        f"transform(sequence(0, (size({v}) div {fs}) * {stride} - 1), j -> "
+        f"aggregate(sequence(0, {factor - 1}), cast(0 as bigint), "
+        f"(a, k) -> a + {v}[((j div {stride}) * {factor} + k) * {stride} "
+        f"+ j % {stride}]) div {factor})"
+    )
+
+
 def resampled_derivative_pairs(
     df: DataFrame,
     factor: int = 2,
@@ -1251,24 +1281,8 @@ def resampled_derivative_pairs(
     Σ_k s[(g·factor + k)·stride + p] div factor; stride = 1 reduces to
     the audio formula exactly (and generates the identical expression
     text, so the audio tier's plan is untouched)."""
-    ser = "array_join(transform({v}, x -> cast(x as string)), ' ')"
-    key = (
-        "md5(concat(cast(size({v}) as string), ':', " + ser + "))"
-    )
-    if stride == 1:
-        derived = (
-            f"transform(sequence(0, size(__s__) div {factor} - 1), i -> "
-            f"aggregate(sequence(0, {factor - 1}), cast(0 as bigint), "
-            f"(a, k) -> a + __s__[i * {factor} + k]) div {factor})"
-        )
-    else:
-        fs = factor * stride
-        derived = (
-            f"transform(sequence(0, (size(__s__) div {fs}) * {stride} - 1), j -> "
-            f"aggregate(sequence(0, {factor - 1}), cast(0 as bigint), "
-            f"(a, k) -> a + __s__[((j div {stride}) * {factor} + k) * {stride} "
-            f"+ j % {stride}]) div {factor})"
-        )
+    key = _SEQ_MD5_KEY_FMT
+    derived = _box_decimated_expr(factor, stride)
     src = ensure_parallelism(df).select(
         F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__")
     ).localCheckpoint(eager=False)
@@ -1295,6 +1309,122 @@ def resampled_derivative_pairs(
         parents.join(kids, "gkey")
         .filter(F.col("full_id") != F.col("resampled_id"))
         .select("full_id", "resampled_id", "resampled_n")
+    )
+
+
+def resample_index(
+    df: DataFrame,
+    factor: int = 2,
+    stride: int = 1,
+    id_col: str = "media_id",
+    s_col: str = "s",
+) -> DataFrame:
+    """At-rest artifact for incremental resample-derivative dedup (r13,
+    VERDICT item 5) — the scale-axis twin of :func:`crop_index` /
+    :func:`hamming_index`: one row per history clip carrying BOTH keys
+    the exact tier joins on — ``own_key`` (md5 of the clip as stored)
+    and ``derived_key`` (md5 of its ``factor``× truncating-box
+    decimation; NULL when the clip is too short to decimate) — plus the
+    lengths. A deployment persists it partitioned/bucketed by the key
+    columns so batch probes co-locate without a history-side shuffle.
+    Both keys come from the same expression text as
+    :func:`resampled_derivative_pairs`, so index and in-plan tier can
+    never disagree on the derived signal."""
+    fs = factor * stride
+    derived = _box_decimated_expr(factor, stride)
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias(id_col),
+        F.expr(f"cast(size({s_col}) as int)").alias("n"),
+        F.expr(_SEQ_MD5_KEY_FMT.format(v=s_col)).alias("own_key"),
+        F.expr(
+            f"IF(size({s_col}) >= {fs}, "
+            + _SEQ_MD5_KEY_FMT.format(
+                v="(" + derived.replace("__s__", s_col) + ")"
+            )
+            + ", NULL)"
+        ).alias("derived_key"),
+    )
+
+
+def incremental_resampled_dedup(
+    batch: DataFrame,
+    idx: DataFrame,
+    factor: int = 2,
+    stride: int = 1,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Resample-derivative dedup of an incoming batch AGAINST an at-rest
+    key index (:func:`resample_index`) — the deployment shape of the
+    scale-axis tiers, completing the incremental symmetry the crop/
+    thumbnail arms already have: O(batch × collision), never
+    O(history). Both directions are probed, because a crawl batch can
+    contain EITHER side of the derivation: a batch clip whose OWN key
+    equals a history clip's DERIVED key is the history clip's resampled
+    re-upload (role ``batch_resampled``); a batch clip whose DERIVED
+    key equals a history clip's OWN key is the full-rate original of an
+    already-indexed decimation (role ``batch_full``). Exact equi-joins
+    only — recall 1.0 for same-pipeline derivatives by construction,
+    the pairs tier's contract. Output (new_id, old_id, role,
+    resampled_n) with ``resampled_n`` the decimated clip's length.
+    ``max_bucket_size`` caps degenerate constant-clip keys on the
+    HISTORY side (the probe side is one row per batch clip per key)."""
+    fs = factor * stride
+    derived = _box_decimated_expr(factor, stride)
+    b = ensure_parallelism(batch).select(
+        F.col(id_col).alias("new_id"),
+        F.expr(f"cast(size({s_col}) as int)").alias("__bn__"),
+        F.expr(_SEQ_MD5_KEY_FMT.format(v=s_col)).alias("__bown__"),
+        F.expr(
+            f"IF(size({s_col}) >= {fs}, "
+            + _SEQ_MD5_KEY_FMT.format(
+                v="(" + derived.replace("__s__", s_col) + ")"
+            )
+            + ", NULL)"
+        ).alias("__bder__"),
+        F.expr(f"cast((size({s_col}) div {fs}) * {stride} as int)").alias(
+            "__bdn__"
+        ),
+    ).localCheckpoint(eager=False)
+    hist = idx.select(
+        F.col(id_col).alias("old_id"),
+        F.col("n").alias("__hn__"),
+        F.col("own_key").alias("__hown__"),
+        F.col("derived_key").alias("__hder__"),
+    )
+    h_by_der = hist.filter(F.col("__hder__").isNotNull()).select(
+        "old_id", F.col("__hder__").alias("__k__")
+    )
+    h_by_own = hist.select(
+        "old_id", "__hn__", F.col("__hown__").alias("__k__")
+    )
+    if max_bucket_size is not None:
+        h_by_der = _cap_hot_buckets(h_by_der, ["__k__"], max_bucket_size)
+        h_by_own = _cap_hot_buckets(h_by_own, ["__k__"], max_bucket_size)
+    as_resampled = (
+        b.select("new_id", F.col("__bn__"), F.col("__bown__").alias("__k__"))
+        .join(h_by_der, "__k__")
+        .select(
+            "new_id",
+            "old_id",
+            F.lit("batch_resampled").alias("role"),
+            F.col("__bn__").alias("resampled_n"),
+        )
+    )
+    as_full = (
+        b.filter(F.col("__bder__").isNotNull())
+        .select("new_id", F.col("__bder__").alias("__k__"))
+        .join(h_by_own, "__k__")
+        .select(
+            "new_id",
+            "old_id",
+            F.lit("batch_full").alias("role"),
+            F.col("__hn__").alias("resampled_n"),
+        )
+    )
+    return as_resampled.unionByName(as_full).filter(
+        F.col("new_id") != F.col("old_id")
     )
 
 

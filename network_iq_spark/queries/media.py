@@ -2408,6 +2408,76 @@ def q_audio_resampled_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "incremental_resample_probe",
+    oracle=f"""
+    WITH {_AUD_WALK_SQL},
+    twins AS (
+      SELECT media_id + {_RSMP_TWIN_OFFSET} AS media_id,
+             {_RSMP_DOWN_SQL} AS s
+      FROM walks WHERE media_id % {_RSMP_TWIN_EVERY} = 0
+    ),
+    idx AS (
+      SELECT media_id AS old_id, len(s) AS n,
+             {_RSMP_KEY_SQL.format(v="s")} AS own_key,
+             CASE WHEN len(s) >= 2
+                  THEN {_RSMP_KEY_SQL.format(v=_RSMP_DOWN_SQL)} END
+               AS derived_key
+      FROM walks
+    ),
+    batch AS (
+      SELECT media_id AS new_id, len(s) AS n,
+             {_RSMP_KEY_SQL.format(v="s")} AS own_key,
+             CASE WHEN len(s) >= 2
+                  THEN {_RSMP_KEY_SQL.format(v=_RSMP_DOWN_SQL)} END
+               AS derived_key
+      FROM twins
+    )
+    SELECT new_id, old_id, role, resampled_n FROM (
+      SELECT b.new_id, i.old_id, 'batch_resampled' AS role,
+             CAST(b.n AS INT) AS resampled_n
+      FROM batch b JOIN idx i
+        ON b.own_key = i.derived_key AND b.new_id != i.old_id
+      UNION ALL
+      SELECT b.new_id, i.old_id, 'batch_full' AS role,
+             CAST(i.n AS INT) AS resampled_n
+      FROM batch b JOIN idx i
+        ON b.derived_key = i.own_key AND b.new_id != i.old_id
+    ) ORDER BY new_id, old_id, role
+    """,
+)
+def q_incremental_resample_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental resample-derivative dedup (r13, VERDICT item 5) —
+    the DEPLOYMENT shape of the scale-axis tiers, giving the census's
+    audio/video resample arms the same incremental probe the crop and
+    thumbnail arms already have: the at-rest index is one row per
+    history clip with its own-signal and derived-(decimated-)signal
+    md5 keys (operators/dedup.py resample_index — persisted bucketed by
+    key in a deployment), and the incoming batch (here: the planted 2:1
+    decimations of every 10th clip, the audio_resampled corpus) probes
+    it with two exact equi-joins — its own key against history DERIVED
+    keys (the batch clip is a resampled re-upload) and its derived key
+    against history OWN keys (the batch clip is the full-rate original
+    of an indexed decimation) — O(batch × collision), never O(history),
+    recall 1.0 by construction, fully oracle-replayable. stride > 1
+    gives the video cell the identical probe (one generic core, the
+    pairs tier's contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
+    )
+    batch = src.filter(F.col("media_id") % _RSMP_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _RSMP_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(sequence(0, 31), i -> (s[2*i] + s[2*i + 1]) div 2)"
+        ).alias("s"),
+    )
+    idx = D.resample_index(src, factor=2)
+    return D.incremental_resampled_dedup(batch, idx, factor=2).orderBy(
+        "new_id", "old_id", "role"
+    )
+
+
 _VCROP_TWIN_EVERY, _VCROP_TWIN_OFFSET, _VCROP_MAX = 10, 5_000_000, 1
 _VCROP_BLOCK = _VID_SIDE - _VCROP_MAX  # 3x3 frame-0 pigeonhole anchors
 

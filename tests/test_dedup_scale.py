@@ -1076,3 +1076,67 @@ def test_trimmed_pairs_pigeonhole_exact_and_capped(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert len(q.collect()) > 0
+
+
+def test_incremental_resample_probe_both_directions(spark):
+    """Resample probe contract (r13, the deployment shape of the
+    scale-axis tiers): a batch decimation of an indexed clip is found
+    via own-vs-derived (role batch_resampled); a batch FULL clip whose
+    decimation is already indexed is found via derived-vs-own (role
+    batch_full); own-vs-own (an exact duplicate) is NOT this tier's
+    grain; unrelated clips produce nothing; constant-key cliques die
+    under the history-side cap."""
+    import numpy as np
+
+    rng = np.random.default_rng(15)
+    hist_rows = [
+        (i, [int(x) for x in rng.integers(-32000, 32000, 64)])
+        for i in range(20)
+    ]
+    seqs = {i: s for i, s in hist_rows}
+
+    def dec(s):
+        return [
+            int((s[2 * k] + s[2 * k + 1]) / 2)  # trunc toward zero
+            for k in range(len(s) // 2)
+        ]
+
+    hist_rows.append((505, dec(seqs[5])))  # an indexed decimation
+    hdf = spark.createDataFrame(hist_rows, "media_id long, s array<int>")
+    idx = D.resample_index(hdf, factor=2)
+    batch = spark.createDataFrame(
+        [
+            (1003, dec(seqs[3])),  # resampled re-upload of clip 3
+            (1005, list(seqs[5])),  # full-rate original of indexed 505
+            (1999, [int(x) for x in rng.integers(-32000, 32000, 64)]),
+        ],
+        "media_id long, s array<int>",
+    )
+    got = {
+        (r.new_id, r.old_id): (r.role, r.resampled_n)
+        for r in D.incremental_resampled_dedup(batch, idx, factor=2).collect()
+    }
+    assert got == {
+        (1003, 3): ("batch_resampled", 32),
+        (1005, 505): ("batch_full", 32),
+    }
+    # own-vs-own is exact_dedup's grain: 1005 == clip 5 verbatim, no row
+    assert (1005, 5) not in got
+
+    const_hist = spark.createDataFrame(
+        [(100 + i, [7] * 64) for i in range(10)], "media_id long, s array<int>"
+    )
+    cidx = D.resample_index(const_hist, factor=2)
+    cbatch = spark.createDataFrame(
+        [(900, [7] * 32)], "media_id long, s array<int>"
+    )
+    assert len(D.incremental_resampled_dedup(cbatch, cidx).collect()) == 10
+    assert (
+        D.incremental_resampled_dedup(cbatch, cidx, max_bucket_size=5).collect()
+        == []
+    )
+
+    q = QUERIES["incremental_resample_probe"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert len(q.collect()) > 0
