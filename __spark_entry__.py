@@ -53,6 +53,9 @@ _VERIFY_FIRST = [
     # scale-axis deployment probe
     "audio_trimmed_near_dup_pairs",
     "incremental_resample_probe",
+    # r13-touched: extract_features gained the min_bytes guard floor
+    # (plan change at bench SF: map-only again, the r01 shape)
+    "multimodal_features",
     # the oldest-r9 cohort (43 queries)
     "ab_test_conversion",
     "ann_int_cosine_topk",
@@ -95,10 +98,10 @@ _VERIFY_FIRST = [
     "value_histogram",
     "vocab_coverage",
     "winnow_overlap_pairs",
-    "winnowing_fingerprints",
     # --- 50-slot window boundary ---
-    # overflow, r14-priority order: the one displaced r9 entry, then
+    # overflow, r14-priority order: the displaced r9 entries, then
     # the r10 cohort, alphabetical
+    "winnowing_fingerprints",
     "winsorized_profile",
     "ann_int_multiprobe_topk",
     "audio_near_dup_pairs",

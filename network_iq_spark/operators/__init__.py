@@ -33,6 +33,16 @@ def _size_suffix_to_bytes(v: str) -> int:
     return int(v) * mult
 
 
+# Shared ``min_bytes`` floor for Python-map guards (the similarity
+# family's measured break-even, adopted by extract_features in r13:
+# below ~4 MB of stat-able input the repartition exchange costs more
+# than the single-core Arrow map it parallelizes — measured 1.10 s
+# guarded vs 0.59 s map-only, interleaved, on the 0.58 MB sf0.1
+# documents scan — while a genuinely big under-split file stays
+# guarded). similarity.DENSE_GUARD_MIN_BYTES aliases this value.
+GUARD_MIN_BYTES = 4 << 20
+
+
 def ensure_parallelism(
     df: _DataFrame, target: int | None = None, min_bytes: int = 0
 ) -> _DataFrame:

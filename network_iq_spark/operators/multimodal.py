@@ -455,9 +455,18 @@ def extract_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    from network_iq_spark.operators import ensure_parallelism
+    from network_iq_spark.operators import GUARD_MIN_BYTES, ensure_parallelism
 
-    return ensure_parallelism(df).mapInPandas(batches, schema=FEATURE_SCHEMA)
+    # min_bytes (r13): the per-row work here is a hash + length — far
+    # cheaper than the decode/resize stages below, so on a small
+    # under-split scan the guard's exchange cost more than the
+    # single-core map it parallelized (measured interleaved at sf0.1:
+    # 1.10 s guarded vs 0.59 s map-only — the suite's only >2x-vs-r01
+    # drift, r12 VERDICT item 3). Above the floor the guard still
+    # fires, so a one-file 10 GB corpus spreads as before.
+    return ensure_parallelism(df, min_bytes=GUARD_MIN_BYTES).mapInPandas(
+        batches, schema=FEATURE_SCHEMA
+    )
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

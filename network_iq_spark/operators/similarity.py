@@ -26,8 +26,10 @@ from pyspark.sql import functions as F
 # family's interpreted/vectorized per-row work is cheaper than the
 # exchange the guard would add (measured: the guard cost ~1s on the
 # 0.8 MB sf0.1 embeddings while saving nothing; it saved 5x on the
-# 6 MB 10x soak corpus).
-DENSE_GUARD_MIN_BYTES = 4 << 20
+# 6 MB 10x soak corpus). Shared repo-wide since r13 (extract_features
+# adopted the same break-even) — the value lives next to
+# ensure_parallelism itself.
+from network_iq_spark.operators import GUARD_MIN_BYTES as DENSE_GUARD_MIN_BYTES
 
 
 def as_double_vec(col: str) -> Column:
