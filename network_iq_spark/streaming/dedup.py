@@ -303,6 +303,70 @@ def incremental_crop_dedup_sink(
     return sink
 
 
+def incremental_resample_dedup_sink(
+    corpus_path: str,
+    index_path: str,
+    factor: int = 2,
+    stride: int = 1,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    carry_cols: Sequence[str] = (),
+):
+    """``foreachBatch`` sink closing the continual-ingest RESAMPLE-
+    derivative dedup loop (r13, VERDICT item 7) — the scale-axis
+    sibling of :func:`incremental_crop_dedup_sink`, completing sink
+    coverage of the transform matrix: each micro-batch of (id, s) clips
+    probes the AT-REST key index (operators/dedup.py
+    ``incremental_resampled_dedup`` — two exact equi-joins, O(batch ×
+    collision), never O(history)); a batch clip that is the ``factor``×
+    decimation of an at-rest clip OR the full-rate original of an
+    at-rest decimation is dropped (first-arrival-wins, the family's
+    admission contract — a keep-best policy that prefers the full-rate
+    side is the graph tier's job, not the sink's), survivors append to
+    the corpus and their (own_key, derived_key) rows
+    (``resample_index``) append to the index, so the next batch sees
+    them. Same exactly-once discipline: every output lands under its
+    ``batch=<id>`` partition, and the probe reads STRICTLY earlier
+    batches so a replayed micro-batch recomputes its own partition
+    instead of probing its own rows. ``stride`` > 1 makes this the
+    VIDEO frame-rate cell's sink — the at-rest artifacts are
+    format-identical (the crop sink's ``frames`` precedent)."""
+    from network_iq_spark.operators.dedup import (
+        incremental_resampled_dedup,
+        resample_index,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, s_col, *carry_cols)
+        index = read_if_exists(spark, index_path)
+        if index is not None:
+            matches = incremental_resampled_dedup(
+                batch.select(id_col, s_col),
+                index.filter(F.col("batch") < batch_id).drop("batch"),
+                factor=factor,
+                stride=stride,
+                id_col=id_col,
+                s_col=s_col,
+            )
+            dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+            survivors = batch.join(dup_ids, id_col, "left_anti")
+        else:
+            survivors = batch
+        survivors = survivors.localCheckpoint()  # one evaluation, 2 writes
+        new_index = resample_index(
+            survivors.select(id_col, s_col),
+            factor=factor,
+            stride=stride,
+            id_col=id_col,
+            s_col=s_col,
+        )
+        write_batch_partition(survivors, corpus_path, batch_id)
+        write_batch_partition(new_index, index_path, batch_id)
+
+    return sink
+
+
 def chunk_admission_sink(
     corpus_path: str,
     bands_path: str,

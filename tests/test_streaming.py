@@ -1308,3 +1308,53 @@ def test_chunk_admission_sink_admits_zero_token_docs(spark, tmp_path):
     assert got == [1, 2, 10]  # 11 rejected (100% recycled); 10 admitted
     sink(docs([(10, "¡¿ — …"), (11, f"{tmpl} {tmpl}")]), 1)  # replay converges
     assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 10]
+
+
+def test_incremental_resample_dedup_sink_converges_both_directions(spark, tmp_path):
+    """Streaming resample-derivative dedup (r13): batch 0 bootstraps the
+    key index; in batch 1 a 2:1 DECIMATION of an at-rest clip is dropped
+    (batch_resampled direction) and so is the FULL-RATE original of an
+    at-rest decimation (batch_full direction) while a novel clip
+    survives; replay converges; a batch-2 decimation of the MID-STREAM
+    survivor is dropped (the index grew)."""
+    import hashlib
+
+    from network_iq_spark.streaming.dedup import incremental_resample_dedup_sink
+
+    corpus = str(tmp_path / "rcorpus")
+    index = str(tmp_path / "ridx")
+    sink = incremental_resample_dedup_sink(corpus, index, factor=2)
+
+    def clip(seed, n=64):
+        return [
+            -32000
+            + (int(hashlib.md5(f"r{seed}:{j}".encode()).hexdigest()[:4], 16) % 64000)
+            for j in range(n)
+        ]
+
+    def dec(s):
+        return [int((s[2 * k] + s[2 * k + 1]) / 2) for k in range(len(s) // 2)]
+
+    def media(rows):
+        return spark.createDataFrame(rows, "media_id bigint, s array<int>")
+
+    a, b, novel = clip(1), clip(2), clip(40)
+    # history holds clip 1, clip 2 AND clip 2's decimation (id 3)
+    sink(media([(1, a), (2, b), (3, dec(b))]), 0)
+    sink(media([(10, dec(a)), (11, list(b)), (12, novel)]), 1)
+
+    def corpus_ids():
+        return sorted(r.media_id for r in spark.read.parquet(corpus).collect())
+
+    # 10 dropped (decimation of at-rest 1); 11 dropped (full-rate
+    # original of at-rest decimation 3 — NOTE 11 == clip 2 verbatim,
+    # but it is the derived-key direction that catches it: own-vs-own
+    # is the exact sink's grain, not this one's)
+    assert corpus_ids() == [1, 2, 3, 12]
+    sink(media([(10, dec(a)), (11, list(b)), (12, novel)]), 1)  # replay
+    assert corpus_ids() == [1, 2, 3, 12]
+    sink(media([(20, dec(novel))]), 2)  # decimation of mid-stream survivor
+    assert corpus_ids() == [1, 2, 3, 12]
+    idx = spark.read.parquet(index)
+    assert sorted(r.media_id for r in idx.collect()) == [1, 2, 3, 12]
+    assert {c for c in idx.columns} >= {"media_id", "n", "own_key", "derived_key"}
