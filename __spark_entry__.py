@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     # scale-axis deployment probe
     "audio_trimmed_near_dup_pairs",
     "incremental_resample_probe",
+    "incremental_trim_probe",
     # r13-touched: extract_features gained the min_bytes guard floor
     # (plan change at bench SF: map-only again, the r01 shape)
     "multimodal_features",

@@ -1477,31 +1477,12 @@ def trimmed_sequence_pairs(
     sides (product ≤ cap², the derived-key tiers' contract)."""
     B, H = anchor, max_trim
 
-    def win_md5(var: str, off: str) -> str:
-        return (
-            f"md5(array_join(transform(sequence(0, {B - 1}), i -> "
-            f"cast({var}[{off} + i] as string)), ' '))"
-        )
-
-    src = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__"))
-        .filter(F.expr(f"size(__s__) >= {B}"))
-        .localCheckpoint(eager=False)
+    src = _trim_norm(df, B, id_col, s_col)
+    parents = _trim_parent_toks(src, B, H).select(
+        F.col("__id__").alias("full_id"), "tok"
     )
-    parents = src.select(
-        F.col("__id__").alias("full_id"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, least({H}, size(__s__) - {B})), o -> "
-                + win_md5("__s__", "o")
-                + ")"
-            )
-        ).alias("tok"),
-    ).distinct()
-    kids = src.select(
-        F.col("__id__").alias("trimmed_id"),
-        F.expr(win_md5("__s__", "0")).alias("tok"),
+    kids = _trim_prefix_tok(src, B).select(
+        F.col("__id__").alias("trimmed_id"), "tok"
     )
     if max_bucket_size is not None:
         parents = _cap_hot_buckets(parents, ["tok"], max_bucket_size)
@@ -1516,6 +1497,70 @@ def trimmed_sequence_pairs(
     sb = src.select(
         F.col("__id__").alias("trimmed_id"), F.col("__s__").alias("__sb__")
     )
+    return _trim_verify(cand, sa, sb, H, ssd_tol, "full_id", "trimmed_id")
+
+
+def _trim_win_md5(B: int, var: str, off: str) -> str:
+    """md5 token of the length-``B`` window of ``var`` at offset ``off``
+    — the trim tier's ONE blocking key (pairs tier, index, probe)."""
+    return (
+        f"md5(array_join(transform(sequence(0, {B - 1}), i -> "
+        f"cast({var}[{off} + i] as string)), ' '))"
+    )
+
+
+def _trim_norm(df: DataFrame, B: int, id_col: str, s_col: str) -> DataFrame:
+    """Normalize a sequence frame to (__id__, __s__); clips shorter than
+    one anchor window can never block (excluded by contract, the crop
+    tier's grid rule)."""
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__"))
+        .filter(F.expr(f"size(__s__) >= {B}"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _trim_parent_toks(src: DataFrame, B: int, H: int) -> DataFrame:
+    """(__id__, tok) — one md5 token per head window at offsets 0..H
+    (H+1 tokens max, independent of clip length); the FULL-side blocking
+    key and the at-rest artifact of :func:`trim_index`. Offset 0 IS the
+    prefix token, so this table alone serves both probe directions."""
+    return src.select(
+        "__id__",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, least({H}, size(__s__) - {B})), o -> "
+                + _trim_win_md5(B, "__s__", "o")
+                + ")"
+            )
+        ).alias("tok"),
+    ).distinct()
+
+
+def _trim_prefix_tok(src: DataFrame, B: int) -> DataFrame:
+    """(__id__, tok) — the single first-``B``-samples token; the
+    TRIMMED-side blocking key."""
+    return src.select(
+        "__id__", F.expr(_trim_win_md5(B, "__s__", "0")).alias("tok")
+    )
+
+
+def _trim_verify(
+    cand: DataFrame,
+    sa: DataFrame,
+    sb: DataFrame,
+    H: int,
+    ssd_tol: int,
+    full_name: str,
+    trimmed_name: str,
+) -> DataFrame:
+    """Exact integer head-offset scan over candidate (full, trimmed)
+    pairs: attach both sequences (``sa`` carries ``__sa__`` keyed by
+    ``full_name``, ``sb`` carries ``__sb__`` keyed by ``trimmed_name``),
+    take the min (ssd, head) struct over h ∈ [0, H], keep pairs with
+    ssd ≤ ssd_tol. Shared by the pairs tier and the incremental probe
+    so a verify change can never diverge them."""
 
     def head_struct(h: int) -> str:
         # invalid alignments (not a proper trim / over budget / negative
@@ -1539,13 +1584,13 @@ def trimmed_sequence_pairs(
         head_struct(h) for h in range(H + 1)
     ) + "))"
     return (
-        cand.join(sa, "full_id")
-        .join(sb, "trimmed_id")
+        cand.join(sa, full_name)
+        .join(sb, trimmed_name)
         .withColumn("__best__", F.expr(best))
         .filter(F.col("__best__.ssd") <= ssd_tol)
         .select(
-            "full_id",
-            "trimmed_id",
+            full_name,
+            trimmed_name,
             F.col("__best__.head").cast("int").alias("head"),
             (
                 F.expr("size(__sa__)")
@@ -1557,6 +1602,107 @@ def trimmed_sequence_pairs(
             F.col("__best__.ssd").alias("ssd"),
         )
     )
+
+
+def trim_index(
+    df: DataFrame,
+    max_trim: int = 2,
+    anchor: int = 16,
+    id_col: str = "media_id",
+    s_col: str = "s",
+) -> tuple[DataFrame, DataFrame]:
+    """At-rest artifacts for incremental trim-tolerant dedup (r13) — the
+    trim tier's twin of :func:`crop_index` (toks, grids): a (id, tok)
+    head-window token table (offsets 0..max_trim; offset 0 is the prefix
+    token, so ONE table serves both probe directions — a deployment
+    persists it bucketed by ``tok``) and the (id, s) sequence table the
+    verify reads."""
+    src = _trim_norm(df, anchor, id_col, s_col)
+    toks = _trim_parent_toks(src, anchor, max_trim).select(
+        F.col("__id__").alias(id_col), "tok"
+    )
+    return toks, src.select(
+        F.col("__id__").alias(id_col), F.col("__s__").alias(s_col)
+    )
+
+
+def incremental_trimmed_dedup(
+    batch: DataFrame,
+    idx_toks: DataFrame,
+    idx_seqs: DataFrame,
+    max_trim: int = 2,
+    anchor: int = 16,
+    ssd_tol: int = 0,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Trim-tolerant dedup of an incoming batch AGAINST an at-rest token
+    index (:func:`trim_index`) — the deployment shape of the trim tier,
+    the same round it shipped (the crop tier needed a round to grow
+    its probe; the audio-trim cell lands with its incremental symmetry
+    complete). Both directions are probed: a batch clip whose PREFIX
+    token collides with a history head-window token may be a TRIM of
+    that history clip (role ``batch_trimmed``); a batch clip one of
+    whose head-window tokens collides with a history clip's prefix
+    token (= its offset-0 row in the same index) may be the UNTRIMMED
+    original of an already-indexed trim (role ``batch_full``). Each
+    candidate set then rides the shared exact head-offset verify —
+    pigeonhole recall 1.0 at ssd_tol = 0 within budget, O(batch ×
+    collision), never O(history). Output
+    (new_id, old_id, role, head, tail, ssd)."""
+    B, H = anchor, max_trim
+    src = _trim_norm(batch, B, id_col, s_col)
+    b_prefix = _trim_prefix_tok(src, B).select(
+        F.col("__id__").alias("new_id"), "tok"
+    )
+    b_heads = _trim_parent_toks(src, B, H).select(
+        F.col("__id__").alias("new_id"), "tok"
+    )
+    hist = idx_toks.select(F.col(id_col).alias("old_id"), "tok")
+    if max_bucket_size is not None:
+        hist = _cap_hot_buckets(hist, ["tok"], max_bucket_size)
+    b_seq = src.select(F.col("__id__").alias("__bid__"), "__s__")
+    h_seq = idx_seqs.select(
+        F.col(id_col).alias("__hid__"), F.col(s_col).alias("__hs__")
+    )
+
+    def direction(cand: DataFrame, batch_is_trimmed: bool) -> DataFrame:
+        if batch_is_trimmed:
+            sa = h_seq.select(
+                F.col("__hid__").alias("old_id"), F.col("__hs__").alias("__sa__")
+            )
+            sb = b_seq.select(
+                F.col("__bid__").alias("new_id"), F.col("__s__").alias("__sb__")
+            )
+            out = _trim_verify(cand, sa, sb, H, ssd_tol, "old_id", "new_id")
+            role = "batch_trimmed"
+        else:
+            sa = b_seq.select(
+                F.col("__bid__").alias("new_id"), F.col("__s__").alias("__sa__")
+            )
+            sb = h_seq.select(
+                F.col("__hid__").alias("old_id"), F.col("__hs__").alias("__sb__")
+            )
+            out = _trim_verify(cand, sa, sb, H, ssd_tol, "new_id", "old_id")
+            role = "batch_full"
+        return out.select(
+            "new_id", "old_id", F.lit(role).alias("role"), "head", "tail", "ssd"
+        )
+
+    cand_trimmed = (
+        b_prefix.join(hist, "tok")
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    cand_full = (
+        b_heads.join(hist, "tok")
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    return direction(cand_trimmed, True).unionByName(direction(cand_full, False))
 
 
 def _dihedral_index_maps(side: int) -> list[list[int]]:

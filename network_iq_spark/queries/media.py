@@ -2817,6 +2817,127 @@ def q_audio_trimmed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("full_id", "trimmed_id")
 
 
+def _trim_probe_dir_sql(
+    role: str, full_tbl: str, trim_tbl: str, full_col: str, trim_col: str
+) -> str:
+    """One probe direction's verify chain (DuckDB): candidates already
+    computed as cand_{role}(new_id, old_id); attach full/trimmed
+    sequences per the role and run the shared head-offset scan."""
+    return f"""
+      SELECT new_id, old_id, '{role}' AS role,
+             CAST(h AS INT) AS head, CAST(n - h - m AS INT) AS tail,
+             CAST(ssd AS BIGINT) AS ssd
+      FROM (
+        SELECT new_id, old_id, h, n, m, ssd,
+               ROW_NUMBER() OVER (
+                 PARTITION BY new_id, old_id ORDER BY ssd, h
+               ) AS rn
+        FROM (
+          SELECT s.new_id, s.old_id, s.h, s.n, s.m,
+                 CASE WHEN n <= m OR h + m > n OR n - h - m > {_TRIM_MAX}
+                      THEN NULL
+                      ELSE list_sum(list_transform(range(0, m), i ->
+                        (sb[i + 1] - sa[h + i + 1])
+                        * (sb[i + 1] - sa[h + i + 1])))
+                 END AS ssd
+          FROM (
+            SELECT c.new_id, c.old_id, o.h,
+                   len(ga.s) AS n, len(gb.s) AS m, ga.s AS sa, gb.s AS sb
+            FROM cand_{role} c
+            JOIN {full_tbl} ga ON ga.media_id = c.{full_col}
+            JOIN {trim_tbl} gb ON gb.media_id = c.{trim_col}
+            CROSS JOIN offs o
+          ) s
+        ) e WHERE ssd IS NOT NULL
+      ) p WHERE rn = 1 AND ssd <= 0"""
+
+
+@register(
+    "incremental_trim_probe",
+    oracle=f"""
+    WITH {_AUD_WALK_SQL},
+    twins AS (
+      SELECT media_id + {_TRIM_TWIN_OFFSET} AS media_id,
+             list_slice(s, head + 1, 64 - tail) AS s
+      FROM (
+        SELECT media_id, s,
+               {_trim_twin_case(f"media_id // {_TRIM_TWIN_EVERY}", "h")} AS head,
+               {_trim_twin_case(f"media_id // {_TRIM_TWIN_EVERY}", "t")} AS tail
+        FROM walks WHERE media_id % {_TRIM_TWIN_EVERY} = 0
+      )
+    ),
+    htoks AS (
+      SELECT DISTINCT media_id AS old_id,
+             unnest(list_transform(
+               range(0, least({_TRIM_MAX}, len(s) - {_TRIM_ANCHOR}) + 1),
+               o -> {_TRIM_TOK_SQL.format(B=_TRIM_ANCHOR, off="o")})) AS tok
+      FROM walks WHERE len(s) >= {_TRIM_ANCHOR}
+    ),
+    bpref AS (
+      SELECT media_id AS new_id,
+             {_TRIM_TOK_SQL.format(B=_TRIM_ANCHOR, off="0")} AS tok
+      FROM twins WHERE len(s) >= {_TRIM_ANCHOR}
+    ),
+    bheads AS (
+      SELECT DISTINCT media_id AS new_id,
+             unnest(list_transform(
+               range(0, least({_TRIM_MAX}, len(s) - {_TRIM_ANCHOR}) + 1),
+               o -> {_TRIM_TOK_SQL.format(B=_TRIM_ANCHOR, off="o")})) AS tok
+      FROM twins WHERE len(s) >= {_TRIM_ANCHOR}
+    ),
+    cand_batch_trimmed AS (
+      SELECT DISTINCT b.new_id, h.old_id
+      FROM bpref b JOIN htoks h USING (tok)
+      WHERE b.new_id != h.old_id
+    ),
+    cand_batch_full AS (
+      SELECT DISTINCT b.new_id, h.old_id
+      FROM bheads b JOIN htoks h USING (tok)
+      WHERE b.new_id != h.old_id
+    ),
+    offs AS (SELECT unnest(range(0, {_TRIM_MAX} + 1)) AS h)
+    SELECT new_id, old_id, role, head, tail, ssd FROM (
+      {_trim_probe_dir_sql("batch_trimmed", "walks", "twins", "old_id", "new_id")}
+      UNION ALL
+      {_trim_probe_dir_sql("batch_full", "twins", "walks", "new_id", "old_id")}
+    ) ORDER BY new_id, old_id, role
+    """,
+)
+def q_incremental_trim_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental trim-tolerant dedup (r13) — the DEPLOYMENT shape of
+    the audio-trim cell, landing the SAME round as the tier itself (the
+    crop tier needed a round to grow its probe): the at-rest index is
+    the (id, tok) head-window token table + sequence table
+    (operators/dedup.py trim_index — offset-0 tokens double as prefix
+    tokens, so ONE table serves both probe directions), and the
+    incoming batch (the planted head/tail trims) probes it by token
+    collision + the shared exact head-offset verify — a batch clip that
+    is a TRIM of an at-rest clip (role batch_trimmed) or the UNTRIMMED
+    original of an at-rest trim (role batch_full) — O(batch ×
+    collision), never O(history), pigeonhole recall 1.0 within budget,
+    fully oracle-replayable. On this corpus the batch_full direction
+    structurally cannot fire (a twin is shorter than every history
+    clip, and the verify requires a PROPER trim), which the oracle
+    replays exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
+    )
+    arm_col = f"media_id div {_TRIM_TWIN_EVERY}"
+    head_sql = _trim_twin_case(arm_col, "h")
+    tail_sql = _trim_twin_case(arm_col, "t")
+    batch = src.filter(F.col("media_id") % _TRIM_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _TRIM_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"slice(s, ({head_sql}) + 1, 64 - ({head_sql}) - ({tail_sql}))"
+        ).alias("s"),
+    )
+    toks, seqs = D.trim_index(src, max_trim=_TRIM_MAX, anchor=_TRIM_ANCHOR)
+    return D.incremental_trimmed_dedup(
+        batch, toks, seqs, max_trim=_TRIM_MAX, anchor=_TRIM_ANCHOR
+    ).orderBy("new_id", "old_id", "role")
+
+
 def _transform_census_oracle() -> str:
     """Composed from the three transform tiers' registered oracles (the
     registry is the single source of truth, so the census can never

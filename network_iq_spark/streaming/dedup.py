@@ -303,6 +303,71 @@ def incremental_crop_dedup_sink(
     return sink
 
 
+def incremental_trim_dedup_sink(
+    corpus_path: str,
+    toks_path: str,
+    seqs_path: str,
+    max_trim: int = 2,
+    anchor: int = 16,
+    ssd_tol: int = 0,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    carry_cols: Sequence[str] = (),
+):
+    """``foreachBatch`` sink closing the continual-ingest TRIM-tolerant
+    dedup loop (r13) — the audio-trim cell's sibling of
+    :func:`incremental_crop_dedup_sink`, landing the same round as the
+    tier itself: each micro-batch of (id, s) clips probes the AT-REST
+    head-window token + sequence index (operators/dedup.py
+    ``incremental_trimmed_dedup`` — pigeonhole recall 1.0 for trims ≤
+    max_trim per side, O(batch × collision), never O(history)); a batch
+    clip that is a trim of ANY at-rest clip or the untrimmed original
+    of an at-rest trim is dropped (first-arrival-wins), survivors
+    append to the corpus and their token + sequence rows append to the
+    index, so the next batch sees them. Same exactly-once discipline:
+    every output lands under its ``batch=<id>`` partition and the probe
+    reads STRICTLY earlier batches so a replayed micro-batch converges
+    instead of self-matching."""
+    from network_iq_spark.operators.dedup import (
+        incremental_trimmed_dedup,
+        trim_index,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, s_col, *carry_cols)
+        toks = read_if_exists(spark, toks_path)
+        seqs = read_if_exists(spark, seqs_path)
+        if toks is not None and seqs is not None:
+            matches = incremental_trimmed_dedup(
+                batch.select(id_col, s_col),
+                toks.filter(F.col("batch") < batch_id).drop("batch"),
+                seqs.filter(F.col("batch") < batch_id).drop("batch"),
+                max_trim=max_trim,
+                anchor=anchor,
+                ssd_tol=ssd_tol,
+                id_col=id_col,
+                s_col=s_col,
+            )
+            dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+            survivors = batch.join(dup_ids, id_col, "left_anti")
+        else:
+            survivors = batch
+        survivors = survivors.localCheckpoint()  # one evaluation, 3 writes
+        new_toks, new_seqs = trim_index(
+            survivors.select(id_col, s_col),
+            max_trim=max_trim,
+            anchor=anchor,
+            id_col=id_col,
+            s_col=s_col,
+        )
+        write_batch_partition(survivors, corpus_path, batch_id)
+        write_batch_partition(new_toks, toks_path, batch_id)
+        write_batch_partition(new_seqs, seqs_path, batch_id)
+
+    return sink
+
+
 def incremental_resample_dedup_sink(
     corpus_path: str,
     index_path: str,

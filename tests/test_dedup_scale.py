@@ -1140,3 +1140,60 @@ def test_incremental_resample_probe_both_directions(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert len(q.collect()) > 0
+
+
+def test_incremental_trim_probe_both_directions(spark):
+    """Trim probe contract (r13): a batch TRIM of an indexed clip is
+    found via prefix-vs-head-window tokens (role batch_trimmed) with the
+    true (head, tail); a batch UNTRIMMED original of an indexed trim is
+    found via head-window-vs-prefix tokens (role batch_full); an
+    over-budget trim is missed by contract; unrelated clips produce
+    nothing; the history-side cap kills constant cliques."""
+    import numpy as np
+
+    rng = np.random.default_rng(16)
+    seqs = {i: [int(x) for x in rng.integers(-32000, 32000, 64)] for i in range(12)}
+    hist_rows = [(i, s) for i, s in seqs.items()]
+    hist_rows.append((505, seqs[5][1:-1]))  # an indexed trim of clip 5
+    hdf = spark.createDataFrame(hist_rows, "media_id long, s array<int>")
+    toks, sq = D.trim_index(hdf, max_trim=2, anchor=16)
+    batch = spark.createDataFrame(
+        [
+            (1003, seqs[3][2:-1]),   # head-2/tail-1 trim of clip 3
+            (1005, list(seqs[5])),   # untrimmed original of indexed 505
+            (1007, seqs[7][3:]),     # head-3: over budget, no anchor hit
+            (1999, [int(x) for x in rng.integers(-32000, 32000, 64)]),
+        ],
+        "media_id long, s array<int>",
+    )
+    got = {
+        (r.new_id, r.old_id): (r.role, r.head, r.tail, r.ssd)
+        for r in D.incremental_trimmed_dedup(
+            batch, toks, sq, max_trim=2, anchor=16
+        ).collect()
+    }
+    assert got == {
+        (1003, 3): ("batch_trimmed", 2, 1, 0),
+        (1005, 505): ("batch_full", 1, 1, 0),
+    }
+
+    const_hist = spark.createDataFrame(
+        [(100 + i, [7] * 64) for i in range(10)], "media_id long, s array<int>"
+    )
+    ctoks, cseqs = D.trim_index(const_hist)
+    cbatch = spark.createDataFrame(
+        [(900, [7] * 62)], "media_id long, s array<int>"
+    )
+    hits = D.incremental_trimmed_dedup(cbatch, ctoks, cseqs).collect()
+    assert {(r.new_id, r.old_id) for r in hits} == {(900, 100 + i) for i in range(10)}
+    assert (
+        D.incremental_trimmed_dedup(
+            cbatch, ctoks, cseqs, max_bucket_size=5
+        ).collect()
+        == []
+    )
+
+    q = QUERIES["incremental_trim_probe"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert len(q.collect()) > 0

@@ -1358,3 +1358,48 @@ def test_incremental_resample_dedup_sink_converges_both_directions(spark, tmp_pa
     idx = spark.read.parquet(index)
     assert sorted(r.media_id for r in idx.collect()) == [1, 2, 3, 12]
     assert {c for c in idx.columns} >= {"media_id", "n", "own_key", "derived_key"}
+
+
+def test_incremental_trim_dedup_sink_converges_both_directions(spark, tmp_path):
+    """Streaming trim-tolerant dedup (r13): batch 0 bootstraps the
+    head-window token index; in batch 1 a TRIM of an at-rest clip is
+    dropped (batch_trimmed) and so is the UNTRIMMED original of an
+    at-rest trim (batch_full) while a novel clip survives; replay
+    converges; a batch-2 trim of the MID-STREAM survivor is dropped."""
+    import hashlib
+
+    from network_iq_spark.streaming.dedup import incremental_trim_dedup_sink
+
+    corpus = str(tmp_path / "tcorpus")
+    toks = str(tmp_path / "ttoks")
+    seqs = str(tmp_path / "tseqs")
+    sink = incremental_trim_dedup_sink(corpus, toks, seqs, max_trim=2, anchor=16)
+
+    def clip(seed, n=64):
+        return [
+            -32000
+            + (int(hashlib.md5(f"t{seed}:{j}".encode()).hexdigest()[:4], 16) % 64000)
+            for j in range(n)
+        ]
+
+    def media(rows):
+        return spark.createDataFrame(rows, "media_id bigint, s array<int>")
+
+    a, b, novel = clip(1), clip(2), clip(40)
+    # history holds clips 1, 2 AND a head-1/tail-1 trim of clip 2 (id 3)
+    sink(media([(1, a), (2, b), (3, b[1:-1])]), 0)
+    sink(media([(10, a[2:]), (11, list(b)), (12, novel)]), 1)
+
+    def corpus_ids():
+        return sorted(r.media_id for r in spark.read.parquet(corpus).collect())
+
+    # 10 dropped (head-2 trim of at-rest 1); 11 dropped (untrimmed
+    # original of at-rest trim 3 — the batch_full direction; its
+    # own-vs-own identity with clip 2 is the exact sink's grain)
+    assert corpus_ids() == [1, 2, 3, 12]
+    sink(media([(10, a[2:]), (11, list(b)), (12, novel)]), 1)  # replay
+    assert corpus_ids() == [1, 2, 3, 12]
+    sink(media([(20, novel[:-2])]), 2)  # trim of mid-stream survivor
+    assert corpus_ids() == [1, 2, 3, 12]
+    assert sorted(set(r.media_id for r in spark.read.parquet(toks).collect())) == [1, 2, 3, 12]
+    assert sorted(r.media_id for r in spark.read.parquet(seqs).collect()) == [1, 2, 3, 12]
