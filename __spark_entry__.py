@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     "audio_trimmed_near_dup_pairs",
     "incremental_resample_probe",
     "incremental_trim_probe",
+    "video_trimmed_near_dup_pairs",
     # r13-touched: extract_features gained the min_bytes guard floor
     # (plan change at bench SF: map-only again, the r01 shape)
     "multimodal_features",
@@ -97,11 +98,11 @@ _VERIFY_FIRST = [
     "value_autocorr_lag1",
     "value_equidepth_histogram",
     "value_histogram",
-    "vocab_coverage",
-    "winnow_overlap_pairs",
     # --- 50-slot window boundary ---
     # overflow, r14-priority order: the displaced r9 entries, then
     # the r10 cohort, alphabetical
+    "vocab_coverage",
+    "winnow_overlap_pairs",
     "winnowing_fingerprints",
     "winsorized_profile",
     "ann_int_multiprobe_topk",

@@ -1436,6 +1436,7 @@ def trimmed_sequence_pairs(
     id_col: str = "media_id",
     s_col: str = "s",
     max_bucket_size: int | None = None,
+    stride: int = 1,
 ) -> DataFrame:
     """TRIM-derivative pairs over integer SEQUENCES (r13, VERDICT item
     4) — the audio cell of the transform matrix's CROP axis and the last
@@ -1474,14 +1475,22 @@ def trimmed_sequence_pairs(
     Scale shape: bounded token fanout (max_trim+1 : 1), one md5
     equi-join, verify O(candidates × (max_trim+1) × m) map work;
     ``max_bucket_size`` caps degenerate constant-clip buckets on both
-    sides (product ≤ cap², the derived-key tiers' contract)."""
+    sides (product ≤ cap², the derived-key tiers' contract).
+
+    ``stride`` > 1 is the VIDEO cell of the same axis (the
+    resampled_derivative_pairs precedent): with stride = one frame's
+    pixels, trim units are FRAMES — head/tail-trimmed video re-uploads
+    (``max_trim`` frames per side, ``anchor`` frames per token window).
+    stride = 1 reduces to the audio formula exactly (and generates the
+    identical expression text, so the audio tier's plan is
+    untouched)."""
     B, H = anchor, max_trim
 
-    src = _trim_norm(df, B, id_col, s_col)
-    parents = _trim_parent_toks(src, B, H).select(
+    src = _trim_norm(df, B * stride, id_col, s_col)
+    parents = _trim_parent_toks(src, B, H, stride).select(
         F.col("__id__").alias("full_id"), "tok"
     )
-    kids = _trim_prefix_tok(src, B).select(
+    kids = _trim_prefix_tok(src, B, stride).select(
         F.col("__id__").alias("trimmed_id"), "tok"
     )
     if max_bucket_size is not None:
@@ -1497,7 +1506,9 @@ def trimmed_sequence_pairs(
     sb = src.select(
         F.col("__id__").alias("trimmed_id"), F.col("__s__").alias("__sb__")
     )
-    return _trim_verify(cand, sa, sb, H, ssd_tol, "full_id", "trimmed_id")
+    return _trim_verify(
+        cand, sa, sb, H, ssd_tol, "full_id", "trimmed_id", stride
+    )
 
 
 def _trim_win_md5(B: int, var: str, off: str) -> str:
@@ -1521,28 +1532,38 @@ def _trim_norm(df: DataFrame, B: int, id_col: str, s_col: str) -> DataFrame:
     )
 
 
-def _trim_parent_toks(src: DataFrame, B: int, H: int) -> DataFrame:
-    """(__id__, tok) — one md5 token per head window at offsets 0..H
-    (H+1 tokens max, independent of clip length); the FULL-side blocking
-    key and the at-rest artifact of :func:`trim_index`. Offset 0 IS the
-    prefix token, so this table alone serves both probe directions."""
+def _trim_parent_toks(
+    src: DataFrame, B: int, H: int, stride: int = 1
+) -> DataFrame:
+    """(__id__, tok) — one md5 token per head window at unit offsets
+    0..H (H+1 tokens max, independent of clip length); the FULL-side
+    blocking key and the at-rest artifact of :func:`trim_index`. Offset
+    0 IS the prefix token, so this table alone serves both probe
+    directions. ``stride`` > 1: units are frames (window = B·stride
+    elements at element offset o·stride; stride = 1 emits the audio
+    text verbatim)."""
+    if stride == 1:
+        expr = (
+            f"transform(sequence(0, least({H}, size(__s__) - {B})), o -> "
+            + _trim_win_md5(B, "__s__", "o")
+            + ")"
+        )
+    else:
+        expr = (
+            f"transform(sequence(0, least({H}, size(__s__) div {stride} - {B})), o -> "
+            + _trim_win_md5(B * stride, "__s__", f"o * {stride}")
+            + ")"
+        )
     return src.select(
-        "__id__",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, least({H}, size(__s__) - {B})), o -> "
-                + _trim_win_md5(B, "__s__", "o")
-                + ")"
-            )
-        ).alias("tok"),
+        "__id__", F.explode(F.expr(expr)).alias("tok")
     ).distinct()
 
 
-def _trim_prefix_tok(src: DataFrame, B: int) -> DataFrame:
-    """(__id__, tok) — the single first-``B``-samples token; the
+def _trim_prefix_tok(src: DataFrame, B: int, stride: int = 1) -> DataFrame:
+    """(__id__, tok) — the single first-window token (B units); the
     TRIMMED-side blocking key."""
     return src.select(
-        "__id__", F.expr(_trim_win_md5(B, "__s__", "0")).alias("tok")
+        "__id__", F.expr(_trim_win_md5(B * stride, "__s__", "0")).alias("tok")
     )
 
 
@@ -1554,53 +1575,65 @@ def _trim_verify(
     ssd_tol: int,
     full_name: str,
     trimmed_name: str,
+    stride: int = 1,
 ) -> DataFrame:
     """Exact integer head-offset scan over candidate (full, trimmed)
     pairs: attach both sequences (``sa`` carries ``__sa__`` keyed by
     ``full_name``, ``sb`` carries ``__sb__`` keyed by ``trimmed_name``),
-    take the min (ssd, head) struct over h ∈ [0, H], keep pairs with
-    ssd ≤ ssd_tol. Shared by the pairs tier and the incremental probe
-    so a verify change can never diverge them."""
+    take the min (ssd, head) struct over h ∈ [0, H] units, keep pairs
+    with ssd ≤ ssd_tol. Shared by the pairs tier and the incremental
+    probe so a verify change can never diverge them. ``stride`` > 1:
+    head/tail in FRAME units (element offset h·stride, length delta
+    must divide by stride; stride = 1 emits the audio text verbatim and
+    reports element units unchanged)."""
 
     def head_struct(h: int) -> str:
         # invalid alignments (not a proper trim / over budget / negative
-        # tail) score +inf so array_min never picks them
+        # tail / a length delta that is not whole units) score +inf so
+        # array_min never picks them
+        he = h * stride
         guard = (
             f"size(__sa__) <= size(__sb__) OR "
-            f"{h} + size(__sb__) > size(__sa__) OR "
-            f"size(__sa__) - {h} - size(__sb__) > {H}"
+            f"{he} + size(__sb__) > size(__sa__) OR "
+            f"size(__sa__) - {he} - size(__sb__) > {H * stride}"
         )
+        if stride > 1:
+            guard += f" OR (size(__sa__) - size(__sb__)) % {stride} != 0"
         ssd = (
             f"aggregate(sequence(0, size(__sb__) - 1), cast(0 as bigint), "
-            f"(a, i) -> a + (cast(__sb__[i] as bigint) - cast(__sa__[i + {h}] as bigint)) * "
-            f"(cast(__sb__[i] as bigint) - cast(__sa__[i + {h}] as bigint)))"
+            f"(a, i) -> a + (cast(__sb__[i] as bigint) - cast(__sa__[i + {he}] as bigint)) * "
+            f"(cast(__sb__[i] as bigint) - cast(__sa__[i + {he}] as bigint)))"
         )
         return (
             f"named_struct('ssd', IF({guard}, cast({1 << 62} as bigint), {ssd}), "
-            f"'head', {h})"
+            f"'head', {he})"
         )
 
     best = "array_min(array(" + ", ".join(
         head_struct(h) for h in range(H + 1)
     ) + "))"
-    return (
+    scored = (
         cand.join(sa, full_name)
         .join(sb, trimmed_name)
         .withColumn("__best__", F.expr(best))
         .filter(F.col("__best__.ssd") <= ssd_tol)
-        .select(
-            full_name,
-            trimmed_name,
-            F.col("__best__.head").cast("int").alias("head"),
-            (
-                F.expr("size(__sa__)")
-                - F.col("__best__.head")
-                - F.expr("size(__sb__)")
-            )
-            .cast("int")
-            .alias("tail"),
-            F.col("__best__.ssd").alias("ssd"),
-        )
+    )
+    head_elems = F.col("__best__.head")
+    tail_elems = (
+        F.expr("size(__sa__)") - F.col("__best__.head") - F.expr("size(__sb__)")
+    )
+    if stride > 1:
+        head_out = (head_elems / stride).cast("int").alias("head")
+        tail_out = (tail_elems / stride).cast("int").alias("tail")
+    else:
+        head_out = head_elems.cast("int").alias("head")
+        tail_out = tail_elems.cast("int").alias("tail")
+    return scored.select(
+        full_name,
+        trimmed_name,
+        head_out,
+        tail_out,
+        F.col("__best__.ssd").alias("ssd"),
     )
 
 
@@ -1610,6 +1643,7 @@ def trim_index(
     anchor: int = 16,
     id_col: str = "media_id",
     s_col: str = "s",
+    stride: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """At-rest artifacts for incremental trim-tolerant dedup (r13) — the
     trim tier's twin of :func:`crop_index` (toks, grids): a (id, tok)
@@ -1617,8 +1651,8 @@ def trim_index(
     token, so ONE table serves both probe directions — a deployment
     persists it bucketed by ``tok``) and the (id, s) sequence table the
     verify reads."""
-    src = _trim_norm(df, anchor, id_col, s_col)
-    toks = _trim_parent_toks(src, anchor, max_trim).select(
+    src = _trim_norm(df, anchor * stride, id_col, s_col)
+    toks = _trim_parent_toks(src, anchor, max_trim, stride).select(
         F.col("__id__").alias(id_col), "tok"
     )
     return toks, src.select(
@@ -1636,6 +1670,7 @@ def incremental_trimmed_dedup(
     id_col: str = "media_id",
     s_col: str = "s",
     max_bucket_size: int | None = None,
+    stride: int = 1,
 ) -> DataFrame:
     """Trim-tolerant dedup of an incoming batch AGAINST an at-rest token
     index (:func:`trim_index`) — the deployment shape of the trim tier,
@@ -1652,11 +1687,11 @@ def incremental_trimmed_dedup(
     collision), never O(history). Output
     (new_id, old_id, role, head, tail, ssd)."""
     B, H = anchor, max_trim
-    src = _trim_norm(batch, B, id_col, s_col)
-    b_prefix = _trim_prefix_tok(src, B).select(
+    src = _trim_norm(batch, B * stride, id_col, s_col)
+    b_prefix = _trim_prefix_tok(src, B, stride).select(
         F.col("__id__").alias("new_id"), "tok"
     )
-    b_heads = _trim_parent_toks(src, B, H).select(
+    b_heads = _trim_parent_toks(src, B, H, stride).select(
         F.col("__id__").alias("new_id"), "tok"
     )
     hist = idx_toks.select(F.col(id_col).alias("old_id"), "tok")
@@ -1675,7 +1710,9 @@ def incremental_trimmed_dedup(
             sb = b_seq.select(
                 F.col("__bid__").alias("new_id"), F.col("__s__").alias("__sb__")
             )
-            out = _trim_verify(cand, sa, sb, H, ssd_tol, "old_id", "new_id")
+            out = _trim_verify(
+                cand, sa, sb, H, ssd_tol, "old_id", "new_id", stride
+            )
             role = "batch_trimmed"
         else:
             sa = b_seq.select(
@@ -1684,7 +1721,9 @@ def incremental_trimmed_dedup(
             sb = h_seq.select(
                 F.col("__hid__").alias("old_id"), F.col("__hs__").alias("__sb__")
             )
-            out = _trim_verify(cand, sa, sb, H, ssd_tol, "new_id", "old_id")
+            out = _trim_verify(
+                cand, sa, sb, H, ssd_tol, "new_id", "old_id", stride
+            )
             role = "batch_full"
         return out.select(
             "new_id", "old_id", F.lit(role).alias("role"), "head", "tail", "ssd"

@@ -2817,6 +2817,138 @@ def q_audio_trimmed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("full_id", "trimmed_id")
 
 
+_VTRIM_TWIN_EVERY, _VTRIM_TWIN_OFFSET = 10, 8_000_000
+_VTRIM_MAX, _VTRIM_ANCHOR = 1, 1  # 1 frame per side budget, 1-frame anchor
+_VTRIM_FRAME = _VID_SIDE * _VID_SIDE  # elements per trim unit (stride)
+# (head, tail) frame trims per planted arm, cycled by (media_id // 10) % 3
+_VTRIM_ARMS = ((1, 0), (0, 1), (1, 1))
+
+
+def _vtrim_twin_case(col: str, pick: str) -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN {(h if pick == 'h' else t)}"
+        for k, (h, t) in enumerate(_VTRIM_ARMS[:-1])
+    )
+    last = _VTRIM_ARMS[-1][0 if pick == "h" else 1]
+    return f"CASE CAST(({col}) % {len(_VTRIM_ARMS)} AS INT) {whens} ELSE {last} END"
+
+
+_VTRIM_TOK_SQL = (
+    "md5(array_to_string(list_transform(range(0, {B}), i -> "
+    "CAST(px[{off} + i + 1] AS VARCHAR)), ' '))"
+)
+
+
+@register(
+    "video_trimmed_near_dup_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    twins AS (
+      SELECT media_id + {_VTRIM_TWIN_OFFSET} AS media_id,
+             list_slice(px, head * {_VTRIM_FRAME} + 1,
+                        ({_VID_FRAMES} - tail) * {_VTRIM_FRAME}) AS px
+      FROM (
+        SELECT media_id, px,
+               {_vtrim_twin_case(f"media_id // {_VTRIM_TWIN_EVERY}", "h")} AS head,
+               {_vtrim_twin_case(f"media_id // {_VTRIM_TWIN_EVERY}", "t")} AS tail
+        FROM base WHERE media_id % {_VTRIM_TWIN_EVERY} = 0
+      )
+    ),
+    clips AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    ptoks AS (
+      SELECT DISTINCT media_id AS full_id,
+             unnest(list_transform(
+               range(0, least({_VTRIM_MAX},
+                              len(px) // {_VTRIM_FRAME} - {_VTRIM_ANCHOR}) + 1),
+               o -> {_VTRIM_TOK_SQL.format(B=_VTRIM_ANCHOR * _VTRIM_FRAME,
+                                           off=f"o * {_VTRIM_FRAME}")})) AS tok
+      FROM clips WHERE len(px) >= {_VTRIM_ANCHOR * _VTRIM_FRAME}
+    ),
+    ktoks AS (
+      SELECT media_id AS trimmed_id,
+             {_VTRIM_TOK_SQL.format(B=_VTRIM_ANCHOR * _VTRIM_FRAME, off="0")} AS tok
+      FROM clips WHERE len(px) >= {_VTRIM_ANCHOR * _VTRIM_FRAME}
+    ),
+    cand AS (
+      SELECT DISTINCT p.full_id, k.trimmed_id
+      FROM ptoks p JOIN ktoks k USING (tok)
+      WHERE p.full_id != k.trimmed_id
+    ),
+    offs AS (SELECT unnest(range(0, {_VTRIM_MAX} + 1)) AS h),
+    scored AS (
+      SELECT c.full_id, c.trimmed_id, o.h * {_VTRIM_FRAME} AS he,
+             len(ga.px) AS n, len(gb.px) AS m, ga.px AS sa, gb.px AS sb
+      FROM cand c
+      JOIN clips ga ON ga.media_id = c.full_id
+      JOIN clips gb ON gb.media_id = c.trimmed_id
+      CROSS JOIN offs o
+    ),
+    evaled AS (
+      SELECT full_id, trimmed_id, he, n, m,
+             CASE WHEN n <= m OR he + m > n
+                    OR n - he - m > {_VTRIM_MAX * _VTRIM_FRAME}
+                    OR (n - m) % {_VTRIM_FRAME} != 0
+                  THEN NULL
+                  ELSE list_sum(list_transform(range(0, m), i ->
+                    (sb[i + 1] - sa[he + i + 1])
+                    * (sb[i + 1] - sa[he + i + 1])))
+             END AS ssd
+      FROM scored
+    ),
+    picked AS (
+      SELECT full_id, trimmed_id,
+             CAST(he // {_VTRIM_FRAME} AS INT) AS head,
+             CAST((n - he - m) // {_VTRIM_FRAME} AS INT) AS tail,
+             CAST(ssd AS BIGINT) AS ssd,
+             ROW_NUMBER() OVER (
+               PARTITION BY full_id, trimmed_id ORDER BY ssd, he
+             ) AS rn
+      FROM evaled WHERE ssd IS NOT NULL
+    )
+    SELECT full_id, trimmed_id, head, tail, ssd
+    FROM picked WHERE rn = 1 AND ssd <= 0
+    ORDER BY full_id, trimmed_id
+    """,
+)
+def q_video_trimmed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL-trim video near-dup (r13) — the video cell of the
+    transform matrix's TRIM axis, completing the trim column across
+    modalities the same way the resample core's ``stride`` completed
+    the scale column: every 10th clip gets a planted head/tail FRAME
+    trim (three arms: first frame dropped, last frame dropped, both —
+    the trimmed video re-upload, invisible to video_dhash's frame-order
+    fingerprint, to the frame-shift shingles at fixed length AND to the
+    spatial crop tokens), and operators/dedup.py trimmed_sequence_pairs
+    at stride = one frame's pixels recovers each (full, trimmed) pair
+    with the true frame-unit (head, tail) — prefix-anchor pigeonhole,
+    recall 1.0 by construction, integer-exact, fully oracle-replayable.
+    stride = 1 IS the audio tier, byte-identical (the
+    resampled_derivative_pairs contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
+    base = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    arm_col = f"media_id div {_VTRIM_TWIN_EVERY}"
+    head_sql = _vtrim_twin_case(arm_col, "h")
+    tail_sql = _vtrim_twin_case(arm_col, "t")
+    twins = base.filter(F.col("media_id") % _VTRIM_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _VTRIM_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"slice(px, ({head_sql}) * {_VTRIM_FRAME} + 1, "
+            f"({_VID_FRAMES} - ({head_sql}) - ({tail_sql})) * {_VTRIM_FRAME})"
+        ).alias("px"),
+    )
+    clips = base.unionByName(twins)
+    return D.trimmed_sequence_pairs(
+        clips,
+        max_trim=_VTRIM_MAX,
+        anchor=_VTRIM_ANCHOR,
+        s_col="px",
+        stride=_VTRIM_FRAME,
+    ).orderBy("full_id", "trimmed_id")
+
+
 def _trim_probe_dir_sql(
     role: str, full_tbl: str, trim_tbl: str, full_col: str, trim_col: str
 ) -> str:
@@ -2958,6 +3090,8 @@ def _transform_census_oracle() -> str:
       UNION ALL
       {arm("audio_trim", "audio_trimmed_near_dup_pairs", "full_id", "trimmed_id", _TRIM_TWIN_OFFSET)}
       UNION ALL
+      {arm("video_trim", "video_trimmed_near_dup_pairs", "full_id", "trimmed_id", _VTRIM_TWIN_OFFSET)}
+      UNION ALL
       {arm("crop", "image_cropped_near_dup_pairs", "id_a", "id_b", _CROP_TWIN_OFFSET)}
       UNION ALL
       {arm("rotation", "image_rotated_dedup", "keep_id", "dup_id", _ROT_TWIN_OFFSET)}
@@ -2974,20 +3108,22 @@ def _transform_census_oracle() -> str:
 @register("transform_dedup_census", oracle=_transform_census_oracle())
 def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transform-axis dedup census (r11; audio_resample/video_crop/
-    video_resample arms added r12, audio_trim r13 — the matrix's last
-    cell) — the one-row-per-axis summary a corpus run reports for the
-    DERIVATIVE duplicate classes (image crop / scale / rotation, audio
-    resample, audio trim, video per-frame crop, video frame-rate
-    resample; the shift axes live in the media census's modalities):
-    pair count and planted-link recovery per axis, rolled up from the
-    seven full pipelines. The oracle composes the seven registered
-    oracles verbatim from the registry — one hash covers the whole
-    transform-dedup surface (the media_near_dup_census precedent).
+    video_resample arms added r12, audio_trim + video_trim r13 —
+    the shift/crop/scale/trim × image/audio/video matrix now reports
+    every cell) — the one-row-per-axis summary a corpus run reports for
+    the DERIVATIVE duplicate classes (image crop / scale / rotation,
+    audio resample, audio trim, video per-frame crop, video frame-rate
+    resample, video temporal trim; the shift axes live in the media
+    census's modalities): pair count and planted-link recovery per
+    axis, rolled up from the eight full pipelines. The oracle composes
+    the eight registered oracles verbatim from the registry — one hash
+    covers the whole transform-dedup surface (the media_near_dup_census
+    precedent).
 
-    Scan shape (r12 VERDICT item 6, measured r13): the arms are
-    SCAN-INDEPENDENT by design — each re-derives its clips from the
-    embeddings scan, and the composed census runs at 0.83x the sum of
-    the arms' solo times (10.61 s vs 12.78 s at sf0.1, docs/ROUND13.md),
+    Scan shape (r12 VERDICT item 6, measured r13 at the 7-arm shape):
+    the arms are SCAN-INDEPENDENT by design — each re-derives its clips
+    from the embeddings scan, and the composed census runs at 0.83x the
+    sum of the arms' solo times (10.61 s vs 12.78 s at sf0.1, docs/ROUND13.md),
     i.e. scheduler overlap, no interference and no new shuffle shape;
     the scan itself is a single-digit % of every arm (arm cost is token
     derivation + joins). A 100 TB deployment materializes the decoded/
@@ -3018,6 +3154,10 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_audio_trimmed_near_dup_pairs(spark, sf_dir),
         "audio_trim", "full_id", "trimmed_id", _TRIM_TWIN_OFFSET,
     )
+    vtrim = arm(
+        q_video_trimmed_near_dup_pairs(spark, sf_dir),
+        "video_trim", "full_id", "trimmed_id", _VTRIM_TWIN_OFFSET,
+    )
     crop = arm(
         q_image_cropped_near_dup_pairs(spark, sf_dir),
         "crop", "id_a", "id_b", _CROP_TWIN_OFFSET,
@@ -3045,5 +3185,6 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(scale)
         .unionByName(vcrop)
         .unionByName(vresample)
+        .unionByName(vtrim)
         .orderBy("axis")
     )

@@ -313,6 +313,7 @@ def incremental_trim_dedup_sink(
     id_col: str = "media_id",
     s_col: str = "s",
     carry_cols: Sequence[str] = (),
+    stride: int = 1,
 ):
     """``foreachBatch`` sink closing the continual-ingest TRIM-tolerant
     dedup loop (r13) — the audio-trim cell's sibling of
@@ -327,7 +328,9 @@ def incremental_trim_dedup_sink(
     index, so the next batch sees them. Same exactly-once discipline:
     every output lands under its ``batch=<id>`` partition and the probe
     reads STRICTLY earlier batches so a replayed micro-batch converges
-    instead of self-matching."""
+    instead of self-matching. ``stride`` > 1 makes this the VIDEO
+    temporal-trim cell's sink (units = frames), the crop sink's
+    ``frames`` / resample sink's ``stride`` precedent."""
     from network_iq_spark.operators.dedup import (
         incremental_trimmed_dedup,
         trim_index,
@@ -348,6 +351,7 @@ def incremental_trim_dedup_sink(
                 ssd_tol=ssd_tol,
                 id_col=id_col,
                 s_col=s_col,
+                stride=stride,
             )
             dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
             survivors = batch.join(dup_ids, id_col, "left_anti")
@@ -360,6 +364,7 @@ def incremental_trim_dedup_sink(
             anchor=anchor,
             id_col=id_col,
             s_col=s_col,
+            stride=stride,
         )
         write_batch_partition(survivors, corpus_path, batch_id)
         write_batch_partition(new_toks, toks_path, batch_id)

@@ -8,9 +8,11 @@ side) + exact integer head-offset verify, the crop tier's argument in
 Corpus shape: 2 % planted twins (the transform_soak density) —
 64-sample signed walks with head/tail trims cycling the registered
 query's four arms ((1,0)/(0,1)/(2,1)/(1,2)), every budget within
-max_trim = 2. Each scale asserts recall 1.0 (deterministic pigeonhole,
-not an S-curve) and zero false positives (exact verify), plus the TRUE
-(head, tail) on every recovered pair.
+max_trim = 2; plus the VIDEO variant (stride = 16: 4-frame 4x4 clips
+with head/tail FRAME trims cycling (1,0)/(0,1)/(1,1)). Each scale
+asserts recall 1.0 (deterministic pigeonhole, not an S-curve) and zero
+false positives (exact verify), plus the TRUE (head, tail) on every
+recovered pair.
 
 Run: python scripts/trim_soak.py   (prints the docs/SCALE.md row to
 stdout, per-scale lines to stderr)
@@ -50,6 +52,35 @@ def trim_rows(mult: int):
     return rows, want
 
 
+VARMS = ((1, 0), (0, 1), (1, 1))
+VFRAME = 16  # 4x4 frame
+
+
+def _vals_frames(seed: int, n: int, lo: int, hi: int) -> list[int]:
+    """Per-16-byte-block DISTINCT hashes: _vals repeats one md5 digest,
+    which makes every 16-element frame identical — a frame-periodic
+    clip matches a frame trim at MULTIPLE heads and the tie-break then
+    legitimately reports a different (head, tail) than planted. Video
+    clips need non-periodic frames for the true-(head, tail) assert."""
+    out = b""
+    for blk in range((n + 15) // 16):
+        out += hashlib.md5(f"tv{seed}:{blk}".encode()).digest()
+    span = hi - lo
+    return [lo + (b * 257) % span for b in out[:n]]
+
+
+def video_trim_rows(mult: int):
+    rows, want = [], {}
+    for i in range(BASE * mult):
+        px = _vals_frames(i, 64, 0, 256)
+        rows.append((i, px))
+        if i % TWIN_EVERY == 0:
+            head, tail = VARMS[(i // TWIN_EVERY) % len(VARMS)]
+            rows.append((i + TWIN_OFF, px[head * VFRAME : (4 - tail) * VFRAME]))
+            want[(i, i + TWIN_OFF)] = (head, tail)
+    return rows, want
+
+
 def _fit(mults, ts):
     xs, ys = [math.log(m) for m in mults], [math.log(t) for t in ts]
     xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
@@ -67,40 +98,44 @@ def main() -> None:
     mults = [int(m) for m in os.environ.get("SOAK_MULTS", "1,3,10").split(",")]
     runs = int(os.environ.get("SOAK_RUNS", "2"))
 
-    ts = []
-    for m in mults:
-        rows, want = trim_rows(m)
-        df = spark.createDataFrame(
-            rows, "media_id bigint, s array<int>"
-        ).localCheckpoint()
-        best, got = float("inf"), None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            got = {
-                (r.full_id, r.trimmed_id): (r.head, r.tail)
-                for r in D.trimmed_sequence_pairs(
-                    df, max_trim=2, anchor=16
-                ).collect()
-            }
-            best = min(best, time.perf_counter() - t0)
-        # recall 1.0, zero false positives, true (head, tail), every scale
-        assert got == want, (
-            m,
-            len(set(got) - set(want)),
-            len(set(want) - set(got)),
-        )
-        ts.append(best)
+    for label, mk, kwargs in (
+        ("trimmed_sequence_pairs", trim_rows,
+         dict(max_trim=2, anchor=16)),
+        ("trimmed_sequence_pairs stride=16", video_trim_rows,
+         dict(max_trim=1, anchor=1, stride=VFRAME)),
+    ):
+        ts = []
+        for m in mults:
+            rows, want = mk(m)
+            df = spark.createDataFrame(
+                rows, "media_id bigint, s array<int>"
+            ).localCheckpoint()
+            best, got = float("inf"), None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                got = {
+                    (r.full_id, r.trimmed_id): (r.head, r.tail)
+                    for r in D.trimmed_sequence_pairs(df, **kwargs).collect()
+                }
+                best = min(best, time.perf_counter() - t0)
+            # recall 1.0, zero false positives, true (head, tail), per scale
+            assert got == want, (
+                label, m,
+                len(set(got) - set(want)),
+                len(set(want) - set(got)),
+            )
+            ts.append(best)
+            print(
+                f"x{m:<3d} {label} {best:7.2f}s "
+                f"({len(want)} planted twins, all recovered with true "
+                f"(head, tail), 0 FP)",
+                file=sys.stderr,
+            )
         print(
-            f"x{m:<3d} trimmed_sequence_pairs {best:7.2f}s "
-            f"({len(want)} planted twins, all recovered with true "
-            f"(head, tail), 0 FP)",
-            file=sys.stderr,
+            f"| `{label}` (2 % planted twins) | "
+            + " | ".join(f"{t:.2f} s" for t in ts)
+            + f" | **{_fit(mults, ts):.2f}** | 1.00 / 0 FP at every scale |"
         )
-    print(
-        f"| `trimmed_sequence_pairs` (2 % planted twins) | "
-        + " | ".join(f"{t:.2f} s" for t in ts)
-        + f" | **{_fit(mults, ts):.2f}** | 1.00 / 0 FP at every scale |"
-    )
 
 
 if __name__ == "__main__":

@@ -1197,3 +1197,49 @@ def test_incremental_trim_probe_both_directions(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert len(q.collect()) > 0
+
+
+def test_video_trimmed_pairs_strided_exact(spark):
+    """Video temporal-trim contract (r13, the trim core's stride path):
+    planted head/tail FRAME trims are recovered with the true frame-unit
+    (head, tail) at ssd = 0; a clip trimmed by a NON-frame-aligned
+    amount never matches (the whole-units guard); a 2-frame trim is
+    over budget and missed by contract; the stride=1 path is untouched
+    (expression text pinned by the audio tests)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    FR = 16  # 4x4 frame
+    rows, want = [], {}
+    base = [(i, [int(x) for x in rng.integers(0, 256, 64)]) for i in range(12)]
+    for i, px in base:
+        rows.append((i, px))
+        if i % 3 == 0:  # drop first frame
+            rows.append((i + 1000, px[FR:]))
+            want[(i, i + 1000)] = (1, 0)
+        elif i % 3 == 1:  # drop last frame
+            rows.append((i + 2000, px[:-FR]))
+            want[(i, i + 2000)] = (0, 1)
+        else:  # drop one frame each side
+            rows.append((i + 3000, px[FR:-FR]))
+            want[(i, i + 3000)] = (1, 1)
+    px0 = base[0][1]
+    rows.append((9000, px0[8:]))        # half-frame trim: not whole units
+    rows.append((9001, px0[2 * FR :]))  # 2-frame head trim: over budget
+    df = spark.createDataFrame(rows, "media_id long, px array<int>")
+    got = {
+        (r.full_id, r.trimmed_id): (r.head, r.tail, r.ssd)
+        for r in D.trimmed_sequence_pairs(
+            df, max_trim=1, anchor=1, s_col="px", stride=FR
+        ).collect()
+    }
+    assert {k: v for k, v in got.items() if k[0] < 1000} == {
+        k: (h, t, 0) for k, (h, t) in want.items()
+    }
+    assert (0, 9000) not in got
+    assert (0, 9001) not in got
+
+    q = QUERIES["video_trimmed_near_dup_pairs"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert len(q.collect()) > 0
