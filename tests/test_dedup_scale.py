@@ -1243,3 +1243,38 @@ def test_video_trimmed_pairs_strided_exact(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert len(q.collect()) > 0
+
+
+def test_incremental_trim_probe_strided_video(spark):
+    """The trim probe's stride path (video temporal trim): a batch clip
+    missing the FIRST FRAME of an indexed video is caught with
+    frame-unit (head, tail); a half-frame trim never matches (whole-
+    units guard); the batch_full direction reports the untrimmed
+    original of an indexed frame-trim."""
+    import numpy as np
+
+    rng = np.random.default_rng(18)
+    FR = 16
+    vids = {i: [int(x) for x in rng.integers(0, 256, 64)] for i in range(6)}
+    hist_rows = [(i, px) for i, px in vids.items()]
+    hist_rows.append((505, vids[5][FR:]))  # indexed head-1-frame trim
+    hdf = spark.createDataFrame(hist_rows, "media_id long, s array<int>")
+    toks, sq = D.trim_index(hdf, max_trim=1, anchor=1, stride=FR)
+    batch = spark.createDataFrame(
+        [
+            (1003, vids[3][FR:]),      # head-1-frame trim of clip 3
+            (1004, vids[4][8:]),       # half-frame: not whole units
+            (1005, list(vids[5])),     # untrimmed original of indexed 505
+        ],
+        "media_id long, s array<int>",
+    )
+    got = {
+        (r.new_id, r.old_id): (r.role, r.head, r.tail, r.ssd)
+        for r in D.incremental_trimmed_dedup(
+            batch, toks, sq, max_trim=1, anchor=1, stride=FR
+        ).collect()
+    }
+    assert got == {
+        (1003, 3): ("batch_trimmed", 1, 0, 0),
+        (1005, 505): ("batch_full", 1, 0, 0),
+    }
