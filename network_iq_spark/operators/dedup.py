@@ -1383,9 +1383,6 @@ def incremental_resampled_dedup(
             )
             + ", NULL)"
         ).alias("__bder__"),
-        F.expr(f"cast((size({s_col}) div {fs}) * {stride} as int)").alias(
-            "__bdn__"
-        ),
     ).localCheckpoint(eager=False)
     hist = idx.select(
         F.col(id_col).alias("old_id"),
