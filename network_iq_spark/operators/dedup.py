@@ -1329,20 +1329,38 @@ def resample_index(
     columns so batch probes co-locate without a history-side shuffle.
     Both keys come from the same expression text as
     :func:`resampled_derivative_pairs`, so index and in-plan tier can
-    never disagree on the derived signal."""
+    never disagree on the derived signal.
+
+    The normalized (id, s) frame is checkpointed BEFORE key derivation
+    — the pairs tier's discipline, and load-bearing here (r13 close-
+    bench forensics, docs/ROUND13.md): without the barrier, the probe
+    join's inferred ``isnotnull(key)`` predicate pushes down THROUGH
+    this projection, inlining the full derive+md5 expression (with the
+    caller's clip-derivation plan substituted into every reference)
+    into an interpreted per-row Filter — measured 177 s for a 2000-row
+    probe at sf0.1, vs 1.5 s with the barrier. The derived signal is
+    also staged through its own projection so the md5 key's two
+    references compute it once (CollapseProject declines to inline
+    multi-referenced non-cheap aliases)."""
     fs = factor * stride
-    derived = _box_decimated_expr(factor, stride)
-    return ensure_parallelism(df).select(
-        F.col(id_col).alias(id_col),
-        F.expr(f"cast(size({s_col}) as int)").alias("n"),
-        F.expr(_SEQ_MD5_KEY_FMT.format(v=s_col)).alias("own_key"),
-        F.expr(
-            f"IF(size({s_col}) >= {fs}, "
-            + _SEQ_MD5_KEY_FMT.format(
-                v="(" + derived.replace("__s__", s_col) + ")"
-            )
-            + ", NULL)"
-        ).alias("derived_key"),
+    derived = _box_decimated_expr(factor, stride, "__s__")
+    src = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__"))
+        .localCheckpoint(eager=False)
+    )
+    staged = src.select(
+        "__id__",
+        F.expr("cast(size(__s__) as int)").alias("n"),
+        F.expr(_SEQ_MD5_KEY_FMT.format(v="__s__")).alias("own_key"),
+        F.expr(f"IF(size(__s__) >= {fs}, {derived}, NULL)").alias("__d__"),
+    )
+    return staged.select(
+        F.col("__id__").alias(id_col),
+        "n",
+        "own_key",
+        # md5 over a NULL array is NULL, so the too-short guard carries
+        F.expr(_SEQ_MD5_KEY_FMT.format(v="__d__")).alias("derived_key"),
     )
 
 
