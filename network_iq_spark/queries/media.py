@@ -930,10 +930,25 @@ def q_media_dhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _img_index_df(spark, sf_dir).orderBy("media_id", "seg")
 
 
-_MEDIA_INDEX_DIR = os.path.join(
+_AUX_DATA_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "aux_data", "media_index",
+    "aux_data",
 )
+_MEDIA_INDEX_DIR = os.path.join(_AUX_DATA_DIR, "media_index")
+
+
+def _aux_parquet(spark: SparkSession, kind: str, sf_dir: str):
+    """Read a committed at-rest index artifact
+    (aux_data/<kind>/<sf>), or None if absent — the media-index
+    discipline: a READ query must never write into the checkout
+    (build scripts alone materialize artifacts), and a missing
+    artifact falls back to the in-plan index so the query still runs
+    on arbitrary sf_dirs. Parity against the same oracle as the
+    in-plan build doubles as the artifact-freshness check."""
+    path = os.path.join(
+        _AUX_DATA_DIR, kind, os.path.basename(sf_dir.rstrip("/"))
+    )
+    return spark.read.parquet(path) if os.path.exists(path) else None
 
 
 @register("incremental_image_dedup_probe", oracle=_IMG_INCR_DEDUP_ORACLE)
@@ -2461,7 +2476,11 @@ def q_incremental_resample_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     of an indexed decimation) — O(batch × collision), never O(history),
     recall 1.0 by construction, fully oracle-replayable. stride > 1
     gives the video cell the identical probe (one generic core, the
-    pairs tier's contract)."""
+    pairs tier's contract). The index is READ from the committed
+    artifact (aux_data/resample_index/<sf>, built by
+    scripts/build_transform_indexes.py — the media-index discipline)
+    with an in-plan fallback for arbitrary sf_dirs; the shared oracle
+    recomputes it, so parity doubles as the freshness check."""
     emb = load_table(spark, sf_dir, "embeddings")
     src = emb.select(
         F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
@@ -2472,7 +2491,9 @@ def q_incremental_resample_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(0, 31), i -> (s[2*i] + s[2*i + 1]) div 2)"
         ).alias("s"),
     )
-    idx = D.resample_index(src, factor=2)
+    idx = _aux_parquet(spark, "resample_index", sf_dir)
+    if idx is None:
+        idx = D.resample_index(src, factor=2)
     return D.incremental_resampled_dedup(batch, idx, factor=2).orderBy(
         "new_id", "old_id", "role"
     )
@@ -3050,7 +3071,11 @@ def q_incremental_trim_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully oracle-replayable. On this corpus the batch_full direction
     structurally cannot fire (a twin is shorter than every history
     clip, and the verify requires a PROPER trim), which the oracle
-    replays exactly."""
+    replays exactly. The token + sequence tables are READ from the
+    committed artifacts (aux_data/trim_index/{toks,seqs}/<sf>, built
+    by scripts/build_transform_indexes.py) with an in-plan fallback;
+    the shared oracle recomputes them, so parity doubles as the
+    freshness check."""
     emb = load_table(spark, sf_dir, "embeddings")
     src = emb.select(
         F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
@@ -3064,7 +3089,10 @@ def q_incremental_trim_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"slice(s, ({head_sql}) + 1, 64 - ({head_sql}) - ({tail_sql}))"
         ).alias("s"),
     )
-    toks, seqs = D.trim_index(src, max_trim=_TRIM_MAX, anchor=_TRIM_ANCHOR)
+    toks = _aux_parquet(spark, "trim_index/toks", sf_dir)
+    seqs = _aux_parquet(spark, "trim_index/seqs", sf_dir)
+    if toks is None or seqs is None:
+        toks, seqs = D.trim_index(src, max_trim=_TRIM_MAX, anchor=_TRIM_ANCHOR)
     return D.incremental_trimmed_dedup(
         batch, toks, seqs, max_trim=_TRIM_MAX, anchor=_TRIM_ANCHOR
     ).orderBy("new_id", "old_id", "role")
