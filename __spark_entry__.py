@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "incremental_resample_probe",
     "incremental_trim_probe",
     "video_trimmed_near_dup_pairs",
+    "image_transform_resolution",
     # r13-touched: extract_features gained the min_bytes guard floor
     # (plan change at bench SF: map-only again, the r01 shape)
     "multimodal_features",
@@ -97,10 +98,10 @@ _VERIFY_FIRST = [
     "union_label_dims",
     "value_autocorr_lag1",
     "value_equidepth_histogram",
-    "value_histogram",
     # --- 50-slot window boundary ---
     # overflow, r14-priority order: the displaced r9 entries, then
     # the r10 cohort, alphabetical
+    "value_histogram",
     "vocab_coverage",
     "winnow_overlap_pairs",
     "winnowing_fingerprints",

@@ -3216,3 +3216,123 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vtrim)
         .orderBy("axis")
     )
+
+
+def _image_resolution_oracle() -> str:
+    """Composed from the three image-arm oracles via the registry (the
+    census discipline) + the dedup_clusters walk CTE: edge union →
+    min-label connected components → per-cluster resolution stats."""
+    from network_iq_spark.registry import ORACLES
+
+    return f"""
+    WITH RECURSIVE edges AS (
+      SELECT id_a AS src, id_b AS dst, 'crop' AS axis
+      FROM ({ORACLES["image_cropped_near_dup_pairs"]})
+      UNION ALL
+      SELECT full_id AS src, thumb_id AS dst, 'scale' AS axis
+      FROM ({ORACLES["image_thumbnail_pairs"]})
+      UNION ALL
+      SELECT keep_id AS src, dup_id AS dst, 'rotation' AS axis
+      FROM ({ORACLES["image_rotated_dedup"]})
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION ALL
+      SELECT dst AS a, src AS b FROM edges
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM sym),
+    walk(v, label) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.v
+    ),
+    clusters AS (SELECT v, MIN(label) AS cluster_id FROM walk GROUP BY v),
+    stats AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM clusters GROUP BY cluster_id
+    ),
+    axes AS (
+      SELECT c.cluster_id, CAST(COUNT(DISTINCT e.axis) AS INT) AS n_axes
+      FROM edges e JOIN clusters c ON c.v = e.src
+      GROUP BY c.cluster_id
+    )
+    SELECT s.cluster_id AS keep_id, s.n_members, a.n_axes,
+           CAST(s.n_members - 1 AS BIGINT) AS n_dropped
+    FROM stats s JOIN axes a USING (cluster_id)
+    ORDER BY keep_id
+    """
+
+
+@register("image_transform_resolution", oracle=_image_resolution_oracle())
+def q_image_transform_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-AXIS duplicate RESOLUTION over the image transform tiers
+    (r13) — the step a corpus pipeline actually runs after the census
+    reports counts: union the (original, derivative) edges from the
+    crop, scale and rotation arms (the three tiers sharing the image
+    grid corpus), take transitive connected components (an original and
+    ALL its transform derivatives collapse into ONE cluster even though
+    no two derivatives ever pair directly), and emit one resolution row
+    per cluster: the kept representative (min-label = the original, by
+    the twin-offset construction), member count, how many distinct
+    transform axes contributed, and how many artifacts a dedup pass
+    drops. Composes three registered tiers verbatim + the min-label CC
+    core (operators/graph.py — the dedup_clusters fixpoint), so the
+    oracle replays the whole thing: edges from the three registered
+    oracles via the registry, the walk CTE for the same fixpoint.
+    Scale shape: the three arms' bounded pipelines + CC over ONLY the
+    duplicate-involved vertices (pair density × corpus, never the
+    corpus itself); the edge union is checkpointed once and feeds both
+    the CC and the axis rollup."""
+    from network_iq_spark.operators import graph as G
+
+    crop = q_image_cropped_near_dup_pairs(spark, sf_dir)
+    scale = q_image_thumbnail_pairs(spark, sf_dir)
+    rot = q_image_rotated_dedup(spark, sf_dir)
+    e = (
+        crop.select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.lit("crop").alias("axis"),
+        )
+        .unionByName(
+            scale.select(
+                F.col("full_id").alias("src"),
+                F.col("thumb_id").alias("dst"),
+                F.lit("scale").alias("axis"),
+            )
+        )
+        .unionByName(
+            rot.select(
+                F.col("keep_id").alias("src"),
+                F.col("dup_id").alias("dst"),
+                F.lit("rotation").alias("axis"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    verts = (
+        e.select(F.col("src").alias("media_id"))
+        .unionByName(e.select(F.col("dst").alias("media_id")))
+        .distinct()
+    )
+    cc = G.connected_components(
+        verts, e, id_col="media_id", src="src", dst="dst"
+    )
+    stats = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    axes = (
+        e.join(cc, e["src"] == cc["media_id"])
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("axis").cast("int").alias("n_axes"))
+    )
+    return (
+        stats.join(axes, "cluster_id")
+        .select(
+            F.col("cluster_id").alias("keep_id"),
+            "n_members",
+            "n_axes",
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("keep_id")
+    )

@@ -1278,3 +1278,25 @@ def test_incremental_trim_probe_strided_video(spark):
         (1003, 3): ("batch_trimmed", 1, 0, 0),
         (1005, 505): ("batch_full", 1, 0, 0),
     }
+
+
+def test_image_transform_resolution_collapses_axes(spark):
+    """Resolution contract (r13): an original and its crop, thumbnail
+    and rotation derivatives collapse into ONE cluster (no two
+    derivatives ever pair directly — the transitive closure does the
+    collapsing), keep_id is the original, and the axis rollup counts
+    each contributing arm once."""
+    rows = {
+        (r.keep_id): (r.n_members, r.n_axes, r.n_dropped)
+        for r in QUERIES["image_transform_resolution"](spark, SF).collect()
+    }
+    assert rows, "no clusters at sf0.001"
+    for keep_id, (m, a, d) in rows.items():
+        assert keep_id < 1_000_000  # the original, never a twin
+        assert d == m - 1
+        assert 1 <= a <= 3
+    # every planted original carries all three axes at this corpus
+    assert all(a == 3 and m == 4 for m, a, _ in rows.values()), rows
+    q = QUERIES["image_transform_resolution"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan

@@ -55,12 +55,13 @@ def test_verify_first_names_all_resolve():
     # HEAD ships more arms), then the full oldest-r9 cohort; new r13 tiers
     # slot in after the census as they land, displacing the tail
     window = list(qs)[:50]
-    assert window[:11] == [
+    assert window[:12] == [
         "quality_scores", "range_window_stats", "scd2_user_type_history",
         "warc_extract_stats", "weighted_sample_per_source",
         "transform_dedup_census", "audio_trimmed_near_dup_pairs",
         "incremental_resample_probe", "incremental_trim_probe",
-        "video_trimmed_near_dup_pairs", "multimodal_features",
+        "video_trimmed_near_dup_pairs", "image_transform_resolution",
+        "multimodal_features",
     ]
     r9_cohort = [
         "ab_test_conversion", "ann_int_cosine_topk", "bigram_rarity",
@@ -77,10 +78,11 @@ def test_verify_first_names_all_resolve():
         "temperature_mix_weights", "term_postings", "tfidf_top_terms",
         "time_weighted_avg", "token_stats", "unigram_surprisal",
         "union_label_dims", "value_autocorr_lag1",
-        "value_equidepth_histogram", "value_histogram",
+        "value_equidepth_histogram",
     ]
-    # the four alphabetically-last r9 entries (vocab_coverage,
-    # winnow_overlap_pairs, winnowing_fingerprints, winsorized_profile)
-    # displaced into the overflow by the four new r13 tiers + the touched
-    # multimodal_features — they keep their r9 stamps and lead the r14 list
-    assert window[11:50] == r9_cohort
+    # the five alphabetically-last r9 entries (value_histogram,
+    # vocab_coverage, winnow_overlap_pairs, winnowing_fingerprints,
+    # winsorized_profile) displaced into the overflow by the five new
+    # r13 tiers + the touched multimodal_features — they keep their r9
+    # stamps and lead the r14 list
+    assert window[12:50] == r9_cohort
