@@ -26,91 +26,99 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
-# the queries with the least external verification first. After the r12
-# window, stamps stand at 50 r12 / 48 r11 / 48 r10 / 43 r9 / 5 r8 with
-# every oracle-paired query externally stamped at least once. The r13
-# window (per the r12 verdict's committed overflow order): the five
-# r8-stamped stragglers lead, then transform_dedup_census (its r12 stamp
-# covers the 5-arm shape; HEAD ships 6 arms — the stamp must catch up to
-# the shipped composition), then the full oldest-r9 cohort (43 queries),
-# then the alphabetically-first r10 entry fills slot 50. New r13 tiers
-# slot in after the census as they land, displacing the tail into the
-# overflow below. The r13 jpeg edits (malformed-DHT rejection + cache
-# eviction) are guarded-input-only — differential fuzz pins byte-identical
-# output on every valid stream — so the r12 decoded_jpeg* stamps remain
-# representative and those queries stay out of this window.
+# the queries with the least external verification first. After the r13
+# window, stamps stand at 50 r13 / 48 r12 / 48 r11 / 48 r10 / 5 r9 with
+# every oracle-paired query externally stamped at least once. The r14
+# window (per the r13 verdict's committed overflow order): the five
+# r9-stamped stragglers lead, then the five NEW r14 queries (the audio/
+# video cross-axis resolutions and the three per-modality keep-best
+# policies), then the seven r14-TOUCHED queries (the three image arms
+# + image_transform_resolution, whose twin constructions moved into
+# shared helpers for the keep-best member corpus — plan-identical by
+# construction, re-stamped as cheap insurance; the two aux-artifact
+# probes + incremental_image_dedup_probe, whose artifact read gained
+# the canonical-testdata-root gate, r13 ADVICE), then the first 33 of
+# the oldest-r10 cohort alphabetically. The 15 displaced r10 entries
+# keep their r10 stamps and lead the committed r15 overflow below.
+# transform_dedup_census stays out: its 8-arm composition is unchanged
+# and the arm refactors are plan-identical (pinned by the arms' own
+# re-stamps this round). The r14 jpeg edit (assert -> RuntimeError on
+# an internal-constants invariant) is guarded-input-only, so the
+# decoded_jpeg* stamps remain representative (the r13 rule).
 _VERIFY_FIRST = [
-    # the five r8-stamped stragglers (committed r13 overflow order)
-    "quality_scores",
-    "range_window_stats",
-    "scd2_user_type_history",
-    "warc_extract_stats",
-    "weighted_sample_per_source",
-    # stamp predates the shipped composition (r12 verdict: 5 arms at
-    # stamp); the r13 window stamps the 7-arm shape incl. audio_trim
-    "transform_dedup_census",
-    # NEW r13: the transform matrix's last cell (audio trim) and the
-    # scale-axis deployment probe
-    "audio_trimmed_near_dup_pairs",
-    "incremental_resample_probe",
-    "incremental_trim_probe",
-    "video_trimmed_near_dup_pairs",
-    "image_transform_resolution",
-    # r13-touched: extract_features gained the min_bytes guard floor
-    # (plan change at bench SF: map-only again, the r01 shape)
-    "multimodal_features",
-    # the oldest-r9 cohort (43 queries)
-    "ab_test_conversion",
-    "ann_int_cosine_topk",
-    "bigram_rarity",
-    "bm25_topk",
-    "bm25_topk_capped",
-    "chunk_dedup",
-    "containment_top_pairs",
-    "dataset_card",
-    "decontamination_spans",
-    "doc_keywords",
-    "hard_negatives_topk",
-    "incremental_exact_dedup",
-    "incremental_near_dup",
-    "ivf_int_recenter_stats",
-    "minhash_lsh_pairs",
-    "minhash_lsh_pairs_capped",
-    "minhash_lsh_pairs_prod",
-    "mixture_sample_counts",
-    "packing_ffd",
-    "related_docs_rrf",
-    "related_docs_rrf_dense",
-    "repetition_stats",
-    "rolling_fingerprints",
-    "rollup_order_counts",
-    "scope_filtered_profile",
-    "semantic_dedup",
-    "simhash_pairs",
-    "simhash_pairs_blocked",
-    "supplier_pagerank",
-    "temperature_mix_weights",
-    "term_postings",
-    "tfidf_top_terms",
-    "time_weighted_avg",
-    "token_stats",
-    "unigram_surprisal",
-    "union_label_dims",
-    "value_autocorr_lag1",
-    "value_equidepth_histogram",
-    # --- 50-slot window boundary ---
-    # overflow, r14-priority order: the displaced r9 entries, then
-    # the r10 cohort, alphabetical
+    # the five r9-stamped stragglers (committed r14 overflow order)
     "value_histogram",
     "vocab_coverage",
     "winnow_overlap_pairs",
     "winnowing_fingerprints",
     "winsorized_profile",
+    # NEW r14: cross-axis resolution completed across modalities
+    # (VERDICT item 2) + resolution-aware keep-best (item 7)
+    "audio_transform_resolution",
+    "video_transform_resolution",
+    "image_resolution_keep_best",
+    "audio_resolution_keep_best",
+    "video_resolution_keep_best",
+    # r14-touched (shared-helper refactors + artifact-root gate)
+    "image_cropped_near_dup_pairs",
+    "image_thumbnail_pairs",
+    "image_rotated_dedup",
+    "image_transform_resolution",
+    "incremental_resample_probe",
+    "incremental_trim_probe",
+    "incremental_image_dedup_probe",
+    # the oldest-r10 cohort, alphabetical (first 33 of 48)
     "ann_int_multiprobe_topk",
     "audio_near_dup_pairs",
     "bucketed_order_lineitem",
     "calendar_features",
     "cast_coercion",
+    "chunk_bm25_topk",
+    "chunk_manifest",
+    "chunk_near_dup_pairs",
+    "chunk_near_dup_pairs_capped",
+    "chunk_overlap_admission",
+    "contract_quarantine_summary",
+    "data_contract_events",
+    "decoded_image_stats",
+    "decoded_png_stats",
+    "distinct_users_head",
+    "domain_mix_sample",
+    "embedding_drift",
+    "event_type_transitions",
+    "grouped_quantile",
+    "grouping_sets_revenue",
+    "image_dedup_clusters",
+    "image_near_dup_pairs",
+    "image_near_dup_pairs_capped",
+    "incremental_ann_topk",
+    "incremental_chunk_near_dup",
+    "incremental_image_dedup",
+    "ivf_centroid_join_topk",
+    "lang_sample_k",
+    "lateral_top_orders",
+    "media_dhash_index",
+    "media_near_dup_census",
+    "nation_trade_volume",
+    "ordered_preview",
+    # --- 50-slot window boundary ---
+    # overflow, r15-priority order: the 15 displaced r10 entries, then
+    # the r11 cohort, alphabetical
+    "packing_efficiency",
+    "parts_bought_together",
+    "pii_redact",
+    "quantized_cosine_topk",
+    "salted_event_stats",
+    "session_window_stats",
+    "sessionize",
+    "shipping_priority",
+    "span_corruption_manifest",
+    "time_sliced_rolling",
+    "training_data_pipeline_overlap",
+    "variant_props_stats",
+    "video_near_dup_pairs",
+    "vocab_drift_top_movers",
+    "weighted_discount",
 ]
 
 

@@ -1389,16 +1389,17 @@ def incremental_resampled_dedup(
     ``max_bucket_size`` caps degenerate constant-clip keys on the
     HISTORY side (the probe side is one row per batch clip per key)."""
     fs = factor * stride
-    derived = _box_decimated_expr(factor, stride)
+    # emit the derived-signal expression directly over the caller's
+    # column (byte-identical to the old sentinel-replace path, minus
+    # the hazard of s_col containing the sentinel substring)
+    derived_b = _box_decimated_expr(factor, stride, v=s_col)
     b = ensure_parallelism(batch).select(
         F.col(id_col).alias("new_id"),
         F.expr(f"cast(size({s_col}) as int)").alias("__bn__"),
         F.expr(_SEQ_MD5_KEY_FMT.format(v=s_col)).alias("__bown__"),
         F.expr(
             f"IF(size({s_col}) >= {fs}, "
-            + _SEQ_MD5_KEY_FMT.format(
-                v="(" + derived.replace("__s__", s_col) + ")"
-            )
+            + _SEQ_MD5_KEY_FMT.format(v="(" + derived_b + ")")
             + ", NULL)"
         ).alias("__bder__"),
     ).localCheckpoint(eager=False)

@@ -189,8 +189,10 @@ def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]
         if len(_ENC_CACHE) >= _DHT_CACHE_MAX:
             _ENC_CACHE.pop(next(iter(_ENC_CACHE)))  # single-entry FIFO
         codes = _canonical_codes(bits, vals)
-        # encoder specs are module constants (Annex K), never wire input
-        assert codes is not None, "internal encoder DHT spec oversubscribed"
+        # encoder specs are module constants (Annex K), never wire input;
+        # explicit raise (not assert) so the invariant survives python -O
+        if codes is None:
+            raise RuntimeError("internal encoder DHT spec oversubscribed")
         out = {v: (c, l) for (l, c), v in codes.items()}
         _ENC_CACHE[key] = out
     return out

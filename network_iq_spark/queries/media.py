@@ -614,6 +614,24 @@ _THUMB_KEY_SQL = (
 )
 
 
+def _thumb_twins(base: DataFrame) -> DataFrame:
+    """Planted 2x floor-box-average thumbnails of every 10th image —
+    ONE Spark-side definition shared by the pairs tier and the
+    resolution keep-best member corpus (the _crop_corpus rule: the
+    plant can never desync between consumers)."""
+    return base.filter(F.col("media_id") % _THUMB_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _THUMB_TWIN_OFFSET).alias("media_id"),
+        F.lit(4).alias("w"),
+        F.lit(4).alias("h"),
+        F.expr(
+            "flatten(transform(sequence(0, 3), i -> "
+            "transform(sequence(0, 3), j -> "
+            "(px[(2*i) * 8 + 2*j] + px[(2*i) * 8 + 2*j + 1] "
+            "+ px[(2*i+1) * 8 + 2*j] + px[(2*i+1) * 8 + 2*j + 1]) div 4)))"
+        ).alias("px"),
+    )
+
+
 @register(
     "image_thumbnail_pairs",
     oracle=f"""
@@ -666,18 +684,7 @@ def q_image_thumbnail_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(8).alias("h"),
         quant.alias("px"),
     )
-    thumbs = base.filter(F.col("media_id") % _THUMB_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _THUMB_TWIN_OFFSET).alias("media_id"),
-        F.lit(4).alias("w"),
-        F.lit(4).alias("h"),
-        F.expr(
-            "flatten(transform(sequence(0, 3), i -> "
-            "transform(sequence(0, 3), j -> "
-            "(px[(2*i) * 8 + 2*j] + px[(2*i) * 8 + 2*j + 1] "
-            "+ px[(2*i+1) * 8 + 2*j] + px[(2*i+1) * 8 + 2*j + 1]) div 4)))"
-        ).alias("px"),
-    )
-    imgs = base.unionByName(thumbs)
+    imgs = base.unionByName(_thumb_twins(base))
     return D.downscale_derivative_pairs(imgs, factor=2).orderBy(
         "full_id", "thumb_id"
     )
@@ -937,6 +944,24 @@ _AUX_DATA_DIR = os.path.join(
 _MEDIA_INDEX_DIR = os.path.join(_AUX_DATA_DIR, "media_index")
 
 
+# Committed artifacts are keyed by sf-dir BASENAME, so they are only
+# trustworthy for the canonical driver testdata tree: a user-supplied
+# directory that happens to be named sf0.1 but holds different data
+# must NOT silently read the stale committed index (r13 ADVICE).
+_CANON_TESTDATA_ROOT = os.path.realpath("/root/testdata")
+
+
+def _artifact_dir(kind: str, sf_dir: str) -> str | None:
+    """aux_data/<kind>/<sf> path iff ``sf_dir`` is a child of the
+    canonical testdata root AND the artifact exists; else None (callers
+    fall back to the in-plan index build)."""
+    real = os.path.realpath(sf_dir.rstrip("/"))
+    if os.path.dirname(real) != _CANON_TESTDATA_ROOT:
+        return None
+    path = os.path.join(_AUX_DATA_DIR, kind, os.path.basename(real))
+    return path if os.path.exists(path) else None
+
+
 def _aux_parquet(spark: SparkSession, kind: str, sf_dir: str):
     """Read a committed at-rest index artifact
     (aux_data/<kind>/<sf>), or None if absent — the media-index
@@ -944,11 +969,11 @@ def _aux_parquet(spark: SparkSession, kind: str, sf_dir: str):
     (build scripts alone materialize artifacts), and a missing
     artifact falls back to the in-plan index so the query still runs
     on arbitrary sf_dirs. Parity against the same oracle as the
-    in-plan build doubles as the artifact-freshness check."""
-    path = os.path.join(
-        _AUX_DATA_DIR, kind, os.path.basename(sf_dir.rstrip("/"))
-    )
-    return spark.read.parquet(path) if os.path.exists(path) else None
+    in-plan build doubles as the artifact-freshness check. The
+    artifact is preferred only under the canonical testdata root
+    (see :func:`_artifact_dir`)."""
+    path = _artifact_dir(kind, sf_dir)
+    return spark.read.parquet(path) if path else None
 
 
 @register("incremental_image_dedup_probe", oracle=_IMG_INCR_DEDUP_ORACLE)
@@ -971,12 +996,9 @@ def q_incremental_image_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFra
     SAME oracle as the in-plan twin additionally proves the artifact is
     fresh: a stale index would hash-mismatch the oracle's
     recomputation."""
-    sf_name = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_MEDIA_INDEX_DIR, sf_name)
+    path = _artifact_dir("media_index", sf_dir)
     index = (
-        spark.read.parquet(path)
-        if os.path.exists(path)
-        else _img_index_df(spark, sf_dir)
+        spark.read.parquet(path) if path else _img_index_df(spark, sf_dir)
     )
     batch = _img_probe_batch(_img_hist(spark, sf_dir))
     return D.incremental_hamming_dedup(
@@ -2270,6 +2292,20 @@ def q_media_near_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROT_TWIN_EVERY, _ROT_TWIN_OFFSET = 10, 3_000_000
 
 
+def _rot_plant_sql() -> str:
+    """DuckDB CASE planting one of the 7 non-identity dihedral
+    transforms chosen by id — shared by the rotation-tier oracle and
+    the resolution keep-best oracle (one plant text, two consumers)."""
+    from network_iq_spark.operators.dedup import _dihedral_index_maps
+
+    maps = _dihedral_index_maps(_IMG_SIDE)
+    plant_arms = " ".join(
+        f"WHEN {t - 1} THEN [" + ", ".join(f"px[{k + 1}]" for k in maps[t]) + "]"
+        for t in range(1, 8)
+    )
+    return f"CASE (media_id // {_ROT_TWIN_EVERY}) % 7 {plant_arms} END"
+
+
 def _rot_oracle() -> str:
     """DuckDB replay of rotation/mirror-invariant dedup: the canonical
     key is md5(LEAST over the 8 dihedral serializations) — string LEAST
@@ -2287,17 +2323,13 @@ def _rot_oracle() -> str:
         )
 
     canon = "md5(LEAST(" + ", ".join(ser(m) for m in maps) + "))"
-    plant_arms = " ".join(
-        f"WHEN {t - 1} THEN [" + ", ".join(f"px[{k + 1}]" for k in maps[t]) + "]"
-        for t in range(1, 8)
-    )
     return f"""
     WITH base AS (
       SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
     ),
     twins AS (
       SELECT media_id + {_ROT_TWIN_OFFSET} AS media_id,
-             CASE (media_id // {_ROT_TWIN_EVERY}) % 7 {plant_arms} END AS px
+             {_rot_plant_sql()} AS px
       FROM base WHERE media_id % {_ROT_TWIN_EVERY} = 0
     ),
     imgs AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
@@ -2308,6 +2340,26 @@ def _rot_oracle() -> str:
     WHERE i.media_id != k.keep_id
     ORDER BY keep_id, dup_id
     """
+
+
+def _rot_twins(base: DataFrame) -> DataFrame:
+    """Planted dihedral twins of every 10th image, cycling the 7
+    non-identity transforms — shared by the rotation tier and the
+    resolution keep-best member corpus (same desync rule as
+    _crop_corpus / _thumb_twins). ``base`` needs (media_id, px)."""
+    from network_iq_spark.operators.dedup import _dihedral_index_maps
+
+    maps = _dihedral_index_maps(_IMG_SIDE)
+    arms = " ".join(
+        f"WHEN {t - 1} THEN array(" + ", ".join(f"px[{k}]" for k in maps[t]) + ")"
+        for t in range(1, 8)
+    )
+    return base.filter(F.col("media_id") % _ROT_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _ROT_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"CASE cast((media_id div {_ROT_TWIN_EVERY}) % 7 as int) {arms} END"
+        ).alias("px"),
+    )
 
 
 @register("image_rotated_dedup", oracle=_rot_oracle())
@@ -2323,26 +2375,12 @@ def q_image_rotated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∝ duplicates. Every 10th image gets a planted twin cycling through
     all 7 non-identity transforms (3 rotations + 4 reflections);
     integer-exact end to end, oracle-replayable."""
-    from network_iq_spark.operators.dedup import (
-        _dihedral_index_maps,
-        rotated_dedup_pairs,
-    )
+    from network_iq_spark.operators.dedup import rotated_dedup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.expr(_IMG_QUANT_EXPR_SQL)
     base = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    maps = _dihedral_index_maps(_IMG_SIDE)
-    arms = " ".join(
-        f"WHEN {t - 1} THEN array(" + ", ".join(f"px[{k}]" for k in maps[t]) + ")"
-        for t in range(1, 8)
-    )
-    twins = base.filter(F.col("media_id") % _ROT_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _ROT_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            f"CASE cast((media_id div {_ROT_TWIN_EVERY}) % 7 as int) {arms} END"
-        ).alias("px"),
-    )
-    imgs = base.unionByName(twins)
+    imgs = base.unionByName(_rot_twins(base))
     return rotated_dedup_pairs(imgs, side=_IMG_SIDE).orderBy(
         "keep_id", "dup_id"
     )
@@ -3218,22 +3256,24 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _image_resolution_oracle() -> str:
-    """Composed from the three image-arm oracles via the registry (the
-    census discipline) + the dedup_clusters walk CTE: edge union →
-    min-label connected components → per-cluster resolution stats."""
+def _resolution_oracle(arms: list[tuple[str, str, str, str]]) -> str:
+    """Cross-axis resolution oracle, composed from the named arm oracles
+    via the registry (the census discipline) + the dedup_clusters walk
+    CTE: edge union → min-label connected components → per-cluster
+    resolution stats. ``arms`` = (registered query name, src column,
+    dst column, axis label) — one generic builder serves the image,
+    audio and video resolutions so the three can never disagree on the
+    closure semantics (r14, VERDICT item 2)."""
     from network_iq_spark.registry import ORACLES
 
+    edge_sql = "\n      UNION ALL\n".join(
+        f"      SELECT {src} AS src, {dst} AS dst, '{axis}' AS axis\n"
+        f"      FROM ({ORACLES[name]})"
+        for name, src, dst, axis in arms
+    )
     return f"""
     WITH RECURSIVE edges AS (
-      SELECT id_a AS src, id_b AS dst, 'crop' AS axis
-      FROM ({ORACLES["image_cropped_near_dup_pairs"]})
-      UNION ALL
-      SELECT full_id AS src, thumb_id AS dst, 'scale' AS axis
-      FROM ({ORACLES["image_thumbnail_pairs"]})
-      UNION ALL
-      SELECT keep_id AS src, dup_id AS dst, 'rotation' AS axis
-      FROM ({ORACLES["image_rotated_dedup"]})
+{edge_sql}
     ),
     sym AS (
       SELECT src AS a, dst AS b FROM edges
@@ -3263,53 +3303,31 @@ def _image_resolution_oracle() -> str:
     """
 
 
-@register("image_transform_resolution", oracle=_image_resolution_oracle())
-def q_image_transform_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-AXIS duplicate RESOLUTION over the image transform tiers
-    (r13) — the step a corpus pipeline actually runs after the census
-    reports counts: union the (original, derivative) edges from the
-    crop, scale and rotation arms (the three tiers sharing the image
-    grid corpus), take transitive connected components (an original and
-    ALL its transform derivatives collapse into ONE cluster even though
-    no two derivatives ever pair directly), and emit one resolution row
-    per cluster: the kept representative (min-label = the original, by
-    the twin-offset construction), member count, how many distinct
-    transform axes contributed, and how many artifacts a dedup pass
-    drops. Composes three registered tiers verbatim + the min-label CC
-    core (operators/graph.py — the dedup_clusters fixpoint), so the
-    oracle replays the whole thing: edges from the three registered
-    oracles via the registry, the walk CTE for the same fixpoint.
-    Scale shape: the three arms' bounded pipelines + CC over ONLY the
-    duplicate-involved vertices (pair density × corpus, never the
-    corpus itself); the edge union is checkpointed once and feeds both
-    the CC and the axis rollup."""
+_IMG_RESOLUTION_ARMS = [
+    ("image_cropped_near_dup_pairs", "id_a", "id_b", "crop"),
+    ("image_thumbnail_pairs", "full_id", "thumb_id", "scale"),
+    ("image_rotated_dedup", "keep_id", "dup_id", "rotation"),
+]
+_AUD_RESOLUTION_ARMS = [
+    ("audio_resampled_near_dup_pairs", "full_id", "resampled_id", "resample"),
+    ("audio_trimmed_near_dup_pairs", "full_id", "trimmed_id", "trim"),
+]
+_VID_RESOLUTION_ARMS = [
+    ("video_cropped_near_dup_pairs", "id_a", "id_b", "crop"),
+    ("video_resampled_near_dup_pairs", "full_id", "resampled_id", "resample"),
+    ("video_trimmed_near_dup_pairs", "full_id", "trimmed_id", "trim"),
+]
+
+
+def _resolution_from_edges(e: DataFrame) -> DataFrame:
+    """Shared resolution tail for the per-modality transform-resolution
+    queries: (src, dst, axis) edges → min-label connected components
+    over ONLY the duplicate-involved vertices → one row per cluster
+    (keep_id, n_members, n_axes, n_dropped). The edge union is
+    checkpointed once and feeds both the CC and the axis rollup."""
     from network_iq_spark.operators import graph as G
 
-    crop = q_image_cropped_near_dup_pairs(spark, sf_dir)
-    scale = q_image_thumbnail_pairs(spark, sf_dir)
-    rot = q_image_rotated_dedup(spark, sf_dir)
-    e = (
-        crop.select(
-            F.col("id_a").alias("src"),
-            F.col("id_b").alias("dst"),
-            F.lit("crop").alias("axis"),
-        )
-        .unionByName(
-            scale.select(
-                F.col("full_id").alias("src"),
-                F.col("thumb_id").alias("dst"),
-                F.lit("scale").alias("axis"),
-            )
-        )
-        .unionByName(
-            rot.select(
-                F.col("keep_id").alias("src"),
-                F.col("dup_id").alias("dst"),
-                F.lit("rotation").alias("axis"),
-            )
-        )
-        .localCheckpoint(eager=False)
-    )
+    e = e.localCheckpoint(eager=False)
     verts = (
         e.select(F.col("src").alias("media_id"))
         .unionByName(e.select(F.col("dst").alias("media_id")))
@@ -3336,3 +3354,603 @@ def q_image_transform_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keep_id")
     )
+
+
+@register(
+    "image_transform_resolution",
+    oracle=_resolution_oracle(_IMG_RESOLUTION_ARMS),
+)
+def q_image_transform_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-AXIS duplicate RESOLUTION over the image transform tiers
+    (r13) — the step a corpus pipeline actually runs after the census
+    reports counts: union the (original, derivative) edges from the
+    crop, scale and rotation arms (the three tiers sharing the image
+    grid corpus), take transitive connected components (an original and
+    ALL its transform derivatives collapse into ONE cluster even though
+    no two derivatives ever pair directly), and emit one resolution row
+    per cluster: the kept representative (min-label = the original, by
+    the twin-offset construction), member count, how many distinct
+    transform axes contributed, and how many artifacts a dedup pass
+    drops. Composes three registered tiers verbatim + the min-label CC
+    core (operators/graph.py — the dedup_clusters fixpoint), so the
+    oracle replays the whole thing: edges from the three registered
+    oracles via the registry, the walk CTE for the same fixpoint.
+    Scale shape: the three arms' bounded pipelines + CC over ONLY the
+    duplicate-involved vertices (pair density × corpus, never the
+    corpus itself); the edge union is checkpointed once and feeds both
+    the CC and the axis rollup."""
+    crop = q_image_cropped_near_dup_pairs(spark, sf_dir)
+    scale = q_image_thumbnail_pairs(spark, sf_dir)
+    rot = q_image_rotated_dedup(spark, sf_dir)
+    e = (
+        crop.select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.lit("crop").alias("axis"),
+        )
+        .unionByName(
+            scale.select(
+                F.col("full_id").alias("src"),
+                F.col("thumb_id").alias("dst"),
+                F.lit("scale").alias("axis"),
+            )
+        )
+        .unionByName(
+            rot.select(
+                F.col("keep_id").alias("src"),
+                F.col("dup_id").alias("dst"),
+                F.lit("rotation").alias("axis"),
+            )
+        )
+    )
+    return _resolution_from_edges(e)
+
+
+@register(
+    "audio_transform_resolution",
+    oracle=_resolution_oracle(_AUD_RESOLUTION_ARMS),
+)
+def q_audio_transform_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-axis duplicate RESOLUTION over the AUDIO transform tiers
+    (r14, VERDICT item 2) — the image resolution's audio twin, run
+    after the census on every modality in a real corpus pipeline: union
+    the (original, derivative) edges from the resample and trim arms
+    (both tiers derive their clips from the same embedding-seeded
+    random walks, so an original and ALL its derivatives share base
+    vertices), take transitive connected components, and emit one
+    resolution row per cluster — kept representative (min-label = the
+    original, by the twin-offset construction: resample twins at +4M,
+    trim twins at +7M), member count, contributing-axis count, and the
+    drop count a dedup pass realizes. Composes two registered tiers
+    verbatim + the shared min-label CC core; the oracle replays edges
+    from the registered arm oracles and the same fixpoint via the walk
+    CTE. Scale shape: the arms' bounded pipelines + CC over ONLY
+    duplicate-involved vertices; edge union checkpointed once feeding
+    both the CC and the axis rollup (``_resolution_from_edges``)."""
+    rsmp = q_audio_resampled_near_dup_pairs(spark, sf_dir)
+    trim = q_audio_trimmed_near_dup_pairs(spark, sf_dir)
+    e = rsmp.select(
+        F.col("full_id").alias("src"),
+        F.col("resampled_id").alias("dst"),
+        F.lit("resample").alias("axis"),
+    ).unionByName(
+        trim.select(
+            F.col("full_id").alias("src"),
+            F.col("trimmed_id").alias("dst"),
+            F.lit("trim").alias("axis"),
+        )
+    )
+    return _resolution_from_edges(e)
+
+
+@register(
+    "video_transform_resolution",
+    oracle=_resolution_oracle(_VID_RESOLUTION_ARMS),
+)
+def q_video_transform_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-axis duplicate RESOLUTION over the VIDEO transform tiers
+    (r14, VERDICT item 2), completing the per-modality resolution
+    family (image r13, audio r14): union the (original, derivative)
+    edges from the per-frame crop, temporal resample and temporal trim
+    arms (all three derive their clips from the same quantized
+    embedding pixel grids — crop twins at +5M, resample at +6M, trim at
+    +8M), transitive connected components, one resolution row per
+    cluster with the min-label representative (the original), member
+    count, distinct contributing axes, and the dedup drop count. Same
+    composition discipline as the siblings: three registered tiers
+    verbatim + the shared CC core, oracle replayed end-to-end from the
+    registered arm oracles + the walk CTE. Scale shape identical:
+    bounded arm pipelines, CC over duplicate-involved vertices only
+    (pair density × corpus, never the corpus), one edge checkpoint."""
+    crop = q_video_cropped_near_dup_pairs(spark, sf_dir)
+    rsmp = q_video_resampled_near_dup_pairs(spark, sf_dir)
+    trim = q_video_trimmed_near_dup_pairs(spark, sf_dir)
+    e = (
+        crop.select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.lit("crop").alias("axis"),
+        )
+        .unionByName(
+            rsmp.select(
+                F.col("full_id").alias("src"),
+                F.col("resampled_id").alias("dst"),
+                F.lit("resample").alias("axis"),
+            )
+        )
+        .unionByName(
+            trim.select(
+                F.col("full_id").alias("src"),
+                F.col("trimmed_id").alias("dst"),
+                F.lit("trim").alias("axis"),
+            )
+        )
+    )
+    return _resolution_from_edges(e)
+
+
+# Integer "quality units" for keep-best ranking: n·Σx² − (Σx)² over a
+# member's actual signal — n²·variance in integer units, exact on both
+# engines, the image_dedup_clusters policy generalized to variable-n
+# members (comparable only WITHIN an n_px tie, which is the only place
+# the rank consults it).
+_VAR_UNITS_EXPR = (
+    "cast(size({v}) as bigint) * "
+    "aggregate({v}, cast(0 as bigint), (a, x) -> a + cast(x as bigint) * x) "
+    "- aggregate({v}, cast(0 as bigint), (a, x) -> a + cast(x as bigint)) "
+    "* aggregate({v}, cast(0 as bigint), (a, x) -> a + cast(x as bigint))"
+)
+_VAR_UNITS_SQL = (
+    "CAST(len({v}) AS BIGINT) * CAST(list_sum(list_transform({v}, "
+    "x -> CAST(x AS BIGINT) * x)) AS BIGINT) "
+    "- CAST(list_sum(list_transform({v}, x -> CAST(x AS BIGINT))) AS BIGINT) "
+    "* CAST(list_sum(list_transform({v}, x -> CAST(x AS BIGINT))) AS BIGINT)"
+)
+
+
+def _keep_best_oracle(
+    arms: list[tuple[str, str, str, str]], members_cte: str
+) -> str:
+    """Resolution keep-best oracle: the resolution closure (edges from
+    the registered arm oracles + the walk CTE) RANKED by member quality
+    metadata instead of reporting the label minimum. ``members_cte``
+    must define a CTE chain ending in ``members(media_id, s)`` holding
+    every corpus member's signal (base + all planted twins, composed
+    from the same shared plant texts as the arm oracles)."""
+    from network_iq_spark.registry import ORACLES
+
+    edge_sql = "\n      UNION ALL\n".join(
+        f"      SELECT {src} AS src, {dst} AS dst, '{axis}' AS axis\n"
+        f"      FROM ({ORACLES[name]})"
+        for name, src, dst, axis in arms
+    )
+    return f"""
+    WITH RECURSIVE edges AS (
+{edge_sql}
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION ALL
+      SELECT dst AS a, src AS b FROM edges
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM sym),
+    walk(v, label) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.v
+    ),
+    clusters AS (SELECT v, MIN(label) AS cluster_id FROM walk GROUP BY v),
+    {members_cte},
+    scored AS (
+      SELECT media_id, CAST(len(s) AS INT) AS n_px,
+             {_VAR_UNITS_SQL.format(v="s")} AS var_units
+      FROM members
+    ),
+    stats AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM clusters GROUP BY cluster_id
+    ),
+    axes AS (
+      SELECT c.cluster_id, CAST(COUNT(DISTINCT e.axis) AS INT) AS n_axes
+      FROM edges e JOIN clusters c ON c.v = e.src
+      GROUP BY c.cluster_id
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.v AS media_id, sc.n_px, sc.var_units,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY sc.n_px DESC, sc.var_units DESC, c.v ASC
+             ) AS rk
+      FROM clusters c JOIN scored sc ON sc.media_id = c.v
+    )
+    SELECT r.cluster_id, r.media_id AS keeper, r.n_px AS keeper_npx,
+           r.var_units AS keeper_var_units, st.n_members, a.n_axes,
+           CAST(st.n_members - 1 AS BIGINT) AS n_dropped
+    FROM ranked r
+    JOIN stats st USING (cluster_id)
+    JOIN axes a USING (cluster_id)
+    WHERE r.rk = 1
+    ORDER BY cluster_id
+    """
+
+
+def _keep_best_from_edges(e: DataFrame, members: DataFrame) -> DataFrame:
+    """Shared keep-best tail (r14, VERDICT item 7): the resolution CC
+    over the edge union, then instead of reporting the min-label alone,
+    rank every cluster member by quality metadata — n_px (keep the
+    highest-RESOLUTION variant) DESC, integer variance units DESC,
+    media_id ASC — and emit the CHOSEN representative per cluster: the
+    step between "dedup" and "training-data admission". ``members``
+    must be (media_id, s) over the full clip corpus (base + twins); the
+    score join prunes it to duplicate-involved members. One extra
+    window over cluster_id vs the resolution tail — bounded by the
+    largest duplicate family, never the corpus."""
+    from pyspark.sql import Window
+
+    from network_iq_spark.operators import graph as G
+
+    e = e.localCheckpoint(eager=False)
+    verts = (
+        e.select(F.col("src").alias("media_id"))
+        .unionByName(e.select(F.col("dst").alias("media_id")))
+        .distinct()
+    )
+    cc = G.connected_components(
+        verts, e, id_col="media_id", src="src", dst="dst"
+    )
+    scored = members.select(
+        "media_id",
+        F.expr("cast(size(s) as int)").alias("n_px"),
+        F.expr(_VAR_UNITS_EXPR.format(v="s")).alias("var_units"),
+    )
+    stats = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    axes = (
+        e.join(cc, e["src"] == cc["media_id"])
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("axis").cast("int").alias("n_axes"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_px").desc(), F.col("var_units").desc(), F.col("media_id").asc()
+    )
+    keepers = (
+        cc.join(scored, "media_id")
+        .withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .select(
+            "cluster_id",
+            F.col("media_id").alias("keeper"),
+            F.col("n_px").alias("keeper_npx"),
+            F.col("var_units").alias("keeper_var_units"),
+        )
+    )
+    return (
+        keepers.join(stats, "cluster_id")
+        .join(axes, "cluster_id")
+        .select(
+            "cluster_id",
+            "keeper",
+            "keeper_npx",
+            "keeper_var_units",
+            "n_members",
+            "n_axes",
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _img_members_cte() -> str:
+    """members(media_id, s) over the full IMAGE transform corpus: base
+    8×8 grids + crop twins (+1M, via _CROP_CORPUS_SQL — base/crops/imgs
+    come along) + thumbnail twins (+2M, _THUMB_DOWN_SQL) + dihedral
+    twins (+3M, _rot_plant_sql) — each plant the SAME shared SQL text
+    its arm oracle uses."""
+    return f"""{_CROP_CORPUS_SQL},
+    thumbs AS (
+      SELECT media_id + {_THUMB_TWIN_OFFSET} AS media_id,
+             4 AS w, 4 AS h, {_THUMB_DOWN_SQL} AS px
+      FROM base WHERE media_id % {_THUMB_TWIN_EVERY} = 0
+    ),
+    rots AS (
+      SELECT media_id + {_ROT_TWIN_OFFSET} AS media_id,
+             8 AS w, 8 AS h, {_rot_plant_sql()} AS px
+      FROM base WHERE media_id % {_ROT_TWIN_EVERY} = 0
+    ),
+    members AS (
+      SELECT media_id, px AS s FROM imgs
+      UNION ALL SELECT media_id, px AS s FROM thumbs
+      UNION ALL SELECT media_id, px AS s FROM rots
+    )"""
+
+
+@register(
+    "image_resolution_keep_best",
+    oracle=_keep_best_oracle(_IMG_RESOLUTION_ARMS, _img_members_cte()),
+)
+def q_image_resolution_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-aware KEEP-BEST over the image transform clusters
+    (r14, VERDICT item 7) — the step between "dedup" and
+    "training-data admission": where ``image_transform_resolution``
+    reports the min-label representative (an id-ordering accident),
+    this query joins quality metadata onto each cluster and emits the
+    CHOSEN survivor — the member with the most pixels first (keep the
+    highest-resolution variant: the original beats its crops and
+    thumbnails by construction; a rotation ties), integer variance
+    units second (information content breaks same-size ties except
+    rotations, which preserve the pixel multiset), media_id last (the
+    deterministic anchor that resolves rotation ties to the original).
+    All-integer scoring = the keeper choice is exact cross-engine, so
+    the whole policy is oracle-replayable. Composes the three
+    registered arm tiers verbatim + the shared CC core + one bounded
+    window; member signals come from the same shared plant texts as
+    the arms (_crop_corpus / _thumb_twins / _rot_twins), so the score
+    table can never desync from the pair detection."""
+    crop = q_image_cropped_near_dup_pairs(spark, sf_dir)
+    scale = q_image_thumbnail_pairs(spark, sf_dir)
+    rot = q_image_rotated_dedup(spark, sf_dir)
+    e = (
+        crop.select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.lit("crop").alias("axis"),
+        )
+        .unionByName(
+            scale.select(
+                F.col("full_id").alias("src"),
+                F.col("thumb_id").alias("dst"),
+                F.lit("scale").alias("axis"),
+            )
+        )
+        .unionByName(
+            rot.select(
+                F.col("keep_id").alias("src"),
+                F.col("dup_id").alias("dst"),
+                F.lit("rotation").alias("axis"),
+            )
+        )
+    )
+    base, crops = _crop_corpus(spark, sf_dir)
+    members = (
+        base.select("media_id", F.col("px").alias("s"))
+        .unionByName(crops.select("media_id", F.col("px").alias("s")))
+        .unionByName(
+            _thumb_twins(base).select("media_id", F.col("px").alias("s"))
+        )
+        .unionByName(
+            _rot_twins(base.select("media_id", "px")).select(
+                "media_id", F.col("px").alias("s")
+            )
+        )
+    )
+    return _keep_best_from_edges(e, members)
+
+
+def _aud_members_cte() -> str:
+    """members(media_id, s) over the full AUDIO transform corpus:
+    embedding-seeded walks + resample twins (+4M, _RSMP_DOWN_SQL — the
+    same derivation text the arm oracle plants) + trim twins (+7M,
+    _trim_twin_case — ditto)."""
+    return f"""{_AUD_WALK_SQL},
+    rsmp_twins AS (
+      SELECT media_id + {_RSMP_TWIN_OFFSET} AS media_id,
+             {_RSMP_DOWN_SQL} AS s
+      FROM walks WHERE media_id % {_RSMP_TWIN_EVERY} = 0
+    ),
+    trim_twins AS (
+      SELECT media_id + {_TRIM_TWIN_OFFSET} AS media_id,
+             list_slice(s, head + 1, 64 - tail) AS s
+      FROM (
+        SELECT media_id, s,
+               {_trim_twin_case(f"media_id // {_TRIM_TWIN_EVERY}", "h")} AS head,
+               {_trim_twin_case(f"media_id // {_TRIM_TWIN_EVERY}", "t")} AS tail
+        FROM walks WHERE media_id % {_TRIM_TWIN_EVERY} = 0
+      )
+    ),
+    members AS (
+      SELECT media_id, s FROM walks
+      UNION ALL SELECT media_id, s FROM rsmp_twins
+      UNION ALL SELECT media_id, s FROM trim_twins
+    )"""
+
+
+def _audio_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _aud_members_cte: every audio corpus member's
+    signal — walks plus both planted twin families, built from the same
+    expressions the arm queries plant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
+    )
+    rsmp = src.filter(F.col("media_id") % _RSMP_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _RSMP_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(sequence(0, 31), i -> (s[2*i] + s[2*i + 1]) div 2)"
+        ).alias("s"),
+    )
+    arm_col = f"media_id div {_TRIM_TWIN_EVERY}"
+    head_sql = _trim_twin_case(arm_col, "h")
+    tail_sql = _trim_twin_case(arm_col, "t")
+    trim = src.filter(F.col("media_id") % _TRIM_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _TRIM_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"slice(s, ({head_sql}) + 1, 64 - ({head_sql}) - ({tail_sql}))"
+        ).alias("s"),
+    )
+    return src.unionByName(rsmp).unionByName(trim)
+
+
+@register(
+    "audio_resolution_keep_best",
+    oracle=_keep_best_oracle(_AUD_RESOLUTION_ARMS, _aud_members_cte()),
+)
+def q_audio_resolution_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-aware KEEP-BEST over the audio transform clusters
+    (r14, VERDICT item 7) — the image policy's audio twin: rank every
+    cluster member by sample count DESC (the full-rate original beats
+    its 2:1 decimation and its trims by construction), integer variance
+    units DESC, media_id ASC, and emit the chosen survivor per cluster
+    alongside the resolution stats. All-integer scoring, exact
+    cross-engine; members from the same plant expressions as the arms.
+    (n_px here counts SAMPLES — the shared keep-best tail names the
+    column once for all modalities.)"""
+    rsmp = q_audio_resampled_near_dup_pairs(spark, sf_dir)
+    trim = q_audio_trimmed_near_dup_pairs(spark, sf_dir)
+    e = rsmp.select(
+        F.col("full_id").alias("src"),
+        F.col("resampled_id").alias("dst"),
+        F.lit("resample").alias("axis"),
+    ).unionByName(
+        trim.select(
+            F.col("full_id").alias("src"),
+            F.col("trimmed_id").alias("dst"),
+            F.lit("trim").alias("axis"),
+        )
+    )
+    return _keep_best_from_edges(e, _audio_members(spark, sf_dir))
+
+
+def _vid_members_cte() -> str:
+    """members(media_id, s) over the full VIDEO transform corpus: base
+    quantized grids + per-frame crop twins (+5M) + temporal-resample
+    twins (+6M, _VRSMP_DOWN_SQL) + temporal-trim twins (+8M,
+    _vtrim_twin_case) — each plant the same SQL text its arm oracle
+    uses."""
+    return f"""vbase AS (
+      SELECT vec_id AS media_id, {_IMG_QUANT_SQL} AS px FROM embeddings
+    ),
+    vcrop_twins AS (
+      SELECT media_id + {_VCROP_TWIN_OFFSET} AS media_id,
+             flatten(list_transform(range(0, {_VID_FRAMES}), f ->
+               flatten(list_transform(range(0, {_VID_SIDE - 1}), i ->
+                 list_transform(range(0, {_VID_SIDE - 1}), j ->
+                   px[f * {_VID_SIDE * _VID_SIDE}
+                      + (i + dr) * {_VID_SIDE} + j + dc + 1]))))) AS px
+      FROM (
+        SELECT media_id, px,
+               CASE WHEN (media_id // {_VCROP_TWIN_EVERY}) % 3 = 1
+                    THEN 0 ELSE 1 END AS dr,
+               CASE WHEN (media_id // {_VCROP_TWIN_EVERY}) % 3 = 0
+                    THEN 0 ELSE 1 END AS dc
+        FROM vbase WHERE media_id % {_VCROP_TWIN_EVERY} = 0
+      )
+    ),
+    vrsmp_twins AS (
+      SELECT media_id + {_VRSMP_TWIN_OFFSET} AS media_id,
+             {_VRSMP_DOWN_SQL} AS px
+      FROM vbase WHERE media_id % {_VRSMP_TWIN_EVERY} = 0
+    ),
+    vtrim_twins AS (
+      SELECT media_id + {_VTRIM_TWIN_OFFSET} AS media_id,
+             list_slice(px, head * {_VTRIM_FRAME} + 1,
+                        ({_VID_FRAMES} - tail) * {_VTRIM_FRAME}) AS px
+      FROM (
+        SELECT media_id, px,
+               {_vtrim_twin_case(f"media_id // {_VTRIM_TWIN_EVERY}", "h")} AS head,
+               {_vtrim_twin_case(f"media_id // {_VTRIM_TWIN_EVERY}", "t")} AS tail
+        FROM vbase WHERE media_id % {_VTRIM_TWIN_EVERY} = 0
+      )
+    ),
+    members AS (
+      SELECT media_id, px AS s FROM vbase
+      UNION ALL SELECT media_id, px AS s FROM vcrop_twins
+      UNION ALL SELECT media_id, px AS s FROM vrsmp_twins
+      UNION ALL SELECT media_id, px AS s FROM vtrim_twins
+    )"""
+
+
+def _video_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _vid_members_cte: every video corpus member's
+    pixels — base grids plus the three planted twin families, from the
+    same expressions the arm queries plant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(_IMG_QUANT_EXPR_SQL)
+    base = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
+    sd, fsz = _VID_SIDE, _VID_SIDE * _VID_SIDE
+    vcrop = (
+        base.filter(F.col("media_id") % _VCROP_TWIN_EVERY == 0)
+        .select(
+            "media_id",
+            "px",
+            F.expr(
+                f"cast(IF((media_id div {_VCROP_TWIN_EVERY}) % 3 = 1, 0, 1) as int)"
+            ).alias("dr"),
+            F.expr(
+                f"cast(IF((media_id div {_VCROP_TWIN_EVERY}) % 3 = 0, 0, 1) as int)"
+            ).alias("dc"),
+        )
+        .select(
+            (F.col("media_id") + _VCROP_TWIN_OFFSET).alias("media_id"),
+            F.expr(
+                f"flatten(transform(sequence(0, {_VID_FRAMES - 1}), f -> "
+                f"flatten(transform(sequence(0, {sd - 2}), i -> "
+                f"transform(sequence(0, {sd - 2}), j -> "
+                f"px[f * {fsz} + (i + dr) * {sd} + j + dc])))))"
+            ).alias("px"),
+        )
+    )
+    vrsmp = base.filter(F.col("media_id") % _VRSMP_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _VRSMP_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(sequence(0, 31), j -> "
+            "(px[(j div 16) * 32 + j % 16] "
+            "+ px[(j div 16) * 32 + 16 + j % 16]) div 2)"
+        ).alias("px"),
+    )
+    arm_col = f"media_id div {_VTRIM_TWIN_EVERY}"
+    head_sql = _vtrim_twin_case(arm_col, "h")
+    tail_sql = _vtrim_twin_case(arm_col, "t")
+    vtrim = base.filter(F.col("media_id") % _VTRIM_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _VTRIM_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"slice(px, ({head_sql}) * {_VTRIM_FRAME} + 1, "
+            f"({_VID_FRAMES} - ({head_sql}) - ({tail_sql})) * {_VTRIM_FRAME})"
+        ).alias("px"),
+    )
+    return (
+        base.unionByName(vcrop)
+        .unionByName(vrsmp)
+        .unionByName(vtrim)
+        .select("media_id", F.col("px").alias("s"))
+    )
+
+
+@register(
+    "video_resolution_keep_best",
+    oracle=_keep_best_oracle(_VID_RESOLUTION_ARMS, _vid_members_cte()),
+)
+def q_video_resolution_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-aware KEEP-BEST over the video transform clusters
+    (r14, VERDICT item 7), completing the keep-best family across
+    modalities: rank members by total pixel count DESC (the full clip
+    beats its per-frame crop, its 2:1 frame-rate decimation and its
+    frame trims by construction), integer variance units DESC,
+    media_id ASC; emit the chosen survivor with the resolution stats.
+    All-integer, exact cross-engine, members from the arms' own plant
+    texts."""
+    crop = q_video_cropped_near_dup_pairs(spark, sf_dir)
+    rsmp = q_video_resampled_near_dup_pairs(spark, sf_dir)
+    trim = q_video_trimmed_near_dup_pairs(spark, sf_dir)
+    e = (
+        crop.select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.lit("crop").alias("axis"),
+        )
+        .unionByName(
+            rsmp.select(
+                F.col("full_id").alias("src"),
+                F.col("resampled_id").alias("dst"),
+                F.lit("resample").alias("axis"),
+            )
+        )
+        .unionByName(
+            trim.select(
+                F.col("full_id").alias("src"),
+                F.col("trimmed_id").alias("dst"),
+                F.lit("trim").alias("axis"),
+            )
+        )
+    )
+    return _keep_best_from_edges(e, _video_members(spark, sf_dir))

@@ -214,7 +214,7 @@ def test_media_index_probe_in_plan_fallback_without_artifact(spark, tmp_path, mo
     from network_iq_spark.queries import media as MQ
     from network_iq_spark.registry import QUERIES
 
-    monkeypatch.setattr(MQ, "_MEDIA_INDEX_DIR", str(tmp_path / "aux"))
+    monkeypatch.setattr(MQ, "_AUX_DATA_DIR", str(tmp_path / "aux"))
     sf = "/root/testdata/sf0.001"
     probe = QUERIES["incremental_image_dedup_probe"](spark, sf)
     got = sorted(map(tuple, probe.collect()))
@@ -224,9 +224,37 @@ def test_media_index_probe_in_plan_fallback_without_artifact(spark, tmp_path, mo
     # with the artifact present (built the supported way), the probe
     # reads it and returns the same results
     MQ._img_index_df(spark, sf).write.mode("overwrite").parquet(
-        str(tmp_path / "aux" / "sf0.001")
+        str(tmp_path / "aux" / "media_index" / "sf0.001")
     )
     again = sorted(
         map(tuple, QUERIES["incremental_image_dedup_probe"](spark, sf).collect())
     )
     assert again == want
+
+
+def test_artifact_gated_on_canonical_testdata_root(spark, tmp_path, monkeypatch):
+    """A user-supplied directory that HAPPENS to be named sf0.001 but
+    lives outside /root/testdata must not read the committed at-rest
+    artifact keyed by that basename — stale-index hazard (r13 ADVICE).
+    The gate is _artifact_dir: non-canonical parent -> None -> in-plan
+    fallback, even when a (poisoned) artifact exists for the name."""
+    import shutil
+
+    from network_iq_spark.queries import media as MQ
+
+    monkeypatch.setattr(MQ, "_AUX_DATA_DIR", str(tmp_path / "aux"))
+    # plant a poisoned artifact under the basename a foreign dir shares
+    (tmp_path / "aux" / "media_index").mkdir(parents=True)
+    spark.createDataFrame(
+        [(999, 0, 0, 0)], "media_id bigint, dhash bigint, seg int, seg_val bigint"
+    ).write.parquet(str(tmp_path / "aux" / "media_index" / "sf0.001"))
+    # a foreign sf_dir with the canonical basename
+    foreign = tmp_path / "sf0.001"
+    foreign.mkdir()
+    for t in ("embeddings", "documents"):
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", str(foreign / f"{t}.parquet")
+        )
+    assert MQ._artifact_dir("media_index", str(foreign)) is None
+    # canonical dir DOES see it
+    assert MQ._artifact_dir("media_index", "/root/testdata/sf0.001") is not None

@@ -1300,3 +1300,98 @@ def test_image_transform_resolution_collapses_axes(spark):
     q = QUERIES["image_transform_resolution"](spark, SF)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_audio_transform_resolution_collapses_axes(spark):
+    """Audio resolution contract (r14): an original walk and its
+    resample (+4M) and trim (+7M) derivatives collapse into ONE
+    cluster via the transitive closure (the derivatives never pair
+    directly), keep_id is the original, and both axes count once."""
+    rows = {
+        r.keep_id: (r.n_members, r.n_axes, r.n_dropped)
+        for r in QUERIES["audio_transform_resolution"](spark, SF).collect()
+    }
+    assert rows, "no clusters at sf0.001"
+    for keep_id, (m, a, d) in rows.items():
+        assert keep_id < 1_000_000  # the original, never a twin
+        assert d == m - 1
+        assert 1 <= a <= 2
+    # every planted original carries both axes at this corpus
+    assert all(a == 2 and m == 3 for m, a, _ in rows.values()), rows
+    q = QUERIES["audio_transform_resolution"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_video_transform_resolution_collapses_axes(spark):
+    """Video resolution contract (r14): an original grid and its crop
+    (+5M), temporal-resample (+6M) and temporal-trim (+8M) derivatives
+    collapse into ONE cluster, keep_id is the original, and all three
+    axes count once."""
+    rows = {
+        r.keep_id: (r.n_members, r.n_axes, r.n_dropped)
+        for r in QUERIES["video_transform_resolution"](spark, SF).collect()
+    }
+    assert rows, "no clusters at sf0.001"
+    for keep_id, (m, a, d) in rows.items():
+        assert keep_id < 1_000_000
+        assert d == m - 1
+        assert 1 <= a <= 3
+    assert all(a == 3 and m == 4 for m, a, _ in rows.values()), rows
+    q = QUERIES["video_transform_resolution"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_image_resolution_keep_best_policy(spark):
+    """Keep-best contract (r14): the chosen survivor is the
+    highest-RESOLUTION member (n_px DESC), variance units then id
+    break ties — so for every planted cluster the keeper is the 8x8
+    ORIGINAL (beats crop/thumb on size; beats the rotation twin on id
+    after the size+variance tie), and the cluster geometry (members,
+    axes, drops) matches image_transform_resolution exactly."""
+    kb = {
+        r.cluster_id: (
+            r.keeper, r.keeper_npx, r.n_members, r.n_axes, r.n_dropped
+        )
+        for r in QUERIES["image_resolution_keep_best"](spark, SF).collect()
+    }
+    res = {
+        r.keep_id: (r.n_members, r.n_axes, r.n_dropped)
+        for r in QUERIES["image_transform_resolution"](spark, SF).collect()
+    }
+    assert set(kb) == set(res)
+    for cid, (keeper, npx, m, a, d) in kb.items():
+        assert (m, a, d) == res[cid]
+        assert keeper == cid  # original = min-label AND the size winner
+        assert npx == 64  # full-resolution survivor, never a derivative
+    q = QUERIES["image_resolution_keep_best"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_audio_video_resolution_keep_best_policy(spark):
+    """Keep-best contract for the audio and video modalities (r14):
+    the survivor is the full-length ORIGINAL (64 samples / 64 px beats
+    every decimation, trim and crop on n_px; no same-size twin exists
+    in these corpora so the size rank alone decides), and the cluster
+    geometry matches the modality's resolution query exactly."""
+    for kb_name, res_name in (
+        ("audio_resolution_keep_best", "audio_transform_resolution"),
+        ("video_resolution_keep_best", "video_transform_resolution"),
+    ):
+        kb = {
+            r.cluster_id: (
+                r.keeper, r.keeper_npx, r.n_members, r.n_axes, r.n_dropped
+            )
+            for r in QUERIES[kb_name](spark, SF).collect()
+        }
+        res = {
+            r.keep_id: (r.n_members, r.n_axes, r.n_dropped)
+            for r in QUERIES[res_name](spark, SF).collect()
+        }
+        assert set(kb) == set(res), kb_name
+        for cid, (keeper, npx, m, a, d) in kb.items():
+            assert (m, a, d) == res[cid], (kb_name, cid)
+            assert keeper == cid, (kb_name, cid)
+            assert npx == 64, (kb_name, cid, npx)

@@ -50,39 +50,35 @@ def test_verify_first_names_all_resolve():
     assert not missing, missing
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
-    # the r13 window (r12 verdict item 1): the five r8-stamped stragglers
-    # lead, then transform_dedup_census (r12 stamp covers the 5-arm shape,
-    # HEAD ships more arms), then the full oldest-r9 cohort; new r13 tiers
-    # slot in after the census as they land, displacing the tail
+    # the r14 window (r13 verdict item 1): five r9 stragglers -> five
+    # NEW r14 queries -> seven r14-touched queries -> first 33 of the
+    # oldest-r10 cohort; the 15 displaced r10 entries keep their r10
+    # stamps and lead the r15 overflow
     window = list(qs)[:50]
-    assert window[:12] == [
-        "quality_scores", "range_window_stats", "scd2_user_type_history",
-        "warc_extract_stats", "weighted_sample_per_source",
-        "transform_dedup_census", "audio_trimmed_near_dup_pairs",
+    assert window[:17] == [
+        "value_histogram", "vocab_coverage", "winnow_overlap_pairs",
+        "winnowing_fingerprints", "winsorized_profile",
+        "audio_transform_resolution", "video_transform_resolution",
+        "image_resolution_keep_best", "audio_resolution_keep_best",
+        "video_resolution_keep_best",
+        "image_cropped_near_dup_pairs", "image_thumbnail_pairs",
+        "image_rotated_dedup", "image_transform_resolution",
         "incremental_resample_probe", "incremental_trim_probe",
-        "video_trimmed_near_dup_pairs", "image_transform_resolution",
-        "multimodal_features",
+        "incremental_image_dedup_probe",
     ]
-    r9_cohort = [
-        "ab_test_conversion", "ann_int_cosine_topk", "bigram_rarity",
-        "bm25_topk", "bm25_topk_capped", "chunk_dedup",
-        "containment_top_pairs", "dataset_card", "decontamination_spans",
-        "doc_keywords", "hard_negatives_topk", "incremental_exact_dedup",
-        "incremental_near_dup", "ivf_int_recenter_stats",
-        "minhash_lsh_pairs", "minhash_lsh_pairs_capped",
-        "minhash_lsh_pairs_prod", "mixture_sample_counts", "packing_ffd",
-        "related_docs_rrf", "related_docs_rrf_dense", "repetition_stats",
-        "rolling_fingerprints", "rollup_order_counts",
-        "scope_filtered_profile", "semantic_dedup", "simhash_pairs",
-        "simhash_pairs_blocked", "supplier_pagerank",
-        "temperature_mix_weights", "term_postings", "tfidf_top_terms",
-        "time_weighted_avg", "token_stats", "unigram_surprisal",
-        "union_label_dims", "value_autocorr_lag1",
-        "value_equidepth_histogram",
+    r10_head = [
+        "ann_int_multiprobe_topk", "audio_near_dup_pairs",
+        "bucketed_order_lineitem", "calendar_features", "cast_coercion",
+        "chunk_bm25_topk", "chunk_manifest", "chunk_near_dup_pairs",
+        "chunk_near_dup_pairs_capped", "chunk_overlap_admission",
+        "contract_quarantine_summary", "data_contract_events",
+        "decoded_image_stats", "decoded_png_stats", "distinct_users_head",
+        "domain_mix_sample", "embedding_drift", "event_type_transitions",
+        "grouped_quantile", "grouping_sets_revenue", "image_dedup_clusters",
+        "image_near_dup_pairs", "image_near_dup_pairs_capped",
+        "incremental_ann_topk", "incremental_chunk_near_dup",
+        "incremental_image_dedup", "ivf_centroid_join_topk",
+        "lang_sample_k", "lateral_top_orders", "media_dhash_index",
+        "media_near_dup_census", "nation_trade_volume", "ordered_preview",
     ]
-    # the five alphabetically-last r9 entries (value_histogram,
-    # vocab_coverage, winnow_overlap_pairs, winnowing_fingerprints,
-    # winsorized_profile) displaced into the overflow by the five new
-    # r13 tiers + the touched multimodal_features — they keep their r9
-    # stamps and lead the r14 list
-    assert window[12:50] == r9_cohort
+    assert window[17:50] == r10_head
