@@ -1486,8 +1486,14 @@ def trimmed_sequence_pairs(
 
     Boundary: exact for lossless trims (same-pipeline edit). A trim
     composed with re-encode noise needs ssd_tol > 0 and loses the
-    pigeonhole guarantee; trim+gain needs the landmark family —
-    compose, don't multiply operators (the shifted tier's contract).
+    pigeonhole guarantee. Trim+GAIN (monotone a·s + b) is CLOSED as of
+    r14 — not by the landmark family but by composition: run this tier
+    over the gradient-sign sequence, where a monotone gain is the
+    identity and a sample trim is the same trim
+    (queries/media.py audio_trim_gain_pairs — compose, don't multiply
+    operators, literally). Trim+gain+re-encode NOISE remains the
+    landmark family's territory (a perturbed sample defeats both the
+    sign anchor and the exact verify).
     Scale shape: bounded token fanout (max_trim+1 : 1), one md5
     equi-join, verify O(candidates × (max_trim+1) × m) map work;
     ``max_bucket_size`` caps degenerate constant-clip buckets on both

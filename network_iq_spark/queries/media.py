@@ -2876,6 +2876,176 @@ def q_audio_trimmed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("full_id", "trimmed_id")
 
 
+_TG_TWIN_EVERY, _TG_TWIN_OFFSET = 10, 9_000_000
+# gain arms cycled by (media_id // 10) % 3: s' = a·s + b with a > 0 —
+# the uniform gain / DC-offset re-encode class
+_TG_GAIN_ARMS = ((2, 0), (3, -7), (2, 11))
+# gradient-SIGN sequence: g[i] = sign(v[i+1] − v[i]), length n−1.
+# Monotone gain (a > 0) preserves every comparison, and trimming h/t
+# samples trims exactly h/t gradient positions — so trim∘gain in the
+# sample domain IS a pure trim in the gradient-sign domain, and the
+# registered trim core applies verbatim. Contract: clips of ≥ 2
+# samples (the walks are fixed 64-length; the trim tier's anchor
+# filter re-guards downstream).
+_GSIGN_SQL = (
+    "list_transform(range(1, len({v})), i -> "
+    "CASE WHEN {v}[i + 1] > {v}[i] THEN 1 "
+    "WHEN {v}[i + 1] < {v}[i] THEN -1 ELSE 0 END)"
+)
+_GSIGN_EXPR = (
+    "transform(sequence(0, size({v}) - 2), i -> "
+    "IF({v}[i + 1] > {v}[i], 1, IF({v}[i + 1] < {v}[i], -1, 0)))"
+)
+
+
+def _tg_gain_case(col: str, pick: str) -> str:
+    """CASE selecting the gain multiplier (pick='a') or offset
+    (pick='b') — shared text so Spark and DuckDB plant literally the
+    same affine transforms (the _trim_twin_case rule)."""
+    idx = 0 if pick == "a" else 1
+    whens = " ".join(
+        f"WHEN {k} THEN {arm[idx]}"
+        for k, arm in enumerate(_TG_GAIN_ARMS[:-1])
+    )
+    last = _TG_GAIN_ARMS[-1][idx]
+    return f"CASE CAST(({col}) % {len(_TG_GAIN_ARMS)} AS INT) {whens} ELSE {last} END"
+
+
+def _trim_gain_oracle() -> str:
+    """DuckDB replay of the trim∘gain tier: plant affine-gain trimmed
+    twins, map every clip to its gradient-sign sequence, then run the
+    trim tier's own CTE chain (prefix-anchor pigeonhole + exact
+    head-offset scan) over the sign sequences."""
+    head = _trim_twin_case(f"media_id // {_TG_TWIN_EVERY}", "h")
+    tail = _trim_twin_case(f"media_id // {_TG_TWIN_EVERY}", "t")
+    ga = _tg_gain_case(f"media_id // {_TG_TWIN_EVERY}", "a")
+    gb = _tg_gain_case(f"media_id // {_TG_TWIN_EVERY}", "b")
+    return f"""
+    WITH {_AUD_WALK_SQL},
+    twins AS (
+      SELECT media_id + {_TG_TWIN_OFFSET} AS media_id,
+             list_transform(list_slice(s, head + 1, 64 - tail),
+                            x -> a * x + b) AS s
+      FROM (
+        SELECT media_id, s, {head} AS head, {tail} AS tail,
+               {ga} AS a, {gb} AS b
+        FROM walks WHERE media_id % {_TG_TWIN_EVERY} = 0
+      )
+    ),
+    tg_clips AS (SELECT * FROM walks UNION ALL SELECT * FROM twins),
+    clips AS (
+      SELECT media_id, {_GSIGN_SQL.format(v="s")} AS s FROM tg_clips
+    ),
+    ptoks AS (
+      SELECT DISTINCT media_id AS full_id,
+             unnest(list_transform(
+               range(0, least({_TRIM_MAX}, len(s) - {_TRIM_ANCHOR}) + 1),
+               o -> {_TRIM_TOK_SQL.format(B=_TRIM_ANCHOR, off="o")})) AS tok
+      FROM clips WHERE len(s) >= {_TRIM_ANCHOR}
+    ),
+    ktoks AS (
+      SELECT media_id AS trimmed_id,
+             {_TRIM_TOK_SQL.format(B=_TRIM_ANCHOR, off="0")} AS tok
+      FROM clips WHERE len(s) >= {_TRIM_ANCHOR}
+    ),
+    cand AS (
+      SELECT DISTINCT p.full_id, k.trimmed_id
+      FROM ptoks p JOIN ktoks k USING (tok)
+      WHERE p.full_id != k.trimmed_id
+    ),
+    offs AS (SELECT unnest(range(0, {_TRIM_MAX} + 1)) AS h),
+    scored AS (
+      SELECT c.full_id, c.trimmed_id, o.h,
+             len(ga.s) AS n, len(gb.s) AS m, ga.s AS sa, gb.s AS sb
+      FROM cand c
+      JOIN clips ga ON ga.media_id = c.full_id
+      JOIN clips gb ON gb.media_id = c.trimmed_id
+      CROSS JOIN offs o
+    ),
+    evaled AS (
+      SELECT full_id, trimmed_id, h, n, m,
+             CASE WHEN n <= m OR h + m > n OR n - h - m > {_TRIM_MAX}
+                  THEN NULL
+                  ELSE list_sum(list_transform(range(0, m), i ->
+                    (sb[i + 1] - sa[h + i + 1])
+                    * (sb[i + 1] - sa[h + i + 1])))
+             END AS ssd
+      FROM scored
+    ),
+    picked AS (
+      SELECT full_id, trimmed_id,
+             CAST(h AS INT) AS head, CAST(n - h - m AS INT) AS tail,
+             CAST(ssd AS BIGINT) AS ssd,
+             ROW_NUMBER() OVER (
+               PARTITION BY full_id, trimmed_id ORDER BY ssd, h
+             ) AS rn
+      FROM evaled WHERE ssd IS NOT NULL
+    )
+    SELECT full_id, trimmed_id, head, tail, ssd
+    FROM picked WHERE rn = 1 AND ssd <= 0
+    ORDER BY full_id, trimmed_id
+    """
+
+
+@register("audio_trim_gain_pairs", oracle=_trim_gain_oracle())
+def q_audio_trim_gain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIM∘GAIN composed audio near-dup (r14, VERDICT item 3) —
+    closing the boundary the trim tier's docstring left open
+    (operators/dedup.py trimmed_sequence_pairs: "trim+gain needs the
+    landmark family"). It turns out no landmark/FFT machinery is
+    needed for the INTEGER-exact composition: a monotone gain
+    (s' = a·s + b, a > 0 — the loudness-normalize / DC-offset
+    re-encode) preserves the SIGN of every consecutive difference, and
+    trimming h head / t tail samples trims exactly h/t positions of
+    the gradient-sign sequence — so trim∘gain in the sample domain is
+    a PURE TRIM in the gradient-sign domain, and the registered trim
+    core (prefix-anchor pigeonhole blocking + exact integer
+    head-offset scan) applies verbatim over g[i] = sign(s[i+1] − s[i]).
+    "Compose, don't multiply operators" — literally: this query is
+    gradient-sign ∘ trimmed_sequence_pairs, no new operator at all.
+    Recall 1.0 by the trim tier's pigeonhole argument for every
+    planted (trim ≤ {_TRIM_MAX}) ∘ (affine a > 0) derivative; the
+    detection domain is ORDINAL equivalence (exactly the
+    gain-invariance waveform_dhash claims — two clips with identical
+    comparison structure are one clip up to monotone re-scaling).
+    Integer-exact end to end, hence fully oracle-replayable — the
+    shifted tier's bench-only precedent turned out unnecessary here.
+    The remaining out-of-scope composition is trim+gain+RE-ENCODE
+    NOISE (a perturbed sample flips its two gradient signs and defeats
+    both the anchor and the exact verify): that genuinely needs the
+    spectral-landmark family and a float FFT, which stays outside the
+    oracle-able tier (waveform_dhash boundary note). Every 10th clip
+    gets a planted twin: head/tail trim cycling the trim tier's four
+    arms × affine gain cycling (2,0)/(3,−7)/(2,11). Output
+    (full_id, trimmed_id, head, tail, ssd) with head/tail in samples
+    (gradient-domain offsets equal sample-domain offsets) and
+    ssd = 0 over the sign sequences."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.select(
+        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
+    )
+    arm_col = f"media_id div {_TG_TWIN_EVERY}"
+    head_sql = _trim_twin_case(arm_col, "h")
+    tail_sql = _trim_twin_case(arm_col, "t")
+    a_sql = _tg_gain_case(arm_col, "a")
+    b_sql = _tg_gain_case(arm_col, "b")
+    twin = src.filter(F.col("media_id") % _TG_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _TG_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"transform(slice(s, ({head_sql}) + 1, "
+            f"64 - ({head_sql}) - ({tail_sql})), "
+            f"x -> ({a_sql}) * x + ({b_sql}))"
+        ).alias("s"),
+    )
+    clips = src.unionByName(twin)
+    gclips = clips.select(
+        "media_id", F.expr(_GSIGN_EXPR.format(v="s")).alias("s")
+    )
+    return D.trimmed_sequence_pairs(
+        gclips, max_trim=_TRIM_MAX, anchor=_TRIM_ANCHOR
+    ).orderBy("full_id", "trimmed_id")
+
+
 _VTRIM_TWIN_EVERY, _VTRIM_TWIN_OFFSET = 10, 8_000_000
 _VTRIM_MAX, _VTRIM_ANCHOR = 1, 1  # 1 frame per side budget, 1-frame anchor
 _VTRIM_FRAME = _VID_SIDE * _VID_SIDE  # elements per trim unit (stride)

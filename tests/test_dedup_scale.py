@@ -1343,6 +1343,58 @@ def test_video_transform_resolution_collapses_axes(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_audio_trim_gain_pairs_recovers_planted(spark):
+    """Trim∘gain contract (r14): every planted (trim, affine-gain)
+    twin is recovered with its TRUE (head, tail) — the gradient-sign
+    domain turns the composition into a pure trim, so the trim tier's
+    pigeonhole recall-1.0 argument carries over; ssd = 0 over sign
+    sequences."""
+    from network_iq_spark.queries.media import (
+        _TG_TWIN_EVERY,
+        _TG_TWIN_OFFSET,
+        _TRIM_ARMS,
+    )
+
+    got = {
+        (r.full_id, r.trimmed_id): (r.head, r.tail, r.ssd)
+        for r in QUERIES["audio_trim_gain_pairs"](spark, SF).collect()
+    }
+    assert got, "no pairs at sf0.001"
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"]).num_rows
+    planted = [i for i in range(n_vecs) if i % _TG_TWIN_EVERY == 0]
+    assert planted
+    for x in planted:
+        h, t = _TRIM_ARMS[(x // _TG_TWIN_EVERY) % len(_TRIM_ARMS)]
+        assert got[(x, x + _TG_TWIN_OFFSET)] == (h, t, 0), (x, h, t)
+    # precision: every reported pair is an exact ordinal match (ssd 0)
+    assert all(v[2] == 0 for v in got.values())
+
+
+def test_trim_gain_operator_gain_invariance(spark):
+    """Direct operator-level proof of the composition claim: a clip, an
+    affine-gained trim of it, and a NEGATIVE-gain (inverted) trim — the
+    first pairs at the true offsets, the inversion does not (monotone
+    increasing maps only)."""
+    from network_iq_spark.operators import dedup as D
+    from network_iq_spark.queries.media import _GSIGN_EXPR
+
+    s0 = [((i * 37) % 101) - 50 for i in range(64)]
+    rows = [
+        (1, s0),
+        (2, [5 * x + 3 for x in s0[1:]]),        # head-1 trim, gain 5x+3
+        (3, [-2 * x for x in s0[1:]]),           # inverted: must NOT pair
+    ]
+    df = spark.createDataFrame(rows, "media_id long, s array<int>")
+    g = df.select("media_id", F.expr(_GSIGN_EXPR.format(v="s")).alias("s"))
+    got = {
+        (r.full_id, r.trimmed_id): (r.head, r.tail, r.ssd)
+        for r in D.trimmed_sequence_pairs(g, max_trim=2, anchor=16).collect()
+    }
+    assert got == {(1, 2): (1, 0, 0)}, got
+
+
 def test_image_resolution_keep_best_policy(spark):
     """Keep-best contract (r14): the chosen survivor is the
     highest-RESOLUTION member (n_px DESC), variance units then id
