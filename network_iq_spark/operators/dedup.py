@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from network_iq_spark.operators import ensure_parallelism
+from network_iq_spark.operators import GUARD_MIN_BYTES, ensure_parallelism
 from network_iq_spark.operators.text import WORD_RE, tokens
 
 N_HASHES = 16
@@ -1283,7 +1283,12 @@ def resampled_derivative_pairs(
     text, so the audio tier's plan is untouched)."""
     key = _SEQ_MD5_KEY_FMT
     derived = _box_decimated_expr(factor, stride)
-    src = ensure_parallelism(df).select(
+    # min_bytes guard (r14 audit): the map is two md5 keys over short
+    # arrays; interleaved A/B on audio_resampled_near_dup_pairs measured
+    # the exchange a pure wash (B/A = 1.00) — it buys nothing under the
+    # floor, so skip it (same guard on the index builder and the
+    # incremental probe, which share this exact map shape)
+    src = ensure_parallelism(df, min_bytes=GUARD_MIN_BYTES).select(
         F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__")
     ).localCheckpoint(eager=False)
     parents = (
@@ -1345,7 +1350,7 @@ def resample_index(
     fs = factor * stride
     derived = _box_decimated_expr(factor, stride, "__s__")
     src = (
-        ensure_parallelism(df)
+        ensure_parallelism(df, min_bytes=GUARD_MIN_BYTES)
         .select(F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__"))
         .localCheckpoint(eager=False)
     )
@@ -1393,7 +1398,7 @@ def incremental_resampled_dedup(
     # column (byte-identical to the old sentinel-replace path, minus
     # the hazard of s_col containing the sentinel substring)
     derived_b = _box_decimated_expr(factor, stride, v=s_col)
-    b = ensure_parallelism(batch).select(
+    b = ensure_parallelism(batch, min_bytes=GUARD_MIN_BYTES).select(
         F.col(id_col).alias("new_id"),
         F.expr(f"cast(size({s_col}) as int)").alias("__bn__"),
         F.expr(_SEQ_MD5_KEY_FMT.format(v=s_col)).alias("__bown__"),

@@ -1675,7 +1675,13 @@ def ivf_int_recenter(
     """
     from network_iq_spark.operators import ensure_parallelism
 
-    vecs = ensure_parallelism(qvecs.select(F.col(id_col), F.col(q_col).alias("q")))
+    # min_bytes guard (r14 audit, B/A = 0.82 on ivf_int_recenter_stats):
+    # brings the one unguarded similarity site in line with the family's
+    # DENSE_GUARD_MIN_BYTES discipline
+    vecs = ensure_parallelism(
+        qvecs.select(F.col(id_col), F.col(q_col).alias("q")),
+        min_bytes=DENSE_GUARD_MIN_BYTES,
+    )
     w = Window.orderBy(id_col)
     seeds = (
         vecs.orderBy(id_col)

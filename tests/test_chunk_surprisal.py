@@ -258,3 +258,27 @@ def test_artifact_gated_on_canonical_testdata_root(spark, tmp_path, monkeypatch)
     assert MQ._artifact_dir("media_index", str(foreign)) is None
     # canonical dir DOES see it
     assert MQ._artifact_dir("media_index", "/root/testdata/sf0.001") is not None
+
+
+def test_transform_edges_in_plan_fallback_matches_artifact(spark, tmp_path, monkeypatch):
+    """The resolution/keep-best queries read committed at-rest edge
+    artifacts (aux_data/transform_edges/<mod>/<sf>, r14 VERDICT item 5
+    — the deployment posture: arms run once, downstream aggregates read
+    their persisted pairs). On a fresh clone (artifact absent) they
+    must fall back to the in-plan arm composition WITHOUT writing, and
+    return identical results."""
+    import os
+
+    from network_iq_spark.queries import media as MQ
+    from network_iq_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    with_art = sorted(
+        map(tuple, QUERIES["audio_transform_resolution"](spark, sf).collect())
+    )
+    monkeypatch.setattr(MQ, "_AUX_DATA_DIR", str(tmp_path / "aux"))
+    without = sorted(
+        map(tuple, QUERIES["audio_transform_resolution"](spark, sf).collect())
+    )
+    assert not os.path.exists(str(tmp_path / "aux"))  # read query: no writes
+    assert with_art == without
