@@ -30,15 +30,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # window, stamps stand at 50 r13 / 48 r12 / 48 r11 / 48 r10 / 5 r9 with
 # every oracle-paired query externally stamped at least once. The r14
 # window (per the r13 verdict's committed overflow order): the five
-# r9-stamped stragglers lead, then the six NEW r14 queries (the audio/
+# r9-stamped stragglers lead, then the seven NEW r14 queries (the audio/
 # video cross-axis resolutions, the three per-modality keep-best
-# policies, and the trim∘gain composed tier), then the seven r14-TOUCHED queries (the three image arms
+# policies, the trim∘gain composed tier, and the admission manifest), then the seven r14-TOUCHED queries (the three image arms
 # + image_transform_resolution, whose twin constructions moved into
 # shared helpers for the keep-best member corpus — plan-identical by
 # construction, re-stamped as cheap insurance; the two aux-artifact
 # probes + incremental_image_dedup_probe, whose artifact read gained
-# the canonical-testdata-root gate, r13 ADVICE), then the first 32 of
-# the oldest-r10 cohort alphabetically. The 16 displaced r10 entries
+# the canonical-testdata-root gate, r13 ADVICE), then the first 31 of
+# the oldest-r10 cohort alphabetically. The 17 displaced r10 entries
 # keep their r10 stamps and lead the committed r15 overflow below.
 # transform_dedup_census stays out: its 8-arm composition is unchanged
 # and the arm refactors are plan-identical (pinned by the arms' own
@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "audio_resolution_keep_best",
     "video_resolution_keep_best",
     "audio_trim_gain_pairs",
+    "transform_admission_manifest",
     # r14-touched (shared-helper refactors + artifact-root gate)
     "image_cropped_near_dup_pairs",
     "image_thumbnail_pairs",
@@ -68,7 +69,7 @@ _VERIFY_FIRST = [
     "incremental_resample_probe",
     "incremental_trim_probe",
     "incremental_image_dedup_probe",
-    # the oldest-r10 cohort, alphabetical (first 32 of 48)
+    # the oldest-r10 cohort, alphabetical (first 31 of 48)
     "ann_int_multiprobe_topk",
     "audio_near_dup_pairs",
     "bucketed_order_lineitem",
@@ -100,10 +101,10 @@ _VERIFY_FIRST = [
     "lateral_top_orders",
     "media_dhash_index",
     "media_near_dup_census",
-    "nation_trade_volume",
     # --- 50-slot window boundary ---
-    # overflow, r15-priority order: the 16 displaced r10 entries, then
+    # overflow, r15-priority order: the 17 displaced r10 entries, then
     # the r11 cohort, alphabetical
+    "nation_trade_volume",
     "ordered_preview",
     "packing_efficiency",
     "parts_bought_together",

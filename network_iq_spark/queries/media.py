@@ -4113,3 +4113,51 @@ def q_video_resolution_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         _transform_edges(spark, sf_dir, "video", _video_transform_edges_inplan),
         _video_members(spark, sf_dir),
     )
+
+
+def _admission_manifest_oracle() -> str:
+    """Union of the three per-modality keep-best oracles with a
+    modality literal — the manifest can never disagree with the
+    queries it summarizes (the census composition rule)."""
+    mods = (
+        ("image", _keep_best_oracle(_IMG_RESOLUTION_ARMS, _img_members_cte())),
+        ("audio", _keep_best_oracle(_AUD_RESOLUTION_ARMS, _aud_members_cte())),
+        ("video", _keep_best_oracle(_VID_RESOLUTION_ARMS, _vid_members_cte())),
+    )
+    unions = "\n    UNION ALL\n".join(
+        f"    SELECT '{m}' AS modality, * FROM ({o})" for m, o in mods
+    )
+    return f"""
+    SELECT * FROM (
+{unions}
+    ) ORDER BY modality, cluster_id
+    """
+
+
+@register("transform_admission_manifest", oracle=_admission_manifest_oracle())
+def q_transform_admission_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-ADMISSION manifest (r14) — the deliverable the whole
+    transform-dedup surface exists to produce: one row per duplicate
+    cluster across ALL modalities (image ∪ audio ∪ video), carrying the
+    quality-chosen survivor (``keeper``: admit this artifact), the
+    cluster geometry (``n_members``, ``n_axes``), and the realized
+    dedup yield (``n_dropped``: artifacts a training-data pass
+    excludes). Composes the three per-modality keep-best queries
+    verbatim — same edge artifacts, same member scoring, same policy —
+    plus one modality literal, so the manifest can never desync from
+    the queries it summarizes; the oracle is the same union over the
+    three keep-best oracles (the census composition discipline).
+    Clusters never span modalities (disjoint corpora by construction),
+    so the union is exact, not an approximation. Scale shape: three
+    artifact reads + three bounded CC/window tails — the deployment
+    pipeline's final cheap aggregate, not a recompute."""
+    parts = (
+        ("image", q_image_resolution_keep_best),
+        ("audio", q_audio_resolution_keep_best),
+        ("video", q_video_resolution_keep_best),
+    )
+    out = None
+    for m, fn in parts:
+        d = fn(spark, sf_dir).select(F.lit(m).alias("modality"), "*")
+        out = d if out is None else out.unionByName(d)
+    return out.orderBy("modality", "cluster_id")

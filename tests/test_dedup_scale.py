@@ -1343,6 +1343,25 @@ def test_video_transform_resolution_collapses_axes(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_transform_admission_manifest_composes(spark):
+    """The admission manifest must equal the union of the three
+    keep-best queries (modality tag aside) — composition, not a
+    re-derivation that could drift."""
+    got = {
+        (r.modality, r.cluster_id): (r.keeper, r.n_members, r.n_dropped)
+        for r in QUERIES["transform_admission_manifest"](spark, SF).collect()
+    }
+    want = {}
+    for m, q in (
+        ("image", "image_resolution_keep_best"),
+        ("audio", "audio_resolution_keep_best"),
+        ("video", "video_resolution_keep_best"),
+    ):
+        for r in QUERIES[q](spark, SF).collect():
+            want[(m, r.cluster_id)] = (r.keeper, r.n_members, r.n_dropped)
+    assert got == want
+
+
 def test_audio_trim_gain_pairs_recovers_planted(spark):
     """Trim∘gain contract (r14): every planted (trim, affine-gain)
     twin is recovered with its TRUE (head, tail) — the gradient-sign

@@ -50,17 +50,18 @@ def test_verify_first_names_all_resolve():
     assert not missing, missing
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
-    # the r14 window (r13 verdict item 1): five r9 stragglers -> six
-    # NEW r14 queries -> seven r14-touched queries -> first 32 of the
-    # oldest-r10 cohort; the 16 displaced r10 entries keep their r10
+    # the r14 window (r13 verdict item 1): five r9 stragglers -> seven
+    # NEW r14 queries -> seven r14-touched queries -> first 31 of the
+    # oldest-r10 cohort; the 17 displaced r10 entries keep their r10
     # stamps and lead the r15 overflow
     window = list(qs)[:50]
-    assert window[:18] == [
+    assert window[:19] == [
         "value_histogram", "vocab_coverage", "winnow_overlap_pairs",
         "winnowing_fingerprints", "winsorized_profile",
         "audio_transform_resolution", "video_transform_resolution",
         "image_resolution_keep_best", "audio_resolution_keep_best",
         "video_resolution_keep_best", "audio_trim_gain_pairs",
+        "transform_admission_manifest",
         "image_cropped_near_dup_pairs", "image_thumbnail_pairs",
         "image_rotated_dedup", "image_transform_resolution",
         "incremental_resample_probe", "incremental_trim_probe",
@@ -79,6 +80,6 @@ def test_verify_first_names_all_resolve():
         "incremental_ann_topk", "incremental_chunk_near_dup",
         "incremental_image_dedup", "ivf_centroid_join_topk",
         "lang_sample_k", "lateral_top_orders", "media_dhash_index",
-        "media_near_dup_census", "nation_trade_volume",
+        "media_near_dup_census",
     ]
-    assert window[18:50] == r10_head
+    assert window[19:50] == r10_head
