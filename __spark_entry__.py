@@ -30,30 +30,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # window, stamps stand at 50 r13 / 48 r12 / 48 r11 / 48 r10 / 5 r9 with
 # every oracle-paired query externally stamped at least once. The r14
 # window (per the r13 verdict's committed overflow order): the five
-# r9-stamped stragglers lead, then the seven NEW r14 queries (the audio/
-# video cross-axis resolutions, the three per-modality keep-best
-# policies, the trim∘gain composed tier, and the admission manifest), then the seven r14-TOUCHED queries (the three image arms
-# + image_transform_resolution, whose twin constructions moved into
-# shared helpers for the keep-best member corpus — plan-identical by
-# construction, re-stamped as cheap insurance; the two aux-artifact
-# probes + incremental_image_dedup_probe, whose artifact read gained
-# the canonical-testdata-root gate, r13 ADVICE), then the first 31 of
-# the oldest-r10 cohort alphabetically. The 17 displaced r10 entries
-# keep their r10 stamps and lead the committed r15 overflow below.
-# transform_dedup_census stays out: its 8-arm composition is unchanged
-# and the arm refactors are plan-identical (pinned by the arms' own
-# re-stamps this round). The r14 jpeg edit (assert -> RuntimeError on
-# an internal-constants invariant) is guarded-input-only, so the
-# decoded_jpeg* stamps remain representative (the r13 rule).
+# r9-stamped stragglers lead, then the seven NEW r14 queries (the
+# audio/video cross-axis resolutions, the three per-modality keep-best
+# policies, the trim∘gain composed tier, and the admission manifest),
+# then the r14-TOUCHED queries — FIRST the five whose bench-SF executed
+# plan CHANGED (the min_bytes guards: token_stats, doc_fingerprints,
+# ivf_int_recenter_stats, and the two resample tiers — the r13
+# multimodal_features precedent: a guard is a plan change and leads the
+# window), THEN the plan-identical helper refactors (image arms +
+# image_transform_resolution from r14a; the audio trim / video crop /
+# video trim arms whose twin plants moved into the shared helpers the
+# keep-best member corpora consume) and the artifact-root-gated probes.
+# The remaining slots take the oldest-r10 cohort alphabetically; the
+# displaced r10 entries keep their r10 stamps and lead the committed
+# r15 overflow. transform_dedup_census stays out: its 8-arm composition
+# is unchanged (the composed trim∘gain axis lives on the resolution/
+# admission surface, not in the matrix census) and the arm refactors
+# are plan-identical, pinned by the arms' own re-stamps. The r14 jpeg
+# edit (assert → RuntimeError on an internal-constants invariant) is
+# guarded-input-only — the r13 rule — so decoded_jpeg* stamps remain
+# representative.
 _VERIFY_FIRST = [
-    # the five r9-stamped stragglers (committed r14 overflow order)
     "value_histogram",
     "vocab_coverage",
     "winnow_overlap_pairs",
     "winnowing_fingerprints",
     "winsorized_profile",
-    # NEW r14: cross-axis resolution completed across modalities
-    # (VERDICT item 2) + resolution-aware keep-best (item 7)
     "audio_transform_resolution",
     "video_transform_resolution",
     "image_resolution_keep_best",
@@ -61,15 +63,21 @@ _VERIFY_FIRST = [
     "video_resolution_keep_best",
     "audio_trim_gain_pairs",
     "transform_admission_manifest",
-    # r14-touched (shared-helper refactors + artifact-root gate)
+    "token_stats",
+    "doc_fingerprints",
+    "ivf_int_recenter_stats",
+    "audio_resampled_near_dup_pairs",
+    "video_resampled_near_dup_pairs",
     "image_cropped_near_dup_pairs",
     "image_thumbnail_pairs",
     "image_rotated_dedup",
     "image_transform_resolution",
+    "audio_trimmed_near_dup_pairs",
+    "video_cropped_near_dup_pairs",
+    "video_trimmed_near_dup_pairs",
     "incremental_resample_probe",
     "incremental_trim_probe",
     "incremental_image_dedup_probe",
-    # the oldest-r10 cohort, alphabetical (first 31 of 48)
     "ann_int_multiprobe_topk",
     "audio_near_dup_pairs",
     "bucketed_order_lineitem",
@@ -93,6 +101,9 @@ _VERIFY_FIRST = [
     "image_dedup_clusters",
     "image_near_dup_pairs",
     "image_near_dup_pairs_capped",
+    # --- 50-slot window boundary ---
+    # overflow, r15-priority order: the displaced r10 entries, then
+    # the r11 cohort, alphabetical
     "incremental_ann_topk",
     "incremental_chunk_near_dup",
     "incremental_image_dedup",
@@ -101,9 +112,6 @@ _VERIFY_FIRST = [
     "lateral_top_orders",
     "media_dhash_index",
     "media_near_dup_census",
-    # --- 50-slot window boundary ---
-    # overflow, r15-priority order: the 17 displaced r10 entries, then
-    # the r11 cohort, alphabetical
     "nation_trade_volume",
     "ordered_preview",
     "packing_efficiency",

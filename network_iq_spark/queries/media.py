@@ -1785,6 +1785,132 @@ _AUD_WALK_EXPR = (
 )
 
 
+def _aud_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, s) — the embedding-seeded 64-sample walks every audio
+    tier derives its clips from; ONE Spark-side definition (the
+    _crop_corpus desync rule, extended to audio in r14)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
+    )
+
+
+def _rsmp_twins(src: DataFrame) -> DataFrame:
+    """Planted 2:1 truncating-box decimations of every 10th clip —
+    shared by the resample pairs tier, the incremental probe's batch,
+    and the keep-best member corpus (one plant, three consumers)."""
+    return src.filter(F.col("media_id") % _RSMP_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _RSMP_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(sequence(0, 31), i -> (s[2*i] + s[2*i + 1]) div 2)"
+        ).alias("s"),
+    )
+
+
+def _audio_trim_twins(src: DataFrame) -> DataFrame:
+    """Planted head/tail trims of every 10th clip (four arms) — shared
+    by the trim pairs tier, the incremental probe's batch, and the
+    keep-best member corpus."""
+    arm_col = f"media_id div {_TRIM_TWIN_EVERY}"
+    head_sql = _trim_twin_case(arm_col, "h")
+    tail_sql = _trim_twin_case(arm_col, "t")
+    return src.filter(F.col("media_id") % _TRIM_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _TRIM_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"slice(s, ({head_sql}) + 1, 64 - ({head_sql}) - ({tail_sql}))"
+        ).alias("s"),
+    )
+
+
+def _tg_twins(src: DataFrame) -> DataFrame:
+    """Planted trim∘affine-gain twins of every 10th clip (four trim
+    arms × three gains) — shared by the trim∘gain pairs tier and the
+    keep-best member corpus."""
+    arm_col = f"media_id div {_TG_TWIN_EVERY}"
+    head_sql = _trim_twin_case(arm_col, "h")
+    tail_sql = _trim_twin_case(arm_col, "t")
+    a_sql = _tg_gain_case(arm_col, "a")
+    b_sql = _tg_gain_case(arm_col, "b")
+    return src.filter(F.col("media_id") % _TG_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _TG_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"transform(slice(s, ({head_sql}) + 1, "
+            f"64 - ({head_sql}) - ({tail_sql})), "
+            f"x -> ({a_sql}) * x + ({b_sql}))"
+        ).alias("s"),
+    )
+
+
+def _vid_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, px) — the quantized flat pixel grids every video tier
+    derives its clips from."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("media_id"),
+        F.expr(_IMG_QUANT_EXPR_SQL).alias("px"),
+    )
+
+
+def _vcrop_twins(base: DataFrame) -> DataFrame:
+    """Planted per-frame crops of every 10th clip, with the cropped
+    (w, h) — shared by the video crop pairs tier and (px only) the
+    keep-best member corpus."""
+    sd, fsz = _VID_SIDE, _VID_SIDE * _VID_SIDE
+    return (
+        base.filter(F.col("media_id") % _VCROP_TWIN_EVERY == 0)
+        .select(
+            "media_id",
+            "px",
+            F.expr(
+                f"cast(IF((media_id div {_VCROP_TWIN_EVERY}) % 3 = 1, 0, 1) as int)"
+            ).alias("dr"),
+            F.expr(
+                f"cast(IF((media_id div {_VCROP_TWIN_EVERY}) % 3 = 0, 0, 1) as int)"
+            ).alias("dc"),
+        )
+        .select(
+            (F.col("media_id") + _VCROP_TWIN_OFFSET).alias("media_id"),
+            F.lit(sd - 1).alias("w"),
+            F.lit(sd - 1).alias("h"),
+            F.expr(
+                f"flatten(transform(sequence(0, {_VID_FRAMES - 1}), f -> "
+                f"flatten(transform(sequence(0, {sd - 2}), i -> "
+                f"transform(sequence(0, {sd - 2}), j -> "
+                f"px[f * {fsz} + (i + dr) * {sd} + j + dc])))))"
+            ).alias("px"),
+        )
+    )
+
+
+def _vrsmp_twins(base: DataFrame) -> DataFrame:
+    """Planted 2:1 frame-rate decimations of every 10th clip — shared
+    by the video resample pairs tier and the keep-best member corpus."""
+    return base.filter(F.col("media_id") % _VRSMP_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _VRSMP_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            "transform(sequence(0, 31), j -> "
+            "(px[(j div 16) * 32 + j % 16] "
+            "+ px[(j div 16) * 32 + 16 + j % 16]) div 2)"
+        ).alias("px"),
+    )
+
+
+def _vtrim_twins(base: DataFrame) -> DataFrame:
+    """Planted head/tail FRAME trims of every 10th clip (three arms) —
+    shared by the video trim pairs tier and the keep-best member
+    corpus."""
+    arm_col = f"media_id div {_VTRIM_TWIN_EVERY}"
+    head_sql = _vtrim_twin_case(arm_col, "h")
+    tail_sql = _vtrim_twin_case(arm_col, "t")
+    return base.filter(F.col("media_id") % _VTRIM_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _VTRIM_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"slice(px, ({head_sql}) * {_VTRIM_FRAME} + 1, "
+            f"({_VID_FRAMES} - ({head_sql}) - ({tail_sql})) * {_VTRIM_FRAME})"
+        ).alias("px"),
+    )
+
+
 def _aud_shift_oracle() -> str:
     """DuckDB replay of the FULL shifted-audio pipeline (r11, VERDICT
     item 5 — the round-10 boundary 'float S-curve thresholds' does not
@@ -2445,17 +2571,8 @@ def q_audio_resampled_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     the operator docstring states the boundary: interpolating/polyphase
     resamplers land ±1–2 per sample away and are outside the exact
     claim."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    src = emb.select(
-        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
-    )
-    twin = src.filter(F.col("media_id") % _RSMP_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _RSMP_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            "transform(sequence(0, 31), i -> (s[2*i] + s[2*i + 1]) div 2)"
-        ).alias("s"),
-    )
-    clips = src.unionByName(twin)
+    src = _aud_walks(spark, sf_dir)
+    clips = src.unionByName(_rsmp_twins(src))
     return D.resampled_derivative_pairs(clips, factor=2).orderBy(
         "full_id", "resampled_id"
     )
@@ -2519,16 +2636,8 @@ def q_incremental_resample_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scripts/build_transform_indexes.py — the media-index discipline)
     with an in-plan fallback for arbitrary sf_dirs; the shared oracle
     recomputes it, so parity doubles as the freshness check."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    src = emb.select(
-        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
-    )
-    batch = src.filter(F.col("media_id") % _RSMP_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _RSMP_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            "transform(sequence(0, 31), i -> (s[2*i] + s[2*i + 1]) div 2)"
-        ).alias("s"),
-    )
+    src = _aud_walks(spark, sf_dir)
+    batch = _rsmp_twins(src)
     idx = _aux_parquet(spark, "resample_index", sf_dir)
     if idx is None:
         idx = D.resample_index(src, factor=2)
@@ -2641,40 +2750,13 @@ def q_video_cropped_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     diverge is rejected exactly. Output (id_a, id_b, dr, dc, ssd = 0);
     DuckDB replays tokens, candidates, and the multi-frame verify end
     to end."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    base = emb.select(
-        F.col("vec_id").alias("media_id"),
+    base = _vid_base(spark, sf_dir).select(
+        "media_id",
         F.lit(_VID_SIDE).alias("w"),
         F.lit(_VID_SIDE).alias("h"),
-        quant.alias("px"),
+        "px",
     )
-    s, fsz = _VID_SIDE, _VID_SIDE * _VID_SIDE
-    twins = (
-        base.filter(F.col("media_id") % _VCROP_TWIN_EVERY == 0)
-        .select(
-            "media_id",
-            "px",
-            F.expr(
-                f"cast(IF((media_id div {_VCROP_TWIN_EVERY}) % 3 = 1, 0, 1) as int)"
-            ).alias("dr"),
-            F.expr(
-                f"cast(IF((media_id div {_VCROP_TWIN_EVERY}) % 3 = 0, 0, 1) as int)"
-            ).alias("dc"),
-        )
-        .select(
-            (F.col("media_id") + _VCROP_TWIN_OFFSET).alias("media_id"),
-            F.lit(s - 1).alias("w"),
-            F.lit(s - 1).alias("h"),
-            F.expr(
-                f"flatten(transform(sequence(0, {_VID_FRAMES - 1}), f -> "
-                f"flatten(transform(sequence(0, {s - 2}), i -> "
-                f"transform(sequence(0, {s - 2}), j -> "
-                f"px[f * {fsz} + (i + dr) * {s} + j + dc])))))"
-            ).alias("px"),
-        )
-    )
-    clips = base.unionByName(twins)
+    clips = base.unionByName(_vcrop_twins(base))
     return D.video_cropped_pairs(
         clips, frames=_VID_FRAMES, max_crop=_VCROP_MAX, side=_VID_SIDE,
         ssd_tol=0,
@@ -2736,18 +2818,8 @@ def q_video_resampled_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     the truncating division is engine-trivial), fully
     oracle-replayable. One generic core covers both scale-axis media
     cells; stride = 1 IS the audio tier, byte-identical."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    base = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    twins = base.filter(F.col("media_id") % _VRSMP_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _VRSMP_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            "transform(sequence(0, 31), j -> "
-            "(px[(j div 16) * 32 + j % 16] "
-            "+ px[(j div 16) * 32 + 16 + j % 16]) div 2)"
-        ).alias("px"),
-    )
-    clips = base.unionByName(twins)
+    base = _vid_base(spark, sf_dir)
+    clips = base.unionByName(_vrsmp_twins(base))
     return D.resampled_derivative_pairs(
         clips, factor=2, stride=16, s_col="px"
     ).orderBy("full_id", "resampled_id")
@@ -2857,20 +2929,8 @@ def q_audio_trimmed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     clips. Boundary (operator docstring): lossless trims only — trim
     composed with re-encode noise needs ssd_tol > 0 and downgrades the
     recall claim to best-effort."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    src = emb.select(
-        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
-    )
-    arm_col = f"media_id div {_TRIM_TWIN_EVERY}"
-    head_sql = _trim_twin_case(arm_col, "h")
-    tail_sql = _trim_twin_case(arm_col, "t")
-    twin = src.filter(F.col("media_id") % _TRIM_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _TRIM_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            f"slice(s, ({head_sql}) + 1, 64 - ({head_sql}) - ({tail_sql}))"
-        ).alias("s"),
-    )
-    clips = src.unionByName(twin)
+    src = _aud_walks(spark, sf_dir)
+    clips = src.unionByName(_audio_trim_twins(src))
     return D.trimmed_sequence_pairs(
         clips, max_trim=_TRIM_MAX, anchor=_TRIM_ANCHOR
     ).orderBy("full_id", "trimmed_id")
@@ -3020,23 +3080,8 @@ def q_audio_trim_gain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (full_id, trimmed_id, head, tail, ssd) with head/tail in samples
     (gradient-domain offsets equal sample-domain offsets) and
     ssd = 0 over the sign sequences."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    src = emb.select(
-        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
-    )
-    arm_col = f"media_id div {_TG_TWIN_EVERY}"
-    head_sql = _trim_twin_case(arm_col, "h")
-    tail_sql = _trim_twin_case(arm_col, "t")
-    a_sql = _tg_gain_case(arm_col, "a")
-    b_sql = _tg_gain_case(arm_col, "b")
-    twin = src.filter(F.col("media_id") % _TG_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _TG_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            f"transform(slice(s, ({head_sql}) + 1, "
-            f"64 - ({head_sql}) - ({tail_sql})), "
-            f"x -> ({a_sql}) * x + ({b_sql}))"
-        ).alias("s"),
-    )
+    src = _aud_walks(spark, sf_dir)
+    twin = _tg_twins(src)
     # barrier BEFORE the sign map (the r13 pushdown lesson, pairs-tier
     # form): _GSIGN_EXPR references s three times per position, and
     # without a materialization boundary the walk+twin derivation
@@ -3163,20 +3208,8 @@ def q_video_trimmed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     recall 1.0 by construction, integer-exact, fully oracle-replayable.
     stride = 1 IS the audio tier, byte-identical (the
     resampled_derivative_pairs contract)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    base = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    arm_col = f"media_id div {_VTRIM_TWIN_EVERY}"
-    head_sql = _vtrim_twin_case(arm_col, "h")
-    tail_sql = _vtrim_twin_case(arm_col, "t")
-    twins = base.filter(F.col("media_id") % _VTRIM_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _VTRIM_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            f"slice(px, ({head_sql}) * {_VTRIM_FRAME} + 1, "
-            f"({_VID_FRAMES} - ({head_sql}) - ({tail_sql})) * {_VTRIM_FRAME})"
-        ).alias("px"),
-    )
-    clips = base.unionByName(twins)
+    base = _vid_base(spark, sf_dir)
+    clips = base.unionByName(_vtrim_twins(base))
     return D.trimmed_sequence_pairs(
         clips,
         max_trim=_VTRIM_MAX,
@@ -3292,19 +3325,8 @@ def q_incremental_trim_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     by scripts/build_transform_indexes.py) with an in-plan fallback;
     the shared oracle recomputes them, so parity doubles as the
     freshness check."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    src = emb.select(
-        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
-    )
-    arm_col = f"media_id div {_TRIM_TWIN_EVERY}"
-    head_sql = _trim_twin_case(arm_col, "h")
-    tail_sql = _trim_twin_case(arm_col, "t")
-    batch = src.filter(F.col("media_id") % _TRIM_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _TRIM_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            f"slice(s, ({head_sql}) + 1, 64 - ({head_sql}) - ({tail_sql}))"
-        ).alias("s"),
-    )
+    src = _aud_walks(spark, sf_dir)
+    batch = _audio_trim_twins(src)
     toks = _aux_parquet(spark, "trim_index/toks", sf_dir)
     seqs = _aux_parquet(spark, "trim_index/seqs", sf_dir)
     if toks is None or seqs is None:
@@ -3489,6 +3511,12 @@ _IMG_RESOLUTION_ARMS = [
 _AUD_RESOLUTION_ARMS = [
     ("audio_resampled_near_dup_pairs", "full_id", "resampled_id", "resample"),
     ("audio_trimmed_near_dup_pairs", "full_id", "trimmed_id", "trim"),
+    # the composed axis joins the resolution surface (r14 review): its
+    # planted duplicates are REAL duplicates a pipeline must resolve —
+    # excluding them would admit both the original and its trim∘gain
+    # re-encode. (The census stays at the 8 pure-matrix cells; composed
+    # axes live here, on the admission surface.)
+    ("audio_trim_gain_pairs", "full_id", "trimmed_id", "trim_gain"),
 ]
 _VID_RESOLUTION_ARMS = [
     ("video_cropped_near_dup_pairs", "id_a", "id_b", "crop"),
@@ -3547,15 +3575,26 @@ def _image_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame
 def _audio_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsmp = q_audio_resampled_near_dup_pairs(spark, sf_dir)
     trim = q_audio_trimmed_near_dup_pairs(spark, sf_dir)
-    return rsmp.select(
-        F.col("full_id").alias("src"),
-        F.col("resampled_id").alias("dst"),
-        F.lit("resample").alias("axis"),
-    ).unionByName(
-        trim.select(
+    tg = q_audio_trim_gain_pairs(spark, sf_dir)
+    return (
+        rsmp.select(
             F.col("full_id").alias("src"),
-            F.col("trimmed_id").alias("dst"),
-            F.lit("trim").alias("axis"),
+            F.col("resampled_id").alias("dst"),
+            F.lit("resample").alias("axis"),
+        )
+        .unionByName(
+            trim.select(
+                F.col("full_id").alias("src"),
+                F.col("trimmed_id").alias("dst"),
+                F.lit("trim").alias("axis"),
+            )
+        )
+        .unionByName(
+            tg.select(
+                F.col("full_id").alias("src"),
+                F.col("trimmed_id").alias("dst"),
+                F.lit("trim_gain").alias("axis"),
+            )
         )
     )
 
@@ -3660,13 +3699,14 @@ def q_audio_transform_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-axis duplicate RESOLUTION over the AUDIO transform tiers
     (r14, VERDICT item 2) — the image resolution's audio twin, run
     after the census on every modality in a real corpus pipeline: union
-    the (original, derivative) edges from the resample and trim arms
-    (both tiers derive their clips from the same embedding-seeded
-    random walks, so an original and ALL its derivatives share base
-    vertices), take transitive connected components, and emit one
-    resolution row per cluster — kept representative (min-label = the
-    original, by the twin-offset construction: resample twins at +4M,
-    trim twins at +7M), member count, contributing-axis count, and the
+    the (original, derivative) edges from the resample, trim and
+    trim∘gain arms (all three tiers derive their clips from the same
+    embedding-seeded random walks, so an original and ALL its
+    derivatives share base vertices), take transitive connected
+    components, and emit one resolution row per cluster — kept
+    representative (min-label = the original, by the twin-offset
+    construction: resample twins at +4M, trim twins at +7M, trim∘gain
+    twins at +9M), member count, contributing-axis count, and the
     drop count a dedup pass realizes. Composes two registered tiers
     verbatim + the shared min-label CC core; the oracle replays edges
     from the registered arm oracles and the same fixpoint via the walk
@@ -3921,7 +3961,8 @@ def _aud_members_cte() -> str:
     """members(media_id, s) over the full AUDIO transform corpus:
     embedding-seeded walks + resample twins (+4M, _RSMP_DOWN_SQL — the
     same derivation text the arm oracle plants) + trim twins (+7M,
-    _trim_twin_case — ditto)."""
+    _trim_twin_case — ditto) + trim∘gain twins (+9M, _trim_twin_case ×
+    _tg_gain_case)."""
     return f"""{_AUD_WALK_SQL},
     rsmp_twins AS (
       SELECT media_id + {_RSMP_TWIN_OFFSET} AS media_id,
@@ -3938,37 +3979,38 @@ def _aud_members_cte() -> str:
         FROM walks WHERE media_id % {_TRIM_TWIN_EVERY} = 0
       )
     ),
+    tg_twins AS (
+      SELECT media_id + {_TG_TWIN_OFFSET} AS media_id,
+             list_transform(list_slice(s, head + 1, 64 - tail),
+                            x -> a * x + b) AS s
+      FROM (
+        SELECT media_id, s,
+               {_trim_twin_case(f"media_id // {_TG_TWIN_EVERY}", "h")} AS head,
+               {_trim_twin_case(f"media_id // {_TG_TWIN_EVERY}", "t")} AS tail,
+               {_tg_gain_case(f"media_id // {_TG_TWIN_EVERY}", "a")} AS a,
+               {_tg_gain_case(f"media_id // {_TG_TWIN_EVERY}", "b")} AS b
+        FROM walks WHERE media_id % {_TG_TWIN_EVERY} = 0
+      )
+    ),
     members AS (
       SELECT media_id, s FROM walks
       UNION ALL SELECT media_id, s FROM rsmp_twins
       UNION ALL SELECT media_id, s FROM trim_twins
+      UNION ALL SELECT media_id, s FROM tg_twins
     )"""
 
 
 def _audio_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _aud_members_cte: every audio corpus member's
-    signal — walks plus both planted twin families, built from the same
-    expressions the arm queries plant."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    src = emb.select(
-        F.col("vec_id").alias("media_id"), F.expr(_AUD_WALK_EXPR).alias("s")
+    signal — walks plus all three planted twin families, via the SAME
+    shared plant helpers the arm queries call (the image modality's
+    no-desync rule, closed for audio in r14)."""
+    src = _aud_walks(spark, sf_dir)
+    return (
+        src.unionByName(_rsmp_twins(src))
+        .unionByName(_audio_trim_twins(src))
+        .unionByName(_tg_twins(src))
     )
-    rsmp = src.filter(F.col("media_id") % _RSMP_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _RSMP_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            "transform(sequence(0, 31), i -> (s[2*i] + s[2*i + 1]) div 2)"
-        ).alias("s"),
-    )
-    arm_col = f"media_id div {_TRIM_TWIN_EVERY}"
-    head_sql = _trim_twin_case(arm_col, "h")
-    tail_sql = _trim_twin_case(arm_col, "t")
-    trim = src.filter(F.col("media_id") % _TRIM_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _TRIM_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            f"slice(s, ({head_sql}) + 1, 64 - ({head_sql}) - ({tail_sql}))"
-        ).alias("s"),
-    )
-    return src.unionByName(rsmp).unionByName(trim)
 
 
 @register(
@@ -4042,56 +4084,13 @@ def _vid_members_cte() -> str:
 
 def _video_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _vid_members_cte: every video corpus member's
-    pixels — base grids plus the three planted twin families, from the
-    same expressions the arm queries plant."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    base = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    sd, fsz = _VID_SIDE, _VID_SIDE * _VID_SIDE
-    vcrop = (
-        base.filter(F.col("media_id") % _VCROP_TWIN_EVERY == 0)
-        .select(
-            "media_id",
-            "px",
-            F.expr(
-                f"cast(IF((media_id div {_VCROP_TWIN_EVERY}) % 3 = 1, 0, 1) as int)"
-            ).alias("dr"),
-            F.expr(
-                f"cast(IF((media_id div {_VCROP_TWIN_EVERY}) % 3 = 0, 0, 1) as int)"
-            ).alias("dc"),
-        )
-        .select(
-            (F.col("media_id") + _VCROP_TWIN_OFFSET).alias("media_id"),
-            F.expr(
-                f"flatten(transform(sequence(0, {_VID_FRAMES - 1}), f -> "
-                f"flatten(transform(sequence(0, {sd - 2}), i -> "
-                f"transform(sequence(0, {sd - 2}), j -> "
-                f"px[f * {fsz} + (i + dr) * {sd} + j + dc])))))"
-            ).alias("px"),
-        )
-    )
-    vrsmp = base.filter(F.col("media_id") % _VRSMP_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _VRSMP_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            "transform(sequence(0, 31), j -> "
-            "(px[(j div 16) * 32 + j % 16] "
-            "+ px[(j div 16) * 32 + 16 + j % 16]) div 2)"
-        ).alias("px"),
-    )
-    arm_col = f"media_id div {_VTRIM_TWIN_EVERY}"
-    head_sql = _vtrim_twin_case(arm_col, "h")
-    tail_sql = _vtrim_twin_case(arm_col, "t")
-    vtrim = base.filter(F.col("media_id") % _VTRIM_TWIN_EVERY == 0).select(
-        (F.col("media_id") + _VTRIM_TWIN_OFFSET).alias("media_id"),
-        F.expr(
-            f"slice(px, ({head_sql}) * {_VTRIM_FRAME} + 1, "
-            f"({_VID_FRAMES} - ({head_sql}) - ({tail_sql})) * {_VTRIM_FRAME})"
-        ).alias("px"),
-    )
+    pixels — base grids plus the three planted twin families, via the
+    SAME shared plant helpers the arm queries call."""
+    base = _vid_base(spark, sf_dir)
     return (
-        base.unionByName(vcrop)
-        .unionByName(vrsmp)
-        .unionByName(vtrim)
+        base.unionByName(_vcrop_twins(base).select("media_id", "px"))
+        .unionByName(_vrsmp_twins(base))
+        .unionByName(_vtrim_twins(base))
         .select("media_id", F.col("px").alias("s"))
     )
 

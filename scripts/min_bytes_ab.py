@@ -2,7 +2,8 @@
 """Interleaved A/B for the r14 min_bytes audit (VERDICT item 4): for one
 representative query per ensure_parallelism caller family, alternate
 
-  A: the site as shipped (unguarded -> repartition fires at bench SF)
+  A: the family's sites with every floor STRIPPED (min_bytes=0 — the
+     repartition fires at bench SF)
   B: the family's sites guarded with GUARD_MIN_BYTES (no exchange under
      the 4 MB floor -> the map runs on the scan's own splits)
 
@@ -13,9 +14,12 @@ at small input and the site should take the guard; A wins => the per-row
 work needs the spread even at 600 KB and the site keeps the
 unconditional repartition.
 
-The B arm monkeypatches the family module's ensure_parallelism binding
-(and the operators-module attribute, for call-site imports) to force
-min_bytes=GUARD_MIN_BYTES — measurement only; shipped edits are made
+BOTH arms monkeypatch the family module's ensure_parallelism binding
+(and the operators-module attribute, for call-site imports): A forces
+min_bytes=0 (the pre-guard baseline — after the r14 edits shipped,
+"as-shipped" would silently measure guard-vs-guard and print
+meaningless 'guard' verdicts on re-runs), B forces
+min_bytes=GUARD_MIN_BYTES. Measurement only; shipped edits are made
 per-site afterwards.
 
 Run: python scripts/min_bytes_ab.py [rounds]   (default 4)
@@ -33,6 +37,9 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # family -> (module with the call sites, representative registered query)
 FAMILIES = [
+    # NOTE: representatives measured for the r14 table; on re-runs the
+    # A arm strips every floor in the family's module, so already-
+    # guarded sites are re-compared against their true unguarded shape
     ("text/cheap-stats", "network_iq_spark.operators.text", "token_stats"),
     ("text/digest", "network_iq_spark.operators.text", "doc_fingerprints"),
     ("text/lang-profile", "network_iq_spark.operators.text", "lang_id"),
@@ -61,8 +68,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     orig = OPS.ensure_parallelism
 
+    def unguarded(df, target=None, min_bytes=0):
+        return orig(df, target, 0)
+
     def guarded(df, target=None, min_bytes=0):
         return orig(df, target, max(min_bytes, OPS.GUARD_MIN_BYTES))
+
+    arms = {"A": unguarded, "B": guarded}
 
     try:
         la = os.getloadavg()[0]
@@ -80,10 +92,9 @@ def main() -> None:
         mins = {"A": float("inf"), "B": float("inf")}
         for _ in range(rounds):
             for arm in ("A", "B"):
-                if arm == "B":
-                    OPS.ensure_parallelism = guarded
-                    if has_binding:
-                        mod.ensure_parallelism = guarded
+                OPS.ensure_parallelism = arms[arm]
+                if has_binding:
+                    mod.ensure_parallelism = arms[arm]
                 try:
                     t0 = time.perf_counter()
                     run(spark, SF).write.format("noop").mode("overwrite").save()

@@ -1304,9 +1304,10 @@ def test_image_transform_resolution_collapses_axes(spark):
 
 def test_audio_transform_resolution_collapses_axes(spark):
     """Audio resolution contract (r14): an original walk and its
-    resample (+4M) and trim (+7M) derivatives collapse into ONE
-    cluster via the transitive closure (the derivatives never pair
-    directly), keep_id is the original, and both axes count once."""
+    resample (+4M), trim (+7M) and trim∘gain (+9M) derivatives
+    collapse into ONE cluster via the transitive closure (the
+    derivatives never pair directly), keep_id is the original, and
+    each contributing axis counts once."""
     rows = {
         r.keep_id: (r.n_members, r.n_axes, r.n_dropped)
         for r in QUERIES["audio_transform_resolution"](spark, SF).collect()
@@ -1315,9 +1316,9 @@ def test_audio_transform_resolution_collapses_axes(spark):
     for keep_id, (m, a, d) in rows.items():
         assert keep_id < 1_000_000  # the original, never a twin
         assert d == m - 1
-        assert 1 <= a <= 2
-    # every planted original carries both axes at this corpus
-    assert all(a == 2 and m == 3 for m, a, _ in rows.values()), rows
+        assert 1 <= a <= 3
+    # every planted original carries all three axes at this corpus
+    assert all(a == 3 and m == 4 for m, a, _ in rows.values()), rows
     q = QUERIES["audio_transform_resolution"](spark, SF)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
@@ -1341,6 +1342,45 @@ def test_video_transform_resolution_collapses_axes(spark):
     q = QUERIES["video_transform_resolution"](spark, SF)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_keep_best_ranking_beats_min_label(spark):
+    """Direct proof the keep-best RANKING machinery is live (r14
+    review): on the planted corpora the original is simultaneously the
+    min-id and the size winner, so a regression to plain min-label
+    would pass every corpus test. Drive _keep_best_from_edges with
+    synthetic clusters where (a) a HIGHER-id member wins on n_px, and
+    (b) same-size members differ only in variance — both must beat the
+    label minimum, and the reported cluster_id must stay the min
+    label."""
+    from network_iq_spark.queries.media import _keep_best_from_edges
+
+    e = spark.createDataFrame(
+        [(1, 2, "scale"), (10, 11, "crop"), (10, 12, "crop")],
+        "src bigint, dst bigint, axis string",
+    )
+    members = spark.createDataFrame(
+        [
+            # cluster {1, 2}: id 2 is BIGGER (thumbnail stored as the
+            # "original" by a bad uploader) -> n_px rank must pick 2
+            (1, [5, 5]),
+            (2, [9, 1, 4, 7]),
+            # cluster {10, 11, 12}: all same size; 11 has the highest
+            # variance; 12 ties 10's variance but loses the id tie
+            (10, [3, 3, 3]),
+            (11, [0, 9, 0]),
+            (12, [3, 3, 3]),
+        ],
+        "media_id bigint, s array<int>",
+    )
+    got = {
+        r.cluster_id: (r.keeper, r.keeper_npx, r.n_members, r.n_axes)
+        for r in _keep_best_from_edges(e, members).collect()
+    }
+    assert got == {
+        1: (2, 4, 2, 1),    # size beats the min label
+        10: (11, 3, 3, 1),  # variance beats the min label
+    }, got
 
 
 def test_transform_admission_manifest_composes(spark):

@@ -50,36 +50,64 @@ def test_verify_first_names_all_resolve():
     assert not missing, missing
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
-    # the r14 window (r13 verdict item 1): five r9 stragglers -> seven
-    # NEW r14 queries -> seven r14-touched queries -> first 31 of the
-    # oldest-r10 cohort; the 17 displaced r10 entries keep their r10
-    # stamps and lead the r15 overflow
+    # the r14 window (r13 verdict item 1 + the r14 in-round review):
+    # five r9 stragglers -> seven NEW r14 queries -> five guard-touched
+    # (bench-SF plan changed) -> plan-identical refactor-touched ->
+    # first 23 of the oldest-r10 cohort; the 25 displaced r10
+    # entries keep their r10 stamps and lead the r15 overflow
     window = list(qs)[:50]
-    assert window[:19] == [
-        "value_histogram", "vocab_coverage", "winnow_overlap_pairs",
-        "winnowing_fingerprints", "winsorized_profile",
-        "audio_transform_resolution", "video_transform_resolution",
-        "image_resolution_keep_best", "audio_resolution_keep_best",
-        "video_resolution_keep_best", "audio_trim_gain_pairs",
+    assert window[:27] == [
+        "value_histogram",
+        "vocab_coverage",
+        "winnow_overlap_pairs",
+        "winnowing_fingerprints",
+        "winsorized_profile",
+        "audio_transform_resolution",
+        "video_transform_resolution",
+        "image_resolution_keep_best",
+        "audio_resolution_keep_best",
+        "video_resolution_keep_best",
+        "audio_trim_gain_pairs",
         "transform_admission_manifest",
-        "image_cropped_near_dup_pairs", "image_thumbnail_pairs",
-        "image_rotated_dedup", "image_transform_resolution",
-        "incremental_resample_probe", "incremental_trim_probe",
+        "token_stats",
+        "doc_fingerprints",
+        "ivf_int_recenter_stats",
+        "audio_resampled_near_dup_pairs",
+        "video_resampled_near_dup_pairs",
+        "image_cropped_near_dup_pairs",
+        "image_thumbnail_pairs",
+        "image_rotated_dedup",
+        "image_transform_resolution",
+        "audio_trimmed_near_dup_pairs",
+        "video_cropped_near_dup_pairs",
+        "video_trimmed_near_dup_pairs",
+        "incremental_resample_probe",
+        "incremental_trim_probe",
         "incremental_image_dedup_probe",
     ]
     r10_head = [
-        "ann_int_multiprobe_topk", "audio_near_dup_pairs",
-        "bucketed_order_lineitem", "calendar_features", "cast_coercion",
-        "chunk_bm25_topk", "chunk_manifest", "chunk_near_dup_pairs",
-        "chunk_near_dup_pairs_capped", "chunk_overlap_admission",
-        "contract_quarantine_summary", "data_contract_events",
-        "decoded_image_stats", "decoded_png_stats", "distinct_users_head",
-        "domain_mix_sample", "embedding_drift", "event_type_transitions",
-        "grouped_quantile", "grouping_sets_revenue", "image_dedup_clusters",
-        "image_near_dup_pairs", "image_near_dup_pairs_capped",
-        "incremental_ann_topk", "incremental_chunk_near_dup",
-        "incremental_image_dedup", "ivf_centroid_join_topk",
-        "lang_sample_k", "lateral_top_orders", "media_dhash_index",
-        "media_near_dup_census",
+        "ann_int_multiprobe_topk",
+        "audio_near_dup_pairs",
+        "bucketed_order_lineitem",
+        "calendar_features",
+        "cast_coercion",
+        "chunk_bm25_topk",
+        "chunk_manifest",
+        "chunk_near_dup_pairs",
+        "chunk_near_dup_pairs_capped",
+        "chunk_overlap_admission",
+        "contract_quarantine_summary",
+        "data_contract_events",
+        "decoded_image_stats",
+        "decoded_png_stats",
+        "distinct_users_head",
+        "domain_mix_sample",
+        "embedding_drift",
+        "event_type_transitions",
+        "grouped_quantile",
+        "grouping_sets_revenue",
+        "image_dedup_clusters",
+        "image_near_dup_pairs",
+        "image_near_dup_pairs_capped",
     ]
-    assert window[19:50] == r10_head
+    assert window[27:50] == r10_head
