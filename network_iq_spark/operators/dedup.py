@@ -1496,9 +1496,10 @@ def trimmed_sequence_pairs(
     over the gradient-sign sequence, where a monotone gain is the
     identity and a sample trim is the same trim
     (queries/media.py audio_trim_gain_pairs — compose, don't multiply
-    operators, literally). Trim+gain+re-encode NOISE remains the
-    landmark family's territory (a perturbed sample defeats both the
-    sign anchor and the exact verify).
+    operators, literally). Trim+gain+re-encode NOISE defeats both the
+    sign anchor and the exact verify — that composition is covered by
+    the landmark family (:func:`landmark_sequence_pairs`, r14:
+    bench-only, measured recall).
     Scale shape: bounded token fanout (max_trim+1 : 1), one md5
     equi-join, verify O(candidates × (max_trim+1) × m) map work;
     ``max_bucket_size`` caps degenerate constant-clip buckets on both
@@ -1867,8 +1868,11 @@ def waveform_dhash(s_col: str = "s", n_samples: int = 64) -> Column:
     query detects perturbed-in-place twins. Shift-tolerant detection is
     :func:`audio_shifted_pairs` (shingle-MinHash blocking + integer
     lag-scan verify — oracle-paired at sheet level since r11); a
-    production audio pipeline would add spectral-landmark fingerprints,
-    which need a float FFT and stay out of the oracle-able tier."""
+    production audio pipeline would add spectral-landmark fingerprints —
+    the landmark family exists as of r14 (:func:`landmark_sequence_pairs`,
+    bench-only: strong local maxima stand in for spectral peaks on this
+    corpus; swap in STFT peaks via ``mapInPandas`` for real audio) and
+    stays out of the oracle-able tier by design."""
     n_bits = n_samples - 1
     return F.expr(
         f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), (acc, k) -> "
@@ -2037,7 +2041,9 @@ def shifted_sequence_pairs(
     exact (the lag-scan is integer arithmetic — no candidate survives it
     wrongly). Gain/brightness changes break both the value shingles and
     the SSD (the gain-invariant gradient tier covers those); shift+gain
-    together need the landmark family, out of scope. Scale shape: the
+    together are covered by the landmark family
+    (:func:`landmark_sequence_pairs`, r14: bench-only, measured
+    recall). Scale shape: the
     measured LSH path (band-bucket shuffle, hot buckets cappable via
     ``max_bucket_size``); the verify is O(candidates × max_lag · n_elems)
     map work."""
@@ -2398,4 +2404,254 @@ def keep_best_per_cluster(
             F.col(score_col).alias("keeper_score"),
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Landmark family (r14): the composed-transform tier the exact tiers defer to
+# ---------------------------------------------------------------------------
+
+_LM_RHO = 6  # strong-peak threshold: keep peaks with strength*RHO >= max
+# RHO was swept at bench SF (4/6/8/12 → 3/0/0/1 missed planted twins of
+# 200): too strict starves quiet clips of landmarks (a 3-peak clip has ONE
+# triple and can never reach min_votes), too loose admits noise-flippable
+# weak peaks that scramble the consecutive-triple structure. 6 is the
+# measured sweet spot with full margin on either side.
+
+
+def _lm_landmarks(src: DataFrame) -> DataFrame:
+    """(__id__, __s__, __pi__, __pp__) — strong-landmark positions and
+    strengths per sequence, materialized as DATA behind a checkpoint
+    barrier (the r13/r14 pushdown rule: the derivation references the
+    sequence many times, and every downstream stage multi-references
+    the derived arrays — without the barrier Catalyst inlines the whole
+    extraction into each consumer).
+
+    Landmarks are STRONG LOCAL MAXIMA: interior positions i with
+    s[i] > s[i-1] and s[i] > s[i+1], strength p = min(left rise, right
+    fall), kept when p·RHO >= max strength in the clip. Both the
+    positions and the KEEP SET are invariant under monotone affine gain
+    a·s + b (a > 0): every comparison and the threshold scale by a.
+    Small additive noise perturbs strengths by <= 2·eps — strong peaks
+    (p on the order of the walk's step size) survive; borderline ones
+    may flip, which the downstream offset VOTE absorbs."""
+    return (
+        src.select(
+            "__id__",
+            "__s__",
+            F.expr(
+                "filter(sequence(1, size(__s__) - 2), i -> "
+                "__s__[i] > __s__[i-1] AND __s__[i] > __s__[i+1])"
+            ).alias("__pk__"),
+        )
+        .select(
+            "__id__",
+            "__s__",
+            "__pk__",
+            F.expr(
+                "transform(__pk__, i -> least(__s__[i] - __s__[i-1], "
+                "__s__[i] - __s__[i+1]))"
+            ).alias("__pv__"),
+        )
+        .select(
+            "__id__",
+            "__s__",
+            F.expr(
+                f"filter(__pk__, (x, k) -> "
+                f"__pv__[k] * {_LM_RHO} >= array_max(__pv__))"
+            ).alias("__pi__"),
+            F.expr(
+                f"filter(__pv__, (x, k) -> "
+                f"x * {_LM_RHO} >= array_max(__pv__))"
+            ).alias("__pp__"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+_LM_TOKENS_EXPR = (
+    # one token per consecutive strong-peak TRIPLE (k..k+2) AND one per
+    # QUADRUPLE (k..k+3): (gap, ratio-bucket) pairs packed into one
+    # bigint (low bit = family tag, so the two spaces never collide),
+    # anchored at pos = __pi__[k]. Gaps are translation-free (shift/trim
+    # drops out); ratio buckets q = (4·p2) div (p1 + p2) in 0..3 are
+    # scale-free (gain drops out) and coarse enough to survive noise.
+    # WHY two families (both measured, 10x soak + real-corpus plants):
+    # triples alone saturate their token space at scale (hottest bucket
+    # 1,903 of 200k tokens — linear in corpus — so the hot-bucket cap
+    # was eating 9% of planted twins at 10x); quadruples alone carry
+    # ~300x the entropy (hottest bucket 200 at the same scale, recall
+    # 0.995 WITH the cap) but starve quiet clips (a 4-strong-peak clip
+    # emits ONE quad token and can never reach min_votes — measured
+    # 194/200 on the real sf0.1 walks vs 200/200 with triples). The
+    # union keeps both margins: sparse clips vote on triples, hot
+    # triple buckets get capped away while the quad family still
+    # carries their pairs at scale (soak: 1.0 / 0.9975 capped at
+    # 1x/10x). Sequences with < 3 strong peaks emit nothing — too
+    # featureless to landmark (the short-clip analogue of the trim
+    # tier's anchor contract; documented recall boundary).
+    "concat("
+    "IF(size(__pi__) >= 3, "
+    "transform(sequence(0, size(__pi__) - 3), k -> named_struct("
+    "'tok', cast(((((__pi__[k+1] - __pi__[k]) * 5 + "
+    "(4 * __pp__[k+1]) div (__pp__[k] + __pp__[k+1])) * 128 + "
+    "(__pi__[k+2] - __pi__[k+1])) * 5 + "
+    "(4 * __pp__[k+2]) div (__pp__[k+1] + __pp__[k+2])) * 2 as bigint), "
+    "'pos', __pi__[k])), "
+    "array()), "
+    "IF(size(__pi__) >= 4, "
+    "transform(sequence(0, size(__pi__) - 4), k -> named_struct("
+    "'tok', cast(((((((__pi__[k+1] - __pi__[k]) * 5 + "
+    "(4 * __pp__[k+1]) div (__pp__[k] + __pp__[k+1])) * 128 + "
+    "(__pi__[k+2] - __pi__[k+1])) * 5 + "
+    "(4 * __pp__[k+2]) div (__pp__[k+1] + __pp__[k+2])) * 128 + "
+    "(__pi__[k+3] - __pi__[k+2])) * 5 + "
+    "(4 * __pp__[k+3]) div (__pp__[k+2] + __pp__[k+3])) * 2 + 1 as bigint), "
+    "'pos', __pi__[k])), "
+    "array()))"
+)
+
+
+def landmark_sequence_pairs(
+    df: DataFrame,
+    min_votes: int = 2,
+    corr2_min: float = 0.995,
+    min_overlap: int = 8,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Landmark-fingerprint near-dup over integer SEQUENCES (BENCH_ONLY
+    tier) — the COMPOSED-transform detector every exact tier's docstring
+    defers to: shift∘gain (the shifted tier's documented boundary,
+    :func:`shifted_sequence_pairs`) and trim∘gain∘noise (the trim and
+    trim∘gain tiers' documented boundary, :func:`trimmed_sequence_pairs`)
+    in one pass. The design is the public audio-fingerprinting landmark
+    scheme (anchor peaks + relative geometry — the Shazam construction,
+    Wang 2003) re-expressed over this corpus's 1-D integer walks, where
+    spectral peaks become strong local maxima; a production system would
+    swap the peak extractor for STFT-magnitude peaks via the same
+    ``mapInPandas`` plumbing as the codec tiers — every stage downstream
+    of the token table is representation-agnostic.
+
+    Three stages, all JVM-side:
+
+    1. **Tokens**: gain- and shift-invariant landmark triples
+       (:func:`_lm_landmarks` + ``_LM_TOKENS_EXPR``), exploded to
+       (id, tok, pos) behind checkpoint barriers.
+    2. **Offset vote**: self-join on tok (id_a < id_b); each match
+       votes for offset = pos_a − pos_b; keep each pair's best offset
+       when >= ``min_votes`` tokens agree. Random token collisions
+       exist (the token space is small by design — coarse enough to
+       survive noise) but almost never agree on an offset twice
+       (measured: 0 of 500 random pairs survive the vote + verify at
+       bench SF; see SCALE.md).
+    3. **Gain-robust verify**: at the voted offset, integer partial
+       sums (n, Σx, Σy, Σx², Σy², Σxy — bigint, no overflow at 64
+       elements of |s| <= ~64k) give Pearson corr² = cov²/(vx·vy) over
+       the overlap; accept cov > 0 (monotone gain only — an inverted
+       copy fails blocking anyway: its peaks are valleys) and corr² >=
+       ``corr2_min``. An affine-gain twin has corr² = 1 minus the noise
+       floor; random aligned walks decorrelate.
+
+    Unlike the exact tiers this is NOT oracle-pairable — recall is
+    measured, not pigeonhole-guaranteed (planted trim∘gain∘noise twins:
+    50/50 at sf0.01, 200/200 at sf0.1, zero false accepts; SCALE.md table) — the
+    shifted-tier precedent: bench-only, planted twins, measured
+    recall/precision. Scale shape: bounded token fanout (strong peaks −
+    2 per clip, ~7 at bench SF), one equi-join on tok with the shared
+    ``max_bucket_size`` hot-bucket cap, vote aggregation on (pair,
+    offset), verify O(accepted pairs × overlap) map work. Output
+    (id_a, id_b, offset, votes, corr2)."""
+    src = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__"))
+        .filter(F.expr("size(__s__) >= 3"))
+    )
+    marks = _lm_landmarks(src)
+    toks = (
+        marks.select(
+            "__id__", F.explode(F.expr(_LM_TOKENS_EXPR)).alias("__t__")
+        )
+        .select(
+            "__id__",
+            F.col("__t__.tok").alias("tok"),
+            F.col("__t__.pos").alias("pos"),
+        )
+    )
+    if max_bucket_size is not None:
+        toks = _cap_hot_buckets(toks, ["tok"], max_bucket_size)
+    ta = toks.select(
+        F.col("__id__").alias("id_a"), "tok", F.col("pos").alias("__pa__")
+    )
+    tb = toks.select(
+        F.col("__id__").alias("id_b"), "tok", F.col("pos").alias("__pb__")
+    )
+    votes = (
+        ta.join(tb, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b", (F.col("__pa__") - F.col("__pb__")).alias("offset")
+        )
+        .agg(F.count("*").alias("votes"))
+    )
+    # best offset per pair: most votes, then smallest |offset|, then the
+    # positive one (a deterministic total order — the shifted tier's
+    # struct-ordering rule)
+    best = (
+        votes.groupBy("id_a", "id_b")
+        .agg(
+            F.expr(
+                "max(named_struct('votes', votes, 'naoff', -abs(offset), "
+                "'offset', offset))"
+            ).alias("__b__")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__b__.offset").alias("offset"),
+            F.col("__b__.votes").alias("votes"),
+        )
+        .filter(F.col("votes") >= int(min_votes))
+    )
+    sa = marks.select(
+        F.col("__id__").alias("id_a"), F.col("__s__").alias("__sa__")
+    )
+    sb = marks.select(
+        F.col("__id__").alias("id_b"), F.col("__s__").alias("__sb__")
+    )
+    # overlap window at the voted offset: x = sa[offset + i], y = sb[i]
+    lo = "greatest(0, -offset)"
+    hi = "least(size(__sb__), size(__sa__) - offset)"
+    part = (
+        f"aggregate(sequence({lo}, {hi} - 1), "
+        f"named_struct('n', cast(0 as bigint), 'sx', cast(0 as bigint), "
+        f"'sy', cast(0 as bigint), 'sxx', cast(0 as bigint), "
+        f"'syy', cast(0 as bigint), 'sxy', cast(0 as bigint)), "
+        f"(a, i) -> named_struct("
+        f"'n', a.n + cast(1 as bigint), "
+        f"'sx', a.sx + __sa__[offset + i], "
+        f"'sy', a.sy + __sb__[i], "
+        f"'sxx', a.sxx + cast(__sa__[offset + i] as bigint) * __sa__[offset + i], "
+        f"'syy', a.syy + cast(__sb__[i] as bigint) * __sb__[i], "
+        f"'sxy', a.sxy + cast(__sa__[offset + i] as bigint) * __sb__[i]))"
+    )
+    return (
+        best.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.expr(f"{hi} - ({lo}) >= {int(min_overlap)}"))
+        .withColumn("__m__", F.expr(part))
+        .withColumn(
+            "__cov__", F.expr("__m__.n * __m__.sxy - __m__.sx * __m__.sy")
+        )
+        .withColumn(
+            "corr2",
+            F.expr(
+                "cast(__cov__ as double) * cast(__cov__ as double) / "
+                "(cast(__m__.n * __m__.sxx - __m__.sx * __m__.sx as double) * "
+                "cast(__m__.n * __m__.syy - __m__.sy * __m__.sy as double))"
+            ),
+        )
+        .filter((F.col("__cov__") > 0) & (F.col("corr2") >= float(corr2_min)))
+        .select("id_a", "id_b", "offset", "votes", "corr2")
     )

@@ -3070,11 +3070,11 @@ def q_audio_trim_gain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison structure are one clip up to monotone re-scaling).
     Integer-exact end to end, hence fully oracle-replayable — the
     shifted tier's bench-only precedent turned out unnecessary here.
-    The remaining out-of-scope composition is trim+gain+RE-ENCODE
-    NOISE (a perturbed sample flips its two gradient signs and defeats
-    both the anchor and the exact verify): that genuinely needs the
-    spectral-landmark family and a float FFT, which stays outside the
-    oracle-able tier (waveform_dhash boundary note). Every 10th clip
+    The remaining composition, trim+gain+RE-ENCODE NOISE (a perturbed
+    sample flips its two gradient signs and defeats both the anchor and
+    the exact verify), genuinely needs the landmark family and stays
+    outside the oracle-able tier — covered as of r14 by
+    ``audio_landmark_pairs`` (bench-only, measured recall). Every 10th clip
     gets a planted twin: head/tail trim cycling the trim tier's four
     arms × affine gain cycling (2,0)/(3,−7)/(2,11). Output
     (full_id, trimmed_id, head, tail, ssd) with head/tail in samples
@@ -4160,3 +4160,69 @@ def q_transform_admission_manifest(spark: SparkSession, sf_dir: str) -> DataFram
         d = fn(spark, sf_dir).select(F.lit(m).alias("modality"), "*")
         out = d if out is None else out.unionByName(d)
     return out.orderBy("modality", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Landmark family (r14): the composed-transform tier the exact tiers defer to
+# ---------------------------------------------------------------------------
+
+_LM_TWIN_EVERY, _LM_TWIN_OFFSET = 10, 10_000_000
+_LM_NOISE_EPS = 8  # re-encode noise budget: uniform in [-eps, eps]
+
+
+def _lm_twins(src: DataFrame) -> DataFrame:
+    """Planted trim∘gain∘NOISE twins of every 10th clip — the exact
+    composition every integer-exact tier documents as out of scope
+    (a perturbed sample defeats the trim tier's prefix anchor AND the
+    trim∘gain tier's gradient-sign domain). Trim cycles the trim
+    tier's four arms, gain the trim∘gain tier's three affine arms
+    (shared CASE text — the no-desync rule), noise is hash-derived
+    uniform ±8 per sample (deterministic, seed = (media_id, i)):
+    small against the walk's ~2000-magnitude steps, fatal to exact
+    verifies — the re-encode floor a crawled-audio corpus actually
+    has."""
+    arm_col = f"media_id div {_LM_TWIN_EVERY}"
+    head_sql = _trim_twin_case(arm_col, "h")
+    tail_sql = _trim_twin_case(arm_col, "t")
+    a_sql = _tg_gain_case(arm_col, "a")
+    b_sql = _tg_gain_case(arm_col, "b")
+    span = 2 * _LM_NOISE_EPS + 1
+    return src.filter(F.col("media_id") % _LM_TWIN_EVERY == 0).select(
+        (F.col("media_id") + _LM_TWIN_OFFSET).alias("media_id"),
+        F.expr(
+            f"transform(slice(s, ({head_sql}) + 1, "
+            f"64 - ({head_sql}) - ({tail_sql})), "
+            f"(x, i) -> ({a_sql}) * x + ({b_sql}) "
+            f"+ pmod(hash(media_id, i), {span}) - {_LM_NOISE_EPS})"
+        ).alias("s"),
+    )
+
+
+@register("audio_landmark_pairs", bench_only=True)
+def q_audio_landmark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-fingerprint audio near-dup (r14) — the COMPOSED-
+    transform detector the integer-exact tiers defer to by name:
+    trim∘gain∘re-encode-noise (``trimmed_sequence_pairs`` /
+    ``audio_trim_gain_pairs`` boundary) and shift∘gain
+    (``audio_shifted_near_dup_pairs`` boundary), one pass, no FFT
+    dependency (operators/dedup.py ``landmark_sequence_pairs``: strong
+    local maxima stand in for spectral peaks on this corpus's walks; a
+    production system swaps the extractor for STFT peaks through the
+    same plumbing). BENCH_ONLY by the shifted-tier precedent — recall
+    is measured, not pigeonhole-guaranteed: planted twins composing
+    the trim tier's four trim arms × the trim∘gain tier's three affine
+    gains × hash-derived ±8 re-encode noise are recovered 50/50 at
+    sf0.01 and 200/200 at sf0.1 with ZERO non-planted accepts
+    (SCALE.md landmark table); the oracle-paired siblings carry the
+    correctness burden for every exactly-decidable sub-composition.
+    Output (id_a, id_b, offset, votes, corr2): offset recovers the
+    planted head trim, corr2 >= 0.995 is the gain-robust alignment
+    certificate."""
+    src = _aud_walks(spark, sf_dir)
+    clips = src.unionByName(_lm_twins(src))
+    # cap 256: the hot-bucket guard sized ABOVE the measured bench-SF
+    # hottest token (~150 members) — at 64 it clipped 3 planted twins'
+    # hottest tokens (the cap/recall trade every capped tier documents)
+    return D.landmark_sequence_pairs(
+        clips, max_bucket_size=256
+    ).orderBy("id_a", "id_b")

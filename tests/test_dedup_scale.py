@@ -1506,3 +1506,113 @@ def test_audio_video_resolution_keep_best_policy(spark):
             assert (m, a, d) == res[cid], (kb_name, cid)
             assert keeper == cid, (kb_name, cid)
             assert npx == 64, (kb_name, cid, npx)
+
+
+def test_audio_landmark_pairs_recovers_planted(spark):
+    """Landmark-family contract (r14): every planted trim∘gain∘NOISE
+    twin — the composition the integer-exact tiers document as out of
+    scope — is recovered at its TRUE head offset with >= 2 agreeing
+    tokens and corr² >= 0.995, and nothing else is reported (measured
+    precision 1.0 at fixture scale). Recall here is measured, not
+    pigeonhole-guaranteed (the tier is BENCH_ONLY by the shifted-tier
+    precedent), so this test pins the measured behaviour the SCALE.md
+    table documents."""
+    from network_iq_spark.queries.media import (
+        _LM_TWIN_EVERY,
+        _LM_TWIN_OFFSET,
+        _TRIM_ARMS,
+    )
+
+    rows = QUERIES["audio_landmark_pairs"](spark, SF).collect()
+    assert rows, "no pairs at sf0.001"
+    got = {(r.id_a, r.id_b): r for r in rows}
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"]).num_rows
+    planted = [i for i in range(n_vecs) if i % _LM_TWIN_EVERY == 0]
+    assert planted
+    assert set(got) == {(x, x + _LM_TWIN_OFFSET) for x in planted}
+    for x in planted:
+        r = got[(x, x + _LM_TWIN_OFFSET)]
+        h, _t = _TRIM_ARMS[(x // _LM_TWIN_EVERY) % len(_TRIM_ARMS)]
+        assert r.offset == h, (x, r.offset, h)
+        assert r.votes >= 2 and r.corr2 >= 0.995, (x, r.votes, r.corr2)
+
+
+def test_landmark_operator_invariances(spark):
+    """Direct operator-level proof of the three claims: (a) a
+    shift∘gain derivative (pure subsequence under positive affine gain
+    — the shifted tier's documented boundary) pairs at the true offset;
+    (b) an INVERTED copy (negative gain) does not pair — its landmarks
+    are valleys, so it fails blocking, and the cov > 0 verify would
+    reject it regardless; (c) an unrelated sequence does not pair."""
+    import hashlib
+
+    def step(seed, i):
+        return int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:4], 16) % 401 - 200
+
+    s0, acc = [], 0
+    for i in range(64):
+        acc += step(7, i)
+        s0.append(acc)
+    u0, acc = [], 0
+    for i in range(64):
+        acc += step(99, i)
+        u0.append(acc)
+    rows = [
+        (1, s0),
+        (2, [3 * x + 11 for x in s0[4:]]),   # 4-shift ∘ gain 3x+11
+        (3, [-2 * x for x in s0]),           # inverted: must NOT pair
+        (4, u0),                             # unrelated: must NOT pair
+    ]
+    df = spark.createDataFrame(rows, "media_id long, s array<int>")
+    got = {
+        (r.id_a, r.id_b): r for r in D.landmark_sequence_pairs(df).collect()
+    }
+    assert set(got) == {(1, 2)}, set(got)
+    assert got[(1, 2)].offset == 4
+    assert got[(1, 2)].corr2 >= 0.995
+
+
+def test_landmark_tokens_exactly_gain_invariant(spark):
+    """The token table — positions, gaps AND ratio buckets — is
+    bit-identical under an exact positive affine gain: every strength
+    scales by a, so the strong-peak keep set, the gap geometry and the
+    integer ratio quantization all cancel the gain. (Noise robustness
+    is measured, gain invariance is exact.)"""
+    s0 = []
+    acc = 0
+    for i in range(64):
+        acc += ((i * 53) % 257) - 128
+        s0.append(acc)
+    df = spark.createDataFrame(
+        [(1, s0), (2, [7 * x + 13 for x in s0])], "media_id long, s array<int>"
+    )
+    marks = D._lm_landmarks(
+        df.selectExpr("media_id as __id__", "s as __s__")
+    )
+    toks = marks.select(
+        "__id__", F.expr(D._LM_TOKENS_EXPR).alias("t")
+    ).collect()
+    by_id = {r["__id__"]: r.t for r in toks}
+    assert by_id[1] == by_id[2]
+    assert len(by_id[1]) >= 2
+
+
+def test_landmark_bucket_cap_semantics(spark):
+    """max_bucket_size is the shared hot-bucket guard: a constant-token
+    corpus (every clip identical ⇒ every token in one bucket) emits
+    nothing under a tiny cap."""
+    s0 = []
+    acc = 0
+    for i in range(64):
+        acc += ((i * 53) % 257) - 128
+        s0.append(acc)
+    df = spark.createDataFrame(
+        [(i, s0) for i in range(12)], "media_id long, s array<int>"
+    )
+    assert D.landmark_sequence_pairs(df, max_bucket_size=5).collect() == []
+    # and uncapped the identical clips all pair at offset 0
+    full = D.landmark_sequence_pairs(df).collect()
+    assert len(full) == 12 * 11 // 2
+    assert all(r.offset == 0 for r in full)
