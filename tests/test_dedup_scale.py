@@ -1616,3 +1616,33 @@ def test_landmark_bucket_cap_semantics(spark):
     full = D.landmark_sequence_pairs(df).collect()
     assert len(full) == 12 * 11 // 2
     assert all(r.offset == 0 for r in full)
+
+
+def test_video_landmark_pairs_precision_and_recall_floor(spark):
+    """Video landmark contract (r14): precision is EXACT (every
+    reported pair is a planted frame-trim∘gain∘noise twin, offset =
+    16·head-frames), recall is measured with a pinned floor — the
+    (1,1) double-frame-trim arm halves the landmark count, so unlike
+    the audio tier a perfect sweep is not claimed (the documented
+    short-clip boundary)."""
+    from network_iq_spark.queries.media import (
+        _VLM_ARMS,
+        _VLM_TWIN_EVERY,
+        _VLM_TWIN_OFFSET,
+    )
+
+    rows = QUERIES["video_landmark_pairs"](spark, SF).collect()
+    assert rows
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"]).num_rows
+    planted = {
+        x: _VLM_ARMS[(x // _VLM_TWIN_EVERY) % len(_VLM_ARMS)][0]
+        for x in range(n_vecs)
+        if x % _VLM_TWIN_EVERY == 0
+    }
+    for r in rows:
+        assert r.id_b == r.id_a + _VLM_TWIN_OFFSET and r.id_a in planted, r
+        assert r.offset == 16 * planted[r.id_a], r
+        assert r.votes >= 2 and r.corr2 >= 0.995, r
+    assert len(rows) >= int(0.8 * len(planted)), (len(rows), len(planted))
