@@ -2563,22 +2563,8 @@ def landmark_sequence_pairs(
     ``max_bucket_size`` hot-bucket cap, vote aggregation on (pair,
     offset), verify O(accepted pairs × overlap) map work. Output
     (id_a, id_b, offset, votes, corr2)."""
-    src = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__"))
-        .filter(F.expr("size(__s__) >= 3"))
-    )
-    marks = _lm_landmarks(src)
-    toks = (
-        marks.select(
-            "__id__", F.explode(F.expr(_LM_TOKENS_EXPR)).alias("__t__")
-        )
-        .select(
-            "__id__",
-            F.col("__t__.tok").alias("tok"),
-            F.col("__t__.pos").alias("pos"),
-        )
-    )
+    marks = _lm_norm(df, id_col, s_col)
+    toks = _lm_explode_tokens(marks)
     if max_bucket_size is not None:
         toks = _cap_hot_buckets(toks, ["tok"], max_bucket_size)
     ta = toks.select(
@@ -2587,19 +2573,50 @@ def landmark_sequence_pairs(
     tb = toks.select(
         F.col("__id__").alias("id_b"), "tok", F.col("pos").alias("__pb__")
     )
-    votes = (
-        ta.join(tb, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy(
-            "id_a", "id_b", (F.col("__pa__") - F.col("__pb__")).alias("offset")
-        )
-        .agg(F.count("*").alias("votes"))
+    joined = ta.join(tb, "tok").filter(F.col("id_a") < F.col("id_b"))
+    best = _lm_vote_best(joined, "id_a", "id_b", min_votes)
+    sa = marks.select(
+        F.col("__id__").alias("id_a"), F.col("__s__").alias("__sa__")
     )
-    # best offset per pair: most votes, then smallest |offset|, then the
-    # positive one (a deterministic total order — the shifted tier's
-    # struct-ordering rule)
-    best = (
-        votes.groupBy("id_a", "id_b")
+    sb = marks.select(
+        F.col("__id__").alias("id_b"), F.col("__s__").alias("__sb__")
+    )
+    return _lm_verify(best, sa, sb, "id_a", "id_b", corr2_min, min_overlap)
+
+
+def _lm_norm(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
+    """Normalize to (__id__, __s__) and extract landmarks — the ONE
+    entry into the landmark derivation shared by the pairs tier, the
+    index builder and the incremental probe (the no-desync rule)."""
+    return _lm_landmarks(
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id__"), F.col(s_col).alias("__s__"))
+        .filter(F.expr("size(__s__) >= 3"))
+    )
+
+
+def _lm_explode_tokens(marks: DataFrame) -> DataFrame:
+    """(__id__, tok, pos) — the exploded landmark token table."""
+    return marks.select(
+        "__id__", F.explode(F.expr(_LM_TOKENS_EXPR)).alias("__t__")
+    ).select(
+        "__id__",
+        F.col("__t__.tok").alias("tok"),
+        F.col("__t__.pos").alias("pos"),
+    )
+
+
+def _lm_vote_best(joined: DataFrame, a: str, b: str, min_votes: int) -> DataFrame:
+    """Offset vote over matched tokens: group (pair, offset = pos_a −
+    pos_b), count agreeing tokens, keep each pair's best offset (most
+    votes, then smallest |offset|, then the positive one — a
+    deterministic total order, the shifted tier's struct-ordering rule)
+    when it reaches ``min_votes``."""
+    votes = joined.groupBy(
+        a, b, (F.col("__pa__") - F.col("__pb__")).alias("offset")
+    ).agg(F.count("*").alias("votes"))
+    return (
+        votes.groupBy(a, b)
         .agg(
             F.expr(
                 "max(named_struct('votes', votes, 'naoff', -abs(offset), "
@@ -2607,20 +2624,29 @@ def landmark_sequence_pairs(
             ).alias("__b__")
         )
         .select(
-            "id_a",
-            "id_b",
+            a,
+            b,
             F.col("__b__.offset").alias("offset"),
             F.col("__b__.votes").alias("votes"),
         )
         .filter(F.col("votes") >= int(min_votes))
     )
-    sa = marks.select(
-        F.col("__id__").alias("id_a"), F.col("__s__").alias("__sa__")
-    )
-    sb = marks.select(
-        F.col("__id__").alias("id_b"), F.col("__s__").alias("__sb__")
-    )
-    # overlap window at the voted offset: x = sa[offset + i], y = sb[i]
+
+
+def _lm_verify(
+    best: DataFrame,
+    sa: DataFrame,
+    sb: DataFrame,
+    a: str,
+    b: str,
+    corr2_min: float,
+    min_overlap: int,
+) -> DataFrame:
+    """Gain-robust verify at the voted offset: integer partial sums
+    (n, Σx, Σy, Σx², Σy², Σxy — bigint, no overflow at 64 elements of
+    |s| <= ~64k) give Pearson corr² = cov²/(vx·vy) over the overlap
+    window x = sa[offset + i], y = sb[i]; accept cov > 0 (monotone gain
+    only) and corr² >= ``corr2_min``."""
     lo = "greatest(0, -offset)"
     hi = "least(size(__sb__), size(__sa__) - offset)"
     part = (
@@ -2637,8 +2663,8 @@ def landmark_sequence_pairs(
         f"'sxy', a.sxy + cast(__sa__[offset + i] as bigint) * __sb__[i]))"
     )
     return (
-        best.join(sa, "id_a")
-        .join(sb, "id_b")
+        best.join(sa, a)
+        .join(sb, b)
         .filter(F.expr(f"{hi} - ({lo}) >= {int(min_overlap)}"))
         .withColumn("__m__", F.expr(part))
         .withColumn(
@@ -2653,5 +2679,73 @@ def landmark_sequence_pairs(
             ),
         )
         .filter((F.col("__cov__") > 0) & (F.col("corr2") >= float(corr2_min)))
-        .select("id_a", "id_b", "offset", "votes", "corr2")
+        .select(a, b, "offset", "votes", "corr2")
     )
+
+
+def landmark_index(
+    df: DataFrame, id_col: str = "media_id", s_col: str = "s"
+) -> DataFrame:
+    """AT-REST landmark index: one row per history clip —
+    (media_id, s, toks: array<struct<tok, pos>>) — the deployment
+    artifact of the landmark family (signal store and fingerprints in
+    one row, so the probe's verify never needs a second corpus join).
+    In a deployment this table is persisted bucketed by the exploded
+    tok; here it is the committed aux_data artifact the probe query
+    reads (the media-index discipline). Same derivation as the pairs
+    tier via the shared helpers — the two can never desync."""
+    marks = _lm_norm(df, id_col, s_col)
+    return marks.select(
+        F.col("__id__").alias("media_id"),
+        F.col("__s__").alias("s"),
+        F.expr(_LM_TOKENS_EXPR).alias("toks"),
+    )
+
+
+def incremental_landmark_probe(
+    batch: DataFrame,
+    index: DataFrame,
+    min_votes: int = 2,
+    corr2_min: float = 0.995,
+    min_overlap: int = 8,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental landmark dedup — the DEPLOYMENT shape of the
+    landmark family (the same pairs/probe symmetry every transform
+    tier carries): probe an incoming batch against the at-rest
+    :func:`landmark_index` with the shared token/vote/verify core.
+    O(batch) landmark extraction + O(batch-collision) vote work, never
+    O(history) beyond the index scan; the verify reads the history
+    signal from the INDEX ROW itself (the index stores signal +
+    fingerprints together), so no second corpus join exists. Output
+    (new_id, old_id, offset, votes, corr2) — offset is the batch
+    clip's alignment inside the history clip, exactly the pairs
+    tier's semantic with a = history, b = batch."""
+    bmarks = _lm_norm(batch, id_col, s_col)
+    btoks = _lm_explode_tokens(bmarks)
+    itoks = index.select(
+        F.col("media_id").alias("old_id"),
+        F.explode("toks").alias("__t__"),
+    ).select(
+        "old_id",
+        F.col("__t__.tok").alias("tok"),
+        F.col("__t__.pos").alias("__pa__"),
+    )
+    if max_bucket_size is not None:
+        itoks = _cap_hot_buckets(itoks, ["tok"], max_bucket_size)
+        btoks = _cap_hot_buckets(btoks, ["tok"], max_bucket_size)
+    tb = btoks.select(
+        F.col("__id__").alias("new_id"), "tok", F.col("pos").alias("__pb__")
+    )
+    joined = itoks.join(tb, "tok").filter(F.col("old_id") != F.col("new_id"))
+    best = _lm_vote_best(joined, "old_id", "new_id", min_votes)
+    sa = index.select(
+        F.col("media_id").alias("old_id"), F.col("s").alias("__sa__")
+    )
+    sb = bmarks.select(
+        F.col("__id__").alias("new_id"), F.col("__s__").alias("__sb__")
+    )
+    out = _lm_verify(best, sa, sb, "old_id", "new_id", corr2_min, min_overlap)
+    return out.select("new_id", "old_id", "offset", "votes", "corr2")

@@ -4297,3 +4297,31 @@ def q_video_landmark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.landmark_sequence_pairs(
         clips, s_col="px", max_bucket_size=256
     ).orderBy("id_a", "id_b")
+
+
+@register("incremental_landmark_probe", bench_only=True)
+def q_incremental_landmark_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental landmark dedup (r14) — the DEPLOYMENT shape of the
+    landmark family, completing the pairs/probe symmetry every other
+    transform tier carries: the incoming batch (the planted
+    trim∘gain∘noise twins of ``audio_landmark_pairs``) probes the
+    AT-REST landmark index (operators/dedup.py ``landmark_index`` —
+    signal + fingerprints in one row, so the verify needs no second
+    corpus join) with the shared token/vote/verify core — O(batch)
+    landmark extraction, O(batch-collision) vote work, never
+    O(history) beyond the index scan. The index is READ from the
+    committed artifact (aux_data/landmark_index/<sf>, built by
+    scripts/build_landmark_index.py — the media-index discipline) with
+    an in-plan fallback for arbitrary sf_dirs; the family is
+    BENCH_ONLY, so artifact/fallback equality is pinned by the sheet
+    test instead of a DuckDB oracle. Measured like the pairs tier
+    (same plants, same thresholds): every recovered (new, old) pair
+    carries the true head offset; zero non-planted accepts."""
+    src = _aud_walks(spark, sf_dir)
+    batch = _lm_twins(src)
+    idx = _aux_parquet(spark, "landmark_index", sf_dir)
+    if idx is None:
+        idx = D.landmark_index(src)
+    return D.incremental_landmark_probe(
+        batch, idx, max_bucket_size=256
+    ).orderBy("new_id", "old_id")

@@ -531,3 +531,68 @@ def chunk_admission_sink(
         write_batch_partition(new_sets, sets_path, batch_id)
 
     return sink
+
+
+def incremental_landmark_dedup_sink(
+    corpus_path: str,
+    index_path: str,
+    min_votes: int = 2,
+    corr2_min: float = 0.995,
+    min_overlap: int = 8,
+    id_col: str = "media_id",
+    s_col: str = "s",
+    carry_cols: Sequence[str] = (),
+    max_bucket_size: int | None = 256,
+):
+    """``foreachBatch`` sink closing the continual-ingest LANDMARK
+    dedup loop (r14) — the composed-transform sibling of
+    :func:`incremental_trim_dedup_sink`, landing the same round as the
+    tier itself so the landmark family ships with the full
+    pairs/probe/sink symmetry every exact tier carries: each
+    micro-batch of (id, s) clips probes the AT-REST landmark index
+    (operators/dedup.py ``incremental_landmark_probe`` — the index row
+    stores signal + fingerprints together, so the gain-robust verify
+    needs no second corpus read; O(batch) extraction, O(batch ×
+    collision) vote work, never O(history)); a batch clip that
+    landmark-matches ANY at-rest clip (a trim∘gain∘noise or shift∘gain
+    re-upload) is dropped (first-arrival-wins), survivors append to the
+    corpus and their ``landmark_index`` rows append to the index, so
+    the next batch sees them. Same exactly-once discipline: every
+    output lands under its ``batch=<id>`` partition and the probe
+    reads STRICTLY earlier batches, so a replayed micro-batch
+    converges instead of self-matching. The family's measured-recall
+    contract carries over verbatim: a missed near-dup is admitted (the
+    S-curve tiers' documented failure direction), never a false
+    drop — precision is the verify's, which the soak pins at 0 FP."""
+    from network_iq_spark.operators.dedup import (
+        incremental_landmark_probe,
+        landmark_index,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, s_col, *carry_cols)
+        index = read_if_exists(spark, index_path)
+        if index is not None:
+            matches = incremental_landmark_probe(
+                batch.select(id_col, s_col),
+                index.filter(F.col("batch") < batch_id).drop("batch"),
+                min_votes=min_votes,
+                corr2_min=corr2_min,
+                min_overlap=min_overlap,
+                id_col=id_col,
+                s_col=s_col,
+                max_bucket_size=max_bucket_size,
+            )
+            dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+            survivors = batch.join(dup_ids, id_col, "left_anti")
+        else:
+            survivors = batch
+        survivors = survivors.localCheckpoint()  # one evaluation, 2 writes
+        new_index = landmark_index(
+            survivors.select(id_col, s_col), id_col=id_col, s_col=s_col
+        )
+        write_batch_partition(survivors, corpus_path, batch_id)
+        write_batch_partition(new_index, index_path, batch_id)
+
+    return sink

@@ -126,6 +126,52 @@ def main() -> None:
         + " (true offsets), 0 FP at every scale |"
     )
 
+    # probe arm: FIXED batch (the 1x twins) against a GROWING at-rest
+    # index — the O(batch) deployment claim; the exponent measures how
+    # little the probe cares about history size beyond the index scan
+    ts2, recalls2 = [], []
+    batch_rows, want1 = landmark_rows(1)
+    batch = spark.createDataFrame(
+        [r for r in batch_rows if r[0] >= TWIN_OFF],
+        "media_id bigint, s array<int>",
+    ).localCheckpoint()
+    for m in mults:
+        hist_rows = [r for r in landmark_rows(m)[0] if r[0] < TWIN_OFF]
+        idx = D.landmark_index(
+            spark.createDataFrame(hist_rows, "media_id bigint, s array<int>")
+        ).localCheckpoint()
+        best, got = float("inf"), None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            got = {
+                (r.old_id, r.new_id): r.offset
+                for r in D.incremental_landmark_probe(
+                    batch, idx, max_bucket_size=256
+                ).collect()
+            }
+            best = min(best, time.perf_counter() - t0)
+        want_p = {(a, b): h for (a, b), h in want1.items()}
+        fps = set(got) - set(want_p)
+        assert not fps, (m, len(fps), sorted(fps)[:5])
+        hit = sum(1 for p, h in want_p.items() if got.get(p) == h)
+        recall = hit / len(want_p)
+        assert recall >= 0.97, (m, recall)
+        ts2.append(best)
+        recalls2.append(recall)
+        print(
+            f"x{m:<3d} incremental_landmark_probe {best:7.2f}s "
+            f"(fixed {len(want_p)}-twin batch vs {len(hist_rows)}-clip "
+            f"index, recall {recall:.3f}, 0 FP)",
+            file=sys.stderr,
+        )
+    print(
+        "| `incremental_landmark_probe` (fixed batch, growing index) | "
+        + " | ".join(f"{t:.2f} s" for t in ts2)
+        + f" | **{_fit(mults, ts2):.2f}** | measured recall "
+        + "/".join(f"{r:.3f}" for r in recalls2)
+        + ", 0 FP at every scale |"
+    )
+
 
 if __name__ == "__main__":
     main()

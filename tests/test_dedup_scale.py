@@ -1646,3 +1646,38 @@ def test_video_landmark_pairs_precision_and_recall_floor(spark):
         assert r.offset == 16 * planted[r.id_a], r
         assert r.votes >= 2 and r.corr2 >= 0.995, r
     assert len(rows) >= int(0.8 * len(planted)), (len(rows), len(planted))
+
+
+def test_incremental_landmark_probe_matches_pairs_and_artifact(spark):
+    """Probe/pairs symmetry (r14): the landmark probe over the at-rest
+    index recovers exactly the pairs tier's planted set with the same
+    offsets, and the committed artifact and the in-plan index fallback
+    produce identical probe output (the freshness check the bench-only
+    family carries in place of a DuckDB oracle)."""
+    from network_iq_spark.operators import dedup as D2
+    from network_iq_spark.queries.media import (
+        _aud_walks,
+        _aux_parquet,
+        _lm_twins,
+    )
+
+    got_probe = {
+        (r.old_id, r.new_id): r.offset
+        for r in QUERIES["incremental_landmark_probe"](spark, SF).collect()
+    }
+    got_pairs = {
+        (r.id_a, r.id_b): r.offset
+        for r in QUERIES["audio_landmark_pairs"](spark, SF).collect()
+    }
+    assert got_probe == got_pairs and got_probe
+    # artifact vs in-plan fallback: identical output
+    src = _aud_walks(spark, SF)
+    art = _aux_parquet(spark, "landmark_index", SF)
+    assert art is not None, "committed landmark_index artifact missing"
+    inplan = {
+        (r.old_id, r.new_id): r.offset
+        for r in D2.incremental_landmark_probe(
+            _lm_twins(src), D2.landmark_index(src), max_bucket_size=256
+        ).collect()
+    }
+    assert inplan == got_probe

@@ -1403,3 +1403,53 @@ def test_incremental_trim_dedup_sink_converges_both_directions(spark, tmp_path):
     assert corpus_ids() == [1, 2, 3, 12]
     assert sorted(set(r.media_id for r in spark.read.parquet(toks).collect())) == [1, 2, 3, 12]
     assert sorted(r.media_id for r in spark.read.parquet(seqs).collect()) == [1, 2, 3, 12]
+
+
+def test_incremental_landmark_dedup_sink_converges(spark, tmp_path):
+    """Streaming landmark dedup (r14): batch 0 bootstraps the landmark
+    index (signal + fingerprints in one row); in batch 1 a
+    trim∘gain∘noise re-upload of an at-rest clip is dropped while a
+    novel clip survives; replay converges; a batch-2 shift∘gain twin
+    of the MID-STREAM survivor is dropped (the index grew)."""
+    import hashlib
+
+    from network_iq_spark.streaming.dedup import (
+        incremental_landmark_dedup_sink,
+    )
+
+    corpus = str(tmp_path / "lmcorpus")
+    index = str(tmp_path / "lmindex")
+    sink = incremental_landmark_dedup_sink(corpus, index)
+
+    def walk(seed, n=64):
+        acc, out = 0, []
+        for j in range(n):
+            h = int(hashlib.md5(f"lw{seed}:{j}".encode()).hexdigest()[:4], 16)
+            acc = max(-32000, min(32000, acc + (h % 4001) - 2000))
+            out.append(acc)
+        return out
+
+    def noise(seed, k):
+        return int(hashlib.md5(f"ln{seed}:{k}".encode()).hexdigest()[:2], 16) % 17 - 8
+
+    def media(rows):
+        return spark.createDataFrame(rows, "media_id bigint, s array<int>")
+
+    a, b, novel = walk(1), walk(2), walk(40)
+    sink(media([(1, a), (2, b)]), 0)
+    twin_a = [2 * x + 5 + noise(1, k) for k, x in enumerate(a[1:-1])]
+    sink(media([(10, twin_a), (12, novel)]), 1)
+
+    def corpus_ids():
+        return sorted(r.media_id for r in spark.read.parquet(corpus).collect())
+
+    assert corpus_ids() == [1, 2, 12]
+    sink(media([(10, twin_a), (12, novel)]), 1)  # replay
+    assert corpus_ids() == [1, 2, 12]
+    # shift∘gain twin of the MID-STREAM survivor
+    twin_n = [3 * x - 7 + noise(40, k) for k, x in enumerate(novel[4:])]
+    sink(media([(20, twin_n)]), 2)
+    assert corpus_ids() == [1, 2, 12]
+    assert sorted(
+        r.media_id for r in spark.read.parquet(index).collect()
+    ) == [1, 2, 12]
