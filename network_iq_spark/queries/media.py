@@ -3528,21 +3528,32 @@ _VID_RESOLUTION_ARMS = [
 def _transform_edges(
     spark: SparkSession, sf_dir: str, modality: str, inplan
 ) -> DataFrame:
-    """(src, dst, axis) edge union for one modality's transform arms —
-    read from the committed at-rest artifact
+    """(src, dst, axis) edge union for one modality's transform arms,
+    composed IN-PLAN from the registered arm queries via ``inplan`` —
+    the default, and the only mode the bench/oracle path ever uses.
+
+    Deployment mode (``NETWORK_IQ_EDGE_ARTIFACTS=1``): read the
+    committed at-rest artifact
     (aux_data/transform_edges/<modality>/<sf>, built by
-    scripts/build_transform_edges.py) when the sf_dir is canonical,
-    else composed in-plan from the registered arm queries via
-    ``inplan``. This is the deployment posture the r13 verdict asked to
-    become code (item 5): the arm tiers run ONCE per corpus and persist
-    their pair tables; every downstream aggregate (resolution,
-    keep-best) READS them instead of re-deriving the arms. The oracles
-    recompute the arms end-to-end, so parity doubles as the
-    artifact-freshness check (the incremental_resample_probe
-    discipline), and the canonical-root gate keeps a foreign directory
-    with a matching basename on the in-plan path (r13 ADVICE)."""
-    art = _artifact_dir(f"transform_edges/{modality}", sf_dir)
-    return spark.read.parquet(art) if art else inplan(spark, sf_dir)
+    scripts/build_transform_edges.py) when the sf_dir is canonical —
+    the posture the r13 verdict asked to become code (item 5): in a
+    real corpus pipeline the arm tiers run ONCE per corpus and persist
+    their pair tables; downstream aggregates (resolution, keep-best)
+    read them. The mode is opt-in and OFF by default because these are
+    BATCH queries: a timed/verified invocation must derive its edges
+    from the parquet inputs, not from a checked-in intermediate (the
+    r14 optimization-round measurement contract) — unlike the
+    incremental probes, whose at-rest index is the query's modeled
+    INPUT and whose in-plan twins are registered alongside.
+    Artifact/in-plan equality is test-pinned, the oracles recompute
+    the arms end-to-end in both modes, and the canonical-root gate
+    keeps a foreign directory with a matching basename on the in-plan
+    path (r13 ADVICE)."""
+    if os.environ.get("NETWORK_IQ_EDGE_ARTIFACTS") == "1":
+        art = _artifact_dir(f"transform_edges/{modality}", sf_dir)
+        if art:
+            return spark.read.parquet(art)
+    return inplan(spark, sf_dir)
 
 
 def _image_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -261,21 +261,30 @@ def test_artifact_gated_on_canonical_testdata_root(spark, tmp_path, monkeypatch)
 
 
 def test_transform_edges_in_plan_fallback_matches_artifact(spark, tmp_path, monkeypatch):
-    """The resolution/keep-best queries read committed at-rest edge
+    """The resolution/keep-best queries compose their edges in-plan by
+    default (the r14 optimization-round measurement contract: a batch
+    query computes from the parquet inputs). Deployment mode
+    (NETWORK_IQ_EDGE_ARTIFACTS=1) reads the committed at-rest edge
     artifacts (aux_data/transform_edges/<mod>/<sf>, r14 VERDICT item 5
-    — the deployment posture: arms run once, downstream aggregates read
-    their persisted pairs). On a fresh clone (artifact absent) they
-    must fall back to the in-plan arm composition WITHOUT writing, and
-    return identical results."""
+    — arms run once per corpus, downstream aggregates read their
+    persisted pairs); that mode must return identical results, and
+    with the artifact absent it must fall back in-plan WITHOUT
+    writing."""
     import os
 
     from network_iq_spark.queries import media as MQ
     from network_iq_spark.registry import QUERIES
 
     sf = "/root/testdata/sf0.001"
+    inplan = sorted(
+        map(tuple, QUERIES["audio_transform_resolution"](spark, sf).collect())
+    )
+    monkeypatch.setenv("NETWORK_IQ_EDGE_ARTIFACTS", "1")
     with_art = sorted(
         map(tuple, QUERIES["audio_transform_resolution"](spark, sf).collect())
     )
+    assert with_art == inplan
+    # artifact mode with the artifact absent: in-plan fallback, no writes
     monkeypatch.setattr(MQ, "_AUX_DATA_DIR", str(tmp_path / "aux"))
     without = sorted(
         map(tuple, QUERIES["audio_transform_resolution"](spark, sf).collect())
