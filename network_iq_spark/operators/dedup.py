@@ -964,14 +964,19 @@ def _crop_verify(
         ovl = f"(({rhi}) - {rlo} + 1) * (({chi}) - {clo} + 1)"
 
         def frame_ssd(f: int) -> str:
-            # frame-major planes: frame f of grid x starts at f·hx·wx
+            # frame-major planes: frame f of grid x starts at f·hx·wx.
+            # The diff is materialized ONCE per element via transform and
+            # squared in the fold — writing (b−a)·(b−a) inline doubles
+            # every array lookup and cast in the interpreted lambda path
+            # (higher-order functions do not CSE); same integer math,
+            # half the per-element work (guide §1.2 per-task work).
             oa = f"{f} * ha * wa + " if f else ""
             ob = f"{f} * hb * wb + " if f else ""
             return (
                 f"aggregate(sequence({rlo}, {rhi}), cast(0 as bigint), (acc, i) -> "
-                f"acc + aggregate(sequence({clo}, {chi}), cast(0 as bigint), (a2, j) -> "
-                f"a2 + (cast(pxb[{ob}i * wb + j] as bigint) - cast(pxa[{oa}(i + {dr}) * wa + j + {dc}] as bigint)) * "
-                f"(cast(pxb[{ob}i * wb + j] as bigint) - cast(pxa[{oa}(i + {dr}) * wa + j + {dc}] as bigint))))"
+                f"acc + aggregate(transform(sequence({clo}, {chi}), j -> "
+                f"cast(pxb[{ob}i * wb + j] as bigint) - cast(pxa[{oa}(i + {dr}) * wa + j + {dc}] as bigint)), "
+                f"cast(0 as bigint), (a2, d) -> a2 + d * d))"
             )
 
         ssd = " + ".join(frame_ssd(f) for f in range(frames))
@@ -1627,10 +1632,12 @@ def _trim_verify(
         )
         if stride > 1:
             guard += f" OR (size(__sa__) - size(__sb__)) % {stride} != 0"
+        # diff once per element, square in the fold — inline (b−a)·(b−a)
+        # doubles the lookups+casts in the interpreted lambda path
         ssd = (
-            f"aggregate(sequence(0, size(__sb__) - 1), cast(0 as bigint), "
-            f"(a, i) -> a + (cast(__sb__[i] as bigint) - cast(__sa__[i + {he}] as bigint)) * "
-            f"(cast(__sb__[i] as bigint) - cast(__sa__[i + {he}] as bigint)))"
+            f"aggregate(transform(sequence(0, size(__sb__) - 1), i -> "
+            f"cast(__sb__[i] as bigint) - cast(__sa__[i + {he}] as bigint)), "
+            f"cast(0 as bigint), (a, d) -> a + d * d)"
         )
         return (
             f"named_struct('ssd', IF({guard}, cast({1 << 62} as bigint), {ssd}), "
@@ -2080,11 +2087,13 @@ def shifted_sequence_pairs(
         # SMALLEST-MAGNITUDE lag, so constant/periodic twins report lag=0
         # instead of the arbitrary -max_lag that plain (ssd, lag) ordering
         # would pick (r10 ADVICE).
+        # diff once per element via transform, square in the fold (the
+        # crop/trim verify rule: inline (a−b)·(a−b) doubles every array
+        # lookup in the interpreted lambda path)
         return (
-            f"named_struct('ssd', aggregate(sequence(0, {hi}), "
-            f"cast(0 as bigint), (a, i) -> a + "
-            f"(cast(__sa__[{a_i}] as bigint) - cast(__sb__[{b_i}] as bigint)) * "
-            f"(cast(__sa__[{a_i}] as bigint) - cast(__sb__[{b_i}] as bigint))), "
+            f"named_struct('ssd', aggregate(transform(sequence(0, {hi}), i -> "
+            f"cast(__sa__[{a_i}] as bigint) - cast(__sb__[{b_i}] as bigint)), "
+            f"cast(0 as bigint), (a, d) -> a + d * d), "
             f"'alag', {abs(lag_units)}, 'lag', {lag_units})"
         )
 

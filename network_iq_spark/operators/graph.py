@@ -52,9 +52,31 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .localCheckpoint()
     )
-    labels = vertices.select(
-        F.col(id_col).alias("u"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    # Seed labels with round 1 ALREADY APPLIED: label(u) = min(u, min
+    # neighbor id). With identity labels, the loop's first iteration
+    # computes exactly this (msgs = sym with the neighbor's own id as
+    # its label) and then pays a full convergence check on a labeling
+    # that is never converged for any non-singleton component — one
+    # whole round (join + union + agg + checkpoint + count action) of
+    # pure warm-up. Seeding from one agg over sym skips it; dedup
+    # graphs are shallow stars (pair tiers emit original→derivative
+    # edges), so this typically HALVES the round count (2 → 1). The
+    # fixpoint is unchanged — min-label propagation is monotone and
+    # order-independent, so starting one step further down the lattice
+    # cannot change the result (guide §2.4: remove work the loop
+    # re-derives).
+    nbr_min = sym.groupBy("u").agg(F.min("v").alias("__nv__"))
+    labels = (
+        vertices.select(F.col(id_col).alias("u"))
+        .join(nbr_min, "u", "left")
+        .select(
+            "u",
+            F.least(F.col("u"), F.coalesce(F.col("__nv__"), F.col("u"))).alias(
+                "label"
+            ),
+        )
+        .localCheckpoint()
+    )
 
     for _ in range(max_iter):
         msgs = sym.join(labels, "u").select(F.col("v").alias("u"), "label")

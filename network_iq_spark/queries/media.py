@@ -1779,9 +1779,22 @@ _AUD_WALK_STEPS_EXPR = (
     "transform(embedding, x -> cast(floor(least(greatest("
     "cast(x as double), -1.0D), 1.0D) * 2000.0D + 0.5D) as int))"
 )
+# Running-accumulator prefix sum: ONE pass over the 64 steps instead of
+# 64 per-prefix re-aggregations (each of which re-evaluated the steps
+# transform — O(n²) interpreted-lambda work per row). The accumulator
+# carries the UNCLAMPED running sum (matching the per-prefix
+# list_sum/aggregate semantics exactly: the clamp applies to each
+# prefix's total, never to the carried sum), and appends the clamped
+# value per step. Same values, measured 6x cheaper at bench SF
+# (1.03 s → 0.17 s for the 2000-row derivation — OPTIMIZATION_r14.md,
+# guide §1.2 "per-task work"); at 100 TB this is the difference between
+# O(len) and O(len²) lambda evaluations per clip.
 _AUD_WALK_EXPR = (
-    f"transform(sequence(1, 64), n -> greatest(-32000, least(32000, "
-    f"aggregate(slice({_AUD_WALK_STEPS_EXPR}, 1, n), 0, (a, x) -> a + x))))"
+    f"aggregate({_AUD_WALK_STEPS_EXPR}, "
+    "named_struct('acc', 0, 'out', cast(array() as array<int>)), "
+    "(st, x) -> named_struct('acc', st.acc + x, "
+    "'out', array_append(st.out, greatest(-32000, least(32000, st.acc + x)))), "
+    "st -> st.out)"
 )
 
 
@@ -3862,11 +3875,6 @@ def _keep_best_from_edges(e: DataFrame, members: DataFrame) -> DataFrame:
     cc = G.connected_components(
         verts, e, id_col="media_id", src="src", dst="dst"
     )
-    scored = members.select(
-        "media_id",
-        F.expr("cast(size(s) as int)").alias("n_px"),
-        F.expr(_VAR_UNITS_EXPR.format(v="s")).alias("var_units"),
-    )
     stats = cc.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("n_members")
     )
@@ -3878,8 +3886,20 @@ def _keep_best_from_edges(e: DataFrame, members: DataFrame) -> DataFrame:
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_px").desc(), F.col("var_units").desc(), F.col("media_id").asc()
     )
+    # join FIRST, score after: the n_px/var_units aggregates (three
+    # 64-element lambda folds per row) then run only over the
+    # duplicate-involved members the CC join keeps, not the whole
+    # corpus — Catalyst has no rule that pulls an expensive projection
+    # above a join, so the pre-join ordering paid the fold on every
+    # corpus row (guide §2.3: reduce the side before the work).
     keepers = (
-        cc.join(scored, "media_id")
+        cc.join(members, "media_id")
+        .select(
+            "cluster_id",
+            "media_id",
+            F.expr("cast(size(s) as int)").alias("n_px"),
+            F.expr(_VAR_UNITS_EXPR.format(v="s")).alias("var_units"),
+        )
         .withColumn("__rk__", F.row_number().over(w))
         .filter(F.col("__rk__") == 1)
         .select(
@@ -4166,10 +4186,29 @@ def q_transform_admission_manifest(spark: SparkSession, sf_dir: str) -> DataFram
         ("audio", q_audio_resolution_keep_best),
         ("video", q_video_resolution_keep_best),
     )
-    out = None
-    for m, fn in parts:
-        d = fn(spark, sf_dir).select(F.lit(m).alias("modality"), "*")
-        out = d if out is None else out.unionByName(d)
+
+    # Build the three modality frames from a small thread pool (guide
+    # §2.6 "overlap independent jobs"): each keep-best's construction
+    # runs a driver-sequential CC fixpoint (eager checkpoints + a
+    # convergence count per round), so composing them serially left the
+    # cluster idle during every round's driver turnaround — measured
+    # 21.0 s ≈ the straight SUM of the three keep-bests (7.3 + 10.2 +
+    # 5.3) with zero overlap. The modalities are independent (disjoint
+    # corpora), pool.map preserves input order, and the union itself
+    # stays deterministic, so results are byte-identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def build(part):
+        m, fn = part
+        return fn(spark, sf_dir).select(F.lit(m).alias("modality"), "*")
+
+    with ThreadPoolExecutor(max_workers=len(parts)) as pool:
+        frames = list(pool.map(inheritable_thread_target(build), parts))
+    out = frames[0]
+    for d in frames[1:]:
+        out = out.unionByName(d)
     return out.orderBy("modality", "cluster_id")
 
 

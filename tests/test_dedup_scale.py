@@ -1681,3 +1681,33 @@ def test_incremental_landmark_probe_matches_pairs_and_artifact(spark):
         ).collect()
     }
     assert inplan == got_probe
+
+
+def test_aud_walk_expr_is_clamped_prefix_sum(spark):
+    """The r14 O(n) running-accumulator rewrite of _AUD_WALK_EXPR must
+    equal the definitional per-prefix form: s[n] = clamp(Σ steps[1..n],
+    ±32000) with steps = round(clamp(emb, ±1)·2000), clamp applied to
+    each prefix TOTAL (never to the carried sum). Computed independently
+    in Python from the raw embeddings so a regression in either the
+    steps quantization or the accumulator semantics fails loudly."""
+    import math
+
+    from network_iq_spark.queries.media import _aud_walks
+    from network_iq_spark.sources import load_table
+
+    got = {r.media_id: list(r.s) for r in _aud_walks(spark, SF).collect()}
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    assert set(got) == set(emb) and got
+    for mid, e in emb.items():
+        steps = [
+            int(math.floor(min(max(float(x), -1.0), 1.0) * 2000.0 + 0.5))
+            for x in e
+        ]
+        acc, want = 0, []
+        for st in steps:
+            acc += st
+            want.append(max(-32000, min(32000, acc)))
+        assert got[mid] == want, f"walk mismatch for {mid}"
