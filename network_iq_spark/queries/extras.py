@@ -1029,7 +1029,17 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # symmetrize with a map-side explode instead of union(swap): the union
+    # consumed the join+distinct pipeline twice (one execution per arm
+    # unless exchange reuse fires); the explode reads it once (§2.4)
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     ranks = pagerank_int(edges, n_iters=5)
     return (
         ranks.filter(F.col("node") % 2 == 1)

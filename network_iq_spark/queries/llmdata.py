@@ -9,7 +9,7 @@ incremental) behind the same registry.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from network_iq_spark.operators import dedup as D
@@ -110,9 +110,16 @@ def _pipeline_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdocs = T.with_quality_score(docs).filter(
         F.col("quality_score") >= _PIPE_QTHR
     )
-    keep = D.exact_dedup(T.fingerprint(qdocs)).select(
-        F.col("keeper").alias("doc_id")
-    )
+    # Exact dedup as ONE window over the fused fingerprint column instead
+    # of keepers-aggregate + semi-join: the semi-join formulation consumed
+    # the quality pipeline twice (once under the fingerprint/groupBy arm,
+    # once as the join's left side — no exchange for reuse to fire on in a
+    # map-only pipeline), so every cascade run paid the tokenize+score map
+    # twice. min(doc_id) over a fingerprint partition selects exactly the
+    # keepers the groupBy picked (r14, guide §2.4; measured 3.3s → 2.4s
+    # on the cascade-through-final, doc sets verified equal).
+    fpd = qdocs.withColumn("__fp__", T.fingerprint_col("text"))
+    keep_w = Window.partitionBy("__fp__")
     # Materialized once for the three consumers (signature build, the
     # near-dup anti-join, the split aggregation). This tradeoff has flipped
     # twice: with the exploded signature build, recompute won (6.6 s
@@ -121,7 +128,12 @@ def _pipeline_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join pipeline re-executes per branch — measured 4.8-5.4 s recompute
     # vs 3.1-3.6 s materialized at sf0.1. At 100 TB substitute a persisted
     # table (or .persist(DISK_ONLY)) for localCheckpoint at this boundary.
-    d1 = qdocs.join(keep, "doc_id", "left_semi").localCheckpoint()
+    d1 = (
+        fpd.withColumn("__mn__", F.min("doc_id").over(keep_w))
+        .filter(F.col("doc_id") == F.col("__mn__"))
+        .drop("__fp__", "__mn__")
+        .localCheckpoint()
+    )
     pairs = D.minhash_lsh_pairs(
         d1, threshold=_PIPE_JTHR, n_bands=_PIPE_BANDS, rows_per_band=_PIPE_ROWS
     )
