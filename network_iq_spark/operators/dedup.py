@@ -118,6 +118,35 @@ def jaccard_pairs(
     )
 
 
+def _rare_posting_pairs(rare: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from a frequency-capped
+    (doc, shingle) grain WITHOUT the rare⋈rare self-join (r14, guide
+    §2.4 — the copurchase_triangles pattern): the df cap bounds each
+    surviving shingle's posting at max_df docs, so collect the posting
+    into one sorted array and emit the a < b pairs map-side — ONE
+    shuffle of the rare grain (the groupBy) instead of two self-join
+    inputs, and the ≤ max_df² per-shingle fanout never crosses an
+    exchange as join input. (doc, shingle) rows are unique by
+    ``shingles``'s DISTINCT, so collect_list carries no duplicate ids;
+    the pair set is identical to the join + a<b filter form."""
+    return (
+        rare.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("__ds__"))
+        .select(F.array_sort("__ds__").alias("__ds__"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ds__, (x, i) -> "
+                    "transform(slice(__ds__, i + 2, size(__ds__) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("__p__")
+        )
+        .select("__p__.doc_a", "__p__.doc_b")
+        .distinct()
+    )
+
+
 def jaccard_pairs_capped(
     sh: DataFrame, threshold: float, max_df: int, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -153,14 +182,7 @@ def jaccard_pairs_capped(
     # anti-join on the shingle key is the shape that survives 100 TB; AQE
     # still converts it to broadcast at runtime when the set is small.
     rare = sh.join(stop, "shingle", "left_anti")
-    a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _rare_posting_pairs(rare, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -207,14 +229,7 @@ def containment_pairs_capped(
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df__"))
     stop = dfreq.filter(F.col("__df__") > max_df).select("shingle")
     rare = sh.join(stop, "shingle", "left_anti")
-    a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _rare_posting_pairs(rare, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -75,28 +75,48 @@ def connected_components(
                 "label"
             ),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
+    # Convergence via the MONOTONE INVARIANT instead of an old-vs-new join
+    # (r14, guide §2.4 remove shuffles outright / §1.2 fewer passes): each
+    # round takes a per-vertex min with the previous round's label, so
+    # new_label(u) <= old_label(u) elementwise and the key set can only
+    # grow; therefore (sum(label), count) is strictly decreasing-or-growing
+    # until the fixpoint, and equality of the pair IS elementwise equality.
+    # That turns the per-round convergence check from a join + count action
+    # (one extra shuffle + scan of BOTH label frames) into a single-stage
+    # scan-aggregate of the new frame alone — and because the new frame is
+    # marked localCheckpoint(eager=False), the aggregate's own job is what
+    # materializes the checkpoint: ONE driver-blocking action per round
+    # where the old loop paid two (checkpoint materialize + convergence
+    # count). DECIMAL(38,0) keeps the sum exact far past any realistic
+    # vertex-id x vertex-count product (1e12 ids on 1e12 vertices = 1e24,
+    # 14 orders under the 38-digit ceiling), so the equality test never
+    # aliases through overflow.
+    def _state(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]  # one bounded row: the driver never sees the labels
+        return (row["s"], row["n"])
+
+    prev = _state(labels)
     for _ in range(max_iter):
         msgs = sym.join(labels, "u").select(F.col("v").alias("u"), "label")
         new_labels = (
             labels.unionByName(msgs)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur = _state(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur == prev:
             return labels.select(
                 F.col("u").alias(id_col), F.col("label").alias("cluster_id")
             )
+        prev = cur
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
 

@@ -1186,6 +1186,24 @@ BM25_K1, BM25_B = 1.2, 0.75
 BM25_QUANT = 1_000_000  # per-term score micro-units (order-independent sums)
 
 
+def term_freqs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf) — the corpus tokenize + per-(doc, term) count
+    every sparse-retrieval arm starts from, materialized once
+    (lazy localCheckpoint) so hybrid callers can feed BM25 AND Jaccard
+    from a single corpus pass (r14): BM25 consumes the counts; Jaccard's
+    distinct (doc, term) grain is exactly this frame's key set, so
+    ``tf.select(doc_id, term)`` replaces its tokenize + explode +
+    DISTINCT shuffle outright (guide §2.4)."""
+    df_in = ensure_parallelism(docs)
+    toks = df_in.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    return tf.localCheckpoint(eager=False)  # feeds df, query side, scoring
+
+
 def bm25_topk(
     docs: DataFrame,
     query_pred,  # Column: which docs act as queries
@@ -1196,6 +1214,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     max_df_ratio: float | None = None,
     exclude=None,  # Column over (q_doc_id, doc_id); default: identity
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 retrieval (Robertson/Lucene idf variant): every query document
     retrieves its top-k corpus neighbours by summed per-term BM25 — the
@@ -1224,15 +1243,21 @@ def bm25_topk(
     term's fanout at (max_df_ratio·N)·q_df. Semantics: capped scores
     simply omit those terms' contributions (they carry the least idf
     mass by construction). None = exact uncapped BM25.
+
+    ``tf``: a pre-built (doc_id, term, tf) frame from :func:`term_freqs`,
+    for hybrid callers that feed several arms from ONE corpus tokenize
+    (r14, guide §1.2 — don't run the same pass twice). None = build here.
     """
     df_in = ensure_parallelism(docs)
+    if tf is None:
+        tf = term_freqs(docs, text_col, id_col)
+    # dl stays its own cheap size-only tokenize pass: deriving it from
+    # Σ tf per doc (exact, incl. the zero-token left-join edge) measured
+    # ~10% SLOWER at bench SF in an interleaved A/B — the extra
+    # groupBy + join exchanges cost more than the regex split here
+    # (r14; revisit if the corpus-scan-to-shuffle ratio flips at scale).
     base = df_in.select(F.col(id_col), tokens(text_col).alias("_toks"))
     dl = base.select(F.col(id_col).alias("doc_id"), F.size("_toks").alias("dl"))
-    toks = base.select(
-        F.col(id_col).alias("doc_id"), F.explode("_toks").alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    tf = tf.localCheckpoint(eager=False)  # feeds df, query side, and scoring
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scalars = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("len_sum")
@@ -1326,6 +1351,7 @@ def jaccard_topk(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    dtok: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard retrieval for a SMALL query set: each query
     doc ranks every doc sharing ≥1 token by |A∩B| / |A∪B|, quantized to
@@ -1338,13 +1364,22 @@ def jaccard_topk(
     against the query tokens on the token key — with a handful of query
     docs this is postings-bounded; a full all-pairs Jaccard belongs to the
     MinHash-LSH tier, not here (the operator guards nothing because the
-    query side is an explicit predicate, not a cross join)."""
+    query side is an explicit predicate, not a cross join).
+
+    ``dtok``: a pre-built distinct (doc_id, term) frame — e.g.
+    ``term_freqs(docs).select("doc_id", "term")``, whose key set is this
+    grain by construction — so hybrid callers tokenize the corpus once
+    (r14). None = build (and materialize) here."""
     df_in = ensure_parallelism(docs)
-    dtok = (
-        df_in.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
-        .distinct()
-    )
-    dtok = dtok.localCheckpoint(eager=False)  # feeds sizes, query side, join
+    if dtok is None:
+        dtok = (
+            df_in.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(tokens(text_col)).alias("term"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)  # feeds sizes, query side, join
+        )
     sizes = dtok.groupBy("doc_id").agg(F.count("*").alias("n_dist"))
     qt = (
         df_in.filter(query_pred)

@@ -316,8 +316,15 @@ def q_related_docs_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py bm25_topk / jaccard_topk / rrf_fuse)."""
     docs = load_table(spark, sf_dir, "documents")
     pred = F.col("doc_id") < _BM25_QUERY_DOCS
-    bm = T.bm25_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
-    jc = T.jaccard_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
+    # ONE corpus tokenize feeds both lexical arms (r14, guide §1.2/§2.4):
+    # BM25 consumes the (doc, term, tf) counts; Jaccard's distinct
+    # (doc, term) grain is exactly tf's key set, so the second
+    # tokenize + explode + DISTINCT shuffle disappears from the plan.
+    tf = T.term_freqs(docs)
+    bm = T.bm25_topk(docs, pred, k=10, tf=tf).select("q_doc_id", "rank", "doc_id")
+    jc = T.jaccard_topk(
+        docs, pred, k=10, dtok=tf.select("doc_id", "term")
+    ).select("q_doc_id", "rank", "doc_id")
     return T.rrf_fuse([bm, jc], k=5)
 
 
@@ -416,8 +423,12 @@ def q_related_docs_rrf_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard_topk / rrf_fuse; operators/similarity.py cosine_topk_int_lsh)."""
     docs = load_table(spark, sf_dir, "documents")
     pred = F.col("doc_id") < _BM25_QUERY_DOCS
-    bm = T.bm25_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
-    jc = T.jaccard_topk(docs, pred, k=10).select("q_doc_id", "rank", "doc_id")
+    # shared corpus tokenize for the two lexical arms (see related_docs_rrf)
+    tf = T.term_freqs(docs)
+    bm = T.bm25_topk(docs, pred, k=10, tf=tf).select("q_doc_id", "rank", "doc_id")
+    jc = T.jaccard_topk(
+        docs, pred, k=10, dtok=tf.select("doc_id", "term")
+    ).select("q_doc_id", "rank", "doc_id")
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.select("vec_id").filter(F.col("vec_id") < _BM25_QUERY_DOCS)
     dn = S.cosine_topk_int_lsh(

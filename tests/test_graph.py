@@ -161,3 +161,31 @@ def test_triangle_stats_hand_computed(spark):
     assert 5 not in got
     # ordering: ties on n_tri break by node id
     assert [r.node for r in rows] == [1, 2, 3, 4]
+
+
+def test_long_chain_needs_many_rounds_same_fixpoint(spark):
+    """Focused regression for the r14 convergence check (sum-invariant
+    instead of the old-vs-new join): a 12-vertex path needs ~diameter
+    rounds of min-label propagation, so every round's equal/not-equal
+    decision is exercised — a convergence check that fires early returns
+    a partial labeling and this asserts the exact closure instead."""
+    n = 12
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(verts, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_max_iter_still_raises(spark):
+    """The sum-based check must preserve the non-convergence contract: a
+    graph whose diameter exceeds max_iter raises instead of returning a
+    partial labeling."""
+    n = 9
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(verts, edges, max_iter=2)

@@ -579,3 +579,44 @@ def test_ffd_packing_matches_python_replay_and_invariants(spark):
     assert sum(nd for _, _, nd, _, _ in got) == sum(
         len(v) for v in byshard.values()
     )
+
+
+def test_shared_term_freqs_injection_matches_selfbuilt(spark):
+    """r14: hybrid callers tokenize the corpus once via term_freqs and
+    feed BOTH arms — BM25 through ``tf=``, Jaccard through ``dtok=``
+    (tf's key set IS the distinct (doc, term) grain). Injected and
+    self-built paths must produce identical rankings."""
+    from network_iq_spark.operators.text import bm25_topk, jaccard_topk, term_freqs
+
+    df = _docs(
+        spark,
+        [
+            (0, "s", "alpha beta gamma beta"),
+            (1, "s", "alpha beta delta"),
+            (2, "s", "gamma gamma epsilon"),
+            (3, "s", ""),  # zero-token doc: counts toward n_docs/avgdl
+            (4, "s", "alpha epsilon zeta"),
+        ],
+    )
+    pred = F.col("doc_id") < 2
+    tf = term_freqs(df)
+    bm_self = [
+        (r.q_doc_id, r.rank, r.doc_id, r.score_units)
+        for r in bm25_topk(df, pred, k=5).orderBy("q_doc_id", "rank").collect()
+    ]
+    bm_inj = [
+        (r.q_doc_id, r.rank, r.doc_id, r.score_units)
+        for r in bm25_topk(df, pred, k=5, tf=tf).orderBy("q_doc_id", "rank").collect()
+    ]
+    assert bm_self == bm_inj and bm_self
+    jc_self = [
+        (r.q_doc_id, r.rank, r.doc_id, r.jaccard_units)
+        for r in jaccard_topk(df, pred, k=5).orderBy("q_doc_id", "rank").collect()
+    ]
+    jc_inj = [
+        (r.q_doc_id, r.rank, r.doc_id, r.jaccard_units)
+        for r in jaccard_topk(df, pred, k=5, dtok=tf.select("doc_id", "term"))
+        .orderBy("q_doc_id", "rank")
+        .collect()
+    ]
+    assert jc_self == jc_inj and jc_self
