@@ -969,43 +969,53 @@ def _crop_verify(
         F.col("__px__").alias("pxb"),
     )
 
-    def lag_struct(dr: int, dc: int) -> str:
-        # b[i, j] vs a[i + dr, j + dc]: i ∈ [max(0, −dr), min(hb, ha−dr)),
-        # j ∈ [max(0, −dc), min(wb, wa−dc)) — dr/dc are literals, so the
-        # lower bounds fold to constants
-        rlo, clo = max(0, -dr), max(0, -dc)
-        rhi = f"least(hb, ha - {dr}) - 1"
-        chi = f"least(wb, wa - {dc}) - 1"
-        ovl = f"(({rhi}) - {rlo} + 1) * (({chi}) - {clo} + 1)"
-
-        def frame_ssd(f: int) -> str:
-            # frame-major planes: frame f of grid x starts at f·hx·wx.
-            # The diff is materialized ONCE per element via transform and
-            # squared in the fold — writing (b−a)·(b−a) inline doubles
-            # every array lookup and cast in the interpreted lambda path
-            # (higher-order functions do not CSE); same integer math,
-            # half the per-element work (guide §1.2 per-task work).
-            oa = f"{f} * ha * wa + " if f else ""
-            ob = f"{f} * hb * wb + " if f else ""
-            return (
-                f"aggregate(sequence({rlo}, {rhi}), cast(0 as bigint), (acc, i) -> "
-                f"acc + aggregate(transform(sequence({clo}, {chi}), j -> "
-                f"cast(pxb[{ob}i * wb + j] as bigint) - cast(pxa[{oa}(i + {dr}) * wa + j + {dc}] as bigint)), "
-                f"cast(0 as bigint), (a2, d) -> a2 + d * d))"
-            )
-
-        ssd = " + ".join(frame_ssd(f) for f in range(frames))
-        guard = f"({rhi}) < {rlo} OR ({chi}) < {clo} OR ({ovl}) < {B * B}"
-        return (
-            f"named_struct('ssd', IF({guard}, cast({1 << 62} as bigint), {ssd}), "
-            f"'pen', {abs(dr) + abs(dc)}, 'dr', {dr}, 'dc', {dc})"
-        )
-
-    best = "array_min(array(" + ", ".join(
-        lag_struct(dr, dc)
+    # ONE lambda body over a literal array of lag structs instead of
+    # (2·max_crop+1)² (× frames) unrolled struct texts. The per-lag math
+    # is identical — b[i, j] vs a[i + dr, j + dc], i ∈ [max(0, −dr),
+    # min(hb, ha−dr)), j ∈ [max(0, −dc), min(wb, wa−dc)), the diff
+    # materialized ONCE per element via transform and squared in the
+    # fold (HOFs do not CSE; inline (b−a)·(b−a) doubles every array
+    # lookup and cast in the interpreted lambda path) — but the
+    # expression TREE is ~lags(×frames) smaller, which is what the
+    # driver pays to parse/analyze/optimize on every build inside the
+    # timed region (guide §3.3: planning time itself can become the
+    # bottleneck; measured r14: the unrolled video verify alone cost
+    # ~0.7 s of py4j/parse per plan build). rlo/clo/pen fold at build
+    # time exactly as before — they ride in the literal lag structs.
+    lags = ", ".join(
+        f"named_struct('dr', {dr}, 'dc', {dc}, 'pen', {abs(dr) + abs(dc)}, "
+        f"'rlo', {max(0, -dr)}, 'clo', {max(0, -dc)})"
         for dr in range(-max_crop, max_crop + 1)
         for dc in range(-max_crop, max_crop + 1)
-    ) + "))"
+    )
+    rhi = "least(hb, ha - l.dr) - 1"
+    chi = "least(wb, wa - l.dc) - 1"
+    ovl = f"(({rhi}) - l.rlo + 1) * (({chi}) - l.clo + 1)"
+    guard = f"({rhi}) < l.rlo OR ({chi}) < l.clo OR ({ovl}) < {B * B}"
+
+    def frame_ssd(oa: str, ob: str) -> str:
+        return (
+            f"aggregate(sequence(l.rlo, {rhi}), cast(0 as bigint), (acc, i) -> "
+            f"acc + aggregate(transform(sequence(l.clo, {chi}), j -> "
+            f"cast(pxb[{ob}i * wb + j] as bigint) - cast(pxa[{oa}(i + l.dr) * wa + j + l.dc] as bigint)), "
+            f"cast(0 as bigint), (a2, d) -> a2 + d * d))"
+        )
+
+    if frames == 1:
+        ssd = frame_ssd("", "")
+    else:
+        # frame-major planes: frame f of grid x starts at f·hx·wx; the
+        # outer fold sums the per-frame SSDs in the same f-ascending
+        # order the unrolled " + ".join emitted.
+        ssd = (
+            f"aggregate(sequence(0, {frames - 1}), cast(0 as bigint), "
+            f"(facc, f) -> facc + {frame_ssd('f * ha * wa + ', 'f * hb * wb + ')})"
+        )
+    best = (
+        f"array_min(transform(array({lags}), l -> "
+        f"named_struct('ssd', IF({guard}, cast({1 << 62} as bigint), {ssd}), "
+        f"'pen', l.pen, 'dr', l.dr, 'dc', l.dc)))"
+    )
     return (
         cand.join(ga, a_name)
         .join(gb, b_name)
@@ -2091,30 +2101,32 @@ def shifted_sequence_pairs(
     sa = seqs.select(F.col("doc_id").alias("id_a"), F.col("__s__").alias("__sa__"))
     sb = seqs.select(F.col("doc_id").alias("id_b"), F.col("__s__").alias("__sb__"))
 
-    def ssd(lag_units: int) -> str:
-        off = lag_units * stride
-        # positive lag: a leads (a[i+off] vs b[i]); negative: b leads
-        if off >= 0:
-            hi, a_i, b_i = n_elems - 1 - off, f"i + {off}", "i"
-        else:
-            hi, a_i, b_i = n_elems - 1 + off, "i", f"i + {-off}"
-        # 'alag' before 'lag': struct ordering breaks ssd ties toward the
-        # SMALLEST-MAGNITUDE lag, so constant/periodic twins report lag=0
-        # instead of the arbitrary -max_lag that plain (ssd, lag) ordering
-        # would pick (r10 ADVICE).
-        # diff once per element via transform, square in the fold (the
-        # crop/trim verify rule: inline (a−b)·(a−b) doubles every array
-        # lookup in the interpreted lambda path)
-        return (
-            f"named_struct('ssd', aggregate(transform(sequence(0, {hi}), i -> "
-            f"cast(__sa__[{a_i}] as bigint) - cast(__sb__[{b_i}] as bigint)), "
-            f"cast(0 as bigint), (a, d) -> a + d * d), "
-            f"'alag', {abs(lag_units)}, 'lag', {lag_units})"
-        )
-
-    best = "array_min(array(" + ", ".join(
-        ssd(lag) for lag in range(-max_lag, max_lag + 1)
-    ) + "))"
+    # ONE lambda body over a literal array of lag structs instead of
+    # 2·max_lag+1 unrolled SSD texts (the _crop_verify rewrite, 1-D):
+    # positive offset means a leads (a[i+off] vs b[i]), negative means b
+    # leads — ao/bo carry the per-side start offsets and hi the overlap
+    # bound, all folded at build time into the literal structs, so the
+    # per-element math is byte-equivalent to the unrolled form.
+    # 'alag' before 'lag': struct ordering breaks ssd ties toward the
+    # SMALLEST-MAGNITUDE lag, so constant/periodic twins report lag=0
+    # instead of the arbitrary -max_lag that plain (ssd, lag) ordering
+    # would pick (r10 ADVICE).
+    # diff once per element via transform, square in the fold (the
+    # crop/trim verify rule: inline (a−b)·(a−b) doubles every array
+    # lookup in the interpreted lambda path)
+    lags = ", ".join(
+        f"named_struct('lag', {lag}, 'alag', {abs(lag)}, "
+        f"'hi', {n_elems - 1 - abs(lag) * stride}, "
+        f"'ao', {max(lag * stride, 0)}, 'bo', {max(-lag * stride, 0)})"
+        for lag in range(-max_lag, max_lag + 1)
+    )
+    best = (
+        f"array_min(transform(array({lags}), l -> "
+        f"named_struct('ssd', aggregate(transform(sequence(0, l.hi), i -> "
+        f"cast(__sa__[i + l.ao] as bigint) - cast(__sb__[i + l.bo] as bigint)), "
+        f"cast(0 as bigint), (a, d) -> a + d * d), "
+        f"'alag', l.alag, 'lag', l.lag)))"
+    )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

@@ -501,15 +501,30 @@ def _crop_verify_sql(a: str, b: str) -> str:
     ORDER BY {a}, {b}"""
 
 
+def _img_quant_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, px) — the quantized 8×8 grid every image tier derives
+    its corpus from; ONE Spark-side definition the composites build
+    once per query and feed to every image arm (the _aud_walks rule)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("media_id"),
+        F.expr(_IMG_QUANT_EXPR_SQL).alias("px"),
+    )
+
+
 def _crop_corpus(spark: SparkSession, sf_dir: str):
     """Spark twin of _CROP_CORPUS_SQL: (base, crops) grid frames."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    base = emb.select(
-        F.col("vec_id").alias("media_id"),
+    return _crop_corpus_from(_img_quant_base(spark, sf_dir))
+
+
+def _crop_corpus_from(img: DataFrame):
+    """(base, crops) over an injected (media_id, px) frame — projection
+    collapse makes the plan identical to the fused select."""
+    base = img.select(
+        "media_id",
         F.lit(8).alias("w"),
         F.lit(8).alias("h"),
-        quant.alias("px"),
+        "px",
     )
     crops = (
         base.filter(F.col("media_id") % _CROP_TWIN_EVERY == 0)
@@ -560,7 +575,13 @@ def q_image_cropped_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     reports each pair once with the recovered (dr, dc) offset and zero
     residual. Variable-size grids ride a (w, h, px) schema — the shape
     a thumbnail-normalized crawl corpus actually has."""
-    base, crops = _crop_corpus(spark, sf_dir)
+    return _image_cropped_pairs_from(_img_quant_base(spark, sf_dir))
+
+
+def _image_cropped_pairs_from(img: DataFrame) -> DataFrame:
+    """Arm body over an injected quantized-grid frame (the
+    ``_audio_resampled_pairs_from`` build-once rationale)."""
+    base, crops = _crop_corpus_from(img)
     return D.cropped_grid_pairs(
         base.unionByName(crops), max_crop=_CROP_MAX, side=_IMG_SIDE, ssd_tol=0
     ).orderBy("id_a", "id_b")
@@ -676,13 +697,17 @@ def q_image_thumbnail_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator docstring states the boundary: interpolating or
     round-half-up resamplers land ±1–2 per pixel away and are outside
     this tier's exact claim."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    base = emb.select(
-        F.col("vec_id").alias("media_id"),
+    return _image_thumbnail_pairs_from(_img_quant_base(spark, sf_dir))
+
+
+def _image_thumbnail_pairs_from(img: DataFrame) -> DataFrame:
+    """Arm body over an injected quantized-grid frame (the
+    ``_audio_resampled_pairs_from`` build-once rationale)."""
+    base = img.select(
+        "media_id",
         F.lit(8).alias("w"),
         F.lit(8).alias("h"),
-        quant.alias("px"),
+        "px",
     )
     imgs = base.unionByName(_thumb_twins(base))
     return D.downscale_derivative_pairs(imgs, factor=2).orderBy(
@@ -2514,12 +2539,15 @@ def q_image_rotated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∝ duplicates. Every 10th image gets a planted twin cycling through
     all 7 non-identity transforms (3 rotations + 4 reflections);
     integer-exact end to end, oracle-replayable."""
+    return _image_rotated_dedup_from(_img_quant_base(spark, sf_dir))
+
+
+def _image_rotated_dedup_from(img: DataFrame) -> DataFrame:
+    """Arm body over an injected quantized-grid frame (the
+    ``_audio_resampled_pairs_from`` build-once rationale)."""
     from network_iq_spark.operators.dedup import rotated_dedup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.expr(_IMG_QUANT_EXPR_SQL)
-    base = emb.select(F.col("vec_id").alias("media_id"), quant.alias("px"))
-    imgs = base.unionByName(_rot_twins(base))
+    imgs = img.unionByName(_rot_twins(img))
     return rotated_dedup_pairs(imgs, side=_IMG_SIDE).orderBy(
         "keep_id", "dup_id"
     )
@@ -2584,7 +2612,17 @@ def q_audio_resampled_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     the operator docstring states the boundary: interpolating/polyphase
     resamplers land ±1–2 per sample away and are outside the exact
     claim."""
-    src = _aud_walks(spark, sf_dir)
+    return _audio_resampled_pairs_from(_aud_walks(spark, sf_dir))
+
+
+def _audio_resampled_pairs_from(src: DataFrame) -> DataFrame:
+    """Arm body over an injected walk frame — the composites (census,
+    resolution, keep-best) build the walks ONCE per modality and feed
+    every arm the same DataFrame object: the plan is structurally
+    identical to each arm re-deriving it (same subtree, de-duplicated
+    attribute ids), but the driver builds/analyzes the walk expression
+    once instead of once per arm (guide §3.3: planning time is a real
+    cost; measured r14, the composites' build is py4j/parse-bound)."""
     clips = src.unionByName(_rsmp_twins(src))
     return D.resampled_derivative_pairs(clips, factor=2).orderBy(
         "full_id", "resampled_id"
@@ -2763,7 +2801,13 @@ def q_video_cropped_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     diverge is rejected exactly. Output (id_a, id_b, dr, dc, ssd = 0);
     DuckDB replays tokens, candidates, and the multi-frame verify end
     to end."""
-    base = _vid_base(spark, sf_dir).select(
+    return _video_cropped_pairs_from(_vid_base(spark, sf_dir))
+
+
+def _video_cropped_pairs_from(vbase: DataFrame) -> DataFrame:
+    """Arm body over an injected (media_id, px) grid frame (the
+    ``_audio_resampled_pairs_from`` build-once rationale)."""
+    base = vbase.select(
         "media_id",
         F.lit(_VID_SIDE).alias("w"),
         F.lit(_VID_SIDE).alias("h"),
@@ -2831,7 +2875,12 @@ def q_video_resampled_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     the truncating division is engine-trivial), fully
     oracle-replayable. One generic core covers both scale-axis media
     cells; stride = 1 IS the audio tier, byte-identical."""
-    base = _vid_base(spark, sf_dir)
+    return _video_resampled_pairs_from(_vid_base(spark, sf_dir))
+
+
+def _video_resampled_pairs_from(base: DataFrame) -> DataFrame:
+    """Arm body over an injected (media_id, px) grid frame (the
+    ``_audio_resampled_pairs_from`` build-once rationale)."""
     clips = base.unionByName(_vrsmp_twins(base))
     return D.resampled_derivative_pairs(
         clips, factor=2, stride=16, s_col="px"
@@ -2942,7 +2991,12 @@ def q_audio_trimmed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     clips. Boundary (operator docstring): lossless trims only — trim
     composed with re-encode noise needs ssd_tol > 0 and downgrades the
     recall claim to best-effort."""
-    src = _aud_walks(spark, sf_dir)
+    return _audio_trimmed_pairs_from(_aud_walks(spark, sf_dir))
+
+
+def _audio_trimmed_pairs_from(src: DataFrame) -> DataFrame:
+    """Arm body over an injected walk frame (see
+    ``_audio_resampled_pairs_from`` for the build-once rationale)."""
     clips = src.unionByName(_audio_trim_twins(src))
     return D.trimmed_sequence_pairs(
         clips, max_trim=_TRIM_MAX, anchor=_TRIM_ANCHOR
@@ -3093,7 +3147,12 @@ def q_audio_trim_gain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (full_id, trimmed_id, head, tail, ssd) with head/tail in samples
     (gradient-domain offsets equal sample-domain offsets) and
     ssd = 0 over the sign sequences."""
-    src = _aud_walks(spark, sf_dir)
+    return _audio_trim_gain_pairs_from(_aud_walks(spark, sf_dir))
+
+
+def _audio_trim_gain_pairs_from(src: DataFrame) -> DataFrame:
+    """Arm body over an injected walk frame (see
+    ``_audio_resampled_pairs_from`` for the build-once rationale)."""
     twin = _tg_twins(src)
     # barrier BEFORE the sign map (the r13 pushdown lesson, pairs-tier
     # form): _GSIGN_EXPR references s three times per position, and
@@ -3221,7 +3280,12 @@ def q_video_trimmed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     recall 1.0 by construction, integer-exact, fully oracle-replayable.
     stride = 1 IS the audio tier, byte-identical (the
     resampled_derivative_pairs contract)."""
-    base = _vid_base(spark, sf_dir)
+    return _video_trimmed_pairs_from(_vid_base(spark, sf_dir))
+
+
+def _video_trimmed_pairs_from(base: DataFrame) -> DataFrame:
+    """Arm body over an injected (media_id, px) grid frame (the
+    ``_audio_resampled_pairs_from`` build-once rationale)."""
     clips = base.unionByName(_vtrim_twins(base))
     return D.trimmed_sequence_pairs(
         clips,
@@ -3425,36 +3489,44 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_planted_links"),
         ).select(F.lit(axis).alias("axis"), "n_pairs", "n_planted_links")
 
+    # one shared source per modality: each arm's plan is structurally
+    # identical to its registered query (same subtree), but the driver
+    # builds/analyzes the walk/grid derivation once per modality instead
+    # of once per arm (guide §3.3 planning cost; the census build is
+    # measured py4j/parse-bound — ~4 s of its bench-SF reading)
+    aud = _aud_walks(spark, sf_dir)
+    img = _img_quant_base(spark, sf_dir)
+    vid = _vid_base(spark, sf_dir)
     resample = arm(
-        q_audio_resampled_near_dup_pairs(spark, sf_dir),
+        _audio_resampled_pairs_from(aud),
         "audio_resample", "full_id", "resampled_id", _RSMP_TWIN_OFFSET,
     )
     trim = arm(
-        q_audio_trimmed_near_dup_pairs(spark, sf_dir),
+        _audio_trimmed_pairs_from(aud),
         "audio_trim", "full_id", "trimmed_id", _TRIM_TWIN_OFFSET,
     )
     vtrim = arm(
-        q_video_trimmed_near_dup_pairs(spark, sf_dir),
+        _video_trimmed_pairs_from(vid),
         "video_trim", "full_id", "trimmed_id", _VTRIM_TWIN_OFFSET,
     )
     crop = arm(
-        q_image_cropped_near_dup_pairs(spark, sf_dir),
+        _image_cropped_pairs_from(img),
         "crop", "id_a", "id_b", _CROP_TWIN_OFFSET,
     )
     rot = arm(
-        q_image_rotated_dedup(spark, sf_dir),
+        _image_rotated_dedup_from(img),
         "rotation", "keep_id", "dup_id", _ROT_TWIN_OFFSET,
     )
     scale = arm(
-        q_image_thumbnail_pairs(spark, sf_dir),
+        _image_thumbnail_pairs_from(img),
         "scale", "full_id", "thumb_id", _THUMB_TWIN_OFFSET,
     )
     vcrop = arm(
-        q_video_cropped_near_dup_pairs(spark, sf_dir),
+        _video_cropped_pairs_from(vid),
         "video_crop", "id_a", "id_b", _VCROP_TWIN_OFFSET,
     )
     vresample = arm(
-        q_video_resampled_near_dup_pairs(spark, sf_dir),
+        _video_resampled_pairs_from(vid),
         "video_resample", "full_id", "resampled_id", _VRSMP_TWIN_OFFSET,
     )
     return (
@@ -3570,9 +3642,18 @@ def _transform_edges(
 
 
 def _image_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    crop = q_image_cropped_near_dup_pairs(spark, sf_dir)
-    scale = q_image_thumbnail_pairs(spark, sf_dir)
-    rot = q_image_rotated_dedup(spark, sf_dir)
+    return _image_transform_edges_from(_img_quant_base(spark, sf_dir))
+
+
+def _image_transform_edges_from(img: DataFrame) -> DataFrame:
+    """Edge union over ONE shared quantized-grid frame: each arm's plan
+    is structurally identical to its registered query (same subtree),
+    but the driver builds/analyzes the base expression once instead of
+    once per arm (guide §3.3 planning cost; the composites' build is
+    measured py4j/parse-bound)."""
+    crop = _image_cropped_pairs_from(img)
+    scale = _image_thumbnail_pairs_from(img)
+    rot = _image_rotated_dedup_from(img)
     return (
         crop.select(
             F.col("id_a").alias("src"),
@@ -3597,9 +3678,15 @@ def _image_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _audio_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rsmp = q_audio_resampled_near_dup_pairs(spark, sf_dir)
-    trim = q_audio_trimmed_near_dup_pairs(spark, sf_dir)
-    tg = q_audio_trim_gain_pairs(spark, sf_dir)
+    return _audio_transform_edges_from(_aud_walks(spark, sf_dir))
+
+
+def _audio_transform_edges_from(src: DataFrame) -> DataFrame:
+    """Edge union over ONE shared walk frame (the
+    ``_image_transform_edges_from`` build-once rationale)."""
+    rsmp = _audio_resampled_pairs_from(src)
+    trim = _audio_trimmed_pairs_from(src)
+    tg = _audio_trim_gain_pairs_from(src)
     return (
         rsmp.select(
             F.col("full_id").alias("src"),
@@ -3624,9 +3711,15 @@ def _audio_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _video_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    crop = q_video_cropped_near_dup_pairs(spark, sf_dir)
-    rsmp = q_video_resampled_near_dup_pairs(spark, sf_dir)
-    trim = q_video_trimmed_near_dup_pairs(spark, sf_dir)
+    return _video_transform_edges_from(_vid_base(spark, sf_dir))
+
+
+def _video_transform_edges_from(base: DataFrame) -> DataFrame:
+    """Edge union over ONE shared grid frame (the
+    ``_image_transform_edges_from`` build-once rationale)."""
+    crop = _video_cropped_pairs_from(base)
+    rsmp = _video_resampled_pairs_from(base)
+    trim = _video_trimmed_pairs_from(base)
     return (
         crop.select(
             F.col("id_a").alias("src"),
@@ -3971,8 +4064,13 @@ def q_image_resolution_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; member signals come from the same shared plant texts as
     the arms (_crop_corpus / _thumb_twins / _rot_twins), so the score
     table can never desync from the pair detection."""
-    e = _transform_edges(spark, sf_dir, "image", _image_transform_edges_inplan)
-    base, crops = _crop_corpus(spark, sf_dir)
+    # one shared quantized-grid frame feeds the edge arms AND the member
+    # corpus (the census build-once rationale)
+    img = _img_quant_base(spark, sf_dir)
+    e = _transform_edges(
+        spark, sf_dir, "image", lambda sp, sd: _image_transform_edges_from(img)
+    )
+    base, crops = _crop_corpus_from(img)
     members = (
         base.select("media_id", F.col("px").alias("s"))
         .unionByName(crops.select("media_id", F.col("px").alias("s")))
@@ -3980,9 +4078,7 @@ def q_image_resolution_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             _thumb_twins(base).select("media_id", F.col("px").alias("s"))
         )
         .unionByName(
-            _rot_twins(base.select("media_id", "px")).select(
-                "media_id", F.col("px").alias("s")
-            )
+            _rot_twins(img).select("media_id", F.col("px").alias("s"))
         )
     )
     return _keep_best_from_edges(e, members)
@@ -4031,12 +4127,12 @@ def _aud_members_cte() -> str:
     )"""
 
 
-def _audio_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _audio_members(src: DataFrame) -> DataFrame:
     """Spark twin of _aud_members_cte: every audio corpus member's
     signal — walks plus all three planted twin families, via the SAME
     shared plant helpers the arm queries call (the image modality's
-    no-desync rule, closed for audio in r14)."""
-    src = _aud_walks(spark, sf_dir)
+    no-desync rule, closed for audio in r14). Takes the shared walk
+    frame the keep-best builds once per query."""
     return (
         src.unionByName(_rsmp_twins(src))
         .unionByName(_audio_trim_twins(src))
@@ -4058,9 +4154,13 @@ def q_audio_resolution_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine; members from the same plant expressions as the arms.
     (n_px here counts SAMPLES — the shared keep-best tail names the
     column once for all modalities.)"""
+    src = _aud_walks(spark, sf_dir)
     return _keep_best_from_edges(
-        _transform_edges(spark, sf_dir, "audio", _audio_transform_edges_inplan),
-        _audio_members(spark, sf_dir),
+        _transform_edges(
+            spark, sf_dir, "audio",
+            lambda sp, sd: _audio_transform_edges_from(src),
+        ),
+        _audio_members(src),
     )
 
 
@@ -4113,11 +4213,11 @@ def _vid_members_cte() -> str:
     )"""
 
 
-def _video_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _video_members(base: DataFrame) -> DataFrame:
     """Spark twin of _vid_members_cte: every video corpus member's
     pixels — base grids plus the three planted twin families, via the
-    SAME shared plant helpers the arm queries call."""
-    base = _vid_base(spark, sf_dir)
+    SAME shared plant helpers the arm queries call. Takes the shared
+    grid frame the keep-best builds once per query."""
     return (
         base.unionByName(_vcrop_twins(base).select("media_id", "px"))
         .unionByName(_vrsmp_twins(base))
@@ -4139,9 +4239,13 @@ def q_video_resolution_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_id ASC; emit the chosen survivor with the resolution stats.
     All-integer, exact cross-engine, members from the arms' own plant
     texts."""
+    base = _vid_base(spark, sf_dir)
     return _keep_best_from_edges(
-        _transform_edges(spark, sf_dir, "video", _video_transform_edges_inplan),
-        _video_members(spark, sf_dir),
+        _transform_edges(
+            spark, sf_dir, "video",
+            lambda sp, sd: _video_transform_edges_from(base),
+        ),
+        _video_members(base),
     )
 
 
