@@ -50,11 +50,15 @@ def test_verify_first_names_all_resolve():
     assert not missing, missing
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
-    # the r14 window (r13 verdict item 1 + the r14 in-round review):
-    # five r9 stragglers -> seven NEW r14 queries -> five guard-touched
-    # (bench-SF plan changed) -> plan-identical refactor-touched ->
-    # first 23 of the oldest-r10 cohort; the 25 displaced r10
-    # entries keep their r10 stamps and lead the r15 overflow
+    # the r14 window (r13 verdict item 1 + the r14 in-round review +
+    # the r14 OPTIMIZATION rotation): five r9 stragglers -> seven NEW
+    # r14 queries -> five guard-touched (bench-SF plan changed) ->
+    # plan-identical refactor-touched -> the 14 optimization-touched
+    # queries whose executed plan changed this round (CC-convergence
+    # consumers, graph/pipeline rewrites, shared-tokenize retrieval,
+    # map-side capped tiers, walk-prefix-sum audio tier, census) ->
+    # first 9 of the oldest-r10 cohort; the displaced r10 entries keep
+    # their r10 stamps and lead the r15 overflow
     window = list(qs)[:50]
     assert window[:27] == [
         "value_histogram",
@@ -85,6 +89,22 @@ def test_verify_first_names_all_resolve():
         "incremental_trim_probe",
         "incremental_image_dedup_probe",
     ]
+    opt_touched = [
+        "dedup_clusters",
+        "image_dedup_clusters",
+        "cluster_keep_best",
+        "supplier_pagerank",
+        "copurchase_triangles",
+        "training_data_pipeline",
+        "training_data_pipeline_overlap",
+        "related_docs_rrf",
+        "related_docs_rrf_dense",
+        "bm25_topk",
+        "jaccard_top_pairs",
+        "containment_top_pairs",
+        "audio_shifted_near_dup_pairs",
+        "transform_dedup_census",
+    ]
     r10_head = [
         "ann_int_multiprobe_topk",
         "audio_near_dup_pairs",
@@ -95,19 +115,5 @@ def test_verify_first_names_all_resolve():
         "chunk_manifest",
         "chunk_near_dup_pairs",
         "chunk_near_dup_pairs_capped",
-        "chunk_overlap_admission",
-        "contract_quarantine_summary",
-        "data_contract_events",
-        "decoded_image_stats",
-        "decoded_png_stats",
-        "distinct_users_head",
-        "domain_mix_sample",
-        "embedding_drift",
-        "event_type_transitions",
-        "grouped_quantile",
-        "grouping_sets_revenue",
-        "image_dedup_clusters",
-        "image_near_dup_pairs",
-        "image_near_dup_pairs_capped",
     ]
-    assert window[27:50] == r10_head
+    assert window[27:50] == opt_touched + r10_head
