@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    vertices: DataFrame,
+    vertices: DataFrame | None,
     edges: DataFrame,
     id_col: str = "id",
     src: str = "src",
@@ -41,8 +41,17 @@ def connected_components(
     """(id → cluster_id) where cluster_id = min vertex id of the component.
 
     ``vertices``: one row per vertex (isolated vertices become singleton
-    clusters). ``edges``: undirected pairs. Raises after ``max_iter``
-    non-converged rounds rather than returning a partial labeling.
+    clusters), or ``None`` for ENDPOINTS-ONLY mode: the vertex set is
+    exactly the edge endpoints. Callers whose vertex frame is itself
+    derived from the edges (union + distinct — the resolution-family
+    tails) should pass ``None``: the seed's neighbor-min aggregate
+    already keys on every endpoint (``sym`` is symmetrized, so every
+    endpoint appears as ``u``), making the caller's distinct exchange
+    and the seed's left join pure redundancy (guide §2.4 — remove
+    shuffles outright). Identical labeling whenever the explicit frame
+    equals the endpoint set. ``edges``: undirected pairs. Raises after
+    ``max_iter`` non-converged rounds rather than returning a partial
+    labeling.
     """
     # materialize the symmetrized edges ONCE — edges is often an expensive
     # pipeline (e.g. the MinHash cascade) and every round joins against it;
@@ -66,17 +75,25 @@ def connected_components(
     # cannot change the result (guide §2.4: remove work the loop
     # re-derives).
     nbr_min = sym.groupBy("u").agg(F.min("v").alias("__nv__"))
-    labels = (
-        vertices.select(F.col(id_col).alias("u"))
-        .join(nbr_min, "u", "left")
-        .select(
-            "u",
-            F.least(F.col("u"), F.coalesce(F.col("__nv__"), F.col("u"))).alias(
-                "label"
-            ),
+    if vertices is None:
+        # endpoints-only: nbr_min's key set IS the vertex set (sym is
+        # symmetrized), so seed directly — no distinct, no join, and
+        # every __nv__ is non-null by construction
+        labels = nbr_min.select(
+            "u", F.least(F.col("u"), F.col("__nv__")).alias("label")
+        ).localCheckpoint(eager=False)
+    else:
+        labels = (
+            vertices.select(F.col(id_col).alias("u"))
+            .join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("u"), F.coalesce(F.col("__nv__"), F.col("u"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
 
     # Convergence via the MONOTONE INVARIANT instead of an old-vs-new join
     # (r14, guide §2.4 remove shuffles outright / §1.2 fewer passes): each

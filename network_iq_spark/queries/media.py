@@ -3748,17 +3748,16 @@ def _resolution_from_edges(e: DataFrame) -> DataFrame:
     queries: (src, dst, axis) edges → min-label connected components
     over ONLY the duplicate-involved vertices → one row per cluster
     (keep_id, n_members, n_axes, n_dropped). The edge union is
-    checkpointed once and feeds both the CC and the axis rollup."""
+    checkpointed once and feeds both the CC and the axis rollup; the
+    vertex set is exactly the edge endpoints, so the CC runs in
+    endpoints-only mode (vertices=None) — the former union + distinct +
+    seed join was redundant with the CC seed's own neighbor-min
+    aggregate (guide §2.4)."""
     from network_iq_spark.operators import graph as G
 
     e = e.localCheckpoint(eager=False)
-    verts = (
-        e.select(F.col("src").alias("media_id"))
-        .unionByName(e.select(F.col("dst").alias("media_id")))
-        .distinct()
-    )
     cc = G.connected_components(
-        verts, e, id_col="media_id", src="src", dst="dst"
+        None, e, id_col="media_id", src="src", dst="dst"
     )
     stats = cc.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("n_members")
@@ -3960,13 +3959,11 @@ def _keep_best_from_edges(e: DataFrame, members: DataFrame) -> DataFrame:
     from network_iq_spark.operators import graph as G
 
     e = e.localCheckpoint(eager=False)
-    verts = (
-        e.select(F.col("src").alias("media_id"))
-        .unionByName(e.select(F.col("dst").alias("media_id")))
-        .distinct()
-    )
+    # endpoints-only CC (vertices=None): the vertex set is exactly the
+    # edge endpoints, so the former union + distinct + seed join was
+    # redundant with the CC seed's neighbor-min aggregate (guide §2.4)
     cc = G.connected_components(
-        verts, e, id_col="media_id", src="src", dst="dst"
+        None, e, id_col="media_id", src="src", dst="dst"
     )
     stats = cc.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("n_members")

@@ -189,3 +189,28 @@ def test_cc_max_iter_still_raises(spark):
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(verts, edges, max_iter=2)
+
+
+def test_endpoints_only_mode_matches_explicit_vertices(spark):
+    """vertices=None (endpoints-only, the resolution-family shape) must
+    label identically to passing the endpoint set explicitly — on a
+    graph mixing a long chain (multi-round propagation), a star (the
+    transform-arm shape) and a dense pair, with NO isolated vertices
+    (the mode's contract)."""
+    edges = spark.createDataFrame(
+        [(7, 3), (3, 9), (9, 1), (20, 21), (20, 22), (20, 23), (40, 41), (41, 40)],
+        "src bigint, dst bigint",
+    )
+    endpoints = (
+        edges.selectExpr("src as id")
+        .unionByName(edges.selectExpr("dst as id"))
+        .distinct()
+    )
+    explicit = {
+        r.id: r.cluster_id for r in connected_components(endpoints, edges).collect()
+    }
+    auto = {
+        r.id: r.cluster_id for r in connected_components(None, edges).collect()
+    }
+    assert auto == explicit
+    assert auto == {7: 1, 3: 1, 9: 1, 1: 1, 20: 20, 21: 20, 22: 20, 23: 20, 40: 40, 41: 40}
