@@ -3489,14 +3489,18 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_planted_links"),
         ).select(F.lit(axis).alias("axis"), "n_pairs", "n_planted_links")
 
-    # one shared source per modality: each arm's plan is structurally
-    # identical to its registered query (same subtree), but the driver
-    # builds/analyzes the walk/grid derivation once per modality instead
-    # of once per arm (guide §3.3 planning cost; the census build is
-    # measured py4j/parse-bound — ~4 s of its bench-SF reading)
-    aud = _aud_walks(spark, sf_dir)
-    img = _img_quant_base(spark, sf_dir)
-    vid = _vid_base(spark, sf_dir)
+    # one shared source per modality, CHECKPOINTED (materialize-decode-
+    # once, r13 VERDICT item 5 made code in r14): the lazy checkpoint
+    # (a) re-roots every arm normalizer's build-time planning at an RDD
+    # leaf — the walk/quant derivation is planned once per modality
+    # instead of once per arm (the census build is measured
+    # py4j/planning-bound — ~5 s of its bench-SF reading, guide §3.3),
+    # and (b) decodes each modality's corpus ONCE at execution, feeding
+    # all arms, instead of once per arm. The registered arm queries are
+    # untouched (their stamped plans keep deriving from the raw scan).
+    aud = _aud_walks(spark, sf_dir).localCheckpoint(eager=False)
+    img = _img_quant_base(spark, sf_dir).localCheckpoint(eager=False)
+    vid = _vid_base(spark, sf_dir).localCheckpoint(eager=False)
     resample = arm(
         _audio_resampled_pairs_from(aud),
         "audio_resample", "full_id", "resampled_id", _RSMP_TWIN_OFFSET,
@@ -3642,7 +3646,17 @@ def _transform_edges(
 
 
 def _image_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _image_transform_edges_from(_img_quant_base(spark, sf_dir))
+    # materialize-decode-once (r13 VERDICT item 5, made code in r14): the
+    # composite checkpoints the shared quantized frame so (a) every arm
+    # normalizer's build-time checkpoint plans a subtree rooted at the
+    # RDD instead of re-planning the quant derivation per arm (the
+    # census build is measured py4j/planning-bound), and (b) the arms
+    # decode the corpus ONCE at execution instead of once per arm. The
+    # registered arm queries are untouched — they keep deriving from the
+    # raw scan (their stamped plans must not move).
+    return _image_transform_edges_from(
+        _img_quant_base(spark, sf_dir).localCheckpoint(eager=False)
+    )
 
 
 def _image_transform_edges_from(img: DataFrame) -> DataFrame:
@@ -3678,7 +3692,10 @@ def _image_transform_edges_from(img: DataFrame) -> DataFrame:
 
 
 def _audio_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _audio_transform_edges_from(_aud_walks(spark, sf_dir))
+    # materialize-decode-once (see _image_transform_edges_inplan)
+    return _audio_transform_edges_from(
+        _aud_walks(spark, sf_dir).localCheckpoint(eager=False)
+    )
 
 
 def _audio_transform_edges_from(src: DataFrame) -> DataFrame:
@@ -3711,7 +3728,10 @@ def _audio_transform_edges_from(src: DataFrame) -> DataFrame:
 
 
 def _video_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _video_transform_edges_from(_vid_base(spark, sf_dir))
+    # materialize-decode-once (see _image_transform_edges_inplan)
+    return _video_transform_edges_from(
+        _vid_base(spark, sf_dir).localCheckpoint(eager=False)
+    )
 
 
 def _video_transform_edges_from(base: DataFrame) -> DataFrame:
@@ -4062,8 +4082,9 @@ def q_image_resolution_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arms (_crop_corpus / _thumb_twins / _rot_twins), so the score
     table can never desync from the pair detection."""
     # one shared quantized-grid frame feeds the edge arms AND the member
-    # corpus (the census build-once rationale)
-    img = _img_quant_base(spark, sf_dir)
+    # corpus (the census build-once rationale), checkpointed so it is
+    # planned once and decoded once (materialize-decode-once)
+    img = _img_quant_base(spark, sf_dir).localCheckpoint(eager=False)
     e = _transform_edges(
         spark, sf_dir, "image", lambda sp, sd: _image_transform_edges_from(img)
     )
@@ -4151,7 +4172,9 @@ def q_audio_resolution_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine; members from the same plant expressions as the arms.
     (n_px here counts SAMPLES — the shared keep-best tail names the
     column once for all modalities.)"""
-    src = _aud_walks(spark, sf_dir)
+    # checkpointed shared source: planned once, decoded once for the
+    # three edge arms + the member corpus (materialize-decode-once)
+    src = _aud_walks(spark, sf_dir).localCheckpoint(eager=False)
     return _keep_best_from_edges(
         _transform_edges(
             spark, sf_dir, "audio",
@@ -4236,7 +4259,8 @@ def q_video_resolution_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_id ASC; emit the chosen survivor with the resolution stats.
     All-integer, exact cross-engine, members from the arms' own plant
     texts."""
-    base = _vid_base(spark, sf_dir)
+    # checkpointed shared source (materialize-decode-once)
+    base = _vid_base(spark, sf_dir).localCheckpoint(eager=False)
     return _keep_best_from_edges(
         _transform_edges(
             spark, sf_dir, "video",
