@@ -55,11 +55,15 @@ def connected_components(
     """
     # materialize the symmetrized edges ONCE — edges is often an expensive
     # pipeline (e.g. the MinHash cascade) and every round joins against it;
-    # without this the lineage re-executes that pipeline per round
+    # without this the lineage re-executes that pipeline per round. LAZY
+    # checkpoint (r15): the seed-state aggregate below is the first action
+    # to touch sym, so its job materializes the checkpoint — one
+    # driver-blocking job instead of two before the loop starts; rounds
+    # still read the checkpointed blocks exactly as with eager=True
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Seed labels with round 1 ALREADY APPLIED: label(u) = min(u, min
     # neighbor id). With identity labels, the loop's first iteration
@@ -207,13 +211,21 @@ def connected_components_two_phase(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # canonical-form fixpoint: both stars emit (larger → smaller) pairs,
-        # so plain set equality via two anti-joins decides convergence
-        grew = new_e.join(e, ["u", "v"], "left_anti").count()
-        shrank = e.join(new_e, ["u", "v"], "left_anti").count()
+        # so plain SET equality (both anti-join directions empty) decides
+        # convergence. The two anti-joins are unioned and counted in ONE
+        # action (r15, guide §1.2 fewer passes): the lazy checkpoint is
+        # materialized by that same count, so each round pays one
+        # driver-blocking action instead of three (eager checkpoint + two
+        # counts) — the set-equality predicate itself is unchanged.
+        changed = (
+            new_e.join(e, ["u", "v"], "left_anti")
+            .unionByName(e.join(new_e, ["u", "v"], "left_anti"))
+            .count()
+        )
         e = new_e
-        if grew == 0 and shrank == 0:
+        if changed == 0:
             parents = e.select(F.col("u").alias(id_col), F.col("v").alias("cluster_id"))
             return (
                 vertices.select(id_col)

@@ -17,6 +17,30 @@ from network_iq_spark.operators import multimodal as M
 from network_iq_spark.registry import register
 from network_iq_spark.sources import load_table
 
+
+def _pbuild(*thunks):
+    """Construct independent DataFrame subtrees on a small thread pool and
+    return them in input order (r15, VERDICT item 2). The composites' plan
+    CONSTRUCTION is the measured bottleneck at bench SF — ~7,000 py4j
+    round-trips per census build, each a blocking socket read that releases
+    the GIL, plus one eager JVM analysis pass per DataFrame op — so
+    building the arms serially leaves both the driver's Python thread and
+    the JVM analyzer idle most of the time. Overlapping the builds is guide
+    §2.6 applied to driver-side planning; each arm's own plan is built by
+    exactly one thread, the subtrees are combined afterwards in the same
+    fixed order as before, and no job can observe the overlap (the arm
+    bodies are lazy), so plans and results are unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        return [f.result() for f in futs]
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------
@@ -2441,16 +2465,18 @@ def q_media_near_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_hamming",
         )
 
-    return (
-        arm(q_audio_near_dup_pairs(spark, sf_dir), "audio", _WHASH_TWIN_OFFSET)
-        .unionByName(
-            arm(q_image_near_dup_pairs(spark, sf_dir), "image", _DHASH_TWIN_OFFSET)
-        )
-        .unionByName(
-            arm(q_video_near_dup_pairs(spark, sf_dir), "video", _VHASH_TWIN_OFFSET)
-        )
-        .orderBy("modality")
+    aud, img, vid = _pbuild(
+        lambda: arm(
+            q_audio_near_dup_pairs(spark, sf_dir), "audio", _WHASH_TWIN_OFFSET
+        ),
+        lambda: arm(
+            q_image_near_dup_pairs(spark, sf_dir), "image", _DHASH_TWIN_OFFSET
+        ),
+        lambda: arm(
+            q_video_near_dup_pairs(spark, sf_dir), "video", _VHASH_TWIN_OFFSET
+        ),
     )
+    return aud.unionByName(img).unionByName(vid).orderBy("modality")
 
 
 _ROT_TWIN_EVERY, _ROT_TWIN_OFFSET = 10, 3_000_000
@@ -3501,37 +3527,42 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     aud = _aud_walks(spark, sf_dir).localCheckpoint(eager=False)
     img = _img_quant_base(spark, sf_dir).localCheckpoint(eager=False)
     vid = _vid_base(spark, sf_dir).localCheckpoint(eager=False)
-    resample = arm(
-        _audio_resampled_pairs_from(aud),
-        "audio_resample", "full_id", "resampled_id", _RSMP_TWIN_OFFSET,
-    )
-    trim = arm(
-        _audio_trimmed_pairs_from(aud),
-        "audio_trim", "full_id", "trimmed_id", _TRIM_TWIN_OFFSET,
-    )
-    vtrim = arm(
-        _video_trimmed_pairs_from(vid),
-        "video_trim", "full_id", "trimmed_id", _VTRIM_TWIN_OFFSET,
-    )
-    crop = arm(
-        _image_cropped_pairs_from(img),
-        "crop", "id_a", "id_b", _CROP_TWIN_OFFSET,
-    )
-    rot = arm(
-        _image_rotated_dedup_from(img),
-        "rotation", "keep_id", "dup_id", _ROT_TWIN_OFFSET,
-    )
-    scale = arm(
-        _image_thumbnail_pairs_from(img),
-        "scale", "full_id", "thumb_id", _THUMB_TWIN_OFFSET,
-    )
-    vcrop = arm(
-        _video_cropped_pairs_from(vid),
-        "video_crop", "id_a", "id_b", _VCROP_TWIN_OFFSET,
-    )
-    vresample = arm(
-        _video_resampled_pairs_from(vid),
-        "video_resample", "full_id", "resampled_id", _VRSMP_TWIN_OFFSET,
+    # the eight arm subtrees are built concurrently (_pbuild — plan
+    # construction is the census's measured bottleneck); the union below
+    # consumes them in the same fixed order as the former serial build
+    resample, trim, crop, rot, scale, vcrop, vresample, vtrim = _pbuild(
+        lambda: arm(
+            _audio_resampled_pairs_from(aud),
+            "audio_resample", "full_id", "resampled_id", _RSMP_TWIN_OFFSET,
+        ),
+        lambda: arm(
+            _audio_trimmed_pairs_from(aud),
+            "audio_trim", "full_id", "trimmed_id", _TRIM_TWIN_OFFSET,
+        ),
+        lambda: arm(
+            _image_cropped_pairs_from(img),
+            "crop", "id_a", "id_b", _CROP_TWIN_OFFSET,
+        ),
+        lambda: arm(
+            _image_rotated_dedup_from(img),
+            "rotation", "keep_id", "dup_id", _ROT_TWIN_OFFSET,
+        ),
+        lambda: arm(
+            _image_thumbnail_pairs_from(img),
+            "scale", "full_id", "thumb_id", _THUMB_TWIN_OFFSET,
+        ),
+        lambda: arm(
+            _video_cropped_pairs_from(vid),
+            "video_crop", "id_a", "id_b", _VCROP_TWIN_OFFSET,
+        ),
+        lambda: arm(
+            _video_resampled_pairs_from(vid),
+            "video_resample", "full_id", "resampled_id", _VRSMP_TWIN_OFFSET,
+        ),
+        lambda: arm(
+            _video_trimmed_pairs_from(vid),
+            "video_trim", "full_id", "trimmed_id", _VTRIM_TWIN_OFFSET,
+        ),
     )
     return (
         resample.unionByName(trim)
@@ -3665,9 +3696,11 @@ def _image_transform_edges_from(img: DataFrame) -> DataFrame:
     but the driver builds/analyzes the base expression once instead of
     once per arm (guide §3.3 planning cost; the composites' build is
     measured py4j/parse-bound)."""
-    crop = _image_cropped_pairs_from(img)
-    scale = _image_thumbnail_pairs_from(img)
-    rot = _image_rotated_dedup_from(img)
+    crop, scale, rot = _pbuild(
+        lambda: _image_cropped_pairs_from(img),
+        lambda: _image_thumbnail_pairs_from(img),
+        lambda: _image_rotated_dedup_from(img),
+    )
     return (
         crop.select(
             F.col("id_a").alias("src"),
@@ -3701,9 +3734,11 @@ def _audio_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame
 def _audio_transform_edges_from(src: DataFrame) -> DataFrame:
     """Edge union over ONE shared walk frame (the
     ``_image_transform_edges_from`` build-once rationale)."""
-    rsmp = _audio_resampled_pairs_from(src)
-    trim = _audio_trimmed_pairs_from(src)
-    tg = _audio_trim_gain_pairs_from(src)
+    rsmp, trim, tg = _pbuild(
+        lambda: _audio_resampled_pairs_from(src),
+        lambda: _audio_trimmed_pairs_from(src),
+        lambda: _audio_trim_gain_pairs_from(src),
+    )
     return (
         rsmp.select(
             F.col("full_id").alias("src"),
@@ -3737,9 +3772,11 @@ def _video_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame
 def _video_transform_edges_from(base: DataFrame) -> DataFrame:
     """Edge union over ONE shared grid frame (the
     ``_image_transform_edges_from`` build-once rationale)."""
-    crop = _video_cropped_pairs_from(base)
-    rsmp = _video_resampled_pairs_from(base)
-    trim = _video_trimmed_pairs_from(base)
+    crop, rsmp, trim = _pbuild(
+        lambda: _video_cropped_pairs_from(base),
+        lambda: _video_resampled_pairs_from(base),
+        lambda: _video_trimmed_pairs_from(base),
+    )
     return (
         crop.select(
             F.col("id_a").alias("src"),
@@ -3979,12 +4016,37 @@ def _keep_best_from_edges(e: DataFrame, members: DataFrame) -> DataFrame:
     from network_iq_spark.operators import graph as G
 
     e = e.localCheckpoint(eager=False)
-    # endpoints-only CC (vertices=None): the vertex set is exactly the
-    # edge endpoints, so the former union + distinct + seed join was
-    # redundant with the CC seed's neighbor-min aggregate (guide §2.4)
-    cc = G.connected_components(
-        None, e, id_col="media_id", src="src", dst="dst"
+    # Score the member corpus and MATERIALIZE the scored frame DURING the
+    # CC fixpoint (r15, VERDICT item 6; guide §2.6 overlap independent
+    # jobs): the CC loop is driver-sequential (one blocking action per
+    # round), so the scoring job back-fills the executors the rounds
+    # leave idle. This also reverses r14's score-after-the-join ordering
+    # deliberately: scoring first shuffles (media_id, n_px, var_units) —
+    # ~3 ints per row — into the cc join instead of the 64-element s
+    # array the join exchange previously carried (guide §2.3 shuffle
+    # fewer bytes / shuffle keys-and-metadata, §8); the extra cost is the
+    # three integer folds on non-duplicate members, a map-side expression
+    # per row vs an order-of-magnitude narrower exchange. Results are
+    # byte-identical: same scoring expressions, same window, same
+    # media_id tie-break.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    scored_plan = members.select(
+        "media_id",
+        F.expr("cast(size(s) as int)").alias("n_px"),
+        F.expr(_VAR_UNITS_EXPR.format(v="s")).alias("var_units"),
     )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(inheritable_thread_target(scored_plan.localCheckpoint))
+        # endpoints-only CC (vertices=None): the vertex set is exactly the
+        # edge endpoints, so the former union + distinct + seed join was
+        # redundant with the CC seed's neighbor-min aggregate (guide §2.4)
+        cc = G.connected_components(
+            None, e, id_col="media_id", src="src", dst="dst"
+        )
+        scored = fut.result()
     stats = cc.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("n_members")
     )
@@ -3996,20 +4058,9 @@ def _keep_best_from_edges(e: DataFrame, members: DataFrame) -> DataFrame:
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_px").desc(), F.col("var_units").desc(), F.col("media_id").asc()
     )
-    # join FIRST, score after: the n_px/var_units aggregates (three
-    # 64-element lambda folds per row) then run only over the
-    # duplicate-involved members the CC join keeps, not the whole
-    # corpus — Catalyst has no rule that pulls an expensive projection
-    # above a join, so the pre-join ordering paid the fold on every
-    # corpus row (guide §2.3: reduce the side before the work).
     keepers = (
-        cc.join(members, "media_id")
-        .select(
-            "cluster_id",
-            "media_id",
-            F.expr("cast(size(s) as int)").alias("n_px"),
-            F.expr(_VAR_UNITS_EXPR.format(v="s")).alias("var_units"),
-        )
+        cc.join(scored, "media_id")
+        .select("cluster_id", "media_id", "n_px", "var_units")
         .withColumn("__rk__", F.row_number().over(w))
         .filter(F.col("__rk__") == 1)
         .select(

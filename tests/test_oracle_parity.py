@@ -50,22 +50,21 @@ def _sortkey(row):
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, sf_dir):
+def test_query_matches_oracle(name, spark, sf_dir, registry_prefetch):
+    # Spark rows and the DuckDB oracle result come from the session-scoped
+    # prefetch (built once per sf_dir, overlapped in a thread pool — see
+    # conftest._RegistryPrefetch); the comparison below is unchanged.
+    entry = registry_prefetch.entry(sf_dir, name)
     if name not in ORACLES:
         # rows-only check for non-SQL-expressible ops (driver does the same)
-        rows = QUERIES[name](spark, sf_dir).collect()
-        assert rows is not None
+        assert entry["rows"] is not None
         return
 
-    sdf = QUERIES[name](spark, sf_dir)
-    spark_cols = sorted(sdf.columns)
-    spark_rows = [tuple(_norm(r[c]) for c in spark_cols) for r in sdf.collect()]
+    spark_cols = sorted(entry["cols"])
+    spark_rows = [tuple(_norm(r[c]) for c in spark_cols) for r in entry["rows"]]
 
-    con = _duck(sf_dir)
-    res = con.execute(ORACLES[name])
-    duck_cols_raw = [d[0] for d in res.description]
-    duck_all = res.fetchall()
-    con.close()
+    duck_cols_raw = entry["duck_desc"]
+    duck_all = entry["duck_rows"]
 
     duck_cols = sorted(duck_cols_raw)
     assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"

@@ -74,14 +74,13 @@ def _spark_norm(t) -> str:
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_schema_matches_spark(name, spark, sf_dir):
-    sdf = QUERIES[name](spark, sf_dir)
-    spark_types = {f.name: _spark_norm(f.dataType) for f in sdf.schema.fields}
-
-    con = _duck(sf_dir)
-    tbl = con.execute(ORACLES[name]).fetch_arrow_table()
-    con.close()
-    duck_types = {f.name: _arrow_norm(f.type) for f in tbl.schema}
+def test_oracle_schema_matches_spark(name, spark, sf_dir, registry_prefetch):
+    # schemas come from the session-scoped prefetch (one Spark build + one
+    # DuckDB arrow fetch per query per sf_dir — conftest._RegistryPrefetch);
+    # the comparison below is unchanged.
+    entry = registry_prefetch.entry(sf_dir, name)
+    spark_types = {f.name: _spark_norm(f.dataType) for f in entry["schema"].fields}
+    duck_types = {f.name: _arrow_norm(f.type) for f in entry["duck_arrow_schema"]}
 
     assert sorted(spark_types) == sorted(duck_types), (
         f"{name}: column mismatch {sorted(spark_types)} vs {sorted(duck_types)}"

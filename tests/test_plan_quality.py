@@ -11,10 +11,20 @@ from network_iq_spark.registry import QUERIES
 
 SF = "/root/testdata/sf0.001"
 
+# plan text comes from the session-scoped registry prefetch (one build per
+# query per sf, overlapped in a thread pool — conftest._RegistryPrefetch);
+# the autouse bridge keeps every _plan(spark, name) call site unchanged.
+_PF: dict = {"pf": None}
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _prefetch_bridge(registry_prefetch):
+    _PF["pf"] = registry_prefetch
+    yield
+
 
 def _plan(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return _PF["pf"].entry(SF, name)["plan"]
 
 
 def test_no_unpartitioned_window_in_any_registry_plan(spark):
