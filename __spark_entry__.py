@@ -26,103 +26,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks a 50-query prefix of this dict per round. Surface
-# the queries with the least external verification first. After the r13
-# window, stamps stand at 50 r13 / 48 r12 / 48 r11 / 48 r10 / 5 r9 with
-# every oracle-paired query externally stamped at least once. The r14
-# window (per the r13 verdict's committed overflow order): the five
-# r9-stamped stragglers lead, then the seven NEW r14 queries (the
-# audio/video cross-axis resolutions, the three per-modality keep-best
-# policies, the trim∘gain composed tier, and the admission manifest),
-# then the r14-TOUCHED queries — FIRST the five whose bench-SF executed
-# plan CHANGED (the min_bytes guards: token_stats, doc_fingerprints,
-# ivf_int_recenter_stats, and the two resample tiers — the r13
-# multimodal_features precedent: a guard is a plan change and leads the
-# window), THEN the plan-identical helper refactors (image arms +
-# image_transform_resolution from r14a; the audio trim / video crop /
-# video trim arms whose twin plants moved into the shared helpers the
-# keep-best member corpora consume) and the artifact-root-gated probes.
-# Then (r14 optimization rounds) the queries whose executed plan the
-# optimization commits CHANGED — the CC-convergence consumers
-# (dedup_clusters, image_dedup_clusters, cluster_keep_best), the graph
-# rewrites (supplier_pagerank, copurchase_triangles), the window-dedup
-# pipeline pair, the shared-tokenize retrieval pair + bm25_topk, the
-# map-side capped tiers (jaccard/containment_top_pairs) and the
-# walk-prefix-sum audio tier (audio_shifted_near_dup_pairs) — results
-# oracle-pinned locally, fresh external stamps prioritized over
-# refreshing unchanged r10 stamps. The remaining slots take the
-# oldest-r10 cohort alphabetically; the displaced r10 entries keep
-# their r10 stamps and lead the committed r15 overflow.
-# (r14 optimization update: transform_dedup_census JOINED the window —
-# the shared-source arm composition and the lambda-form crop verify
-# changed its executed plan, so the "stays out" rationale below no
-# longer holds; it displaced chunk_overlap_admission to the overflow
-# head.) Original mid-build rationale — transform_dedup_census stays
-# out: its 8-arm composition
-# is unchanged (the composed trim∘gain axis lives on the resolution/
-# admission surface, not in the matrix census) and the arm refactors
-# are plan-identical, pinned by the arms' own re-stamps. The r14 jpeg
-# edit (assert → RuntimeError on an internal-constants invariant) is
-# guarded-input-only — the r13 rule — so decoded_jpeg* stamps remain
-# representative.
+# the queries with the least external verification first. After the r14
+# window every member of it holds an r14 stamp; remaining stamps stand at
+# 37 r13 / 39 r12 / 43 r11 / 37 r10. The r15 window (per the r14 verdict's
+# committed overflow order + the same plan-change discipline): FIRST the
+# seven queries whose bench-SF executed plan the r15 optimization commits
+# CHANGED (diff-verified modulo expression/RDD ids against plans/r15/):
+# the three capped-tier consumers whose candidate stage reverted to the
+# rare⋈rare join form after the scale A/B refuted the r14 posting form
+# (jaccard/containment_top_pairs, lsh_quality_report — Exchange 22→24 /
+# 44→48 / 32→34), and the keep-best family whose member scoring moved
+# BEFORE the CC join, collapsing the 4-source members union to one
+# pre-scored frame (image/audio/video_resolution_keep_best + the
+# admission manifest that composes them). The OTHER r15-touched queries
+# (dedup_clusters, census, media_near_dup_census, cluster_keep_best,
+# *_transform_resolution) are runtime-only changes — threaded plan
+# construction, lazy checkpoint materialization, CC-loop overlap — whose
+# executed plans are byte-identical modulo RDD ids (plans/r15/), and
+# they all hold fresh r14 stamps, so they stay out. THEN the committed
+# r15 overflow verbatim: chunk_overlap_admission leads, then the
+# displaced-r10 cohort alphabetically (36 entries), then the first six
+# of the r11 cohort (ann_ivfpq_topk .. centered_mavg_volume). The
+# displaced r11 entries keep their r11 stamps and lead the committed
+# r16 overflow below the boundary.
 _VERIFY_FIRST = [
-    "value_histogram",
-    "vocab_coverage",
-    "winnow_overlap_pairs",
-    "winnowing_fingerprints",
-    "winsorized_profile",
-    "audio_transform_resolution",
-    "video_transform_resolution",
+    "jaccard_top_pairs",
+    "containment_top_pairs",
+    "lsh_quality_report",
     "image_resolution_keep_best",
     "audio_resolution_keep_best",
     "video_resolution_keep_best",
-    "audio_trim_gain_pairs",
     "transform_admission_manifest",
-    "token_stats",
-    "doc_fingerprints",
-    "ivf_int_recenter_stats",
-    "audio_resampled_near_dup_pairs",
-    "video_resampled_near_dup_pairs",
-    "image_cropped_near_dup_pairs",
-    "image_thumbnail_pairs",
-    "image_rotated_dedup",
-    "image_transform_resolution",
-    "audio_trimmed_near_dup_pairs",
-    "video_cropped_near_dup_pairs",
-    "video_trimmed_near_dup_pairs",
-    "incremental_resample_probe",
-    "incremental_trim_probe",
-    "incremental_image_dedup_probe",
-    # r14 OPTIMIZATION-touched (plan changed this round, results
-    # oracle-pinned locally — fresh external stamps take priority over
-    # refreshing unchanged r10 stamps): the CC-convergence consumers,
-    # the graph/pipeline rewrites, the shared-tokenize retrieval pair,
-    # and the map-side capped tiers.
-    "dedup_clusters",
-    "image_dedup_clusters",
-    "cluster_keep_best",
-    "supplier_pagerank",
-    "copurchase_triangles",
-    "training_data_pipeline",
-    "training_data_pipeline_overlap",
-    "related_docs_rrf",
-    "related_docs_rrf_dense",
-    "bm25_topk",
-    "jaccard_top_pairs",
-    "containment_top_pairs",
-    "audio_shifted_near_dup_pairs",
-    "transform_dedup_census",
-    "ann_int_multiprobe_topk",
-    "audio_near_dup_pairs",
-    "bucketed_order_lineitem",
-    "calendar_features",
-    "cast_coercion",
-    "chunk_bm25_topk",
-    "chunk_manifest",
-    "chunk_near_dup_pairs",
-    "chunk_near_dup_pairs_capped",
-    # --- 50-slot window boundary ---
-    # overflow, r15-priority order: the displaced r10 entries, then
-    # the r11 cohort, alphabetical
     "chunk_overlap_admission",
     "contract_quarantine_summary",
     "data_contract_events",
@@ -160,6 +94,50 @@ _VERIFY_FIRST = [
     "video_near_dup_pairs",
     "vocab_drift_top_movers",
     "weighted_discount",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "bpe_train_merges",
+    "brand_top_parts",
+    "centered_mavg_volume",
+    # --- 50-slot window boundary ---
+    # overflow, r16-priority order: the displaced r11 cohort, alphabetical
+    "cohort_retention",
+    "customers_without_orders",
+    "decoded_audio_stats",
+    "decoded_video_stats",
+    "dedup_keep_last",
+    "event_type_domains",
+    "funnel_steps",
+    "group_safe_splits",
+    "hourly_baseline",
+    "hourly_compare_unpivot",
+    "hourly_profile",
+    "hourly_type_pivot",
+    "html_extract",
+    "incremental_image_crop_probe",
+    "json_props_stats",
+    "kpi_cards",
+    "latest_snapshot",
+    "minmax_norm",
+    "nation_supplier_balance",
+    "order_line_rollup",
+    "order_priority_stats",
+    "order_snapshot_diff",
+    "pricing_summary",
+    "quality_psi_drift",
+    "recursive_copurchase_reach",
+    "regional_revenue",
+    "risky_hours",
+    "rolling_features",
+    "segment_acctbal_stats",
+    "sequence_packing",
+    "simhash60_pairs",
+    "stratified_sample_counts",
+    "top_revenue_customers",
+    "url_canonical_dedup",
+    "video_frame_shifted_pairs",
+    "zscore_top_anomalies",
 ]
 
 

@@ -118,31 +118,24 @@ def jaccard_pairs(
     )
 
 
-def _rare_posting_pairs(rare: DataFrame, id_col: str) -> DataFrame:
-    """Distinct (doc_a < doc_b) candidate pairs from a frequency-capped
-    (doc, shingle) grain WITHOUT the rare⋈rare self-join (r14, guide
-    §2.4 — the copurchase_triangles pattern): the df cap bounds each
-    surviving shingle's posting at max_df docs, so collect the posting
-    into one sorted array and emit the a < b pairs map-side — ONE
-    shuffle of the rare grain (the groupBy) instead of two self-join
-    inputs, and the ≤ max_df² per-shingle fanout never crosses an
-    exchange as join input. (doc, shingle) rows are unique by
-    ``shingles``'s DISTINCT, so collect_list carries no duplicate ids;
-    the pair set is identical to the join + a<b filter form."""
+def _rare_cand_pairs(rare: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from the frequency-capped
+    (doc, shingle) grain via the rare⋈rare self-join. r14 replaced this
+    with a map-side sorted-posting comprehension (collect each df-capped
+    posting, emit a<b pairs in one projection) claiming shuffle scaling;
+    r15's interleaved scale A/B (scripts/capped_tier_ab.py, synthesized
+    1x/3x/10x corpora) REFUTED that claim — the posting form was flat
+    ~1.8-1.9s across sizes while this join form fell to 0.9-1.3s at 10x
+    (the df cap shrinks the rare grain as the corpus grows, so the join's
+    inputs stay small while the posting form pays its groupBy + explode +
+    distinct chain regardless), so the join form is back (the BM25-dl
+    negative-result precedent). Numbers in OPTIMIZATION_r15.md."""
+    a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
     return (
-        rare.groupBy("shingle")
-        .agg(F.collect_list(id_col).alias("__ds__"))
-        .select(F.array_sort("__ds__").alias("__ds__"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ds__, (x, i) -> "
-                    "transform(slice(__ds__, i + 2, size(__ds__) - i - 1), "
-                    "y -> struct(x as doc_a, y as doc_b))))"
-                )
-            ).alias("__p__")
-        )
-        .select("__p__.doc_a", "__p__.doc_b")
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -182,7 +175,7 @@ def jaccard_pairs_capped(
     # anti-join on the shingle key is the shape that survives 100 TB; AQE
     # still converts it to broadcast at runtime when the set is small.
     rare = sh.join(stop, "shingle", "left_anti")
-    cand = _rare_posting_pairs(rare, id_col)
+    cand = _rare_cand_pairs(rare, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -229,7 +222,7 @@ def containment_pairs_capped(
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df__"))
     stop = dfreq.filter(F.col("__df__") > max_df).select("shingle")
     rare = sh.join(stop, "shingle", "left_anti")
-    cand = _rare_posting_pairs(rare, id_col)
+    cand = _rare_cand_pairs(rare, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -2647,10 +2640,24 @@ def _lm_vote_best(joined: DataFrame, a: str, b: str, min_votes: int) -> DataFram
     pos_b), count agreeing tokens, keep each pair's best offset (most
     votes, then smallest |offset|, then the positive one — a
     deterministic total order, the shifted tier's struct-ordering rule)
-    when it reaches ``min_votes``."""
-    votes = joined.groupBy(
-        a, b, (F.col("__pa__") - F.col("__pb__")).alias("offset")
-    ).agg(F.count("*").alias("votes"))
+    when it reaches ``min_votes``.
+
+    ONE exchange, not two (r15, guide §2.4 "two operations keyed the
+    same way can share one exchange"): random token collisions make the
+    (pair, offset) groups ~90% unique (measured at bench SF: 889k join
+    rows -> 776k vote groups), so the per-offset count's partial
+    aggregation reduced nothing and the match table crossed the wire
+    twice — once hashed by (a, b, offset), once by (a, b). Partitioning
+    by the COARSER key (a, b) up front satisfies the clustering
+    requirement of BOTH aggregations (same-pair rows are co-located, so
+    same-(pair, offset) rows are too), and AQE still coalesces the one
+    exchange. Vote stage 2.83 s -> 1.88 s at bench SF, output
+    bit-identical (same aggregations, different distribution)."""
+    votes = (
+        joined.repartition(a, b)
+        .groupBy(a, b, (F.col("__pa__") - F.col("__pb__")).alias("offset"))
+        .agg(F.count("*").alias("votes"))
+    )
     return (
         votes.groupBy(a, b)
         .agg(

@@ -36,13 +36,38 @@ CONTAIN_T = 0.6  # llmdata._CONTAIN_THRESHOLD
 
 
 def _join_form_cand(rare: DataFrame, id_col: str) -> DataFrame:
-    """The pre-r14 candidate stage verbatim (rare⋈rare self-join)."""
+    """The pre-r14 candidate stage verbatim (rare⋈rare self-join) —
+    re-shipped as operators/dedup._rare_cand_pairs after this A/B
+    refuted the posting form's scale claim."""
     a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
     b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
     return (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _posting_form_cand(rare: DataFrame, id_col: str) -> DataFrame:
+    """The r14 map-side sorted-posting candidate stage verbatim
+    (collect each df-capped posting, emit a<b pairs in one projection;
+    was operators/dedup._rare_posting_pairs until this A/B measured it
+    1.35-2.1x SLOWER than the join form at 10x and r15 reverted it)."""
+    return (
+        rare.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("__ds__"))
+        .select(F.array_sort("__ds__").alias("__ds__"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ds__, (x, i) -> "
+                    "transform(slice(__ds__, i + 2, size(__ds__) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("__p__")
+        )
+        .select("__p__.doc_a", "__p__.doc_b")
         .distinct()
     )
 
@@ -105,7 +130,7 @@ def main() -> None:
 
         # equality first: identical top-100 (order-insensitive set of rows)
         post_rows = sorted(
-            map(tuple, _jaccard_capped_with(sh, D._rare_posting_pairs, 0.0, MAX_DF).collect())
+            map(tuple, _jaccard_capped_with(sh, _posting_form_cand, 0.0, MAX_DF).collect())
         )
         join_rows = sorted(
             map(tuple, _jaccard_capped_with(sh, _join_form_cand, 0.0, MAX_DF).collect())
@@ -116,7 +141,7 @@ def main() -> None:
         for i in range(runs):
             order = ["posting", "join"] if i % 2 == 0 else ["join", "posting"]
             for form in order:
-                fn = D._rare_posting_pairs if form == "posting" else _join_form_cand
+                fn = _posting_form_cand if form == "posting" else _join_form_cand
                 spark._jvm.System.gc()
                 best[form] = min(
                     best[form], timed(_jaccard_capped_with(sh, fn, 0.0, MAX_DF))

@@ -50,70 +50,70 @@ def test_verify_first_names_all_resolve():
     assert not missing, missing
     # the sheet is 100% oracle-paired (bench-only queries are filtered out)
     assert set(e.oracle_sql()) == set(qs)
-    # the r14 window (r13 verdict item 1 + the r14 in-round review +
-    # the r14 OPTIMIZATION rotation): five r9 stragglers -> seven NEW
-    # r14 queries -> five guard-touched (bench-SF plan changed) ->
-    # plan-identical refactor-touched -> the 14 optimization-touched
-    # queries whose executed plan changed this round (CC-convergence
-    # consumers, graph/pipeline rewrites, shared-tokenize retrieval,
-    # map-side capped tiers, walk-prefix-sum audio tier, census) ->
-    # first 9 of the oldest-r10 cohort; the displaced r10 entries keep
-    # their r10 stamps and lead the r15 overflow
+    # the r15 window (r14 verdict item 8 + the same plan-change
+    # discipline): the seven queries whose bench-SF executed plan the
+    # r15 optimization commits CHANGED lead (the three capped-tier
+    # revert consumers + the score-before-join keep-best family), then
+    # the committed r15 overflow verbatim (chunk_overlap_admission +
+    # the displaced-r10 cohort alphabetically + the first six of the
+    # r11 cohort); the displaced r11 entries keep their r11 stamps and
+    # lead the committed r16 overflow.
     window = list(qs)[:50]
-    assert window[:27] == [
-        "value_histogram",
-        "vocab_coverage",
-        "winnow_overlap_pairs",
-        "winnowing_fingerprints",
-        "winsorized_profile",
-        "audio_transform_resolution",
-        "video_transform_resolution",
+    plan_changed_r15 = [
+        "jaccard_top_pairs",
+        "containment_top_pairs",
+        "lsh_quality_report",
         "image_resolution_keep_best",
         "audio_resolution_keep_best",
         "video_resolution_keep_best",
-        "audio_trim_gain_pairs",
         "transform_admission_manifest",
-        "token_stats",
-        "doc_fingerprints",
-        "ivf_int_recenter_stats",
-        "audio_resampled_near_dup_pairs",
-        "video_resampled_near_dup_pairs",
-        "image_cropped_near_dup_pairs",
-        "image_thumbnail_pairs",
-        "image_rotated_dedup",
-        "image_transform_resolution",
-        "audio_trimmed_near_dup_pairs",
-        "video_cropped_near_dup_pairs",
-        "video_trimmed_near_dup_pairs",
-        "incremental_resample_probe",
-        "incremental_trim_probe",
-        "incremental_image_dedup_probe",
     ]
-    opt_touched = [
-        "dedup_clusters",
-        "image_dedup_clusters",
-        "cluster_keep_best",
-        "supplier_pagerank",
-        "copurchase_triangles",
-        "training_data_pipeline",
-        "training_data_pipeline_overlap",
-        "related_docs_rrf",
-        "related_docs_rrf_dense",
-        "bm25_topk",
-        "jaccard_top_pairs",
-        "containment_top_pairs",
-        "audio_shifted_near_dup_pairs",
-        "transform_dedup_census",
+    assert window[:7] == plan_changed_r15
+    r10_cohort = [
+        "chunk_overlap_admission",
+        "contract_quarantine_summary",
+        "data_contract_events",
+        "decoded_image_stats",
+        "decoded_png_stats",
+        "distinct_users_head",
+        "domain_mix_sample",
+        "embedding_drift",
+        "event_type_transitions",
+        "grouped_quantile",
+        "grouping_sets_revenue",
+        "image_near_dup_pairs",
+        "image_near_dup_pairs_capped",
+        "incremental_ann_topk",
+        "incremental_chunk_near_dup",
+        "incremental_image_dedup",
+        "ivf_centroid_join_topk",
+        "lang_sample_k",
+        "lateral_top_orders",
+        "media_dhash_index",
+        "media_near_dup_census",
+        "nation_trade_volume",
+        "ordered_preview",
+        "packing_efficiency",
+        "parts_bought_together",
+        "pii_redact",
+        "quantized_cosine_topk",
+        "salted_event_stats",
+        "session_window_stats",
+        "sessionize",
+        "shipping_priority",
+        "span_corruption_manifest",
+        "time_sliced_rolling",
+        "variant_props_stats",
+        "video_near_dup_pairs",
+        "vocab_drift_top_movers",
+        "weighted_discount",
     ]
-    r10_head = [
-        "ann_int_multiprobe_topk",
-        "audio_near_dup_pairs",
-        "bucketed_order_lineitem",
-        "calendar_features",
-        "cast_coercion",
-        "chunk_bm25_topk",
-        "chunk_manifest",
-        "chunk_near_dup_pairs",
-        "chunk_near_dup_pairs_capped",
+    r11_head = [
+        "ann_ivfpq_topk",
+        "ann_pq_adc_topk",
+        "ann_pq_rerank_topk",
+        "bpe_train_merges",
+        "brand_top_parts",
+        "centered_mavg_volume",
     ]
-    assert window[27:50] == opt_touched + r10_head
+    assert window[7:50] == r10_cohort + r11_head
