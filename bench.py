@@ -165,6 +165,18 @@ def main() -> None:
         "ivf_cosine_topk",
         "ivf_centroid_join_topk",
         "ab_test_conversion",
+        # r15: same measured first-run pathology, idle-host sequence
+        # profiles on the current tree (OPTIMIZATION_r15.md "suite-context
+        # attribution") — video_frame_shifted_pairs [7.52, 2.40, 2.25,
+        # 2.73] after its suite predecessor and [8.65, 2.54] after the
+        # census block (suite min-of-2 read 10.53 vs an in-artifact
+        # retime of 1.21 s = 0.95x floor); ann_cosine_topk [4.95, 1.60,
+        # 1.98] (suite 5.23 vs retime 0.82 = 0.60x floor). A GC before
+        # video_frame_shifted does NOT fix the spike (measured 11.98 s
+        # first run WITH a preceding GC) — it is JIT/warm-up shaped, so
+        # the one-extra-repeat remedy applies, not GC_BEFORE.
+        "video_frame_shifted_pairs",
+        "ann_cosine_topk",
     }
     # r14 introduced a blanket inter-query System.gc() (measurement-
     # interference fix: localCheckpoint block-cleanup debt landing inside
