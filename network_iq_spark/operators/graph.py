@@ -42,16 +42,25 @@ def connected_components(
 
     ``vertices``: one row per vertex (isolated vertices become singleton
     clusters), or ``None`` for ENDPOINTS-ONLY mode: the vertex set is
-    exactly the edge endpoints. Callers whose vertex frame is itself
-    derived from the edges (union + distinct — the resolution-family
-    tails) should pass ``None``: the seed's neighbor-min aggregate
-    already keys on every endpoint (``sym`` is symmetrized, so every
-    endpoint appears as ``u``), making the caller's distinct exchange
-    and the seed's left join pure redundancy (guide §2.4 — remove
-    shuffles outright). Identical labeling whenever the explicit frame
-    equals the endpoint set. ``edges``: undirected pairs. Raises after
-    ``max_iter`` non-converged rounds rather than returning a partial
-    labeling.
+    exactly the edge endpoints.
+
+    .. warning:: ``None`` SILENTLY DROPS ISOLATED VERTICES — a vertex
+       that appears in no edge produces no output row. Pass ``None``
+       ONLY when the true vertex set IS the endpoint set; whenever
+       isolated vertices must surface as singleton clusters (every
+       corpus-wide dedup caller), pass the explicit frame. There is no
+       runtime guard — the operator cannot see vertices it was never
+       given — so this contract lives here and in the call sites.
+
+    Callers whose vertex frame is itself derived from the edges
+    (union + distinct — the resolution-family tails) should pass
+    ``None``: the seed's neighbor-min aggregate already keys on every
+    endpoint (``sym`` is symmetrized, so every endpoint appears as
+    ``u``), making the caller's distinct exchange and the seed's left
+    join pure redundancy (guide §2.4 — remove shuffles outright).
+    Identical labeling whenever the explicit frame equals the endpoint
+    set. ``edges``: undirected pairs. Raises after ``max_iter``
+    non-converged rounds rather than returning a partial labeling.
     """
     # materialize the symmetrized edges ONCE — edges is often an expensive
     # pipeline (e.g. the MinHash cascade) and every round joins against it;

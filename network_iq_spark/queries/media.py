@@ -3515,15 +3515,10 @@ def q_transform_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_planted_links"),
         ).select(F.lit(axis).alias("axis"), "n_pairs", "n_planted_links")
 
-    # one shared source per modality, CHECKPOINTED (materialize-decode-
-    # once, r13 VERDICT item 5 made code in r14): the lazy checkpoint
-    # (a) re-roots every arm normalizer's build-time planning at an RDD
-    # leaf — the walk/quant derivation is planned once per modality
-    # instead of once per arm (the census build is measured
-    # py4j/planning-bound — ~5 s of its bench-SF reading, guide §3.3),
-    # and (b) decodes each modality's corpus ONCE at execution, feeding
-    # all arms, instead of once per arm. The registered arm queries are
-    # untouched (their stamped plans keep deriving from the raw scan).
+    # one shared source per modality, CHECKPOINTED — materialize-decode-
+    # once; full rationale on _image_transform_edges_inplan (planned
+    # once per modality instead of once per arm, decoded once at
+    # execution, registered arm queries untouched)
     aud = _aud_walks(spark, sf_dir).localCheckpoint(eager=False)
     img = _img_quant_base(spark, sf_dir).localCheckpoint(eager=False)
     vid = _vid_base(spark, sf_dir).localCheckpoint(eager=False)
@@ -3677,14 +3672,16 @@ def _transform_edges(
 
 
 def _image_transform_edges_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # materialize-decode-once (r13 VERDICT item 5, made code in r14): the
-    # composite checkpoints the shared quantized frame so (a) every arm
-    # normalizer's build-time checkpoint plans a subtree rooted at the
-    # RDD instead of re-planning the quant derivation per arm (the
-    # census build is measured py4j/planning-bound), and (b) the arms
-    # decode the corpus ONCE at execution instead of once per arm. The
-    # registered arm queries are untouched — they keep deriving from the
-    # raw scan (their stamped plans must not move).
+    # materialize-decode-once (r13 VERDICT item 5, made code in r14) —
+    # THE canonical statement of the idiom; every other composite site
+    # cross-references here: the composite checkpoints the shared
+    # decoded frame so (a) every arm normalizer's build-time checkpoint
+    # plans a subtree rooted at the RDD instead of re-planning the
+    # walk/quant derivation per arm (the census build is measured
+    # py4j/planning-bound — guide §3.3), and (b) the arms decode the
+    # corpus ONCE at execution instead of once per arm. The registered
+    # arm queries are untouched — they keep deriving from the raw scan
+    # (their stamped plans must not move).
     return _image_transform_edges_from(
         _img_quant_base(spark, sf_dir).localCheckpoint(eager=False)
     )
